@@ -1,0 +1,88 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed
+metadata, with decode/featurize as Arrow-batched Pandas UDFs.
+
+The container has no image/audio codecs, so the *decode* step is a
+clearly marked stub (:func:`decode_media` raises NotImplementedError;
+:func:`fake_decode_features` is the deterministic stand-in used by
+tests). Everything Spark-side — the schema shape, the mapInPandas batch
+contract, partitioning behavior — is real and tested; swapping the stub
+for PIL/ffmpeg is a one-function change inside the UDF body.
+
+Scale notes: binary payloads ride in Parquet as ordinary byte arrays;
+keep ``spark.sql.files.maxPartitionBytes`` at the default 128 MB so a
+partition of multi-MB blobs still fits executor memory, and never
+collect payloads to the driver. Feature extraction is map-side only —
+zero shuffles — so it scales with the scan like any other projection.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+#: Metadata carried alongside every payload. At 100 TB the metadata
+#: columns (not the blobs) are what filters/joins touch, so they must be
+#: plain columns Parquet can index, not fields buried in the payload.
+MEDIA_META_SCHEMA = "kind STRING, n_bytes BIGINT, checksum STRING"
+
+FEATURE_SCHEMA = "doc_id LONG, kind STRING, n_bytes BIGINT, feat ARRAY<DOUBLE>"
+
+
+def pack_media(payload: Column, kind: Column | str) -> Column:
+    """Wrap raw bytes into (payload, metadata-struct). Checksum is md5
+    hex — cross-engine checkable, good enough for dedup/integrity."""
+    kind_col = F.lit(kind) if isinstance(kind, str) else kind
+    return F.struct(
+        payload.alias("payload"),
+        F.struct(
+            kind_col.alias("kind"),
+            F.length(payload).alias("n_bytes"),
+            F.md5(payload).alias("checksum"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(df: DataFrame, payload_col: str, kind: str) -> DataFrame:
+    """Real decoder entry point — NOT implemented in this container
+    (no PIL/opencv/ffmpeg). Kept as the documented seam where decoding
+    plugs in; use :func:`fake_decode_features` for plumbing tests."""
+    raise NotImplementedError(
+        "media codecs are not available in this environment; "
+        "use fake_decode_features() for the Spark-side plumbing"
+    )
+
+
+def fake_decode_features(df: DataFrame, id_col: str, payload_col: str, kind_col: str) -> DataFrame:
+    """Deterministic stand-in for decode+featurize: a 16-bin byte
+    histogram (L1-normalized) per payload, via mapInPandas. The batch
+    contract, schema, and distribution behavior are exactly what a real
+    image/audio featurizer would use — only the math inside differs."""
+    import numpy as np
+    import pandas as pd
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            feats = []
+            for blob in pdf[payload_col]:
+                arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=16).astype(np.float64)
+                total = hist.sum()
+                feats.append((hist / total if total else hist).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "kind": pdf[kind_col],
+                    "n_bytes": pdf[payload_col].map(len).astype("int64"),
+                    "feat": feats,
+                }
+            )
+
+    return df.select(
+        F.col(id_col), F.col(payload_col), F.col(kind_col)
+    ).mapInPandas(extract, schema=FEATURE_SCHEMA)

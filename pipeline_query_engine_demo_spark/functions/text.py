@@ -1,0 +1,103 @@
+"""Text-analysis expression library for the documents corpus.
+
+Everything here is a pure Column expression built from JVM built-ins —
+no Python UDFs — so the whole text-analysis family runs inside
+whole-stage codegen and scales with the scan. At 100 TB of documents
+these are embarrassingly parallel map-side expressions: zero shuffles
+unless the caller aggregates.
+
+Hash choice: ``md5`` (F.md5 / DuckDB md5) is used wherever a test oracle
+must reproduce the value — both engines emit identical lowercase hex for
+identical bytes. It is NOT a security hash here, just a deterministic,
+cross-engine 128-bit mixer.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (the fixture corpus is space-separated)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_tokens(text: Column | str) -> Column:
+    return F.array_distinct(tokens(text))
+
+
+def type_token_ratio(text: Column | str) -> Column:
+    """Lexical diversity: distinct tokens / tokens (1.0 = no repetition)."""
+    return F.size(distinct_tokens(text)) / F.size(tokens(text))
+
+
+def avg_token_len(text: Column | str) -> Column:
+    """Mean token length in characters, computed as total non-space chars
+    over token count (single division -> deterministic across engines)."""
+    col = F.col(text) if isinstance(text, str) else text
+    non_space = F.length(F.regexp_replace(col, " ", ""))
+    return non_space / token_count(col)
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str]) -> Column:
+    """Fraction of tokens that are stopwords."""
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return hits / F.size(toks)
+
+
+def quality_score(text: Column | str, stopwords: list[str]) -> Column:
+    """Heuristic document quality in [0, 1]: rewards lexical diversity,
+    mid-length tokens, and a sane stopword share — the standard cheap
+    pre-filter before expensive dedup/embedding stages in a training-data
+    pipeline. Weights are arbitrary but fixed; the signal is the shape."""
+    ttr = type_token_ratio(text)
+    sw = stopword_ratio(text, stopwords)
+    len_ok = (token_count(text) >= 10).cast("double")
+    return F.round(ttr * 0.5 + sw * 0.2 + len_ok * 0.3, 6)
+
+
+def shingles(text: Column | str, n: int) -> Column:
+    """All n-word shingles (n-grams) as 'w1 w2 ... wn' strings; empty
+    array when the document has fewer than n tokens. Built with
+    transform/sequence/slice — no explode, no UDF — so it composes into
+    any downstream expression. (CaseWhen evaluates branches lazily per
+    row, so the descending-sequence edge case for short docs never runs.)"""
+    col = F.col(text) if isinstance(text, str) else text
+    words = tokens(col)
+    starts = F.sequence(F.lit(1), F.size(words) - F.lit(n - 1))
+    sh = F.transform(starts, lambda i: F.array_join(F.slice(words, i, n), " "))
+    return F.when(F.size(words) >= n, sh).otherwise(F.array().cast("array<string>"))
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """Order-insensitive bag fingerprint: md5 over the sorted distinct
+    token set. Two documents that are word-set-equal (any ordering, any
+    repetition) collide — the cheap first tier of near-dup detection."""
+    return F.md5(F.array_join(F.array_sort(distinct_tokens(text)), " "))
+
+
+def rolling_content_hash(text: Column | str) -> Column:
+    """Position-sensitive fingerprint: md5 of the token stream joined with
+    a separator that cannot appear in tokens. Unlike doc_fingerprint this
+    distinguishes permutations."""
+    return F.md5(F.array_join(tokens(text), "\x1f"))
+
+
+def lang_scores(text: Column | str, markers: dict[str, list[str]]) -> Column:
+    """Language-ID heuristic: for each language, the count of its marker
+    tokens present in the document; returns a map lang -> hits. The
+    real-world version uses char n-gram frequency profiles; the fixture
+    corpus is synthetic word soup, so marker-token counting is the
+    honest equivalent (same plumbing, same output shape)."""
+    toks = distinct_tokens(text)
+    pairs: list[Column] = []
+    for lang, words in sorted(markers.items()):
+        pairs.append(F.lit(lang))
+        pairs.append(F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))))
+    return F.create_map(*pairs)

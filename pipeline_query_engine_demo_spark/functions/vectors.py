@@ -1,0 +1,40 @@
+"""Vector math over ``array<float>`` embedding columns.
+
+All pure Column expressions (zip_with / aggregate higher-order
+functions) — JVM-side, no Python round-trip, scale with the scan.
+Elements are cast to DOUBLE before any arithmetic and folded strictly
+left-to-right, which keeps results deterministic and lets the DuckDB
+oracle (list_dot_product over DOUBLE[]) reproduce them bit-for-bit.
+
+For very high dimensions (>> 1k) a vectorized Pandas UDF (numpy dot over
+Arrow batches) wins on constant factors; helpers for that live in
+operators.similarity. At dim=64 the expression form is faster than the
+Arrow round-trip.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def as_double(vec: Column | str) -> Column:
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Strict left-fold dot product in double precision."""
+    prods = F.zip_with(as_double(a), as_double(b), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(vec: Column | str) -> Column:
+    return F.sqrt(dot(vec, vec))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity; NULL-safe only in the sense that a zero vector
+    yields NULL (division by zero), which sorts last under desc order."""
+    denominator = norm(a) * norm(b)
+    return dot(a, b) / F.nullif(denominator, F.lit(0.0))

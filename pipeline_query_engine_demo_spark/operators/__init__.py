@@ -1,0 +1,3 @@
+from pipeline_query_engine_demo_spark.operators.joins import asof_join
+
+__all__ = ["asof_join"]

@@ -1,0 +1,219 @@
+"""Deduplication operators for the documents corpus — the core
+training-data-pipeline family (exact, MinHash+LSH banding, SimHash,
+n-gram Jaccard).
+
+Scale design (the 100 TB story):
+
+- **Exact dedup** is a hash aggregate on a 256-bit content hash: the
+  shuffle carries (hash, doc_id) pairs — 40 bytes/row — never the text.
+- **MinHash+LSH** is the canonical near-dup algorithm at corpus scale:
+  signatures are k map-side aggregations over exploded tokens (one
+  shuffle keyed by doc_id, combiner-reduced); banding turns the O(n^2)
+  pair problem into a groupBy on band hashes, so only documents that
+  collide in >= 1 band ever meet. Candidate verification (true Jaccard)
+  touches candidate pairs only.
+- **SimHash** is one pass: explode tokens -> per-bit signed counts ->
+  sign -> pack. Hamming-adjacent buckets are a groupBy away.
+- **n-gram Jaccard** without an LSH prefilter self-joins the inverted
+  shingle index; that is quadratic in per-shingle document frequency and
+  is therefore only exposed for bounded inputs / post-LSH verification.
+
+Cross-engine determinism: every hash is md5 hex (identical in Spark and
+DuckDB), mins/sorts over hex strings are binary-collation stable, and
+Jaccard is a single double division — so even the LSH pipeline is fully
+oracle-checkable in SQL (plans/llm.py carries the CTE translations).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from pipeline_query_engine_demo_spark.functions.text import distinct_tokens, shingles
+
+#: Number of MinHash hash functions and how they are banded for LSH.
+#: 8 signatures in 4 bands of 2: near-dups (J >= ~0.6) collide with high
+#: probability while the band hash stays cheap. Tune per corpus.
+DEFAULT_NUM_HASHES = 8
+DEFAULT_BANDS = 4
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one representative (min id) per exact text; report copy count.
+    Grouping happens on sha2(text) so the shuffle key is fixed-width even
+    for multi-megabyte documents; min(text) just carries one copy through."""
+    return (
+        df.select(F.col(id_col), F.col(text_col), F.sha2(F.col(text_col), 256).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(text_col).alias(text_col),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = DEFAULT_NUM_HASHES
+) -> DataFrame:
+    """MinHash signature per document: hash_i(token) = md5(token || '#i'),
+    signature_i = min over the document's distinct tokens.
+
+    One explode + one groupBy(doc) with k min() aggregates — the partial
+    aggregation combines map-side, so the shuffle is one row per document
+    regardless of document length."""
+    exploded = df.select(
+        F.col(id_col), F.explode(distinct_tokens(F.col(text_col))).alias("tok")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("tok"), F.lit(f"#{i}")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def lsh_band_buckets(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Explode each signature into (band_id, band_hash) bucket keys.
+    Documents sharing a bucket in any band are near-dup candidates."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("|", *parts)).alias("band_hash"))
+        )
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) that collide in >= 1 LSH band.
+    The self-join is keyed on (band_id, band_hash) — only intra-bucket
+    pairs are generated, never the cartesian corpus square."""
+    buckets = lsh_band_buckets(
+        minhash_signatures(df, id_col, text_col, num_hashes), id_col, num_hashes, bands
+    )
+    a = buckets.select(
+        F.col(id_col).alias("id_a"), "band_id", "band_hash"
+    )
+    b = buckets.select(
+        F.col(id_col).alias("id_b"), "band_id", "band_hash"
+    )
+    return (
+        a.join(b, on=["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """True token-set Jaccard for the given (id_a, id_b) candidate pairs.
+    Set sizes join in by id (broadcast-able when candidates are few);
+    intersections come from the inverted token index restricted to
+    candidate ids."""
+    toks = df.select(F.col(id_col), F.explode(distinct_tokens(F.col(text_col))).alias("tok"))
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_toks"))
+    inter = (
+        toks.alias("ta")
+        .join(toks.alias("tb"), on="tok")
+        .select(F.col(f"ta.{id_col}").alias("id_a"), F.col(f"tb.{id_col}").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(pairs, on=["id_a", "id_b"], how="left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({id_col: "id_a", "n_toks": "n_a"}), on="id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "n_toks": "n_b"}), on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).alias("jaccard"),
+        )
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Full near-dup pipeline: MinHash -> LSH banding -> exact Jaccard
+    verification -> threshold. Returns (id_a, id_b, jaccard)."""
+    candidates = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands)
+    verified = jaccard_pairs(df, candidates, id_col, text_col)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """SimHash signature as a `bits`-char '0'/'1' string per document.
+
+    Bit j of a token's hash = parity of hex digit j of md5(token) — a
+    deterministic bit mixer both Spark and DuckDB compute identically.
+    The document bit is the sign of the sum of (+1/-1) votes over its
+    distinct tokens. One explode + one groupBy; the `bits` conditional
+    sums all fold into a single partial aggregate."""
+    if bits > 32:
+        raise ValueError("md5 hex has 32 digits; bits must be <= 32")
+    exploded = df.select(
+        F.col(id_col), F.md5(F.explode(distinct_tokens(F.col(text_col)))).alias("h")
+    )
+    votes = [
+        F.sum(
+            F.when(F.substring("h", j + 1, 1).isin("1", "3", "5", "7", "9", "b", "d", "f"), 1)
+            .otherwise(-1)
+        ).alias(f"bit{j}")
+        for j in range(bits)
+    ]
+    with_votes = exploded.groupBy(id_col).agg(*votes)
+    sig = F.concat(*[F.when(F.col(f"bit{j}") > 0, "1").otherwise("0") for j in range(bits)])
+    return with_votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """n-gram (word-shingle) Jaccard similarity via the inverted shingle
+    index. Quadratic in per-shingle document frequency — at corpus scale
+    run near_dup_pairs (LSH) instead and use this only to verify
+    candidates or on bounded slices."""
+    sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.alias("sa")
+        .join(sh.alias("sb"), on="sh")
+        .select(F.col(f"sa.{id_col}").alias("id_a"), F.col(f"sb.{id_col}").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({id_col: "id_a", "n_sh": "n_a"}), on="id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "n_sh": "n_b"}), on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

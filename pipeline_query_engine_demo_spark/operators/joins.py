@@ -1,0 +1,88 @@
+"""Composed join operators Spark lacks as primitives.
+
+The reference implements exactly one join — inner hash equi-join with a
+shared in-process hash table (``src/executor/mod.rs:310-381``); every
+standard join type maps to ``DataFrame.join`` directly (SURVEY.md §2.3).
+What Spark does NOT ship is an as-of join. The naive encoding
+(inequality join + argmax) explodes: every probe row matches its entire
+key-history and a per-key O(n*m) blow-up shuffles through the cluster
+before the argmax prunes it.
+
+:func:`asof_join` instead uses the union + ordered-window construction:
+
+1. tag reference rows and probe rows, union them (no join at all);
+2. one hash shuffle on the key, per-partition sort by event time;
+3. ``last(payload, ignorenulls=True)`` over an unbounded-preceding frame
+   carries the latest reference payload forward onto each probe row.
+
+Cost at scale: ONE shuffle of |probe| + |reference| rows and a sort —
+the same price as a sort-merge join, with zero row amplification. Skewed
+keys are handled the same way any windowed op handles them (AQE skew
+splitting does not apply to windows, so extreme single-key skew would
+need key-salting with range re-stitching — not needed at fixture scale).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_time: str,
+    right_time: str,
+    right_values: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Backward as-of join: for each ``left`` row, attach the ``right``
+    row with the greatest ``right_time`` <= ``left_time`` for the same
+    key(s). Exact time matches count.
+
+    Returns ``left``'s columns plus ``asof_ts`` (matched right time) and
+    each of ``right_values`` (all NULL when nothing precedes the row —
+    SQL ``ASOF LEFT JOIN`` semantics; pass ``how="inner"`` to drop
+    unmatched rows).
+
+    Requirements: ``right`` must be unique per (key, right_time) — ties
+    there are ambiguous in any as-of definition; pre-aggregate to pick a
+    winner. ``right_values`` must not collide with ``left`` column names.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = F.struct(F.col(right_time).alias("asof_ts"), *[F.col(v) for v in right_values])
+    ref = right.select(
+        *keys,
+        F.col(right_time).alias("_asof_t"),
+        payload.alias("_asof_payload"),
+        F.lit(1).alias("_asof_is_ref"),
+    )
+    probe = (
+        left.withColumn("_asof_t", F.col(left_time))
+        .withColumn("_asof_is_ref", F.lit(0))
+        .withColumn("_asof_payload", F.lit(None).cast(ref.schema["_asof_payload"].dataType))
+    )
+    # Reference rows sort BEFORE probe rows at equal timestamps so an
+    # exact-time reference is visible to its probe row's frame.
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_asof_t").asc(), F.col("_asof_is_ref").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = probe.unionByName(ref, allowMissingColumns=True).withColumn(
+        "_asof_match", F.last("_asof_payload", ignorenulls=True).over(w)
+    )
+    out = (
+        carried.filter(F.col("_asof_is_ref") == 0)
+        .select(
+            *left.columns,
+            F.col("_asof_match.asof_ts").alias("asof_ts"),
+            *[F.col(f"_asof_match.{v}").alias(v) for v in right_values],
+        )
+    )
+    if how == "inner":
+        out = out.filter(F.col("asof_ts").isNotNull())
+    elif how != "left":
+        raise ValueError(f"asof_join supports how='left'|'inner', got {how!r}")
+    return out

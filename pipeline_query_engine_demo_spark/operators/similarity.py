@@ -1,0 +1,146 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Three tiers, matching how ANN actually gets deployed over a 100 TB
+corpus:
+
+1. **Brute-force cosine top-k** (:func:`cosine_topk`,
+   :func:`knn_join`) — exact; the query side is broadcast, the corpus
+   side streams through a map-side cosine + per-partition top-k heap
+   (TakeOrderedAndProject / window). The baseline every ANN variant is
+   measured against.
+2. **Sign-LSH bucketing** (:func:`lsh_bucket`, :func:`ann_topk_lsh`) —
+   random-hyperplane LSH degenerates to coordinate-sign buckets for a
+   deterministic, oracle-checkable variant: bucket = sign bits of fixed
+   dimensions. Probing only the query's bucket cuts the scanned corpus
+   by ~2^bits at some recall cost. Production would use seeded random
+   hyperplanes (same plumbing, one extra literal matrix).
+3. **IVF-style coarse quantization** (:func:`ivf_assign`) — assign each
+   vector to its nearest centroid (broadcast literal centroids), search
+   only the query's cell. Centroid training is out of scope (needs
+   k-means; pyspark.ml KMeans slots in here); assignment/probe plumbing
+   is what the engine owns.
+
+A vectorized Pandas-UDF dot product is provided for high dimensions
+(:func:`pandas_cosine_topk`) — numpy matmul over Arrow batches beats
+per-element expression trees once dim * rows is large; at dim=64 the
+pure-expression form wins (no Python round-trip).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from pipeline_query_engine_demo_spark.functions.vectors import cosine
+
+
+def cosine_scores(corpus: DataFrame, query: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Cross-score every corpus vector against every query vector.
+    ``query`` (small) is broadcast: the big side never shuffles."""
+    q = F.broadcast(
+        query.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+    )
+    return corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(q).select(
+        "query_id",
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cosine_sim"),
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame, query: DataFrame, id_col: str, vec_col: str, k: int
+) -> DataFrame:
+    """Exact top-k nearest corpus vectors per query vector by cosine.
+    Per-query ranking runs as a window over the hash-partitioned query
+    key: each partition keeps only its top-k; no global sort."""
+    scored = cosine_scores(corpus, query, id_col, vec_col)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col), "cosine_sim", "rank")
+    )
+
+
+def lsh_bucket(vec_col: str, dims: Iterable[int]) -> F.Column:
+    """Sign-bit LSH bucket id: bit i = (vec[dims[i]] > 0). Deterministic
+    coordinate-hyperplane LSH — same banding math as random hyperplanes."""
+    bit_cols = [
+        (F.element_at(vec_col, d + 1) > 0).cast("int") * (2**i)
+        for i, d in enumerate(dims)
+    ]
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out + c
+    return out
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    query: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    dims: tuple[int, ...] = (0, 7, 21, 42),
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's LSH
+    bucket. The bucket equi-join replaces the cross join — at scale this
+    is the difference between scanning the corpus per query and scanning
+    ~corpus/2^bits."""
+    bucketed = corpus.withColumn("_bucket", lsh_bucket(vec_col, dims))
+    q = F.broadcast(
+        query.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qvec"),
+            lsh_bucket(vec_col, dims).alias("_bucket"),
+        )
+    )
+    scored = bucketed.join(q, on="_bucket").select(
+        "query_id",
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col), "cosine_sim", "rank")
+    )
+
+
+def ivf_assign(corpus: DataFrame, id_col: str, vec_col: str, centroids: list[list[float]]) -> DataFrame:
+    """IVF coarse assignment: nearest centroid by cosine, centroids as a
+    broadcast literal array. Output: (id, cell). Downstream ANN probes
+    only matching cells (equi-join on cell), exactly like ann_topk_lsh."""
+    cent = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    scores = F.transform(cent, lambda c: cosine(F.col(vec_col), c))
+    best = F.array_position(scores, F.array_max(scores)).cast("int") - 1
+    return corpus.select(F.col(id_col), best.alias("cell"))
+
+
+def pandas_cosine_topk(
+    corpus: DataFrame, query_vec: list[float], id_col: str, vec_col: str, k: int
+) -> DataFrame:
+    """Brute-force top-k against ONE query vector using a vectorized
+    Pandas UDF (Arrow batches -> numpy matmul). The scale path for high
+    dim: per-batch O(batch * dim) in C, one Python worker per core."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt((qv * qv).sum()))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.vstack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            sims = (mat @ qv) / np.where(norms * qn == 0.0, np.nan, norms * qn)
+            yield pd.DataFrame({id_col: pdf[id_col], "cosine_sim": np.round(sims, 6)})
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema=f"{id_col} long, cosine_sim double"
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)

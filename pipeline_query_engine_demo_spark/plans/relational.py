@@ -1,0 +1,1030 @@
+"""Relational query corpus: scans, filters, joins, aggregations, sorts,
+set ops, and the scalar-function surface (SURVEY.md §2.1, §2.3).
+
+The reference implements exactly four operators — TableScan
+(``src/executor/mod.rs:250-276``), a hard-coded Filter (``:278-308``),
+inner HashJoin (``:310-381``), and offset/limit (``:383-466``) — and its
+one demo query composes them. ``ref_demo_pipeline`` reproduces that query
+bit-for-bit; everything else widens the surface to what any user of a
+query engine needs, expressed declaratively so Catalyst plans the
+physical execution (broadcast vs shuffle join, partial aggregation,
+limit early-stop).
+
+Determinism contract (see plans.registry): orderBy before limit, shared
+aliases, DECIMAL casts before float aggregation, double division only in
+forms both engines evaluate identically.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pipeline_query_engine_demo_spark.plans.registry import query
+from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+
+def _dec(col: str) -> F.Column:
+    """Exact money arithmetic: cast a double column to DECIMAL before
+    aggregating so Spark and DuckDB (whose float-sum orders differ) both
+    do exact decimal sums. Final results are cast back to double."""
+    return F.col(col).cast("decimal(18,2)")
+
+
+# --------------------------------------------------------------------------
+# M0 — the reference's own workload
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ref_demo_pipeline",
+    category="reference-replica",
+    oracle="""
+        WITH build AS (SELECT range AS id FROM range(0, 4096)),
+             probe AS (SELECT range AS id FROM range(2048, 4096))
+        SELECT b.id AS build_id, p.id AS probe_id
+        FROM build b JOIN probe p ON b.id = p.id
+        WHERE b.id >= 2560
+        ORDER BY build_id
+        LIMIT 200 OFFSET 100
+    """,
+)
+def ref_demo_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's single hand-wired query (``src/main.rs:29-48``):
+    build ids 0..4095, probe ids 2048..4095, filter ``id >= 2560``
+    (``src/executor/mod.rs:295``), inner hash join on id
+    (``:310-381``), LIMIT 200 OFFSET 100 (``src/main.rs:35``).
+    Golden answer: 200 rows x 2 cols, first id 2660 (``src/main.rs:71-73``).
+
+    Spark-first translation: the filtered side is small, so Catalyst
+    broadcast-hash-joins it (the reference's shared in-process hash table
+    is the degenerate single-node form of a broadcast). The explicit
+    orderBy makes offset/limit deterministic — Spark limit without a
+    total order is not (SURVEY.md §7 risk 1).
+    """
+    build = spark.range(0, 4096).select(F.col("id"))
+    probe = spark.range(2048, 4096).select(F.col("id"))
+    return (
+        build.filter(F.col("id") >= 2560)
+        .join(probe, on="id", how="inner")
+        .select(F.col("id").alias("build_id"), F.col("id").alias("probe_id"))
+        .orderBy("build_id")
+        .offset(100)
+        .limit(200)
+    )
+
+
+@query(
+    "flagship_filter_join_limit",
+    category="reference-replica",
+    oracle="""
+        SELECT o.o_orderkey AS orderkey,
+               l.l_linenumber AS linenumber,
+               l.l_quantity AS quantity
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_totalprice >= 1000.0
+        ORDER BY orderkey, linenumber
+        LIMIT 200 OFFSET 100
+    """,
+)
+def flagship_filter_join_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's plan shape (filter build side -> inner equi-join ->
+    offset/limit, ``src/main.rs:29-48``) on real Parquet fixtures. The
+    filter sits on the orders side so Catalyst pushes it into the Parquet
+    scan (the reference places its Filter below the join by hand,
+    ``src/main.rs:31-32``; Catalyst's PushDownPredicates does the same
+    automatically — SURVEY.md §4.1)."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.filter(F.col("o_totalprice") >= 1000.0)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey, "inner")
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("l_linenumber").alias("linenumber"),
+            F.col("l_quantity").alias("quantity"),
+        )
+        .orderBy("orderkey", "linenumber")
+        .offset(100)
+        .limit(200)
+    )
+
+
+# --------------------------------------------------------------------------
+# M1 — aggregations
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    category="aggregation",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary. Spark plans this as partial
+    (map-side) + final hash aggregation automatically — at 100 TB the
+    partial agg collapses ~600 G rows to 6 groups per partition before
+    the shuffle, so the exchange is O(partitions), not O(rows)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "agg_basic_stats",
+    category="aggregation",
+    oracle="""
+        SELECT l_suppkey,
+               COUNT(*) AS n_items,
+               CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+               CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
+    """,
+)
+def agg_basic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count/min/max/sum per supplier — the basic hash-agg surface the
+    reference lacks entirely (SURVEY.md §2.3 'Aggregations')."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.min("l_quantity").cast("double").alias("min_qty"),
+            F.max("l_quantity").cast("double").alias("max_qty"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+@query(
+    "agg_distinct_counts",
+    category="aggregation",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(DISTINCT o_custkey) AS n_customers,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation. Spark rewrites count(distinct) into a
+    two-phase expand + two aggregations — no driver-side dedup."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "agg_rollup",
+    category="aggregation",
+    oracle="""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, n
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (hierarchical subtotals + grand total)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+            F.col("n"),
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    category="aggregation",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, n
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over status x priority (all 2^2 grouping sets)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("n"),
+        )
+    )
+
+
+@query(
+    "agg_having",
+    category="aggregation",
+    oracle="""
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        FROM orders
+        GROUP BY o_custkey
+        HAVING COUNT(*) >= 3
+        ORDER BY o_custkey
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_spend"),
+        )
+        .filter(F.col("n_orders") >= 3)
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "agg_collect_set",
+    category="aggregation",
+    oracle="""
+        SELECT c_mktsegment,
+               list_sort(list_distinct(list(o.o_orderstatus))) AS statuses
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set + sort_array: set-valued aggregation with a canonical
+    (sorted) representation so the result is order-insensitive."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "agg_pivot",
+    category="aggregation",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*) FILTER (WHERE l_linestatus = 'F') AS status_f,
+               COUNT(*) FILTER (WHERE l_linestatus = 'O') AS status_o
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation). Values are enumerated
+    explicitly — at scale an un-enumerated pivot needs an extra pass to
+    discover the value domain."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "l_returnflag",
+            F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# M1 — joins (every type; SURVEY.md §2.3 'Joins')
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q3_shipping_priority",
+    category="join",
+    oracle="""
+        SELECT l.l_orderkey AS orderkey,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1.0 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               o.o_orderpriority AS priority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY l.l_orderkey, o.o_orderpriority
+        ORDER BY revenue DESC, orderkey
+        LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: selective dim filter -> 3-way join -> agg ->
+    top-k. customer is broadcast (dim ≪ fact); the lineitem-orders join
+    shuffles on orderkey; the final top-10 is TakeOrderedAndProject (no
+    full sort of the aggregate)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, customer.c_custkey == orders.o_custkey)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy(F.col("l_orderkey").alias("orderkey"), F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("orderkey", "revenue", "priority")
+        .orderBy(F.col("revenue").desc(), F.col("orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_regional_revenue",
+    category="join",
+    oracle="""
+        SELECT n.n_name AS nation,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1.0 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM region r
+        JOIN nation n ON r.r_regionkey = n.n_regionkey
+        JOIN customer c ON n.n_nationkey = c.c_nationkey
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, nation
+    """,
+)
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 5-way star join. All dims (region, nation,
+    customer) broadcast; only the orders-lineitem edge shuffles. At
+    100 TB this is the canonical star-schema plan: one big-table scan,
+    one shuffle."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        region.filter(F.col("r_name") == "ASIA")
+        .join(nation, region.r_regionkey == nation.n_regionkey)
+        .join(customer, nation.n_nationkey == customer.c_nationkey)
+        .join(orders, customer.c_custkey == orders.o_custkey)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("nation"))
+    )
+
+
+@query(
+    "join_left_outer",
+    category="join",
+    oracle="""
+        SELECT c.c_custkey AS custkey, COUNT(o.o_orderkey) AS n_orders
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey ORDER BY custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (count = 0)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy(F.col("c_custkey").alias("custkey"))
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("custkey")
+    )
+
+
+@query(
+    "join_full_outer",
+    category="join",
+    oracle="""
+        WITH big AS (SELECT o_custkey, COUNT(*) AS n_big FROM orders
+                     WHERE o_totalprice > 3000 GROUP BY o_custkey),
+             rich AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000)
+        SELECT COALESCE(b.o_custkey, r.c_custkey) AS custkey,
+               COALESCE(b.n_big, 0) AS n_big,
+               CAST(COALESCE(r.c_acctbal, -1.0) AS DOUBLE) AS acctbal
+        FROM big b FULL OUTER JOIN rich r ON b.o_custkey = r.c_custkey
+        ORDER BY custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with unmatched rows on both sides; NULL-bridging
+    via coalesce. Full outer forces a shuffle join (broadcast cannot
+    preserve both sides' unmatched rows)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = (
+        orders.filter(F.col("o_totalprice") > 3000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    rich = customer.filter(F.col("c_acctbal") > 5000).select("c_custkey", "c_acctbal")
+    return (
+        big.join(rich, big.o_custkey == rich.c_custkey, "full")
+        .select(
+            F.coalesce(F.col("o_custkey"), F.col("c_custkey")).alias("custkey"),
+            F.coalesce(F.col("n_big"), F.lit(0)).alias("n_big"),
+            F.coalesce(F.col("c_acctbal"), F.lit(-1.0)).cast("double").alias("acctbal"),
+        )
+        .orderBy("custkey")
+    )
+
+
+@query(
+    "join_semi",
+    category="join",
+    oracle="""
+        SELECT c_custkey AS custkey, c_name AS name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        ORDER BY custkey
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (EXISTS): customers with >= 1 urgent order. Semi
+    join never duplicates the probe side — cheaper than join+distinct."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left_semi")
+        .select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
+        .orderBy("custkey")
+    )
+
+
+@query(
+    "join_anti",
+    category="join",
+    oracle="""
+        SELECT c_custkey AS custkey, c_mktsegment AS segment
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        ORDER BY custkey
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (NOT EXISTS): customers with no orders at all."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select(F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment"))
+        .orderBy("custkey")
+    )
+
+
+@query(
+    "join_theta",
+    category="join",
+    oracle="""
+        SELECT s.s_suppkey AS suppkey, c.c_custkey AS custkey
+        FROM supplier s JOIN customer c
+          ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal
+        ORDER BY suppkey, custkey
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed equi + theta join: Catalyst plans the equi part as the hash
+    key and evaluates the inequality as a post-join residual — so this
+    still hash-partitions instead of falling back to nested loops."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        supplier.join(
+            customer,
+            (supplier.s_nationkey == customer.c_nationkey) & (supplier.s_acctbal > customer.c_acctbal),
+        )
+        .select(F.col("s_suppkey").alias("suppkey"), F.col("c_custkey").alias("custkey"))
+        .orderBy("suppkey", "custkey")
+    )
+
+
+@query(
+    "join_cross",
+    category="join",
+    oracle="""
+        SELECT r.r_name AS region_name, n.n_name AS nation_name
+        FROM region r CROSS JOIN nation n
+        ORDER BY region_name, nation_name
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two (small) dims — BroadcastNestedLoopJoin.
+    Only safe when one side is tiny; the API makes that explicit."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        region.crossJoin(nation)
+        .select(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .orderBy("region_name", "nation_name")
+    )
+
+
+@query(
+    "join_dedup_build_side",
+    category="join",
+    oracle="""
+        WITH build AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice >= 4000)
+        SELECT c.c_custkey AS custkey, c.c_acctbal AS acctbal
+        FROM build b JOIN customer c ON b.o_custkey = c.c_custkey
+        ORDER BY custkey
+    """,
+)
+def join_dedup_build_side(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's nonstandard join semantics, made explicit: its
+    hash-table build uses ``HashMap::insert`` so duplicate build keys
+    overwrite (last wins — ``src/executor/mod.rs:371``), i.e. it joins
+    against a de-duplicated build side. SQL semantics would duplicate
+    probe rows; we reproduce the reference behavior with an explicit
+    ``dropDuplicates`` before the join (SURVEY.md §7 risk 2)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    build = (
+        orders.filter(F.col("o_totalprice") >= 4000).select("o_custkey").dropDuplicates(["o_custkey"])
+    )
+    return (
+        build.join(customer, build.o_custkey == customer.c_custkey)
+        .select(F.col("c_custkey").alias("custkey"), F.col("c_acctbal").alias("acctbal"))
+        .orderBy("custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# M1 — sorts / limits / top-k
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sort_multi_key_offset_limit",
+    category="sort-limit",
+    oracle="""
+        SELECT o_orderkey AS orderkey, o_orderpriority AS priority, o_totalprice AS totalprice
+        FROM orders
+        ORDER BY priority ASC, totalprice DESC, orderkey
+        LIMIT 50 OFFSET 25
+    """,
+)
+def sort_multi_key_offset_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with mixed directions + offset/limit pagination
+    (the reference's Limit operator, ``src/executor/mod.rs:383-466``,
+    generalized). Spark range-partitions the sort; the limit early-stops."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+        .orderBy(F.col("priority").asc(), F.col("totalprice").desc(), F.col("orderkey"))
+        .offset(25)
+        .limit(50)
+    )
+
+
+@query(
+    "topk_global",
+    category="sort-limit",
+    oracle="""
+        SELECT o_orderkey AS orderkey, o_totalprice AS totalprice
+        FROM orders ORDER BY totalprice DESC, orderkey LIMIT 15
+    """,
+)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: orderBy + limit compiles to TakeOrderedAndProject —
+    each partition keeps a k-heap, the driver merges k*partitions rows;
+    no full sort, no full shuffle. This is the plan that survives 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(F.col("o_orderkey").alias("orderkey"), F.col("o_totalprice").alias("totalprice"))
+        .orderBy(F.col("totalprice").desc(), F.col("orderkey"))
+        .limit(15)
+    )
+
+
+# --------------------------------------------------------------------------
+# M1 — set operations
+# --------------------------------------------------------------------------
+
+
+@query(
+    "set_union_all",
+    category="set-op",
+    oracle="""
+        SELECT c_custkey AS custkey, 'building' AS src FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION ALL
+        SELECT c_custkey AS custkey, 'machinery' AS src FROM customer WHERE c_mktsegment = 'MACHINERY'
+        ORDER BY custkey, src
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag union, no dedup shuffle)."""
+    customer = load_table(spark, sf_dir, "customer")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey"), F.lit("building").alias("src")
+    )
+    machinery = customer.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        F.col("c_custkey").alias("custkey"), F.lit("machinery").alias("src")
+    )
+    return building.unionByName(machinery).orderBy("custkey", "src")
+
+
+@query(
+    "set_intersect",
+    category="set-op",
+    oracle="""
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        ORDER BY custkey
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): customers with both finished and open orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    o = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return f.intersect(o).orderBy("custkey")
+
+
+@query(
+    "set_except",
+    category="set-op",
+    oracle="""
+        SELECT c_custkey AS custkey FROM customer
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders
+        ORDER BY custkey
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): anti-join expressed as a set difference."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    all_cust = customer.select(F.col("c_custkey").alias("custkey"))
+    with_orders = orders.select(F.col("o_custkey").alias("custkey"))
+    return all_cust.exceptAll(with_orders.distinct()).distinct().orderBy("custkey")
+
+
+@query(
+    "distinct_rows",
+    category="set-op",
+    oracle="""
+        SELECT DISTINCT l_returnflag AS returnflag, l_linestatus AS linestatus
+        FROM lineitem ORDER BY returnflag, linestatus
+    """,
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT — plans as a hash aggregate on all columns (partial+final),
+    so the shuffle carries only unique combinations."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.select(
+            F.col("l_returnflag").alias("returnflag"), F.col("l_linestatus").alias("linestatus")
+        )
+        .distinct()
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# M1 — scalar function surface
+# --------------------------------------------------------------------------
+
+
+@query(
+    "string_functions",
+    category="scalar-fn",
+    oracle="""
+        SELECT p_partkey AS partkey,
+               lower(p_name) AS name_lower,
+               upper(p_brand) AS brand_upper,
+               length(p_name) AS name_len,
+               substr(p_type, 1, 7) AS type_prefix,
+               concat_ws('/', p_brand, p_type) AS brand_type,
+               regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+               regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devoweled,
+               CASE WHEN p_type LIKE 'ECONOMY%' THEN 1 ELSE 0 END AS is_economy
+        FROM part ORDER BY partkey
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String expression surface (the reference has no expressions at all
+    — its one predicate is compiled Rust, ``src/executor/mod.rs:295``).
+    All JVM-side whole-stage-codegen'd built-ins; no Python UDFs."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            F.col("p_partkey").alias("partkey"),
+            F.lower("p_name").alias("name_lower"),
+            F.upper("p_brand").alias("brand_upper"),
+            F.length("p_name").alias("name_len"),
+            F.substring("p_type", 1, 7).alias("type_prefix"),
+            F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+            F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+            F.regexp_replace("p_name", "[aeiou]", "_").alias("name_devoweled"),
+            F.when(F.col("p_type").like("ECONOMY%"), 1).otherwise(0).alias("is_economy"),
+        ).orderBy("partkey")
+    )
+
+
+@query(
+    "date_functions",
+    category="scalar-fn",
+    oracle="""
+        SELECT o_orderkey AS orderkey,
+               CAST(year(o_orderdate) AS INT) AS order_year,
+               CAST(month(o_orderdate) AS INT) AS order_month,
+               CAST(day(o_orderdate) AS INT) AS order_day,
+               date_trunc('month', o_orderdate) AS month_start,
+               CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_ts,
+               date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k
+        FROM orders ORDER BY orderkey
+    """,
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time expression surface over the orders timestamps."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.dayofmonth("o_orderdate").alias("order_day"),
+            F.date_trunc("month", "o_orderdate").alias("month_start"),
+            (F.col("o_orderdate").cast("date") + F.expr("INTERVAL 30 DAYS"))
+            .cast("timestamp")
+            .alias("due_ts"),
+            F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+                "days_to_y2k"
+            ),
+        ).orderBy("orderkey")
+    )
+
+
+@query(
+    "math_functions",
+    category="scalar-fn",
+    oracle="""
+        SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+               abs(l_quantity - 25.0) AS qty_dev,
+               floor(l_extendedprice) AS price_floor,
+               ceil(l_extendedprice) AS price_ceil,
+               round(l_extendedprice / 100.0, 2) AS price_hundreds,
+               sqrt(l_quantity) AS qty_sqrt,
+               l_quantity * l_quantity AS qty_sq,
+               CAST(l_quantity AS BIGINT) % 7 AS qty_mod
+        FROM lineitem
+        WHERE l_orderkey <= 100
+        ORDER BY orderkey, linenumber
+    """,
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math expression surface. sqrt/floor/ceil/abs are correctly-rounded
+    IEEE ops — bit-identical across engines; round(x, 2) on a shared
+    double input is deterministic too."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(F.col("l_orderkey") <= 100)
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").alias("linenumber"),
+            F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
+            F.floor("l_extendedprice").alias("price_floor"),
+            F.ceil("l_extendedprice").alias("price_ceil"),
+            F.round(F.col("l_extendedprice") / 100.0, 2).alias("price_hundreds"),
+            F.sqrt("l_quantity").alias("qty_sqrt"),
+            (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+            (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod"),
+        )
+        .orderBy("orderkey", "linenumber")
+    )
+
+
+@query(
+    "array_functions",
+    category="scalar-fn",
+    oracle="""
+        SELECT vec_id,
+               len(embedding) AS dim,
+               CAST(embedding[1] AS DOUBLE) AS first_elem,
+               CAST(embedding[64] AS DOUBLE) AS last_elem,
+               CAST(list_max(embedding) AS DOUBLE) AS max_elem,
+               CAST(list_min(embedding) AS DOUBLE) AS min_elem,
+               len(list_filter(embedding, x -> x > 0)) AS n_positive
+        FROM embeddings ORDER BY vec_id
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array expression surface over the embedding column — size,
+    1-indexed element access, higher-order filter. All JVM built-ins;
+    this is the substrate the similarity operators build on."""
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    return (
+        embeddings.select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.element_at("embedding", 1).cast("double").alias("first_elem"),
+            F.element_at("embedding", 64).cast("double").alias("last_elem"),
+            F.array_max("embedding").cast("double").alias("max_elem"),
+            F.array_min("embedding").cast("double").alias("min_elem"),
+            F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+        ).orderBy("vec_id")
+    )
+
+
+@query(
+    "explode_unnest",
+    category="scalar-fn",
+    oracle="""
+        SELECT d.doc_id, t.word, COUNT(*) AS n
+        FROM documents d, unnest(string_split(d.text, ' ')) AS t(word)
+        WHERE d.doc_id < 20
+        GROUP BY d.doc_id, t.word
+        ORDER BY d.doc_id, t.word
+    """,
+)
+def explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode (UNNEST): one row per token — the lateral primitive under
+    every shingling/tokenizing operator in the LLM-pipeline family."""
+    documents = load_table(spark, sf_dir, "documents")
+    return (
+        documents.filter(F.col("doc_id") < 20)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("doc_id", "word")
+    )
+
+
+@query(
+    "json_functions",
+    category="scalar-fn",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k,
+               CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod
+        FROM events ORDER BY event_id
+    """,
+)
+def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON parsing of the events.props payload column (from_json with an
+    explicit schema — schema-on-read, pushed into codegen; no UDF)."""
+    events = load_table(spark, sf_dir, "events")
+    parsed = events.select(
+        "event_id", F.from_json("props", "k INT").alias("p")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        (F.col("p.k") % 10).alias("k_mod"),
+    ).orderBy("event_id")
+
+
+@query(
+    "map_functions",
+    category="scalar-fn",
+    oracle="""
+        SELECT event_id, event_type AS et_from_map, 2 AS n_keys
+        FROM events WHERE event_id < 100 ORDER BY event_id
+    """,
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + access (create_map / element_at / map_keys).
+    The oracle checks the round-trip identity: what goes into the map
+    comes back out."""
+    events = load_table(spark, sf_dir, "events")
+    with_map = events.filter(F.col("event_id") < 100).select(
+        "event_id",
+        F.create_map(
+            F.lit("type"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string")
+        ).alias("m"),
+    )
+    return with_map.select(
+        "event_id",
+        F.element_at("m", "type").alias("et_from_map"),
+        F.size(F.map_keys("m")).alias("n_keys"),
+    ).orderBy("event_id")
+
+
+@query(
+    "case_null_handling",
+    category="scalar-fn",
+    oracle="""
+        SELECT o_orderkey AS orderkey,
+               CASE WHEN o_totalprice >= 4000 THEN 'large'
+                    WHEN o_totalprice >= 1500 THEN 'medium'
+                    ELSE 'small' END AS size_class,
+               COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_norm,
+               (o_orderstatus = 'F') AS is_finished
+        FROM orders ORDER BY orderkey
+    """,
+)
+def case_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN ladders + NULLIF/COALESCE null algebra."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.when(F.col("o_totalprice") >= 4000, "large")
+            .when(F.col("o_totalprice") >= 1500, "medium")
+            .otherwise("small")
+            .alias("size_class"),
+            F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+                "status_norm"
+            ),
+            (F.col("o_orderstatus") == "F").alias("is_finished"),
+        ).orderBy("orderkey")
+    )
+
+
+@query(
+    "scalar_subquery",
+    category="subquery",
+    oracle="""
+        SELECT c_custkey AS custkey, c_acctbal AS acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+        ORDER BY custkey
+    """,
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: customers above the mean balance. Expressed as a
+    broadcast cross-join of the 1-row aggregate — the distributed form of
+    a scalar subquery (no driver round-trip, no collect)."""
+    customer = load_table(spark, sf_dir, "customer")
+    mean = customer.agg(F.avg("c_acctbal").alias("avg_bal"))
+    return (
+        customer.crossJoin(F.broadcast(mean))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .select(F.col("c_custkey").alias("custkey"), F.col("c_acctbal").alias("acctbal"))
+        .orderBy("custkey")
+    )
+
+
+@query(
+    "in_subquery",
+    category="subquery",
+    oracle="""
+        SELECT p_partkey AS partkey, p_brand AS brand
+        FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+        ORDER BY partkey
+    """,
+)
+def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN subquery — planned as a left semi join on the subquery result."""
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    heavy = lineitem.filter(F.col("l_quantity") >= 49).select("l_partkey")
+    return (
+        part.join(heavy, part.p_partkey == heavy.l_partkey, "left_semi")
+        .select(F.col("p_partkey").alias("partkey"), F.col("p_brand").alias("brand"))
+        .orderBy("partkey")
+    )

@@ -1,0 +1,323 @@
+"""Window functions, per-group top-k, as-of and range joins, and the
+batch half of the streaming window family (SURVEY.md §2.3 'Window
+functions', 'Joins: range/as-of', M2/M3).
+
+None of these exist in the reference (it has four operators total); they
+are table stakes for an analytics engine. The as-of join is one of the
+few genuinely hand-built compositions in this repo — Spark has no native
+primitive — and it is built the scale-correct way: a union + ordered
+window with ``last(ignorenulls)``, which costs ONE shuffle of
+events+references and never materializes an inequality-join blow-up.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pipeline_query_engine_demo_spark.operators.joins import asof_join
+from pipeline_query_engine_demo_spark.plans.registry import query
+from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+
+@query(
+    "window_topk_per_group",
+    category="window",
+    oracle="""
+        SELECT custkey, orderkey, totalprice, rn FROM (
+            SELECT o_custkey AS custkey, o_orderkey AS orderkey, o_totalprice AS totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+        ORDER BY custkey, rn
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number — the distributed top-k idiom: one
+    hash shuffle on the group key, per-partition sort, no global sort.
+    The tie-break on orderkey makes row_number deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("custkey", "rn")
+    )
+
+
+@query(
+    "window_rank_dense_ntile",
+    category="window",
+    oracle="""
+        SELECT c_custkey AS custkey, c_mktsegment AS segment,
+               rank() OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               ntile(4) OVER w AS quartile
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        ORDER BY segment, rnk, custkey
+    """,
+)
+def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family: rank / dense_rank / ntile within market segment."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        customer.select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_mktsegment").alias("segment"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        ).orderBy("segment", "rnk", "custkey")
+    )
+
+
+@query(
+    "window_lag_lead",
+    category="window",
+    oracle="""
+        SELECT event_id, user_id,
+               lag(event_type) OVER w AS prev_type,
+               lead(event_type) OVER w AS next_type,
+               date_diff('second',
+                         lag(ts) OVER w,
+                         ts) AS secs_since_prev
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY event_id
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics over each user's event timeline — the
+    session-ish navigation primitive. Order key includes event_id so
+    equal timestamps cannot flip the answer."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias(
+                "secs_since_prev"
+            ),
+        ).orderBy("event_id")
+    )
+
+
+@query(
+    "window_running_frame",
+    category="window",
+    oracle="""
+        SELECT event_id, user_id,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_value,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_3
+        FROM events
+        ORDER BY event_id
+    """,
+)
+def window_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregates over explicit ROWS frames: running count, running sum,
+    3-row moving sum. Sums go through DECIMAL so incremental-frame
+    evaluation order can't produce float drift between engines."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    moving = w.rowsBetween(-2, Window.currentRow)
+    dec_value = F.col("value").cast("decimal(18,2)")
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(running).alias("n_so_far"),
+            F.sum(dec_value).over(running).cast("double").alias("cum_value"),
+            F.sum(dec_value).over(moving).cast("double").alias("moving_3"),
+        ).orderBy("event_id")
+    )
+
+
+@query(
+    "window_first_last",
+    category="window",
+    oracle="""
+        SELECT event_id, user_id,
+               first_value(event_type) OVER w AS first_type,
+               last_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS final_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY event_id
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value with an explicit full-partition frame for
+    last (default frames stop at CURRENT ROW — a classic silent bug)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            F.first("event_type").over(w).alias("first_type"),
+            F.last("event_type").over(full).alias("final_type"),
+        ).orderBy("event_id")
+    )
+
+
+@query(
+    "asof_join_last_purchase",
+    category="asof-join",
+    oracle="""
+        WITH purchases AS (
+            SELECT user_id, ts, MAX(value) AS ref_value
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id, ts
+        )
+        SELECT e.event_id, e.user_id,
+               p.ts AS last_purchase_ts,
+               p.ref_value AS last_purchase_value
+        FROM events e
+        ASOF LEFT JOIN purchases p
+          ON e.user_id = p.user_id AND e.ts >= p.ts
+        ORDER BY e.event_id
+    """,
+)
+def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: attach to every event the most recent purchase (<= ts)
+    by the same user. See operators.joins.asof_join for the union+window
+    construction and its scale rationale; DuckDB's native ASOF JOIN is
+    the oracle."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("ref_value"))
+    )
+    joined = asof_join(
+        left=events.select("event_id", "user_id", "ts"),
+        right=purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_values=["ref_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("asof_ts").alias("last_purchase_ts"),
+        F.col("ref_value").alias("last_purchase_value"),
+    ).orderBy("event_id")
+
+
+@query(
+    "range_join_followups",
+    category="range-join",
+    oracle="""
+        SELECT a.event_id, COUNT(b.event_id) AS n_followups
+        FROM events a
+        LEFT JOIN events b
+          ON a.user_id = b.user_id
+         AND b.ts > a.ts
+         AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        WHERE a.event_type = 'click'
+        GROUP BY a.event_id
+        ORDER BY a.event_id
+    """,
+)
+def range_join_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: events following a click within 30 minutes,
+    same user. The equi key (user_id) carries the hash partitioning; the
+    time band is a residual predicate — so this scales as a hash join,
+    not a cartesian. For skewed long-lived keys, bucketing the time axis
+    into the join key bounds the blow-up."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("a_event_id"), F.col("user_id").alias("a_user_id"), F.col("ts").alias("a_ts")
+    )
+    followups = events.select(
+        F.col("event_id").alias("b_event_id"), F.col("user_id").alias("b_user_id"), F.col("ts").alias("b_ts")
+    )
+    cond = (
+        (F.col("a_user_id") == F.col("b_user_id"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    return (
+        clicks.join(followups, cond, "left")
+        .groupBy(F.col("a_event_id").alias("event_id"))
+        .agg(F.count("b_event_id").alias("n_followups"))
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "tumbling_window_counts",
+    category="time-window",
+    oracle="""
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY window_start, event_type
+        ORDER BY window_start, event_type
+    """,
+)
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows — the batch twin of the
+    streaming aggregation in streaming/windows.py (same F.window call);
+    tests assert stream/batch parity, the oracle checks batch."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "sliding_window_counts",
+    category="time-window",
+    oracle="""
+        WITH offsets AS (SELECT unnest([0, 30]) AS off_min),
+             slid AS (
+                SELECT time_bucket(INTERVAL '1 hour', e.ts - to_minutes(o.off_min))
+                       + to_minutes(o.off_min) AS window_start
+                FROM events e CROSS JOIN offsets o
+             )
+        SELECT window_start, COUNT(*) AS n
+        FROM slid
+        GROUP BY window_start
+        ORDER BY window_start
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 hour every 30 min): each event lands in 2
+    overlapping windows. Spark's F.window(slide) replicates rows per
+    overlap — the oracle reproduces that with an explicit offset unnest."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+        .orderBy("window_start")
+    )

@@ -1,0 +1,60 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference engine hand-builds its runtime: 1024-row morsels
+(``src/releation/mod.rs:20-26``), push pipelines and pipeline-breaker
+scheduling (``src/executor/mod.rs:84-207``), two OS threads joined by an
+mpsc channel (``src/main.rs:53-64``). On Spark every one of those is a
+built-in (Tungsten columnar batches, whole-stage codegen, the DAG
+scheduler), so this module's job is only to *configure* that machinery
+for the 100 TB design point:
+
+- AQE on (runtime re-planning, skew-join splitting, partition coalescing);
+- broadcast threshold generous enough that dimension tables never shuffle;
+- Arrow on for the few Pandas-UDF operators;
+- shuffle partitions sized by env so local[32] tests and a 1000-executor
+  cluster use the same code path with different settings.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the local[32] / 128 GiB harness; on a real cluster
+# these are overridden by spark-submit conf (the code never assumes them).
+_LOCAL_DEFAULTS: dict[str, str] = {
+    # --- adaptive execution: the scale workhorse ------------------------
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # --- shuffle sizing -------------------------------------------------
+    # At 100 TB this would be O(10k); AQE coalesces down, so err high.
+    "spark.sql.shuffle.partitions": "32",
+    # --- join strategy --------------------------------------------------
+    # region/nation/supplier/part are all broadcast-able at any SF that
+    # fits the TPC-H-ish ratios; 64 MiB covers them with margin.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # --- Python interop -------------------------------------------------
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # --- misc -----------------------------------------------------------
+    "spark.sql.session.timeZone": "UTC",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(app_name: str = "pipeline-query-engine-spark", **overrides: str) -> SparkSession:
+    """Build (or fetch) the session.
+
+    Core count comes from ``SPARK_GRAFT_CPUS`` (driver contract) so the
+    bench harness and tests share one factory. ``overrides`` win over
+    the defaults — callers opt out, never fork the config dict.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
+    conf = {**_LOCAL_DEFAULTS, **overrides}
+    for key, value in conf.items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()

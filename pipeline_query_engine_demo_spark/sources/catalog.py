@@ -1,0 +1,60 @@
+"""Fixture-table catalog.
+
+The reference's only source is an in-memory row vector scanned in
+1024-row morsels (``src/releation/mod.rs:11-26``,
+``src/executor/mod.rs:250-276``). Here the source layer is
+``spark.read.parquet`` — Spark's vectorized Parquet reader gives the
+columnar morsels, partition splitting, predicate/projection pushdown, and
+(on a cluster) data-local scheduling for free.
+
+Scale notes (100 TB):
+- Scans are defined lazily per table so Catalyst prunes columns and pushes
+  filters into the Parquet footer — callers must NOT ``.cache()`` whole
+  tables.
+- ``load_tables`` never materializes anything; registering temp views
+  keeps the SQL and DataFrame entry points over the same lazy scans.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Every fixture table the driver generates (TESTDATA.md). Order matters
+#: only for humans: dimensions first, facts, then the LLM-pipeline corpora.
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy Parquet scan for one fixture table."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All fixture tables as lazy DataFrames keyed by name."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register each table as a temp view (for ``spark.sql`` queries) and
+    return the DataFrames as well."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables
