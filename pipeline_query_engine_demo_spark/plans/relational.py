@@ -704,12 +704,15 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct): anti-join expressed as a set difference."""
+    """EXCEPT (distinct): anti-join expressed as a set difference.
+    ``subtract`` is EXCEPT DISTINCT regardless of left-side duplicates
+    (exceptAll-then-distinct would keep a value whose left multiplicity
+    exceeds its right multiplicity)."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     all_cust = customer.select(F.col("c_custkey").alias("custkey"))
     with_orders = orders.select(F.col("o_custkey").alias("custkey"))
-    return all_cust.exceptAll(with_orders.distinct()).distinct().orderBy("custkey")
+    return all_cust.subtract(with_orders).orderBy("custkey")
 
 
 @query(
@@ -782,7 +785,7 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(year(o_orderdate) AS INT) AS order_year,
                CAST(month(o_orderdate) AS INT) AS order_month,
                CAST(day(o_orderdate) AS INT) AS order_day,
-               date_trunc('month', o_orderdate) AS month_start,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
                CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_ts,
                date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k
         FROM orders ORDER BY orderkey

@@ -41,7 +41,9 @@ _LOCAL_DEFAULTS: dict[str, str] = {
     # --- misc -----------------------------------------------------------
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # events.ts is ns-precision Parquet; read as BIGINT nanos and convert
+    # in sources.catalog.load_table (truncate to µs, matching DuckDB).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

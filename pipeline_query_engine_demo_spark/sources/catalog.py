@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 #: Every fixture table the driver generates (TESTDATA.md). Order matters
@@ -40,9 +41,25 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Lazy Parquet scan for one fixture table."""
+    """Lazy Parquet scan for one fixture table.
+
+    ``events.ts`` is nanosecond-precision Parquet (SURVEY.md §7 risk 5),
+    which Spark 4 refuses to read as a timestamp. We read it as a nanos
+    BIGINT (legacy flag, set at runtime so it works on any caller's
+    session) and truncate to microseconds with integer division —
+    truncation, not rounding, because that is exactly what DuckDB does
+    when it narrows ns → µs, so the oracle sees identical values.
+    ``ts div 1000`` stays in integer arithmetic; a double division would
+    lose precision above 2^53 ns (~1970+104 days).
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -1,0 +1,106 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry at a given SF dir and compares it against
+its ``oracle_sql()`` SQL in DuckDB: row count, column names/types, and
+exact values after sorting columns by name and rows by all columns.
+Queries without an oracle get the rows-only check.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+    return df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str:
+    if len(spark_pdf) != len(duck_pdf):
+        return f"ROWCOUNT spark={len(spark_pdf)} duck={len(duck_pdf)}"
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        return f"COLUMNS spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}"
+    a, b = canon(spark_pdf), canon(duck_pdf)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+            av = av.astype(float)
+            bv = bv.astype(float)
+            both_nan = np.isnan(av) & np.isnan(bv)
+            if not bool(np.all(both_nan | (av == bv))):
+                i = int(np.argmax(~(both_nan | (av == bv))))
+                return f"VALUES col={c} row{i}: spark={av[i]!r} duck={bv[i]!r}"
+        else:
+            av = pd.Series(av).astype(str).to_numpy()
+            bv = pd.Series(bv).astype(str).to_numpy()
+            if not bool(np.all(av == bv)):
+                i = int(np.argmax(av != bv))
+                return f"VALUES col={c} row{i}: spark={av[i]!r} duck={bv[i]!r}"
+    return "OK"
+
+
+def main() -> None:
+    from pipeline_query_engine_demo_spark.session import get_spark
+
+    import __spark_entry__ as e
+
+    spark = get_spark("correctness-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    n_ok = n_fail = 0
+    failures = []
+    for name, build in qs.items():
+        if ONLY and name not in ONLY:
+            continue
+        t0 = time.time()
+        try:
+            sdf = build(spark, SF_DIR)
+            spark_pdf = sdf.toPandas()
+            if name in oracles:
+                duck_pdf = con.sql(oracles[name]).df()
+                verdict = compare(name, spark_pdf, duck_pdf)
+            else:
+                verdict = f"ROWS-ONLY n={len(spark_pdf)}"
+        except Exception as ex:
+            verdict = f"ERROR {type(ex).__name__}: {str(ex).splitlines()[0][:200]}"
+            traceback.print_exc(limit=3)
+        dt = time.time() - t0
+        ok = verdict == "OK" or verdict.startswith("ROWS-ONLY")
+        n_ok += ok
+        n_fail += not ok
+        if not ok:
+            failures.append(name)
+        print(f"{'PASS' if ok else 'FAIL':4} {name:40} {dt:6.2f}s  {verdict}")
+    print(f"\n{n_ok} ok, {n_fail} fail" + (f": {failures}" if failures else ""))
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
