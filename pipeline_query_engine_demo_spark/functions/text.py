@@ -55,11 +55,15 @@ def quality_score(text: Column | str, stopwords: list[str]) -> Column:
     """Heuristic document quality in [0, 1]: rewards lexical diversity,
     mid-length tokens, and a sane stopword share — the standard cheap
     pre-filter before expensive dedup/embedding stages in a training-data
-    pipeline. Weights are arbitrary but fixed; the signal is the shape."""
+    pipeline. Weights are arbitrary but fixed; the signal is the shape.
+    Deliberately NOT rounded: both engines compute the identical double
+    (same operand doubles, same operation order), while round-to-decimal
+    differs at exact decimal-half boundaries (Spark rounds the shortest
+    decimal repr HALF_UP, DuckDB rounds the IEEE value)."""
     ttr = type_token_ratio(text)
     sw = stopword_ratio(text, stopwords)
     len_ok = (token_count(text) >= 10).cast("double")
-    return F.round(ttr * 0.5 + sw * 0.2 + len_ok * 0.3, 6)
+    return ttr * 0.5 + sw * 0.2 + len_ok * 0.3
 
 
 def shingles(text: Column | str, n: int) -> Column:

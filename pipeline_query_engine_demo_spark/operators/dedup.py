@@ -80,6 +80,11 @@ def lsh_band_buckets(
 ) -> DataFrame:
     """Explode each signature into (band_id, band_hash) bucket keys.
     Documents sharing a bucket in any band are near-dup candidates."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            "trailing signature columns would be silently dropped otherwise"
+        )
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -123,17 +128,24 @@ def jaccard_pairs(
     df: DataFrame, pairs: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
     """True token-set Jaccard for the given (id_a, id_b) candidate pairs.
-    Set sizes join in by id (broadcast-able when candidates are few);
-    intersections come from the inverted token index restricted to
-    candidate ids."""
+
+    Scale contract: only candidate pairs ever materialize. The
+    intersection count comes from joining ``pairs`` → tokens-of-a (equi
+    on id_a) → tokens-of-b (equi on id_b AND tok), so the cost is
+    O(|pairs| x avg_doc_tokens) — linear in the candidate set. The
+    corpus-wide token self-join (quadratic in per-token document
+    frequency — exactly the blow-up LSH exists to avoid) never appears
+    in the plan. Pairs with an empty token intersection drop out of the
+    inner join; LSH candidates always share the token behind their
+    colliding min-hash, and Jaccard 0 pairs are below any threshold
+    anyway."""
     toks = df.select(F.col(id_col), F.explode(distinct_tokens(F.col(text_col))).alias("tok"))
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_toks"))
+    ta = toks.select(F.col(id_col).alias("id_a"), "tok")
+    tb = toks.select(F.col(id_col).alias("id_b"), "tok")
     inter = (
-        toks.alias("ta")
-        .join(toks.alias("tb"), on="tok")
-        .select(F.col(f"ta.{id_col}").alias("id_a"), F.col(f"tb.{id_col}").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .join(pairs, on=["id_a", "id_b"], how="left_semi")
+        pairs.join(ta, on="id_a")
+        .join(tb, on=["id_b", "tok"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -174,8 +186,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     if bits > 32:
         raise ValueError("md5 hex has 32 digits; bits must be <= 32")
     exploded = df.select(
-        F.col(id_col), F.md5(F.explode(distinct_tokens(F.col(text_col)))).alias("h")
-    )
+        F.col(id_col), F.explode(distinct_tokens(F.col(text_col))).alias("tok")
+    ).select(F.col(id_col), F.md5("tok").alias("h"))
     votes = [
         F.sum(
             F.when(F.substring("h", j + 1, 1).isin("1", "3", "5", "7", "9", "b", "d", "f"), 1)

@@ -129,7 +129,7 @@ def pandas_cosine_topk(
     import numpy as np
     import pandas as pd
 
-    spark = corpus.sparkSession
+    id_type = corpus.schema[id_col].dataType.simpleString()
     qv = np.asarray(query_vec, dtype=np.float64)
     qn = float(np.sqrt((qv * qv).sum()))
 
@@ -141,6 +141,6 @@ def pandas_cosine_topk(
             yield pd.DataFrame({id_col: pdf[id_col], "cosine_sim": np.round(sims, 6)})
 
     scored = corpus.select(id_col, vec_col).mapInPandas(
-        score, schema=f"{id_col} long, cosine_sim double"
+        score, schema=f"{id_col} {id_type}, cosine_sim double"
     )
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)

@@ -1,0 +1,550 @@
+"""LLM-training-data-pipeline query corpus: dedup (exact, MinHash+LSH,
+SimHash, n-gram Jaccard), embedding similarity search (brute force,
+sign-LSH ANN, IVF), multimodal column plumbing, and text analysis —
+the north-star surface beyond the reference's four operators
+(``/root/reference`` has none of this; scope per SURVEY.md §2.3
+'LLM-data-pipeline extensions').
+
+Everything here is oracle-checked in DuckDB except the two Pandas-UDF
+paths whose numpy arithmetic (pairwise summation, half-even rounding)
+is not bit-reproducible in SQL — those register ``oracle=None`` and get
+their real validation in tests/ (parity vs the expression-based twin).
+
+Cross-engine determinism notes:
+- md5/sha256 hex is identical in both engines for identical bytes;
+- integer-over-integer division (Jaccard, ratios) is one IEEE double op
+  on exact operands — bit-identical;
+- cosine folds left-to-right in both engines (F.aggregate vs DuckDB's
+  list_dot_product loop) over doubles, then rounds to 6 — identical;
+- every ROUND call is on positive values, where Spark HALF_UP and
+  DuckDB half-away-from-zero agree.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pipeline_query_engine_demo_spark.functions import multimodal, text
+from pipeline_query_engine_demo_spark.operators import dedup, similarity
+from pipeline_query_engine_demo_spark.plans.registry import query
+from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+# --------------------------------------------------------------------------
+# Shared oracle CTE fragments (kept in lockstep with operators/dedup.py:
+# DEFAULT_NUM_HASHES=8 MinHash functions in DEFAULT_BANDS=4 bands of 2)
+# --------------------------------------------------------------------------
+
+_NUM_HASHES = dedup.DEFAULT_NUM_HASHES
+_BANDS = dedup.DEFAULT_BANDS
+_ROWS_PER_BAND = _NUM_HASHES // _BANDS
+
+_TOKS_CTE = (
+    "toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok "
+    "FROM documents)"
+)
+_SIGS_CTE = "sigs AS (SELECT doc_id, " + ", ".join(
+    f"min(md5(tok || '#{i}')) AS mh{i}" for i in range(_NUM_HASHES)
+) + " FROM toks GROUP BY doc_id)"
+_BUCKETS_CTE = "buckets AS (" + " UNION ALL ".join(
+    "SELECT doc_id, {b} AS band_id, md5(concat_ws('|', {cols})) AS band_hash FROM sigs".format(
+        b=b,
+        cols=", ".join(f"mh{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)),
+    )
+    for b in range(_BANDS)
+) + ")"
+_CAND_CTE = (
+    "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+    "FROM buckets a JOIN buckets b "
+    "ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)"
+)
+
+#: Fixture-vocabulary stopwords (the synthetic corpus is word soup over
+#: ~31 engine terms; 'the' and 'a' play the stopword role).
+STOPWORDS = ["the", "a"]
+
+#: Language marker tokens for the lang-ID heuristic. The real-world
+#: version uses char-n-gram frequency profiles; on the synthetic corpus
+#: fixed marker sets exercise the same plumbing (map build, intersect,
+#: argmax) deterministically.
+LANG_MARKERS = {
+    "de": ["data", "value", "slow"],
+    "en": ["the", "a", "fast"],
+    "fr": ["table", "row", "merge"],
+}
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+
+@query(
+    "exact_dedup_docs",
+    category="llm-dedup",
+    oracle="""
+        SELECT sha256(text) AS content_hash,
+               MIN(doc_id) AS doc_id,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY sha256(text) ORDER BY doc_id
+    """,
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content hash (operators.dedup.exact_dedup): group
+    on sha2-256 of the text so the shuffle key is 32 fixed bytes, never
+    the document body. At 100 TB the exchange carries (hash, id) pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dedup.exact_dedup(docs, "doc_id", "text")
+        .select("content_hash", "doc_id", "n_copies")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_fingerprints",
+    category="llm-dedup",
+    oracle="""
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                   AS set_fingerprint,
+               md5(array_to_string(string_split(text, ' '), chr(31))) AS seq_fingerprint
+        FROM documents ORDER BY doc_id
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier document fingerprinting (functions.text): an
+    order-insensitive token-set fingerprint (bag dedup) and a
+    position-sensitive rolling content hash (permutation-distinguishing).
+    Pure map-side expressions — zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.doc_fingerprint("text").alias("set_fingerprint"),
+        text.rolling_content_hash("text").alias("seq_fingerprint"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "minhash_signatures_docs",
+    category="llm-dedup",
+    oracle=f"WITH {_TOKS_CTE}, {_SIGS_CTE} SELECT * FROM sigs ORDER BY doc_id",
+)
+def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 hash functions): one explode + one groupBy
+    with k map-side min() aggregates — the shuffle is one row per
+    document regardless of document length."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@query(
+    "lsh_candidate_pairs_docs",
+    category="llm-dedup",
+    oracle=f"""
+        WITH {_TOKS_CTE}, {_SIGS_CTE}, {_BUCKETS_CTE}, {_CAND_CTE}
+        SELECT id_a, id_b FROM cand ORDER BY id_a, id_b
+    """,
+)
+def lsh_candidate_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding candidates (4 bands x 2 rows): the self-join is keyed
+    on (band_id, band_hash) so only intra-bucket pairs are generated —
+    never the corpus square. The whole MinHash->banding->candidate
+    pipeline is pure SQL-expressible (this oracle is that proof)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.lsh_candidate_pairs(docs, "doc_id", "text").orderBy("id_a", "id_b")
+
+
+@query(
+    "near_dup_pairs_docs",
+    category="llm-dedup",
+    oracle=f"""
+        WITH {_TOKS_CTE}, {_SIGS_CTE}, {_BUCKETS_CTE}, {_CAND_CTE},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+        inter AS (
+            SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+            FROM cand c
+            JOIN toks ta ON ta.doc_id = c.id_a
+            JOIN toks tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+            GROUP BY c.id_a, c.id_b
+        )
+        SELECT i.id_a, i.id_b,
+               i.n_common / (sa.n + sb.n - i.n_common) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.6
+        ORDER BY id_a, id_b
+    """,
+)
+def near_dup_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline: MinHash -> LSH banding -> candidate-
+    restricted exact Jaccard -> threshold. The verification join touches
+    candidate pairs only (see operators.dedup.jaccard_pairs) — the
+    oracle reproduces the same restriction in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.near_dup_pairs(docs, "doc_id", "text", threshold=0.6).orderBy("id_a", "id_b")
+
+
+def _simhash_oracle(bits: int) -> str:
+    odd = "('1','3','5','7','9','b','d','f')"
+    votes = ", ".join(
+        f"SUM(CASE WHEN substr(h, {j + 1}, 1) IN {odd} THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(bits)
+    )
+    sig = ", ".join(f"CASE WHEN b{j} > 0 THEN '1' ELSE '0' END" for j in range(bits))
+    return f"""
+        WITH {_TOKS_CTE},
+        h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+        votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+        SELECT doc_id, concat({sig}) AS simhash FROM votes ORDER BY doc_id
+    """
+
+
+@query("simhash_docs", category="llm-dedup", oracle=_simhash_oracle(16))
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document: one explode + one groupBy, all bit
+    votes folding into a single partial aggregate (operators.dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id", "text", bits=16).orderBy("doc_id")
+
+
+@query(
+    "ngram_jaccard_pairs_docs",
+    category="llm-dedup",
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id, unnest(list_distinct(
+                list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                               i -> concat_ws(' ', string_split(text, ' ')[i],
+                                              string_split(text, ' ')[i + 1],
+                                              string_split(text, ' ')[i + 2]))
+            )) AS s
+            FROM documents WHERE doc_id < 100
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT i.id_a, i.id_b,
+               i.n_common / (sa.n + sb.n - i.n_common) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.2
+        ORDER BY id_a, id_b
+    """,
+)
+def ngram_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram (word shingle) Jaccard over a bounded slice (doc_id < 100).
+    The inverted-shingle self-join is quadratic in per-shingle document
+    frequency, so at corpus scale this runs only post-LSH or on bounded
+    inputs — which the slice makes explicit (operators.dedup docstring)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------
+
+_COSINE_SQL = (
+    "ROUND(list_dot_product(c.v, q.qv) / "
+    "(sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6)"
+)
+
+
+@query(
+    "cosine_topk_embeddings",
+    category="llm-similarity",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        scored AS (SELECT q.query_id, c.vec_id, {_COSINE_SQL} AS cosine_sim
+                   FROM c CROSS JOIN q),
+        ranked AS (SELECT *, row_number() OVER (
+                       PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rank
+                   FROM scored)
+        SELECT query_id, vec_id, cosine_sim, rank
+        FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+)
+def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for 5 query vectors
+    (operators.similarity.cosine_topk): the query side is broadcast, the
+    corpus streams map-side through the score + per-query window top-k —
+    the corpus never shuffles. Both engines fold the dot product
+    left-to-right in double, so rounded scores match bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return similarity.cosine_topk(emb, q, "vec_id", "embedding", k=10).orderBy(
+        "query_id", "rank"
+    )
+
+
+_BUCKET_SQL = (
+    "((embedding[1] > 0)::INT * 1 + (embedding[8] > 0)::INT * 2 + "
+    "(embedding[22] > 0)::INT * 4 + (embedding[43] > 0)::INT * 8)"
+)
+
+
+@query(
+    "ann_lsh_topk_embeddings",
+    category="llm-similarity",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                          {_BUCKET_SQL} AS bucket
+                   FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_BUCKET_SQL} AS bucket
+              FROM embeddings),
+        scored AS (SELECT q.query_id, c.vec_id, {_COSINE_SQL} AS cosine_sim
+                   FROM c JOIN q ON c.bucket = q.bucket),
+        ranked AS (SELECT *, row_number() OVER (
+                       PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rank
+                   FROM scored)
+        SELECT query_id, vec_id, cosine_sim, rank
+        FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+)
+def ann_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via sign-LSH bucketing (4 hyperplane bits on
+    fixed dims): the bucket equi-join replaces the cross join, scanning
+    ~corpus/16 per query at some recall cost (operators.similarity.
+    ann_topk_lsh). Recall vs the exact query is asserted in tests/."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return similarity.ann_topk_lsh(
+        emb, q, "vec_id", "embedding", k=10, dims=(0, 7, 21, 42)
+    ).orderBy("query_id", "rank")
+
+
+#: Fixed one-hot IVF centroids (unit vectors on dims 0..3). Centroid
+#: *training* is out of scope (pyspark.ml KMeans slots in); the engine
+#: owns assignment + probe plumbing (operators.similarity.ivf_assign).
+_IVF_DIM = 64
+IVF_CENTROIDS = [[1.0 if i == d else 0.0 for i in range(_IVF_DIM)] for d in range(4)]
+
+
+@query(
+    "ivf_assign_embeddings",
+    category="llm-similarity",
+    oracle="""
+        WITH s AS (SELECT vec_id,
+                          embedding[1]::DOUBLE AS s0, embedding[2]::DOUBLE AS s1,
+                          embedding[3]::DOUBLE AS s2, embedding[4]::DOUBLE AS s3
+                   FROM embeddings)
+        SELECT vec_id,
+               CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 0
+                    WHEN s1 >= s2 AND s1 >= s3 THEN 1
+                    WHEN s2 >= s3 THEN 2
+                    ELSE 3 END AS cell
+        FROM s ORDER BY vec_id
+    """,
+)
+def ivf_assign_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse assignment to 4 one-hot centroids: broadcast literal
+    centroids, map-side argmax — zero shuffles. With unit centroids the
+    cosine argmax reduces to an argmax over raw coordinates, which is
+    what the oracle computes (first-max-wins tie-break on both sides)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_assign(emb, "vec_id", "embedding", IVF_CENTROIDS).orderBy("vec_id")
+
+
+@query(
+    "pandas_cosine_topk_embeddings",
+    category="llm-similarity",
+    oracle=None,  # numpy pairwise summation / half-even rounding is not
+    # SQL-reproducible bit-for-bit; tests/test_similarity.py asserts
+    # parity with the expression-based cosine_topk instead.
+)
+def pandas_cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized Pandas-UDF brute-force top-10 against one fixed query
+    vector: Arrow batches -> numpy matmul, one Python worker per core,
+    no collect (operators.similarity.pandas_cosine_topk). The scale path
+    for high-dim embeddings where expression trees lose to BLAS."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [1.0 if i % 8 == 0 else 0.0 for i in range(_IVF_DIM)]
+    return similarity.pandas_cosine_topk(emb, qv, "vec_id", "embedding", k=10)
+
+
+# --------------------------------------------------------------------------
+# Multimodal columns
+# --------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_pack_meta",
+    category="llm-multimodal",
+    oracle="""
+        SELECT doc_id,
+               'text' AS kind,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS checksum
+        FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_pack_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal payload packing (functions.multimodal.pack_media):
+    opaque binary payload + typed metadata struct. The metadata (kind,
+    byte length, md5 checksum) lives in plain columns Parquet can index —
+    at 100 TB filters and joins touch metadata, never blobs. Fixture
+    payloads are the utf-8 document bytes (no codecs in this container)."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = docs.select(
+        "doc_id", multimodal.pack_media(F.encode(F.col("text"), "utf-8"), "text").alias("media")
+    )
+    return packed.select(
+        "doc_id",
+        F.col("media.meta.kind").alias("kind"),
+        F.col("media.meta.n_bytes").alias("n_bytes"),
+        F.col("media.meta.checksum").alias("checksum"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_features",
+    category="llm-multimodal",
+    oracle=None,  # the 16-bin byte-histogram featurizer runs as an Arrow
+    # mapInPandas UDF; its float histogram is validated in
+    # tests/test_multimodal.py against a hand-computed fixture.
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/featurize plumbing over binary payloads via mapInPandas
+    (functions.multimodal.fake_decode_features — the decode step is a
+    documented stub; the batch contract, schema, and map-side-only
+    distribution are the real thing). Returns per-doc feature vectors."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"), F.lit("text").alias("kind")
+    )
+    feats = multimodal.fake_decode_features(payloads, "doc_id", "payload", "kind")
+    return feats.orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_stats_docs",
+    category="llm-text",
+    oracle=f"""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               len(list_distinct(string_split(text, ' '))) /
+                   len(string_split(text, ' ')) AS ttr,
+               length(replace(text, ' ', '')) /
+                   len(string_split(text, ' ')) AS avg_tok_len,
+               len(list_filter(string_split(text, ' '),
+                               t -> t IN ('{STOPWORDS[0]}', '{STOPWORDS[1]}'))) /
+                   len(string_split(text, ' ')) AS stop_ratio,
+               len(list_distinct(string_split(text, ' '))) /
+                       len(string_split(text, ' ')) * 0.5
+                   + len(list_filter(string_split(text, ' '),
+                                     t -> t IN ('{STOPWORDS[0]}', '{STOPWORDS[1]}'))) /
+                       len(string_split(text, ' ')) * 0.2
+                   + (len(string_split(text, ' ')) >= 10)::INT::DOUBLE * 0.3 AS quality
+        FROM documents ORDER BY doc_id
+    """,
+)
+def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics (functions.text): token counts,
+    type-token ratio, mean token length, stopword share, and the
+    composite quality score — all pure Column expressions inside
+    whole-stage codegen; zero shuffles, scales with the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        F.size(text.distinct_tokens("text")).alias("n_distinct"),
+        text.type_token_ratio("text").alias("ttr"),
+        text.avg_token_len("text").alias("avg_tok_len"),
+        text.stopword_ratio("text", STOPWORDS).alias("stop_ratio"),
+        text.quality_score("text", STOPWORDS).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return (
+        f"len(list_intersect(list_distinct(string_split(text, ' ')), [{words}]))"
+    )
+
+
+@query(
+    "lang_id_docs",
+    category="llm-text",
+    oracle=f"""
+        WITH hits AS (
+            SELECT doc_id,
+                   {_lang_hits_sql("de")} AS de_hits,
+                   {_lang_hits_sql("en")} AS en_hits,
+                   {_lang_hits_sql("fr")} AS fr_hits
+            FROM documents
+        )
+        SELECT doc_id, de_hits, en_hits, fr_hits,
+               CASE WHEN de_hits >= en_hits AND de_hits >= fr_hits THEN 'de'
+                    WHEN en_hits >= fr_hits THEN 'en'
+                    ELSE 'fr' END AS predicted
+        FROM hits ORDER BY doc_id
+    """,
+)
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (functions.text.lang_scores): marker-token
+    hit counts per language as a map column, argmax with a deterministic
+    first-win tie-break over sorted language keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = text.lang_scores("text", LANG_MARKERS)
+    scored = docs.select(
+        "doc_id",
+        F.element_at(m, "de").alias("de_hits"),
+        F.element_at(m, "en").alias("en_hits"),
+        F.element_at(m, "fr").alias("fr_hits"),
+    )
+    return scored.select(
+        "doc_id",
+        "de_hits",
+        "en_hits",
+        "fr_hits",
+        F.when(
+            (F.col("de_hits") >= F.col("en_hits")) & (F.col("de_hits") >= F.col("fr_hits")), "de"
+        )
+        .when(F.col("en_hits") >= F.col("fr_hits"), "en")
+        .otherwise("fr")
+        .alias("predicted"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "token_stats_by_source",
+    category="llm-text",
+    oracle="""
+        SELECT source,
+               COUNT(*) AS n_docs,
+               SUM(len(string_split(text, ' '))) AS total_tokens,
+               MIN(n_chars) AS min_chars,
+               MAX(n_chars) AS max_chars
+        FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition stats per source — the aggregate every
+    training-data pipeline reports before/after filtering. Token counts
+    are exact integer sums (order-independent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(text.token_count("text")).alias("total_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("source")
+    )
