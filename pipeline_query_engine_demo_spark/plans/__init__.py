@@ -8,6 +8,9 @@ registers its queries at import time via
 from pipeline_query_engine_demo_spark.plans import (  # noqa: F401  (registration side effects)
     llm,
     relational,
+    sinks,
+    streams,
+    udfs,
     windows,
 )
 from pipeline_query_engine_demo_spark.plans.registry import REGISTRY, QuerySpec, oracles, queries

@@ -1,0 +1,169 @@
+"""Write-path (sink) and approximate-aggregate corpus — the two
+remaining 'no' rows from VERDICT r1's §2.3 inventory.
+
+The reference's only sink is ``materialize()`` into the join hash table
+(``src/executor/mod.rs:363-374``); here the sink surface is
+``df.write.parquet`` (plain and partitioned), verified by reading the
+files back and oracle-checking the round-trip.
+
+Scale notes: the partitioned write is the pattern that matters at
+100 TB — ``partitionBy`` on a low-cardinality column gives partition
+pruning to every downstream reader. Approximate aggregates
+(HyperLogLog++ count-distinct, Greenwald-Khanna percentiles) are THE
+scale substitutes for their exact forms: sketches merge map-side, so
+the shuffle carries one sketch per partition instead of the value set.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pipeline_query_engine_demo_spark.plans.registry import query
+from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+#: Scratch root for sink round-trips. Unique per process so concurrent
+#: harness runs never collide; files are tiny aggregates, never raw data.
+_SCRATCH = os.path.join(tempfile.gettempdir(), f"spark_graft_sinks_{os.getpid()}")
+
+
+@query(
+    "write_roundtrip_parquet",
+    category="sink",
+    oracle="""
+        SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY returnflag, linestatus
+    """,
+)
+def write_roundtrip_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materializing sink: aggregate -> ``df.write.parquet`` -> read the
+    files back. The oracle checks the round-trip preserved every value —
+    i.e. the write path is lossless for the full type surface used."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    agg = (
+        lineitem.groupBy(
+            F.col("l_returnflag").alias("returnflag"), F.col("l_linestatus").alias("linestatus")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+    )
+    path = os.path.join(_SCRATCH, "roundtrip")
+    agg.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path).orderBy("returnflag", "linestatus")
+
+
+@query(
+    "write_partitioned_parquet",
+    category="sink",
+    oracle="""
+        SELECT o_orderstatus AS orderstatus, o_orderpriority AS orderpriority,
+               COUNT(*) AS n
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+        ORDER BY orderstatus, orderpriority
+    """,
+)
+def write_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned sink: ``partitionBy(status)`` writes one directory per
+    value, giving every downstream reader partition pruning for free —
+    the 100 TB layout pattern. Reading back restores the partition
+    column from directory names; the oracle checks nothing was lost."""
+    orders = load_table(spark, sf_dir, "orders")
+    agg = (
+        orders.groupBy(
+            F.col("o_orderstatus").alias("orderstatus"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    path = os.path.join(_SCRATCH, "partitioned")
+    agg.write.mode("overwrite").partitionBy("orderstatus").parquet(path)
+    return (
+        spark.read.parquet(path)
+        .select("orderstatus", "orderpriority", "n")
+        .orderBy("orderstatus", "orderpriority")
+    )
+
+
+@query(
+    "approx_count_distinct_priorities",
+    category="approx-agg",
+    oracle="""
+        SELECT o_orderstatus AS orderstatus,
+               COUNT(DISTINCT o_orderpriority) AS n_priorities,
+               COUNT(DISTINCT o_custkey % 8) AS n_cust_buckets
+        FROM orders GROUP BY o_orderstatus ORDER BY orderstatus
+    """,
+)
+def approx_count_distinct_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_count_distinct`` (HyperLogLog++): sketches merge
+    map-side, so at 100 TB the shuffle carries one dense sketch per
+    partition instead of the distinct-value set. At rsd=0.01 HLL++
+    stores small cardinalities exactly (sparse mode), so on these tiny
+    domains (5 priorities, 8 hash buckets) the approximate answer
+    EQUALS the exact count and the oracle is plain COUNT(DISTINCT).
+    (At 64 buckets with the default rsd=0.05 the estimate was already
+    off by 2 — the accuracy cliff is real and sharp.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderstatus").alias("orderstatus"))
+        .agg(
+            F.approx_count_distinct("o_orderpriority", rsd=0.01).alias("n_priorities"),
+            F.approx_count_distinct(F.col("o_custkey") % 8, rsd=0.01).alias("n_cust_buckets"),
+        )
+        .orderBy("orderstatus")
+    )
+
+
+@query(
+    "percentile_exact_quantities",
+    category="approx-agg",
+    oracle="""
+        SELECT l_returnflag AS returnflag,
+               quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles
+        FROM lineitem GROUP BY l_returnflag ORDER BY returnflag
+    """,
+)
+def percentile_exact_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (``F.percentile`` = SQL
+    PERCENTILE_CONT): both engines linearly interpolate at position
+    (n-1)*q; on integer-valued quantities with dyadic q the arithmetic
+    is exact, so the results match bit-for-bit."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(F.percentile("l_quantity", F.lit([0.25, 0.5, 0.75])).alias("qty_quartiles"))
+        .orderBy("returnflag")
+    )
+
+
+@query(
+    "approx_percentile_quantities",
+    category="approx-agg",
+    oracle=None,  # Greenwald-Khanna picks a real element within rank
+    # error n/accuracy; DuckDB's quantile_disc uses a different rank
+    # convention, so exact SQL equality is not guaranteed. The accuracy
+    # bound is asserted in tests/test_plans.py against the exact
+    # percentile instead.
+)
+def approx_percentile_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``percentile_approx`` (Greenwald-Khanna sketch): rank error
+    bounded by n/accuracy, sketches merge map-side — the percentile that
+    scales. Returns an actual data element per quantile."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.percentile_approx("l_quantity", F.lit([0.25, 0.5, 0.75]), F.lit(10000)).alias(
+                "qty_quartiles_approx"
+            )
+        )
+        .orderBy("returnflag")
+    )

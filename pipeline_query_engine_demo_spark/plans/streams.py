@@ -1,0 +1,81 @@
+"""Streaming query corpus: each entry runs a Structured Streaming query
+to completion (availableNow → memory sink, see streaming.windows.
+run_to_memory) and returns the materialized result, so the driver can
+oracle-check stream-batch parity against plain SQL.
+
+The fixture is a single Parquet file, so availableNow processes exactly
+one micro-batch — which makes even the update-mode stateful query emit
+one final row per key, i.e. batch-equivalent output. Multi-batch
+incremental behavior is exercised in tests/test_streaming.py instead
+(maxFilesPerTrigger over a re-chunked copy of the events table).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pipeline_query_engine_demo_spark import streaming
+from pipeline_query_engine_demo_spark.plans.registry import query
+from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+
+@query(
+    "streaming_tumbling_window_counts",
+    category="streaming",
+    oracle="""
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY window_start, event_type
+        ORDER BY window_start, event_type
+    """,
+)
+def streaming_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation over the events stream —
+    the streaming twin of plans.windows.tumbling_window_counts, sharing
+    its oracle (stream-batch parity IS the correctness statement)."""
+    events = streaming.read_events_stream(spark, sf_dir)
+    result = streaming.run_to_memory(streaming.tumbling_counts(events), "complete")
+    return result.orderBy("window_start", "event_type")
+
+
+@query(
+    "streaming_static_join_segments",
+    category="streaming",
+    oracle="""
+        SELECT c.c_mktsegment AS segment, COUNT(*) AS n_events
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY segment ORDER BY segment
+    """,
+)
+def streaming_static_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join + aggregation: the streaming form of
+    the star-schema dimension lookup."""
+    events = streaming.read_events_stream(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer")
+    result = streaming.run_to_memory(
+        streaming.stream_static_join_segments(events, customer), "complete"
+    )
+    return result.orderBy("segment")
+
+
+@query(
+    "streaming_stateful_user_counts",
+    category="streaming",
+    oracle="""
+        SELECT user_id, COUNT(*) AS n_events
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def streaming_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user counters in the state store. Single-batch availableNow run
+    → one final row per user, equal to the batch GROUP BY (the oracle).
+    Incremental multi-batch state evolution is tested in
+    tests/test_streaming.py."""
+    events = streaming.read_events_stream(spark, sf_dir)
+    result = streaming.run_to_memory(streaming.stateful_user_counts(events), "update")
+    return result.orderBy("user_id")

@@ -1,0 +1,195 @@
+"""UDF-surface corpus: one oracle-checked query per user-defined-function
+flavor (SURVEY.md §2.3 'UDF / UDAF / UDTF surface', M4) — row-at-a-time
+``F.udf``, vectorized scalar ``pandas_udf``, grouped-agg ``pandas_udf``,
+``applyInPandas`` grouped map, and a Python UDTF. ``mapInPandas`` is
+covered by the similarity/multimodal queries (plans/llm.py).
+
+The reference has no UDF mechanism at all — its one predicate is
+compiled Rust (``src/executor/mod.rs:295``).
+
+Scale notes: the row-at-a-time ``F.udf`` query exists to cover the API,
+with the same logic expressed as a built-in CASE in its oracle — in a
+real pipeline that form is 10-100x slower than the other flavors and is
+the one to avoid on the hot path. The pandas_* flavors move Arrow
+batches, not rows. Determinism: every UDF here computes exact integer /
+min-max / single-op-double arithmetic, so results are order- and
+batch-boundary-independent.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import pandas_udf, udtf
+
+from pipeline_query_engine_demo_spark.plans.registry import query
+from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+
+@query(
+    "udf_priority_class",
+    category="udf",
+    oracle="""
+        SELECT o_orderkey AS orderkey,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'expedite'
+                    WHEN o_orderpriority = '3-MEDIUM' THEN 'standard'
+                    ELSE 'relaxed' END AS priority_class
+        FROM orders ORDER BY orderkey
+    """,
+)
+def udf_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (``F.udf``) — the API-coverage query.
+    Deliberately trivial logic so the oracle is a CASE expression; the
+    docstring above is the 'do not use this flavor on the hot path'
+    warning."""
+
+    @F.udf(returnType="string")
+    def classify(priority: str) -> str:
+        if priority in ("1-URGENT", "2-HIGH"):
+            return "expedite"
+        if priority == "3-MEDIUM":
+            return "standard"
+        return "relaxed"
+
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderkey").alias("orderkey"),
+        classify("o_orderpriority").alias("priority_class"),
+    ).orderBy("orderkey")
+
+
+@query(
+    "pandas_udf_scalar_adjusted",
+    category="udf",
+    oracle="""
+        SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+               l_extendedprice * 2.0 + l_quantity AS adjusted
+        FROM lineitem WHERE l_orderkey <= 200
+        ORDER BY orderkey, linenumber
+    """,
+)
+def pandas_udf_scalar_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas_udf: Arrow batches in, numpy-vectorized
+    arithmetic, Arrow out. ``x*2 + y`` is two IEEE ops per row — exact
+    match with the SQL oracle regardless of batching."""
+
+    @pandas_udf("double")
+    def adjust(price: pd.Series, qty: pd.Series) -> pd.Series:
+        return price * 2.0 + qty
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(F.col("l_orderkey") <= 200)
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").alias("linenumber"),
+            adjust("l_extendedprice", "l_quantity").alias("adjusted"),
+        )
+        .orderBy("orderkey", "linenumber")
+    )
+
+
+@query(
+    "pandas_udf_grouped_agg_qty",
+    category="udf",
+    oracle="""
+        SELECT l_suppkey AS suppkey, SUM(l_quantity) AS total_qty
+        FROM lineitem GROUP BY l_suppkey ORDER BY suppkey
+    """,
+)
+def pandas_udf_grouped_agg_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas_udf (a Python UDAF over Arrow batches).
+    Quantities are small integers stored as double, so the sum is exact
+    in any accumulation order — safe to oracle-check."""
+
+    @pandas_udf("double")
+    def total(qty: pd.Series) -> float:
+        return float(qty.sum())
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(total("l_quantity").alias("total_qty"))
+        .orderBy("suppkey")
+    )
+
+
+@query(
+    "apply_in_pandas_user_stats",
+    category="udf",
+    oracle="""
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               MIN(ts) AS first_ts,
+               MAX(ts) AS last_ts,
+               MAX(value) AS max_value
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def apply_in_pandas_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas``: each user's events arrive as one
+    pandas DataFrame (one shuffle on the group key), the function
+    returns an arbitrary-shaped frame. Count/min/max only — results
+    independent of within-group row order."""
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "first_ts": [pdf["ts"].min()],
+                "last_ts": [pdf["ts"].max()],
+                "max_value": [pdf["value"].max()],
+            }
+        )
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .applyInPandas(
+            stats,
+            schema="user_id long, n_events long, first_ts timestamp, last_ts timestamp, "
+            "max_value double",
+        )
+        .orderBy("user_id")
+    )
+
+
+@udtf(returnType="pos INT, bigram STRING")
+class _Bigrams:
+    """Python UDTF: one row per adjacent-token bigram of the input text."""
+
+    def eval(self, text: str):  # noqa: ANN201 - UDTF protocol
+        toks = text.split(" ")
+        for i in range(len(toks) - 1):
+            yield i, toks[i] + " " + toks[i + 1]
+
+
+@query(
+    "udtf_bigrams",
+    category="udf",
+    oracle="""
+        SELECT doc_id, t.pos::INT AS pos, t.bigram AS bigram
+        FROM (SELECT doc_id,
+                     unnest(list_transform(
+                         generate_series(1, len(string_split(text, ' ')) - 1),
+                         i -> struct_pack(pos := i - 1,
+                                          bigram := concat_ws(' ', string_split(text, ' ')[i],
+                                                              string_split(text, ' ')[i + 1]))))
+                         AS t
+              FROM documents WHERE doc_id < 10)
+        ORDER BY doc_id, pos
+    """,
+)
+def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) in a SQL LATERAL join: each document
+    row expands to its bigram rows. The set-returning cousin of explode
+    for logic that needs imperative Python."""
+    spark.udtf.register("bigrams", _Bigrams)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") < 10).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, b.pos, b.bigram FROM _udtf_docs d, LATERAL bigrams(d.text) b "
+        "ORDER BY d.doc_id, b.pos"
+    )

@@ -295,6 +295,55 @@ def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "session_window_counts",
+    category="time-window",
+    oracle="""
+        WITH o AS (
+            SELECT user_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events
+        ),
+        m AS (
+            SELECT user_id, ts,
+                   CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 5 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM o
+        ),
+        g AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM m
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 5 MINUTE AS session_end,
+               COUNT(*) AS n_events
+        FROM g GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+    """,
+)
+def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5-minute inactivity gap) via F.session_window —
+    Spark's native sessionization. A session spans [first event, last
+    event + gap); an event exactly `gap` after its predecessor starts a
+    NEW session (half-open interval), which the oracle's gaps-and-islands
+    construction reproduces with its `>=` comparison."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@query(
     "sliding_window_counts",
     category="time-window",
     oracle="""

@@ -1,0 +1,30 @@
+"""Structured Streaming operators (SURVEY.md §2.3 'Streaming', M3).
+
+The reference is batch-only — its "streaming" comment
+(``src/main.rs:34``) refers to pipelined chunk-at-a-time execution, not
+event streams. Here the streaming surface is real Structured Streaming:
+file-source streams, watermarks, tumbling-window aggregation,
+stream-static and stream-stream joins, and custom stateful processing
+via ``applyInPandasWithState``.
+
+Test/oracle strategy: every streaming query is run to completion with
+``trigger(availableNow=True)`` into a memory sink, which makes the
+result a plain DataFrame the driver can oracle-check against the
+equivalent batch SQL (stream-batch parity — DuckDB cannot run streams).
+"""
+
+from pipeline_query_engine_demo_spark.streaming.windows import (
+    read_events_stream,
+    run_to_memory,
+    stateful_user_counts,
+    stream_static_join_segments,
+    tumbling_counts,
+)
+
+__all__ = [
+    "read_events_stream",
+    "run_to_memory",
+    "stateful_user_counts",
+    "stream_static_join_segments",
+    "tumbling_counts",
+]

@@ -1,0 +1,128 @@
+"""Streaming building blocks over the events table.
+
+Scale notes (the cluster story):
+- The file source is the dev stand-in for Kafka — swapping
+  ``readStream.parquet`` for ``readStream.format("kafka")`` changes no
+  downstream code.
+- Watermarks bound state: without one, a windowed aggregation's state
+  grows with the number of open windows forever. ``1 hour`` here means
+  late events more than an hour behind the max seen timestamp are
+  dropped and their windows finalized.
+- ``applyInPandasWithState`` state lives in the state store (RocksDB on
+  a real cluster); per-key state must stay O(1) — counters here, never
+  buffered rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+import uuid
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+#: Explicit schema for the streaming reader (streams cannot infer).
+#: ``ts`` arrives as BIGINT nanos (see sources.catalog.load_table for
+#: the same nanos handling on the batch path).
+_EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def _stream_source_dir(sf_dir: str) -> str:
+    """The file stream source requires a directory; the fixture is a
+    single file. Build (idempotently) a scratch dir holding a symlink to
+    the events Parquet — no data is copied, and each fixture dir gets
+    its own stable scratch path."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events Parquet, ts normalized to a
+    microsecond timestamp exactly like the batch reader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = spark.readStream.schema(_EVENTS_SCHEMA).parquet(_stream_source_dir(sf_dir))
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow trigger)
+    into a memory sink and return the materialized result. This is what
+    makes streaming queries oracle-checkable: the stream drains, the
+    memory table holds the final answer as a plain DataFrame."""
+    name = f"stream_result_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """Watermarked tumbling 1-hour window aggregation — the canonical
+    streaming aggregate. Identical F.window call to the batch twin
+    (plans.windows.tumbling_window_counts), which is the parity check."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+def stream_static_join_segments(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static join: each micro-batch hash-joins against the
+    static dimension (broadcast — the dim never shuffles per batch),
+    then aggregates. The streaming form of the star-schema lookup."""
+    joined = events.join(
+        F.broadcast(customer), events.user_id == customer.c_custkey, "inner"
+    )
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+def stateful_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count held in the state store. State is a single
+    counter per key — O(1) per user, RocksDB-backed on a cluster."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def count_events(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        count_events,
+        outputStructType="user_id long, n_events long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,63 @@
+"""As-of join edge cases (operators.joins.asof_join): exact-tie
+timestamps match, rows with no predecessor get NULLs, inner mode drops
+them, per-key isolation."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pipeline_query_engine_demo_spark.operators.joins import asof_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "k1", _ts("2024-01-01 10:00:00")),  # before any ref → NULL
+            (2, "k1", _ts("2024-01-01 12:00:00")),  # exact tie with ref @12:00
+            (3, "k1", _ts("2024-01-01 13:30:00")),  # between refs → 12:00 ref
+            (4, "k2", _ts("2024-01-01 12:30:00")),  # other key → k2's ref only
+        ],
+        "event_id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("k1", _ts("2024-01-01 12:00:00"), 100.0),
+            ("k1", _ts("2024-01-01 14:00:00"), 200.0),
+            ("k2", _ts("2024-01-01 12:15:00"), 300.0),
+        ],
+        "k string, ts timestamp, val double",
+    )
+    return left, right
+
+
+def test_asof_left_semantics(spark, frames):
+    left, right = frames
+    out = {
+        r.event_id: r
+        for r in asof_join(left, right, "k", "ts", "ts", ["val"]).collect()
+    }
+    assert out[1].val is None and out[1].asof_ts is None  # no predecessor
+    assert out[2].val == 100.0  # exact tie counts
+    assert out[2].asof_ts == _ts("2024-01-01 12:00:00")
+    assert out[3].val == 100.0  # latest preceding, not the later ref
+    assert out[4].val == 300.0  # key isolation
+    assert len(out) == 4  # left join preserves all probe rows
+
+
+def test_asof_inner_drops_unmatched(spark, frames):
+    left, right = frames
+    ids = {r.event_id for r in asof_join(left, right, "k", "ts", "ts", ["val"], how="inner").collect()}
+    assert ids == {2, 3, 4}
+
+
+def test_asof_bad_how_raises(spark, frames):
+    left, right = frames
+    with pytest.raises(ValueError):
+        asof_join(left, right, "k", "ts", "ts", ["val"], how="right")

@@ -1,0 +1,59 @@
+"""Dedup operator validation on planted fixtures: exact-dup counting,
+near-dup recall for planted clones, candidate-restricted Jaccard
+correctness, and the LSH banding contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from pipeline_query_engine_demo_spark.operators import dedup
+
+BASE = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+NEAR = "alpha beta gamma delta epsilon zeta eta theta iota lambda"  # 9/11 jaccard
+FAR = "one two three four five six seven eight nine ten"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(0, BASE), (1, BASE), (2, NEAR), (3, FAR)],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup_counts(spark, docs):
+    out = {r.doc_id: r for r in dedup.exact_dedup(docs, "doc_id", "text").collect()}
+    assert out[0].n_copies == 2  # ids 0,1 identical; min id kept
+    assert 1 not in out
+    assert out[2].n_copies == 1 and out[3].n_copies == 1
+
+
+def test_near_dup_recall_and_precision(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.near_dup_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0  # exact clone found
+    assert (0, 2) in pairs and abs(pairs[(0, 2)] - 9 / 11) < 1e-12  # planted near-dup
+    assert all(3 not in p for p in pairs)  # unrelated doc never paired
+
+
+def test_jaccard_restricted_to_candidates(spark, docs):
+    # only the (0, 3) pair is offered — jaccard must be computed for it
+    # alone, and its token intersection is empty → no output row.
+    pairs = spark.createDataFrame([(0, 3)], "id_a long, id_b long")
+    assert dedup.jaccard_pairs(docs, pairs, "doc_id", "text").count() == 0
+    pairs2 = spark.createDataFrame([(0, 2)], "id_a long, id_b long")
+    rows = dedup.jaccard_pairs(docs, pairs2, "doc_id", "text").collect()
+    assert len(rows) == 1 and abs(rows[0].jaccard - 9 / 11) < 1e-12
+
+
+def test_lsh_rejects_ragged_bands():
+    with pytest.raises(ValueError):
+        dedup.lsh_band_buckets(None, "doc_id", num_hashes=7, bands=4)
+
+
+def test_simhash_shape_and_clone_equality(spark, docs):
+    out = {r.doc_id: r.simhash for r in dedup.simhash(docs, "doc_id", "text", bits=16).collect()}
+    assert all(len(s) == 16 and set(s) <= {"0", "1"} for s in out.values())
+    assert out[0] == out[1]  # identical docs → identical signature

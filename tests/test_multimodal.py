@@ -1,0 +1,42 @@
+"""Multimodal plumbing: pack_media metadata correctness against
+hashlib, and the fake featurizer's byte histogram on a known payload."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+
+from pipeline_query_engine_demo_spark.functions import multimodal
+
+
+def test_pack_media_meta(spark):
+    payload = b"hello media"
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    packed = df.select("doc_id", multimodal.pack_media(F.col("payload"), "image").alias("m"))
+    row = packed.select("m.meta.kind", "m.meta.n_bytes", "m.meta.checksum").collect()[0]
+    assert row.kind == "image"
+    assert row.n_bytes == len(payload)
+    assert row.checksum == hashlib.md5(payload).hexdigest()
+
+
+def test_fake_decode_features_histogram(spark):
+    # payload of 4 bytes: 0x00, 0x10, 0x10, 0xF0 → high nibbles 0,1,1,15
+    payload = bytes([0x00, 0x10, 0x10, 0xF0])
+    df = spark.createDataFrame(
+        [(7, payload, "audio")], "doc_id long, payload binary, kind string"
+    )
+    row = multimodal.fake_decode_features(df, "doc_id", "payload", "kind").collect()[0]
+    assert row.doc_id == 7 and row.kind == "audio" and row.n_bytes == 4
+    expected = [0.0] * 16
+    expected[0] = 0.25
+    expected[1] = 0.5
+    expected[15] = 0.25
+    assert list(row.feat) == expected
+
+
+def test_decode_media_is_documented_stub(spark):
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(None, "payload", "image")

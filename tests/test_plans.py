@@ -1,0 +1,44 @@
+"""Registry-level invariants and accuracy bounds that SQL oracles can't
+express."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from pipeline_query_engine_demo_spark import plans
+
+
+def test_registry_shape():
+    qs = plans.queries()
+    oracles = plans.oracles()
+    assert set(oracles) <= set(qs)
+    # every spec has a docstring citing its design
+    for name, spec in plans.REGISTRY.items():
+        assert spec.doc, f"{name} has no docstring"
+    # the few oracle-less entries are the documented numpy/UDF ones
+    no_oracle = set(qs) - set(oracles)
+    assert no_oracle == {
+        "pandas_cosine_topk_embeddings",
+        "multimodal_features",
+        "approx_percentile_quantities",
+    }
+
+
+def test_approx_percentile_within_bound(spark, sf_dir):
+    from pipeline_query_engine_demo_spark.plans.sinks import (
+        approx_percentile_quantities,
+        percentile_exact_quantities,
+    )
+
+    approx = {
+        r.returnflag: r.qty_quartiles_approx
+        for r in approx_percentile_quantities(spark, sf_dir).collect()
+    }
+    exact = {
+        r.returnflag: r.qty_quartiles for r in percentile_exact_quantities(spark, sf_dir).collect()
+    }
+    for flag, quartiles in exact.items():
+        for a, e in zip(approx[flag], quartiles):
+            # quantities span 1..50; GK at accuracy 10000 on ~6k rows is
+            # essentially exact — allow one unit of quantization slack
+            assert abs(a - e) <= 1.0, (flag, a, e)

@@ -1,0 +1,52 @@
+"""Similarity-search validation: pandas-UDF/expression parity, ANN
+self-recall, IVF assignment on hand-built vectors."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from pipeline_query_engine_demo_spark.operators import similarity
+from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+
+def test_pandas_topk_matches_expression_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    q = emb.filter(F.col("vec_id") == 0)
+    expr_ids = [
+        r.vec_id for r in similarity.cosine_topk(emb, q, "vec_id", "embedding", k=10).collect()
+    ]
+    pandas_rows = similarity.pandas_cosine_topk(emb, qv, "vec_id", "embedding", k=10).collect()
+    assert [r.vec_id for r in pandas_rows] == expr_ids
+    # the query vector itself must rank first with similarity ~1
+    assert pandas_rows[0].vec_id == 0
+    assert abs(pandas_rows[0].cosine_sim - 1.0) < 1e-6
+
+
+def test_ann_lsh_self_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    rows = similarity.ann_topk_lsh(emb, q, "vec_id", "embedding", k=5).collect()
+    by_query = {}
+    for r in rows:
+        by_query.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_query.items():
+        top = min(rs, key=lambda r: r.rank)
+        assert top.vec_id == qid  # the vector itself shares its own bucket
+        assert abs(top.cosine_sim - 1.0) < 1e-6
+        assert [r.rank for r in sorted(rs, key=lambda r: r.rank)] == list(range(1, len(rs) + 1))
+
+
+def test_ivf_assign_hand_vectors(spark):
+    dim = 8
+    centroids = [[1.0 if i == d else 0.0 for i in range(dim)] for d in range(3)]
+    vecs = spark.createDataFrame(
+        [
+            (0, [9.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),  # nearest centroid 0
+            (1, [0.1, 5.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),  # nearest centroid 1
+            (2, [0.0, 0.0, 2.0, 0.0, 0.0, 0.0, 0.0, 0.0]),  # nearest centroid 2
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r.cell for r in similarity.ivf_assign(vecs, "vec_id", "embedding", centroids).collect()}
+    assert out == {0: 0, 1: 1, 2: 2}
