@@ -7,11 +7,12 @@ Scale design (the 100 TB story):
 - **Exact dedup** is a hash aggregate on a 256-bit content hash: the
   shuffle carries (hash, doc_id) pairs — 40 bytes/row — never the text.
 - **MinHash+LSH** is the canonical near-dup algorithm at corpus scale:
-  signatures are k map-side aggregations over exploded tokens (one
+  signatures are k map-side aggregations over exploded shingles (one
   shuffle keyed by doc_id, combiner-reduced); banding turns the O(n^2)
   pair problem into a groupBy on band hashes, so only documents that
   collide in >= 1 band ever meet. Candidate verification (true Jaccard)
-  touches candidate pairs only.
+  touches candidate pairs only. The similarity unit is the 3-word
+  shingle (DEFAULT_SHINGLE_N) — bag-of-tokens saturates at scale.
 - **SimHash** is one pass: explode tokens -> per-bit signed counts ->
   sign -> pack. Hamming-adjacent buckets are a groupBy away.
 - **n-gram Jaccard** without an LSH prefilter self-joins the inverted
@@ -29,6 +30,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from pyspark.sql import Column
+
 from pipeline_query_engine_demo_spark.functions.text import distinct_tokens, shingles
 
 #: Number of MinHash hash functions and how they are banded for LSH.
@@ -36,6 +39,23 @@ from pipeline_query_engine_demo_spark.functions.text import distinct_tokens, shi
 #: probability while the band hash stays cheap. Tune per corpus.
 DEFAULT_NUM_HASHES = 8
 DEFAULT_BANDS = 4
+
+#: MinHash/Jaccard similarity unit: 3-word shingles by default. Bag-of-
+#: tokens (shingle_n=1) saturates on any real corpus — vocabulary is
+#: finite, so at scale every document pair shares most tokens and LSH
+#: candidates degenerate toward all-pairs (observed: 128 s vs 3 s at
+#: sf0.1 on the fixture corpus, whose vocabulary is 31 words). Shingles
+#: keep the unit space growing with |vocab|^n, so only genuinely
+#: near-duplicate documents collide.
+DEFAULT_SHINGLE_N = 3
+
+
+def _units(text_col: Column, shingle_n: int) -> Column:
+    """The distinct similarity units of a document: word shingles for
+    shingle_n >= 2, bag of tokens for shingle_n = 1."""
+    if shingle_n == 1:
+        return distinct_tokens(text_col)
+    return F.array_distinct(shingles(text_col, shingle_n))
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -54,16 +74,21 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int = DEFAULT_NUM_HASHES
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_n: int = DEFAULT_SHINGLE_N,
 ) -> DataFrame:
-    """MinHash signature per document: hash_i(token) = md5(token || '#i'),
-    signature_i = min over the document's distinct tokens.
+    """MinHash signature per document: hash_i(unit) = md5(unit || '#i'),
+    signature_i = min over the document's distinct shingles (see _units).
 
     One explode + one groupBy(doc) with k min() aggregates — the partial
     aggregation combines map-side, so the shuffle is one row per document
-    regardless of document length."""
+    regardless of document length. Documents shorter than shingle_n
+    tokens have no units and drop out (nothing to near-dup against)."""
     exploded = df.select(
-        F.col(id_col), F.explode(distinct_tokens(F.col(text_col))).alias("tok")
+        F.col(id_col), F.explode(_units(F.col(text_col), shingle_n)).alias("tok")
     )
     aggs = [
         F.min(F.md5(F.concat(F.col("tok"), F.lit(f"#{i}")))).alias(f"mh{i}")
@@ -103,12 +128,16 @@ def lsh_candidate_pairs(
     text_col: str,
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
+    shingle_n: int = DEFAULT_SHINGLE_N,
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) that collide in >= 1 LSH band.
     The self-join is keyed on (band_id, band_hash) — only intra-bucket
     pairs are generated, never the cartesian corpus square."""
     buckets = lsh_band_buckets(
-        minhash_signatures(df, id_col, text_col, num_hashes), id_col, num_hashes, bands
+        minhash_signatures(df, id_col, text_col, num_hashes, shingle_n),
+        id_col,
+        num_hashes,
+        bands,
     )
     a = buckets.select(
         F.col(id_col).alias("id_a"), "band_id", "band_hash"
@@ -125,7 +154,11 @@ def lsh_candidate_pairs(
 
 
 def jaccard_pairs(
-    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = DEFAULT_SHINGLE_N,
 ) -> DataFrame:
     """True token-set Jaccard for the given (id_a, id_b) candidate pairs.
 
@@ -139,7 +172,9 @@ def jaccard_pairs(
     inner join; LSH candidates always share the token behind their
     colliding min-hash, and Jaccard 0 pairs are below any threshold
     anyway."""
-    toks = df.select(F.col(id_col), F.explode(distinct_tokens(F.col(text_col))).alias("tok"))
+    toks = df.select(
+        F.col(id_col), F.explode(_units(F.col(text_col), shingle_n)).alias("tok")
+    )
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_toks"))
     ta = toks.select(F.col(id_col).alias("id_a"), "tok")
     tb = toks.select(F.col(id_col).alias("id_b"), "tok")
@@ -167,11 +202,12 @@ def near_dup_pairs(
     threshold: float = 0.6,
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
+    shingle_n: int = DEFAULT_SHINGLE_N,
 ) -> DataFrame:
-    """Full near-dup pipeline: MinHash -> LSH banding -> exact Jaccard
-    verification -> threshold. Returns (id_a, id_b, jaccard)."""
-    candidates = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands)
-    verified = jaccard_pairs(df, candidates, id_col, text_col)
+    """Full near-dup pipeline: MinHash -> LSH banding -> exact shingle-
+    Jaccard verification -> threshold. Returns (id_a, id_b, jaccard)."""
+    candidates = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_n)
+    verified = jaccard_pairs(df, candidates, id_col, text_col, shingle_n)
     return verified.filter(F.col("jaccard") >= threshold)
 
 

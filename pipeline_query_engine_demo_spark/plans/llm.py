@@ -43,9 +43,18 @@ _TOKS_CTE = (
     "toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok "
     "FROM documents)"
 )
+#: MinHash/Jaccard similarity units = distinct 3-word shingles
+#: (operators.dedup.DEFAULT_SHINGLE_N) — bag-of-tokens saturates at
+#: corpus scale; see operators/dedup.py.
+_UNITS_CTE = (
+    "units AS (SELECT doc_id, unnest(list_distinct(list_transform("
+    "generate_series(1, len(string_split(text, ' ')) - 2), "
+    "i -> concat_ws(' ', string_split(text, ' ')[i], string_split(text, ' ')[i + 1], "
+    "string_split(text, ' ')[i + 2])))) AS tok FROM documents)"
+)
 _SIGS_CTE = "sigs AS (SELECT doc_id, " + ", ".join(
     f"min(md5(tok || '#{i}')) AS mh{i}" for i in range(_NUM_HASHES)
-) + " FROM toks GROUP BY doc_id)"
+) + " FROM units GROUP BY doc_id)"
 _BUCKETS_CTE = "buckets AS (" + " UNION ALL ".join(
     "SELECT doc_id, {b} AS band_id, md5(concat_ws('|', {cols})) AS band_hash FROM sigs".format(
         b=b,
@@ -127,12 +136,12 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "minhash_signatures_docs",
     category="llm-dedup",
-    oracle=f"WITH {_TOKS_CTE}, {_SIGS_CTE} SELECT * FROM sigs ORDER BY doc_id",
+    oracle=f"WITH {_UNITS_CTE}, {_SIGS_CTE} SELECT * FROM sigs ORDER BY doc_id",
 )
 def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (8 hash functions): one explode + one groupBy
-    with k map-side min() aggregates — the shuffle is one row per
-    document regardless of document length."""
+    """MinHash signatures (8 hash functions over 3-word shingles): one
+    explode + one groupBy with k map-side min() aggregates — the shuffle
+    is one row per document regardless of document length."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_signatures(docs, "doc_id", "text").orderBy("doc_id")
 
@@ -141,7 +150,7 @@ def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lsh_candidate_pairs_docs",
     category="llm-dedup",
     oracle=f"""
-        WITH {_TOKS_CTE}, {_SIGS_CTE}, {_BUCKETS_CTE}, {_CAND_CTE}
+        WITH {_UNITS_CTE}, {_SIGS_CTE}, {_BUCKETS_CTE}, {_CAND_CTE}
         SELECT id_a, id_b FROM cand ORDER BY id_a, id_b
     """,
 )
@@ -158,13 +167,13 @@ def lsh_candidate_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "near_dup_pairs_docs",
     category="llm-dedup",
     oracle=f"""
-        WITH {_TOKS_CTE}, {_SIGS_CTE}, {_BUCKETS_CTE}, {_CAND_CTE},
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+        WITH {_UNITS_CTE}, {_SIGS_CTE}, {_BUCKETS_CTE}, {_CAND_CTE},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM units GROUP BY doc_id),
         inter AS (
             SELECT c.id_a, c.id_b, COUNT(*) AS n_common
             FROM cand c
-            JOIN toks ta ON ta.doc_id = c.id_a
-            JOIN toks tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+            JOIN units ta ON ta.doc_id = c.id_a
+            JOIN units tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
             GROUP BY c.id_a, c.id_b
         )
         SELECT i.id_a, i.id_b,

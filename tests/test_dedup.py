@@ -9,7 +9,9 @@ import pytest
 from pipeline_query_engine_demo_spark.operators import dedup
 
 BASE = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
-NEAR = "alpha beta gamma delta epsilon zeta eta theta iota lambda"  # 9/11 jaccard
+# last token changed → of the 8 3-shingles only the final one differs:
+# shingle-jaccard 7/9
+NEAR = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
 FAR = "one two three four five six seven eight nine ten"
 
 
@@ -34,7 +36,7 @@ def test_near_dup_recall_and_precision(spark, docs):
         for r in dedup.near_dup_pairs(docs, "doc_id", "text", threshold=0.5).collect()
     }
     assert (0, 1) in pairs and pairs[(0, 1)] == 1.0  # exact clone found
-    assert (0, 2) in pairs and abs(pairs[(0, 2)] - 9 / 11) < 1e-12  # planted near-dup
+    assert (0, 2) in pairs and abs(pairs[(0, 2)] - 7 / 9) < 1e-12  # planted near-dup
     assert all(3 not in p for p in pairs)  # unrelated doc never paired
 
 
@@ -45,7 +47,7 @@ def test_jaccard_restricted_to_candidates(spark, docs):
     assert dedup.jaccard_pairs(docs, pairs, "doc_id", "text").count() == 0
     pairs2 = spark.createDataFrame([(0, 2)], "id_a long, id_b long")
     rows = dedup.jaccard_pairs(docs, pairs2, "doc_id", "text").collect()
-    assert len(rows) == 1 and abs(rows[0].jaccard - 9 / 11) < 1e-12
+    assert len(rows) == 1 and abs(rows[0].jaccard - 7 / 9) < 1e-12
 
 
 def test_lsh_rejects_ragged_bands():
