@@ -531,6 +531,65 @@ def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tfidf_top_terms",
+    category="llm-text",
+    oracle="""
+        WITH tf AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        tfc AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tf GROUP BY doc_id, tok),
+        dfc AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT t.doc_id, t.tok,
+                   ROUND(t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)), 6) AS tfidf
+            FROM tfc t JOIN dfc d ON t.tok = d.tok CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY tfidf DESC, tok) AS rn
+            FROM scored
+        )
+        SELECT doc_id, tok, tfidf, rn FROM ranked WHERE rn <= 3
+        ORDER BY doc_id, rn
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document, built from relational primitives
+    (explode -> two aggregations -> broadcast of the 1-row corpus count
+    -> window top-k) — no ml-lib dependency, fully plan-optimizable.
+    Smoothed idf = ln((N+1)/(df+1)); both engines' ln agree on these
+    operands (libm double, identical inputs), rounded to 6."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = docs.select("doc_id", F.explode(text.tokens("text")).alias("tok"))
+    tfc = tf.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tfc.join(dfc, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tok", "tfidf", "rn")
+        .orderBy("doc_id", "rn")
+    )
+
+
+@query(
     "token_stats_by_source",
     category="llm-text",
     oracle="""

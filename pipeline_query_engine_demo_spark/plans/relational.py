@@ -252,6 +252,32 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_grouping_sets",
+    category="aggregation",
+    oracle="""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, n
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither rollup nor cube): per-flag totals,
+    per-status totals, and the grand total in one pass — Spark plans one
+    Expand + one aggregation, not three scans."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    lineitem.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST, n
+        """
+    )
+
+
+@query(
     "agg_having",
     category="aggregation",
     oracle="""
@@ -594,6 +620,97 @@ def join_dedup_build_side(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").alias("custkey"), F.col("c_acctbal").alias("acctbal"))
         .orderBy("custkey")
     )
+
+
+@query(
+    "join_sort_merge_hint",
+    category="join",
+    oracle="""
+        SELECT o.o_orderkey AS orderkey, COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey ORDER BY orderkey
+    """,
+)
+def join_sort_merge_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-merge join, forced via the ``merge`` hint. At fixture scale
+    Catalyst would broadcast (everything fits under the threshold); on a
+    cluster this large-large shape picks SMJ automatically — the hint
+    pins the strategy so the SMJ code path is exercised and tested at
+    any scale. Shuffle-by-key + sorted merge is the plan that survives
+    when neither side fits in memory."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.hint("merge")
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy(F.col("o_orderkey").alias("orderkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("total_price"),
+        )
+        .orderBy("orderkey")
+    )
+
+
+@query(
+    "salted_agg_two_phase",
+    category="aggregation",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def salted_agg_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for skewed keys: phase 1 aggregates
+    on (key, salt) — spreading each hot key over 16 reducers — phase 2
+    merges the partials per key. Semantically identical to a plain
+    GROUP BY (the oracle), and the pattern that rescues a skewed shuffle
+    when one key holds half the corpus. (Spark's partial aggregation
+    already defuses skew for algebraic aggs; salting is the general form
+    that also works for joins and exact-distinct.) Decimal partials make
+    the two-phase sum order-independent."""
+    events = load_table(spark, sf_dir, "events")
+    salted = events.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(16)))
+    phase1 = salted.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("_v"),
+    )
+    return (
+        phase1.groupBy("event_type")
+        .agg(
+            F.sum("_n").alias("n"),
+            F.sum("_v").cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "cached_reuse_branches",
+    category="sink",
+    oracle="""
+        WITH big AS (SELECT * FROM orders WHERE o_totalprice >= 2000)
+        SELECT o_orderstatus AS k, COUNT(*) AS n FROM big GROUP BY o_orderstatus
+        UNION ALL
+        SELECT o_orderpriority AS k, COUNT(*) AS n FROM big GROUP BY o_orderpriority
+        ORDER BY k, n
+    """,
+)
+def cached_reuse_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.cache()``: one filtered scan materialized once, consumed by
+    two independent aggregations (the reference's materialize() analog,
+    ``src/executor/mod.rs:363-374``, generalized to any reuse point).
+    Without the cache each branch would rescan the Parquet; with it the
+    second branch reads executor-local columnar blocks."""
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") >= 2000).cache()
+    by_status = big.groupBy(F.col("o_orderstatus").alias("k")).agg(F.count(F.lit(1)).alias("n"))
+    by_priority = big.groupBy(F.col("o_orderpriority").alias("k")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return by_status.unionByName(by_priority).orderBy("k", "n")
 
 
 # --------------------------------------------------------------------------

@@ -92,6 +92,100 @@ def write_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PART_ORACLE = """
+    SELECT p_partkey AS partkey, p_brand AS brand, p_type AS type, p_size AS size
+    FROM part ORDER BY partkey
+"""
+
+
+def _part_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").alias("partkey"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("type"),
+        F.col("p_size").alias("size"),
+    )
+
+
+@query("format_roundtrip_csv", category="source-format", oracle=_PART_ORACLE)
+def format_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV write + schema-declared read. CSV carries no types, so the
+    reader gets an explicit schema — the only safe pattern at scale
+    (inference costs an extra full scan and guesses)."""
+    path = os.path.join(_SCRATCH, "fmt_csv")
+    _part_subset(spark, sf_dir).write.mode("overwrite").option("header", True).csv(path)
+    return (
+        spark.read.schema("partkey long, brand string, type string, size int")
+        .option("header", True)
+        .csv(path)
+        .orderBy("partkey")
+    )
+
+
+@query("format_roundtrip_json", category="source-format", oracle=_PART_ORACLE)
+def format_roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines write + schema-declared read (same scale rationale as
+    CSV: explicit schema, no inference scan)."""
+    path = os.path.join(_SCRATCH, "fmt_json")
+    _part_subset(spark, sf_dir).write.mode("overwrite").json(path)
+    return (
+        spark.read.schema("partkey long, brand string, type string, size int")
+        .json(path)
+        .orderBy("partkey")
+    )
+
+
+@query("format_roundtrip_orc", category="source-format", oracle=_PART_ORACLE)
+def format_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write + read — the other columnar format; types survive the
+    round-trip natively (no schema declaration needed)."""
+    path = os.path.join(_SCRATCH, "fmt_orc")
+    _part_subset(spark, sf_dir).write.mode("overwrite").orc(path)
+    return spark.read.orc(path).orderBy("partkey")
+
+
+@query(
+    "bucketed_join_colocated",
+    category="sink",
+    oracle="""
+        SELECT o.o_orderkey AS orderkey, COUNT(*) AS n_lines
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey ORDER BY orderkey
+    """,
+)
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides written with
+    ``bucketBy(8, key).sortBy(key)``, then joined with a merge hint —
+    the join reads bucket-aligned files and needs NO shuffle and NO sort
+    on either side (tests/test_plans.py asserts the plan is
+    exchange-free). This is the 100 TB pattern for fact-fact joins that
+    repeat across a pipeline: pay the partitioning once at write time,
+    never again at read time."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    for name, df, key in (
+        ("b_orders", orders.select("o_orderkey"), "o_orderkey"),
+        ("b_lineitem", lineitem.select("l_orderkey"), "l_orderkey"),
+    ):
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", os.path.join(_SCRATCH, name))
+            .saveAsTable(name)
+        )
+    b_orders = spark.table("b_orders").hint("merge")
+    b_lineitem = spark.table("b_lineitem")
+    return (
+        b_orders.join(b_lineitem, b_orders.o_orderkey == b_lineitem.l_orderkey)
+        .groupBy(F.col("o_orderkey").alias("orderkey"))
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("orderkey")
+    )
+
+
 @query(
     "approx_count_distinct_priorities",
     category="approx-agg",

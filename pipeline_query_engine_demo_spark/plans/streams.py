@@ -63,6 +63,30 @@ def streaming_static_join_segments(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "streaming_stream_stream_join",
+    category="streaming",
+    oracle="""
+        SELECT a.event_id AS click_id, b.event_id AS purchase_id
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'click' AND b.event_type = 'purchase'
+         AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        ORDER BY click_id, purchase_id
+    """,
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (clicks x purchases within
+    30 min, same user): both join states bounded by watermark + time
+    range. Inner matches emit as found, so the availableNow drain equals
+    the batch join (the oracle)."""
+    events = streaming.read_events_stream(spark, sf_dir)
+    result = streaming.run_to_memory(
+        streaming.stream_stream_click_purchases(events), "append"
+    )
+    return result.orderBy("click_id", "purchase_id")
+
+
+@query(
     "streaming_stateful_user_counts",
     category="streaming",
     oracle="""

@@ -156,6 +156,38 @@ def apply_in_pandas_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "map_in_arrow_adjust",
+    category="udf",
+    oracle="""
+        SELECT l_orderkey AS orderkey, l_quantity + 1.0 AS qty_next
+        FROM lineitem WHERE l_orderkey <= 100
+        ORDER BY orderkey, qty_next
+    """,
+)
+def map_in_arrow_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: the zero-copy cousin of mapInPandas — RecordBatch
+    in, RecordBatch out, no pandas conversion. The cheapest Python hook
+    when the logic is pyarrow.compute-expressible."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def adjust(batches):
+        for batch in batches:
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("l_orderkey"), pc.add(batch.column("l_quantity"), 1.0)],
+                ["orderkey", "qty_next"],
+            )
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(F.col("l_orderkey") <= 100)
+        .select("l_orderkey", "l_quantity")
+        .mapInArrow(adjust, schema="orderkey long, qty_next double")
+        .orderBy("orderkey", "qty_next")
+    )
+
+
 @udtf(returnType="pos INT, bigram STRING")
 class _Bigrams:
     """Python UDTF: one row per adjacent-token bigram of the input text."""

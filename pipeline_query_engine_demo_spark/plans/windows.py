@@ -180,6 +180,37 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_distribution_stats",
+    category="window",
+    oracle="""
+        SELECT o_orderkey AS orderkey, o_orderpriority AS priority,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cum_dist,
+               nth_value(o_totalprice, 2) OVER w AS second_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        ORDER BY orderkey
+    """,
+)
+def window_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank ((rank-1)/(n-1)) and
+    cume_dist (rank/n) are exact integer ratios — deterministic across
+    engines; nth_value uses the default running frame (NULL until the
+    2nd row enters) in both."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cum_dist"),
+            F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        ).orderBy("orderkey")
+    )
+
+
+@query(
     "asof_join_last_purchase",
     category="asof-join",
     oracle="""

@@ -18,6 +18,7 @@ from pipeline_query_engine_demo_spark.streaming.windows import (
     run_to_memory,
     stateful_user_counts,
     stream_static_join_segments,
+    stream_stream_click_purchases,
     tumbling_counts,
 )
 
@@ -26,5 +27,6 @@ __all__ = [
     "run_to_memory",
     "stateful_user_counts",
     "stream_static_join_segments",
+    "stream_stream_click_purchases",
     "tumbling_counts",
 ]

@@ -102,6 +102,40 @@ def stream_static_join_segments(events: DataFrame, customer: DataFrame) -> DataF
     )
 
 
+def stream_stream_click_purchases(events: DataFrame) -> DataFrame:
+    """Stream-stream inner join: purchases within 30 minutes after a
+    click by the same user. Both sides are watermarked so the join state
+    is bounded — the time-range condition tells Spark exactly how long
+    to keep each side buffered (clicks: 30 min past the purchase
+    watermark; purchases: until the click watermark passes). Matches
+    emit as found (inner join), so an availableNow drain produces the
+    full batch-equivalent answer."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("purchase_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    cond = (
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    return clicks.join(purchases, cond, "inner").select("click_id", "purchase_id")
+
+
 def stateful_user_counts(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running event count held in the state store. State is a single

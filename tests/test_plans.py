@@ -24,6 +24,18 @@ def test_registry_shape():
     }
 
 
+def test_bucketed_join_plan_is_exchange_free(spark, sf_dir):
+    from pipeline_query_engine_demo_spark.plans.sinks import bucketed_join_colocated
+
+    df = bucketed_join_colocated(spark, sf_dir)
+    # the join itself (below the final orderBy) must read bucket-aligned
+    # files: no shuffle exchange feeding the SortMergeJoin
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    join_part = plan.split("SortMergeJoin")[-1]
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in join_part
+
+
 def test_approx_percentile_within_bound(spark, sf_dir):
     from pipeline_query_engine_demo_spark.plans.sinks import (
         approx_percentile_quantities,
