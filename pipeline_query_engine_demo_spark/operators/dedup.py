@@ -211,6 +211,76 @@ def near_dup_pairs(
     return verified.filter(F.col("jaccard") >= threshold)
 
 
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, id_col: str, max_iter: int = 15
+) -> DataFrame:
+    """Connected components by iterative min-label propagation: every
+    node's label converges to the smallest id reachable from it. Returns
+    (id, cluster_id).
+
+    Each iteration is one join + one aggregation over the edge list —
+    all distributed, nothing driver-side except the convergence check
+    (a count per iteration, standard for iterative graph algorithms).
+    Plain propagation needs O(graph diameter) rounds; near-dup clusters
+    are shallow (dups of a common source), so diameter is small. For
+    adversarial long-chain graphs the upgrade path is the
+    large-star/small-star algorithm (same join primitives, O(log n)
+    rounds) — not needed for dedup workloads.
+
+    Checkpointing via ``localCheckpoint`` truncates the lineage each
+    round so the plan doesn't grow exponentially with iterations.
+    """
+    sym = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = DEFAULT_SHINGLE_N,
+) -> DataFrame:
+    """Near-dup clustering: LSH+Jaccard pair graph → connected
+    components. Returns (id, cluster_id); a document with no near-dups
+    is its own cluster. Downstream dedup keeps ``id == cluster_id``
+    (the min-id representative per cluster — deterministic)."""
+    pairs = near_dup_pairs(df, id_col, text_col, threshold, num_hashes, bands, shingle_n)
+    return connected_components(df.select(id_col), pairs, id_col)
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
     """SimHash signature as a `bits`-char '0'/'1' string per document.
 

@@ -194,6 +194,45 @@ def near_dup_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dup_pairs(docs, "doc_id", "text", threshold=0.6).orderBy("id_a", "id_b")
 
 
+#: Near-dup pair graph as SQL (id_a < id_b, jaccard >= 0.6) — shared by
+#: the clustering oracles below.
+_NEAR_DUP_EDGES = f"""
+        {_UNITS_CTE}, {_SIGS_CTE}, {_BUCKETS_CTE}, {_CAND_CTE},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM units GROUP BY doc_id),
+        inter AS (
+            SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+            FROM cand c
+            JOIN units ta ON ta.doc_id = c.id_a
+            JOIN units tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+            GROUP BY c.id_a, c.id_b
+        ),
+        edges AS (
+            SELECT i.id_a, i.id_b
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.6
+        ),
+        sym AS (SELECT id_a AS a, id_b AS b FROM edges
+                UNION SELECT id_b, id_a FROM edges)
+"""
+
+_CLUSTERS_SQL = f"""
+        WITH RECURSIVE {_NEAR_DUP_EDGES.strip()},
+        reach(a, b) AS (
+            SELECT a, b FROM sym
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+        ),
+        labels AS (
+            SELECT d.doc_id,
+                   LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster_id
+            FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+            GROUP BY d.doc_id
+        )
+"""
+
+
 def _simhash_oracle(bits: int) -> str:
     odd = "('1','3','5','7','9','b','d','f')"
     votes = ", ".join(
@@ -207,6 +246,83 @@ def _simhash_oracle(bits: int) -> str:
         votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
         SELECT doc_id, concat({sig}) AS simhash FROM votes ORDER BY doc_id
     """
+
+
+@query(
+    "dedup_clusters_docs",
+    category="llm-dedup",
+    oracle=_CLUSTERS_SQL + "SELECT doc_id, cluster_id FROM labels ORDER BY doc_id",
+)
+def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: the LSH+Jaccard pair graph collapsed into
+    connected components by iterative min-label propagation
+    (operators.dedup.connected_components). The oracle computes the same
+    components with a recursive transitive-closure CTE — feasible for
+    DuckDB at fixture scale, quadratic at corpus scale, which is exactly
+    why the Spark side iterates joins instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_clusters(docs, "doc_id", "text", threshold=0.6).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    ).orderBy("doc_id")
+
+
+@query(
+    "clean_corpus_pipeline",
+    category="llm-dedup",
+    oracle=_CLUSTERS_SQL
+    + """ ,
+        kept AS (SELECT doc_id FROM labels WHERE doc_id = cluster_id)
+        SELECT d.doc_id,
+               len(string_split(d.text, ' ')) AS n_tokens,
+               d.lang, d.source
+        FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+        WHERE len(string_split(d.text, ' ')) >= 20
+        ORDER BY d.doc_id
+    """,
+)
+def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data cleaning pipeline in one plan:
+    near-dup clustering → keep each cluster's min-id representative →
+    drop short documents. This is the composition the LLM-operator
+    family exists for; every stage is the scale-shaped variant (LSH
+    candidates, candidate-restricted verification, iterative
+    components)."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup.dedup_clusters(docs, "doc_id", "text", threshold=0.6)
+    reps = clusters.filter(F.col("id") == F.col("cluster_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    return (
+        docs.join(reps, "doc_id")
+        .filter(text.token_count("text") >= 20)
+        .select("doc_id", text.token_count("text").alias("n_tokens"), "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "token_count_bpeish",
+    category="llm-text",
+    oracle="""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS ws_tokens,
+               len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpeish_tokens
+        FROM documents ORDER BY doc_id
+    """,
+)
+def token_count_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (letter runs | digit runs | single other symbols) — the cheap
+    pre-tokenizer estimate every training-data budget starts from. Both
+    are map-side regexes inside codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).alias(
+            "bpeish_tokens"
+        ),
+    ).orderBy("doc_id")
 
 
 @query("simhash_docs", category="llm-dedup", oracle=_simhash_oracle(16))

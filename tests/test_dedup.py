@@ -55,6 +55,27 @@ def test_lsh_rejects_ragged_bands():
         dedup.lsh_band_buckets(None, "doc_id", num_hashes=7, bands=4)
 
 
+def test_connected_components_chain(spark):
+    # chain 1-2-3-4 plus isolated 9: one component labeled 1, one {9}
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 9)], "doc_id long")
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "id_a long, id_b long")
+    labels = {
+        r.id: r.cluster_id
+        for r in dedup.connected_components(nodes, edges, "doc_id").collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9}
+
+
+def test_dedup_clusters_planted(spark, docs):
+    labels = {
+        r.id: r.cluster_id for r in dedup.dedup_clusters(docs, "doc_id", "text").collect()
+    }
+    # docs 0,1 (exact clones) and 2 (near-dup) collapse into cluster 0;
+    # unrelated doc 3 stays alone
+    assert labels[0] == labels[1] == labels[2] == 0
+    assert labels[3] == 3
+
+
 def test_simhash_shape_and_clone_equality(spark, docs):
     out = {r.doc_id: r.simhash for r in dedup.simhash(docs, "doc_id", "text", bits=16).collect()}
     assert all(len(s) == 16 and set(s) <= {"0", "1"} for s in out.values())
