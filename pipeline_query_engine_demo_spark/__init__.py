@@ -15,7 +15,8 @@ surveyed in /root/repo/SURVEY.md), re-expressed Spark-first:
 
 Layout:
     session      SparkSession factory with scale-oriented defaults
-    sources      parquet catalog / readers / writers for the fixture tables
+    sources      parquet catalog / readers for the fixture tables (write
+                 paths live in plans.sinks: parquet/csv/json/orc, bucketed)
     plans        the oracle-checked query corpus (name -> builder + SQL)
     operators    composed operators: as-of join, dedup family, similarity
     functions    expression library: text stats, vector math, multimodal
