@@ -38,3 +38,16 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     yields NULL (division by zero), which sorts last under desc order."""
     denominator = norm(a) * norm(b)
     return dot(a, b) / F.nullif(denominator, F.lit(0.0))
+
+
+def euclidean(a: Column | str, b: Column | str) -> Column:
+    """L2 distance, same strict left-fold arithmetic as dot()."""
+    diffs = F.zip_with(as_double(a), as_double(b), lambda x, y: (x - y) * (x - y))
+    return F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def normalize(vec: Column | str) -> Column:
+    """Unit-normalize; a zero vector normalizes to NULL elements rather
+    than raising (division by NULLIF(0))."""
+    n = F.nullif(norm(vec), F.lit(0.0))
+    return F.transform(as_double(vec), lambda x: x / n)

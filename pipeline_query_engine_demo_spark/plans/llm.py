@@ -25,7 +25,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from pipeline_query_engine_demo_spark.functions import multimodal, text
+from pipeline_query_engine_demo_spark.functions import multimodal, text, vectors
 from pipeline_query_engine_demo_spark.operators import dedup, similarity
 from pipeline_query_engine_demo_spark.plans.registry import query
 from pipeline_query_engine_demo_spark.sources.catalog import load_table
@@ -494,6 +494,32 @@ def pandas_cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
     emb = load_table(spark, sf_dir, "embeddings")
     qv = [1.0 if i % 8 == 0 else 0.0 for i in range(_IVF_DIM)]
     return similarity.pandas_cosine_topk(emb, qv, "vec_id", "embedding", k=10)
+
+
+@query(
+    "embedding_vector_math",
+    category="llm-similarity",
+    oracle="""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+        SELECT vec_id,
+               sqrt(list_dot_product(e, e)) AS l2_norm,
+               list_max(list_transform(e, x -> abs(x))) AS max_abs,
+               e[1] / sqrt(list_dot_product(e, e)) AS unit_first
+        FROM v ORDER BY vec_id
+    """,
+)
+def embedding_vector_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-math expression surface (functions.vectors): L2 norm,
+    max-abs, unit-normalized elements — all zip_with/aggregate
+    higher-order folds, JVM-side, bit-identical to DuckDB's sequential
+    list arithmetic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        vectors.norm("embedding").alias("l2_norm"),
+        F.array_max(F.transform(vectors.as_double("embedding"), F.abs)).alias("max_abs"),
+        F.element_at(vectors.normalize("embedding"), 1).alias("unit_first"),
+    ).orderBy("vec_id")
 
 
 # --------------------------------------------------------------------------
