@@ -188,9 +188,10 @@ def map_in_arrow_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@udtf(returnType="pos INT, bigram STRING")
+@udtf(returnType="pos INT, bigram STRING", useArrow=True)
 class _Bigrams:
-    """Python UDTF: one row per adjacent-token bigram of the input text."""
+    """Python UDTF: one row per adjacent-token bigram of the input text
+    (Arrow-optimized — batches cross the Python boundary, not rows)."""
 
     def eval(self, text: str):  # noqa: ANN201 - UDTF protocol
         toks = text.split(" ")
