@@ -25,7 +25,7 @@ need key-salting with range re-stitching — not needed at fixture scale).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 
 
 def asof_join(
@@ -86,3 +86,35 @@ def asof_join(
     elif how != "left":
         raise ValueError(f"asof_join supports how='left'|'inner', got {how!r}")
     return out
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt_src: Column,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-defusing equi-join: spread each hot key of ``big`` over
+    ``buckets`` reducers.
+
+    ``big`` gets a deterministic salt from ``salt_src`` (any column
+    expression that varies within a key — e.g. a row id; determinism
+    keeps results reproducible and oracle-checkable, unlike rand());
+    ``small`` is replicated ``buckets`` times via an exploded sequence.
+    The join runs on (key, salt), so a key holding half the table hashes
+    to ``buckets`` partitions instead of one. Semantically identical to
+    ``big.join(small, on, how)``.
+
+    Cost model: |small| * buckets extra rows shuffled — the standard
+    trade when AQE's skew-join splitting can't apply (e.g. the skewed
+    side feeds a window or the join is part of a co-partitioned chain).
+    """
+    salted_big = big.withColumn("_salt", F.pmod(F.xxhash64(salt_src), F.lit(buckets)))
+    salted_small = (
+        small.withColumn("_salt_i", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))))
+        .withColumn("_salt", F.col("_salt_i").cast("long"))
+        .drop("_salt_i")
+    )
+    return salted_big.join(salted_small, on=[on, "_salt"], how=how).drop("_salt")

@@ -688,6 +688,34 @@ def salted_agg_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "salted_join_skewed",
+    category="join",
+    oracle="""
+        SELECT e.event_id, c.c_mktsegment AS segment
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        ORDER BY event_id
+    """,
+)
+def salted_join_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (operators.joins.salted_join): events.user_id is
+    Zipf-ish (a few users dominate), so the plain shuffle join would
+    send a hot key to one reducer; salting on event_id spreads it over
+    16. Semantically identical to the plain join — the oracle is the
+    unsalted SQL."""
+    from pipeline_query_engine_demo_spark.operators.joins import salted_join
+
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(
+        events.select("event_id", F.col("user_id").alias("c_custkey")),
+        customer,
+        on="c_custkey",
+        salt_src=F.col("event_id"),
+    )
+    return joined.select("event_id", F.col("c_mktsegment").alias("segment")).orderBy("event_id")
+
+
+@query(
     "cached_reuse_branches",
     category="sink",
     oracle="""

@@ -1,0 +1,82 @@
+"""Property-based validation (hypothesis): the as-of join against
+pandas.merge_asof on random inputs, and salted join equivalence."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pipeline_query_engine_demo_spark.operators.joins import asof_join, salted_join
+
+_EPOCH = dt.datetime(2024, 1, 1)
+
+# (key, minutes) pairs; right side additionally carries a value
+_left_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 500)), min_size=1, max_size=12
+)
+_right_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 500)), min_size=1, max_size=12
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=_left_rows, right=_right_rows)
+def test_asof_matches_pandas_merge_asof(spark, left, right):
+    # dedupe right on (key, ts) — the documented precondition
+    right = list({(k, m): None for k, m in right})
+    lpdf = pd.DataFrame(
+        {
+            "event_id": range(len(left)),
+            "k": [k for k, _ in left],
+            "ts": [_EPOCH + dt.timedelta(minutes=m) for _, m in left],
+        }
+    )
+    rpdf = pd.DataFrame(
+        {
+            "k": [k for k, _ in right],
+            "ts": [_EPOCH + dt.timedelta(minutes=m) for _, m in right],
+            "val": [float(k * 1000 + m) for k, m in right],
+        }
+    )
+    ldf = spark.createDataFrame(lpdf)
+    rdf = spark.createDataFrame(rpdf)
+    got = {
+        r.event_id: r.val
+        for r in asof_join(ldf, rdf, "k", "ts", "ts", ["val"]).collect()
+    }
+    expected_df = pd.merge_asof(
+        lpdf.sort_values("ts", kind="stable"),
+        rpdf.sort_values("ts", kind="stable"),
+        on="ts",
+        by="k",
+        direction="backward",
+    )
+    for _, row in expected_df.iterrows():
+        exp = None if pd.isna(row.val) else float(row.val)
+        assert got[row.event_id] == exp, (row.event_id, got[row.event_id], exp)
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").alias("c_custkey")
+    )
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    salted = salted_join(events, customer, "c_custkey", F.col("event_id"), buckets=8)
+    plain = events.join(customer, "c_custkey")
+    assert salted.count() == plain.count()
+    assert (
+        salted.select("event_id", "c_mktsegment")
+        .exceptAll(plain.select("event_id", "c_mktsegment"))
+        .count()
+        == 0
+    )
