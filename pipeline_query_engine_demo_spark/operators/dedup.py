@@ -129,16 +129,32 @@ def lsh_candidate_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     shingle_n: int = DEFAULT_SHINGLE_N,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) that collide in >= 1 LSH band.
     The self-join is keyed on (band_id, band_hash) — only intra-bucket
-    pairs are generated, never the cartesian corpus square."""
+    pairs are generated, never the cartesian corpus square.
+
+    ``max_bucket_size`` is the 100 TB safety valve: a degenerate bucket
+    of B documents yields B^2 intra-bucket pairs (one boilerplate
+    template shared by a million pages melts a reducer). Buckets larger
+    than the cap are dropped entirely — their signature band carries no
+    discriminating information, exactly like a stopword in an inverted
+    index. None (default) keeps exact LSH semantics."""
     buckets = lsh_band_buckets(
         minhash_signatures(df, id_col, text_col, num_hashes, shingle_n),
         id_col,
         num_hashes,
         bands,
     )
+    if max_bucket_size is not None:
+        small = (
+            buckets.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("band_id", "band_hash")
+        )
+        buckets = buckets.join(small, on=["band_id", "band_hash"], how="left_semi")
     a = buckets.select(
         F.col(id_col).alias("id_a"), "band_id", "band_hash"
     )

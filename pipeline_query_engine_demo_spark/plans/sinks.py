@@ -136,6 +136,21 @@ def format_roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "format_roundtrip_text",
+    category="source-format",
+    oracle="SELECT text AS value FROM documents ORDER BY value",
+)
+def format_roundtrip_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text write + read (one line per document): the rawest
+    source format — ingest for corpora that arrive as line-delimited
+    text before any schema exists."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(_SCRATCH, "fmt_text")
+    docs.select("text").write.mode("overwrite").text(path)
+    return spark.read.text(path).orderBy("value")
+
+
 @query("format_roundtrip_orc", category="source-format", oracle=_PART_ORACLE)
 def format_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC write + read — the other columnar format; types survive the

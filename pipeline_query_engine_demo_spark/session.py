@@ -41,9 +41,15 @@ _LOCAL_DEFAULTS: dict[str, str] = {
     # --- misc -----------------------------------------------------------
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
     # events.ts is ns-precision Parquet; read as BIGINT nanos and convert
     # in sources.catalog.load_table (truncate to µs, matching DuckDB).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Honored when THIS factory launches the JVM (local mode, fresh
+    # process); a no-op on an already-running session. The 1g default
+    # OOMs broadcast builds well before the 64 MiB threshold is reached
+    # (observed at 10x sf0.1: notEnoughMemoryToBuildAndBroadcastTable).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
 
 

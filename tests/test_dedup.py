@@ -55,6 +55,18 @@ def test_lsh_rejects_ragged_bands():
         dedup.lsh_band_buckets(None, "doc_id", num_hashes=7, bands=4)
 
 
+def test_lsh_hot_bucket_cap(spark):
+    # 4 identical docs share every band bucket (size 4); cap 3 drops the
+    # bucket and no candidates emerge; without the cap all 6 pairs do.
+    clones = spark.createDataFrame(
+        [(i, BASE) for i in range(4)], "doc_id long, text string"
+    )
+    uncapped = dedup.lsh_candidate_pairs(clones, "doc_id", "text")
+    assert uncapped.count() == 6
+    capped = dedup.lsh_candidate_pairs(clones, "doc_id", "text", max_bucket_size=3)
+    assert capped.count() == 0
+
+
 def test_connected_components_chain(spark):
     # chain 1-2-3-4 plus isolated 9: one component labeled 1, one {9}
     nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 9)], "doc_id long")

@@ -1,0 +1,109 @@
+"""10x scale experiment: replicate the sf0.1 fact tables tenfold (with
+shifted keys so cardinalities scale realistically), run the headline
+queries, and compare per-query time against sf0.1 to see how close to
+linear the plans scale. Writes nothing to the repo; data lives in /tmp.
+
+Usage: python tools/scale_experiment.py [factor]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import pyspark.sql.functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+OUT = f"/tmp/spark_graft_scale{FACTOR}"
+
+#: (table, [id columns to shift]) — shifted by copy_i * 10**9 so keys
+#: stay unique across copies; foreign keys into the dims (custkey etc.)
+#: are left alone so join fan-outs stay realistic.
+SCALED = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+UNSCALED = ["region", "nation", "customer", "supplier", "part"]
+
+QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "window_topk_per_group",
+    "asof_join_last_purchase",
+    "tumbling_window_counts",
+    "exact_dedup_docs",
+    "near_dup_pairs_docs",
+    "cosine_topk_embeddings",
+    "text_stats_docs",
+]
+
+
+def build_data(spark) -> None:
+    os.makedirs(OUT, exist_ok=True)
+    for t in UNSCALED:
+        link = os.path.join(OUT, f"{t}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(BASE, f"{t}.parquet"), link)
+    from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+    for t, id_cols in SCALED.items():
+        dest = os.path.join(OUT, f"{t}.parquet")
+        if os.path.exists(dest):
+            continue
+        base = load_table(spark, BASE, t)
+        copies = []
+        for i in range(FACTOR):
+            c = base
+            for col in id_cols:
+                c = c.withColumn(col, F.col(col) + F.lit(i * 10**9))
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(dest)
+        print(f"built {t}: {out.count()} rows", file=sys.stderr)
+
+
+def run(spark, sf_dir: str) -> dict[str, float]:
+    from pipeline_query_engine_demo_spark import plans
+
+    qs = plans.queries()
+    qs["q1_pricing_summary"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    out = {}
+    for name in QUERIES:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        out[name] = round(time.perf_counter() - t0, 2)
+    return out
+
+
+def main() -> None:
+    from pipeline_query_engine_demo_spark.session import get_spark
+
+    spark = get_spark("scale-experiment")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_data(spark)
+    base = run(spark, BASE)
+    scaled = run(spark, OUT)
+    report = {
+        name: {
+            "sf0.1_sec": base[name],
+            f"x{FACTOR}_sec": scaled[name],
+            "scaling": round(scaled[name] / base[name], 1) if base[name] > 0 else None,
+        }
+        for name in QUERIES
+    }
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
