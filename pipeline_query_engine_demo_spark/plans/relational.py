@@ -1102,6 +1102,74 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unpivot_melt",
+    category="scalar-fn",
+    oracle="""
+        SELECT c_custkey AS custkey, metric, CAST(value AS DOUBLE) AS value
+        FROM (
+            SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+            UNION ALL
+            SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+        )
+        ORDER BY custkey, metric
+    """,
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot (melt): wide columns → (metric, value) rows — the inverse
+    of pivot, planned as a single Expand (one scan, no union of scans,
+    which is what the oracle's UNION ALL would naively cost)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.select(
+            "c_custkey", F.col("c_acctbal").alias("acctbal"), F.col("c_nationkey").cast("double").alias("nationkey")
+        )
+        .unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "value")
+        .select(F.col("c_custkey").alias("custkey"), "metric", "value")
+        .orderBy("custkey", "metric")
+    )
+
+
+@query(
+    "posexplode_outer_shingles",
+    category="scalar-fn",
+    oracle="""
+        SELECT doc_id, t.pos::INT AS pos, t.sh AS shingle
+        FROM (SELECT doc_id,
+                     unnest(list_transform(
+                         generate_series(1, greatest(len(string_split(text, ' ')) - 39, 0)),
+                         i -> struct_pack(pos := i - 1,
+                                          sh := concat_ws(' ', string_split(text, ' ')[i],
+                                                          string_split(text, ' ')[i + 39]))))
+                         AS t
+              FROM documents WHERE doc_id < 30)
+        UNION ALL
+        SELECT doc_id, NULL, NULL
+        FROM documents
+        WHERE doc_id < 30 AND len(string_split(text, ' ')) < 40
+        ORDER BY doc_id, pos
+    """,
+)
+def posexplode_outer_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode_outer: explode with positions, preserving rows whose
+    array is empty as (NULL, NULL) — the outer variant matters in
+    pipelines where losing empty documents would corrupt downstream
+    counts. Pairs each token with the one 39 places later, so short
+    documents genuinely produce empty arrays."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    toks = F.split(F.col("text"), " ")
+    pairs = F.zip_with(
+        toks,
+        F.slice(toks, 40, 1_000_000),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    trimmed = F.slice(pairs, 1, F.greatest(F.size(toks) - F.lit(39), F.lit(0)))
+    return (
+        docs.select("doc_id", F.posexplode_outer(trimmed).alias("pos", "shingle"))
+        .orderBy("doc_id", "pos")
+    )
+
+
+@query(
     "case_null_handling",
     category="scalar-fn",
     oracle="""
