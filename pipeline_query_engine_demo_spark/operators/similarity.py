@@ -110,6 +110,110 @@ def ann_topk_lsh(
     )
 
 
+def random_hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
+    """Seeded Gaussian hyperplanes for sign-LSH, rounded to 6 decimals so
+    the same literals can be embedded verbatim in a SQL oracle. Fixed
+    seed → fully deterministic bucketing."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [[round(float(x), 6) for x in row] for row in rng.standard_normal((bits, dim))]
+
+
+def hyperplane_bucket(vec_col: str, planes: list[list[float]]) -> F.Column:
+    """Random-hyperplane LSH bucket id: bit i = (v . p_i > 0). The
+    production form of lsh_bucket — buckets follow the data's actual
+    directional distribution instead of coordinate axes."""
+    from pipeline_query_engine_demo_spark.functions.vectors import dot
+
+    out = F.lit(0)
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        out = out + (dot(vec_col, p) > 0).cast("int") * (2**i)
+    return out
+
+
+def ann_topk_hyperplane(
+    corpus: DataFrame,
+    query: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    planes: list[list[float]],
+) -> DataFrame:
+    """Approximate top-k via seeded random-hyperplane buckets — same
+    bucket-equi-join shape as ann_topk_lsh (scan ~corpus/2^bits per
+    query), with data-independent yet direction-uniform hyperplanes."""
+    bucketed = corpus.withColumn("_bucket", hyperplane_bucket(vec_col, planes))
+    q = F.broadcast(
+        query.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qvec"),
+            hyperplane_bucket(vec_col, planes).alias("_bucket"),
+        )
+    )
+    scored = bucketed.join(q, on="_bucket").select(
+        "query_id",
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col), "cosine_sim", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    k: int,
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF search: corpus vectors pre-assigned to their nearest centroid
+    cell; each query probes only its ``nprobe`` closest cells. The
+    cell equi-join scans ~corpus * nprobe / n_cells per query — the
+    recall/cost dial every IVF index exposes. Centroids are broadcast
+    literals; cell assignment is map-side."""
+    cent = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    corpus_cells = corpus.withColumn(
+        "_cell",
+        F.array_position(
+            F.transform(cent, lambda c: cosine(F.col(vec_col), c)),
+            F.array_max(F.transform(cent, lambda c: cosine(F.col(vec_col), c))),
+        ).cast("int")
+        - 1,
+    )
+    q_scored = query.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.posexplode(F.transform(cent, lambda c: cosine(F.col(vec_col), c))).alias(
+            "_cell", "_cell_score"
+        ),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_cell_score").desc(), F.col("_cell"))
+    q_cells = F.broadcast(
+        q_scored.withColumn("_cell_rank", F.row_number().over(wq))
+        .filter(F.col("_cell_rank") <= nprobe)
+        .select("query_id", "_qvec", "_cell")
+    )
+    scored = corpus_cells.join(q_cells, on="_cell").select(
+        "query_id",
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col), "cosine_sim", "rank")
+    )
+
+
 def ivf_assign(corpus: DataFrame, id_col: str, vec_col: str, centroids: list[list[float]]) -> DataFrame:
     """IVF coarse assignment: nearest centroid by cosine, centroids as a
     broadcast literal array. Output: (id, cell). Downstream ANN probes

@@ -447,11 +447,113 @@ def ann_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+#: Seeded random hyperplanes for the production-form sign-LSH (4 bits,
+#: 64 dims, seed 42) — the same literals are embedded in the SQL oracle.
+_HYPERPLANES = similarity.random_hyperplanes(dim=64, bits=4, seed=42)
+
+
+def _hyperplane_bucket_sql() -> str:
+    terms = []
+    for i, plane in enumerate(_HYPERPLANES):
+        lits = ", ".join(repr(x) for x in plane)
+        terms.append(f"(list_dot_product(embedding::DOUBLE[], [{lits}]) > 0)::INT * {2**i}")
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "ann_hyperplane_topk_embeddings",
+    category="llm-similarity",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                          {_hyperplane_bucket_sql()} AS bucket
+                   FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_hyperplane_bucket_sql()} AS bucket
+              FROM embeddings),
+        scored AS (SELECT q.query_id, c.vec_id, {{cos}} AS cosine_sim
+                   FROM c JOIN q ON c.bucket = q.bucket),
+        ranked AS (SELECT *, row_number() OVER (
+                       PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rank
+                   FROM scored)
+        SELECT query_id, vec_id, cosine_sim, rank
+        FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+    """.replace("{cos}", "ROUND(list_dot_product(c.v, q.qv) / "
+                "(sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6)"),
+)
+def ann_hyperplane_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded random-hyperplane LSH ANN (operators.similarity.
+    ann_topk_hyperplane): the production upgrade of the coordinate-sign
+    variant — buckets partition by the data's directional distribution.
+    Same bucket-equi-join scan shape (~corpus/16 per query); the oracle
+    embeds the identical seeded hyperplane literals."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return similarity.ann_topk_hyperplane(
+        emb, q, "vec_id", "embedding", k=10, planes=_HYPERPLANES
+    ).orderBy("query_id", "rank")
+
+
 #: Fixed one-hot IVF centroids (unit vectors on dims 0..3). Centroid
 #: *training* is out of scope (pyspark.ml KMeans slots in); the engine
 #: owns assignment + probe plumbing (operators.similarity.ivf_assign).
 _IVF_DIM = 64
 IVF_CENTROIDS = [[1.0 if i == d else 0.0 for i in range(_IVF_DIM)] for d in range(4)]
+
+
+@query(
+    "ivf_topk_embeddings",
+    category="llm-similarity",
+    oracle="""
+        WITH c AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   CASE WHEN embedding[1] >= embedding[2] AND embedding[1] >= embedding[3]
+                             AND embedding[1] >= embedding[4] THEN 0
+                        WHEN embedding[2] >= embedding[3] AND embedding[2] >= embedding[4] THEN 1
+                        WHEN embedding[3] >= embedding[4] THEN 2
+                        ELSE 3 END AS cell
+            FROM embeddings
+        ),
+        qs AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                   unnest([
+                       struct_pack(cell := 0, s := embedding[1]::DOUBLE),
+                       struct_pack(cell := 1, s := embedding[2]::DOUBLE),
+                       struct_pack(cell := 2, s := embedding[3]::DOUBLE),
+                       struct_pack(cell := 3, s := embedding[4]::DOUBLE)
+                   ]) AS t
+            FROM embeddings WHERE vec_id < 5
+        ),
+        qcells AS (
+            SELECT query_id, qv, t.cell AS cell
+            FROM qs
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                                       ORDER BY t.s DESC, t.cell) <= 2
+        ),
+        scored AS (
+            SELECT q.query_id, c.vec_id,
+                   ROUND(list_dot_product(c.v, q.qv) /
+                         (sqrt(list_dot_product(c.v, c.v)) *
+                          sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+            FROM c JOIN qcells q ON c.cell = q.cell
+        ),
+        ranked AS (SELECT *, row_number() OVER (
+                       PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rank
+                   FROM scored)
+        SELECT query_id, vec_id, cosine_sim, rank
+        FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+)
+def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF search path (operators.similarity.ivf_topk): corpus
+    pre-assigned to nearest-centroid cells, each query probes its
+    nprobe=2 closest cells — the recall/cost dial of every IVF index.
+    With unit one-hot centroids the cell ordering reduces to raw
+    coordinate comparisons, which the oracle mirrors (ties broken
+    first-cell-wins on both sides)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(
+        emb, q, "vec_id", "embedding", IVF_CENTROIDS, k=10, nprobe=2
+    ).orderBy("query_id", "rank")
 
 
 @query(

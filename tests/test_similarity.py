@@ -37,6 +37,28 @@ def test_ann_lsh_self_recall(spark, sf_dir):
         assert [r.rank for r in sorted(rs, key=lambda r: r.rank)] == list(range(1, len(rs) + 1))
 
 
+def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
+    from pipeline_query_engine_demo_spark.plans.llm import IVF_CENTROIDS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    brute = similarity.cosine_topk(emb, q, "vec_id", "embedding", k=5).collect()
+    ivf_all = similarity.ivf_topk(
+        emb, q, "vec_id", "embedding", IVF_CENTROIDS, k=5, nprobe=len(IVF_CENTROIDS)
+    ).collect()
+    key = lambda rows: sorted((r.query_id, r.rank, r.vec_id, r.cosine_sim) for r in rows)
+    assert key(ivf_all) == key(brute)  # probing every cell = exact search
+
+
+def test_hyperplane_ann_self_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    planes = similarity.random_hyperplanes(dim=64, bits=4, seed=42)
+    rows = similarity.ann_topk_hyperplane(emb, q, "vec_id", "embedding", k=5, planes=planes)
+    top = {r.query_id: r.vec_id for r in rows.collect() if r.rank == 1}
+    assert top == {i: i for i in range(5)}  # each query finds itself
+
+
 def test_ivf_assign_hand_vectors(spark):
     dim = 8
     centroids = [[1.0 if i == d else 0.0 for i in range(dim)] for d in range(3)]
