@@ -64,6 +64,46 @@ def test_asof_matches_pandas_merge_asof(spark, left, right):
         assert got[row.event_id] == exp, (row.event_id, got[row.event_id], exp)
 
 
+_words = st.sampled_from("alpha beta gamma delta epsilon zeta".split())
+_docs = st.lists(
+    st.lists(_words, min_size=3, max_size=12).map(" ".join), min_size=2, max_size=5
+)
+
+
+def _py_shingle_jaccard(a: str, b: str, n: int = 3) -> float | None:
+    def sh(t):
+        w = t.split(" ")
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    sa, sb = sh(a), sh(b)
+    inter = len(sa & sb)
+    return inter / len(sa | sb) if inter else None
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_docs)
+def test_jaccard_pairs_matches_python_reference(spark, texts):
+    from pipeline_query_engine_demo_spark.operators import dedup
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    all_pairs = [(i, j) for i in range(len(texts)) for j in range(i + 1, len(texts))]
+    pairs = spark.createDataFrame(all_pairs, "id_a long, id_b long")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_pairs(docs, pairs, "doc_id", "text").collect()
+    }
+    for i, j in all_pairs:
+        exp = _py_shingle_jaccard(texts[i], texts[j])
+        if exp is None:  # empty intersection pairs drop out by contract
+            assert (i, j) not in got
+        else:
+            assert abs(got[(i, j)] - exp) < 1e-12, (i, j, got.get((i, j)), exp)
+
+
 def test_salted_join_equals_plain_join(spark, sf_dir):
     from pipeline_query_engine_demo_spark.sources.catalog import load_table
 
