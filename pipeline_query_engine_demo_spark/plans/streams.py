@@ -86,6 +86,13 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.orderBy("click_id", "purchase_id")
 
 
+# transformWithStateInPandas (streaming.tws_user_value_totals) is NOT
+# registered as a query: the API's state-server protocol needs a working
+# google.protobuf, which this container lacks (ImportError: cannot
+# import descriptor). The operator ships gated; tests skip without the
+# dependency (tests/test_streaming.py::test_tws_totals_if_available).
+
+
 @query(
     "streaming_stateful_user_counts",
     category="streaming",

@@ -20,6 +20,7 @@ from pipeline_query_engine_demo_spark.streaming.windows import (
     stream_static_join_segments,
     stream_stream_click_purchases,
     tumbling_counts,
+    tws_user_value_totals,
 )
 
 __all__ = [
@@ -29,4 +30,5 @@ __all__ = [
     "stream_static_join_segments",
     "stream_stream_click_purchases",
     "tumbling_counts",
+    "tws_user_value_totals",
 ]

@@ -136,6 +136,51 @@ def stream_stream_click_purchases(events: DataFrame) -> DataFrame:
     return clicks.join(purchases, cond, "inner").select("click_id", "purchase_id")
 
 
+def tws_user_value_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator on the NEW arbitrary-state API
+    (``transformWithStateInPandas``, Spark 4): per-user running
+    (count, decimal-exact value total) in a typed ValueState. The
+    successor to applyInPandasWithState — explicit state variables,
+    composable timers, RocksDB-backed on a cluster. Emits one updated
+    row per key per batch; totals are exact-integer cents so output is
+    accumulation-order independent.
+
+    DEPENDENCY GATE: the transformWithState Python worker speaks
+    protobuf to the JVM state server; this container's google.protobuf
+    is broken, so the operator is exercised only where the dependency
+    exists (tests skip otherwise, no query registration)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n LONG, cents LONG")
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+            import pandas as pd
+
+            n, cents = (self._state.get() or (0, 0)) if self._state.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(round(pdf["value"].mul(100).round(0).sum()))
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        Totals(),
+        outputStructType="user_id long, n_events long, total_cents long",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def stateful_user_counts(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running event count held in the state store. State is a single

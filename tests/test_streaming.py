@@ -104,6 +104,25 @@ def test_watermark_drops_late_data_append_mode(spark, tmp_path):
     # [12,13) and [13,14) absent: still open when the stream drained.
 
 
+def test_tws_totals_if_available(spark, sf_dir):
+    """transformWithStateInPandas parity with the batch GROUP BY —
+    skipped where google.protobuf (the state-server protocol dep) is
+    unavailable, as in this container."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+    events = streaming.read_events_stream(spark, sf_dir)
+    result = streaming.run_to_memory(streaming.tws_user_value_totals(events), "update")
+    expected = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    got = {r.user_id: r.n_events for r in result.collect()}
+    exp = {r.user_id: r.n_events for r in expected.collect()}
+    assert got == exp
+
+
 def test_stream_batch_parity_tumbling(spark, sf_dir):
     from pipeline_query_engine_demo_spark.plans.windows import tumbling_window_counts
 
