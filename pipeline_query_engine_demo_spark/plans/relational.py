@@ -1201,6 +1201,32 @@ def case_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "struct_functions",
+    category="scalar-fn",
+    oracle="""
+        SELECT s_suppkey AS suppkey,
+               struct_pack(name := s_name, nation := s_nationkey).name AS sname,
+               struct_pack(name := s_name, nation := s_nationkey).nation AS snation,
+               to_json(struct_pack(k := s_suppkey, bal := s_acctbal)) AS packed_json
+        FROM supplier ORDER BY suppkey
+    """,
+)
+def struct_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction, field access, and struct→JSON serialization
+    — the nested-type surface (BinaryType/Array covered elsewhere).
+    to_json output formats match across engines for long/double fields."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    packed = F.struct(F.col("s_suppkey").alias("k"), F.col("s_acctbal").alias("bal"))
+    named = F.struct(F.col("s_name").alias("name"), F.col("s_nationkey").alias("nation"))
+    return supplier.select(
+        F.col("s_suppkey").alias("suppkey"),
+        named.getField("name").alias("sname"),
+        named.getField("nation").alias("snation"),
+        F.to_json(packed).alias("packed_json"),
+    ).orderBy("suppkey")
+
+
+@query(
     "scalar_subquery",
     category="subquery",
     oracle="""

@@ -161,6 +161,57 @@ def format_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "upsert_cdc_apply",
+    category="sink",
+    oracle="""
+        WITH changes AS (
+            SELECT o_orderkey, o_totalprice * 1.1 AS new_price
+            FROM orders WHERE o_orderkey % 7 = 0
+        ),
+        inserts AS (
+            SELECT 9000000000 + event_id AS o_orderkey, value * 100 AS new_price
+            FROM events WHERE event_type = 'purchase' AND event_id < 50
+        ),
+        cdc AS (SELECT * FROM changes UNION ALL SELECT * FROM inserts)
+        SELECT COALESCE(s.o_orderkey, c.o_orderkey) AS orderkey,
+               COALESCE(c.new_price, s.o_totalprice) AS totalprice,
+               (c.o_orderkey IS NOT NULL) AS was_changed
+        FROM orders s FULL OUTER JOIN cdc c ON s.o_orderkey = c.o_orderkey
+        ORDER BY orderkey
+    """,
+)
+def upsert_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply (MERGE/upsert without a table format): snapshot FULL
+    OUTER JOIN changes, coalescing updated values over existing ones and
+    surfacing inserts — the one-shuffle pattern for applying a change
+    feed to an immutable snapshot before rewriting it. On Delta/Iceberg
+    this is MERGE INTO; the join form is what it compiles to."""
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    changes = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("c_orderkey"),
+        (F.col("o_totalprice") * 1.1).alias("new_price"),
+    )
+    inserts = (
+        events.filter((F.col("event_type") == "purchase") & (F.col("event_id") < 50))
+        .select(
+            (F.lit(9_000_000_000) + F.col("event_id")).alias("c_orderkey"),
+            (F.col("value") * 100).alias("new_price"),
+        )
+    )
+    cdc = changes.unionByName(inserts)
+    return (
+        orders.join(cdc, orders.o_orderkey == cdc.c_orderkey, "full")
+        .select(
+            F.coalesce(F.col("o_orderkey"), F.col("c_orderkey")).alias("orderkey"),
+            F.coalesce(F.col("new_price"), F.col("o_totalprice")).alias("totalprice"),
+            F.col("c_orderkey").isNotNull().alias("was_changed"),
+        )
+        .orderBy("orderkey")
+    )
+
+
+@query(
     "bucketed_join_colocated",
     category="sink",
     oracle="""

@@ -24,6 +24,25 @@ def test_registry_shape():
     }
 
 
+def test_partitioned_write_enables_partition_pruning(spark, sf_dir, tmp_path):
+    """A filter on the partition column must become a PartitionFilter
+    (pruned at planning — directories never listed), not a post-scan
+    row filter."""
+    import pyspark.sql.functions as F
+
+    from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+    path = str(tmp_path / "orders_by_status")
+    load_table(spark, sf_dir, "orders").write.partitionBy("o_orderstatus").parquet(path)
+    df = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "o_orderstatus" in plan.split("PartitionFilters:")[1].split("]")[0]
+    # and the non-partition filter path stays a data filter
+    df2 = spark.read.parquet(path).filter(F.col("o_totalprice") > 100.0)
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,100.0)" in plan2
+
+
 def test_bucketed_join_plan_is_exchange_free(spark, sf_dir):
     from pipeline_query_engine_demo_spark.plans.sinks import bucketed_join_colocated
 
