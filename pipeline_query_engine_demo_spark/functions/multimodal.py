@@ -58,6 +58,46 @@ def decode_media(df: DataFrame, payload_col: str, kind: str) -> DataFrame:
     )
 
 
+FRAME_SCHEMA = "doc_id LONG, frame_idx LONG, frame_len INT, checksum STRING"
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    frame_bytes: int = 64,
+    stride: int = 128,
+) -> DataFrame:
+    """Frame sampling over opaque payloads — the video access pattern:
+    slice a window of ``frame_bytes`` every ``stride`` bytes and emit
+    (frame index, length, checksum) per frame. A real video pipeline
+    swaps the byte slice for a keyframe decode; the Spark-side shape
+    (mapInPandas fan-out, one row per frame, map-side only) is
+    identical. The final frame may be short (slice clamps at EOF)."""
+    import pandas as pd
+    import hashlib
+
+    def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, idxs, lens, sums = [], [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(blob)
+                n_frames = (len(data) - 1) // stride + 1 if data else 0
+                for i in range(n_frames):
+                    frame = data[i * stride : i * stride + frame_bytes]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    lens.append(len(frame))
+                    sums.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_len": lens, "checksum": sums}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        sample, schema=FRAME_SCHEMA
+    )
+
+
 def fake_decode_features(df: DataFrame, id_col: str, payload_col: str, kind_col: str) -> DataFrame:
     """Deterministic stand-in for decode+featurize: a 16-bin byte
     histogram (L1-normalized) per payload, via mapInPandas. The batch

@@ -678,6 +678,35 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.orderBy("doc_id")
 
 
+@query(
+    "multimodal_frame_sample",
+    category="llm-multimodal",
+    oracle="""
+        SELECT doc_id, t.idx AS frame_idx,
+               length(t.frame)::INT AS frame_len,
+               md5(t.frame) AS checksum
+        FROM (SELECT doc_id,
+                     unnest(list_transform(
+                         generate_series(0, (octet_length(encode(text)) - 1) // 128),
+                         i -> struct_pack(idx := i, frame := substr(text, i * 128 + 1, 64))))
+                         AS t
+              FROM documents)
+        ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (functions.multimodal.frame_sample): a 64-byte
+    window every 128 bytes of each payload, one output row per frame —
+    the video keyframe access pattern with the decode swapped for a
+    byte slice. Payloads are the ASCII document bytes, so the oracle
+    reproduces the slices with substr + md5 exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return multimodal.frame_sample(payloads, "doc_id", "payload").orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------

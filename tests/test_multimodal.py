@@ -35,6 +35,23 @@ def test_fake_decode_features_histogram(spark):
     assert list(row.feat) == expected
 
 
+def test_frame_sample_boundaries(spark):
+    import hashlib
+
+    # 300 bytes, stride 128, frame 64: frames at 0,128,256; last is 44 bytes
+    payload = bytes(range(256)) + bytes(44)
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    rows = sorted(
+        multimodal.frame_sample(df, "doc_id", "payload").collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [(r.frame_idx, r.frame_len) for r in rows] == [(0, 64), (1, 64), (2, 44)]
+    assert rows[2].checksum == hashlib.md5(payload[256:]).hexdigest()
+    # empty payload → zero frames
+    empty = spark.createDataFrame([(2, b"")], "doc_id long, payload binary")
+    assert multimodal.frame_sample(empty, "doc_id", "payload").count() == 0
+
+
 def test_decode_media_is_documented_stub(spark):
     import pytest
 
