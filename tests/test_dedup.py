@@ -88,6 +88,29 @@ def test_dedup_clusters_planted(spark, docs):
     assert labels[3] == 3
 
 
+def test_lsh_recall_vs_exhaustive_ground_truth(spark, sf_dir):
+    """Measured LSH recall on the fixture corpus: ground truth = the
+    exhaustive inverted-shingle-index Jaccard (quadratic, fine at test
+    scale), candidates = the LSH pipeline. Everything is deterministic
+    (fixed data, md5 hashes), so the bound is stable, not statistical.
+    Theory for 4 bands x 2 rows at s >= 0.6: P(candidate) >= 0.83."""
+    from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6).collect()
+    }
+    found = {
+        (r.id_a, r.id_b)
+        for r in dedup.near_dup_pairs(docs, "doc_id", "text", threshold=0.6).collect()
+    }
+    assert truth, "fixture must contain planted near-duplicates"
+    assert found <= truth  # verification step guarantees precision = 1
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} below bound ({len(found)}/{len(truth)})"
+
+
 def test_simhash_shape_and_clone_equality(spark, docs):
     out = {r.doc_id: r.simhash for r in dedup.simhash(docs, "doc_id", "text", bits=16).collect()}
     assert all(len(s) == 16 and set(s) <= {"0", "1"} for s in out.values())
