@@ -923,6 +923,93 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "string_functions2",
+    category="scalar-fn",
+    oracle="""
+        SELECT s_suppkey AS suppkey,
+               split_part(s_name, '#', 2) AS name_num,
+               lpad(CAST(s_suppkey AS VARCHAR), 8, '0') AS key_padded,
+               reverse(s_name) AS name_rev,
+               translate(s_name, '#', '-') AS name_dashed,
+               repeat('ab', 3) AS repeated,
+               left(s_name, 8) AS name_left,
+               ascii(s_name) AS first_char_code,
+               instr(s_name, '#') AS hash_pos
+        FROM supplier ORDER BY suppkey
+    """,
+)
+def string_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string-function tranche: split_part/lpad/reverse/translate/
+    repeat/left/ascii/instr — still all JVM codegen built-ins."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    return supplier.select(
+        F.col("s_suppkey").alias("suppkey"),
+        F.split_part(F.col("s_name"), F.lit("#"), F.lit(2)).alias("name_num"),
+        F.lpad(F.col("s_suppkey").cast("string"), 8, "0").alias("key_padded"),
+        F.reverse("s_name").alias("name_rev"),
+        F.translate("s_name", "#", "-").alias("name_dashed"),
+        F.repeat(F.lit("ab"), 3).alias("repeated"),
+        F.left("s_name", F.lit(8)).alias("name_left"),
+        F.ascii("s_name").alias("first_char_code"),
+        F.instr("s_name", "#").alias("hash_pos"),
+    ).orderBy("suppkey")
+
+
+@query(
+    "date_functions2",
+    category="scalar-fn",
+    oracle="""
+        SELECT o_orderkey AS orderkey,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end,
+               CAST(quarter(o_orderdate) AS INT) AS q,
+               CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow,
+               strftime(o_orderdate, '%Y-%m') AS ym,
+               CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS plus3m
+        FROM orders ORDER BY orderkey
+    """,
+)
+def date_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second date tranche: last_day/quarter/dayofweek/date_format/
+    add_months. DuckDB's dayofweek is 0=Sunday while Spark's is
+    1=Sunday (the oracle shifts); add_months clamps month-end the same
+    way INTERVAL MONTH does in DuckDB on these mid-month dates."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.quarter("o_orderdate").alias("q"),
+        F.dayofweek(F.col("o_orderdate").cast("date")).alias("dow"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.add_months(F.col("o_orderdate").cast("date"), 3).cast("timestamp").alias("plus3m"),
+    ).orderBy("orderkey")
+
+
+@query(
+    "udf_sql_registered",
+    category="udf",
+    oracle="""
+        SELECT o_orderkey AS orderkey,
+               CAST(floor(o_totalprice / 1000) AS INT) AS price_band
+        FROM orders ORDER BY orderkey
+    """,
+)
+def udf_sql_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``spark.udf.register``: a Python UDF callable from SQL text —
+    the remaining UDF registration surface (plans/udfs.py covers the
+    DataFrame-side flavors)."""
+
+    def band(price: float) -> int:
+        return int(price // 1000)
+
+    spark.udf.register("price_band", band, "int")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_udfreg_orders")
+    return spark.sql(
+        "SELECT o_orderkey AS orderkey, price_band(o_totalprice) AS price_band "
+        "FROM _udfreg_orders ORDER BY orderkey"
+    )
+
+
+@query(
     "date_functions",
     category="scalar-fn",
     oracle="""
