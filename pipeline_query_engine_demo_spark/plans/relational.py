@@ -1083,6 +1083,64 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bitwise_functions",
+    category="scalar-fn",
+    oracle="""
+        SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+               CAST(l_orderkey & 255 AS BIGINT) AS low_byte,
+               CAST(l_orderkey | 7 AS BIGINT) AS or7,
+               CAST(xor(l_orderkey, l_linenumber) AS BIGINT) AS xored,
+               CAST(l_orderkey << 2 AS BIGINT) AS shifted,
+               CAST(l_orderkey >> 1 AS BIGINT) AS halved
+        FROM lineitem WHERE l_orderkey <= 100
+        ORDER BY orderkey, linenumber
+    """,
+)
+def bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise expression surface (AND/OR/XOR/shifts) — the substrate
+    under feature hashing, bucketing, and bitmap tricks. Exact integer
+    ops, trivially cross-engine."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(F.col("l_orderkey") <= 100)
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").alias("linenumber"),
+            F.col("l_orderkey").bitwiseAND(F.lit(255)).alias("low_byte"),
+            F.col("l_orderkey").bitwiseOR(F.lit(7)).alias("or7"),
+            F.col("l_orderkey").bitwiseXOR(F.col("l_linenumber").cast("long")).alias("xored"),
+            F.shiftleft(F.col("l_orderkey"), 2).alias("shifted"),
+            F.shiftright(F.col("l_orderkey"), 1).alias("halved"),
+        )
+        .orderBy("orderkey", "linenumber")
+    )
+
+
+@query(
+    "deterministic_sample",
+    category="scalar-fn",
+    oracle="""
+        SELECT o_orderkey AS orderkey, o_custkey AS custkey
+        FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+        ORDER BY orderkey
+    """,
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~1/16 sampling by content hash — the pattern a
+    training-data pipeline needs instead of ``df.sample``: membership
+    depends only on the key, not on partitioning, session, or cluster
+    size, so reruns and incremental jobs select the same rows. (Spark's
+    ``sample(seed=...)`` is only stable for a fixed partitioning.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) == "0")
+        .select(F.col("o_orderkey").alias("orderkey"), F.col("o_custkey").alias("custkey"))
+        .orderBy("orderkey")
+    )
+
+
+@query(
     "array_functions",
     category="scalar-fn",
     oracle="""
