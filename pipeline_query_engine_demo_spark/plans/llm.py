@@ -679,6 +679,41 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_quantize_int8",
+    category="llm-similarity",
+    oracle="""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        s AS (SELECT vec_id, e,
+                     list_max(list_transform(e, x -> abs(x))) AS max_abs
+              FROM v)
+        SELECT vec_id,
+               max_abs,
+               CAST(round(e[1] * 127.0 / max_abs) AS INT) AS q1,
+               CAST(round(e[2] * 127.0 / max_abs) AS INT) AS q2,
+               CAST(round(e[64] * 127.0 / max_abs) AS INT) AS q64
+        FROM s ORDER BY vec_id
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (per-vector max-abs scaling) — the
+    4x storage cut that makes a 100 TB embedding corpus hold-able; the
+    dequantize error is bounded by max_abs/254 per element. Both
+    engines round half away from zero on these positive-and-negative
+    operands computed from identical doubles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = vectors.as_double("embedding")
+    max_abs = F.array_max(F.transform(e, F.abs))
+    q = F.transform(e, lambda x: F.round(x * 127.0 / max_abs).cast("int"))
+    return emb.select(
+        "vec_id",
+        max_abs.alias("max_abs"),
+        F.element_at(q, 1).alias("q1"),
+        F.element_at(q, 2).alias("q2"),
+        F.element_at(q, 64).alias("q64"),
+    ).orderBy("vec_id")
+
+
+@query(
     "multimodal_frame_sample",
     category="llm-multimodal",
     oracle="""

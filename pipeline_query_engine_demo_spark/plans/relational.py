@@ -327,6 +327,76 @@ def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_max_by_min_by",
+    category="aggregation",
+    oracle="""
+        SELECT o_custkey AS custkey,
+               arg_max(o_orderkey, o_totalprice) AS biggest_order,
+               arg_min(o_orderkey, o_totalprice) AS smallest_order
+        FROM orders
+        GROUP BY o_custkey
+        HAVING COUNT(*) = COUNT(DISTINCT o_totalprice)
+        ORDER BY custkey
+    """,
+)
+def agg_max_by_min_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax aggregates): the one-pass 'row of the
+    extreme' idiom that replaces a window + filter. Groups with tied
+    prices are excluded (HAVING) because argmax on ties is
+    engine-defined."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+            F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+            F.count(F.lit(1)).alias("_n"),
+            F.countDistinct("o_totalprice").alias("_nd"),
+        )
+        .filter(F.col("_n") == F.col("_nd"))
+        .drop("_n", "_nd")
+        .orderBy("custkey")
+    )
+
+
+@query(
+    "array_functions2",
+    category="scalar-fn",
+    oracle="""
+        SELECT o_orderkey AS orderkey,
+               list_sum(range(1, (o_orderkey % 10) + 1)) AS seq_sum,
+               len(list_filter(range(1, (o_orderkey % 10) + 1), x -> x % 2 = 0)) > 0
+                   AS has_even,
+               len(list_filter(range(1, (o_orderkey % 10) + 1), x -> x < 100)) =
+                   len(range(1, (o_orderkey % 10) + 1)) AS all_small,
+               list_sum(list_transform(range(1, (o_orderkey % 10) + 1), x -> x * x))
+                   AS sum_squares
+        FROM orders WHERE o_orderkey % 10 >= 1
+        ORDER BY orderkey
+    """,
+)
+def array_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions — exists/forall/transform/aggregate
+    over generated integer sequences (exact arithmetic in any fold
+    order, so list_sum oracles match the left fold)."""
+    orders = load_table(spark, sf_dir, "orders")
+    seq = F.sequence(F.lit(1), (F.col("o_orderkey") % 10))
+    return (
+        orders.filter(F.col("o_orderkey") % 10 >= 1)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.aggregate(seq, F.lit(0).cast("long"), lambda acc, x: acc + x).alias("seq_sum"),
+            F.exists(seq, lambda x: x % 2 == 0).alias("has_even"),
+            F.forall(seq, lambda x: x < 100).alias("all_small"),
+            F.aggregate(
+                F.transform(seq, lambda x: x * x), F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("sum_squares"),
+        )
+        .orderBy("orderkey")
+    )
+
+
+@query(
     "agg_pivot",
     category="aggregation",
     oracle="""
