@@ -12,6 +12,10 @@ incremental behavior is exercised in tests/test_streaming.py instead
 
 from __future__ import annotations
 
+import os
+import tempfile
+import uuid
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -84,6 +88,64 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming.stream_stream_click_purchases(events), "append"
     )
     return result.orderBy("click_id", "purchase_id")
+
+
+@query(
+    "streaming_dedup_on_arrival",
+    category="streaming",
+    oracle="""
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM (SELECT DISTINCT event_id, user_id, event_type FROM events)
+        GROUP BY user_id, event_type
+        ORDER BY user_id, event_type
+    """,
+)
+def streaming_dedup_on_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (``dropDuplicates`` + watermark): the
+    dedup-on-arrival pattern of an ingest pipeline — each event id is
+    admitted once, state for seen ids is evicted once the watermark
+    passes. Fixture ids are already unique, so the oracle is the batch
+    DISTINCT (the operator's state machinery is what's under test)."""
+    events = streaming.read_events_stream(spark, sf_dir)
+    deduped = events.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    counts = deduped.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    result = streaming.run_to_memory(counts, "complete")
+    return result.orderBy("user_id", "event_type")
+
+
+@query(
+    "streaming_foreach_batch_sink",
+    category="streaming",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def streaming_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``foreachBatch`` file sink: each micro-batch lands as Parquet via
+    arbitrary batch logic — the escape hatch for sinks Structured
+    Streaming lacks natively (JDBC upserts, multi-table writes). The
+    oracle checks the written files round-trip to the batch answer."""
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_febs_{uuid.uuid4().hex[:8]}")
+    events = streaming.read_events_stream(spark, sf_dir)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        events.select("event_id", "event_type")
+        .writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", out + "_ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
 
 
 # transformWithStateInPandas (streaming.tws_user_value_totals) is NOT
