@@ -58,9 +58,6 @@ def decode_media(df: DataFrame, payload_col: str, kind: str) -> DataFrame:
     )
 
 
-FRAME_SCHEMA = "doc_id LONG, frame_idx LONG, frame_len INT, checksum STRING"
-
-
 def frame_sample(
     df: DataFrame,
     id_col: str,
@@ -73,9 +70,13 @@ def frame_sample(
     (frame index, length, checksum) per frame. A real video pipeline
     swaps the byte slice for a keyframe decode; the Spark-side shape
     (mapInPandas fan-out, one row per frame, map-side only) is
-    identical. The final frame may be short (slice clamps at EOF)."""
+    identical. The final frame may be short (slice clamps at EOF).
+    The id column keeps its name and type (derived from the input
+    schema, like similarity.pandas_cosine_topk)."""
     import pandas as pd
     import hashlib
+
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -90,11 +91,12 @@ def frame_sample(
                     lens.append(len(frame))
                     sums.append(hashlib.md5(frame).hexdigest())
             yield pd.DataFrame(
-                {"doc_id": ids, "frame_idx": idxs, "frame_len": lens, "checksum": sums}
+                {id_col: ids, "frame_idx": idxs, "frame_len": lens, "checksum": sums}
             )
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
-        sample, schema=FRAME_SCHEMA
+        sample,
+        schema=f"{id_col} {id_type}, frame_idx long, frame_len int, checksum string",
     )
 
 

@@ -276,8 +276,12 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations — "
+        "the graph has a component with diameter > max_iter; raise max_iter "
+        "or switch to the large-star/small-star variant for long chains"
+    )
 
 
 def dedup_clusters(

@@ -105,12 +105,19 @@ def salted_join(
     ``small`` is replicated ``buckets`` times via an exploded sequence.
     The join runs on (key, salt), so a key holding half the table hashes
     to ``buckets`` partitions instead of one. Semantically identical to
-    ``big.join(small, on, how)``.
+    ``big.join(small, on, how)`` for ``how`` in {inner, left}; right and
+    full outer are rejected — an unmatched small-side row would survive
+    once per salt replica, not once.
 
     Cost model: |small| * buckets extra rows shuffled — the standard
     trade when AQE's skew-join splitting can't apply (e.g. the skewed
     side feeds a window or the join is part of a co-partitioned chain).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: outer joins "
+            "would duplicate unmatched small-side rows once per salt replica"
+        )
     salted_big = big.withColumn("_salt", F.pmod(F.xxhash64(salt_src), F.lit(buckets)))
     salted_small = (
         small.withColumn("_salt_i", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))))

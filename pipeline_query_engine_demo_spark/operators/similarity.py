@@ -49,19 +49,23 @@ def cosine_scores(corpus: DataFrame, query: DataFrame, id_col: str, vec_col: str
     )
 
 
-def cosine_topk(
-    corpus: DataFrame, query: DataFrame, id_col: str, vec_col: str, k: int
-) -> DataFrame:
-    """Exact top-k nearest corpus vectors per query vector by cosine.
-    Per-query ranking runs as a window over the hash-partitioned query
-    key: each partition keeps only its top-k; no global sort."""
-    scored = cosine_scores(corpus, query, id_col, vec_col)
+def _topk_per_query(scored: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Shared tail of every top-k variant: per-query window ranking
+    (score desc, id tie-break) over the hash-partitioned query key —
+    each partition keeps only its top-k, no global sort."""
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col), "cosine_sim", "rank")
     )
+
+
+def cosine_topk(
+    corpus: DataFrame, query: DataFrame, id_col: str, vec_col: str, k: int
+) -> DataFrame:
+    """Exact top-k nearest corpus vectors per query vector by cosine."""
+    return _topk_per_query(cosine_scores(corpus, query, id_col, vec_col), id_col, k)
 
 
 def lsh_bucket(vec_col: str, dims: Iterable[int]) -> F.Column:
@@ -102,12 +106,7 @@ def ann_topk_lsh(
         F.col(id_col),
         F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cosine_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", F.col(id_col), "cosine_sim", "rank")
-    )
+    return _topk_per_query(scored, id_col, k)
 
 
 def random_hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
@@ -157,12 +156,7 @@ def ann_topk_hyperplane(
         F.col(id_col),
         F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cosine_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", F.col(id_col), "cosine_sim", "rank")
-    )
+    return _topk_per_query(scored, id_col, k)
 
 
 def ivf_topk(
@@ -178,15 +172,18 @@ def ivf_topk(
     cell; each query probes only its ``nprobe`` closest cells. The
     cell equi-join scans ~corpus * nprobe / n_cells per query — the
     recall/cost dial every IVF index exposes. Centroids are broadcast
-    literals; cell assignment is map-side."""
+    literals; cell assignment is map-side. The per-row centroid score
+    array is materialized as a column first: Catalyst does not CSE
+    repeated higher-order transforms, so referencing the column keeps
+    assignment at one n_cells x dim pass per row instead of two."""
     cent = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
-    corpus_cells = corpus.withColumn(
-        "_cell",
-        F.array_position(
-            F.transform(cent, lambda c: cosine(F.col(vec_col), c)),
-            F.array_max(F.transform(cent, lambda c: cosine(F.col(vec_col), c))),
-        ).cast("int")
-        - 1,
+    corpus_cells = (
+        corpus.withColumn("_scores", F.transform(cent, lambda c: cosine(F.col(vec_col), c)))
+        .withColumn(
+            "_cell",
+            F.array_position(F.col("_scores"), F.array_max(F.col("_scores"))).cast("int") - 1,
+        )
+        .drop("_scores")
     )
     q_scored = query.select(
         F.col(id_col).alias("query_id"),
@@ -206,22 +203,24 @@ def ivf_topk(
         F.col(id_col),
         F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cosine_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", F.col(id_col), "cosine_sim", "rank")
-    )
+    return _topk_per_query(scored, id_col, k)
 
 
 def ivf_assign(corpus: DataFrame, id_col: str, vec_col: str, centroids: list[list[float]]) -> DataFrame:
     """IVF coarse assignment: nearest centroid by cosine, centroids as a
     broadcast literal array. Output: (id, cell). Downstream ANN probes
-    only matching cells (equi-join on cell), exactly like ann_topk_lsh."""
+    only matching cells (equi-join on cell), exactly like ann_topk_lsh.
+    Scores materialize as a column first (no CSE for repeated
+    higher-order transforms — see ivf_topk)."""
     cent = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
-    scores = F.transform(cent, lambda c: cosine(F.col(vec_col), c))
-    best = F.array_position(scores, F.array_max(scores)).cast("int") - 1
-    return corpus.select(F.col(id_col), best.alias("cell"))
+    return (
+        corpus.withColumn("_scores", F.transform(cent, lambda c: cosine(F.col(vec_col), c)))
+        .select(
+            F.col(id_col),
+            (F.array_position(F.col("_scores"), F.array_max(F.col("_scores"))).cast("int") - 1)
+            .alias("cell"),
+        )
+    )
 
 
 def pandas_cosine_topk(

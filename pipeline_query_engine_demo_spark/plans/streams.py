@@ -101,13 +101,15 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def streaming_dedup_on_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming exact dedup (``dropDuplicates`` + watermark): the
+    """Streaming exact dedup (``dropDuplicatesWithinWatermark``): the
     dedup-on-arrival pattern of an ingest pipeline — each event id is
-    admitted once, state for seen ids is evicted once the watermark
-    passes. Fixture ids are already unique, so the oracle is the batch
-    DISTINCT (the operator's state machinery is what's under test)."""
+    admitted once, and seen-id state IS evicted as the watermark
+    advances (plain ``dropDuplicates`` on a key subset that excludes
+    the event-time column would keep state forever). Fixture ids are
+    already unique, so the oracle is the batch DISTINCT (the operator's
+    state machinery is what's under test)."""
     events = streaming.read_events_stream(spark, sf_dir)
-    deduped = events.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    deduped = events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
     counts = deduped.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
     result = streaming.run_to_memory(counts, "complete")
     return result.orderBy("user_id", "event_type")
@@ -124,13 +126,16 @@ def streaming_dedup_on_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``foreachBatch`` file sink: each micro-batch lands as Parquet via
     arbitrary batch logic — the escape hatch for sinks Structured
-    Streaming lacks natively (JDBC upserts, multi-table writes). The
-    oracle checks the written files round-trip to the batch answer."""
+    Streaming lacks natively (JDBC upserts, multi-table writes).
+    foreachBatch is at-least-once, so the write must be idempotent:
+    each batch OVERWRITES its own batch-id directory — a retried batch
+    replaces its files instead of appending duplicates. The oracle
+    checks the written files round-trip to the batch answer."""
     out = os.path.join(tempfile.gettempdir(), f"spark_graft_febs_{uuid.uuid4().hex[:8]}")
     events = streaming.read_events_stream(spark, sf_dir)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out)
+        batch_df.write.mode("overwrite").parquet(os.path.join(out, f"batch={batch_id}"))
 
     q = (
         events.select("event_id", "event_type")

@@ -45,8 +45,13 @@ def _stream_source_dir(sf_dir: str) -> str:
     d = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_{tag}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    # lexists (not exists): a dangling link must not trigger re-creation;
+    # the except guards the create-create race between concurrent runs.
+    if not os.path.lexists(link):
+        try:
+            os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+        except FileExistsError:
+            pass
     return d
 
 

@@ -78,6 +78,15 @@ def test_connected_components_chain(spark):
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9}
 
 
+def test_connected_components_raises_on_non_convergence(spark):
+    import pytest
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(4)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup.connected_components(nodes, edges, "doc_id", max_iter=2)
+
+
 def test_dedup_clusters_planted(spark, docs):
     labels = {
         r.id: r.cluster_id for r in dedup.dedup_clusters(docs, "doc_id", "text").collect()

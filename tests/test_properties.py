@@ -104,6 +104,13 @@ def test_jaccard_pairs_matches_python_reference(spark, texts):
             assert abs(got[(i, j)] - exp) < 1e-12, (i, j, got.get((i, j)), exp)
 
 
+def test_salted_join_rejects_outer(spark, sf_dir):
+    import pytest
+
+    with pytest.raises(ValueError, match="outer"):
+        salted_join(None, None, "k", None, how="full")
+
+
 def test_salted_join_equals_plain_join(spark, sf_dir):
     from pipeline_query_engine_demo_spark.sources.catalog import load_table
 
