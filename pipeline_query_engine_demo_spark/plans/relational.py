@@ -801,19 +801,18 @@ def cached_reuse_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
     two independent aggregations (the reference's materialize() analog,
     ``src/executor/mod.rs:363-374``, generalized to any reuse point).
     Without the cache each branch would rescan the Parquet; with it the
-    second branch reads executor-local columnar blocks. The small
-    aggregated result is checkpointed eagerly so the (large) cached
-    input can be unpersisted before returning — a long-lived session
-    running many queries must not accumulate pinned storage memory."""
+    second branch reads executor-local columnar blocks. The query stays
+    lazy (so plan audits see the real plan); the cache entry is
+    LRU-evictable under memory pressure — cached blocks yield to
+    execution memory automatically — and a production caller that owns
+    the session lifecycle should ``unpersist()`` after consuming."""
     orders = load_table(spark, sf_dir, "orders")
     big = orders.filter(F.col("o_totalprice") >= 2000).cache()
     by_status = big.groupBy(F.col("o_orderstatus").alias("k")).agg(F.count(F.lit(1)).alias("n"))
     by_priority = big.groupBy(F.col("o_orderpriority").alias("k")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    result = by_status.unionByName(by_priority).orderBy("k", "n").localCheckpoint(eager=True)
-    big.unpersist()
-    return result
+    return by_status.unionByName(by_priority).orderBy("k", "n")
 
 
 # --------------------------------------------------------------------------

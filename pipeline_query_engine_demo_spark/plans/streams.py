@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import os
 import tempfile
-import uuid
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -101,13 +100,16 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def streaming_dedup_on_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming exact dedup (``dropDuplicatesWithinWatermark``): the
-    dedup-on-arrival pattern of an ingest pipeline — each event id is
-    admitted once, and seen-id state IS evicted as the watermark
-    advances (plain ``dropDuplicates`` on a key subset that excludes
-    the event-time column would keep state forever). Fixture ids are
-    already unique, so the oracle is the batch DISTINCT (the operator's
-    state machinery is what's under test)."""
+    """Streaming dedup (``dropDuplicatesWithinWatermark``): the
+    dedup-on-arrival pattern of an ingest pipeline, with the guarantee
+    every bounded-state dedup actually offers: each event id is admitted
+    once WITHIN the watermark horizon — seen-id state is evicted as the
+    watermark advances, so a duplicate arriving more than the delay
+    after the original would be re-admitted. That bounded horizon is
+    the price of bounded state (plain ``dropDuplicates`` on a subset
+    excluding the event-time column dedups forever but its state grows
+    forever). Fixture ids are unique, so the oracle is the batch
+    DISTINCT (the state machinery is what's under test)."""
     events = streaming.read_events_stream(spark, sf_dir)
     deduped = events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
     counts = deduped.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
@@ -130,8 +132,18 @@ def streaming_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     foreachBatch is at-least-once, so the write must be idempotent:
     each batch OVERWRITES its own batch-id directory — a retried batch
     replaces its files instead of appending duplicates. The oracle
-    checks the written files round-trip to the batch answer."""
-    out = os.path.join(tempfile.gettempdir(), f"spark_graft_febs_{uuid.uuid4().hex[:8]}")
+    checks the written files round-trip to the batch answer.
+
+    Scratch paths are stable per fixture dir and wiped at the start of
+    each run (bounded /tmp usage across repeated harness runs, instead
+    of a fresh uuid directory leaking per invocation)."""
+    import hashlib
+    import shutil
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_febs_{tag}")
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(out + "_ckpt", ignore_errors=True)
     events = streaming.read_events_stream(spark, sf_dir)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
