@@ -1157,6 +1157,38 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "try_error_safe_functions",
+    category="scalar-fn",
+    oracle="""
+        SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+               CASE WHEN l_linenumber - 1 = 0 THEN NULL
+                    ELSE l_quantity / (l_linenumber - 1) END AS qty_per,
+               TRY_CAST(l_returnflag AS INT) AS flag_as_int,
+               TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS qty_roundtrip
+        FROM lineitem WHERE l_orderkey <= 200
+        ORDER BY orderkey, linenumber
+    """,
+)
+def try_error_safe_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression surface: Spark 4 runs ANSI mode by default,
+    where division by zero and bad casts RAISE — ``try_divide`` /
+    ``try_cast`` are the null-on-error forms a data-cleaning pipeline
+    uses to survive dirty rows without disabling ANSI globally."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(F.col("l_orderkey") <= 200)
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").alias("linenumber"),
+            F.try_divide(F.col("l_quantity"), F.col("l_linenumber") - 1).alias("qty_per"),
+            F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
+            F.col("l_quantity").cast("string").try_cast("double").alias("qty_roundtrip"),
+        )
+        .orderBy("orderkey", "linenumber")
+    )
+
+
+@query(
     "bitwise_functions",
     category="scalar-fn",
     oracle="""
