@@ -36,6 +36,9 @@ HEADLINE = [
     "near_dup_pairs_docs",
     "cosine_topk_embeddings",
     "ann_lsh_topk_embeddings",
+    "ann_hyperplane_topk_embeddings",
+    "ivf_topk_embeddings",
+    "tfidf_top_terms",
     "text_stats_docs",
     "pandas_udf_grouped_agg_qty",
 ]
