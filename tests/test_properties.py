@@ -104,6 +104,47 @@ def test_jaccard_pairs_matches_python_reference(spark, texts):
             assert abs(got[(i, j)] - exp) < 1e-12, (i, j, got.get((i, j)), exp)
 
 
+_edges = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(lambda e: e[0] < e[1]),
+    min_size=0,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=_edges)
+def test_connected_components_matches_bfs(spark, edges):
+    from pipeline_query_engine_demo_spark.operators.dedup import connected_components
+
+    nodes = list(range(8))
+    # python reference: BFS from each node over the undirected graph
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected = {}
+    for n in nodes:
+        seen, todo = {n}, [n]
+        while todo:
+            cur = todo.pop()
+            for nb in adj[cur]:
+                if nb not in seen:
+                    seen.add(nb)
+                    todo.append(nb)
+        expected[n] = min(seen)
+
+    ndf = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+    edf = spark.createDataFrame(
+        edges or [(0, 0)], "id_a long, id_b long"
+    )  # self-loop placeholder when edge list is empty (no-op edge)
+    got = {r.id: r.cluster_id for r in connected_components(ndf, edf, "doc_id").collect()}
+    assert got == expected
+
+
 def test_salted_join_rejects_outer(spark, sf_dir):
     import pytest
 
