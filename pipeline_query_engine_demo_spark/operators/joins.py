@@ -36,10 +36,13 @@ def asof_join(
     right_time: str,
     right_values: list[str],
     how: str = "left",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each ``left`` row, attach the ``right``
-    row with the greatest ``right_time`` <= ``left_time`` for the same
-    key(s). Exact time matches count.
+    """As-of join: for each ``left`` row, attach the nearest ``right``
+    row for the same key(s) — the greatest ``right_time`` <=
+    ``left_time`` (``direction="backward"``, default) or the smallest
+    ``right_time`` >= ``left_time`` (``direction="forward"``). Exact
+    time matches count in both directions.
 
     Returns ``left``'s columns plus ``asof_ts`` (matched right time) and
     each of ``right_values`` (all NULL when nothing precedes the row —
@@ -63,15 +66,27 @@ def asof_join(
         .withColumn("_asof_is_ref", F.lit(0))
         .withColumn("_asof_payload", F.lit(None).cast(ref.schema["_asof_payload"].dataType))
     )
-    # Reference rows sort BEFORE probe rows at equal timestamps so an
-    # exact-time reference is visible to its probe row's frame.
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("_asof_t").asc(), F.col("_asof_is_ref").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # At equal timestamps the reference row must fall INSIDE the probe
+    # row's frame: before it (backward, trailing frame) or after it
+    # (forward, leading frame).
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("_asof_t").asc(), F.col("_asof_is_ref").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carry = F.last("_asof_payload", ignorenulls=True).over(w)
+    elif direction == "forward":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("_asof_t").asc(), F.col("_asof_is_ref").asc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carry = F.first("_asof_payload", ignorenulls=True).over(w)
+    else:
+        raise ValueError(f"direction must be 'backward'|'forward', got {direction!r}")
     carried = probe.unionByName(ref, allowMissingColumns=True).withColumn(
-        "_asof_match", F.last("_asof_payload", ignorenulls=True).over(w)
+        "_asof_match", carry
     )
     out = (
         carried.filter(F.col("_asof_is_ref") == 0)

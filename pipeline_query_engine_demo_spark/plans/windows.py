@@ -256,6 +256,62 @@ def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_join_next_purchase",
+    category="asof-join",
+    oracle="""
+        WITH purchases AS (
+            SELECT user_id, ts, MAX(value) AS next_value
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id, ts
+        ),
+        matched AS (
+            SELECT e.event_id, e.user_id, e.ts AS click_ts, p.ts AS next_ts, p.next_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') e
+            ASOF LEFT JOIN purchases p
+              ON e.user_id = p.user_id AND e.ts <= p.ts
+        )
+        SELECT event_id, user_id,
+               CASE WHEN next_ts <= click_ts + INTERVAL 2 HOUR
+                    THEN next_ts END AS next_purchase_ts,
+               CASE WHEN next_ts <= click_ts + INTERVAL 2 HOUR
+                    THEN next_value END AS next_purchase_value
+        FROM matched
+        ORDER BY event_id
+    """,
+)
+def asof_join_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with a staleness tolerance: for every click,
+    the NEXT purchase by the same user, nulled out when it is more than
+    2 hours later — attribution-window semantics. Same union+window
+    construction as the backward form (operators.joins.asof_join,
+    direction='forward'); the tolerance is a post-join null-out, never
+    a join-condition blow-up."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("next_value"))
+    )
+    joined = asof_join(
+        left=clicks,
+        right=purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_values=["next_value"],
+        direction="forward",
+    )
+    within = F.col("asof_ts") <= F.col("ts") + F.expr("INTERVAL 2 HOURS")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.when(within, F.col("asof_ts")).alias("next_purchase_ts"),
+        F.when(within, F.col("next_value")).alias("next_purchase_value"),
+    ).orderBy("event_id")
+
+
+@query(
     "range_join_followups",
     category="range-join",
     oracle="""

@@ -57,6 +57,28 @@ def test_asof_inner_drops_unmatched(spark, frames):
     assert ids == {2, 3, 4}
 
 
+def test_asof_forward_semantics(spark, frames):
+    left, right = frames
+    out = {
+        r.event_id: r
+        for r in asof_join(
+            left, right, "k", "ts", "ts", ["val"], direction="forward"
+        ).collect()
+    }
+    assert out[1].val == 100.0  # 10:00 → next ref at 12:00
+    assert out[2].val == 100.0  # exact tie at 12:00 counts forward too
+    assert out[3].val == 200.0  # 13:30 → next ref at 14:00
+    assert out[4].val is None  # k2's only ref (12:15) precedes 12:30
+
+
+def test_asof_bad_direction_raises(spark, frames):
+    import pytest
+
+    left, right = frames
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, "k", "ts", "ts", ["val"], direction="sideways").collect()
+
+
 def test_asof_bad_how_raises(spark, frames):
     left, right = frames
     with pytest.raises(ValueError):
