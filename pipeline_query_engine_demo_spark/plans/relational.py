@@ -935,6 +935,50 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "set_intersect_all",
+    category="set-op",
+    oracle="""
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT ALL
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice >= 1500
+        ORDER BY custkey
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics): each value survives min(left
+    multiplicity, right multiplicity) times — the multiplicity-aware
+    cousin of intersect, one hash-partitioned count-compare, no
+    pre-distinct pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    big = orders.filter(F.col("o_totalprice") >= 1500).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return f.intersectAll(big).orderBy("custkey")
+
+
+@query(
+    "set_except_all",
+    category="set-op",
+    oracle="""
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice >= 1500
+        EXCEPT ALL
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        ORDER BY custkey
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics): each value survives max(0, left
+    multiplicity - right multiplicity) times."""
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") >= 1500).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    f = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return big.exceptAll(f).orderBy("custkey")
+
+
+@query(
     "distinct_rows",
     category="set-op",
     oracle="""
