@@ -31,13 +31,13 @@ if TYPE_CHECKING:  # pragma: no cover
 #: plain columns Parquet can index, not fields buried in the payload.
 MEDIA_META_SCHEMA = "kind STRING, n_bytes BIGINT, checksum STRING"
 
-FEATURE_SCHEMA = "doc_id LONG, kind STRING, n_bytes BIGINT, feat ARRAY<DOUBLE>"
-
 
 def pack_media(payload: Column, kind: Column | str) -> Column:
     """Wrap raw bytes into (payload, metadata-struct). Checksum is md5
-    hex — cross-engine checkable, good enough for dedup/integrity."""
-    kind_col = F.lit(kind) if isinstance(kind, str) else kind
+    hex — cross-engine checkable, good enough for dedup/integrity.
+    A str ``kind`` names a COLUMN (the package-wide Column|str
+    convention); pass ``F.lit(...)`` for a constant kind."""
+    kind_col = F.col(kind) if isinstance(kind, str) else kind
     return F.struct(
         payload.alias("payload"),
         F.struct(
@@ -104,9 +104,12 @@ def fake_decode_features(df: DataFrame, id_col: str, payload_col: str, kind_col:
     """Deterministic stand-in for decode+featurize: a 16-bin byte
     histogram (L1-normalized) per payload, via mapInPandas. The batch
     contract, schema, and distribution behavior are exactly what a real
-    image/audio featurizer would use — only the math inside differs."""
+    image/audio featurizer would use — only the math inside differs.
+    The id column keeps its input name and type."""
     import numpy as np
     import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -118,13 +121,14 @@ def fake_decode_features(df: DataFrame, id_col: str, payload_col: str, kind_col:
                 feats.append((hist / total if total else hist).tolist())
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col],
+                    id_col: pdf[id_col],
                     "kind": pdf[kind_col],
                     "n_bytes": pdf[payload_col].map(len).astype("int64"),
                     "feat": feats,
                 }
             )
 
-    return df.select(
-        F.col(id_col), F.col(payload_col), F.col(kind_col)
-    ).mapInPandas(extract, schema=FEATURE_SCHEMA)
+    return df.select(F.col(id_col), F.col(payload_col), F.col(kind_col)).mapInPandas(
+        extract,
+        schema=f"{id_col} {id_type}, kind string, n_bytes bigint, feat array<double>",
+    )

@@ -187,8 +187,19 @@ def jaccard_pairs(
     in the plan. Pairs with an empty token intersection drop out of the
     inner join; LSH candidates always share the token behind their
     colliding min-hash, and Jaccard 0 pairs are below any threshold
-    anyway."""
-    toks = df.select(
+    anyway.
+
+    The corpus is semi-joined down to the ids appearing in ``pairs``
+    BEFORE the explode, so the unit explode + size aggregation also
+    scale with the candidate set, not the corpus (a corpus-wide explode
+    would dominate when LSH prunes aggressively)."""
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    restricted = df.join(cand_ids, on=id_col, how="left_semi")
+    toks = restricted.select(
         F.col(id_col), F.explode(_units(F.col(text_col), shingle_n)).alias("tok")
     )
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_toks"))

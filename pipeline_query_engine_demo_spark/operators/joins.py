@@ -55,7 +55,10 @@ def asof_join(
     """
     keys = [on] if isinstance(on, str) else list(on)
     payload = F.struct(F.col(right_time).alias("asof_ts"), *[F.col(v) for v in right_values])
-    ref = right.select(
+    # A NULL-timestamp reference matches nothing in any SQL ASOF join;
+    # unfiltered it would sort nulls-first and its payload would be
+    # carried onto every probe row with no real predecessor.
+    ref = right.filter(F.col(right_time).isNotNull()).select(
         *keys,
         F.col(right_time).alias("_asof_t"),
         payload.alias("_asof_payload"),
@@ -88,8 +91,13 @@ def asof_join(
     carried = probe.unionByName(ref, allowMissingColumns=True).withColumn(
         "_asof_match", carry
     )
+    # A NULL-timestamp probe row likewise matches nothing (in the
+    # forward window NULLs sort first and would otherwise see every
+    # reference in their leading frame).
+    match = F.when(F.col("_asof_t").isNotNull(), F.col("_asof_match"))
     out = (
         carried.filter(F.col("_asof_is_ref") == 0)
+        .withColumn("_asof_match", match)
         .select(
             *left.columns,
             F.col("_asof_match.asof_ts").alias("asof_ts"),

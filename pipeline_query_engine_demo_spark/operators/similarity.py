@@ -81,24 +81,24 @@ def lsh_bucket(vec_col: str, dims: Iterable[int]) -> F.Column:
     return out
 
 
-def ann_topk_lsh(
+def _bucketed_topk(
     corpus: DataFrame,
     query: DataFrame,
     id_col: str,
     vec_col: str,
     k: int,
-    dims: tuple[int, ...] = (0, 7, 21, 42),
+    bucket_col: F.Column,
 ) -> DataFrame:
-    """Approximate top-k: score only corpus vectors in the query's LSH
-    bucket. The bucket equi-join replaces the cross join — at scale this
-    is the difference between scanning the corpus per query and scanning
-    ~corpus/2^bits."""
-    bucketed = corpus.withColumn("_bucket", lsh_bucket(vec_col, dims))
+    """Shared body of every bucketed-ANN variant: compute the bucket on
+    both sides, equi-join on it (scanning ~corpus/n_buckets per query
+    instead of the cross join), score, per-query top-k. The bucketing
+    scheme is entirely in ``bucket_col``."""
+    bucketed = corpus.withColumn("_bucket", bucket_col)
     q = F.broadcast(
         query.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("_qvec"),
-            lsh_bucket(vec_col, dims).alias("_bucket"),
+            bucket_col.alias("_bucket"),
         )
     )
     scored = bucketed.join(q, on="_bucket").select(
@@ -107,6 +107,19 @@ def ann_topk_lsh(
         F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cosine_sim"),
     )
     return _topk_per_query(scored, id_col, k)
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    query: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    dims: tuple[int, ...] = (0, 7, 21, 42),
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's
+    coordinate-sign LSH bucket (see _bucketed_topk)."""
+    return _bucketed_topk(corpus, query, id_col, vec_col, k, lsh_bucket(vec_col, dims))
 
 
 def random_hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
@@ -143,20 +156,24 @@ def ann_topk_hyperplane(
     """Approximate top-k via seeded random-hyperplane buckets — same
     bucket-equi-join shape as ann_topk_lsh (scan ~corpus/2^bits per
     query), with data-independent yet direction-uniform hyperplanes."""
-    bucketed = corpus.withColumn("_bucket", hyperplane_bucket(vec_col, planes))
-    q = F.broadcast(
-        query.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("_qvec"),
-            hyperplane_bucket(vec_col, planes).alias("_bucket"),
+    return _bucketed_topk(
+        corpus, query, id_col, vec_col, k, hyperplane_bucket(vec_col, planes)
+    )
+
+
+def _assign_cells(df: DataFrame, vec_col: str, cent: F.Column) -> DataFrame:
+    """Nearest-centroid assignment as a ``_cell`` column. The per-row
+    score array is materialized as a column first: Catalyst does not CSE
+    repeated higher-order transforms, so referencing the column keeps
+    assignment at one n_cells x dim pass per row instead of two."""
+    return (
+        df.withColumn("_scores", F.transform(cent, lambda c: cosine(F.col(vec_col), c)))
+        .withColumn(
+            "_cell",
+            F.array_position(F.col("_scores"), F.array_max(F.col("_scores"))).cast("int") - 1,
         )
+        .drop("_scores")
     )
-    scored = bucketed.join(q, on="_bucket").select(
-        "query_id",
-        F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cosine_sim"),
-    )
-    return _topk_per_query(scored, id_col, k)
 
 
 def ivf_topk(
@@ -172,19 +189,10 @@ def ivf_topk(
     cell; each query probes only its ``nprobe`` closest cells. The
     cell equi-join scans ~corpus * nprobe / n_cells per query — the
     recall/cost dial every IVF index exposes. Centroids are broadcast
-    literals; cell assignment is map-side. The per-row centroid score
-    array is materialized as a column first: Catalyst does not CSE
-    repeated higher-order transforms, so referencing the column keeps
-    assignment at one n_cells x dim pass per row instead of two."""
+    literals; cell assignment is map-side (shared with ivf_assign via
+    _assign_cells)."""
     cent = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
-    corpus_cells = (
-        corpus.withColumn("_scores", F.transform(cent, lambda c: cosine(F.col(vec_col), c)))
-        .withColumn(
-            "_cell",
-            F.array_position(F.col("_scores"), F.array_max(F.col("_scores"))).cast("int") - 1,
-        )
-        .drop("_scores")
-    )
+    corpus_cells = _assign_cells(corpus, vec_col, cent)
     q_scored = query.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
@@ -209,17 +217,10 @@ def ivf_topk(
 def ivf_assign(corpus: DataFrame, id_col: str, vec_col: str, centroids: list[list[float]]) -> DataFrame:
     """IVF coarse assignment: nearest centroid by cosine, centroids as a
     broadcast literal array. Output: (id, cell). Downstream ANN probes
-    only matching cells (equi-join on cell), exactly like ann_topk_lsh.
-    Scores materialize as a column first (no CSE for repeated
-    higher-order transforms — see ivf_topk)."""
+    only matching cells (equi-join on cell), exactly like ann_topk_lsh."""
     cent = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
-    return (
-        corpus.withColumn("_scores", F.transform(cent, lambda c: cosine(F.col(vec_col), c)))
-        .select(
-            F.col(id_col),
-            (F.array_position(F.col("_scores"), F.array_max(F.col("_scores"))).cast("int") - 1)
-            .alias("cell"),
-        )
+    return _assign_cells(corpus, vec_col, cent).select(
+        F.col(id_col), F.col("_cell").alias("cell")
     )
 
 
@@ -246,4 +247,12 @@ def pandas_cosine_topk(
     scored = corpus.select(id_col, vec_col).mapInPandas(
         score, schema=f"{id_col} {id_type}, cosine_sim double"
     )
-    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
+    # Zero-norm vectors come back as NaN, and Spark sorts NaN ABOVE every
+    # real double under desc — convert to NULL (sorts last, matching the
+    # expression-based cosine() which yields NULL for zero vectors).
+    sim = F.when(F.isnan("cosine_sim"), F.lit(None)).otherwise(F.col("cosine_sim"))
+    return (
+        scored.withColumn("cosine_sim", sim)
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -648,7 +648,8 @@ def multimodal_pack_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads are the utf-8 document bytes (no codecs in this container)."""
     docs = load_table(spark, sf_dir, "documents")
     packed = docs.select(
-        "doc_id", multimodal.pack_media(F.encode(F.col("text"), "utf-8"), "text").alias("media")
+        "doc_id",
+        multimodal.pack_media(F.encode(F.col("text"), "utf-8"), F.lit("text")).alias("media"),
     )
     return packed.select(
         "doc_id",

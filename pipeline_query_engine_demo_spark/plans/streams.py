@@ -41,7 +41,7 @@ def streaming_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFr
     the streaming twin of plans.windows.tumbling_window_counts, sharing
     its oracle (stream-batch parity IS the correctness statement)."""
     events = streaming.read_events_stream(spark, sf_dir)
-    result = streaming.run_to_memory(streaming.tumbling_counts(events), "complete")
+    result = streaming.run_to_memory(streaming.tumbling_counts(events), "complete", name="t_tumbling")
     return result.orderBy("window_start", "event_type")
 
 
@@ -60,7 +60,7 @@ def streaming_static_join_segments(spark: SparkSession, sf_dir: str) -> DataFram
     events = streaming.read_events_stream(spark, sf_dir)
     customer = load_table(spark, sf_dir, "customer")
     result = streaming.run_to_memory(
-        streaming.stream_static_join_segments(events, customer), "complete"
+        streaming.stream_static_join_segments(events, customer), "complete", name="t_static"
     )
     return result.orderBy("segment")
 
@@ -84,7 +84,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch join (the oracle)."""
     events = streaming.read_events_stream(spark, sf_dir)
     result = streaming.run_to_memory(
-        streaming.stream_stream_click_purchases(events), "append"
+        streaming.stream_stream_click_purchases(events), "append", name="t_ssjoin"
     )
     return result.orderBy("click_id", "purchase_id")
 
@@ -113,7 +113,7 @@ def streaming_dedup_on_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = streaming.read_events_stream(spark, sf_dir)
     deduped = events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
     counts = deduped.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
-    result = streaming.run_to_memory(counts, "complete")
+    result = streaming.run_to_memory(counts, "complete", name="t_dedup")
     return result.orderBy("user_id", "event_type")
 
 
@@ -187,5 +187,5 @@ def streaming_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFram
     Incremental multi-batch state evolution is tested in
     tests/test_streaming.py."""
     events = streaming.read_events_stream(spark, sf_dir)
-    result = streaming.run_to_memory(streaming.stateful_user_counts(events), "update")
+    result = streaming.run_to_memory(streaming.stateful_user_counts(events), "update", name="t_stateful")
     return result.orderBy("user_id")

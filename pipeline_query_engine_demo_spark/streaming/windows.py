@@ -49,7 +49,9 @@ def _stream_source_dir(sf_dir: str) -> str:
     # the except guards the create-create race between concurrent runs.
     if not os.path.lexists(link):
         try:
-            os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+            # absolute target: a relative sf_dir would otherwise resolve
+            # relative to the scratch dir and dangle forever
+            os.symlink(os.path.abspath(os.path.join(sf_dir, "events.parquet")), link)
         except FileExistsError:
             pass
     return d
@@ -63,12 +65,18 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+def run_to_memory(
+    stream_df: DataFrame, output_mode: str = "complete", name: str | None = None
+) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow trigger)
     into a memory sink and return the materialized result. This is what
     makes streaming queries oracle-checkable: the stream drains, the
-    memory table holds the final answer as a plain DataFrame."""
-    name = f"stream_result_{uuid.uuid4().hex[:12]}"
+    memory table holds the final answer as a plain DataFrame.
+
+    Pass a stable ``name`` when the query re-runs within one session —
+    the sink table is replaced instead of a fresh uuid-named table
+    accumulating its full result in driver memory per invocation."""
+    name = name or f"stream_result_{uuid.uuid4().hex[:12]}"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)

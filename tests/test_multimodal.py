@@ -13,7 +13,9 @@ from pipeline_query_engine_demo_spark.functions import multimodal
 def test_pack_media_meta(spark):
     payload = b"hello media"
     df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
-    packed = df.select("doc_id", multimodal.pack_media(F.col("payload"), "image").alias("m"))
+    packed = df.select(
+        "doc_id", multimodal.pack_media(F.col("payload"), F.lit("image")).alias("m")
+    )
     row = packed.select("m.meta.kind", "m.meta.n_bytes", "m.meta.checksum").collect()[0]
     assert row.kind == "image"
     assert row.n_bytes == len(payload)
