@@ -312,6 +312,43 @@ def dedup_clusters(
     return connected_components(df.select(id_col), pairs, id_col)
 
 
+def cross_corpus_overlap(
+    corpus: DataFrame,
+    reference: DataFrame,
+    corpus_id: str,
+    reference_id: str,
+    text_col: str,
+    shingle_n: int = DEFAULT_SHINGLE_N,
+) -> DataFrame:
+    """Decontamination primitive: per (corpus doc, reference doc) count
+    of shared n-gram shingles — the standard test-set-contamination
+    check before training. The inverted shingle join only materializes
+    (corpus, reference) pairs that actually share a shingle; the
+    reference side (benchmarks) is small and broadcastable, so the
+    corpus never shuffles. Returns (corpus_id, reference_id, n_common,
+    corpus_frac = n_common / corpus doc's shingle count)."""
+    c_sh = corpus.select(
+        F.col(corpus_id), F.explode(_units(F.col(text_col), shingle_n)).alias("sh")
+    )
+    r_sh = F.broadcast(
+        reference.select(
+            F.col(reference_id), F.explode(_units(F.col(text_col), shingle_n)).alias("sh")
+        )
+    )
+    sizes = c_sh.groupBy(corpus_id).agg(F.count(F.lit(1)).alias("_n_sh"))
+    overlap = (
+        c_sh.join(r_sh, on="sh")
+        .groupBy(corpus_id, reference_id)
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return overlap.join(sizes, on=corpus_id).select(
+        corpus_id,
+        reference_id,
+        "n_common",
+        (F.col("n_common") / F.col("_n_sh")).alias("corpus_frac"),
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
     """SimHash signature as a `bits`-char '0'/'1' string per document.
 

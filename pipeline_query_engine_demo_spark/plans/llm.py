@@ -899,6 +899,99 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "decontamination_overlap",
+    category="llm-dedup",
+    oracle="""
+        WITH csh AS (
+            SELECT doc_id AS corpus_id, unnest(list_distinct(
+                list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                               i -> concat_ws(' ', string_split(text, ' ')[i],
+                                              string_split(text, ' ')[i + 1],
+                                              string_split(text, ' ')[i + 2])))) AS sh
+            FROM documents WHERE doc_id < 450
+        ),
+        rsh AS (
+            SELECT doc_id AS bench_id, unnest(list_distinct(
+                list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                               i -> concat_ws(' ', string_split(text, ' ')[i],
+                                              string_split(text, ' ')[i + 1],
+                                              string_split(text, ' ')[i + 2])))) AS sh
+            FROM documents WHERE doc_id >= 450
+        ),
+        sizes AS (SELECT corpus_id, COUNT(*) AS n FROM csh GROUP BY corpus_id),
+        o AS (SELECT c.corpus_id, r.bench_id, COUNT(*) AS n_common
+              FROM csh c JOIN rsh r ON c.sh = r.sh
+              GROUP BY c.corpus_id, r.bench_id)
+        SELECT o.corpus_id AS corpus_id, o.bench_id, o.n_common,
+               o.n_common / s.n AS corpus_frac
+        FROM o JOIN sizes s ON s.corpus_id = o.corpus_id
+        WHERE o.n_common / s.n >= 0.1
+        ORDER BY o.corpus_id, bench_id
+    """,
+)
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination (operators.dedup.cross_corpus_overlap):
+    docs >= 450 play the held-out benchmark; training docs sharing >=10%
+    of their 3-gram shingles with any benchmark doc are flagged. The
+    benchmark side broadcasts — the training corpus never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 450).select(
+        F.col("doc_id").alias("corpus_id"), "text"
+    )
+    bench = docs.filter(F.col("doc_id") >= 450).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return (
+        dedup.cross_corpus_overlap(corpus, bench, "corpus_id", "bench_id", "text")
+        .filter(F.col("corpus_frac") >= 0.1)
+        .orderBy("corpus_id", "bench_id")
+    )
+
+
+@query(
+    "pii_scrub_patterns",
+    category="llm-text",
+    oracle="""
+        WITH synth AS (
+            SELECT doc_id,
+                   concat(string_split(text, ' ')[1], '@', string_split(text, ' ')[2],
+                          '.com call 555-', CAST(1000 + doc_id % 9000 AS VARCHAR),
+                          ' ', substr(text, 1, 40)) AS raw
+            FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(regexp_replace(raw,
+                   '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+                   '\\d{3}-\\d{4}', '<PHONE>', 'g') AS scrubbed
+        FROM synth ORDER BY doc_id
+    """,
+)
+def pii_scrub_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: email and phone patterns replaced with placeholder
+    tags — the redaction pass every training corpus gets. The fixture
+    has no real PII, so deterministic synthetic contact strings are
+    built per document and scrubbed; both regex dialects (Java, RE2)
+    agree on these patterns. Pure map-side regexes in codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    raw = F.concat(
+        F.element_at(toks, 1),
+        F.lit("@"),
+        F.element_at(toks, 2),
+        F.lit(".com call 555-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        F.lit(" "),
+        F.substring("text", 1, 40),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(raw, r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+        r"\d{3}-\d{4}",
+        "<PHONE>",
+    )
+    return docs.select("doc_id", scrubbed.alias("scrubbed")).orderBy("doc_id")
+
+
+@query(
     "token_stats_by_source",
     category="llm-text",
     oracle="""
