@@ -992,6 +992,77 @@ def pii_scrub_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "repetition_scores",
+    category="llm-text",
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id, unnest(
+                list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                               i -> concat_ws(' ', string_split(text, ' ')[i],
+                                              string_split(text, ' ')[i + 1],
+                                              string_split(text, ' ')[i + 2]))) AS s
+            FROM documents
+        ),
+        counts AS (SELECT doc_id, s, COUNT(*) AS c FROM sh GROUP BY doc_id, s)
+        SELECT doc_id,
+               SUM(c) AS n_shingles,
+               MAX(c) AS max_repeat,
+               MAX(c) / SUM(c) AS top_shingle_frac,
+               SUM(CASE WHEN c > 1 THEN c ELSE 0 END) / SUM(c) AS repeated_frac
+        FROM counts GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (the Gopher/C4-style quality rule):
+    fraction of 3-gram shingles that are repeats and the share of the
+    single most-repeated shingle — boilerplate and degenerate generation
+    both light these up. Ratios are exact-int divisions. One explode +
+    one two-level aggregation; scales with the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(text.shingles("text", 3)).alias("s"))
+    counts = sh.groupBy("doc_id", "s").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_shingles"),
+            F.max("c").alias("max_repeat"),
+            (F.max("c") / F.sum("c")).alias("top_shingle_frac"),
+            (F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) / F.sum("c")).alias(
+                "repeated_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_length_histogram",
+    category="llm-text",
+    oracle="""
+        SELECT CAST(n_chars // 100 AS BIGINT) AS bucket,
+               COUNT(*) AS n_docs,
+               MIN(n_chars) AS min_chars,
+               MAX(n_chars) AS max_chars
+        FROM documents GROUP BY bucket ORDER BY bucket
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document length distribution in 100-char buckets — the first
+    chart every corpus report shows, and the basis for length cutoffs.
+    A single partial+final aggregation over integer bucket keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy((F.floor(F.col("n_chars") / 100)).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
     "token_stats_by_source",
     category="llm-text",
     oracle="""
