@@ -104,6 +104,51 @@ def test_jaccard_pairs_matches_python_reference(spark, texts):
             assert abs(got[(i, j)] - exp) < 1e-12, (i, j, got.get((i, j)), exp)
 
 
+_texts = st.lists(
+    st.lists(st.sampled_from("a b c d".split()), min_size=1, max_size=6).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_texts)
+def test_exact_dedup_matches_counter(spark, texts):
+    from collections import Counter
+
+    from pipeline_query_engine_demo_spark.operators.dedup import exact_dedup
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    rows = exact_dedup(docs, "doc_id", "text").collect()
+    expected = Counter(texts)
+    assert {r.text: r.n_copies for r in rows} == dict(expected)
+    # representative is the minimum id per text
+    first_idx = {}
+    for i, t in enumerate(texts):
+        first_idx.setdefault(t, i)
+    assert {r.text: r.doc_id for r in rows} == first_idx
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(words=st.lists(st.sampled_from("x y z".split()), min_size=1, max_size=10))
+def test_shingle_count_formula(spark, words):
+    from pipeline_query_engine_demo_spark.functions.text import shingles
+
+    df = spark.createDataFrame([(" ".join(words),)], "text string")
+    got = df.select(shingles("text", 3).alias("s")).collect()[0].s
+    assert len(got) == max(0, len(words) - 2)
+    for i, s in enumerate(got):
+        assert s == " ".join(words[i : i + 3])
+
+
 _edges = st.lists(
     st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(lambda e: e[0] < e[1]),
     min_size=0,
