@@ -16,8 +16,9 @@ Cross-engine determinism notes:
   on exact operands — bit-identical;
 - cosine folds left-to-right in both engines (F.aggregate vs DuckDB's
   list_dot_product loop) over doubles, then rounds to 6 — identical;
-- every ROUND call is on positive values, where Spark HALF_UP and
-  DuckDB half-away-from-zero agree.
+- ROUND agrees across engines for either sign: Spark's HALF_UP on a
+  BigDecimal of the shortest repr and DuckDB's rounding both take
+  halves AWAY FROM ZERO (cosines and quantized values are signed).
 """
 
 from __future__ import annotations
@@ -43,15 +44,24 @@ _TOKS_CTE = (
     "toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok "
     "FROM documents)"
 )
-#: MinHash/Jaccard similarity units = distinct 3-word shingles
+def _shingle_units_sql(
+    n: int = dedup.DEFAULT_SHINGLE_N, source: str = "documents", alias: str = "tok"
+) -> str:
+    """DuckDB expression for a row's distinct n-word shingles — the SQL
+    twin of operators.dedup._units, parameterized on n so the oracles
+    stay in lockstep with DEFAULT_SHINGLE_N."""
+    words = ", ".join(f"string_split(text, ' ')[i + {j}]" for j in range(n))
+    return (
+        f"SELECT doc_id, unnest(list_distinct(list_transform("
+        f"generate_series(1, len(string_split(text, ' ')) - {n - 1}), "
+        f"i -> concat_ws(' ', {words})))) AS {alias} FROM {source}"
+    )
+
+
+#: MinHash/Jaccard similarity units = distinct n-word shingles
 #: (operators.dedup.DEFAULT_SHINGLE_N) — bag-of-tokens saturates at
 #: corpus scale; see operators/dedup.py.
-_UNITS_CTE = (
-    "units AS (SELECT doc_id, unnest(list_distinct(list_transform("
-    "generate_series(1, len(string_split(text, ' ')) - 2), "
-    "i -> concat_ws(' ', string_split(text, ' ')[i], string_split(text, ' ')[i + 1], "
-    "string_split(text, ' ')[i + 2])))) AS tok FROM documents)"
-)
+_UNITS_CTE = f"units AS ({_shingle_units_sql()})"
 _SIGS_CTE = "sigs AS (SELECT doc_id, " + ", ".join(
     f"min(md5(tok || '#{i}')) AS mh{i}" for i in range(_NUM_HASHES)
 ) + " FROM units GROUP BY doc_id)"
@@ -71,6 +81,9 @@ _CAND_CTE = (
 #: Fixture-vocabulary stopwords (the synthetic corpus is word soup over
 #: ~31 engine terms; 'the' and 'a' play the stopword role).
 STOPWORDS = ["the", "a"]
+#: SQL IN-list built from the same constant so the oracle tracks any
+#: STOPWORDS change automatically.
+_STOPWORDS_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 #: Language marker tokens for the lang-ID heuristic. The real-world
 #: version uses char-n-gram frequency profiles; on the synthetic corpus
@@ -336,15 +349,9 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ngram_jaccard_pairs_docs",
     category="llm-dedup",
-    oracle="""
+    oracle=f"""
         WITH sh AS (
-            SELECT doc_id, unnest(list_distinct(
-                list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-                               i -> concat_ws(' ', string_split(text, ' ')[i],
-                                              string_split(text, ' ')[i + 1],
-                                              string_split(text, ' ')[i + 2]))
-            )) AS s
-            FROM documents WHERE doc_id < 100
+            {_shingle_units_sql(source="documents", alias="s")} WHERE doc_id < 100
         ),
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         inter AS (
@@ -469,15 +476,14 @@ def _hyperplane_bucket_sql() -> str:
                    FROM embeddings WHERE vec_id < 5),
         c AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_hyperplane_bucket_sql()} AS bucket
               FROM embeddings),
-        scored AS (SELECT q.query_id, c.vec_id, {{cos}} AS cosine_sim
+        scored AS (SELECT q.query_id, c.vec_id, {_COSINE_SQL} AS cosine_sim
                    FROM c JOIN q ON c.bucket = q.bucket),
         ranked AS (SELECT *, row_number() OVER (
                        PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rank
                    FROM scored)
         SELECT query_id, vec_id, cosine_sim, rank
         FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
-    """.replace("{cos}", "ROUND(list_dot_product(c.v, q.qv) / "
-                "(sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6)"),
+    """,
 )
 def ann_hyperplane_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded random-hyperplane LSH ANN (operators.similarity.
@@ -760,12 +766,12 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                length(replace(text, ' ', '')) /
                    len(string_split(text, ' ')) AS avg_tok_len,
                len(list_filter(string_split(text, ' '),
-                               t -> t IN ('{STOPWORDS[0]}', '{STOPWORDS[1]}'))) /
+                               t -> t IN ({_STOPWORDS_SQL}))) /
                    len(string_split(text, ' ')) AS stop_ratio,
                len(list_distinct(string_split(text, ' '))) /
                        len(string_split(text, ' ')) * 0.5
                    + len(list_filter(string_split(text, ' '),
-                                     t -> t IN ('{STOPWORDS[0]}', '{STOPWORDS[1]}'))) /
+                                     t -> t IN ({_STOPWORDS_SQL}))) /
                        len(string_split(text, ' ')) * 0.2
                    + (len(string_split(text, ' ')) >= 10)::INT::DOUBLE * 0.3 AS quality
         FROM documents ORDER BY doc_id
@@ -901,22 +907,16 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "decontamination_overlap",
     category="llm-dedup",
-    oracle="""
+    oracle=f"""
         WITH csh AS (
-            SELECT doc_id AS corpus_id, unnest(list_distinct(
-                list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-                               i -> concat_ws(' ', string_split(text, ' ')[i],
-                                              string_split(text, ' ')[i + 1],
-                                              string_split(text, ' ')[i + 2])))) AS sh
-            FROM documents WHERE doc_id < 450
+            SELECT doc_id AS corpus_id, sh FROM (
+                {_shingle_units_sql(source="documents", alias="sh")}
+                WHERE doc_id < 450)
         ),
         rsh AS (
-            SELECT doc_id AS bench_id, unnest(list_distinct(
-                list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-                               i -> concat_ws(' ', string_split(text, ' ')[i],
-                                              string_split(text, ' ')[i + 1],
-                                              string_split(text, ' ')[i + 2])))) AS sh
-            FROM documents WHERE doc_id >= 450
+            SELECT doc_id AS bench_id, sh FROM (
+                {_shingle_units_sql(source="documents", alias="sh")}
+                WHERE doc_id >= 450)
         ),
         sizes AS (SELECT corpus_id, COUNT(*) AS n FROM csh GROUP BY corpus_id),
         o AS (SELECT c.corpus_id, r.bench_id, COUNT(*) AS n_common

@@ -386,19 +386,19 @@ def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="time-window",
     oracle="""
         WITH o AS (
-            SELECT user_id, ts,
+            SELECT user_id, ts, event_id,
                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
             FROM events
         ),
         m AS (
-            SELECT user_id, ts,
+            SELECT user_id, ts, event_id,
                    CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 5 MINUTE
                         THEN 1 ELSE 0 END AS new_s
             FROM o
         ),
         g AS (
             SELECT user_id, ts,
-                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS sid
             FROM m
         )

@@ -14,7 +14,11 @@ def test_pandas_topk_matches_expression_topk(spark, sf_dir):
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
     q = emb.filter(F.col("vec_id") == 0)
     expr_ids = [
-        r.vec_id for r in similarity.cosine_topk(emb, q, "vec_id", "embedding", k=10).collect()
+        r.vec_id
+        for r in sorted(
+            similarity.cosine_topk(emb, q, "vec_id", "embedding", k=10).collect(),
+            key=lambda r: r.rank,
+        )
     ]
     pandas_rows = similarity.pandas_cosine_topk(emb, qv, "vec_id", "embedding", k=10).collect()
     assert [r.vec_id for r in pandas_rows] == expr_ids
