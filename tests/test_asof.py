@@ -57,6 +57,43 @@ def test_asof_inner_drops_unmatched(spark, frames):
     assert ids == {2, 3, 4}
 
 
+def test_asof_composite_key(spark):
+    left = spark.createDataFrame(
+        [(1, "k1", "x", _ts("2024-01-01 13:00:00"))],
+        "event_id long, k string, sub string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("k1", "x", _ts("2024-01-01 12:00:00"), 1.0),
+            ("k1", "y", _ts("2024-01-01 12:30:00"), 2.0),  # later, but other subkey
+        ],
+        "k string, sub string, ts timestamp, val double",
+    )
+    rows = asof_join(left, right, ["k", "sub"], "ts", "ts", ["val"]).collect()
+    assert len(rows) == 1 and rows[0].val == 1.0  # matches within (k, sub) only
+
+
+def test_asof_null_timestamps_match_nothing(spark):
+    left = spark.createDataFrame(
+        [(1, "k1", _ts("2024-01-01 13:00:00")), (2, "k1", None)],
+        "event_id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k1", None, 99.0), ("k1", _ts("2024-01-01 12:00:00"), 1.0)],
+        "k string, ts timestamp, val double",
+    )
+    out = {r.event_id: r for r in asof_join(left, right, "k", "ts", "ts", ["val"]).collect()}
+    assert out[1].val == 1.0  # NULL-ts reference never matches
+    assert out[2].val is None and out[2].asof_ts is None  # NULL-ts probe matches nothing
+    fwd = {
+        r.event_id: r
+        for r in asof_join(
+            left, right, "k", "ts", "ts", ["val"], direction="forward"
+        ).collect()
+    }
+    assert fwd[2].val is None  # forward direction too
+
+
 def test_asof_forward_semantics(spark, frames):
     left, right = frames
     out = {
