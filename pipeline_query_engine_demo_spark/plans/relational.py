@@ -327,6 +327,32 @@ def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_boolean_count_if",
+    category="aggregation",
+    oracle="""
+        SELECT l_returnflag AS returnflag,
+               count_if(l_quantity >= 25) AS n_heavy,
+               bool_and(l_quantity > 0) AS all_positive,
+               bool_or(l_discount > 0.05) AS any_discounted
+        FROM lineitem GROUP BY l_returnflag ORDER BY returnflag
+    """,
+)
+def agg_boolean_count_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates: count_if / bool_and (EVERY) / bool_or (ANY) —
+    the predicate-summary trio used by every data-quality report."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.count_if(F.col("l_quantity") >= 25).alias("n_heavy"),
+            F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+            F.bool_or(F.col("l_discount") > 0.05).alias("any_discounted"),
+        )
+        .orderBy("returnflag")
+    )
+
+
+@query(
     "agg_max_by_min_by",
     category="aggregation",
     oracle="""
