@@ -27,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "flagship_filter_join_limit",
     "q1_pricing_summary",
+    "q6_forecast_revenue",
     "q3_shipping_priority",
     "q5_regional_revenue",
     "window_topk_per_group",

@@ -152,6 +152,40 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q6_forecast_revenue",
+    category="aggregation",
+    oracle="""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.03 AND 0.09
+          AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped forecast-revenue: the purest scan-predicate-agg
+    query — every filter pushes into the Parquet scan (range on
+    shipdate, band on discount, bound on quantity) and the single
+    global aggregate needs one O(partitions) exchange. The benchmark
+    classic for measuring raw scan throughput."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.03, 0.09))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(_dec("l_extendedprice") * F.col("l_discount").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
     "agg_basic_stats",
     category="aggregation",
     oracle="""
