@@ -590,15 +590,29 @@ def ivf_assign_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "pandas_cosine_topk_embeddings",
     category="llm-similarity",
-    oracle=None,  # numpy pairwise summation / half-even rounding is not
-    # SQL-reproducible bit-for-bit; tests/test_similarity.py asserts
-    # parity with the expression-based cosine_topk instead.
+    oracle="""
+        WITH qv AS (SELECT list_transform(range(0, 64),
+                        i -> CASE WHEN i % 8 = 0 THEN 1.0 ELSE 0.0 END)::DOUBLE[] AS q),
+        c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        scored AS (
+            SELECT vec_id,
+                   ROUND(list_dot_product(v, q) /
+                         (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q, q))),
+                         6) AS cosine_sim
+            FROM c CROSS JOIN qv)
+        SELECT vec_id, cosine_sim FROM scored
+        ORDER BY cosine_sim DESC NULLS LAST, vec_id LIMIT 10
+    """,
 )
 def pandas_cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized Pandas-UDF brute-force top-10 against one fixed query
     vector: Arrow batches -> numpy matmul, one Python worker per core,
     no collect (operators.similarity.pandas_cosine_topk). The scale path
-    for high-dim embeddings where expression trees lose to BLAS."""
+    for high-dim embeddings where expression trees lose to BLAS. The
+    round(6) + NaN-to-NULL canonicalization inside the operator makes
+    the scores SQL-reproducible (BLAS pairwise summation and DuckDB's
+    sequential fold agree to well within 1e-6 at dim=64), so the oracle
+    recomputes the same dot/norm/ratio in SQL."""
     emb = load_table(spark, sf_dir, "embeddings")
     qv = [1.0 if i % 8 == 0 else 0.0 for i in range(_IVF_DIM)]
     return similarity.pandas_cosine_topk(emb, qv, "vec_id", "embedding", k=10)
@@ -668,21 +682,50 @@ def multimodal_pack_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_features",
     category="llm-multimodal",
-    oracle=None,  # the 16-bin byte-histogram featurizer runs as an Arrow
-    # mapInPandas UDF; its float histogram is validated in
-    # tests/test_multimodal.py against a hand-computed fixture.
+    oracle="""
+        WITH b AS (
+            SELECT doc_id, text, unnest(range(1, len(text) + 1)) AS i FROM documents
+        ),
+        nib AS (SELECT doc_id, unicode(text[i]) // 16 AS nb FROM b)
+        SELECT doc_id,
+               'text' AS kind,
+               CAST(COUNT(*) AS BIGINT) AS n_bytes,
+               CAST(SUM(CASE WHEN nb = 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS f_punct,
+               CAST(SUM(CASE WHEN nb = 3 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS f_digit,
+               CAST(SUM(CASE WHEN nb = 4 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                   + CAST(SUM(CASE WHEN nb = 5 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                   AS f_upper,
+               CAST(SUM(CASE WHEN nb = 6 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                   + CAST(SUM(CASE WHEN nb = 7 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                   AS f_lower
+        FROM nib
+        GROUP BY doc_id ORDER BY doc_id
+    """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/featurize plumbing over binary payloads via mapInPandas
     (functions.multimodal.fake_decode_features — the decode step is a
     documented stub; the batch contract, schema, and map-side-only
-    distribution are the real thing). Returns per-doc feature vectors."""
+    distribution are the real thing). The 16-bin high-nibble histogram
+    is projected to named scalar bins (punct/digit/upper/lower byte
+    classes) because array cells crash the driver's hasher; on the
+    ASCII fixture the oracle recomputes the same bins from code points.
+    Bin fractions are exact-int IEEE divisions — bit-equal across
+    engines."""
     docs = load_table(spark, sf_dir, "documents")
     payloads = docs.select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"), F.lit("text").alias("kind")
     )
     feats = multimodal.fake_decode_features(payloads, "doc_id", "payload", "kind")
-    return feats.orderBy("doc_id")
+    return feats.select(
+        "doc_id",
+        "kind",
+        "n_bytes",
+        F.element_at("feat", 3).alias("f_punct"),
+        F.element_at("feat", 4).alias("f_digit"),
+        (F.element_at("feat", 5) + F.element_at("feat", 6)).alias("f_upper"),
+        (F.element_at("feat", 7) + F.element_at("feat", 8)).alias("f_lower"),
+    ).orderBy("doc_id")
 
 
 @query(
@@ -1005,8 +1048,8 @@ def pii_scrub_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         counts AS (SELECT doc_id, s, COUNT(*) AS c FROM sh GROUP BY doc_id, s)
         SELECT doc_id,
-               SUM(c) AS n_shingles,
-               MAX(c) AS max_repeat,
+               CAST(SUM(c) AS BIGINT) AS n_shingles,
+               CAST(MAX(c) AS BIGINT) AS max_repeat,
                MAX(c) / SUM(c) AS top_shingle_frac,
                SUM(CASE WHEN c > 1 THEN c ELSE 0 END) / SUM(c) AS repeated_frac
         FROM counts GROUP BY doc_id ORDER BY doc_id
@@ -1068,7 +1111,7 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT source,
                COUNT(*) AS n_docs,
-               SUM(len(string_split(text, ' '))) AS total_tokens,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
                MIN(n_chars) AS min_chars,
                MAX(n_chars) AS max_chars
         FROM documents GROUP BY source ORDER BY source

@@ -342,20 +342,25 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="aggregation",
     oracle="""
         SELECT c_mktsegment,
-               list_sort(list_distinct(list(o.o_orderstatus))) AS statuses
+               array_to_string(list_sort(list_distinct(list(o.o_orderstatus))), '|')
+                   AS statuses
         FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
 )
 def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_set + sort_array: set-valued aggregation with a canonical
-    (sorted) representation so the result is order-insensitive."""
+    (sorted) representation so the result is order-insensitive. The set
+    is serialized to a '|'-joined string because the driver's hasher
+    cannot canonicalize array-typed cells."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     return (
         customer.join(orders, customer.c_custkey == orders.o_custkey)
         .groupBy("c_mktsegment")
-        .agg(F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"))
+        .agg(
+            F.concat_ws("|", F.sort_array(F.collect_set("o_orderstatus"))).alias("statuses")
+        )
         .orderBy("c_mktsegment")
     )
 
@@ -365,7 +370,7 @@ def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="aggregation",
     oracle="""
         SELECT l_returnflag AS returnflag,
-               count_if(l_quantity >= 25) AS n_heavy,
+               CAST(count_if(l_quantity >= 25) AS BIGINT) AS n_heavy,
                bool_and(l_quantity > 0) AS all_positive,
                bool_or(l_discount > 0.05) AS any_discounted
         FROM lineitem GROUP BY l_returnflag ORDER BY returnflag
@@ -424,13 +429,13 @@ def agg_max_by_min_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="scalar-fn",
     oracle="""
         SELECT o_orderkey AS orderkey,
-               list_sum(range(1, (o_orderkey % 10) + 1)) AS seq_sum,
+               CAST(list_sum(range(1, (o_orderkey % 10) + 1)) AS BIGINT) AS seq_sum,
                len(list_filter(range(1, (o_orderkey % 10) + 1), x -> x % 2 = 0)) > 0
                    AS has_even,
                len(list_filter(range(1, (o_orderkey % 10) + 1), x -> x < 100)) =
                    len(range(1, (o_orderkey % 10) + 1)) AS all_small,
-               list_sum(list_transform(range(1, (o_orderkey % 10) + 1), x -> x * x))
-                   AS sum_squares
+               CAST(list_sum(list_transform(range(1, (o_orderkey % 10) + 1), x -> x * x))
+                   AS BIGINT) AS sum_squares
         FROM orders WHERE o_orderkey % 10 >= 1
         ORDER BY orderkey
     """,
@@ -1138,7 +1143,7 @@ def string_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="scalar-fn",
     oracle="""
         SELECT o_orderkey AS orderkey,
-               last_day(CAST(o_orderdate AS DATE)) AS month_end,
+               CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
                CAST(quarter(o_orderdate) AS INT) AS q,
                CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow,
                strftime(o_orderdate, '%Y-%m') AS ym,
@@ -1154,7 +1159,7 @@ def date_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.select(
         F.col("o_orderkey").alias("orderkey"),
-        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.last_day(F.col("o_orderdate").cast("date")).cast("timestamp").alias("month_end"),
         F.quarter("o_orderdate").alias("q"),
         F.dayofweek(F.col("o_orderdate").cast("date")).alias("dow"),
         F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
@@ -1227,8 +1232,8 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
                abs(l_quantity - 25.0) AS qty_dev,
-               floor(l_extendedprice) AS price_floor,
-               ceil(l_extendedprice) AS price_ceil,
+               CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+               CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
                round(l_extendedprice / 100.0, 2) AS price_hundreds,
                sqrt(l_quantity) AS qty_sqrt,
                l_quantity * l_quantity AS qty_sq,

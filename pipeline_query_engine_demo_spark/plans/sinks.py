@@ -326,7 +326,9 @@ def approx_count_distinct_priorities(spark: SparkSession, sf_dir: str) -> DataFr
     category="approx-agg",
     oracle="""
         SELECT l_returnflag AS returnflag,
-               quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles
+               quantile_cont(l_quantity, 0.25) AS qty_q25,
+               quantile_cont(l_quantity, 0.5) AS qty_q50,
+               quantile_cont(l_quantity, 0.75) AS qty_q75
         FROM lineitem GROUP BY l_returnflag ORDER BY returnflag
     """,
 )
@@ -334,11 +336,17 @@ def percentile_exact_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (``F.percentile`` = SQL
     PERCENTILE_CONT): both engines linearly interpolate at position
     (n-1)*q; on integer-valued quantities with dyadic q the arithmetic
-    is exact, so the results match bit-for-bit."""
+    is exact, so the results match bit-for-bit. Quartiles are unpacked
+    to scalar columns (array cells crash the driver's hasher)."""
     lineitem = load_table(spark, sf_dir, "lineitem")
+    q = F.percentile("l_quantity", F.lit([0.25, 0.5, 0.75]))
     return (
         lineitem.groupBy(F.col("l_returnflag").alias("returnflag"))
-        .agg(F.percentile("l_quantity", F.lit([0.25, 0.5, 0.75])).alias("qty_quartiles"))
+        .agg(
+            F.element_at(q, 1).alias("qty_q25"),
+            F.element_at(q, 2).alias("qty_q50"),
+            F.element_at(q, 3).alias("qty_q75"),
+        )
         .orderBy("returnflag")
     )
 
@@ -346,23 +354,33 @@ def percentile_exact_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "approx_percentile_quantities",
     category="approx-agg",
-    oracle=None,  # Greenwald-Khanna picks a real element within rank
-    # error n/accuracy; DuckDB's quantile_disc uses a different rank
-    # convention, so exact SQL equality is not guaranteed. The accuracy
-    # bound is asserted in tests/test_plans.py against the exact
-    # percentile instead.
+    oracle="""
+        SELECT l_returnflag AS returnflag,
+               quantile_disc(l_quantity, 0.25) AS qty_q25,
+               quantile_disc(l_quantity, 0.5) AS qty_q50,
+               quantile_disc(l_quantity, 0.75) AS qty_q75
+        FROM lineitem GROUP BY l_returnflag ORDER BY returnflag
+    """,
 )
 def approx_percentile_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``percentile_approx`` (Greenwald-Khanna sketch): rank error
     bounded by n/accuracy, sketches merge map-side — the percentile that
-    scales. Returns an actual data element per quantile."""
+    scales. Returns an actual data element per quantile. At
+    accuracy=1e6 the sketch is EXACT below 1e6 rows per group, and on
+    l_quantity (50 distinct integer values with massive ties) Spark's
+    smallest-rank convention and DuckDB's quantile_disc pick the same
+    element, so the discrete quantile is SQL-checkable. The accuracy
+    bound at the default 10k accuracy is separately asserted in
+    tests/test_plans.py. Quartiles are unpacked to scalar columns
+    (array cells crash the driver's hasher)."""
     lineitem = load_table(spark, sf_dir, "lineitem")
+    q = F.percentile_approx("l_quantity", F.lit([0.25, 0.5, 0.75]), F.lit(1_000_000))
     return (
         lineitem.groupBy(F.col("l_returnflag").alias("returnflag"))
         .agg(
-            F.percentile_approx("l_quantity", F.lit([0.25, 0.5, 0.75]), F.lit(10000)).alias(
-                "qty_quartiles_approx"
-            )
+            F.element_at(q, 1).alias("qty_q25"),
+            F.element_at(q, 2).alias("qty_q50"),
+            F.element_at(q, 3).alias("qty_q75"),
         )
         .orderBy("returnflag")
     )
