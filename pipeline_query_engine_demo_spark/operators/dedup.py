@@ -49,6 +49,19 @@ DEFAULT_BANDS = 4
 #: near-duplicate documents collide.
 DEFAULT_SHINGLE_N = 3
 
+#: Hot-bucket safety valve, ON by default: an LSH bucket of B documents
+#: yields B^2 intra-bucket candidate pairs in one reducer, so a single
+#: viral boilerplate template at 100 TB (B ~ 10^6) is a quadratic
+#: melt-down. Buckets above the cap carry no discriminating signal
+#: (every member collides with every other — a stopword band) and are
+#: dropped whole. At the cap, a degenerate bucket costs at most
+#: cap^2 = 10^6 pairs — bounded reducer work. The recall trade: members
+#: of an over-full bucket can still pair through their OTHER bands, so
+#: only documents whose every colliding band is degenerate lose their
+#: candidates — for boilerplate templates that is exactly the intended
+#: drop. Pass ``max_bucket_size=None`` for exact LSH semantics.
+DEFAULT_MAX_BUCKET_SIZE = 1000
+
 
 def _units(text_col: Column, shingle_n: int) -> Column:
     """The distinct similarity units of a document: word shingles for
@@ -129,18 +142,19 @@ def lsh_candidate_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     shingle_n: int = DEFAULT_SHINGLE_N,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) that collide in >= 1 LSH band.
     The self-join is keyed on (band_id, band_hash) — only intra-bucket
     pairs are generated, never the cartesian corpus square.
 
-    ``max_bucket_size`` is the 100 TB safety valve: a degenerate bucket
-    of B documents yields B^2 intra-bucket pairs (one boilerplate
-    template shared by a million pages melts a reducer). Buckets larger
-    than the cap are dropped entirely — their signature band carries no
-    discriminating information, exactly like a stopword in an inverted
-    index. None (default) keeps exact LSH semantics."""
+    ``max_bucket_size`` is the 100 TB safety valve, ON by default
+    (DEFAULT_MAX_BUCKET_SIZE): a degenerate bucket of B documents
+    yields B^2 intra-bucket pairs (one boilerplate template shared by a
+    million pages melts a reducer). Buckets larger than the cap are
+    dropped entirely — their signature band carries no discriminating
+    information, exactly like a stopword in an inverted index. Pass
+    None for exact LSH semantics on bounded inputs."""
     buckets = lsh_band_buckets(
         minhash_signatures(df, id_col, text_col, num_hashes, shingle_n),
         id_col,
@@ -230,10 +244,14 @@ def near_dup_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     shingle_n: int = DEFAULT_SHINGLE_N,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
-    """Full near-dup pipeline: MinHash -> LSH banding -> exact shingle-
-    Jaccard verification -> threshold. Returns (id_a, id_b, jaccard)."""
-    candidates = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_n)
+    """Full near-dup pipeline: MinHash -> LSH banding (hot-bucket cap on
+    by default, see DEFAULT_MAX_BUCKET_SIZE) -> exact shingle-Jaccard
+    verification -> threshold. Returns (id_a, id_b, jaccard)."""
+    candidates = lsh_candidate_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket_size
+    )
     verified = jaccard_pairs(df, candidates, id_col, text_col, shingle_n)
     return verified.filter(F.col("jaccard") >= threshold)
 
@@ -303,12 +321,16 @@ def dedup_clusters(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     shingle_n: int = DEFAULT_SHINGLE_N,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Near-dup clustering: LSH+Jaccard pair graph → connected
     components. Returns (id, cluster_id); a document with no near-dups
     is its own cluster. Downstream dedup keeps ``id == cluster_id``
-    (the min-id representative per cluster — deterministic)."""
-    pairs = near_dup_pairs(df, id_col, text_col, threshold, num_hashes, bands, shingle_n)
+    (the min-id representative per cluster — deterministic). The LSH
+    hot-bucket cap is on by default (DEFAULT_MAX_BUCKET_SIZE)."""
+    pairs = near_dup_pairs(
+        df, id_col, text_col, threshold, num_hashes, bands, shingle_n, max_bucket_size
+    )
     return connected_components(df.select(id_col), pairs, id_col)
 
 

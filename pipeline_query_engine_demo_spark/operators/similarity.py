@@ -49,13 +49,39 @@ def cosine_scores(corpus: DataFrame, query: DataFrame, id_col: str, vec_col: str
     )
 
 
+#: Fan-out of the partial top-k phase below. 16 salts bounds the final
+#: per-query reducer at 16k rows while keeping the pre-phase shuffle
+#: spread; at 1000 executors raise toward the partition count.
+_TOPK_SALTS = 16
+
+
 def _topk_per_query(scored: DataFrame, id_col: str, k: int) -> DataFrame:
-    """Shared tail of every top-k variant: per-query window ranking
-    (score desc, id tie-break) over the hash-partitioned query key —
-    each partition keeps only its top-k, no global sort."""
+    """Shared tail of every top-k variant, in TWO phases so no reducer
+    ever receives a whole query's scored corpus.
+
+    A single window over ``query_id`` funnels every scored row for a
+    query into ONE reducer — with a handful of queries over a 100 TB
+    corpus that is the job's straggler. Phase 1 therefore ranks within
+    (query_id, salt) — a deterministic hash-salt of the corpus id
+    spreads each query over ``_TOPK_SALTS`` reducers, each keeping its
+    local top-k. Phase 2 re-ranks the surviving ``k * _TOPK_SALTS``
+    rows per query — bounded input, skew-free. Both phases break ties
+    (score desc, then id), so every row of the global top-k survives
+    its salt bucket's cut and the result is identical to the one-phase
+    window."""
+    salt = F.pmod(F.hash(F.col(id_col)), F.lit(_TOPK_SALTS))
+    pre = Window.partitionBy("query_id", "_salt").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
+    partial = (
+        scored.withColumn("_salt", salt)
+        .withColumn("_prank", F.row_number().over(pre))
+        .filter(F.col("_prank") <= k)
+        .drop("_salt", "_prank")
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col), "cosine_sim", "rank")
     )

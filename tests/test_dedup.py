@@ -61,10 +61,33 @@ def test_lsh_hot_bucket_cap(spark):
     clones = spark.createDataFrame(
         [(i, BASE) for i in range(4)], "doc_id long, text string"
     )
-    uncapped = dedup.lsh_candidate_pairs(clones, "doc_id", "text")
+    uncapped = dedup.lsh_candidate_pairs(clones, "doc_id", "text", max_bucket_size=None)
     assert uncapped.count() == 6
     capped = dedup.lsh_candidate_pairs(clones, "doc_id", "text", max_bucket_size=3)
     assert capped.count() == 0
+
+
+def test_lsh_hot_bucket_cap_is_on_by_default(spark):
+    # The 100 TB safety valve must be the DEFAULT path: a planted
+    # degenerate bucket (every doc identical) above the cap generates
+    # zero candidate pairs through the full near-dup pipeline, instead
+    # of B^2 pairs in one reducer.
+    assert dedup.DEFAULT_MAX_BUCKET_SIZE is not None
+    clones = spark.createDataFrame(
+        [(i, BASE) for i in range(4)], "doc_id long, text string"
+    )
+    # below the default cap the clones still pair up (recall preserved) …
+    assert dedup.near_dup_pairs(clones, "doc_id", "text").count() == 6
+    # … and once the bucket exceeds the cap, the default path drops it
+    capped = dedup.near_dup_pairs(clones, "doc_id", "text", max_bucket_size=3)
+    assert capped.count() == 0
+    clusters = {
+        r.id: r.cluster_id
+        for r in dedup.dedup_clusters(
+            clones, "doc_id", "text", max_bucket_size=3
+        ).collect()
+    }
+    assert clusters == {0: 0, 1: 1, 2: 2, 3: 3}
 
 
 def test_connected_components_chain(spark):
