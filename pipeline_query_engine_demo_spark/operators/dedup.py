@@ -162,13 +162,13 @@ def lsh_candidate_pairs(
         bands,
     )
     if max_bucket_size is not None:
-        small = (
-            buckets.groupBy("band_id", "band_hash")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") <= max_bucket_size)
-            .select("band_id", "band_hash")
-        )
-        buckets = buckets.join(small, on=["band_id", "band_hash"], how="left_semi")
+        # One whole-partition window count instead of groupBy + semi-join:
+        # a single shuffle on the bucket key tags every row with its
+        # bucket size, and the filter drops over-full buckets in place.
+        from pyspark.sql import Window
+
+        wcnt = F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_hash"))
+        buckets = buckets.withColumn("_n", wcnt).filter(F.col("_n") <= max_bucket_size).drop("_n")
     a = buckets.select(
         F.col(id_col).alias("id_a"), "band_id", "band_hash"
     )
