@@ -148,6 +148,47 @@ def ann_topk_lsh(
     return _bucketed_topk(corpus, query, id_col, vec_col, k, lsh_bucket(vec_col, dims))
 
 
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    dims: tuple[int, ...] = (0, 7, 21, 42),
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
+    threshold), restricted to sign-LSH bucket collisions — the
+    embedding-space analog of MinHash near-dup: the self-join is keyed
+    on the bucket id, so only ~corpus/2^bits of the square is ever
+    scored, never all pairs. True near-dups (cosine -> 1) agree on
+    every coordinate sign, so bucket-collision recall approaches 1 as
+    similarity does; raise ``bits`` (more dims) to cut candidate cost,
+    at recall cost for borderline pairs. Scores are round(6) for
+    cross-engine reproducibility."""
+    # No checkpoint here (contrast lsh_candidate_pairs): the bucket is a
+    # map-side expression over the scan, and materializing would pin the
+    # full vector table in executor storage — recomputing one projection
+    # is the cheaper side of that trade.
+    bucketed = corpus.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(vec_col, dims).alias("_bucket")
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "_bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "_bucket"
+    )
+    return (
+        a.join(b, on="_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def random_hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
     """Seeded Gaussian hyperplanes for sign-LSH, rounded to 6 decimals so
     the same literals can be embedded verbatim in a SQL oracle. Fixed

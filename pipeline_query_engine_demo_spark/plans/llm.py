@@ -5,10 +5,10 @@ the north-star surface beyond the reference's four operators
 (``/root/reference`` has none of this; scope per SURVEY.md §2.3
 'LLM-data-pipeline extensions').
 
-Everything here is oracle-checked in DuckDB except the two Pandas-UDF
-paths whose numpy arithmetic (pairwise summation, half-even rounding)
-is not bit-reproducible in SQL — those register ``oracle=None`` and get
-their real validation in tests/ (parity vs the expression-based twin).
+Everything here is oracle-checked in DuckDB — including the Pandas-UDF
+paths, whose round(6) + NaN-to-NULL canonicalization makes the numpy
+arithmetic SQL-reproducible (plus parity tests in tests/ vs the
+expression-based twins).
 
 Cross-engine determinism notes:
 - md5/sha256 hex is identical in both engines for identical bytes;
@@ -1131,4 +1131,106 @@ def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
         .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding-space near-dup + deterministic sampling
+# --------------------------------------------------------------------------
+
+
+@query(
+    "embedding_near_dup_pairs",
+    category="llm-dedup",
+    oracle="""
+        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                          ((embedding[1] > 0)::INT * 1 + (embedding[8] > 0)::INT * 2 +
+                           (embedding[22] > 0)::INT * 4 + (embedding[43] > 0)::INT * 8)
+                              AS bucket
+                   FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) *
+                      sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
+        FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE ROUND(list_dot_product(a.v, b.v) /
+                    (sqrt(list_dot_product(a.v, a.v)) *
+                     sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+        ORDER BY id_a, id_b
+    """,
+)
+def embedding_near_dup_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection
+    (operators.similarity.embedding_near_dup_pairs): sign-LSH bucket
+    self-join — only intra-bucket pairs are scored, ~1/2^bits of the
+    corpus square — then a cosine threshold. The fixture has no planted
+    embedding clones (max intra-bucket cosine ~0.49), so the threshold
+    is calibrated to 0.4 to exercise a non-empty result; production
+    near-dup uses ~0.95+, where sign-bucket recall is near 1."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "deterministic_sample_docs",
+    category="llm-sampling",
+    oracle="""
+        SELECT doc_id, source, n_chars,
+               md5(doc_id::VARCHAR || '|sample-v1') AS sample_key
+        FROM documents
+        WHERE md5(doc_id::VARCHAR || '|sample-v1') < '28'
+        ORDER BY doc_id
+    """,
+)
+def deterministic_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sampling — the reproducible way to cut
+    a training subset at 100 TB: the keep decision is a pure function of
+    the row key (md5 < hex threshold '28' ~ 15.6%), so re-runs,
+    backfills, and multi-site runs agree without seed coordination or a
+    global sort, and the filter rides the scan (no shuffle at all).
+    ``sample()``/TABLESAMPLE give per-partition RNG instead — not
+    reproducible under repartitioning — which is why pipelines hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|sample-v1")))
+    return (
+        docs.withColumn("sample_key", key)
+        .filter(F.col("sample_key") < "28")
+        .select("doc_id", "source", "n_chars", "sample_key")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "stratified_sample_by_source",
+    category="llm-sampling",
+    oracle="""
+        SELECT source, doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(doc_id::VARCHAR), doc_id) AS INT) AS rn
+        FROM documents
+        QUALIFY rn <= 10
+        ORDER BY source, rn
+    """,
+)
+def stratified_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified fixed-k sampling: exactly k=10 documents per source,
+    chosen by md5 rank — deterministic, shuffle-bounded (one hash
+    partition per stratum, each keeping k rows), and rebalances a
+    source-skewed corpus the way mixture weighting does before
+    training. For strata too hot for one reducer, compose with the
+    two-phase top-k pattern (operators.similarity._topk_per_query)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("source", "doc_id", "rn")
+        .orderBy("source", "rn")
     )

@@ -1630,3 +1630,90 @@ def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p_partkey").alias("partkey"), F.col("p_brand").alias("brand"))
         .orderBy("partkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Pivot / unpivot (reshaping)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pivot_revenue_by_status",
+    category="reshape",
+    oracle="""
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                             THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                    AS DOUBLE) AS "F",
+               CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                             THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                    AS DOUBLE) AS "O",
+               CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                             THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                    AS DOUBLE) AS "P"
+        FROM orders GROUP BY order_year ORDER BY order_year
+    """,
+)
+def pivot_revenue_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: long-to-wide reshaping (``groupBy().pivot()``) — revenue
+    per order year spread across one column per order status. The pivot
+    values are listed explicitly, which matters at scale: without them
+    Spark runs an extra distinct-collect job over the pivot column
+    before planning. Sums are exact DECIMAL then cast to double
+    (float-sum order differs between engines)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.year("o_orderdate").alias("order_year"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(_dec("o_totalprice")).cast("double"))
+        .orderBy("order_year")
+    )
+
+
+@query(
+    "unpivot_lineitem_charges",
+    category="reshape",
+    oracle="""
+        SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+               'extendedprice' AS charge, l_extendedprice AS amount
+        FROM lineitem WHERE l_orderkey <= 100
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount', l_discount
+        FROM lineitem WHERE l_orderkey <= 100
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'tax', l_tax
+        FROM lineitem WHERE l_orderkey <= 100
+        ORDER BY orderkey, linenumber, charge
+    """,
+)
+def unpivot_lineitem_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide-to-long reshaping — one (charge, amount) row
+    per charge column. ``DataFrame.unpivot`` plans as a generator
+    expression (no join, no shuffle beyond the final sort): the
+    scale-safe way to normalize metric columns before a grouped
+    analysis."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(F.col("l_orderkey") <= 100)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax")
+        .withColumnsRenamed(
+            {
+                "l_extendedprice": "extendedprice",
+                "l_discount": "discount",
+                "l_tax": "tax",
+            }
+        )
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["extendedprice", "discount", "tax"],
+            "charge",
+            "amount",
+        )
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").alias("linenumber"),
+            "charge",
+            "amount",
+        )
+        .orderBy("orderkey", "linenumber", "charge")
+    )

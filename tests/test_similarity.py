@@ -76,3 +76,29 @@ def test_ivf_assign_hand_vectors(spark):
     )
     out = {r.vec_id: r.cell for r in similarity.ivf_assign(vecs, "vec_id", "embedding", centroids).collect()}
     assert out == {0: 0, 1: 1, 2: 2}
+
+
+def test_embedding_near_dup_finds_planted_clone(spark, sf_dir):
+    # plant an exact clone of vec 0 and a near-clone of vec 1; both
+    # agree with their source on every coordinate sign, so they share
+    # its LSH bucket and must surface above a high threshold
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    v0 = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    near1 = [
+        float(x) * 1.001
+        for x in emb.filter(F.col("vec_id") == 1).collect()[0].embedding
+    ]
+    planted = spark.createDataFrame(
+        [(1000, v0), (1001, near1)], "vec_id long, embedding array<float>"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    pairs = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in similarity.embedding_near_dup_pairs(
+            corpus, "vec_id", "embedding", threshold=0.99
+        ).collect()
+    }
+    assert (0, 1000) in pairs and abs(pairs[(0, 1000)] - 1.0) < 1e-6
+    assert (1, 1001) in pairs and pairs[(1, 1001)] >= 0.99
+    # nothing else in the fixture is near-identical
+    assert set(pairs) == {(0, 1000), (1, 1001)}
