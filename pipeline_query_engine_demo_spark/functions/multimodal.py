@@ -35,8 +35,13 @@ MEDIA_META_SCHEMA = "kind STRING, n_bytes BIGINT, checksum STRING"
 def pack_media(payload: Column, kind: Column | str) -> Column:
     """Wrap raw bytes into (payload, metadata-struct). Checksum is md5
     hex — cross-engine checkable, good enough for dedup/integrity.
-    A str ``kind`` names a COLUMN (the package-wide Column|str
-    convention); pass ``F.lit(...)`` for a constant kind."""
+
+    .. note:: API change (round 2): a str ``kind`` names a COLUMN (the
+       package-wide Column|str convention) — it was previously treated
+       as a literal constant. Callers passing a constant string must
+       now pass ``F.lit("image")``; a bare string that names no column
+       fails at analysis time with Spark's UNRESOLVED_COLUMN error
+       rather than silently packing the wrong value."""
     kind_col = F.col(kind) if isinstance(kind, str) else kind
     return F.struct(
         payload.alias("payload"),

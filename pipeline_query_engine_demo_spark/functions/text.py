@@ -105,3 +105,16 @@ def lang_scores(text: Column | str, markers: dict[str, list[str]]) -> Column:
         pairs.append(F.lit(lang))
         pairs.append(F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))))
     return F.create_map(*pairs)
+
+
+def chunk_starts(text: Column | str, stride: int) -> Column:
+    """1-based token offsets where training chunks begin: 1, 1+stride,
+    … while <= token count. Pure array expression — the explode happens
+    at the call site (generators can't nest inside expressions)."""
+    return F.sequence(F.lit(1), F.greatest(token_count(text), F.lit(1)), F.lit(stride))
+
+
+def chunk_slice(text: Column | str, start: Column, chunk_tokens: int) -> Column:
+    """The chunk's tokens: ``chunk_tokens`` tokens from 1-based
+    ``start`` (the final chunk clamps at end-of-document)."""
+    return F.slice(tokens(text), start, chunk_tokens)

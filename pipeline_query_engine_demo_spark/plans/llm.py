@@ -1234,3 +1234,42 @@ def stratified_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "rn")
         .orderBy("source", "rn")
     )
+
+
+@query(
+    "chunk_documents_for_training",
+    category="llm-text",
+    oracle="""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        s AS (SELECT doc_id, toks,
+                     unnest(generate_series(1, greatest(len(toks), 1), 48)) AS start
+              FROM t)
+        SELECT doc_id,
+               CAST((start - 1) // 48 AS BIGINT) AS chunk_idx,
+               array_to_string(toks[start:start + 63], ' ') AS chunk_text,
+               CAST(len(toks[start:start + 63]) AS BIGINT) AS n_tokens
+        FROM s ORDER BY doc_id, chunk_idx
+    """,
+)
+def chunk_documents_for_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the step that turns documents
+    into fixed-size training sequences: 64-token chunks every 48 tokens
+    (16-token overlap preserves context across boundaries; the final
+    chunk clamps at EOF). One generate-series explode + array slice,
+    all map-side from the scan — at 100 TB chunking adds zero shuffles;
+    row count grows ~tokens/stride, which is the intended output, not
+    amplification. functions.text.chunk_starts/chunk_slice."""
+    chunk_tokens, stride = 64, 48
+    docs = load_table(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id",
+        "text",
+        F.explode(text.chunk_starts("text", stride)).alias("start"),
+    )
+    toks = text.chunk_slice("text", F.col("start"), chunk_tokens)
+    return exploded.select(
+        "doc_id",
+        F.expr(f"CAST((start - 1) DIV {stride} AS BIGINT)").alias("chunk_idx"),
+        F.array_join(toks, " ").alias("chunk_text"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    ).orderBy("doc_id", "chunk_idx")
