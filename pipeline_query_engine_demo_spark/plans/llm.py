@@ -1273,3 +1273,70 @@ def chunk_documents_for_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(toks, " ").alias("chunk_text"),
         F.size(toks).cast("bigint").alias("n_tokens"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+@query(
+    "pack_sequences_for_training",
+    category="llm-text",
+    oracle="""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        s AS (SELECT doc_id, toks,
+                     unnest(generate_series(1, greatest(len(toks), 1), 48)) AS start
+              FROM t),
+        chunks AS (
+            SELECT doc_id,
+                   CAST((start - 1) // 48 AS BIGINT) AS chunk_idx,
+                   CAST(len(toks[start:start + 63]) AS BIGINT) AS n_tokens
+            FROM s),
+        cum AS (
+            SELECT doc_id, chunk_idx, n_tokens,
+                   SUM(n_tokens) OVER (
+                       PARTITION BY doc_id ORDER BY chunk_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_tokens AS tokens_before
+            FROM chunks)
+        SELECT doc_id, chunk_idx,
+               CAST(tokens_before // 512 AS BIGINT) AS pack_id,
+               n_tokens,
+               CAST(tokens_before % 512 AS BIGINT) AS pack_offset
+        FROM cum ORDER BY doc_id, chunk_idx
+    """,
+)
+def pack_sequences_for_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign each training chunk to a fixed-capacity
+    context window (512 tokens) by cutting the in-order token stream at
+    capacity boundaries — the standard concat-then-cut packing that
+    keeps padding waste near zero. pack_id/pack_offset derive from an
+    exclusive running token count (one window over the chunk order per
+    document), so packing is deterministic under any partitioning and
+    costs one shuffle on the group key — no driver-side loop, no UDF.
+    Composes directly with chunk_documents_for_training's output."""
+    from pyspark.sql import Window
+
+    chunk_tokens, stride, capacity = 64, 48, 512
+    docs = load_table(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id",
+        "text",
+        F.explode(text.chunk_starts("text", stride)).alias("start"),
+    )
+    chunks = exploded.select(
+        "doc_id",
+        F.expr(f"CAST((start - 1) DIV {stride} AS BIGINT)").alias("chunk_idx"),
+        F.size(text.chunk_slice("text", F.col("start"), chunk_tokens))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = chunks.withColumn("tokens_before", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return cum.select(
+        "doc_id",
+        "chunk_idx",
+        F.expr(f"CAST(tokens_before DIV {capacity} AS BIGINT)").alias("pack_id"),
+        "n_tokens",
+        (F.col("tokens_before") % capacity).cast("bigint").alias("pack_offset"),
+    ).orderBy("doc_id", "chunk_idx")
