@@ -1340,3 +1340,298 @@ def pack_sequences_for_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         (F.col("tokens_before") % capacity).cast("bigint").alias("pack_offset"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+@query(
+    "dedup_representatives_docs",
+    category="llm-dedup",
+    oracle=_CLUSTERS_SQL
+    + """ ,
+        sized AS (
+            SELECT l.cluster_id, l.doc_id,
+                   len(string_split(d.text, ' ')) AS n_tokens
+            FROM labels l JOIN documents d ON d.doc_id = l.doc_id)
+        SELECT cluster_id,
+               doc_id AS rep_doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+        FROM sized
+        QUALIFY row_number() OVER (
+            PARTITION BY cluster_id ORDER BY n_tokens DESC, doc_id) = 1
+        ORDER BY cluster_id
+    """,
+)
+def dedup_representatives_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative selection — the step after near-dup
+    clustering that decides WHICH copy survives: keep each cluster's
+    longest document (tie-break min doc_id), not the arbitrary min-id
+    member, because near-dup clusters usually contain truncated/mangled
+    variants of one canonical page. One window per cluster over rows
+    carrying (cluster_id, doc_id, n_tokens) — the text itself never
+    re-shuffles; at 100 TB the exchange is ~24 bytes/doc."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup.dedup_clusters(docs, "doc_id", "text", threshold=0.6)
+    sized = clusters.join(
+        docs.select("doc_id", text.token_count("text").alias("n_tokens")),
+        clusters["id"] == docs["doc_id"],
+    ).select("cluster_id", "doc_id", "n_tokens")
+    w = Window.partitionBy("cluster_id")
+    ranked = sized.withColumn(
+        "rn",
+        F.row_number().over(w.orderBy(F.col("n_tokens").desc(), F.col("doc_id"))),
+    ).withColumn("cluster_size", F.count("*").over(w))
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+@query(
+    "unigram_surprisal_scores",
+    category="llm-text",
+    oracle="""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                     FROM documents),
+        vocab AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vocab),
+        probs AS (
+            SELECT tok,
+                   CAST(round(-ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+                        AS DECIMAL(20, 9)) AS s
+            FROM vocab, tot)
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               round(CAST(SUM(p.s) AS DOUBLE) / COUNT(*), 6) AS avg_surprisal
+        FROM tok t JOIN probs p ON p.tok = t.tok
+        GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+)
+def unigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring — the cheapest perplexity proxy: train
+    token probabilities on the corpus itself (one groupBy), then score
+    each document by mean token surprisal -ln(p). High scores flag
+    gibberish/rare-token soup; low scores flag boilerplate. Scale shape:
+    the model is vocab-sized, not corpus-sized, so it broadcasts and
+    scoring is map-side; the only corpus-wide shuffles are the vocab
+    count and the per-doc mean. Determinism: each surprisal is rounded
+    to 9 places and summed as DECIMAL so the per-doc sum is
+    order-independent, then the mean rounds to 6 (same recipe as the
+    cosine family)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(text.tokens("text")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    probs = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(-F.log(F.col("c").cast("double") / F.col("n").cast("double")), 9)
+        .cast("decimal(20,9)")
+        .alias("s"),
+    )
+    return (
+        toks.join(F.broadcast(probs), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(F.sum("s").cast("double") / F.count("*"), 6).alias(
+                "avg_surprisal"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "global_shuffle_positions",
+    category="llm-sampling",
+    oracle="""
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                   ORDER BY md5(doc_id::VARCHAR || '|shuffle-v1'), doc_id
+               ) AS BIGINT) AS shuffle_pos
+        FROM documents ORDER BY shuffle_pos
+    """,
+)
+def global_shuffle_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every document gets
+    a dense position in md5-of-key order, reproducible across runs and
+    repartitioning (no RNG, no zipWithIndex). Scale shape: a single
+    global row_number would funnel 100 TB of rows through one reducer,
+    so rank two-phase instead — rows rank within their 256 hash-prefix
+    buckets in parallel, and bucket offsets come from a 256-row
+    cumulative count that broadcasts. Because the bucket is a prefix of
+    the sort key, bucket-then-within order IS the global md5 order."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|shuffle-v1")))
+    hashed = docs.select("doc_id", h.alias("h"), F.substring(h, 1, 2).alias("bucket"))
+    w_in = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    within = hashed.withColumn("rn", F.row_number().over(w_in))
+    counts = hashed.groupBy("bucket").agg(F.count("*").alias("n"))
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bucket", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("offset")
+    )
+    return (
+        within.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            (F.col("offset") + F.col("rn")).cast("bigint").alias("shuffle_pos"),
+        )
+        .orderBy("shuffle_pos")
+    )
+
+
+#: Target mixture for mixture_sample_by_weights: source → md5-hex keep
+#: threshold ('g' sorts above every hex digit = keep all; '80' ≈ 50%,
+#: '40' ≈ 25%; unlisted sources fall through to '20' ≈ 12.5%).
+MIXTURE_THRESHOLDS = {"src0": "g", "src1": "80", "src2": "40"}
+_MIXTURE_DEFAULT = "20"
+
+
+@query(
+    "mixture_sample_by_weights",
+    category="llm-sampling",
+    oracle=f"""
+        SELECT source, doc_id,
+               md5(doc_id::VARCHAR || '|mix-v1') AS mix_key
+        FROM documents
+        WHERE mix_key < CASE source
+            {' '.join(f"WHEN '{s}' THEN '{t}'" for s, t in MIXTURE_THRESHOLDS.items())}
+            ELSE '{_MIXTURE_DEFAULT}' END
+        ORDER BY doc_id
+    """,
+)
+def mixture_sample_by_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted mixture sampling — the knob that turns a raw
+    crawl into a training mixture (upweight curated sources, downsample
+    the long tail). The keep decision compares the row's md5 key against
+    a per-source hex threshold, so it is a pure map-side filter that
+    rides the scan: reproducible under repartitioning, no shuffle, no
+    seed coordination, and re-weighting is a literal change, not a
+    re-shuffle. Deterministic analog of weighted TABLESAMPLE."""
+    docs = load_table(spark, sf_dir, "documents")
+    thr = F.lit(_MIXTURE_DEFAULT)
+    for s, t in reversed(MIXTURE_THRESHOLDS.items()):
+        thr = F.when(F.col("source") == s, F.lit(t)).otherwise(thr)
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|mix-v1")))
+    return (
+        docs.withColumn("mix_key", key)
+        .filter(F.col("mix_key") < thr)
+        .select("source", "doc_id", "mix_key")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "markup_strip_docs",
+    category="llm-text",
+    oracle="""
+        WITH html AS (
+            SELECT doc_id,
+                   '<p id="d">' || regexp_replace(text, ' the ', ' &amp; the ', 'g')
+                   || '</p><br/>' AS html
+            FROM documents),
+        clean AS (
+            SELECT doc_id, html,
+                   trim(regexp_replace(regexp_replace(
+                       regexp_replace(html, '<[^>]+>', '', 'g'),
+                       '&amp;', '&', 'g'), ' +', ' ', 'g')) AS clean_text
+            FROM html)
+        SELECT doc_id,
+               CAST(len(html) AS BIGINT) AS html_chars,
+               CAST(len(clean_text) AS BIGINT) AS clean_chars,
+               md5(clean_text) AS clean_hash
+        FROM clean ORDER BY doc_id
+    """,
+)
+def markup_strip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup stripping — the HTML→text cleaning stage of a crawl
+    pipeline: drop tags, decode entities, collapse whitespace. The
+    fixture corpus is plain text, so the query plants deterministic
+    markup (tag wrapper + &amp; entities) and then strips it, proving
+    the strip inverts the wrap; the pipeline shape (pure regexp
+    expressions, zero UDFs, rides the scan) is exactly what runs on a
+    real crawl. Output keeps lengths + a hash, not the body, so the
+    result stays narrow."""
+    html = F.concat(
+        F.lit('<p id="d">'),
+        F.regexp_replace("text", " the ", " &amp; the "),
+        F.lit("</p><br/>"),
+    )
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(html, "<[^>]+>", ""), "&amp;", "&"
+            ),
+            " +",
+            " ",
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.length(html).cast("bigint").alias("html_chars"),
+            F.length(clean).cast("bigint").alias("clean_chars"),
+            F.md5(clean).alias("clean_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "length_bucketed_batches",
+    category="llm-sampling",
+    oracle="""
+        WITH sized AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(string_split(text, ' ')) // 16 AS BIGINT)
+                       AS length_bucket
+            FROM documents),
+        ranked AS (
+            SELECT doc_id, n_tokens, length_bucket,
+                   row_number() OVER (
+                       PARTITION BY length_bucket ORDER BY doc_id) AS rn
+            FROM sized)
+        SELECT length_bucket, doc_id, n_tokens,
+               CAST((rn - 1) // 8 AS BIGINT) AS batch_in_bucket
+        FROM ranked ORDER BY length_bucket, doc_id
+    """,
+)
+def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assignment — group similar-length documents
+    into fixed-size batches (8 docs) so padding waste inside a training
+    batch stays small. Documents shuffle once on their length bucket
+    (n_tokens DIV 16) and rank deterministically by doc_id; batch id is
+    the rank cut every 8 rows. Hot buckets at 100 TB compose with the
+    same two-phase rank used by global_shuffle_positions."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = text.token_count("text").cast("bigint")
+    sized = docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (n / 16).cast("bigint").alias("length_bucket"),
+    )
+    w = Window.partitionBy("length_bucket").orderBy("doc_id")
+    return (
+        sized.withColumn("rn", F.row_number().over(w))
+        .select(
+            "length_bucket",
+            "doc_id",
+            "n_tokens",
+            ((F.col("rn") - 1) / 8).cast("bigint").alias("batch_in_bucket"),
+        )
+        .orderBy("length_bucket", "doc_id")
+    )

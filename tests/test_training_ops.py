@@ -1,0 +1,108 @@
+"""Training-data-shaping operators: global shuffle permutation
+properties, cluster-representative selection on a planted cluster,
+batch assignment invariants, mixture sampling rates."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from pipeline_query_engine_demo_spark.plans import llm
+
+
+def test_global_shuffle_is_dense_permutation(spark, sf_dir):
+    """Two-phase bucketed rank must produce exactly 1..N with no
+    duplicates or gaps — i.e. the same thing a single global
+    row_number would."""
+    out = llm.global_shuffle_positions(spark, sf_dir)
+    rows = out.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("shuffle_pos").alias("d"),
+        F.min("shuffle_pos").alias("lo"),
+        F.max("shuffle_pos").alias("hi"),
+    ).collect()[0]
+    assert rows.lo == 1 and rows.hi == rows.n == rows.d
+
+
+def test_representative_is_longest_in_cluster(spark):
+    """Planted 3-doc near-dup cluster: the representative must be the
+    longest member, not the min-id one."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra tail words here"),  # longest near-dup
+            (3, base),
+            (9, "completely different content with no overlap at all xx yy zz qq"),
+        ],
+        "doc_id long, text string",
+    )
+    from pipeline_query_engine_demo_spark.operators import dedup
+
+    clusters = dedup.dedup_clusters(docs, "doc_id", "text", threshold=0.6)
+    sized = clusters.join(
+        docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens")),
+        clusters["id"] == docs["doc_id"],
+    ).select("cluster_id", "doc_id", "n_tokens")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id")
+    rep = (
+        sized.withColumn(
+            "rn",
+            F.row_number().over(
+                w.orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", "doc_id")
+        .collect()
+    )
+    by_cluster = {r.cluster_id: r.doc_id for r in rep}
+    assert by_cluster[1] == 2  # longest member wins, not min-id
+    assert by_cluster[9] == 9  # singleton is its own representative
+
+
+def test_length_buckets_batch_invariants(spark, sf_dir):
+    out = llm.length_bucketed_batches(spark, sf_dir)
+    # every batch holds <= 8 docs, and bucket matches token count
+    sizes = out.groupBy("length_bucket", "batch_in_bucket").count()
+    assert sizes.filter(F.col("count") > 8).count() == 0
+    bad = out.filter(
+        (F.col("n_tokens") / 16).cast("bigint") != F.col("length_bucket")
+    )
+    assert bad.count() == 0
+
+
+def test_mixture_sampling_tracks_thresholds(spark, sf_dir):
+    """Per-source keep rates should track the configured hex
+    thresholds: src0 keeps everything; unlisted sources keep ~12.5%
+    and strictly less than src0."""
+    docs_n = (
+        llm.load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    total = {r.source: r["count"] for r in docs_n}
+    kept = {
+        r.source: r["count"]
+        for r in llm.mixture_sample_by_weights(spark, sf_dir)
+        .groupBy("source")
+        .count()
+        .collect()
+    }
+    assert kept.get("src0", 0) == total["src0"]  # threshold 'g' keeps all
+    tail = [s for s in total if s not in llm.MIXTURE_THRESHOLDS]
+    tail_rate = sum(kept.get(s, 0) for s in tail) / sum(total[s] for s in tail)
+    assert 0.02 < tail_rate < 0.30  # ~1/8 nominal
+
+
+def test_pack_offsets_within_capacity(spark, sf_dir):
+    out = llm.pack_sequences_for_training(spark, sf_dir)
+    assert out.filter(
+        (F.col("pack_offset") < 0) | (F.col("pack_offset") >= 512)
+    ).count() == 0
+    # chunk token counts are bounded by the chunk size
+    assert out.filter(
+        (F.col("n_tokens") < 1) | (F.col("n_tokens") > 64)
+    ).count() == 0
