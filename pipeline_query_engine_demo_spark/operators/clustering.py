@@ -1,0 +1,123 @@
+"""Distributed Lloyd's k-means over embedding columns — the training
+step that produces the IVF centroids ``operators.similarity.ivf_topk``
+consumes (round-2 scope note said "KMeans training slots in"; this
+module makes the engine own it end-to-end).
+
+Everything is expressed on long-format (id, dim, val) rows so the two
+per-iteration steps are plain relational ops:
+
+- **assign**: cosine against each of the k centroids = a broadcast join
+  on ``dim`` (the centroid table is k x dim rows — model-sized, never
+  corpus-sized) + a sum per (id, cell), then an argmax window per id.
+- **update**: new centroid = per-(cell, dim) mean of member values —
+  one groupBy.
+
+Scale shape: per iteration the corpus shuffles twice (dot-product agg,
+mean agg) and the centroid table broadcasts; nothing corpus-sized ever
+sits on the driver. The iteration count is a fixed small constant, so
+the whole train is one lazy DAG; a production run at 100 TB would
+``localCheckpoint`` the exploded corpus once and each centroid table
+per round to cut lineage, exactly like ``dedup.connected_components``.
+
+Cross-engine determinism (the DuckDB oracle mirrors every step): all
+dot products and means accumulate ``round(x, 9)`` terms as
+DECIMAL(28,12), so sums are exact and order-independent regardless of
+partitioning; means round to 6 before feeding the next iteration, so
+both engines iterate from bit-identical centroids.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+#: Exact accumulator type: scale 12 holds round(x, 9) terms exactly;
+#: precision 28 leaves 16 integer digits of headroom for corpus sums.
+_DEC = "decimal(28,12)"
+
+
+def explode_dims(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, dim, val) long form of an array<float> column, 1-based dim
+    (matches DuckDB array subscripts), values widened to double."""
+    return df.select(id_col, F.posexplode(vec_col).alias("_d0", "_vf")).select(
+        id_col,
+        (F.col("_d0") + 1).alias("dim"),
+        F.col("_vf").cast("double").alias("val"),
+    )
+
+
+def _sq_norms(df: DataFrame, key: str, val: str) -> DataFrame:
+    return df.groupBy(key).agg(
+        F.sum(F.round(F.col(val) * F.col(val), 9).cast(_DEC))
+        .cast("double")
+        .alias("_n2")
+    )
+
+
+def assign_cells(e: DataFrame, id_col: str, cent: DataFrame) -> DataFrame:
+    """Nearest centroid by cosine for every id in the long-format corpus
+    ``e`` against the long-format centroid table ``cent`` (cell, dim, c).
+    Ties break lowest-cell-first, mirrored by the oracle."""
+    nv = _sq_norms(e, id_col, "val").withColumnRenamed("_n2", "nv")
+    nc = _sq_norms(cent, "cell", "c").withColumnRenamed("_n2", "nc")
+    dots = (
+        e.join(F.broadcast(cent), "dim")
+        .groupBy(id_col, "cell")
+        .agg(
+            F.sum(F.round(F.col("val") * F.col("c"), 9).cast(_DEC))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    scored = (
+        dots.join(nv, id_col)
+        .join(F.broadcast(nc), "cell")
+        .withColumn("cos", F.col("dot") / F.sqrt(F.col("nv") * F.col("nc")))
+    )
+    # argmax as max_by over struct(cos, -cell): highest cosine, ties to
+    # the lowest cell — same result as a rank-1 window but partial-agg
+    # combinable (no per-id sort, map-side combine at 100 TB).
+    return scored.groupBy(id_col).agg(
+        F.max_by(
+            "cell", F.struct(F.col("cos"), (-F.col("cell")).alias("_nc"))
+        ).alias("cell")
+    )
+
+
+def update_centroids(e: DataFrame, assign: DataFrame, id_col: str) -> DataFrame:
+    """Per-(cell, dim) member mean, rounded to 6 so the next iteration's
+    centroids are identical across engines. Empty cells drop out (inner
+    join semantics on both sides)."""
+    return (
+        e.join(assign, id_col)
+        .groupBy("cell", "dim")
+        .agg(
+            F.round(
+                F.sum(F.round("val", 9).cast(_DEC)).cast("double") / F.count("*"), 6
+            ).alias("c")
+        )
+    )
+
+
+def kmeans_train(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    init_centroids: DataFrame,
+    iterations: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Run ``iterations`` rounds of Lloyd's from the long-format
+    ``init_centroids`` (cell, dim, c). Returns (final centroids long
+    table, final assignment (id, cell)) — the assignment is the one the
+    final centroids were computed from."""
+    # The exploded corpus feeds 2 aggregations per iteration plus the
+    # norm table; the centroid/assignment tables feed the next round
+    # twice each. Lazy localCheckpoints cut the re-scan of the parquet
+    # + explode lineage (same pattern as dedup's banded bucket table).
+    e = explode_dims(corpus, id_col, vec_col).localCheckpoint(eager=False)
+    cent = init_centroids
+    assign = None
+    for _ in range(iterations):
+        assign = assign_cells(e, id_col, cent).localCheckpoint(eager=False)
+        cent = update_centroids(e, assign, id_col).localCheckpoint(eager=False)
+    return cent, assign

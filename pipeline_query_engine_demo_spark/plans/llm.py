@@ -1635,3 +1635,100 @@ def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("length_bucket", "doc_id")
     )
+
+
+_KMEANS_K, _KMEANS_ITERS = 4, 2
+
+_KMEANS_ITER_SQL = """
+        d{i} AS (
+            SELECT e.vec_id, c.cell,
+                   CAST(SUM(CAST(round(e.val * c.c, 9) AS DECIMAL(28,12)))
+                        AS DOUBLE) AS dot
+            FROM e JOIN c{p} c ON c.dim = e.dim
+            GROUP BY e.vec_id, c.cell),
+        nc{i} AS (
+            SELECT cell,
+                   CAST(SUM(CAST(round(c * c, 9) AS DECIMAL(28,12)))
+                        AS DOUBLE) AS nc
+            FROM c{p} GROUP BY cell),
+        a{i} AS (
+            SELECT d.vec_id, d.cell
+            FROM d{i} d JOIN nv ON nv.vec_id = d.vec_id
+                        JOIN nc{i} nc ON nc.cell = d.cell
+            QUALIFY row_number() OVER (
+                PARTITION BY d.vec_id
+                ORDER BY d.dot / sqrt(nv.nv * nc.nc) DESC, d.cell) = 1),
+        c{i} AS (
+            SELECT a.cell, e.dim,
+                   round(CAST(SUM(CAST(round(e.val, 9) AS DECIMAL(28,12)))
+                              AS DOUBLE) / COUNT(*), 6) AS c
+            FROM e JOIN a{i} a ON a.vec_id = e.vec_id
+            GROUP BY a.cell, e.dim)"""
+
+
+@query(
+    "kmeans_train_embeddings",
+    category="llm-similarity",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, t.d AS dim, embedding[t.d]::DOUBLE AS val
+            FROM embeddings, unnest(generate_series(1, 64)) AS t(d)),
+        c0 AS (
+            SELECT g.cell, t.d AS dim,
+                   CASE WHEN t.d = g.cell + 1 THEN 1.0 ELSE 0.0 END AS c
+            FROM unnest(generate_series(0, 3)) AS g(cell),
+                 unnest(generate_series(1, 64)) AS t(d)),
+        nv AS (
+            SELECT vec_id,
+                   CAST(SUM(CAST(round(val * val, 9) AS DECIMAL(28,12)))
+                        AS DOUBLE) AS nv
+            FROM e GROUP BY vec_id),
+    """
+    + _KMEANS_ITER_SQL.format(i=1, p=0)
+    + ","
+    + _KMEANS_ITER_SQL.format(i=2, p=1)
+    + """ ,
+        n2 AS (SELECT cell, COUNT(*) AS n FROM a2 GROUP BY cell)
+        SELECT CAST(m.cell AS BIGINT) AS cell,
+               CAST(m.dim AS BIGINT) AS dim,
+               m.c AS centroid,
+               CAST(n2.n AS BIGINT) AS n_members
+        FROM c2 m JOIN n2 ON n2.cell = m.cell
+        ORDER BY cell, dim
+    """,
+)
+def kmeans_train_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means training (operators.clustering.kmeans_train):
+    2 Lloyd's iterations, k=4, seeded from the same one-hot centroids
+    IVF serves from — so the engine now owns the IVF index's *training*
+    step, not just assignment and probe. Per iteration the corpus
+    shuffles twice (dot-product agg, mean agg) and the k x dim centroid
+    table broadcasts; nothing corpus-sized reaches the driver. The
+    oracle replays both iterations as chained CTEs from the same
+    DECIMAL-exact accumulators, so every centroid matches to the digit.
+    Output is long-format (cell, dim) — array-free by driver contract."""
+    from pipeline_query_engine_demo_spark.operators import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    init = spark.createDataFrame(
+        [
+            (cell, dim, 1.0 if dim == cell + 1 else 0.0)
+            for cell in range(_KMEANS_K)
+            for dim in range(1, _IVF_DIM + 1)
+        ],
+        "cell long, dim long, c double",
+    )
+    cent, assign = clustering.kmeans_train(
+        emb, "vec_id", "embedding", init, iterations=_KMEANS_ITERS
+    )
+    n = assign.groupBy("cell").agg(F.count("*").alias("n"))
+    return (
+        cent.join(n, "cell")
+        .select(
+            F.col("cell").cast("bigint").alias("cell"),
+            F.col("dim").cast("bigint").alias("dim"),
+            F.col("c").alias("centroid"),
+            F.col("n").cast("bigint").alias("n_members"),
+        )
+        .orderBy("cell", "dim")
+    )

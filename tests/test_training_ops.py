@@ -106,3 +106,42 @@ def test_pack_offsets_within_capacity(spark, sf_dir):
     assert out.filter(
         (F.col("n_tokens") < 1) | (F.col("n_tokens") > 64)
     ).count() == 0
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """Three tight planted clusters around axis directions: two Lloyd's
+    iterations from one-hot init must assign each group to one cell and
+    pull the centroid to the group mean."""
+    import itertools
+
+    from pipeline_query_engine_demo_spark.operators import clustering
+
+    def vec(hot, bump):
+        v = [0.05] * 8
+        v[hot] = 1.0 + bump
+        return v
+
+    rows = [
+        (i * 10 + j, vec(i, 0.01 * j))
+        for i, j in itertools.product(range(3), range(4))
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    init = spark.createDataFrame(
+        [
+            (cell, dim, 1.0 if dim == cell + 1 else 0.0)
+            for cell in range(3)
+            for dim in range(1, 9)
+        ],
+        "cell long, dim long, c double",
+    )
+    cent, assign = clustering.kmeans_train(df, "vec_id", "embedding", init, 2)
+    got = {r.vec_id: r.cell for r in assign.collect()}
+    for i, j in itertools.product(range(3), range(4)):
+        assert got[i * 10 + j] == i
+    hot = {
+        (r.cell, r.dim): r.c for r in cent.collect()
+    }
+    for cell in range(3):
+        # hot dimension mean ≈ 1.015, background dims stay at 0.05
+        assert abs(hot[(cell, cell + 1)] - 1.015) < 0.01
+        assert abs(hot[(cell, (cell + 1) % 8 + 1)] - 0.05) < 1e-6
