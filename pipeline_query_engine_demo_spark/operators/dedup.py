@@ -439,3 +439,91 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def incremental_dedup(
+    existing: DataFrame,
+    incoming: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = DEFAULT_SHINGLE_N,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Dedup an incoming batch against an existing corpus WITHOUT
+    re-clustering the corpus — the production shape of dedup at 100 TB,
+    where the corpus's content hashes and LSH band buckets live as a
+    materialized index and each ingest batch joins against it.
+
+    Tags every incoming id with a status:
+
+    - ``exact_dup``  — byte-identical text already in the corpus
+      (sha2 semi-join; 32-byte keys shuffle, never text);
+    - ``near_dup``   — shares an LSH band bucket with an existing doc
+      AND verifies at Jaccard >= ``threshold`` (verification restricted
+      to candidates, per jaccard_pairs' scale contract);
+    - ``new``        — neither. Exact wins when both apply.
+
+    Cost is O(|batch|) plus joins against index-shaped tables: the
+    existing side contributes its hash set and its (id, band_id,
+    band_hash) bucket table — both tens of bytes per doc and in
+    production precomputed once, not rebuilt per batch (here they are
+    derived inline because the fixture has no index sink). The
+    ``max_bucket_size`` valve applies to the existing-side buckets —
+    a viral boilerplate bucket must not cross-join against every
+    incoming batch. Ids of the two sides must be disjoint."""
+    ex_hashes = existing.select(F.sha2(F.col(text_col), 256).alias("_h")).distinct()
+    inc_hashed = incoming.select(
+        F.col(id_col), F.sha2(F.col(text_col), 256).alias("_h")
+    )
+    exact_ids = inc_hashed.join(ex_hashes, on="_h", how="left_semi").select(id_col)
+
+    inc_buckets = lsh_band_buckets(
+        minhash_signatures(incoming, id_col, text_col, num_hashes, shingle_n),
+        id_col, num_hashes, bands,
+    )
+    ex_buckets = lsh_band_buckets(
+        minhash_signatures(existing, id_col, text_col, num_hashes, shingle_n),
+        id_col, num_hashes, bands,
+    )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        wcnt = F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_hash"))
+        ex_buckets = (
+            ex_buckets.withColumn("_n", wcnt)
+            .filter(F.col("_n") <= max_bucket_size)
+            .drop("_n")
+        )
+    pairs = (
+        inc_buckets.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
+        .join(
+            ex_buckets.select(F.col(id_col).alias("id_b"), "band_id", "band_hash"),
+            on=["band_id", "band_hash"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    union_corpus = existing.select(id_col, text_col).unionByName(
+        incoming.select(id_col, text_col)
+    )
+    near_ids = (
+        jaccard_pairs(union_corpus, pairs, id_col, text_col, shingle_n)
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return (
+        incoming.select(id_col)
+        .join(exact_ids.withColumn("_e", F.lit(1)), on=id_col, how="left")
+        .join(near_ids.withColumn("_nn", F.lit(1)), on=id_col, how="left")
+        .select(
+            id_col,
+            F.when(F.col("_e") == 1, "exact_dup")
+            .when(F.col("_nn") == 1, "near_dup")
+            .otherwise("new")
+            .alias("status"),
+        )
+    )

@@ -1732,3 +1732,83 @@ def kmeans_train_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell", "dim")
     )
+
+
+def _side_buckets_sql(p: str, where: str) -> str:
+    """units→sigs→buckets CTE chain for one side of the incremental
+    dedup (same constants as the corpus-wide _UNITS/_SIGS/_BUCKETS
+    CTEs, parameterized on a documents filter)."""
+    units = _shingle_units_sql(source=f"(SELECT * FROM documents WHERE {where})")
+    sigs = ", ".join(
+        f"min(md5(tok || '#{i}')) AS mh{i}" for i in range(_NUM_HASHES)
+    )
+    buckets = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, md5(concat_ws('|', {cols})) AS band_hash "
+        "FROM {p}_sigs".format(
+            b=b,
+            p=p,
+            cols=", ".join(
+                f"mh{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)
+            ),
+        )
+        for b in range(_BANDS)
+    )
+    return (
+        f"{p}_units AS ({units}), "
+        f"{p}_sigs AS (SELECT doc_id, {sigs} FROM {p}_units GROUP BY doc_id), "
+        f"{p}_buckets AS ({buckets})"
+    )
+
+
+@query(
+    "incremental_dedup_docs",
+    category="llm-dedup",
+    oracle=f"""
+        WITH inc AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+        ex AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+        exact AS (SELECT DISTINCT i.doc_id FROM inc i JOIN ex e ON e.text = i.text),
+        {_side_buckets_sql("i", "doc_id % 5 = 0")},
+        {_side_buckets_sql("e", "doc_id % 5 <> 0")},
+        cand AS (
+            SELECT DISTINCT ib.doc_id AS id_i, eb.doc_id AS id_e
+            FROM i_buckets ib JOIN e_buckets eb
+              ON ib.band_id = eb.band_id AND ib.band_hash = eb.band_hash),
+        sz_i AS (SELECT doc_id, COUNT(*) AS n FROM i_units GROUP BY doc_id),
+        sz_e AS (SELECT doc_id, COUNT(*) AS n FROM e_units GROUP BY doc_id),
+        inter AS (
+            SELECT c.id_i, c.id_e, COUNT(*) AS n_common
+            FROM cand c
+            JOIN i_units ui ON ui.doc_id = c.id_i
+            JOIN e_units ue ON ue.doc_id = c.id_e AND ue.tok = ui.tok
+            GROUP BY c.id_i, c.id_e),
+        near AS (
+            SELECT DISTINCT t.id_i AS doc_id
+            FROM inter t
+            JOIN sz_i si ON si.doc_id = t.id_i
+            JOIN sz_e se ON se.doc_id = t.id_e
+            WHERE t.n_common / (si.n + se.n - t.n_common) >= 0.6)
+        SELECT i.doc_id,
+               CASE WHEN x.doc_id IS NOT NULL THEN 'exact_dup'
+                    WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+                    ELSE 'new' END AS status
+        FROM inc i
+        LEFT JOIN exact x ON x.doc_id = i.doc_id
+        LEFT JOIN near nr ON nr.doc_id = i.doc_id
+        ORDER BY i.doc_id
+    """,
+)
+def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) dedup — the production dedup shape
+    (operators.dedup.incremental_dedup): an ingest batch (doc_id % 5 ==
+    0 plays the role) checks against the existing corpus's content-hash
+    set and LSH band-bucket index without any corpus re-clustering.
+    Every incoming doc gets exact_dup / near_dup / new. At 100 TB the
+    existing side's two index tables are precomputed sinks; here they
+    derive inline from the fixture."""
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 5 == 0)
+    existing = docs.filter(F.col("doc_id") % 5 != 0)
+    return (
+        dedup.incremental_dedup(existing, incoming, "doc_id", "text", threshold=0.6)
+        .orderBy("doc_id")
+    )

@@ -147,3 +147,28 @@ def test_simhash_shape_and_clone_equality(spark, docs):
     out = {r.doc_id: r.simhash for r in dedup.simhash(docs, "doc_id", "text", bits=16).collect()}
     assert all(len(s) == 16 and set(s) <= {"0", "1"} for s in out.values())
     assert out[0] == out[1]  # identical docs → identical signature
+
+
+def test_incremental_dedup_statuses(spark):
+    """Planted batch: one byte-identical copy, one near-dup (small
+    edit), one genuinely new doc; exact wins over near."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    existing = spark.createDataFrame(
+        [(1, base), (2, "totally unrelated corpus text about other things x y")],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, base),                      # exact copy of 1
+            (11, base + " nu"),              # near-dup of 1
+            (12, "brand new content nothing shared with anything qq ww ee rr"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.status
+        for r in dedup.incremental_dedup(
+            existing, incoming, "doc_id", "text", threshold=0.6
+        ).collect()
+    }
+    assert got == {10: "exact_dup", 11: "near_dup", 12: "new"}
