@@ -1812,3 +1812,125 @@ def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.incremental_dedup(existing, incoming, "doc_id", "text", threshold=0.6)
         .orderBy("doc_id")
     )
+
+
+@query(
+    "source_overlap_matrix",
+    category="llm-dedup",
+    oracle=f"""
+        WITH sh AS (
+            SELECT DISTINCT source, tok AS sh
+            FROM ({_shingle_units_sql()})
+                 u JOIN documents d USING (doc_id)),
+        sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+        pairs AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   COUNT(*) AS n_common
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+            GROUP BY a.source, b.source)
+        SELECT p.source_a, p.source_b,
+               CAST(p.n_common AS BIGINT) AS n_common,
+               CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common) AS jaccard
+        FROM pairs p
+        JOIN sizes sa ON sa.source = p.source_a
+        JOIN sizes sb ON sb.source = p.source_b
+        ORDER BY source_a, source_b
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: shingle-set Jaccard between
+    every pair of sources — the corpus-curation view that tells you two
+    crawls are mirroring each other before you double-count them in the
+    mixture. Scale shape: the join is keyed on the shingle, and each
+    shingle contributes at most n_sources^2 pair rows (sources are
+    enumerable, unlike documents), aggregated map-side — so the output
+    is n_sources^2 rows no matter the corpus size; no per-document pair
+    ever materializes."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "source", F.explode(text.shingles("text", dedup.DEFAULT_SHINGLE_N)).alias("sh")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        sh.select(F.col("source").alias("source_a"), "sh")
+        .join(sh.select(F.col("source").alias("source_b"), "sh"), "sh")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.withColumnsRenamed({"source": "source_a", "n": "n_a"})),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnsRenamed({"source": "source_b", "n": "n_b"})),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+_VOCAB_SIZE = 16
+
+
+@query(
+    "vocab_induction_oov",
+    category="llm-text",
+    oracle=f"""
+        WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                     FROM documents),
+        freq AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+        vocab AS (
+            SELECT tok FROM freq
+            QUALIFY row_number() OVER (ORDER BY c DESC, tok) <= {_VOCAB_SIZE})
+        SELECT t.source,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(count_if(v.tok IS NULL) AS BIGINT) AS n_oov,
+               CAST(count_if(v.tok IS NULL) AS DOUBLE) / COUNT(*) AS oov_rate
+        FROM tok t LEFT JOIN vocab v ON v.tok = t.tok
+        GROUP BY t.source ORDER BY t.source
+    """,
+)
+def vocab_induction_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-cutoff vocabulary induction + per-source OOV rate —
+    the first step of tokenizer training and the coverage check that
+    follows it. The vocab (top `_VOCAB_SIZE` tokens, count-desc with
+    deterministic tie-break) ranks over the FREQUENCY table, which is
+    vocab-sized, not corpus-sized — the only corpus-wide work is the
+    count groupBy and the broadcast-vocab membership join, both
+    map-side combinable."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(text.tokens("text")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col("tok"))
+    vocab = (
+        freq.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _VOCAB_SIZE)
+        .select("tok", F.lit(1).alias("_in_vocab"))
+    )
+    oov_count = F.count(F.when(F.col("_in_vocab").isNull(), F.lit(1)))
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            oov_count.cast("bigint").alias("n_oov"),
+            (oov_count.cast("double") / F.count(F.lit(1))).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
