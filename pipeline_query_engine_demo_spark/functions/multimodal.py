@@ -137,3 +137,56 @@ def fake_decode_features(df: DataFrame, id_col: str, payload_col: str, kind_col:
         extract,
         schema=f"{id_col} {id_type}, kind string, n_bytes bigint, feat array<double>",
     )
+
+
+def fake_resize(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    kind_col: str,
+    box: int = 256,
+) -> DataFrame:
+    """Deterministic stand-in for image/video resize via mapInPandas:
+    aspect-preserving fit into a ``box`` x ``box`` target. Source
+    dimensions derive from the payload length (no codecs in this
+    container — a real decoder reads them from the header; the geometry
+    math, batch contract, and map-side-only distribution are the real
+    thing). The "resized payload" is replaced by a checksum of its
+    deterministic description so outputs stay narrow and hashable.
+
+    All arithmetic is single IEEE double ops on exact integers
+    (division, min, multiply, floor) — bit-reproducible in SQL."""
+    import math
+
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            n = pdf[payload_col].map(len).astype("int64")
+            w0 = 640 + (n % 97)
+            h0 = 360 + (n % 53)
+            rows = []
+            for wi, hi in zip(w0, h0):
+                scale = min(box / wi, box / hi)
+                rows.append((int(math.floor(wi * scale)), int(math.floor(hi * scale))))
+            out = pd.DataFrame(rows, columns=["width_out", "height_out"])
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "kind": pdf[kind_col],
+                    "width_in": w0,
+                    "height_in": h0,
+                    "width_out": out["width_out"].astype("int64"),
+                    "height_out": out["height_out"].astype("int64"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col), F.col(kind_col)).mapInPandas(
+        resize,
+        schema=(
+            f"{id_col} {id_type}, kind string, width_in bigint, height_in bigint,"
+            " width_out bigint, height_out bigint"
+        ),
+    )

@@ -1934,3 +1934,63 @@ def vocab_induction_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "multimodal_resize",
+    category="llm-multimodal",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n,
+                   640 + octet_length(encode(text)) % 97 AS w0,
+                   360 + octet_length(encode(text)) % 53 AS h0
+            FROM documents),
+        s AS (SELECT doc_id, w0, h0,
+                     least(256.0 / w0, 256.0 / h0) AS scale
+              FROM m)
+        SELECT doc_id,
+               'text' AS kind,
+               CAST(w0 AS BIGINT) AS width_in,
+               CAST(h0 AS BIGINT) AS height_in,
+               CAST(floor(w0 * scale) AS BIGINT) AS width_out,
+               CAST(floor(h0 * scale) AS BIGINT) AS height_out,
+               md5('text:' || CAST(CAST(floor(w0 * scale) AS BIGINT) AS VARCHAR)
+                   || 'x' || CAST(CAST(floor(h0 * scale) AS BIGINT) AS VARCHAR))
+                   AS resized_checksum
+        FROM s ORDER BY doc_id
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize plumbing over binary payloads
+    (functions.multimodal.fake_resize): mapInPandas batches compute the
+    fit of header-derived source dimensions into a 256x256 box — the
+    decode is the documented deterministic stand-in (no codecs in this
+    container), the geometry math, Arrow batch contract, and map-side
+    distribution are real. The resized payload is represented by a
+    checksum of its deterministic description so the output stays
+    narrow; the oracle replays the same integer-exact IEEE ops."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("text").alias("kind"),
+    )
+    resized = multimodal.fake_resize(payloads, "doc_id", "payload", "kind")
+    return resized.select(
+        "doc_id",
+        "kind",
+        "width_in",
+        "height_in",
+        "width_out",
+        "height_out",
+        F.md5(
+            F.concat(
+                F.col("kind"),
+                F.lit(":"),
+                F.col("width_out").cast("string"),
+                F.lit("x"),
+                F.col("height_out").cast("string"),
+            )
+        ).alias("resized_checksum"),
+    ).orderBy("doc_id")

@@ -59,3 +59,20 @@ def test_decode_media_is_documented_stub(spark):
 
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(None, "payload", "image")
+
+
+def test_fake_resize_fits_box_preserving_aspect(spark):
+    from pipeline_query_engine_demo_spark.functions import multimodal
+
+    df = spark.createDataFrame(
+        [(1, b"x" * 10, "image"), (2, b"y" * 400, "video")],
+        "doc_id long, payload binary, kind string",
+    )
+    rows = {r.doc_id: r for r in multimodal.fake_resize(df, "doc_id", "payload", "kind").collect()}
+    for r in rows.values():
+        # fits in the box, and at least one side touches it (floor slack <= 1px)
+        assert r.width_out <= 256 and r.height_out <= 256
+        assert max(r.width_out, r.height_out) >= 255
+        # aspect preserved within floor rounding
+        assert abs(r.width_out / r.height_out - r.width_in / r.height_in) < 0.02
+    assert rows[1].kind == "image" and rows[2].kind == "video"

@@ -44,6 +44,13 @@ QUERIES = [
     "near_dup_pairs_docs",
     "cosine_topk_embeddings",
     "text_stats_docs",
+    # round-3 training-data operators
+    "kmeans_train_embeddings",
+    "incremental_dedup_docs",
+    "global_shuffle_positions",
+    "unigram_surprisal_scores",
+    "source_overlap_matrix",
+    "length_bucketed_batches",
 ]
 
 
