@@ -1448,6 +1448,31 @@ def unigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shuffle_positions(df: DataFrame, id_col: str, salt: str) -> DataFrame:
+    """Dense global position in md5-of-key order via two-phase rank:
+    rows rank within their 256 hash-prefix buckets in parallel, and
+    bucket offsets come from a 256-row cumulative count that
+    broadcasts. Because the bucket is a prefix of the sort key,
+    bucket-then-within order IS the global md5 order — no
+    single-reducer row_number anywhere. Adds ``shuffle_pos``."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    hashed = df.withColumn("h", h).withColumn("bucket", F.substring("h", 1, 2))
+    w_in = Window.partitionBy("bucket").orderBy("h", id_col)
+    within = hashed.withColumn("rn", F.row_number().over(w_in))
+    counts = hashed.groupBy("bucket").agg(F.count("*").alias("n"))
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bucket", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("offset")
+    )
+    return (
+        within.join(F.broadcast(offsets), "bucket")
+        .withColumn("shuffle_pos", (F.col("offset") + F.col("rn")).cast("bigint"))
+        .drop("h", "bucket", "rn", "offset")
+    )
+
+
 @query(
     "global_shuffle_positions",
     category="llm-sampling",
@@ -1462,32 +1487,12 @@ def unigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def global_shuffle_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global training-order shuffle: every document gets
     a dense position in md5-of-key order, reproducible across runs and
-    repartitioning (no RNG, no zipWithIndex). Scale shape: a single
-    global row_number would funnel 100 TB of rows through one reducer,
-    so rank two-phase instead — rows rank within their 256 hash-prefix
-    buckets in parallel, and bucket offsets come from a 256-row
-    cumulative count that broadcasts. Because the bucket is a prefix of
-    the sort key, bucket-then-within order IS the global md5 order."""
-    from pyspark.sql import Window
-
+    repartitioning (no RNG, no zipWithIndex); see _shuffle_positions
+    for the two-phase rank that avoids a single-reducer row_number."""
     docs = load_table(spark, sf_dir, "documents")
-    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|shuffle-v1")))
-    hashed = docs.select("doc_id", h.alias("h"), F.substring(h, 1, 2).alias("bucket"))
-    w_in = Window.partitionBy("bucket").orderBy("h", "doc_id")
-    within = hashed.withColumn("rn", F.row_number().over(w_in))
-    counts = hashed.groupBy("bucket").agg(F.count("*").alias("n"))
-    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "bucket", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("offset")
-    )
-    return (
-        within.join(F.broadcast(offsets), "bucket")
-        .select(
-            "doc_id",
-            (F.col("offset") + F.col("rn")).cast("bigint").alias("shuffle_pos"),
-        )
-        .orderBy("shuffle_pos")
-    )
+    return _shuffle_positions(
+        docs.select("doc_id"), "doc_id", "|shuffle-v1"
+    ).select("doc_id", "shuffle_pos").orderBy("shuffle_pos")
 
 
 #: Target mixture for mixture_sample_by_weights: source → md5-hex keep
@@ -1994,3 +1999,103 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("resized_checksum"),
     ).orderBy("doc_id")
+
+
+@query(
+    "dynamic_length_filter",
+    category="llm-text",
+    oracle="""
+        WITH sized AS (
+            SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents),
+        thr AS (
+            SELECT CAST(quantile_disc(n_tokens, 0.25) AS BIGINT) AS p25
+            FROM sized)
+        SELECT s.doc_id, s.source, s.n_tokens, t.p25
+        FROM sized s, thr t
+        WHERE s.n_tokens >= t.p25
+        ORDER BY s.doc_id
+    """,
+)
+def dynamic_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative quality filtering: drop the shortest quartile,
+    where the threshold is COMPUTED FROM the corpus (discrete p25 over
+    an integer domain — exact and engine-agnostic, unlike interpolated
+    percentiles of doubles), not hard-coded. The threshold is a 1-row
+    aggregate broadcast onto the scan, so the filter stays map-side;
+    at 100 TB this is one extra corpus aggregation, not a sort. The
+    integer-domain discrete percentile matches DuckDB's quantile_disc
+    exactly (same recipe as approx_percentile_quantities)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "source", text.token_count("text").cast("bigint").alias("n_tokens")
+    )
+    thr = sized.agg(
+        F.expr("approx_percentile(n_tokens, 0.25, 1000000)")
+        .cast("bigint")
+        .alias("p25")
+    )
+    return (
+        sized.crossJoin(F.broadcast(thr))
+        .filter(F.col("n_tokens") >= F.col("p25"))
+        .select("doc_id", "source", "n_tokens", "p25")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "training_manifest_pipeline",
+    category="llm-dedup",
+    oracle=_CLUSTERS_SQL
+    + f""" ,
+        kept AS (
+            SELECT d.doc_id, d.source,
+                   CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents d
+            JOIN labels l ON l.doc_id = d.doc_id AND l.doc_id = l.cluster_id
+            WHERE len(string_split(d.text, ' ')) >= 20),
+        mixed AS (
+            SELECT * FROM kept
+            WHERE md5(doc_id::VARCHAR || '|mix-v1') < CASE source
+                {' '.join(f"WHEN '{s}' THEN '{t}'" for s, t in MIXTURE_THRESHOLDS.items())}
+                ELSE '{_MIXTURE_DEFAULT}' END)
+        SELECT doc_id, source, n_tokens,
+               CAST(row_number() OVER (
+                   ORDER BY md5(doc_id::VARCHAR || '|shuffle-v1'), doc_id
+               ) AS BIGINT) AS shuffle_pos
+        FROM mixed ORDER BY shuffle_pos
+    """,
+)
+def training_manifest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation chain in ONE lazy plan — what actually runs
+    before a training job reads its manifest: near-dup clustering →
+    keep each cluster's representative → drop the sub-20-token tail →
+    source-weighted mixture sampling (map-side md5 threshold) →
+    deterministic global shuffle order (two-phase rank). Every stage is
+    the scale-shaped variant already proven green on its own; the
+    composition shows they chain without materialization barriers —
+    Catalyst plans the whole manifest as one DAG."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup.dedup_clusters(docs, "doc_id", "text", threshold=0.6)
+    reps = clusters.filter(F.col("id") == F.col("cluster_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    kept = (
+        docs.join(reps, "doc_id")
+        .filter(text.token_count("text") >= 20)
+        .select(
+            "doc_id", "source", text.token_count("text").cast("bigint").alias("n_tokens")
+        )
+    )
+    thr = F.lit(_MIXTURE_DEFAULT)
+    for s, t in reversed(MIXTURE_THRESHOLDS.items()):
+        thr = F.when(F.col("source") == s, F.lit(t)).otherwise(thr)
+    mixed = kept.filter(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|mix-v1"))) < thr
+    )
+    return (
+        _shuffle_positions(mixed, "doc_id", "|shuffle-v1")
+        .select("doc_id", "source", "n_tokens", "shuffle_pos")
+        .orderBy("shuffle_pos")
+    )
