@@ -2099,3 +2099,131 @@ def training_manifest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_tokens", "shuffle_pos")
         .orderBy("shuffle_pos")
     )
+
+
+@query(
+    "event_sessions_gaps_islands",
+    category="relational-window",
+    oracle="""
+        WITH o AS (
+            SELECT user_id, event_id, ts, value,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+            FROM events),
+        s AS (SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                             THEN 1 ELSE 0 END AS is_new
+              FROM o),
+        n AS (SELECT *, SUM(is_new) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ) AS session_seq
+              FROM s)
+        SELECT user_id,
+               CAST(session_seq AS BIGINT) AS session_seq,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM n GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq
+    """,
+)
+def event_sessions_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization — the window-function encoding of
+    sessions (new session when >30 min elapses since the user's previous
+    event), complementary to the built-in session_window aggregation:
+    one lag + one running sum over the same (user, time) window, then a
+    per-session rollup. Both windows share one partitioning, so the
+    whole query is a single shuffle on user_id. Gap math in integer
+    microseconds (unix_micros / epoch_us — identical after the
+    catalog's ns→µs truncation); value sums accumulate as DECIMAL so
+    partitioning can't reorder float addition."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = ev.withColumn("session_seq", F.sum(is_new).over(wc))
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_seq").cast("bigint").alias("session_seq"),
+            "n_events",
+            "session_start",
+            "session_end",
+            "total_value",
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+@query(
+    "funnel_conversion_steps",
+    category="relational-window",
+    oracle="""
+        WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, MIN(e.ts) AS t2
+              FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+              WHERE e.event_type = 'click' GROUP BY e.user_id),
+        p AS (SELECT e.user_id, MIN(e.ts) AS t3
+              FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+              WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        SELECT step, n_users FROM (
+            SELECT 1 AS ord, 'view' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+            UNION ALL
+            SELECT 2, 'view>click', CAST(COUNT(*) AS BIGINT) FROM c
+            UNION ALL
+            SELECT 3, 'view>click>purchase', CAST(COUNT(*) AS BIGINT) FROM p
+        ) ORDER BY ord
+    """,
+)
+def funnel_conversion_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: users who viewed, then clicked AFTER
+    their first view, then purchased AFTER that click — the strictly
+    ordered-sequence semantics (not mere event-type membership). Three
+    per-user min-aggregations chained by range-predicated joins, all
+    hash-partitioned on user_id so AQE plans one exchange reused down
+    the chain; the 3-row result is the classic conversion report."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def step(df: DataFrame, ord_: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(ord_).alias("ord"),
+            F.lit(name).alias("step"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        )
+
+    return (
+        step(v, 1, "view")
+        .unionByName(step(c, 2, "view>click"))
+        .unionByName(step(p, 3, "view>click>purchase"))
+        .orderBy("ord")
+        .select("step", "n_users")
+    )
