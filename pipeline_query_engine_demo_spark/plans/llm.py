@@ -2227,3 +2227,33 @@ def funnel_conversion_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ord")
         .select("step", "n_users")
     )
+
+
+@query(
+    "variant_functions",
+    category="relational-scalar",
+    oracle="""
+        SELECT event_id,
+               CAST(props::JSON ->> '$.k' AS BIGINT) AS k,
+               CAST(NULL AS VARCHAR) AS missing_str,
+               replace(props, ' ', '') AS json_compact
+        FROM events ORDER BY event_id
+    """,
+)
+def variant_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface: parse_json → semi-structured binary
+    VARIANT, path access via variant_get (shreds at the scan on
+    VARIANT-aware readers — the point of the type at 100 TB is
+    predicate/path pushdown without a declared schema),
+    try_variant_get's NULL-on-missing behavior, and to_json
+    round-tripping. The oracle reads the same paths with DuckDB's JSON
+    operators (compact form compared via whitespace-stripped source —
+    the fixture's props format is fixed)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing_str"),
+        F.to_json(v).alias("json_compact"),
+    ).orderBy("event_id")
