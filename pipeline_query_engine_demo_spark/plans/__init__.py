@@ -10,6 +10,7 @@ from pipeline_query_engine_demo_spark.plans import (  # noqa: F401  (registratio
     relational,
     sinks,
     streams,
+    tpch,
     udfs,
     windows,
 )
