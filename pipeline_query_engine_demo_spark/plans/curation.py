@@ -1,0 +1,281 @@
+"""Training-corpus curation operators, round 3 additions.
+
+Beyond the reference's operator surface (its entire executor is
+``src/executor/mod.rs``), a 100 TB training-data pipeline needs
+corpus-hygiene passes. This module adds the ones not yet covered by
+plans/llm.py: span-level exact dedup (the C4/"one copy of every
+3-sentence span" shape, adapted to fixed 10-word spans since fixture
+docs are single-line), a smoothed bigram language-model scorer (the
+classic perplexity quality filter), a blocklist/badword ratio filter,
+and a deterministic per-source quota cap.
+
+All four are pure JVM DataFrame ops (split/transform/slice/windows) —
+no Python in the hot path — and follow the registry determinism
+contract (ordered aggregation via sorted structs, ln terms rounded to
+9 decimals before DECIMAL accumulation; see plans.registry and
+unigram_surprisal_scores in plans/llm.py for the proven float rules).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pipeline_query_engine_demo_spark.plans.registry import query
+from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+#: Span width (in whitespace tokens) for span-level exact dedup.
+SPAN_WORDS = 10
+
+#: Demo blocklist over the fixture vocabulary. In production this is a
+#: broadcast list of a few thousand terms — same plan shape.
+BLOCKLIST = ("slow", "big")
+
+
+@query(
+    "span_dedup_docs",
+    category="llm-dedup",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        spans AS (
+            SELECT doc_id, s.g AS span_idx,
+                   array_to_string(w[(s.g*{SPAN_WORDS}+1):(s.g*{SPAN_WORDS}+{SPAN_WORDS})], ' ') AS span
+            FROM words,
+                 LATERAL (SELECT unnest(generate_series(
+                     0, CAST(ceil(len(w) / {SPAN_WORDS}.0) AS BIGINT) - 1)) AS g) s
+        ),
+        ranked AS (
+            SELECT doc_id, span_idx, span,
+                   row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+            FROM spans
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_spans,
+               COUNT(*) FILTER (WHERE rn = 1) AS n_kept,
+               COALESCE(string_agg(span, ' ' ORDER BY span_idx) FILTER (WHERE rn = 1), '')
+                 AS cleaned_text
+        FROM ranked
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+)
+def span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup (C4-style): the corpus keeps exactly ONE
+    occurrence of every {SPAN_WORDS}-word span — the lexicographically
+    first (doc_id, span_idx) wins — and each document is reassembled
+    from its surviving spans.
+
+    Scale shape: docs explode into ~tokens/{SPAN_WORDS} span rows (10×
+    smaller than a token explode); the only wide ops are one window
+    shuffle hashed on the span text (global first-occurrence) and one
+    groupBy doc_id (reassembly). No all-pairs comparison anywhere; a
+    degenerate viral span lands in one partition but costs O(copies),
+    not O(copies²).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    n_spans = F.ceil(F.size(words) / F.lit(float(SPAN_WORDS))).cast("bigint")
+    spans = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0).cast("bigint"), n_spans - 1),
+                    lambda i: F.array_join(
+                        F.slice(words, (i * SPAN_WORDS + 1).cast("int"), SPAN_WORDS), " "
+                    ),
+                )
+            ).alias("span_idx", "span"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("span").orderBy("doc_id", "span_idx")
+    )
+    ranked = spans.withColumn("rn", rn)
+    kept_struct = F.when(F.col("rn") == 1, F.struct("span_idx", "span"))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count(F.when(F.col("rn") == 1, F.lit(1))).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda x: x["span"]
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "bigram_lm_perplexity",
+    category="llm-text",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        big AS (
+            SELECT doc_id, w[s.g] || ' ' || w[s.g+1] AS bigram, w[s.g] AS w1
+            FROM words,
+                 LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS g) s
+            WHERE len(w) >= 2
+        ),
+        c2 AS (SELECT bigram, COUNT(*) AS cnt2 FROM big GROUP BY bigram),
+        c1 AS (SELECT w1, COUNT(*) AS cnt1 FROM big GROUP BY w1),
+        v AS (SELECT COUNT(DISTINCT word) AS vocab
+              FROM (SELECT unnest(w) AS word FROM words)),
+        terms AS (
+            SELECT b.doc_id,
+                   round(-ln((c2.cnt2 + 0.5) / (c1.cnt1 + 0.5 * v.vocab)), 9) AS term
+            FROM big b JOIN c2 USING (bigram) JOIN c1 USING (w1), v
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_bigrams,
+               round(CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+                 AS avg_nll
+        FROM terms
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+)
+def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score: train add-0.5-smoothed
+    bigram conditionals C(w1,w2)/C(w1·) on the corpus itself, then score
+    each document by its average negative log-probability (low = fluent
+    under corpus statistics, high = anomalous — the classic KenLM-style
+    perplexity filter, here with the LM trained in the same engine).
+
+    Scale shape: one bigram explode feeds both count tables (partial
+    aggs shuffle counts, not text); the scorer is two equi-joins on
+    bigram/context plus a 1-row vocab broadcast. Float determinism:
+    each -ln(p) term is rounded to 9 decimals, accumulated as
+    DECIMAL(28,12), divided after a cast — the order-independent float
+    sum recipe proven by unigram_surprisal_scores (plans/llm.py).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    tokens = docs.select("doc_id", words.alias("w"))
+    big = (
+        tokens.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - 2),
+                    lambda i: F.struct(
+                        F.concat_ws(" ", F.col("w")[i], F.col("w")[i + 1]).alias("bigram"),
+                        F.col("w")[i].alias("w1"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.bigram", "b.w1")
+    )
+    c2 = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt2"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("cnt1"))
+    vocab = (
+        tokens.select(F.explode("w").alias("word"))
+        .agg(F.countDistinct("word").alias("vocab"))
+    )
+    p = (F.col("cnt2") + F.lit(0.5)) / (F.col("cnt1") + F.lit(0.5) * F.col("vocab"))
+    terms = (
+        big.join(c2, "bigram")
+        .join(c1, "w1")
+        .join(F.broadcast(vocab))
+        .select("doc_id", F.round(-F.log(p), 9).alias("term"))
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("term").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "blocklist_filter_docs",
+    category="llm-text",
+    oracle=f"""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_filter(string_split(text, ' '),
+                   x -> list_contains({list(BLOCKLIST)!r}, x))) AS hits,
+               CAST(len(list_filter(string_split(text, ' '),
+                   x -> list_contains({list(BLOCKLIST)!r}, x))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS bad_ratio,
+               CAST(len(list_filter(string_split(text, ' '),
+                   x -> list_contains({list(BLOCKLIST)!r}, x))) AS DOUBLE)
+                 / len(string_split(text, ' ')) <= 0.08 AS keep
+        FROM documents
+        ORDER BY doc_id
+    """,
+)
+def blocklist_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist/badword-ratio filter: per-document hit count and ratio
+    against a term blocklist, with a keep flag at ratio <= 0.08. Pure
+    map-side higher-order-function expression (split -> filter ->
+    size) — zero shuffles, scales exactly with the scan; a production
+    blocklist of thousands of terms broadcasts as an array literal or
+    a broadcast join on token."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    block = F.array(*[F.lit(w) for w in BLOCKLIST])
+    hits = F.size(F.filter(words, lambda x: F.array_contains(block, x)))
+    ratio = hits.cast("double") / F.size(words)
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_tokens"),
+        hits.alias("hits"),
+        ratio.alias("bad_ratio"),
+        (ratio <= 0.08).alias("keep"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "per_source_quota_sample",
+    category="llm-sampling",
+    oracle="""
+        SELECT doc_id, source, rn AS quota_rank
+        FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM documents
+        )
+        WHERE rn <= 5
+        ORDER BY source, quota_rank, doc_id
+    """,
+)
+def per_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap: keep at most 5 documents per source,
+    chosen by md5(doc_id) order — a deterministic, repartition-proof
+    "uniform" pick (same property as deterministic_sample_docs) that
+    caps over-represented sources in a training mixture.
+
+    Scale shape: one window shuffle hashed on source. If one source
+    dominates the corpus, swap the exact window for the two-phase
+    per-partition top-k used by operators/similarity._topk_per_query —
+    semantics identical because md5 order is global, not positional."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    return (
+        docs.withColumn("quota_rank", rn)
+        .filter(F.col("quota_rank") <= 5)
+        .select("doc_id", "source", "quota_rank")
+        .orderBy("source", "quota_rank", "doc_id")
+    )

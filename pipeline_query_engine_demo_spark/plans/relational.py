@@ -1717,3 +1717,140 @@ def unpivot_lineitem_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("orderkey", "linenumber", "charge")
     )
+
+
+# --------------------------------------------------------------------------
+# SQL-surface depth: recursive CTE, LATERAL, null-safe equality
+# --------------------------------------------------------------------------
+
+
+@query(
+    "recursive_cte_hierarchy",
+    category="sql-surface",
+    oracle="""
+        WITH RECURSIVE tree(nationkey, depth, path) AS (
+            SELECT n_nationkey, 0, CAST(n_nationkey AS VARCHAR)
+            FROM nation WHERE n_nationkey = 0
+            UNION ALL
+            SELECT c.n_nationkey, t.depth + 1,
+                   t.path || '>' || CAST(c.n_nationkey AS VARCHAR)
+            FROM nation c JOIN tree t
+              ON CAST(floor((c.n_nationkey - 1) / 5.0) AS BIGINT) = t.nationkey
+            WHERE c.n_nationkey > 0
+        )
+        SELECT nationkey, depth, path FROM tree ORDER BY nationkey
+    """,
+)
+def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): walk a synthetic
+    5-ary nation hierarchy (parent(k) = floor((k-1)/5)) from the root,
+    emitting depth and the root-to-node path. Each iteration is one
+    equi-join of the frontier against the (broadcastable) edge table —
+    the same fixed-point loop pattern as operators/dedup
+    connected-components, but expressed declaratively and terminated
+    by the engine."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("rc_nation")
+    return spark.sql(
+        """
+        WITH RECURSIVE tree(nationkey, depth, path) AS (
+            SELECT n_nationkey, 0, CAST(n_nationkey AS STRING)
+            FROM rc_nation WHERE n_nationkey = 0
+            UNION ALL
+            SELECT c.n_nationkey, t.depth + 1,
+                   t.path || '>' || CAST(c.n_nationkey AS STRING)
+            FROM rc_nation c JOIN tree t
+              ON CAST(floor((c.n_nationkey - 1) / 5.0) AS BIGINT) = t.nationkey
+            WHERE c.n_nationkey > 0
+        )
+        SELECT nationkey, depth, path FROM tree ORDER BY nationkey
+        """
+    )
+
+
+@query(
+    "lateral_topk_per_group",
+    category="sql-surface",
+    oracle="""
+        SELECT n.n_name AS nation, l.custkey, l.acctbal
+        FROM nation n,
+             LATERAL (
+                 SELECT c_custkey AS custkey, c_acctbal AS acctbal
+                 FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey
+                 LIMIT 2
+             ) l
+        ORDER BY nation, acctbal DESC, custkey
+    """,
+)
+def lateral_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: top-2 customers by account balance
+    for every nation, written as the SQL-standard lateral form. Catalyst
+    decorrelates the ORDER BY/LIMIT subquery into a partitioned window
+    top-k — same physical plan as window_topk_per_group, proving the
+    lateral surface lowers to the scale-safe shape rather than a
+    per-row re-execution."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("lat_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, l.custkey, l.acctbal
+        FROM lat_nation n,
+             LATERAL (
+                 SELECT c_custkey AS custkey, c_acctbal AS acctbal
+                 FROM lat_customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey
+                 LIMIT 2
+             ) l
+        ORDER BY nation, acctbal DESC, custkey
+        """
+    )
+
+
+@query(
+    "join_null_safe",
+    category="join",
+    oracle="""
+        WITH a AS (
+            SELECT NULLIF(o_orderpriority, '4-NOT SPECIFIED') AS prio,
+                   COUNT(*) AS cnt_early
+            FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY prio
+        ),
+        b AS (
+            SELECT NULLIF(o_orderpriority, '4-NOT SPECIFIED') AS prio,
+                   COUNT(*) AS cnt_late
+            FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY prio
+        )
+        SELECT a.prio AS prio, a.cnt_early, b.cnt_late
+        FROM a JOIN b ON a.prio IS NOT DISTINCT FROM b.prio
+        ORDER BY prio NULLS FIRST
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): the
+    unspecified priority is mapped to NULL on both sides, and the
+    null-safe join must still pair the NULL groups (a plain equi-join
+    would drop them). Spark hashes null-safe keys like ordinary keys —
+    still a one-shuffle (here broadcast) hash join, not a nested
+    loop."""
+    orders = load_table(spark, sf_dir, "orders")
+    prio = F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED"))
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    a = (
+        orders.filter(F.col("o_orderdate") < cutoff)
+        .groupBy(prio.alias("prio"))
+        .agg(F.count(F.lit(1)).alias("cnt_early"))
+    )
+    b = (
+        orders.filter(F.col("o_orderdate") >= cutoff)
+        .groupBy(prio.alias("prio"))
+        .agg(F.count(F.lit(1)).alias("cnt_late"))
+    )
+    return (
+        a.join(b, a["prio"].eqNullSafe(b["prio"]))
+        .select(a["prio"].alias("prio"), "cnt_early", "cnt_late")
+        .orderBy(F.col("prio").asc_nulls_first())
+    )
