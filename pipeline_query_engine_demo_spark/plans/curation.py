@@ -279,3 +279,35 @@ def per_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "quota_rank")
         .orderBy("source", "quota_rank", "doc_id")
     )
+
+
+@query(
+    "train_val_test_split",
+    category="llm-sampling",
+    oracle="""
+        SELECT doc_id, source,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|split-v1'), 1, 2) < 'cc'
+                        THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|split-v1'), 1, 2) < 'e6'
+                        THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+        ORDER BY doc_id
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test assignment by hashing the
+    document id with a salted version tag — stable under repartitioning,
+    re-runs, and corpus growth (a doc never changes split when other
+    docs arrive), which is the property cross-contamination audits
+    need. Pure map-side expression; zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    bucket = F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|split-v1"))), 1, 2)
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.when(bucket < "cc", "train").when(bucket < "e6", "val").otherwise("test").alias("split"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1854,3 +1854,135 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(a["prio"].alias("prio"), "cnt_early", "cnt_late")
         .orderBy(F.col("prio").asc_nulls_first())
     )
+
+
+@query(
+    "array_higher_order2",
+    category="scalar-array",
+    oracle="""
+        WITH arrs AS (
+            SELECT l_orderkey AS orderkey,
+                   list_sort(list(CAST(l_quantity AS BIGINT))) AS a
+            FROM lineitem WHERE l_orderkey <= 200
+            GROUP BY l_orderkey
+        )
+        SELECT orderkey,
+               array_to_string(a, ',') AS qty_arr,
+               len(list_filter(a, x -> x > 40)) > 0 AS any_gt40,
+               len(list_filter(a, x -> NOT (x > 0))) = 0 AS all_gt0,
+               CAST(list_sum(a) AS BIGINT) AS total,
+               array_to_string(
+                   list_transform(generate_series(1, len(a)),
+                                  i -> a[i] + a[len(a) + 1 - i]), ',') AS zipped
+        FROM arrs
+        ORDER BY orderkey
+    """,
+)
+def array_higher_order2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions round 2: exists, forall, aggregate
+    (fold), and zip_with against a reversed copy — all JVM lambda
+    expressions inside whole-stage codegen, no UDFs. Array outputs are
+    serialized to strings (driver-hasher contract)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    arrs = (
+        lineitem.filter(F.col("l_orderkey") <= 200)
+        .groupBy(F.col("l_orderkey").alias("orderkey"))
+        .agg(F.array_sort(F.collect_list(F.col("l_quantity").cast("bigint"))).alias("a"))
+    )
+    a = F.col("a")
+    return (
+        arrs.select(
+            "orderkey",
+            F.array_join(a, ",").alias("qty_arr"),
+            F.exists(a, lambda x: x > 40).alias("any_gt40"),
+            F.forall(a, lambda x: x > 0).alias("all_gt0"),
+            F.aggregate(a, F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("total"),
+            F.array_join(
+                F.zip_with(a, F.reverse(a), lambda x, y: x + y), ","
+            ).alias("zipped"),
+        )
+        .orderBy("orderkey")
+    )
+
+
+@query(
+    "regex_functions",
+    category="scalar-string",
+    oracle="""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[aeiou][a-z]+')) AS n_vowel_words,
+               NULLIF(regexp_extract(text, 't[a-z]+'), '') AS first_t_word,
+               COALESCE(array_to_string(regexp_extract_all(text, '(key|value)', 1), '|'), '')
+                 AS kv_hits,
+               regexp_matches(text, 'agg') AS has_agg
+        FROM documents
+        ORDER BY doc_id
+    """,
+)
+def regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar surface: regexp_count, regexp_substr (first match),
+    regexp_extract_all (serialized), regexp_like. Patterns are kept in
+    the RE2-compatible subset so Java and DuckDB dialects agree. All
+    JVM-side expressions — the PII scrubber (plans/llm.py) is the
+    production-shaped big sibling."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.regexp_count(F.col("text"), F.lit("[aeiou][a-z]+")).alias("n_vowel_words"),
+            F.regexp_substr(F.col("text"), F.lit("t[a-z]+")).alias("first_t_word"),
+            F.array_join(
+                F.regexp_extract_all(F.col("text"), F.lit("(key|value)"), 1), "|"
+            ).alias("kv_hits"),
+            F.col("text").rlike("agg").alias("has_agg"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "url_functions",
+    category="scalar-string",
+    oracle="""
+        WITH u AS (
+            SELECT doc_id,
+                   'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+                     || '?lang=' || lang || '&v=1' AS url
+            FROM documents
+        )
+        SELECT doc_id, url,
+               regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+               regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+               regexp_extract(url, '[?&]lang=([^&]*)', 1) AS qlang,
+               regexp_extract(url, '^([a-z]+)://', 1) AS proto
+        FROM u
+        ORDER BY doc_id
+    """,
+)
+def url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition (host/path/query-param/protocol) via Spark's
+    parse_url — the curation primitive behind domain-level filtering and
+    per-site quotas in web-corpus pipelines. The oracle reproduces each
+    component with anchored regexes since DuckDB has no parse_url."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&v=1"),
+    )
+    return (
+        docs.select("doc_id", url.alias("url"))
+        .select(
+            "doc_id",
+            "url",
+            F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+            F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+            F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("lang")).alias("qlang"),
+            F.parse_url(F.col("url"), F.lit("PROTOCOL")).alias("proto"),
+        )
+        .orderBy("doc_id")
+    )

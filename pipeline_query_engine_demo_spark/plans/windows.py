@@ -457,3 +457,113 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "n")
         .orderBy("window_start")
     )
+
+
+@query(
+    "window_rank_extras",
+    category="window",
+    oracle="""
+        SELECT l_suppkey AS suppkey, l_orderkey AS orderkey,
+               l_linenumber AS linenumber, l_quantity AS qty,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd,
+               nth_value(l_quantity, 3) OVER (
+                   PARTITION BY l_suppkey
+                   ORDER BY l_quantity, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS qty_3rd
+        FROM lineitem
+        WHERE l_suppkey <= 5
+        WINDOW w AS (PARTITION BY l_suppkey
+                     ORDER BY l_quantity, l_orderkey, l_linenumber)
+        ORDER BY suppkey, qty, orderkey, linenumber
+    """,
+)
+def window_rank_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ranking surface: percent_rank, cume_dist, and
+    nth_value over an explicit full frame. The (qty, orderkey,
+    linenumber) ordering is a total order, so rank-derived fractions are
+    identical in both engines (pure rational arithmetic on rank/count)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        lineitem.filter(F.col("l_suppkey") <= 5)
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").alias("linenumber"),
+            F.col("l_quantity").alias("qty"),
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+            F.nth_value("l_quantity", 3).over(wf).alias("qty_3rd"),
+        )
+        .orderBy("suppkey", "qty", "orderkey", "linenumber")
+    )
+
+
+@query(
+    "timeseries_gap_fill",
+    category="time-window",
+    oracle="""
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS hour,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hour_value
+            FROM events GROUP BY user_id, hour
+        ),
+        span AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1
+                 FROM hourly GROUP BY user_id),
+        spine AS (
+            SELECT user_id, g.hour
+            FROM span,
+                 LATERAL (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour) g
+        ),
+        j AS (
+            SELECT s.user_id, s.hour, h.hour_value
+            FROM spine s LEFT JOIN hourly h
+              ON h.user_id = s.user_id AND h.hour = s.hour
+        )
+        SELECT user_id, hour,
+               last_value(hour_value IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+               hour_value IS NULL AS was_gap
+        FROM j
+        ORDER BY user_id, hour
+    """,
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: hourly per-user totals on a dense
+    hour spine (min..max per user) with forward-fill for missing hours —
+    the standard resample-and-ffill before feature extraction.
+
+    Scale shape: the spine comes from a per-user sequence explode (rows
+    = user-hours, generated, not shuffled), the left join hashes on
+    (user_id, hour), and the forward fill is one window shuffle on
+    user_id. Gap-heavy users amplify only their own partition; the fill
+    itself is last(ignorenulls), no self-join."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("hour_value"))
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+        )
+    )
+    joined = spine.join(hourly, ["user_id", "hour"], "left")
+    fill = Window.partitionBy("user_id").orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        joined.select(
+            "user_id",
+            "hour",
+            F.last("hour_value", ignorenulls=True).over(fill).alias("filled_value"),
+            F.col("hour_value").isNull().alias("was_gap"),
+        )
+        .orderBy("user_id", "hour")
+    )
