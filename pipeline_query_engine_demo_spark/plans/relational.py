@@ -1986,3 +1986,45 @@ def url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "map_higher_order",
+    category="scalar-map",
+    oracle="""
+        SELECT l_orderkey AS orderkey,
+               CAST(l_quantity AS BIGINT) + 1 AS q_plus1,
+               'Q|Q2' AS upper_keys,
+               CAST(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END
+                    + CASE WHEN l_quantity * 2 > 25 THEN 1 ELSE 0 END AS INT) AS n_big,
+               CAST(l_quantity AS BIGINT) + 10 AS q_zipped
+        FROM lineitem
+        WHERE l_linenumber = 1 AND l_orderkey <= 100
+        ORDER BY orderkey
+    """,
+)
+def map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions: transform_values, transform_keys,
+    map_filter, map_zip_with — all JVM lambda expressions. The oracle
+    derives each expected value from the scalar inputs directly (DuckDB
+    has no map lambdas), so any drift in Spark's map semantics fails
+    the hash."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("bigint")
+    m = F.create_map(F.lit("q"), qty, F.lit("q2"), qty * 2)
+    m2 = F.create_map(F.lit("q"), F.lit(10).cast("bigint"), F.lit("q2"), F.lit(20).cast("bigint"))
+    return (
+        lineitem.filter((F.col("l_linenumber") == 1) & (F.col("l_orderkey") <= 100))
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.element_at(F.transform_values(m, lambda k, v: v + 1), "q").alias("q_plus1"),
+            F.array_join(
+                F.array_sort(F.map_keys(F.transform_keys(m, lambda k, v: F.upper(k)))), "|"
+            ).alias("upper_keys"),
+            F.size(F.map_filter(m, lambda k, v: v > 25)).alias("n_big"),
+            F.element_at(
+                F.map_zip_with(m, m2, lambda k, v1, v2: v1 + v2), "q"
+            ).alias("q_zipped"),
+        )
+        .orderBy("orderkey")
+    )

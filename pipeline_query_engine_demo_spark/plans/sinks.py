@@ -384,3 +384,81 @@ def approx_percentile_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("returnflag")
     )
+
+
+@query(
+    "binary_file_source",
+    category="source",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('nation', TRUE, '50415231', '50415231'),
+            ('region', TRUE, '50415231', '50415231'))
+            AS t(table_name, has_bytes, magic_hex, footer_hex)
+        ORDER BY table_name
+    """,
+)
+def binary_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` source: whole files as (path, length, content)
+    rows — the ingestion primitive for multimodal corpora (images/audio
+    arrive as opaque blobs + metadata; see functions/multimodal.py for
+    the downstream decode plumbing). Emits each file's name, a
+    non-empty flag, and the leading/trailing 4-byte magic — both must
+    be 'PAR1' (hex 50415231) for every valid Parquet file, which is
+    what the static oracle pins. The blob itself never shuffles; all
+    derived columns are map-side."""
+    dim_files = [os.path.join(sf_dir, f) for f in ("region.parquet", "nation.parquet")]
+    df = spark.read.format("binaryFile").load(dim_files)
+    return df.select(
+        F.regexp_extract(F.col("path"), r"([a-z]+)\.parquet$", 1).alias("table_name"),
+        (F.col("length") > 0).alias("has_bytes"),
+        F.hex(F.expr("substring(content, 1, 4)")).alias("magic_hex"),
+        F.hex(F.expr("substring(content, -4, 4)")).alias("footer_hex"),
+    ).orderBy("table_name")
+
+
+@query(
+    "schema_evolution_merge",
+    category="source",
+    oracle="""
+        WITH a AS (
+            SELECT o_orderkey AS orderkey, o_totalprice AS totalprice,
+                   CAST(NULL AS VARCHAR) AS orderstatus
+            FROM orders WHERE o_orderkey <= 100
+        ),
+        b AS (
+            SELECT o_orderkey AS orderkey, CAST(NULL AS DOUBLE) AS totalprice,
+                   o_orderstatus AS orderstatus
+            FROM orders WHERE o_orderkey > 100 AND o_orderkey <= 200
+        )
+        SELECT orderkey, totalprice, orderstatus FROM a
+        UNION ALL
+        SELECT orderkey, totalprice, orderstatus FROM b
+        ORDER BY orderkey
+    """,
+)
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two Parquet batches written with
+    different column sets (an old writer without ``orderstatus``, a new
+    writer that dropped ``totalprice``) are read back as ONE table via
+    ``mergeSchema`` — missing columns become NULLs. This is how a
+    long-lived 100 TB table absorbs producer schema changes without
+    rewriting history; merge cost is footer-only, data pages are
+    untouched."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = os.path.join(_SCRATCH, "evolving")
+    (
+        orders.filter(F.col("o_orderkey") <= 100)
+        .select(F.col("o_orderkey").alias("orderkey"), F.col("o_totalprice").alias("totalprice"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(base, "batch=1"))
+    )
+    (
+        orders.filter((F.col("o_orderkey") > 100) & (F.col("o_orderkey") <= 200))
+        .select(F.col("o_orderkey").alias("orderkey"), F.col("o_orderstatus").alias("orderstatus"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(base, "batch=2"))
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "batch=1"), os.path.join(base, "batch=2")
+    )
+    return merged.select("orderkey", "totalprice", "orderstatus").orderBy("orderkey")

@@ -51,6 +51,13 @@ QUERIES = [
     "unigram_surprisal_scores",
     "source_overlap_matrix",
     "length_bucketed_batches",
+    # round-3 session-2 additions
+    "span_dedup_docs",
+    "bigram_lm_perplexity",
+    "timeseries_gap_fill",
+    "q9_product_profit",
+    "q18_large_volume_customers",
+    "q21_suppliers_kept_waiting",
 ]
 
 
