@@ -311,3 +311,77 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "semantic_dedup_embeddings",
+    category="llm-dedup",
+    oracle="""
+        WITH c AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   CASE WHEN embedding[1] >= embedding[2] AND embedding[1] >= embedding[3]
+                             AND embedding[1] >= embedding[4] THEN 0
+                        WHEN embedding[2] >= embedding[3] AND embedding[2] >= embedding[4] THEN 1
+                        WHEN embedding[3] >= embedding[4] THEN 2
+                        ELSE 3 END AS cell
+            FROM embeddings
+        ),
+        dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE ROUND(list_dot_product(a.v, b.v) /
+                        (sqrt(list_dot_product(a.v, a.v)) *
+                         sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+        )
+        SELECT c.vec_id, c.cell, d.vec_id IS NULL AS kept
+        FROM c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+        ORDER BY c.vec_id
+    """,
+)
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup-style semantic deduplication: vectors are clustered into
+    IVF cells (broadcast one-hot centroids, map-side argmax — see
+    ivf_assign_embeddings), and within each cell any vector whose cosine
+    to a LOWER-id cell-mate reaches the threshold is dropped (greedy
+    keep-first, the standard SemDedup rule). Cosine is only ever
+    computed inside a cell — the self-join is keyed on cell id, so the
+    comparison count is sum(cell²) not corpus²; at 100 TB the cell
+    count grows with the corpus (trained k-means — kmeans_train_embeddings
+    — replaces the fixed demo centroids) keeping cells bounded.
+
+    Threshold 0.4 matches embedding_near_dup_pairs (fixture vectors are
+    near-orthogonal; production uses ~0.95+)."""
+    from pipeline_query_engine_demo_spark.functions.vectors import cosine
+    from pipeline_query_engine_demo_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = similarity.ivf_assign(emb, "vec_id", "embedding", similarity_centroids())
+    vecs = emb.select("vec_id", "embedding").join(cells, "vec_id")
+    a = vecs.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"), "cell"
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"), "cell"
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine(F.col("_va"), F.col("_vb")), 6) >= 0.4)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        vecs.join(dropped, "vec_id", "left")
+        .select("vec_id", "cell", F.col("_dropped").isNull().alias("kept"))
+        .orderBy("vec_id")
+    )
+
+
+def similarity_centroids():
+    """The 4 one-hot demo centroids shared with the IVF queries
+    (plans/llm.py IVF_CENTROIDS) — re-derived here to avoid an import
+    cycle at module-registration time."""
+    from pipeline_query_engine_demo_spark.plans.llm import IVF_CENTROIDS
+
+    return IVF_CENTROIDS

@@ -768,3 +768,176 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    category="join",
+    oracle="""
+        WITH pcost AS (
+            SELECT l_partkey, l_suppkey,
+                   MIN(l_extendedprice / l_quantity) AS unit_cost
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        best AS (
+            SELECT l_partkey, MIN(unit_cost) AS min_cost
+            FROM pcost GROUP BY l_partkey
+        )
+        SELECT p.p_partkey AS partkey, p.p_name AS part_name,
+               s.s_name AS supplier_name, pc.unit_cost AS min_cost
+        FROM part p
+        JOIN pcost pc ON pc.l_partkey = p.p_partkey
+        JOIN best b ON b.l_partkey = pc.l_partkey AND pc.unit_cost = b.min_cost
+        JOIN supplier s ON s.s_suppkey = pc.l_suppkey
+        WHERE p.p_size <= 10 AND p.p_type = 'PROMO'
+        ORDER BY min_cost DESC, partkey, supplier_name
+        LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier) adapted: with no partsupp,
+    "supply cost" is the minimum observed unit price
+    (extendedprice/quantity) per (part, supplier) derived from
+    lineitem. Keeps Q2's signature correlated-MIN subquery, decorrelated
+    the scale-correct way: per-part minimum as a second aggregate joined
+    back on (partkey, cost) equality — costs are min() over identical
+    division results, so equality is bit-exact in both engines."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    pcost = (
+        lineitem.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    best = pcost.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        pcost.join(
+            best,
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .join(
+            F.broadcast(part.filter((F.col("p_size") <= 10) & (F.col("p_type") == "PROMO"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_name").alias("part_name"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("unit_cost").alias("min_cost"),
+        )
+        .orderBy(F.col("min_cost").desc(), "partkey", "supplier_name")
+        .limit(100)
+    )
+
+
+@query(
+    "q11_important_parts",
+    category="aggregation",
+    oracle="""
+        WITH pv AS (
+            SELECT l_partkey AS partkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_dec
+            FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            WHERE s.s_nationkey IN (0, 1, 2, 3, 4)
+            GROUP BY l_partkey
+        )
+        SELECT partkey, CAST(value_dec AS DOUBLE) AS part_value
+        FROM pv
+        WHERE CAST(value_dec AS DOUBLE) >
+              (SELECT CAST(SUM(value_dec) AS DOUBLE) * 0.001 FROM pv)
+        ORDER BY part_value DESC, partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock) adapted: part "value" is revenue
+    through suppliers of a nation group (no partsupp), filtered to
+    parts exceeding 0.1% of the group total — Q11's HAVING-against-
+    scalar-subquery shape. The total is a 1-row aggregate of the SAME
+    grouped table, broadcast back; Spark computes the CTE once per
+    branch (both branches partial-agg before their shuffle). Exact
+    DECIMAL sums make the threshold comparison engine-identical."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    pv = (
+        lineitem.join(
+            F.broadcast(supplier.filter(F.col("s_nationkey").isin([0, 1, 2, 3, 4]))),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(_dec("l_extendedprice")).alias("value_dec"))
+    )
+    total = pv.agg((F.sum("value_dec").cast("double") * F.lit(0.001)).alias("threshold"))
+    return (
+        pv.join(F.broadcast(total))
+        .filter(F.col("value_dec").cast("double") > F.col("threshold"))
+        .select("partkey", F.col("value_dec").cast("double").alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "partkey")
+    )
+
+
+@query(
+    "q20_dominant_suppliers",
+    category="join",
+    oracle="""
+        WITH spq AS (
+            SELECT l_suppkey, l_partkey, SUM(l_quantity) AS sq
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_suppkey, l_partkey
+        ),
+        ptot AS (SELECT l_partkey, SUM(sq) AS tq FROM spq GROUP BY l_partkey),
+        qual AS (
+            SELECT DISTINCT spq.l_suppkey
+            FROM spq
+            JOIN ptot ON spq.l_partkey = ptot.l_partkey
+            JOIN part p ON p.p_partkey = spq.l_partkey
+            WHERE p.p_name LIKE 'red%'
+              AND CAST(sq AS DOUBLE) > 0.3 * CAST(tq AS DOUBLE)
+        )
+        SELECT s.s_suppkey AS suppkey, s.s_name AS name
+        FROM supplier s
+        WHERE s.s_nationkey < 13
+          AND s.s_suppkey IN (SELECT l_suppkey FROM qual)
+        ORDER BY suppkey
+    """,
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion) adapted: suppliers in a
+    nation slice who shipped >30% of some 'red' part's 1996 volume
+    (availability from partsupp becomes observed share-of-volume).
+    Keeps Q20's nested semi-join chain: an aggregate-derived qualifying
+    set applied with IN — planned as a left-semi join onto the tiny
+    supplier dim, the aggregates partial before their shuffles."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    spq = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+    )
+    ptot = spq.groupBy(F.col("l_partkey").alias("t_partkey")).agg(F.sum("sq").alias("tq"))
+    qual = (
+        spq.join(ptot, F.col("t_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(part.filter(F.col("p_name").like("red%"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .filter(F.col("sq").cast("double") > F.lit(0.3) * F.col("tq").cast("double"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.filter(F.col("s_nationkey") < 13)
+        .join(qual, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .select(F.col("s_suppkey").alias("suppkey"), F.col("s_name").alias("name"))
+        .orderBy("suppkey")
+    )
