@@ -351,22 +351,42 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Threshold 0.4 matches embedding_near_dup_pairs (fixture vectors are
     near-orthogonal; production uses ~0.95+)."""
-    from pipeline_query_engine_demo_spark.functions.vectors import cosine
+    from pipeline_query_engine_demo_spark.functions.vectors import dot, norm
     from pipeline_query_engine_demo_spark.operators import similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
     cells = similarity.ivf_assign(emb, "vec_id", "embedding", similarity_centroids())
-    vecs = emb.select("vec_id", "embedding").join(cells, "vec_id")
+    # Norms are computed ONCE per vector here, not per pair inside the
+    # self-join (cuts the per-pair HOF work from 3 folds to 1), and the
+    # tiny (id, vec, cell, norm) table is checkpointed so the join's two
+    # branches don't each re-run the scan + centroid assignment.
+    # dot/(na*nb) is the same IEEE expression the oracle's
+    # dot/(sqrt(dot)*sqrt(dot)) evaluates, so rounding still matches.
+    vecs = (
+        emb.select("vec_id", "embedding")
+        .join(cells, "vec_id")
+        .withColumn("_norm", norm("embedding"))
+        .localCheckpoint(eager=False)
+    )
     a = vecs.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"), "cell"
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"), "cell",
+        F.col("_norm").alias("_na"),
     )
     b = vecs.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"), "cell"
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"), "cell",
+        F.col("_norm").alias("_nb"),
     )
     dropped = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.round(cosine(F.col("_va"), F.col("_vb")), 6) >= 0.4)
+        .filter(
+            F.round(
+                dot(F.col("_va"), F.col("_vb"))
+                / F.nullif(F.col("_na") * F.col("_nb"), F.lit(0.0)),
+                6,
+            )
+            >= 0.4
+        )
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
         .withColumn("_dropped", F.lit(True))
@@ -385,3 +405,81 @@ def similarity_centroids():
     from pipeline_query_engine_demo_spark.plans.llm import IVF_CENTROIDS
 
     return IVF_CENTROIDS
+
+
+@query(
+    "gopher_quality_filter",
+    category="llm-text",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, source,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+            FROM documents
+        ),
+        sig AS (
+            SELECT doc_id, source,
+                   CAST(len(words) AS BIGINT) AS n_words,
+                   ROUND(CAST(CAST(list_sum(list_transform(words, x -> len(x))) AS BIGINT) AS DOUBLE)
+                         / len(words), 6) AS mean_word_len,
+                   ROUND(CAST(len(list_filter(words, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                         / len(words), 6) AS alpha_word_frac,
+                   CAST(len(list_filter(['the', 'a'], s -> list_contains(words, s))) AS BIGINT)
+                       AS stopword_hits
+            FROM w
+        )
+        SELECT doc_id, source, n_words, mean_word_len, alpha_word_frac, stopword_hits,
+               (n_words BETWEEN 50 AND 100000
+                AND mean_word_len BETWEEN 3 AND 10
+                AND alpha_word_frac >= 0.8
+                AND stopword_hits >= 2) AS kept
+        FROM sig
+        ORDER BY doc_id
+    """,
+)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule document quality filter (Rae et al. 2021, published
+    heuristics): word-count bounds [50, 100k], mean word length [3, 10],
+    >=80% words containing an alphabetic character, and >=2 distinct
+    stop words present. The stop list is adapted to the synthetic
+    fixture vocabulary ('the', 'a' are its only function words); the
+    production list is Gopher's eight — same expressions, longer
+    literal.
+
+    Scale: every signal is a higher-order-function expression over one
+    whitespace split — zero shuffles, zero Python, computed in a single
+    map-side pass over the scan; the filter prunes before anything
+    downstream shuffles. At 100 TB this is scan-bound, the ideal shape
+    for a first-pass quality gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.expr(r"filter(split(text, '\\s+'), x -> x != '')")
+    sig = docs.select(
+        "doc_id",
+        "source",
+        words.alias("words"),
+    ).select(
+        "doc_id",
+        "source",
+        F.size("words").cast("bigint").alias("n_words"),
+        F.round(
+            F.expr("cast(aggregate(words, 0L, (acc, x) -> acc + length(x)) as double)")
+            / F.size("words"),
+            6,
+        ).alias("mean_word_len"),
+        F.round(
+            F.expr("cast(size(filter(words, x -> x rlike '[a-z]')) as double)")
+            / F.size("words"),
+            6,
+        ).alias("alpha_word_frac"),
+        F.expr("cast(size(filter(array('the', 'a'), s -> array_contains(words, s))) as bigint)").alias(
+            "stopword_hits"
+        ),
+    )
+    return sig.select(
+        "*",
+        (
+            F.col("n_words").between(50, 100000)
+            & F.col("mean_word_len").between(3, 10)
+            & (F.col("alpha_word_frac") >= 0.8)
+            & (F.col("stopword_hits") >= 2)
+        ).alias("kept"),
+    ).orderBy("doc_id")

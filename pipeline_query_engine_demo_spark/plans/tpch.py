@@ -941,3 +941,59 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_suppkey").alias("suppkey"), F.col("s_name").alias("name"))
         .orderBy("suppkey")
     )
+
+
+@query(
+    "q12_shipping_delay",
+    category="aggregation",
+    oracle="""
+        SELECT CASE WHEN datediff('day', CAST(o.o_orderdate AS DATE),
+                                  CAST(l.l_shipdate AS DATE)) < 45
+                    THEN 'fast' ELSE 'slow' END AS delay_class,
+               COUNT(*) FILTER (o.o_orderpriority IN ('1-URGENT', '2-HIGH'))
+                   AS high_line_count,
+               COUNT(*) FILTER (o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+                   AS low_line_count
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY delay_class
+        ORDER BY delay_class
+    """,
+)
+def q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes and order priority) adapted: lineitem
+    has no ship mode or commit/receipt dates, so the mode split becomes
+    a ship-delay split (days from order date to ship date, <45 = fast)
+    — preserving Q12's shape: fact-fact join + CASE-bucketed key +
+    conditional counts per priority class.
+
+    Scale: the 1995 shipdate predicate pushes to the lineitem scan;
+    the join shuffles both sides on orderkey once (orders is a fact,
+    not broadcastable at 100 TB); the two-row aggregate partial-aggs
+    map-side after the join."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin(["1-URGENT", "2-HIGH"])
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.when(
+                F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")) < 45,
+                F.lit("fast"),
+            )
+            .otherwise(F.lit("slow"))
+            .alias("delay_class"),
+            high.alias("_high"),
+        )
+        .groupBy("delay_class")
+        .agg(
+            F.count(F.when(F.col("_high"), F.lit(1))).alias("high_line_count"),
+            F.count(F.when(~F.col("_high"), F.lit(1))).alias("low_line_count"),
+        )
+        .orderBy("delay_class")
+    )
