@@ -483,3 +483,64 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("stopword_hits") >= 2)
         ).alias("kept"),
     ).orderBy("doc_id")
+
+
+@query(
+    "fuzzy_name_match_pairs",
+    category="llm-dedup",
+    oracle="""
+        WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+        grams AS (
+            SELECT name, unnest(list_distinct(
+                       list_transform(range(1, len(name) - 1),
+                                      i -> substring(name, CAST(i AS INT), 3)))) AS gram
+            FROM names
+        ),
+        cand AS (
+            SELECT DISTINCT a.name AS name_a, b.name AS name_b
+            FROM grams a JOIN grams b ON a.gram = b.gram AND a.name < b.name
+        )
+        SELECT name_a, name_b,
+               CAST(levenshtein(name_a, name_b) AS BIGINT) AS edit_distance
+        FROM cand
+        WHERE levenshtein(name_a, name_b) <= 3
+        ORDER BY name_a, name_b
+    """,
+)
+def fuzzy_name_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy string matching (entity resolution): candidate
+    pairs come from a q-gram (trigram) equi-self-join — two names are
+    compared ONLY if they share a trigram — then the expensive
+    levenshtein verification runs on candidates alone, never all pairs.
+
+    Scale: the join is over DISTINCT names (vocabulary-sized, not
+    corpus-sized) keyed on trigram — the same blocking shape as LSH
+    band buckets (operators/dedup.py); a degenerate ultra-common gram
+    is the q-gram analog of a hot LSH bucket and takes the same cap
+    valve in production. Edit distance is Spark's built-in
+    ``levenshtein`` (JVM codegen), matched exactly by DuckDB's."""
+    part = load_table(spark, sf_dir, "part")
+    names = part.select(F.col("p_name").alias("name")).distinct()
+    grams = names.select(
+        "name",
+        F.explode(
+            F.array_distinct(
+                F.expr("transform(sequence(1, length(name) - 2), i -> substring(name, i, 3))")
+            )
+        ).alias("gram"),
+    )
+    a = grams.select(F.col("name").alias("name_a"), "gram")
+    b = grams.select(F.col("name").alias("name_b"), "gram")
+    cand = (
+        a.join(b, "gram")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "edit_distance", F.levenshtein("name_a", "name_b").cast("bigint")
+        )
+        .filter(F.col("edit_distance") <= 3)
+        .orderBy("name_a", "name_b")
+    )

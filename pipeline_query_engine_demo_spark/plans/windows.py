@@ -567,3 +567,71 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "hour")
     )
+
+
+@query(
+    "scd2_user_state_history",
+    category="window",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type AS state, ts, event_id,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_state
+            FROM events
+        ),
+        changes AS (
+            SELECT user_id, state, ts AS valid_from, event_id
+            FROM ordered
+            WHERE prev_state IS NULL OR prev_state <> state
+        )
+        SELECT user_id,
+               CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY valid_from, event_id) AS BIGINT)
+                   AS version,
+               state, valid_from,
+               lead(valid_from) OVER (PARTITION BY user_id
+                                      ORDER BY valid_from, event_id) AS valid_to,
+               lead(valid_from) OVER (PARTITION BY user_id
+                                      ORDER BY valid_from, event_id) IS NULL
+                   AS is_current
+        FROM changes
+        ORDER BY user_id, version
+    """,
+)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from a change stream: each
+    user's event_type is treated as a dimension attribute; consecutive
+    no-op updates collapse (lag compare), survivors become versioned
+    rows with [valid_from, valid_to) intervals (lead) and an is_current
+    flag — the standard CDC -> SCD2 materialization.
+
+    Scale: both window phases and the row_number share ONE hash
+    partitioning on user_id — a single shuffle of the change stream,
+    no self-join against the dimension (the interval encoding replaces
+    the point-in-time join at read time via the range-join operator,
+    see range_join_followups)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_state"),
+        )
+        .filter(F.col("prev_state").isNull() | (F.col("prev_state") != F.col("state")))
+        .select("user_id", "state", F.col("ts").alias("valid_from"), "event_id")
+    )
+    wc = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return (
+        changes.select(
+            "user_id",
+            F.row_number().over(wc).cast("bigint").alias("version"),
+            "state",
+            "valid_from",
+            F.lead("valid_from").over(wc).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .orderBy("user_id", "version")
+    )
