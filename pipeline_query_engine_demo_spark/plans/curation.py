@@ -544,3 +544,68 @@ def fuzzy_name_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_distance") <= 3)
         .orderBy("name_a", "name_b")
     )
+
+
+@query(
+    "bpe_pair_frequencies",
+    category="llm-text",
+    oracle="""
+        WITH words AS (
+            SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+                       AS w
+            FROM documents
+        ),
+        pairs AS (
+            SELECT unnest(list_transform(range(1, len(w)),
+                                         i -> substring(w, CAST(i AS INT), 2))) AS pair
+            FROM words
+            WHERE len(w) >= 2
+        ),
+        counted AS (
+            SELECT pair, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM pairs GROUP BY pair
+        )
+        SELECT pair, freq,
+               CAST(row_number() OVER (ORDER BY freq DESC, pair) AS BIGINT)
+                   AS merge_rank
+        FROM counted
+        ORDER BY merge_rank
+        LIMIT 20
+    """,
+)
+def bpe_pair_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE tokenizer training: count every adjacent
+    symbol pair across the corpus and rank candidates for the next
+    merge (highest frequency wins, ties broken lexicographically —
+    deterministic merge order is what makes a tokenizer reproducible).
+    One full merge loop re-runs this after applying the top merge;
+    each round is this exact plan.
+
+    Scale: the explode emits len(word)-1 two-char rows but the groupBy
+    partial-aggregates map-side, so the shuffle carries only the
+    distinct-pair count table (alphabet², tiny); the global top-20
+    rank runs over that table, not the corpus. This is the pair-count
+    job from the published BPE algorithm (Sennrich et al. 2016)
+    expressed as one aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.expr(r"filter(split(text, '\\s+'), x -> x != '')")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    return (
+        counted.select(
+            "pair",
+            "freq",
+            F.row_number()
+            .over(Window.orderBy(F.col("freq").desc(), "pair"))
+            .cast("bigint")
+            .alias("merge_rank"),
+        )
+        .orderBy("merge_rank")
+        .limit(20)
+    )

@@ -2028,3 +2028,83 @@ def map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("orderkey")
     )
+
+
+@query(
+    "stats_corr_covar",
+    category="aggregation",
+    oracle="""
+        WITH s AS (
+            SELECT l_returnflag AS returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))
+                       * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))
+                       * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT returnflag, n,
+               ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                   AS corr_qty_price,
+               ROUND((CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                     / (CAST(n AS DOUBLE) - 1), 6) AS covar_samp_qty_price
+        FROM s
+        ORDER BY returnflag
+    """,
+)
+def stats_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation and sample covariance per group, computed
+    from exact DECIMAL power sums (n, Σx, Σy, Σx², Σy², Σxy) instead of
+    the built-in ``corr``/``covar_samp`` — the built-ins accumulate in
+    floating point, so their low bits depend on partitioning order and
+    can't hash-match across engines. The power sums are exact decimals
+    (inputs have 2 fractional digits), combine associatively in any
+    partial-agg order, and one deterministic double-precision formula
+    finishes on the driver side of the agg.
+
+    Scale: a single map-side-combinable groupBy — the same shuffle
+    cost as any sum; this is the textbook way to make distributed
+    second-moment statistics reproducible at any cluster size."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = lineitem.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    return (
+        s.select(
+            "returnflag",
+            "n",
+            F.round(
+                (nd * sxy - sx * sy)
+                / (F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)),
+                6,
+            ).alias("corr_qty_price"),
+            F.round((sxy - sx * sy / nd) / (nd - F.lit(1.0)), 6).alias(
+                "covar_samp_qty_price"
+            ),
+        )
+        .orderBy("returnflag")
+    )

@@ -635,3 +635,48 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_current", F.col("valid_to").isNull())
         .orderBy("user_id", "version")
     )
+
+
+@query(
+    "window_range_interval_frame",
+    category="window",
+    oracle="""
+        SELECT user_id, event_id, ts,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                   AS trailing_1h_sum,
+               CAST(COUNT(*) OVER w AS BIGINT) AS trailing_1h_count
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, ts, event_id
+    """,
+)
+def window_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing time-RANGE window frame: per user, the sum/count of
+    events in the last hour *by timestamp distance*, not row count —
+    the frame a rows-based window cannot express when event spacing is
+    irregular. Ordering is integer microseconds (unix_micros /
+    epoch_us agree after the catalog's ns→µs truncation) so both
+    engines bound the frame with the same arithmetic; RANGE includes
+    ts-peers identically. Value sums accumulate as DECIMAL so frame
+    evaluation order can't reorder float addition.
+
+    Scale: one shuffle on user_id; the running frame evaluates with a
+    sliding two-pointer over each partition's sort — O(n) per user,
+    no per-row rescan."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("trailing_1h_sum"),
+            F.count(F.lit(1)).over(w).cast("bigint").alias("trailing_1h_count"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
