@@ -609,3 +609,117 @@ def bpe_pair_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("merge_rank")
         .limit(20)
     )
+
+
+@query(
+    "zscore_outlier_events",
+    category="aggregation",
+    oracle="""
+        WITH s AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(value AS DECIMAL(18,2))) AS sx,
+                   SUM(CAST(value AS DECIMAL(18,2))
+                       * CAST(value AS DECIMAL(18,2))) AS sxx
+            FROM events GROUP BY event_type
+        ),
+        z AS (
+            SELECT e.event_id, e.event_type, e.value,
+                   ROUND((e.value - CAST(s.sx AS DOUBLE) / s.n)
+                         / sqrt((CAST(s.sxx AS DOUBLE)
+                                 - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE) / s.n)
+                                / (s.n - 1)), 6) AS zscore
+            FROM events e JOIN s USING (event_type)
+        )
+        SELECT event_id, event_type, value, zscore
+        FROM z
+        WHERE abs(zscore) >= 1.8
+        ORDER BY event_id
+    """,
+)
+def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical outlier flagging: per-type mean/stddev from exact
+    DECIMAL power sums (same reproducible-moments recipe as
+    stats_corr_covar — built-in stddev_samp is partition-order
+    dependent in its low bits), then each event scored map-side
+    against its broadcast group statistics; |z| >= 1.8 survives.
+
+    Scale: the stats table is one map-side-combinable groupBy with
+    n_types rows — broadcast back onto the scan, so scoring + filter
+    never shuffle the fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(v).alias("sx"),
+        F.sum(v * v).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    z = F.round(
+        (F.col("value") - sx / nd) / F.sqrt((sxx - sx * sx / nd) / (nd - F.lit(1.0))),
+        6,
+    )
+    return (
+        ev.join(F.broadcast(s), "event_type")
+        .select("event_id", "event_type", "value", z.alias("zscore"))
+        .filter(F.abs(F.col("zscore")) >= 1.8)
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "temperature_sample_by_source",
+    category="llm-curation",
+    oracle="""
+        WITH counts AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY source
+        ),
+        probs AS (
+            SELECT source, n_docs,
+                   ROUND(pow(n_docs, 0.7 - 1.0)
+                         / (SELECT max(pow(n_docs, 0.7 - 1.0)) FROM counts), 6)
+                       AS keep_prob
+            FROM counts
+        )
+        SELECT d.doc_id, d.source, p.keep_prob
+        FROM documents d JOIN probs p USING (source)
+        WHERE CAST(CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || ':temp'), 1, 8)
+                        AS UBIGINT) AS DOUBLE) / 4294967296.0 < p.keep_prob
+        ORDER BY d.doc_id
+    """,
+)
+def temperature_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source rebalancing (the multilingual-training
+    sampling rule, e.g. mBERT/XLM-R: sample sources with probability
+    proportional to size^alpha, alpha=0.7): per-source keep
+    probability n^(alpha-1), normalized so the LARGEST source's
+    relative downsampling is maximal and the smallest is kept whole —
+    head sources shrink, tail sources survive. Selection is the
+    repo's deterministic md5-threshold coin (deterministic_sample_docs):
+    reproducible under any repartitioning, no RNG state.
+
+    Scale: source counts are a tiny aggregate broadcast back onto the
+    scan; the keep decision is a map-side hash compare — the corpus
+    never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    alpha = 0.7
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    w = F.pow(F.col("n_docs"), F.lit(alpha - 1.0))
+    probs = counts.join(
+        F.broadcast(counts.agg(F.max(F.pow(F.col("n_docs"), F.lit(alpha - 1.0))).alias("_mx")))
+    ).select("source", F.round(w / F.col("_mx"), 6).alias("keep_prob"))
+    coin = (
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":temp"))), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        docs.join(F.broadcast(probs), "source")
+        .filter(coin < F.col("keep_prob"))
+        .select("doc_id", "source", "keep_prob")
+        .orderBy("doc_id")
+    )
