@@ -189,3 +189,90 @@ def streaming_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFram
     events = streaming.read_events_stream(spark, sf_dir)
     result = streaming.run_to_memory(streaming.stateful_user_counts(events), "update", name="t_stateful")
     return result.orderBy("user_id")
+
+
+@query(
+    "streaming_sliding_window_counts",
+    category="streaming",
+    oracle="""
+        WITH offsets AS (SELECT unnest([0, 30]) AS off_min),
+             slid AS (
+                SELECT time_bucket(INTERVAL '1 hour', e.ts - to_minutes(o.off_min))
+                       + to_minutes(o.off_min) AS window_start
+                FROM events e CROSS JOIN offsets o
+             )
+        SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n
+        FROM slid
+        GROUP BY window_start
+        ORDER BY window_start
+    """,
+)
+def streaming_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SLIDING-window streaming aggregation (1 hour every
+    30 min — each event feeds 2 overlapping windows): the streaming twin
+    of plans.windows.sliding_window_counts, sharing its oracle. State is
+    bounded by the watermark: windows older than (max event time − 1 h)
+    finalize and evict."""
+    events = streaming.read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    result = streaming.run_to_memory(agg, "complete", name="t_sliding")
+    return result.orderBy("window_start")
+
+
+@query(
+    "streaming_session_window_values",
+    category="streaming",
+    oracle="""
+        WITH o AS (
+            SELECT user_id, ts, event_id,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events
+        ),
+        m AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 5 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM o
+        ),
+        g AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM m
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 5 MINUTE AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM g GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+    """,
+)
+def streaming_session_window_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSION windows (5-minute inactivity gap) — merging
+    variable-length windows is the hardest streaming-window case (state
+    merge on every late-arriving event inside the gap). Same
+    F.session_window call and gaps-and-islands oracle as the batch twin
+    (plans.windows.session_window_counts); complete output mode (update is
+    unsupported for session-window streaming aggregations). One
+    availableNow batch emits each session's final row, so stream
+    output equals batch."""
+    events = streaming.read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    result = streaming.run_to_memory(agg, "complete", name="t_session")
+    return result.orderBy("user_id", "session_start")

@@ -58,6 +58,23 @@ QUERIES = [
     "q9_product_profit",
     "q18_large_volume_customers",
     "q21_suppliers_kept_waiting",
+    # round-3 session-3 additions. semantic_dedup_embeddings is
+    # deliberately ABSENT: with the fixed 4 demo centroids its in-cell
+    # pair count is quadratic in corpus size (cells don't multiply), so
+    # a ×10 run measures the known-degenerate configuration, not the
+    # operator — production scales the centroid count (kmeans_train) to
+    # keep cell occupancy bounded. See SCALE.md findings.
+    "q2_min_cost_supplier",
+    "q12_shipping_delay",
+    "q20_dominant_suppliers",
+    "gopher_quality_filter",
+    "fuzzy_name_match_pairs",
+    "scd2_user_state_history",
+    "window_range_interval_frame",
+    "stats_corr_covar",
+    "zscore_outlier_events",
+    "bpe_pair_frequencies",
+    "temperature_sample_by_source",
 ]
 
 
