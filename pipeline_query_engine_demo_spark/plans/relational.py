@@ -2108,3 +2108,37 @@ def stats_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("returnflag")
     )
+
+
+@query(
+    "join_shuffle_hash_hint",
+    category="join",
+    oracle="""
+        SELECT o.o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY priority ORDER BY priority
+    """,
+)
+def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffled hash join, forced via the ``shuffle_hash`` hint —
+    completing the strategy quartet (broadcast / sort-merge / BNLJ /
+    shuffled-hash, see join_sort_merge_hint). SHJ beats SMJ when one
+    side is much smaller than the other but still too big to broadcast:
+    both sides shuffle on the key, the smaller builds an in-memory hash
+    table per partition, the larger streams — no sort of either side.
+    The hint pins the path (fixture scale would broadcast otherwise);
+    at 100 TB Catalyst picks it when
+    spark.sql.join.preferSortMergeJoin=false or AQE sizes allow."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.hint("shuffle_hash")
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("revenue"),
+        )
+        .orderBy("priority")
+    )

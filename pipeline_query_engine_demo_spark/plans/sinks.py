@@ -462,3 +462,52 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(base, "batch=1"), os.path.join(base, "batch=2")
     )
     return merged.select("orderkey", "totalprice", "orderstatus").orderBy("orderkey")
+
+
+@query(
+    "csv_corrupt_records_permissive",
+    category="source-format",
+    oracle="""
+        SELECT n_nationkey AS nationkey, n_name AS name,
+               CAST(NULL AS VARCHAR) AS corrupt_line
+        FROM nation
+        UNION ALL
+        SELECT * FROM (VALUES
+            (CAST(NULL AS BIGINT), CAST('BROKEN ROW' AS VARCHAR), 'not-a-number,BROKEN ROW'),
+            (CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), 'x,')
+        ) AS bad(nationkey, name, corrupt_line)
+        ORDER BY nationkey NULLS LAST, corrupt_line
+    """,
+)
+def csv_corrupt_records_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input robustness: a CSV with two planted corrupt lines
+    is read in PERMISSIVE mode with a ``_corrupt_record`` column — good
+    rows parse, bad rows keep every field that DID parse (the
+    unparseable cell nulls out) and carry the raw line for quarantine (the pattern for dirty 100 TB ingest: never
+    fail the job, route rejects to a dead-letter sink). DROPMALFORMED /
+    FAILFAST are the same reader with stricter switches.
+
+    Spark caveat encoded here: the parsed column set must include the
+    corrupt-record column AND the query must materialize non-corrupt
+    columns too (Spark disallows referencing only the corrupt column)."""
+    nation = load_table(spark, sf_dir, "nation")
+    path = os.path.join(_SCRATCH, "csv_corrupt")
+    good = nation.select(
+        F.col("n_nationkey").cast("string").alias("c1"), F.col("n_name").alias("c2")
+    )
+    bad = spark.createDataFrame(
+        [("not-a-number", "BROKEN ROW"), ("x", None)], "c1 string, c2 string"  # None -> empty field: raw line is "x,"
+    )
+    good.unionByName(bad).coalesce(1).write.mode("overwrite").csv(path)
+    parsed = (
+        spark.read.schema("nationkey long, name string, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    return (
+        parsed.select(
+            "nationkey", "name", F.col("_corrupt_record").alias("corrupt_line")
+        )
+        .orderBy(F.col("nationkey").asc_nulls_last(), "corrupt_line")
+    )
