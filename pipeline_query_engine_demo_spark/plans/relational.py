@@ -2142,3 +2142,55 @@ def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@query(
+    "collation_case_insensitive",
+    category="expression",
+    oracle="""
+        WITH cased AS (
+            SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_name)
+                        ELSE p_name END AS name_cased
+            FROM part
+        )
+        SELECT lower(name_cased) AS name_ci,
+               MIN(name_cased) AS first_variant,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT name_cased) AS BIGINT) AS n_variants
+        FROM cased
+        GROUP BY name_ci
+        ORDER BY name_ci
+    """,
+)
+def collation_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collation support: grouping under the UNICODE_CI collation
+    treats case variants as one key — the engine-level answer to
+    case-insensitive semantics that otherwise get hand-rolled as
+    lower() everywhere (and lose index/stats fidelity on real columns).
+    The query plants deterministic case variation (even keys
+    uppercased), groups by the collated value, and emits
+    deterministic representatives (lower + binary MIN) so the oracle —
+    which has no collations — reproduces it with lower(); for this
+    ASCII corpus UNICODE_CI grouping and lower() agree exactly.
+
+    Scale: a collated groupBy is still one partial-agg combinable hash
+    aggregate; the collation key is computed map-side."""
+    part = load_table(spark, sf_dir, "part")
+    cased = part.select(
+        F.when(F.col("p_partkey") % 2 == 0, F.upper("p_name"))
+        .otherwise(F.col("p_name"))
+        .alias("name_cased")
+    )
+    return (
+        cased.groupBy(
+            F.lower(F.collate(F.col("name_cased"), "UNICODE_CI")).alias("name_ci")
+        )
+        .agg(
+            F.min(F.collate(F.col("name_cased"), "UTF8_BINARY")).alias("first_variant"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct(F.collate(F.col("name_cased"), "UTF8_BINARY"))
+            .cast("bigint")
+            .alias("n_variants"),
+        )
+        .orderBy("name_ci")
+    )
