@@ -511,3 +511,36 @@ def csv_corrupt_records_permissive(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy(F.col("nationkey").asc_nulls_last(), "corrupt_line")
     )
+
+
+@query(
+    "python_datasource_sequence",
+    category="source-format",
+    oracle="""
+        SELECT range AS n, range * range AS n_squared,
+               CASE WHEN range % 2 = 0 THEN 'even' ELSE 'odd' END AS parity
+        FROM range(1000)
+        ORDER BY n
+    """,
+)
+def python_datasource_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python Data Source API: a custom batch source registered
+    with ``spark.dataSource.register`` and read via
+    ``spark.read.format("sequence_feed")``. The source declares 8
+    partitions; Spark calls ``read`` per partition on the executors, so
+    a bespoke Python feed parallelizes like a built-in source (see
+    sources/pydatasource.py for the scale contract)."""
+    from pipeline_query_engine_demo_spark.sources.pydatasource import (
+        SequenceFeedSource,
+    )
+
+    try:
+        spark.dataSource.register(SequenceFeedSource)
+    except Exception:
+        pass  # already registered in this session
+    return (
+        spark.read.format("sequence_feed")
+        .option("n_rows", 1000)
+        .load()
+        .orderBy("n")
+    )
