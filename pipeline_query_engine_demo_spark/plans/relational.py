@@ -2194,3 +2194,35 @@ def collation_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("name_ci")
     )
+
+
+@query(
+    "parameterized_sql_query",
+    category="sql-surface",
+    oracle="""
+        SELECT p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(MAX(p_retailprice) AS DOUBLE) AS max_price
+        FROM part
+        WHERE p_size <= 25 AND p_type = 'PROMO'
+        GROUP BY brand ORDER BY brand
+    """,
+)
+def parameterized_sql_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 3.4+/4): named parameter markers bound
+    via ``spark.sql(query, args={...})`` — the injection-safe API for
+    templated queries (values are bound as literals by the parser, not
+    string-spliced, so a hostile string can't alter the plan). The
+    bound literals reach Catalyst as constants: the p_size/p_type
+    predicates still push down to the Parquet scan exactly like
+    hand-written literals."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    return spark.sql(
+        """
+        SELECT p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(MAX(p_retailprice) AS DOUBLE) AS max_price
+        FROM part_v
+        WHERE p_size <= :max_size AND p_type = :ptype
+        GROUP BY brand ORDER BY brand
+        """,
+        args={"max_size": 25, "ptype": "PROMO"},
+    )
