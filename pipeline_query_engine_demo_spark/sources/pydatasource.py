@@ -17,7 +17,12 @@ the source embarrassingly parallel at any size.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 #: Rows and parallelism of the demo feed. Small because every row flows
 #: through Python; the API contract (partition-parallel reads) is what
@@ -60,3 +65,38 @@ class SequenceFeedSource(DataSource):
 
     def reader(self, schema) -> SequenceFeedReader:  # noqa: ANN001
         return SequenceFeedReader(self.options)
+
+
+#: Streaming half of the API: a resumable offset-based feed. Offsets are
+#: a plain dict checkpointed by Spark; `read` prefetches the next slice
+#: and advances the offset, `readBetweenOffsets` replays a committed
+#: range deterministically on recovery — the exactly-once contract.
+STREAM_TOTAL = 100
+STREAM_BATCH = 40
+
+
+class CounterStreamReader(SimpleDataSourceStreamReader):
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        pos = start["pos"]
+        end = min(pos + STREAM_BATCH, STREAM_TOTAL)
+        return iter([(i, i % 5) for i in range(pos, end)]), {"pos": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([(i, i % 5) for i in range(start["pos"], end["pos"])])
+
+
+class CounterStreamSource(DataSource):
+    """``readStream.format("counter_feed")``: bounded demo stream."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "counter_feed"
+
+    def schema(self) -> str:
+        return "n BIGINT, grp BIGINT"
+
+    def simpleStreamReader(self, schema) -> CounterStreamReader:  # noqa: ANN001
+        return CounterStreamReader()
