@@ -1,0 +1,508 @@
+"""Production-analytics operator pack: sketches, runtime prefilters,
+dimensionality reduction, in-flight pipeline metrics, and data-quality
+audits.
+
+The reference's surface is a 4-operator relational demo
+(/root/reference/src/executor/mod.rs:250-466); a 100 TB pipeline built
+on it additionally needs the observability and approximation machinery
+this module covers:
+
+- ``cms_token_counts`` — a count-min sketch: the canonical fixed-memory
+  frequency summary for unbounded key domains (heavy-hitter monitoring
+  over token streams).
+- ``bloom_prefilter_join`` — a Bloom-style membership prefilter applied
+  map-side before a shuffle join, the manual form of Spark's runtime
+  row-level filtering.
+- ``random_projection_embeddings`` — Johnson-Lindenstrauss-style linear
+  projection of embedding columns to a lower dimension.
+- ``observe_quality_metrics`` — ``DataFrame.observe``: pipeline metrics
+  collected on the side of a single pass, no second scan.
+- ``crosstab_status_priority`` — ``df.stat.crosstab`` contingency table.
+- ``time_bucket_ohlc`` — per-bucket open/high/low/close aggregation via
+  argmin/argmax aggregates (one pass, no window sort).
+- ``constraint_audit`` — dbt-style referential/nullability/uniqueness
+  checks as one unioned metric table.
+
+All hot paths are JVM expressions; the only driver-side values are
+model-sized (an Observation's metric row, a 512-row projection matrix).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession
+
+from pipeline_query_engine_demo_spark.plans.registry import query
+from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+#: Exact accumulator for float sums (see plans.registry determinism
+#: contract): scale 12 holds round(x, 9) terms exactly, precision 28
+#: leaves 16 integer digits of headroom.
+_DEC = "decimal(28,12)"
+
+#: Count-min sketch geometry: _CMS_D independent hash rows of
+#: _CMS_W buckets (the bucket key is the first 2 hex chars of a salted
+#: md5, so w = 256). d*w cells total — fixed memory however large the
+#: corpus.
+_CMS_D = 4
+_CMS_W_HEX = 2  # 16^2 = 256 buckets
+
+#: Bloom prefilter geometry: k=2 salted hashes into 16^3 = 4096 buckets.
+_BLOOM_HEX = 3
+
+#: Random projection: embeddings are 64-d (FIXTURES.md); project to 8.
+_PROJ_IN = 64
+_PROJ_OUT = 8
+
+
+def _cms_bucket(salt: str, token_col):
+    """First ``_CMS_W_HEX`` hex chars of md5('{salt}|' + token)."""
+    return F.substring(F.md5(F.concat(F.lit(salt + "|"), token_col)), 1, _CMS_W_HEX)
+
+
+@query(
+    "cms_token_counts",
+    category="approx",
+    oracle=f"""
+        WITH toks AS (
+            SELECT t.tok AS token
+            FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+            WHERE t.tok <> ''
+        ),
+        exact AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+            FROM toks GROUP BY token
+        ),
+        top AS (
+            SELECT * FROM exact ORDER BY exact_cnt DESC, token LIMIT 20
+        ),
+        salts AS (
+            SELECT 'cms' || CAST(s.j AS VARCHAR) AS salt
+            FROM unnest(generate_series(0, {_CMS_D - 1})) AS s(j)
+        ),
+        cells AS (
+            SELECT salt,
+                   substr(md5(salt || '|' || token), 1, {_CMS_W_HEX}) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks CROSS JOIN salts
+            GROUP BY salt, bucket
+        )
+        SELECT top.token, top.exact_cnt, CAST(MIN(cells.c) AS BIGINT) AS cms_est
+        FROM top
+        CROSS JOIN salts
+        JOIN cells
+          ON cells.salt = salts.salt
+         AND cells.bucket = substr(md5(salts.salt || '|' || top.token), 1, {_CMS_W_HEX})
+        GROUP BY top.token, top.exact_cnt
+        ORDER BY exact_cnt DESC, token
+    """,
+)
+def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the document token stream, checked against
+    exact counts for the top-20 tokens (the estimate is provably >= the
+    exact count; the planted-collision test pins the overcount side).
+
+    Scale shape: the sketch is a groupBy over (d=4 salts x 256 buckets)
+    — map-side combinable partial counts into a table whose size is
+    FIXED (<= 1024 rows) no matter the corpus, i.e. the mergeable-
+    summary property that makes CMS work as a streaming/distributed
+    frequency monitor. The probe side joins the broadcast sketch; no
+    all-token state anywhere. The exact-count branch exists only to
+    grade the estimate and would be absent in production.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    salts = [f"cms{j}" for j in range(_CMS_D)]
+
+    cells = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("salt"),
+                            _cms_bucket(s, F.col("token")).alias("bucket"),
+                        )
+                        for s in salts
+                    ]
+                )
+            ).alias("sb")
+        )
+        .groupBy(F.col("sb.salt").alias("salt"), F.col("sb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "token")
+        .limit(20)
+    )
+    probes = top.select(
+        "token",
+        "exact_cnt",
+        F.explode(F.array(*[F.lit(s) for s in salts])).alias("salt"),
+    ).withColumn(
+        "bucket",
+        F.substring(
+            F.md5(F.concat(F.col("salt"), F.lit("|"), F.col("token"))), 1, _CMS_W_HEX
+        ),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["salt", "bucket"])
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("c").alias("cms_est"))
+        .orderBy(F.desc("exact_cnt"), "token")
+    )
+
+
+@query(
+    "bloom_prefilter_join",
+    category="join",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(round(l_extendedprice, 9) AS DECIMAL(28,12)))
+                    AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-style membership prefilter ahead of a shuffle join: the
+    selective build side (urgent finished orders) is hashed with k=2
+    salted functions into 4096-bucket sets; the probe side drops every
+    row whose buckets are not BOTH present before it ever reaches the
+    join shuffle. False positives survive the prefilter and are removed
+    by the exact join, so the result is bit-identical to the plain join
+    — which is exactly what the oracle asserts.
+
+    Scale shape: the two bucket sets are <= 4096 rows each regardless
+    of build-side cardinality (broadcast left-semi joins, i.e. a
+    hand-rolled form of Spark's runtime bloom-filter row filtering);
+    the probe scan's survivors — not the whole fact table — pay the
+    join shuffle. At 100 TB this is the difference between shuffling
+    600 B rows and shuffling the ~1/5 that can possibly match.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "F")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    def bucket(salt: str, key):
+        return F.substring(
+            F.md5(F.concat(F.lit(salt + "|"), key.cast("string"))), 1, _BLOOM_HEX
+        )
+
+    bits0 = orders.select(bucket("bf0", F.col("o_orderkey")).alias("b0")).distinct()
+    bits1 = orders.select(bucket("bf1", F.col("o_orderkey")).alias("b1")).distinct()
+    pre = (
+        lineitem.withColumn("b0", bucket("bf0", F.col("l_orderkey")))
+        .withColumn("b1", bucket("bf1", F.col("l_orderkey")))
+        .join(F.broadcast(bits0), "b0", "left_semi")
+        .join(F.broadcast(bits1), "b1", "left_semi")
+    )
+    return (
+        pre.join(orders, pre.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.round("l_extendedprice", 9).cast(_DEC))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "random_projection_embeddings",
+    category="llm-similarity",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, t.d AS dim, embedding[t.d]::DOUBLE AS val
+            FROM embeddings, unnest(generate_series(1, {_PROJ_IN})) AS t(d)
+        ),
+        p AS (
+            SELECT j.j AS j, t.d AS dim,
+                   CAST(((7 * t.d + 11 * j.j) % 5) - 2 AS DOUBLE) AS w
+            FROM unnest(generate_series(1, {_PROJ_OUT})) AS j(j),
+                 unnest(generate_series(1, {_PROJ_IN})) AS t(d)
+        )
+        SELECT vec_id,
+        """
+    + ",\n".join(
+        f"""CAST(SUM(CASE WHEN j = {jj}
+                 THEN CAST(round(val * w, 9) AS DECIMAL(28,12)) END)
+                 AS DOUBLE) AS y{jj}"""
+        for jj in range(1, _PROJ_OUT + 1)
+    )
+    + """
+        FROM e JOIN p USING (dim)
+        GROUP BY vec_id
+        ORDER BY vec_id
+    """,
+)
+def random_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss-style random projection 64-d -> 8-d: the
+    standard cheap dimensionality reduction ahead of clustering / ANN
+    (a sparse +/-2..-2 integer matrix here so both engines agree
+    exactly; production would use seeded Gaussian weights — same plan).
+
+    Scale shape: the projection matrix is model-sized (64 x 8 rows) and
+    broadcasts; the corpus explodes to (id, dim, val), joins the matrix
+    map-side, and one groupBy(vec_id) with DECIMAL-exact partial sums
+    produces all 8 output components — a single shuffle of one row per
+    (vec_id) however wide the input. Output is flattened to scalar
+    columns y1..y8 (array-free by driver contract).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = spark.createDataFrame(
+        [
+            (j, i, float((7 * i + 11 * j) % 5 - 2))
+            for j in range(1, _PROJ_OUT + 1)
+            for i in range(1, _PROJ_IN + 1)
+        ],
+        "j long, dim long, w double",
+    )
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("_d0", "_vf")
+    ).select(
+        "vec_id",
+        (F.col("_d0") + 1).alias("dim"),
+        F.col("_vf").cast("double").alias("val"),
+    )
+    term = F.round(F.col("val") * F.col("w"), 9).cast(_DEC)
+    return (
+        e.join(F.broadcast(proj), "dim")
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("j") == jj, term))
+                .cast("double")
+                .alias(f"y{jj}")
+                for jj in range(1, _PROJ_OUT + 1)
+            ]
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "observe_quality_metrics",
+    category="relational-misc",
+    oracle="""
+        SELECT 'n_heavy' AS metric,
+               CAST(COUNT(*) FILTER (WHERE l_quantity > 45) AS DOUBLE) AS value
+        FROM lineitem
+        UNION ALL
+        SELECT 'n_rows', CAST(COUNT(*) AS DOUBLE) FROM lineitem
+        UNION ALL
+        SELECT 'sum_price',
+               CAST(SUM(CAST(round(l_extendedprice, 9) AS DECIMAL(28,12)))
+                    AS DOUBLE)
+        FROM lineitem
+        ORDER BY metric
+    """,
+)
+def observe_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.observe``: data-quality metrics accumulated ON THE
+    SIDE of a single pass over the fact table — the production pattern
+    for pipeline health counters (row counts, null rates, value sums)
+    without a second scan of 100 TB. The observed pass here materializes
+    to the noop sink (one full-table action, executor-side accumulators
+    only); the returned DataFrame is the metric row itself, reshaped to
+    (metric, value) rows. A batch query's Observation.get blocks until
+    the action finishes — nothing corpus-sized reaches the driver.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("quality")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+        F.sum(F.round("l_extendedprice", 9).cast(_DEC)).cast("double").alias("sum_price"),
+        F.count(F.when(F.col("l_quantity") > 45, 1)).cast("double").alias("n_heavy"),
+    )
+    observed.write.mode("overwrite").format("noop").save()
+    metrics = obs.get
+    return spark.createDataFrame(
+        sorted((k, float(v)) for k, v in metrics.items()),
+        "metric string, value double",
+    )
+
+
+@query(
+    "crosstab_status_priority",
+    category="relational-misc",
+    oracle="""
+        SELECT o_orderstatus AS o_orderstatus_o_orderpriority,
+               CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS "1-URGENT",
+               CAST(COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT) AS "2-HIGH",
+               CAST(COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT) AS "3-MEDIUM",
+               CAST(COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS "4-NOT SPECIFIED",
+               CAST(COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS "5-LOW"
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+)
+def crosstab_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.stat.crosstab`` contingency table (status x priority):
+    the pair-frequency matrix API. Internally one groupBy over the
+    value pairs pivoted to columns — output is (distinct statuses) x
+    (distinct priorities) cells, category-domain-sized, so the result
+    is driver-safe at any corpus scale. Column order is normalized by
+    sorting since crosstab emits value-columns in first-seen order.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    ct = orders.stat.crosstab("o_orderstatus", "o_orderpriority")
+    first = "o_orderstatus_o_orderpriority"
+    value_cols = sorted(c for c in ct.columns if c != first)
+    return ct.select(first, *value_cols).orderBy(first)
+
+
+@query(
+    "time_bucket_ohlc",
+    category="window",
+    oracle="""
+        WITH b AS (
+            SELECT event_type,
+                   date_trunc('hour', ts) AS bucket_start,
+                   value, ts, event_id,
+                   first_value(value) OVER (
+                       PARTITION BY event_type, date_trunc('hour', ts)
+                       ORDER BY ts, event_id) AS open,
+                   first_value(value) OVER (
+                       PARTITION BY event_type, date_trunc('hour', ts)
+                       ORDER BY ts DESC, event_id DESC) AS close
+            FROM events
+        )
+        SELECT event_type, bucket_start,
+               ANY_VALUE(open) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               ANY_VALUE(close) AS close,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(round(value, 9) AS DECIMAL(28,12))) AS DOUBLE)
+                   AS total_value
+        FROM b
+        GROUP BY event_type, bucket_start
+        ORDER BY event_type, bucket_start
+    """,
+)
+def time_bucket_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour OHLC (open/high/low/close) candles per event type — the
+    classic time-series rollup. Spark side uses min_by/max_by on a
+    (ts, event_id) struct: a ONE-PASS argmin/argmax aggregation that is
+    partial-agg combinable (map-side combine, no window sort of the
+    fact table); (ts, event_id) makes the extreme row unique so both
+    engines pick the same open/close. The oracle spells the same thing
+    with first_value windows since DuckDB's arg_min lacks struct keys.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tiebreak = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("bucket_start")
+        )
+        .agg(
+            F.min_by("value", tiebreak).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", tiebreak).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round("value", 9).cast(_DEC)).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type", "bucket_start")
+    )
+
+
+@query(
+    "constraint_audit",
+    category="relational-misc",
+    oracle="""
+        SELECT 'lineitem_null_orderkey' AS check_name,
+               CAST(COUNT(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT) AS violations
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem_orphan_orderkey',
+               CAST(COUNT(*) AS BIGINT)
+        FROM lineitem WHERE l_orderkey IS NOT NULL AND NOT EXISTS (
+            SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        UNION ALL
+        SELECT 'orders_dup_orderkey',
+               CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+        FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+        UNION ALL
+        SELECT 'orders_negative_totalprice',
+               CAST(COUNT(*) FILTER (WHERE o_totalprice < 0) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'orders_orphan_custkey',
+               CAST(COUNT(*) AS BIGINT)
+        FROM orders WHERE NOT EXISTS (
+            SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        ORDER BY check_name
+    """,
+)
+def constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity / data-quality audit in the dbt-tests
+    shape: nullability, FK orphans (anti joins), key uniqueness, and a
+    range check, unioned into one (check_name, violations) table — the
+    nightly contract a 100 TB ingest runs before publishing a
+    partition. Each check is an independent aggregate (parallel
+    stages); orphan checks broadcast the smaller key side; output is
+    checks-count-sized. All-zero on the fixtures — the planted-
+    violation unit test proves each check actually fires.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def metric(name: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(name).alias("check_name"), F.col("violations"))
+
+    checks = [
+        metric(
+            "lineitem_null_orderkey",
+            lineitem.agg(
+                F.count(F.when(F.col("l_orderkey").isNull(), 1)).alias("violations")
+            ),
+        ),
+        metric(
+            "lineitem_orphan_orderkey",
+            # NULL keys are the nullability check's finding, not orphans
+            # (dbt relationship-test semantics), so exclude them here.
+            lineitem.filter(F.col("l_orderkey").isNotNull())
+            .join(orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti")
+            .agg(F.count(F.lit(1)).alias("violations")),
+        ),
+        metric(
+            "orders_dup_orderkey",
+            orders.groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("violations")),
+        ),
+        metric(
+            "orders_negative_totalprice",
+            orders.agg(
+                F.count(F.when(F.col("o_totalprice") < 0, 1)).alias("violations")
+            ),
+        ),
+        metric(
+            "orders_orphan_custkey",
+            orders.join(
+                customer, orders.o_custkey == customer.c_custkey, "left_anti"
+            ).agg(F.count(F.lit(1)).alias("violations")),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out.orderBy("check_name")

@@ -1,0 +1,109 @@
+"""Semantic invariants for the analytics pack (plans/analytics.py) that
+the oracle hash can't express: CMS one-sided error, Bloom-prefilter
+result equivalence, and the constraint audit actually firing on
+planted violations."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from pipeline_query_engine_demo_spark.plans.analytics import (
+    bloom_prefilter_join,
+    cms_token_counts,
+    constraint_audit,
+    random_projection_embeddings,
+)
+from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+
+def test_cms_estimate_is_one_sided(spark, sf_dir):
+    """Count-min estimates NEVER undercount: est >= exact for every
+    probed token (the sketch's defining guarantee)."""
+    rows = cms_token_counts(spark, sf_dir).collect()
+    assert rows, "probe set empty"
+    for r in rows:
+        assert r.cms_est >= r.exact_cnt, (r.token, r.cms_est, r.exact_cnt)
+
+
+def test_bloom_prefilter_matches_exact_join(spark, sf_dir):
+    """The Bloom stage only discards rows that cannot join: the
+    prefiltered plan's result equals the plain join + agg."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "F")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    exact = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    got = bloom_prefilter_join(spark, sf_dir).select("l_returnflag", "n_items").collect()
+    assert [(r.l_returnflag, r.n_items) for r in got] == [
+        (r.l_returnflag, r.n_items) for r in exact
+    ]
+
+
+def test_bloom_prefilter_plan_has_semi_joins_before_shuffle_join(spark, sf_dir):
+    plan = bloom_prefilter_join(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LeftSemi") >= 2, plan
+
+
+def test_random_projection_is_linear(spark, sf_dir):
+    """y = P·x is linear, so the projection of any vector equals the
+    integer-matrix dot product computed independently in Python."""
+    emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id").limit(3).collect()
+    got = {
+        r.vec_id: [r[f"y{j}"] for j in range(1, 9)]
+        for r in random_projection_embeddings(spark, sf_dir)
+        .filter(F.col("vec_id").isin([r.vec_id for r in emb]))
+        .collect()
+    }
+    for r in emb:
+        vec = [float(v) for v in r.embedding]
+        for j in range(1, 9):
+            expect = sum(
+                round(vec[i - 1] * ((7 * i + 11 * j) % 5 - 2), 9)
+                for i in range(1, 65)
+            )
+            assert abs(got[r.vec_id][j - 1] - expect) < 1e-6
+
+
+def test_constraint_audit_clean_on_fixtures_and_fires_on_planted(spark, sf_dir, tmp_path):
+    clean = {r.check_name: r.violations for r in constraint_audit(spark, sf_dir).collect()}
+    assert set(clean) == {
+        "lineitem_null_orderkey",
+        "lineitem_orphan_orderkey",
+        "orders_dup_orderkey",
+        "orders_negative_totalprice",
+        "orders_orphan_custkey",
+    }
+    assert all(v == 0 for v in clean.values()), clean
+
+    # Plant one violation of each class in a copied fixture dir.
+    planted = str(tmp_path / "sf_planted")
+    for t in ("lineitem", "orders", "customer"):
+        df = load_table(spark, sf_dir, t)
+        if t == "lineitem":
+            extra = df.limit(2)
+            df = df.unionAll(extra.withColumn("l_orderkey", F.lit(None).cast("bigint"))).unionAll(
+                extra.withColumn("l_orderkey", F.lit(-12345).cast("bigint"))
+            )
+        if t == "orders":
+            extra = df.limit(1)
+            df = (
+                df.unionAll(extra)  # duplicate key
+                .unionAll(
+                    extra.withColumn("o_orderkey", F.lit(-77).cast("bigint"))
+                    .withColumn("o_totalprice", F.lit(-1.0))
+                    .withColumn("o_custkey", F.lit(-99).cast("bigint"))
+                )
+            )
+        df.write.mode("overwrite").parquet(f"{planted}/{t}.parquet")
+    got = {r.check_name: r.violations for r in constraint_audit(spark, planted).collect()}
+    assert got["lineitem_null_orderkey"] == 2
+    assert got["lineitem_orphan_orderkey"] == 2
+    assert got["orders_dup_orderkey"] >= 1
+    assert got["orders_negative_totalprice"] == 1
+    assert got["orders_orphan_custkey"] == 1
