@@ -1,0 +1,80 @@
+"""Distributed PageRank over an edge DataFrame — the third iterative
+algorithm the engine owns end-to-end (with ``dedup.connected_components``
+and ``clustering.kmeans_train``), expressed as pure DataFrame ops.
+
+The reference has no graph surface (its executor is 4 relational
+operators, /root/reference/src/executor/mod.rs:250-466); a training-data
+platform needs link analysis for source/domain ranking (e.g. quality
+weighting crawl domains by their co-citation graph).
+
+Per iteration: one shuffle join of the edge list with the rank table on
+``src`` and one groupBy on ``dst`` — the textbook distributed PageRank
+data flow (edges never move to the driver; the rank table is
+node-sized, never edge-sized). The iteration count is a small fixed
+constant so the whole train is one lazy DAG; ``localCheckpoint`` per
+round cuts the replayed lineage exactly like the k-means loop.
+
+Cross-engine determinism (mirrored by the DuckDB oracle in
+plans/analytics.py): per-edge contributions ``round(r/outdeg, 9)``
+accumulate as DECIMAL(28,12), and each iteration's ranks round to 9
+decimals, so both engines iterate from bit-identical vectors regardless
+of partitioning or summation order.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+_DEC = "decimal(28,12)"
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 2,
+    damping: float = 0.85,
+    teleport: float = 0.15,
+) -> DataFrame:
+    """Ranks for every node of the directed edge list ``edges`` (columns
+    ``src``, ``dst``). Assumes every node has outdegree >= 1 (true for
+    symmetric/co-occurrence graphs, which is what the registered query
+    builds) so there is no dangling-mass term. Returns (node, pagerank).
+
+    ``teleport`` is passed explicitly rather than computed as
+    ``1 - damping``: the oracle writes the literal 0.15, and IEEE
+    ``1.0 - 0.85`` is 0.15000000000000002 — the same decimal literal on
+    both sides guarantees bit-identical arithmetic.
+    """
+    edges = edges.select("src", "dst").localCheckpoint(eager=False)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # Scalar N rides along as a broadcast 1-row cross join — no action
+    # on the driver, the plan stays lazy.
+    n_tbl = F.broadcast(nodes.agg(F.count(F.lit(1)).cast("double").alias("n")))
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+
+    ranks = nodes.crossJoin(n_tbl).select(
+        "node", F.round(F.lit(1.0) / F.col("n"), 9).alias("r")
+    )
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("r") / F.col("outdeg"), 9).cast(_DEC).alias("term"),
+            )
+        )
+        ranks = (
+            contrib.groupBy("node")
+            .agg(F.sum("term").cast("double").alias("s"))
+            .crossJoin(n_tbl)
+            .select(
+                "node",
+                F.round(
+                    F.lit(teleport) / F.col("n") + F.lit(damping) * F.col("s"),
+                    9,
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", F.col("r").alias("pagerank"))

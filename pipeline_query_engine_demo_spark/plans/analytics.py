@@ -506,3 +506,224 @@ def constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionAll(c)
     return out.orderBy("check_name")
+
+
+def _pr_iter_sql(i: int, p: int) -> str:
+    """One PageRank iteration as a DuckDB CTE (reads r{p}, defines r{i})."""
+    return f"""
+        r{i} AS (
+            SELECT p.dst AS node,
+                   round(0.15 / ANY_VALUE(nn.n)
+                         + 0.85 * CAST(SUM(CAST(round(r{p}.r / deg.outdeg, 9)
+                                                AS DECIMAL(28,12))) AS DOUBLE),
+                         9) AS r
+            FROM pairs p
+            JOIN r{p} ON r{p}.node = p.src
+            JOIN deg ON deg.src = p.src
+            CROSS JOIN nn
+            GROUP BY p.dst
+        )"""
+
+
+@query(
+    "pagerank_copurchase",
+    category="graph",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM pairs),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        deg AS (SELECT src, COUNT(*) AS outdeg FROM pairs GROUP BY src),
+        r0 AS (
+            SELECT node, round(1.0 / nn.n, 9) AS r FROM nodes CROSS JOIN nn
+        ),
+    """
+    + _pr_iter_sql(1, 0)
+    + ","
+    + _pr_iter_sql(2, 1)
+    + """
+        SELECT CAST(node AS BIGINT) AS partkey, r AS pagerank
+        FROM r2
+        ORDER BY pagerank DESC, partkey
+        LIMIT 50
+    """,
+)
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (parts are linked when
+    they share an order) — 2 damped iterations via operators.graph:
+    link analysis for item/domain importance ranking, the third
+    iterative algorithm under the exact-hash gate (with connected
+    components and k-means). The oracle replays both iterations as
+    chained CTEs from the same DECIMAL-exact, 9-decimal-rounded
+    accumulators, so all 50 top ranks match to the digit.
+
+    Scale shape: edges come from a per-order self-join (quadratic only
+    in ORDER SIZE, a small bounded constant — never corpus-quadratic);
+    each iteration is one edge⋈rank shuffle join plus one groupBy(dst),
+    the textbook distributed PageRank flow. The rank table is
+    node-sized; nothing edge-sized reaches the driver.
+    """
+    from pipeline_query_engine_demo_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=2, damping=0.85, teleport=0.15)
+    return (
+        ranks.select(
+            F.col("node").cast("bigint").alias("partkey"),
+            F.col("pagerank"),
+        )
+        .orderBy(F.desc("pagerank"), "partkey")
+        .limit(50)
+    )
+
+
+def _hex_digit_sql(h: str, i: int) -> str:
+    """Value of hex digit ``i`` (1-based) of lowercase hex string ``h``."""
+    a = f"ascii(substr({h}, {i}, 1))"
+    return f"(CASE WHEN {a} <= 57 THEN {a} - 48 ELSE {a} - 87 END)"
+
+
+def _hex_digit_col(h, i: int):
+    a = F.ascii(F.substring(h, i, 1))
+    return F.when(a <= 57, a - 48).otherwise(a - 87).cast("long")
+
+
+#: 13 hex digits = 52 bits: the largest md5 prefix that converts to a
+#: double-exact integer (< 2^53) for the uniform-variate trick below.
+_U_HEX = 13
+_U_DENOM = float(16**_U_HEX)
+
+
+@query(
+    "weighted_sample_docs",
+    category="llm-sampling",
+    oracle=(
+        """
+        WITH keyed AS (
+            SELECT doc_id, source, n_chars,
+                   md5(doc_id::VARCHAR || '|wsample-v1') AS h
+            FROM documents
+        ),
+        u AS (
+            SELECT doc_id, source, n_chars,
+                   ("""
+        + " + ".join(
+            f"{_hex_digit_sql('h', i)} * CAST({16 ** (_U_HEX - i)} AS BIGINT)"
+            for i in range(1, _U_HEX + 1)
+        )
+        + f""") / {_U_DENOM!r} AS u
+            FROM keyed
+        )
+        SELECT doc_id, source, n_chars,
+               round(round(ln(u), 9) / n_chars, 12) AS es_key
+        FROM u
+        ORDER BY es_key DESC, doc_id
+        LIMIT 10
+    """
+    ),
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-ES): each doc gets key = ln(u)^(1/w) in log
+    form ln(u)/w with u a content-hash uniform variate and w = n_chars;
+    the global top-k by key IS a weighted sample — longer docs win
+    proportionally more often, yet the draw is a pure function of
+    doc_id (reproducible across re-runs, restarts, and cluster sizes,
+    unlike rand()-based sampling).
+
+    Scale shape: key computation is map-side scalar math on a 13-hex-
+    digit md5 prefix (52 bits — double-exact in both engines); the only
+    wide op is the global top-k, which Spark executes as per-partition
+    TakeOrdered + merge, never a full sort. ln is rounded to 9 decimals
+    before the division so both engines rank identical keys.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|wsample-v1")))
+    keyed = docs.select("doc_id", "source", "n_chars", h.alias("h"))
+    acc = None
+    for i in range(1, _U_HEX + 1):
+        term = _hex_digit_col(F.col("h"), i) * F.lit(16 ** (_U_HEX - i)).cast("long")
+        acc = term if acc is None else acc + term
+    u = (acc.cast("double") / F.lit(_U_DENOM)).alias("u")
+    return (
+        keyed.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round(F.round(F.log(u), 9) / F.col("n_chars"), 12).alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), "doc_id")
+        .limit(10)
+    )
+
+
+#: Bits per dimension for the Z-order curve (8 -> 256x256 grid).
+_Z_BITS = 8
+
+
+@query(
+    "zorder_curve_events",
+    category="layout",
+    oracle=(
+        """
+        WITH g AS (
+            SELECT event_id,
+                   user_id % 256 AS x,
+                   CAST(extract(hour FROM ts) AS BIGINT) * 10 AS y
+            FROM events
+        )
+        SELECT event_id, x, y,
+               ("""
+        + " + ".join(
+            f"((x >> {i}) & 1) * {1 << (2 * i)} + ((y >> {i}) & 1) * {1 << (2 * i + 1)}"
+            for i in range(_Z_BITS)
+        )
+        + """) AS zvalue
+        FROM g
+        ORDER BY event_id
+    """
+    ),
+)
+def zorder_curve_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) curve over two query dimensions (user bucket x
+    scaled hour-of-day): interleaving the bits of both keys gives a
+    single sort key under which a range-partitioned / sorted layout
+    clusters BOTH dimensions at once — the standard multi-dimensional
+    data-skipping layout (Delta OPTIMIZE ZORDER, Hudi z-ordering) that
+    lets min/max footer stats prune files for predicates on either
+    column. Writing is `repartitionByRange(zvalue) + sortWithinPartitions`
+    (the already-covered write_sorted_layout path); this query verifies
+    the curve itself — pure map-side bit arithmetic, zero shuffles
+    before the presentation sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.select(
+        "event_id",
+        (F.col("user_id") % 256).alias("x"),
+        (F.hour("ts").cast("long") * 10).alias("y"),
+    )
+    z = None
+    for i in range(_Z_BITS):
+        xbit = F.shiftright(F.col("x"), i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
+        ybit = F.shiftright(F.col("y"), i).bitwiseAND(F.lit(1)) * F.lit(
+            1 << (2 * i + 1)
+        )
+        term = xbit + ybit
+        z = term if z is None else z + term
+    return g.select("event_id", "x", "y", z.alias("zvalue")).orderBy("event_id")
