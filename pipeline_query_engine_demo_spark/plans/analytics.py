@@ -164,7 +164,7 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_returnflag,
                CAST(COUNT(*) AS BIGINT) AS n_items,
-               CAST(SUM(CAST(round(l_extendedprice, 9) AS DECIMAL(28,12)))
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
                     AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -212,7 +212,7 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(F.round("l_extendedprice", 9).cast(_DEC))
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
             .cast("double")
             .alias("revenue"),
         )
@@ -304,8 +304,7 @@ def random_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'n_rows', CAST(COUNT(*) AS DOUBLE) FROM lineitem
         UNION ALL
         SELECT 'sum_price',
-               CAST(SUM(CAST(round(l_extendedprice, 9) AS DECIMAL(28,12)))
-                    AS DOUBLE)
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
         FROM lineitem
         ORDER BY metric
     """,
@@ -325,7 +324,7 @@ def observe_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed = li.observe(
         obs,
         F.count(F.lit(1)).cast("double").alias("n_rows"),
-        F.sum(F.round("l_extendedprice", 9).cast(_DEC)).cast("double").alias("sum_price"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
         F.count(F.when(F.col("l_quantity") > 45, 1)).cast("double").alias("n_heavy"),
     )
     observed.write.mode("overwrite").format("noop").save()
@@ -727,3 +726,58 @@ def zorder_curve_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = xbit + ybit
         z = term if z is None else z + term
     return g.select("event_id", "x", "y", z.alias("zvalue")).orderBy("event_id")
+
+
+#: Incremental-load cutoff: rows before it are the materialized "base"
+#: aggregate, rows at/after it are the newly-arrived delta partition.
+_INC_CUTOFF = "1999-01-01"
+
+
+@query(
+    "incremental_agg_merge",
+    category="aggregation",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance by partial-aggregate merge: the
+    running (status, count, DECIMAL revenue) aggregate over the
+    already-loaded history is MERGED with the same aggregate over the
+    newly arrived delta partition — count by summing counts, revenue by
+    summing exact DECIMAL partials — instead of re-scanning history.
+    The oracle computes the full-table aggregate directly; they match
+    bit-for-bit because COUNT and DECIMAL SUM are associative monoids
+    (this is the algebraic fact that makes incremental 100 TB pipelines
+    sound, and float-SUM pipelines subtly unsound).
+
+    Scale shape: each nightly run scans only the delta partition; the
+    base is a tiny materialized aggregate (statuses x 2 columns). Here
+    both branches derive from one fixture split on o_orderdate.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit(_INC_CUTOFF).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(orders.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        base.unionAll(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n").alias("n_orders"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -2257,3 +2257,52 @@ def variant_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.missing", "string").alias("missing_str"),
         F.to_json(v).alias("json_compact"),
     ).orderBy("event_id")
+
+
+from pipeline_query_engine_demo_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+
+@query(
+    "ann_recall_at_k",
+    category="llm-similarity",
+    oracle=f"""
+        WITH gt AS ({_REG["cosine_topk_embeddings"].oracle}),
+             ann AS ({_REG["ann_lsh_topk_embeddings"].oracle})
+        SELECT gt.query_id,
+               CAST(COUNT(ann.rank) AS BIGINT) AS hits,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               ROUND(COUNT(ann.rank) / CAST(COUNT(*) AS DOUBLE), 6) AS recall_at_k
+        FROM gt
+        LEFT JOIN ann
+          ON ann.query_id = gt.query_id AND ann.vec_id = gt.vec_id
+        GROUP BY gt.query_id
+        ORDER BY gt.query_id
+    """,
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the sign-LSH ANN index against brute-force cosine
+    ground truth, per query — the evaluation harness every production
+    ANN deployment runs before trading exactness for speed. Composes
+    the two already-verified pipelines (their oracles are reused
+    verbatim as CTEs, so this query is exactly as trustworthy as its
+    parts) and reduces each query's top-10 overlap to hits/k.
+
+    Scale shape: ground truth is the expensive branch (brute-force over
+    the corpus — in production run on a SAMPLED query set, as here with
+    5 probe queries); the overlap join is top-k-sized (50 rows a side),
+    broadcast-trivial. Output is one row per probe query.
+    """
+    gt = cosine_topk_embeddings(spark, sf_dir)
+    ann = ann_lsh_topk_embeddings(spark, sf_dir).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        gt.join(ann, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("hits"),
+            F.count(F.lit(1)).alias("k"),
+            F.round(F.count("hit") / F.count(F.lit(1)), 6).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
