@@ -9,6 +9,7 @@ from pipeline_query_engine_demo_spark.plans import (  # noqa: F401  (registratio
     analytics,
     curation,
     llm,
+    quantization,
     relational,
     sinks,
     streams,

@@ -1,0 +1,283 @@
+"""Product quantization (PQ) — the compression tier of the ANN stack.
+
+The similarity family already covers exact brute force, sign/hyperplane
+LSH, IVF coarse search, and int8 scalar quantization. PQ is the missing
+production piece (FAISS's ``IVFPQ``): split each vector into M
+subvectors, quantize every subvector to its nearest codeword from a
+small per-subspace codebook, and store only the M code ids — here
+64 float32 dims (256 bytes) become 8 one-byte codes, a 32x compression
+that is what makes billion-vector indexes fit in RAM at 100 TB corpus
+scale. Queries then score compressed vectors WITHOUT decompressing via
+asymmetric distance computation (ADC): per query, the 32 subvector→
+codeword distances form a lookup table and each corpus vector's
+approximate distance is the sum of 8 table entries.
+
+The reference has no vector surface at all (its executor is 4
+relational operators over u32 columns, /root/reference/src/executor/
+mod.rs:250-466); this module exists for the north-star LLM-pipeline
+scope (/root/repo/BASELINE.json).
+
+Spark shape:
+- Codebooks are deterministic literals (production trains them with
+  per-subspace k-means — ``operators.clustering.kmeans_train`` is the
+  in-repo trainer; fixed codebooks keep the oracle exact).
+- Encoding is a pure map-side expression tree: 4 codeword distances per
+  subspace as fixed-order float arithmetic, argmin via a CASE chain
+  with lowest-index tie-break. Zero shuffles, scales with the scan.
+- ADC scoring joins the broadcast query set and sums reconstruction
+  distances in one fixed left-to-right order, so Spark and DuckDB
+  produce bit-identical doubles. Top-k uses the same two-phase
+  (salt-partial, then final) ranking as operators.similarity so no
+  reducer ever sees a whole query's corpus.
+
+Cross-engine determinism: every arithmetic step is double-precision
+IEEE ops in an identical evaluation order on both sides (float32
+elements widen exactly; codebook literals are identical decimal text),
+so results are compared unrounded-equal after round(9) cosmetics.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pipeline_query_engine_demo_spark.plans.registry import query
+from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+#: PQ geometry: 64 dims = _M subspaces x _DSUB dims, _K codewords each.
+_M = 8
+_DSUB = 8
+_K = 4
+
+#: Number of query vectors / neighbors for the ADC search demo.
+_NQ = 5
+_TOPK = 10
+
+#: Salt fan-out for the two-phase top-k (see operators.similarity).
+_SALTS = 16
+
+
+def _codeword(s: int, c: int, j: int) -> float:
+    """Deterministic codebook entry for subspace ``s``, codeword ``c``,
+    dim ``j`` — a fixed mixing formula into [-1.0, 1.0] in 0.1 steps.
+    Production replaces this with per-subspace k-means centroids; the
+    demo pins literals so the DuckDB oracle replays them verbatim."""
+    return ((7 * s + 13 * c + 29 * j) % 21 - 10) / 10.0
+
+
+def _dist_col(vec: str, s: int, c: int) -> F.Column:
+    """Squared L2 distance from subvector ``s`` of ``vec`` to codeword
+    ``(s, c)`` — 8 squared-diff terms summed left-to-right."""
+    terms = []
+    for j in range(_DSUB):
+        d = F.element_at(F.col(vec), s * _DSUB + j + 1).cast("double") - F.lit(
+            _codeword(s, c, j)
+        )
+        terms.append(d * d)
+    return reduce(lambda a, b: a + b, terms)
+
+
+def _dist_sql(vec: str, s: int, c: int) -> str:
+    terms = []
+    for j in range(_DSUB):
+        e = f"(CAST({vec}[{s * _DSUB + j + 1}] AS DOUBLE) - ({_codeword(s, c, j)!r}))"
+        terms.append(f"({e} * {e})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _argmin4(d0, d1, d2, d3) -> F.Column:
+    """Index of the smallest of four distances, lowest index on ties —
+    the deterministic argmin both engines agree on."""
+    return (
+        F.when((d0 <= d1) & (d0 <= d2) & (d0 <= d3), F.lit(0))
+        .when((d1 <= d2) & (d1 <= d3), F.lit(1))
+        .when(d2 <= d3, F.lit(2))
+        .otherwise(F.lit(3))
+        .cast("int")
+    )
+
+
+def _argmin4_sql(d: list[str]) -> str:
+    return (
+        f"CAST(CASE WHEN {d[0]} <= {d[1]} AND {d[0]} <= {d[2]} AND {d[0]} <= {d[3]} THEN 0 "
+        f"WHEN {d[1]} <= {d[2]} AND {d[1]} <= {d[3]} THEN 1 "
+        f"WHEN {d[2]} <= {d[3]} THEN 2 ELSE 3 END AS INTEGER)"
+    )
+
+
+def pq_encode(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """PQ-encode ``vec_col``: one ``code_{s}`` int column per subspace.
+    Pure map-side expression — the encode pass scales with the scan and
+    shuffles nothing."""
+    out = df
+    for s in range(_M):
+        dists = [_dist_col(vec_col, s, c) for c in range(_K)]
+        out = out.withColumn(f"code_{s}", _argmin4(*dists))
+    return out
+
+
+def _codes_cte() -> str:
+    """Shared oracle CTE: PQ codes for every embedding."""
+    cols = []
+    for s in range(_M):
+        d = [_dist_sql("embedding", s, c) for c in range(_K)]
+        cols.append(f"{_argmin4_sql(d)} AS code_{s}")
+    return (
+        "codes AS (SELECT vec_id, label, embedding, "
+        + ", ".join(cols)
+        + " FROM embeddings)"
+    )
+
+
+_CODE_COLS = ", ".join(f"code_{s}" for s in range(_M))
+
+
+@query(
+    "pq_encode_embeddings",
+    category="llm-similarity",
+    oracle=f"""
+        WITH {_codes_cte()}
+        SELECT vec_id, label, {_CODE_COLS}
+        FROM codes
+        ORDER BY vec_id
+    """,
+)
+def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding of the embedding corpus: 64 float32
+    dims -> 8 one-byte codes (32x compression), the storage layout that
+    lets a 100 TB vector corpus keep its index in executor memory.
+
+    Scale shape: codebooks are broadcast literals, assignment is a
+    whole-stage-codegen expression over the scan — zero shuffles, and
+    the output table (id + 8 ints) is what downstream ADC search scans
+    instead of raw vectors.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        pq_encode(emb, "vec_id", "embedding")
+        .select("vec_id", "label", *[f"code_{s}" for s in range(_M)])
+        .orderBy("vec_id")
+    )
+
+
+def _recon_elem_sql(s: int, j: int) -> str:
+    """Reconstructed element (s, j) from the row's code: a 4-way CASE
+    over the codeword literals."""
+    return (
+        f"(CASE code_{s} WHEN 0 THEN ({_codeword(s, 0, j)!r}) "
+        f"WHEN 1 THEN ({_codeword(s, 1, j)!r}) "
+        f"WHEN 2 THEN ({_codeword(s, 2, j)!r}) "
+        f"ELSE ({_codeword(s, 3, j)!r}) END)"
+    )
+
+
+def _recon_elem_col(s: int, j: int) -> F.Column:
+    code = F.col(f"code_{s}")
+    return (
+        F.when(code == 0, F.lit(_codeword(s, 0, j)))
+        .when(code == 1, F.lit(_codeword(s, 1, j)))
+        .when(code == 2, F.lit(_codeword(s, 2, j)))
+        .otherwise(F.lit(_codeword(s, 3, j)))
+    )
+
+
+def _adc_dist_col(qvec: str) -> F.Column:
+    """ADC distance: sum over all 64 dims of (q[i] - reconstructed[i])^2
+    in one fixed left-to-right order. Algebraically the per-subspace
+    LUT sum (the production form precomputes the 32 subvector-to-
+    codeword entries once per query); the flat order is pinned so the
+    oracle's text-identical expression is bit-identical."""
+    terms = []
+    for s in range(_M):
+        for j in range(_DSUB):
+            d = F.element_at(F.col(qvec), s * _DSUB + j + 1).cast(
+                "double"
+            ) - _recon_elem_col(s, j)
+            terms.append(d * d)
+    return reduce(lambda a, b: a + b, terms)
+
+
+def _adc_dist_sql(qvec: str) -> str:
+    terms = []
+    for s in range(_M):
+        for j in range(_DSUB):
+            e = (
+                f"(CAST({qvec}[{s * _DSUB + j + 1}] AS DOUBLE) - "
+                f"{_recon_elem_sql(s, j)})"
+            )
+            terms.append(f"({e} * {e})")
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "pq_adc_topk_embeddings",
+    category="llm-similarity",
+    oracle=f"""
+        WITH {_codes_cte()},
+        q AS (
+            SELECT vec_id AS query_id, embedding AS qe
+            FROM embeddings WHERE vec_id < {_NQ}
+        ),
+        scored AS (
+            SELECT q.query_id, codes.vec_id,
+                   round({_adc_dist_sql('q.qe')}, 9) AS adc_dist
+            FROM codes CROSS JOIN q
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, adc_dist,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY adc_dist, vec_id
+                   ) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, adc_dist, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= {_TOPK}
+        ORDER BY query_id, rank
+    """,
+)
+def pq_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-k over the PQ-compressed corpus: each of
+    {_NQ} query vectors scores every corpus vector from its 8 codes
+    alone — the raw 64-dim corpus vectors are never touched after the
+    one-time encode, which is PQ's whole point at scale (the scan reads
+    ~8 bytes/vector instead of 256).
+
+    Scale shape: queries broadcast; scoring is map-side codegen; top-k
+    runs the same two-phase salted ranking as operators.similarity
+    (partial top-k per (query, salt), final re-rank of <= k*16 rows) so
+    a small query set over a huge corpus never funnels into a handful
+    of reducers. Recall vs the exact baseline is graded by
+    ``ann_recall_at_k``'s pattern; ADC error comes from codebook
+    granularity (K=4 here — production uses K=256 per subspace).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = pq_encode(emb, "vec_id", "embedding").select(
+        "vec_id", *[f"code_{s}" for s in range(_M)]
+    )
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < _NQ).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qe")
+        )
+    )
+    scored = codes.crossJoin(q).select(
+        "query_id",
+        "vec_id",
+        F.round(_adc_dist_col("_qe"), 9).alias("adc_dist"),
+    )
+    salt = F.pmod(F.hash(F.col("vec_id")), F.lit(_SALTS))
+    pre = Window.partitionBy("query_id", "_salt").orderBy("adc_dist", "vec_id")
+    partial = (
+        scored.withColumn("_salt", salt)
+        .withColumn("_prank", F.row_number().over(pre))
+        .filter(F.col("_prank") <= _TOPK)
+        .drop("_salt", "_prank")
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", "vec_id", "adc_dist", "rank")
+        .orderBy("query_id", "rank")
+    )

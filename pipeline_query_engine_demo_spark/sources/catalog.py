@@ -43,14 +43,21 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy Parquet scan for one fixture table.
 
-    ``events.ts`` is nanosecond-precision Parquet (SURVEY.md §7 risk 5),
-    which Spark 4 refuses to read as a timestamp. We read it as a nanos
-    BIGINT (legacy flag, set at runtime so it works on any caller's
-    session) and truncate to microseconds with integer division —
-    truncation, not rounding, because that is exactly what DuckDB does
-    when it narrows ns → µs, so the oracle sees identical values.
-    ``ts div 1000`` stays in integer arithmetic; a double division would
-    lose precision above 2^53 ns (~1970+104 days).
+    ``events.ts`` has shipped in two fixture generations: nanosecond
+    Parquet (SURVEY.md §7 risk 5), which Spark 4 refuses to read as a
+    timestamp — we read it as a nanos BIGINT (legacy flag, set at
+    runtime so it works on any caller's session) and truncate to
+    microseconds with integer division (truncation, not rounding,
+    because that is exactly what DuckDB does when it narrows ns → µs) —
+    and, in the current generation, plain µs timestamps with
+    ``isAdjustedToUTC=false``, which Spark's NTZ inference surfaces as
+    TIMESTAMP_NTZ. Every timestamp column (events.ts, o_orderdate,
+    l_shipdate) is normalized to the session-zoned TIMESTAMP type the
+    engine was built against: with the session in UTC the NTZ→LTZ cast
+    is wall-clock-identical, and several APIs (streaming watermarks on
+    schema-declared sources, mixed NTZ/LTZ comparisons) only accept the
+    zoned type. The cast is a zero-cost projection — pushdown and
+    pruning on the remaining columns are unaffected.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -59,8 +66,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    else:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -28,12 +28,10 @@ from pyspark.sql import DataFrame, SparkSession
 if TYPE_CHECKING:  # pragma: no cover
     import pandas as pd
 
-#: Explicit schema for the streaming reader (streams cannot infer).
-#: ``ts`` arrives as BIGINT nanos (see sources.catalog.load_table for
-#: the same nanos handling on the batch path).
-_EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, value double, props string"
-)
+#: Streams cannot infer schemas, and the fixture has shipped with two
+#: ``ts`` physical types (ns → BIGINT under the legacy flag; µs →
+#: TIMESTAMP_NTZ) — so the reader takes its schema from one batch
+#: footer read and normalizes exactly like sources.catalog.load_table.
 
 
 def _stream_source_dir(sf_dir: str) -> str:
@@ -59,10 +57,21 @@ def _stream_source_dir(sf_dir: str) -> str:
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events Parquet, ts normalized to a
-    microsecond timestamp exactly like the batch reader."""
+    session-zoned microsecond timestamp exactly like the batch reader.
+
+    The declared schema comes from a one-time batch footer read of the
+    fixture file (metadata only — no data scan), so the stream tracks
+    whichever ``ts`` physical type this fixture generation uses instead
+    of hard-coding one and silently mis-scaling the other."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = spark.readStream.schema(_EVENTS_SCHEMA).parquet(_stream_source_dir(sf_dir))
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = spark.readStream.schema(raw_schema).parquet(_stream_source_dir(sf_dir))
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in raw_schema)["ts"]
+    if ts_type == "bigint":  # nanos generation: truncate ns → µs like DuckDB
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":  # µs generation: NTZ → LTZ (UTC session)
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def run_to_memory(
