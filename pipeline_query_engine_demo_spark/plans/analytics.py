@@ -781,3 +781,174 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "triangle_count_copurchase",
+    category="graph",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        tri AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS t
+            FROM pairs e1
+            JOIN pairs e2 ON e2.u = e1.v
+            JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        deg AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM (
+                SELECT u AS node FROM pairs
+                UNION ALL
+                SELECT v AS node FROM pairs
+            )
+            GROUP BY node
+        ),
+        wed AS (
+            SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS w FROM deg
+        )
+        SELECT tri.t AS n_triangles,
+               wed.w AS n_wedges,
+               ROUND(3.0 * CAST(tri.t AS DOUBLE) / CAST(wed.w AS DOUBLE), 9)
+                   AS transitivity
+        FROM tri CROSS JOIN wed
+    """,
+)
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count + transitivity of the part co-purchase
+    graph — the standard graph-structure summary (community density,
+    spam/bot detection in link graphs) alongside PageRank.
+
+    Scale shape: edges are canonically ordered (u < v), so each
+    triangle is generated exactly once by the two equi-joins — never a
+    per-triangle dedup pass. Both joins key on a single vertex column
+    (shuffle joins that AQE can skew-split); wedge counts are one
+    map-side-combinable groupBy over the edge endpoints. Production
+    hardening for power-law graphs orders vertices by (degree, id)
+    instead of raw id, which provably bounds every join fan-out at
+    O(sqrt(edges)) per vertex — same plan shape, one extra degree join.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    # Integer DIV, not float /: d*(d-1) is even so DIV 2 is exact, and
+    # the double path would silently lose bits past 2^53 on hub nodes.
+    wed = deg.agg(F.sum(F.expr("d * (d - 1) DIV 2")).cast("bigint").alias("w"))
+    return tri.crossJoin(wed).select(
+        F.col("t").alias("n_triangles"),
+        F.col("w").alias("n_wedges"),
+        F.round(
+            F.lit(3.0) * F.col("t").cast("double") / F.col("w").cast("double"), 9
+        ).alias("transitivity"),
+    )
+
+
+@query(
+    "stats_linear_regression",
+    category="aggregation",
+    oracle="""
+        WITH s AS (
+            SELECT l_returnflag AS returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))
+                       * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))
+                       * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT returnflag, n,
+               ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9)
+                   AS slope,
+               ROUND((CAST(sy AS DOUBLE)
+                      - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 9)
+                   AS intercept,
+               ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                     / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+                   AS r2
+        FROM s
+        ORDER BY returnflag
+    """,
+)
+def stats_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares fit (slope, intercept, R²) of
+    extendedprice against quantity — the distributed analog of SQL's
+    ``regr_slope``/``regr_intercept``/``regr_r2``, computed from exact
+    DECIMAL power sums (see stats_corr_covar) instead of the built-ins,
+    whose float accumulation order varies with partitioning and cannot
+    hash-match across engines.
+
+    Scale: one map-side-combinable groupBy carrying six associative
+    accumulators; the closed-form OLS formulas run once per group on
+    exact inputs. The same power sums serve corr, covar, OLS, and
+    z-scores — one shuffle amortized across every second-moment
+    statistic a profiling pass needs."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = lineitem.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return s.select(
+        "returnflag",
+        "n",
+        F.round(slope, 9).alias("slope"),
+        F.round((sy - slope * sx) / nd, 9).alias("intercept"),
+        F.round(
+            ((nd * sxy - sx * sy) * (nd * sxy - sx * sy))
+            / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)),
+            9,
+        ).alias("r2"),
+    ).orderBy("returnflag")

@@ -2226,3 +2226,57 @@ def parameterized_sql_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"max_size": 25, "ptype": "PROMO"},
     )
+
+
+@query(
+    "xml_functions",
+    category="scalar",
+    oracle="""
+        SELECT event_id,
+               '<event><type>' || event_type || '</type><uid>'
+                   || CAST(user_id AS VARCHAR) || '</uid></event>' AS xml,
+               event_type AS type_from_xml,
+               user_id AS uid_from_xml,
+               event_type AS type_xpath,
+               user_id AS uid_xpath_sum
+        FROM events
+        WHERE event_id < 200
+        ORDER BY event_id
+    """,
+)
+def xml_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML scalar-function surface (Spark 4 ``from_xml`` + the Hive
+    xpath family): each event is serialized to an XML fragment, parsed
+    back with a declared struct schema, and field-extracted both ways.
+    The oracle checks the round trip against the source columns —
+    DuckDB has no XML type, and an engine-side identity is exactly what
+    proves parse(serialize(x)) == x.
+
+    Scale: pure map-side expressions (parsing included) — scales with
+    the scan like every scalar family. ``schema_of_xml`` (schema
+    inference from a sample literal) is exercised in tests rather than
+    here: its output is a schema string, not row data.
+    """
+    events = load_table(spark, sf_dir, "events")
+    xml = F.concat(
+        F.lit("<event><type>"),
+        F.col("event_type"),
+        F.lit("</type><uid>"),
+        F.col("user_id").cast("string"),
+        F.lit("</uid></event>"),
+    )
+    parsed = F.from_xml(xml, "type string, uid bigint")
+    return (
+        events.filter(F.col("event_id") < 200)
+        .select(
+            "event_id",
+            xml.alias("xml"),
+            parsed.getField("type").alias("type_from_xml"),
+            parsed.getField("uid").alias("uid_from_xml"),
+            F.xpath_string(xml, F.lit("/event/type")).alias("type_xpath"),
+            # xpath numeric extraction returns double; LONG cast pins the
+            # driver-hash dtype to the source column's int64.
+            F.xpath_long(xml, F.lit("sum(/event/uid)")).alias("uid_xpath_sum"),
+        )
+        .orderBy("event_id")
+    )

@@ -1,0 +1,67 @@
+"""Product-quantization invariants (plans.quantization)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from pipeline_query_engine_demo_spark.plans.quantization import (
+    _DSUB,
+    _K,
+    _M,
+    _TOPK,
+    _codeword,
+    pq_adc_topk_embeddings,
+    pq_encode,
+    pq_encode_embeddings,
+)
+
+
+def test_pq_codes_in_range_and_complete(spark, sf_dir):
+    out = pq_encode_embeddings(spark, sf_dir).collect()
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(out) == n
+    for row in out[:50]:
+        for s in range(_M):
+            assert 0 <= row[f"code_{s}"] < _K
+
+
+def test_pq_encode_picks_nearest_codeword_on_planted_vector(spark):
+    # A vector equal to codeword c=2 in every subspace must encode to
+    # all-2 codes (distance 0 beats every other codeword — the planted
+    # vector is bit-exactly representable).
+    vec = [
+        float(_codeword(s, 2, j)) for s in range(_M) for j in range(_DSUB)
+    ]
+    df = spark.createDataFrame([(1, vec)], "id long, embedding array<float>")
+    row = pq_encode(df, "id", "embedding").collect()[0]
+    assert all(row[f"code_{s}"] == 2 for s in range(_M))
+
+
+def test_adc_topk_shape_and_monotone_distance(spark, sf_dir):
+    out = pq_adc_topk_embeddings(spark, sf_dir)
+    rows = out.collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for q, group in by_q.items():
+        assert [r.rank for r in group] == list(range(1, _TOPK + 1))
+        dists = [r.adc_dist for r in group]
+        assert dists == sorted(dists)
+        assert all(d >= 0.0 for d in dists)
+
+
+def test_adc_distance_zero_for_vector_on_codebook_grid(spark):
+    # Corpus = the planted codeword vector; query = the same vector.
+    # ADC reconstructs it exactly, so the approximate distance is 0.
+    # array<double>, not float: float32 storage would round 0.7 etc.
+    # away from the double codeword literal and leave a ~1e-14 residue.
+    vec = [float(_codeword(s, 0, j)) for s in range(_M) for j in range(_DSUB)]
+    df = spark.createDataFrame([(1, vec)], "id long, embedding array<double>")
+    codes = pq_encode(df, "id", "embedding")
+    from pipeline_query_engine_demo_spark.plans.quantization import _adc_dist_col
+
+    scored = codes.withColumn("_qe", F.col("embedding")).select(
+        _adc_dist_col("_qe").alias("d")
+    )
+    assert scored.collect()[0].d == 0.0
