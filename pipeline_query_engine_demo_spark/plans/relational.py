@@ -2280,3 +2280,99 @@ def xml_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "agg_mode_median",
+    category="aggregation",
+    oracle="""
+        WITH counts AS (
+            SELECT l_returnflag AS returnflag, l_quantity AS q,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM lineitem GROUP BY returnflag, q
+        ),
+        modes AS (
+            SELECT returnflag, q AS mode_qty
+            FROM (
+                SELECT returnflag, q,
+                       row_number() OVER (
+                           PARTITION BY returnflag ORDER BY c DESC, q ASC
+                       ) AS rn
+                FROM counts
+            ) WHERE rn = 1
+        )
+        SELECT m.returnflag, m.mode_qty,
+               ROUND(CAST(MEDIAN(l.l_quantity) AS DOUBLE), 6) AS median_qty,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem l JOIN modes m ON l.l_returnflag = m.returnflag
+        GROUP BY m.returnflag, m.mode_qty
+        ORDER BY m.returnflag
+    """,
+)
+def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mode()`` (deterministic form — ties resolve to the lowest
+    value, which the oracle replays as argmax over (count DESC, value
+    ASC)) and exact ``median()`` per group — the Spark 3.4+/4
+    order-statistic aggregates. Median interpolates identically in both
+    engines over this integer-valued domain.
+
+    Scale: mode's state is a per-partition value→count map (bounded by
+    the 50-value quantity domain); median requires a sort of the
+    group's values — at 100 TB the approx_percentile sketch
+    (approx_percentile_quantities) is the scale substitute, which is
+    why both forms are in the corpus."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.mode(F.col("l_quantity"), True).alias("mode_qty"),
+            F.round(F.median(F.col("l_quantity")), 6).alias("median_qty"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .orderBy("returnflag")
+    )
+
+
+@query(
+    "equi_depth_histogram",
+    category="aggregation",
+    oracle="""
+        WITH buckets AS (
+            SELECT o_totalprice,
+                   ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+            FROM orders
+        )
+        SELECT CAST(bucket AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(MIN(o_totalprice), 2) AS lo,
+               ROUND(MAX(o_totalprice), 2) AS hi
+        FROM buckets GROUP BY bucket ORDER BY bucket
+    """,
+)
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-height) decile histogram of order totals via
+    ``ntile`` — the optimizer-statistics primitive (histogram column
+    stats, workload-aware range partitioning boundaries). Ties broken
+    by the unique key so both engines cut identical buckets.
+
+    Scale: a global ntile needs a total order — fine for stats
+    collection over an aggregate/sample, wrong for raw 100 TB facts;
+    there the boundary estimate comes from approx_percentile (the
+    sketch path) and this exact form runs on the sampled summary. The
+    global_shuffle_positions query shows the bucketed alternative when
+    a full exact total order is genuinely required."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_totalprice", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .select(F.col("bucket").cast("int").alias("bucket"), "n", "lo", "hi")
+        .orderBy("bucket")
+    )

@@ -20,7 +20,7 @@ import os
 import tempfile
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from pipeline_query_engine_demo_spark.plans.registry import query
 from pipeline_query_engine_demo_spark.sources.catalog import load_table
@@ -543,4 +543,114 @@ def python_datasource_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("n_rows", 1000)
         .load()
         .orderBy("n")
+    )
+
+
+@query(
+    "file_metadata_scan",
+    category="source",
+    oracle="""
+        SELECT 'lineitem.parquet' AS file_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem
+    """,
+)
+def file_metadata_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hidden ``_metadata`` file-source column (file name/path/
+    size/row-group provenance per row) — the lineage primitive: at
+    100 TB every curation pipeline needs to answer "which input file
+    produced this row" for incident rollback and per-file quarantine
+    without a separate manifest join.
+
+    Scale: ``_metadata`` fields are constant-folded per file split —
+    no per-row cost, no extra scan; grouping by file name is a
+    map-side-combinable agg over as many distinct keys as files."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(F.col("_metadata.file_name").alias("file_name"))
+        .groupBy("file_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+
+
+#: Compaction demo geometry: the 15 status x priority groups written as
+#: one file per pmod-8 bucket via partitionBy (exactly 8 files, no range
+#: sampling involved), then compacted to 2 files.
+_COMPACT_BEFORE = 8
+_COMPACT_AFTER = 2
+
+
+@query(
+    "compact_small_files",
+    category="sink",
+    oracle=f"""
+        WITH agg AS (
+            SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY o_orderstatus, o_orderpriority
+        )
+        SELECT CAST({_COMPACT_BEFORE} AS BIGINT) AS files_before,
+               CAST({_COMPACT_AFTER} AS BIGINT) AS files_after,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(n) AS BIGINT) AS n_orders
+        FROM agg
+    """,
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance operation every
+    long-lived 100 TB lake needs: streaming/incremental writers leave
+    thousands of KB-sized files whose per-file open/footer overhead
+    eventually dominates scans, and a periodic coalesce rewrite restores
+    scan-sized files. Here: an aggregate deliberately fragmented into
+    exactly {_COMPACT_BEFORE} files — ``repartition(bucket)`` puts each
+    pmod-16 bucket in one task, ``partitionBy(bucket)`` splits the
+    write per bucket value, so the file count is the bucket count, no
+    range-boundary sampling to collapse (repartitionByRange's sampled
+    cuts merged two of the 25 dense keys on first attempt — observed
+    15 files, not deterministic enough for the gate). The rewrite uses
+    ``repartition({_COMPACT_AFTER})`` for the same exactness (round-
+    robin leaves both partitions non-empty); production uses
+    ``coalesce`` there to skip the shuffle. File counts are observed
+    from ``_metadata.file_path`` on read-back, and the oracle pins both
+    plus full value preservation.
+
+    Scale: real compactors pick target file size (say 512 MB) and only
+    rewrite partitions whose mean file size is below threshold — the
+    observed-file-count + rewrite mechanics here are exactly that inner
+    loop."""
+    orders = load_table(spark, sf_dir, "orders")
+    agg = (
+        orders.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn(
+            "_bucket",
+            F.pmod(
+                F.row_number().over(
+                    Window.orderBy("o_orderstatus", "o_orderpriority")
+                ),
+                F.lit(_COMPACT_BEFORE),
+            ),
+        )
+    )
+    frag_path = os.path.join(_SCRATCH, "fragmented")
+    agg.repartition(_COMPACT_BEFORE, "_bucket").write.mode("overwrite").partitionBy(
+        "_bucket"
+    ).parquet(frag_path)
+    frag = spark.read.parquet(frag_path).drop("_bucket")
+    files_before = frag.select(
+        F.countDistinct(F.col("_metadata.file_path")).alias("c")
+    )
+    compact_path = os.path.join(_SCRATCH, "compacted")
+    frag.repartition(_COMPACT_AFTER).write.mode("overwrite").parquet(compact_path)
+    compacted = spark.read.parquet(compact_path)
+    files_after = compacted.select(
+        F.countDistinct(F.col("_metadata.file_path")).alias("c")
+    )
+    return (
+        compacted.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("n").cast("bigint").alias("n_orders"),
+        )
+        .crossJoin(F.broadcast(files_before.select(F.col("c").cast("bigint").alias("files_before"))))
+        .crossJoin(F.broadcast(files_after.select(F.col("c").cast("bigint").alias("files_after"))))
+        .select("files_before", "files_after", "n_groups", "n_orders")
     )
