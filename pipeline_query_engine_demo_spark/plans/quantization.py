@@ -281,3 +281,135 @@ def pq_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", "adc_dist", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+#: IVF-PQ probe width (matches ivf_topk_embeddings' nprobe).
+_NPROBE = 2
+
+#: Cell-assignment CASE over the 4 one-hot centroids (cosine argmax
+#: against a one-hot unit vector reduces to a raw coordinate argmax —
+#: same derivation as plans.llm.ivf_assign_embeddings, first-max wins).
+_CELL_SQL = """
+    CASE WHEN CAST(embedding[1] AS DOUBLE) >= CAST(embedding[2] AS DOUBLE)
+              AND CAST(embedding[1] AS DOUBLE) >= CAST(embedding[3] AS DOUBLE)
+              AND CAST(embedding[1] AS DOUBLE) >= CAST(embedding[4] AS DOUBLE) THEN 0
+         WHEN CAST(embedding[2] AS DOUBLE) >= CAST(embedding[3] AS DOUBLE)
+              AND CAST(embedding[2] AS DOUBLE) >= CAST(embedding[4] AS DOUBLE) THEN 1
+         WHEN CAST(embedding[3] AS DOUBLE) >= CAST(embedding[4] AS DOUBLE) THEN 2
+         ELSE 3 END
+"""
+
+
+def _cell_col() -> F.Column:
+    e = [F.element_at(F.col("embedding"), i + 1).cast("double") for i in range(4)]
+    return (
+        F.when((e[0] >= e[1]) & (e[0] >= e[2]) & (e[0] >= e[3]), F.lit(0))
+        .when((e[1] >= e[2]) & (e[1] >= e[3]), F.lit(1))
+        .when(e[2] >= e[3], F.lit(2))
+        .otherwise(3)
+        .cast("int")
+    )
+
+
+@query(
+    "ivfpq_topk_embeddings",
+    category="llm-similarity",
+    oracle=f"""
+        WITH {_codes_cte()},
+        cc AS (
+            SELECT vec_id, {_CELL_SQL} AS cell, {_CODE_COLS}
+            FROM codes
+        ),
+        qs AS (
+            SELECT vec_id AS query_id, embedding AS qe,
+                   unnest([
+                       struct_pack(cell := 0, s := CAST(embedding[1] AS DOUBLE)),
+                       struct_pack(cell := 1, s := CAST(embedding[2] AS DOUBLE)),
+                       struct_pack(cell := 2, s := CAST(embedding[3] AS DOUBLE)),
+                       struct_pack(cell := 3, s := CAST(embedding[4] AS DOUBLE))
+                   ]) AS t
+            FROM embeddings WHERE vec_id < {_NQ}
+        ),
+        qcells AS (
+            SELECT query_id, qe, t.cell AS cell
+            FROM qs
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                                       ORDER BY t.s DESC, t.cell) <= {_NPROBE}
+        ),
+        scored AS (
+            SELECT q.query_id, cc.vec_id,
+                   round({_adc_dist_sql('q.qe')}, 9) AS adc_dist
+            FROM cc JOIN qcells q ON cc.cell = q.cell
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, adc_dist,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY adc_dist, vec_id
+                   ) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, adc_dist, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= {_TOPK}
+        ORDER BY query_id, rank
+    """,
+)
+def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production billion-vector index shape (FAISS
+    ``IVFPQ``), composed from the engine's own tiers: IVF coarse cells
+    bound WHERE to look (each query probes its nprobe=2 closest of the
+    4 one-hot cells — the same assignment as ivf_topk_embeddings), PQ
+    codes bound WHAT is read there (8 bytes/vector instead of 256 —
+    the ADC scoring of pq_adc_topk_embeddings). Cost per query drops
+    from scan-everything to ~corpus * nprobe/cells * 8 bytes.
+
+    Scale shape: the one corpus pass computes cell + codes map-side;
+    the probe is a cell equi-join against the broadcast query set;
+    top-k is the two-phase salted ranking. At 100 TB the codes table
+    is the only thing re-read per query batch — it's 32x smaller than
+    the raw vectors and prunes by cell like any partitioned join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = (
+        pq_encode(emb, "vec_id", "embedding")
+        .withColumn("_cell", _cell_col())
+        .select("vec_id", "_cell", *[f"code_{s}" for s in range(_M)])
+    )
+    q_scored = emb.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qe"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.element_at(F.col("embedding"), i + 1).cast("double")
+                    for i in range(4)
+                ]
+            )
+        ).alias("_cell", "_cell_score"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_cell_score").desc(), F.col("_cell")
+    )
+    q_cells = F.broadcast(
+        q_scored.withColumn("_cell_rank", F.row_number().over(wq))
+        .filter(F.col("_cell_rank") <= _NPROBE)
+        .select("query_id", "_qe", "_cell")
+    )
+    scored = codes.join(q_cells, on="_cell").select(
+        "query_id",
+        "vec_id",
+        F.round(_adc_dist_col("_qe"), 9).alias("adc_dist"),
+    )
+    salt = F.pmod(F.hash(F.col("vec_id")), F.lit(_SALTS))
+    pre = Window.partitionBy("query_id", "_salt").orderBy("adc_dist", "vec_id")
+    partial = (
+        scored.withColumn("_salt", salt)
+        .withColumn("_prank", F.row_number().over(pre))
+        .filter(F.col("_prank") <= _TOPK)
+        .drop("_salt", "_prank")
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", "vec_id", "adc_dist", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -226,3 +226,77 @@ def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, b.pos, b.bigram FROM _udtf_docs d, LATERAL bigrams(d.text) b "
         "ORDER BY d.doc_id, b.pos"
     )
+
+
+#: Planted non-NFC strings (shared between the Spark builder and the
+#: oracle, so both sides normalize identical inputs): combining-accent
+#: decompositions that NFC recomposes, plus an already-composed control.
+_NFC_PLANTED: list[tuple[int, str]] = [
+    (900001, "café con leche"),       # e + COMBINING ACUTE -> é
+    (900002, "über cool"),            # u + COMBINING DIAERESIS -> ü
+    (900003, "café déjà"),   # already NFC — must pass through
+    (900004, "Ångström"),       # Å + ö recompositions
+]
+
+
+@query(
+    "unicode_nfc_normalize",
+    category="udf",
+    oracle="""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents WHERE doc_id < 50
+            UNION ALL
+            SELECT * FROM (VALUES
+    """
+    + ",\n".join(
+        f"            ({i}, '{s}')" for i, s in _NFC_PLANTED
+    )
+    + """
+            ) AS planted(doc_id, text)
+        )
+        SELECT doc_id,
+               nfc_normalize(text) AS nfc_text,
+               text <> nfc_normalize(text) AS changed,
+               CAST(length(text) AS BIGINT) AS len_raw,
+               CAST(length(nfc_normalize(text)) AS BIGINT) AS len_nfc
+        FROM corpus ORDER BY doc_id
+    """,
+)
+def unicode_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the canonical first step of any text
+    ingest (one byte sequence per glyph before hashing/dedup: 'café'
+    with a combining accent and precomposed 'café' must dedup to the
+    same document). Spark has no normalization builtin, so this is the
+    honest Pandas-UDF seam: Python's unicodedata over Arrow batches.
+    The oracle is DuckDB's native nfc_normalize; planted decomposed
+    strings prove recomposition actually happens (the fixture corpus
+    is ASCII, where NFC is the identity).
+
+    Scale: vectorized Arrow transfer, stateless per batch — scales
+    with the scan like any map-side pass; in a curation DAG this runs
+    fused into the first projection, before content hashes."""
+
+    @pandas_udf("string")
+    def nfc(texts: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return texts.map(lambda t: unicodedata.normalize("NFC", t))
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select(
+        "doc_id", "text"
+    )
+    planted = docs.sparkSession.createDataFrame(
+        _NFC_PLANTED, "doc_id long, text string"
+    )
+    corpus = docs.unionAll(planted)
+    return (
+        corpus.withColumn("nfc_text", nfc("text"))
+        .select(
+            "doc_id",
+            "nfc_text",
+            (F.col("text") != F.col("nfc_text")).alias("changed"),
+            F.length("text").cast("bigint").alias("len_raw"),
+            F.length("nfc_text").cast("bigint").alias("len_nfc"),
+        )
+        .orderBy("doc_id")
+    )
