@@ -2376,3 +2376,142 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("bucket").cast("int").alias("bucket"), "n", "lo", "hi")
         .orderBy("bucket")
     )
+
+
+@query(
+    "transpose_agg_summary",
+    category="sql-surface",
+    oracle="""
+        WITH agg AS (
+            SELECT l_returnflag AS flag,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(COUNT(*) AS DOUBLE) AS n_rows
+            FROM lineitem GROUP BY flag
+        )
+        SELECT 'n_rows' AS key,
+               (SELECT n_rows FROM agg WHERE flag = 'A') AS A,
+               (SELECT n_rows FROM agg WHERE flag = 'N') AS N,
+               (SELECT n_rows FROM agg WHERE flag = 'R') AS R
+        UNION ALL
+        SELECT 'sum_qty',
+               (SELECT sum_qty FROM agg WHERE flag = 'A'),
+               (SELECT sum_qty FROM agg WHERE flag = 'N'),
+               (SELECT sum_qty FROM agg WHERE flag = 'R')
+        ORDER BY key
+    """,
+)
+def transpose_agg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.transpose`` (Spark 4): flip a metrics-by-group
+    aggregate into group-by-metrics — the report/dashboard pivot where
+    groups become columns. Spark requires the new column names to come
+    from the first column's values and coerces the body to a common
+    type (double here).
+
+    Scale: transpose collects the frame shape to the driver to name
+    columns, so it belongs strictly AFTER aggregation — this plan
+    transposes a 3x3 summary, never raw data (the same driver-size
+    discipline as df.stat.crosstab)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    agg = (
+        lineitem.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).cast("double").alias("n_rows"),
+        )
+        .orderBy("flag")
+    )
+    return (
+        agg.transpose()
+        .withColumnRenamed("key", "key")
+        .orderBy("key")
+    )
+
+
+@query(
+    "apply_in_arrow_group_stats",
+    category="udf",
+    oracle="""
+        SELECT l_returnflag AS flag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(l_quantity) AS min_qty,
+               MAX(l_quantity) AS max_qty
+        FROM lineitem GROUP BY flag ORDER BY flag
+    """,
+)
+def apply_in_arrow_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GroupedData.applyInArrow`` (Spark 4) — the zero-copy grouped
+    map: each group arrives as a pyarrow.Table and is reduced with
+    pyarrow.compute kernels, no pandas materialization at all. The
+    lowest-overhead Python hook for group-shaped logic the JVM can't
+    express (min/max/count here are verifiable stand-ins).
+
+    Scale: one shuffle on the group key; per-group work is C-side
+    Arrow kernels. Same skew caveat as any grouped map — a hot key
+    lands on one worker, so keep per-group state bounded."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(table: pa.Table) -> pa.Table:
+        q = table.column("l_quantity")
+        return pa.table(
+            {
+                "flag": [table.column("l_returnflag")[0].as_py()],
+                "n": pa.array([table.num_rows], pa.int64()),
+                "min_qty": [pc.min(q).as_py()],
+                "max_qty": [pc.max(q).as_py()],
+            }
+        )
+
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    )
+    return (
+        lineitem.groupBy("l_returnflag")
+        .applyInArrow(
+            stats, schema="flag string, n bigint, min_qty double, max_qty double"
+        )
+        .orderBy("flag")
+    )
+
+
+@query(
+    "sql_scripting_block",
+    category="sql-surface",
+    oracle="""
+        WITH c AS (SELECT MAX(o_totalprice) * 0.5 AS cutoff FROM orders)
+        SELECT o.o_orderstatus AS orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_big,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders o CROSS JOIN c
+        WHERE o.o_totalprice > c.cutoff
+        GROUP BY orderstatus ORDER BY orderstatus
+    """,
+)
+def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 ``BEGIN … END``): a procedural block
+    DECLAREs a session variable, SETs it from a scalar subquery, and
+    the final statement's result is the block's result — the ELT
+    migration path for stored-procedure workloads (no driver-side
+    Python between steps).
+
+    Scale: the variable holds a scalar on the driver; the data-sized
+    work stays declarative inside the block's statements, so each
+    statement is its own optimized Catalyst plan."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("script_orders")
+    return spark.sql(
+        """
+        BEGIN
+            DECLARE cutoff DOUBLE;
+            SET cutoff = (SELECT MAX(o_totalprice) * 0.5 FROM script_orders);
+            SELECT o_orderstatus AS orderstatus,
+                   CAST(COUNT(*) AS BIGINT) AS n_big,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS revenue
+            FROM script_orders
+            WHERE o_totalprice > cutoff
+            GROUP BY orderstatus ORDER BY orderstatus;
+        END
+        """
+    )
