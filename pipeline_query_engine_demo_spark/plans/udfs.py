@@ -300,3 +300,97 @@ def unicode_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+class _SourceDigest:
+    """Table-argument UDTF body: consumes one PARTITION BY group of
+    (source, n_chars) rows, emits a single digest row. ``eval`` is
+    called per input row; ``terminate`` flushes the group's summary —
+    the UDTF analog of a grouped-agg pandas UDF, with full imperative
+    control over per-group state."""
+
+    def __init__(self) -> None:
+        self._source = None
+        self._n = 0
+        self._chars = 0
+
+    def eval(self, row):  # noqa: ANN001 — Row arg per UDTF table-argument API
+        self._source = row["source"]
+        self._n += 1
+        self._chars += row["n_chars"]
+
+    def terminate(self):
+        yield self._source, self._n, self._chars
+
+
+@query(
+    "udtf_table_argument_digest",
+    category="udf",
+    oracle="""
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def udtf_table_argument_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with a TABLE argument (Spark 3.5+/4): the function
+    consumes an entire relation — ``TABLE(...) PARTITION BY source`` —
+    instead of scalar columns, so each UDTF instance sees exactly one
+    group's rows and flushes a digest in ``terminate``. This is the
+    SQL-native route to custom per-group logic (the other routes being
+    applyInPandas/applyInArrow on the DataFrame side).
+
+    Scale: PARTITION BY shuffles once on the group key; per-instance
+    state here is three scalars — O(1) per group however large the
+    corpus. Exact integer sums keep the oracle comparison trivial."""
+    from pyspark.sql.functions import udtf as _udtf
+
+    spark.udtf.register(
+        "source_digest",
+        _udtf(_SourceDigest, returnType="source string, n_docs long, total_chars long"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select("source", "n_chars").createOrReplaceTempView("_udtf_src_docs")
+    return spark.sql(
+        """
+        SELECT source, n_docs, total_chars
+        FROM source_digest(TABLE(_udtf_src_docs) PARTITION BY source)
+        ORDER BY source
+        """
+    )
+
+
+@query(
+    "union_by_name_missing_cols",
+    category="set-op",
+    oracle="""
+        SELECT n_nationkey AS nationkey, n_name AS name,
+               CAST(n_regionkey AS BIGINT) AS regionkey
+        FROM nation
+        UNION ALL
+        SELECT r_regionkey + 1000, r_name, CAST(NULL AS BIGINT)
+        FROM region
+        ORDER BY nationkey
+    """,
+)
+def union_by_name_missing_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``unionByName(allowMissingColumns=True)`` — schema-drift-tolerant
+    union: the second relation lacks ``regionkey`` and Spark null-fills
+    it by NAME, not position (positional unionAll would silently
+    misalign columns — the classic multi-generation-ingest bug; the
+    mergeSchema read variant of the same drift is
+    schema_evolution_merge).
+
+    Scale: a union is plan-level concatenation — zero shuffle; the
+    null-fill is a map-side literal projection."""
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("nationkey"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").cast("bigint").alias("regionkey"),
+    )
+    region = load_table(spark, sf_dir, "region").select(
+        (F.col("r_regionkey") + 1000).cast("bigint").alias("nationkey"),
+        F.col("r_name").alias("name"),
+    )
+    return nation.unionByName(region, allowMissingColumns=True).orderBy("nationkey")

@@ -75,6 +75,14 @@ QUERIES = [
     "zscore_outlier_events",
     "bpe_pair_frequencies",
     "temperature_sample_by_source",
+    # round-3 session-4 additions: the PQ/ANN compression tier, graph
+    # structure metrics, exact OLS, and the curation canonicalizer.
+    "pq_encode_embeddings",
+    "pq_adc_topk_embeddings",
+    "ivfpq_topk_embeddings",
+    "triangle_count_copurchase",
+    "stats_linear_regression",
+    "unicode_nfc_normalize",
 ]
 
 
