@@ -138,3 +138,70 @@ def test_stateful_counts_survive_restart(spark, sf_dir, tmp_path):
     assert joined.count() > 0
     mismatches = joined.filter(F.col("n_events") != F.col("n")).count()
     assert mismatches == 0
+
+
+def test_statestore_reader_exposes_operator_state(spark, sf_dir, tmp_path):
+    """The state-store reader (``spark.read.format("statestore")``,
+    Spark 4) must expose a stateful operator's keyed state directly
+    from the checkpoint — the debugging/ops surface for "what does the
+    state store believe right now" without adding a probe to the job.
+    A watermarked tumbling count runs once; reading its checkpointed
+    state back must reproduce the (window, event_type) -> count table
+    the aggregation computed."""
+    src = str(tmp_path / "src3")
+    load_table(spark, sf_dir, "events").repartition(2).write.mode(
+        "overwrite"
+    ).parquet(src)
+    ckpt = str(tmp_path / "ckpt3")
+    dest = str(tmp_path / "out3")
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(dest)
+
+    stream = spark.readStream.schema(_SCHEMA).parquet(src)
+    q = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # The store keys by the INTERNAL attribute names (`window`, not the
+    # query's alias), and the value struct's field name is internal too
+    # — resolve the count field from the schema instead of guessing.
+    state_raw = spark.read.format("statestore").load(ckpt)
+    value_field = state_raw.schema["value"].dataType.names[0]
+    state = state_raw.select(
+        F.col("key.window.start").alias("window_start"),
+        F.col("key.event_type").alias("event_type"),
+        F.col(f"value.`{value_field}`").alias("state_n"),
+    )
+    expected = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # The store retains only OPEN windows: once the watermark passes a
+    # window's end, update mode emits the final count and EVICTS the
+    # key — that eviction is precisely what bounds state size at scale,
+    # so closed windows being absent is correct behavior, not loss.
+    # What must hold: every retained key carries the exact full count
+    # for its window, and the newest window (which no watermark can
+    # have closed) is retained.
+    assert state.count() >= 1
+    bad = state.join(expected, ["window_start", "event_type"], "left").filter(
+        F.col("n").isNull() | (F.col("n") != F.col("state_n"))
+    )
+    assert bad.count() == 0
+    last_window = expected.agg(F.max("window_start").alias("m")).collect()[0].m
+    assert (
+        state.filter(F.col("window_start") == last_window).count()
+        == expected.filter(F.col("window_start") == last_window).count()
+    )
