@@ -69,37 +69,39 @@ def _codeword(s: int, c: int, j: int) -> float:
 
 def _dist_col(vec: str, s: int, c: int) -> F.Column:
     """Squared L2 distance from subvector ``s`` of ``vec`` to codeword
-    ``(s, c)`` — 8 squared-diff terms summed left-to-right."""
+    ``(s, c)`` — 8 squared-diff terms summed left-to-right.
+
+    Built as ONE ``F.expr`` string, not a py4j expression tree: the
+    PQ plans contain hundreds of these terms, and constructing them
+    call-by-call costs seconds of driver time per query build (one
+    py4j round-trip per operator node), where the SQL parser builds
+    the identical tree JVM-side in a single call. Text is shared with
+    the DuckDB oracle generator modulo indexing syntax, so both
+    engines still evaluate the same fixed-order arithmetic."""
+    return F.expr(_dist_sql(vec, s, c, dialect="spark"))
+
+
+def _ix(vec: str, n: int, dialect: str) -> str:
+    """1-based element access in either dialect (Spark's [] is 0-based,
+    so the Spark text uses element_at; DuckDB's [] is 1-based)."""
+    return f"element_at({vec}, {n})" if dialect == "spark" else f"{vec}[{n}]"
+
+
+def _dist_sql(vec: str, s: int, c: int, dialect: str = "duckdb") -> str:
     terms = []
     for j in range(_DSUB):
-        d = F.element_at(F.col(vec), s * _DSUB + j + 1).cast("double") - F.lit(
-            _codeword(s, c, j)
+        e = (
+            f"(CAST({_ix(vec, s * _DSUB + j + 1, dialect)} AS DOUBLE)"
+            f" - ({_codeword(s, c, j)!r}))"
         )
-        terms.append(d * d)
-    return reduce(lambda a, b: a + b, terms)
-
-
-def _dist_sql(vec: str, s: int, c: int) -> str:
-    terms = []
-    for j in range(_DSUB):
-        e = f"(CAST({vec}[{s * _DSUB + j + 1}] AS DOUBLE) - ({_codeword(s, c, j)!r}))"
         terms.append(f"({e} * {e})")
     return "(" + " + ".join(terms) + ")"
 
 
-def _argmin4(d0, d1, d2, d3) -> F.Column:
-    """Index of the smallest of four distances, lowest index on ties —
-    the deterministic argmin both engines agree on."""
-    return (
-        F.when((d0 <= d1) & (d0 <= d2) & (d0 <= d3), F.lit(0))
-        .when((d1 <= d2) & (d1 <= d3), F.lit(1))
-        .when(d2 <= d3, F.lit(2))
-        .otherwise(F.lit(3))
-        .cast("int")
-    )
-
-
 def _argmin4_sql(d: list[str]) -> str:
+    """Index of the smallest of four distances, lowest index on ties —
+    the deterministic argmin both engines agree on (the text is valid
+    in both SQL dialects)."""
     return (
         f"CAST(CASE WHEN {d[0]} <= {d[1]} AND {d[0]} <= {d[2]} AND {d[0]} <= {d[3]} THEN 0 "
         f"WHEN {d[1]} <= {d[2]} AND {d[1]} <= {d[3]} THEN 1 "
@@ -110,12 +112,20 @@ def _argmin4_sql(d: list[str]) -> str:
 def pq_encode(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """PQ-encode ``vec_col``: one ``code_{s}`` int column per subspace.
     Pure map-side expression — the encode pass scales with the scan and
-    shuffles nothing."""
+    shuffles nothing. Each code column is one parsed SQL expression
+    (see _dist_col's rationale); the per-subspace distances are bound
+    to intermediate columns so the argmin CASE references each one
+    instead of re-inlining its 8-term text."""
     out = df
     for s in range(_M):
-        dists = [_dist_col(vec_col, s, c) for c in range(_K)]
-        out = out.withColumn(f"code_{s}", _argmin4(*dists))
-    return out
+        for c in range(_K):
+            out = out.withColumn(
+                f"_d{s}_{c}", F.expr(_dist_sql(vec_col, s, c, dialect="spark"))
+            )
+        out = out.withColumn(
+            f"code_{s}", F.expr(_argmin4_sql([f"_d{s}_0", f"_d{s}_1", f"_d{s}_2", f"_d{s}_3"]))
+        )
+    return out.drop(*[f"_d{s}_{c}" for s in range(_M) for c in range(_K)])
 
 
 def _codes_cte() -> str:
@@ -211,18 +221,63 @@ def _adc_dist_sql(qvec: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+# --- true ADC: per-query lookup tables -------------------------------
+# Production ADC never re-derives reconstruction distances per corpus
+# row: the M x K subvector-to-codeword distances are computed ONCE per
+# query (a 32-entry LUT here) and each corpus vector costs M table
+# lookups + M-1 adds. The LUT lives on the broadcast query side; the
+# per-row pick is element_at(lut_s, code_s) — identical arithmetic to
+# the naive form grouped per subspace, mirrored exactly in the oracle.
+
+
+def _lut_arrays(qvec: str) -> list[F.Column]:
+    """One array<double> LUT per subspace: entry c = ||q_sub - w_sc||^2
+    (fixed-order sums — _dist_col works on any vector column)."""
+    return [
+        F.array(*[_dist_col(qvec, s, c) for c in range(_K)]).alias(f"_lut_{s}")
+        for s in range(_M)
+    ]
+
+
+def _lut_sql_cols(qvec: str) -> str:
+    """The same LUT as scalar columns lut_{s}_{c} for the oracle CTE."""
+    return ", ".join(
+        f"{_dist_sql(qvec, s, c)} AS lut_{s}_{c}"
+        for s in range(_M)
+        for c in range(_K)
+    )
+
+
+def _lut_pick_col() -> F.Column:
+    """Corpus-row ADC distance: 8 LUT lookups summed left-to-right."""
+    terms = [
+        F.element_at(F.col(f"_lut_{s}"), F.col(f"code_{s}") + 1)
+        for s in range(_M)
+    ]
+    return reduce(lambda a, b: a + b, terms)
+
+
+def _lut_pick_sql() -> str:
+    terms = [
+        f"(CASE code_{s} WHEN 0 THEN lut_{s}_0 WHEN 1 THEN lut_{s}_1 "
+        f"WHEN 2 THEN lut_{s}_2 ELSE lut_{s}_3 END)"
+        for s in range(_M)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 @query(
     "pq_adc_topk_embeddings",
     category="llm-similarity",
     oracle=f"""
         WITH {_codes_cte()},
         q AS (
-            SELECT vec_id AS query_id, embedding AS qe
+            SELECT vec_id AS query_id, {_lut_sql_cols('embedding')}
             FROM embeddings WHERE vec_id < {_NQ}
         ),
         scored AS (
             SELECT q.query_id, codes.vec_id,
-                   round({_adc_dist_sql('q.qe')}, 9) AS adc_dist
+                   round({_lut_pick_sql()}, 9) AS adc_dist
             FROM codes CROSS JOIN q
         ),
         ranked AS (
@@ -244,13 +299,16 @@ def pq_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-time encode, which is PQ's whole point at scale (the scan reads
     ~8 bytes/vector instead of 256).
 
-    Scale shape: queries broadcast; scoring is map-side codegen; top-k
-    runs the same two-phase salted ranking as operators.similarity
-    (partial top-k per (query, salt), final re-rank of <= k*16 rows) so
-    a small query set over a huge corpus never funnels into a handful
-    of reducers. Recall vs the exact baseline is graded by
-    ``ann_recall_at_k``'s pattern; ADC error comes from codebook
-    granularity (K=4 here — production uses K=256 per subspace).
+    Scale shape: the 32-entry distance LUT is computed once per query
+    on the broadcast side (true ADC — never re-derived per corpus
+    row); each corpus row costs 8 array lookups + 7 adds inside
+    whole-stage codegen. Top-k runs the same two-phase salted ranking
+    as operators.similarity (partial top-k per (query, salt), final
+    re-rank of <= k*16 rows) so a small query set over a huge corpus
+    never funnels into a handful of reducers. Recall vs the exact
+    baseline is graded by ``ann_recall_at_k``'s pattern; ADC error
+    comes from codebook granularity (K=4 here — production uses K=256
+    per subspace).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     codes = pq_encode(emb, "vec_id", "embedding").select(
@@ -258,13 +316,13 @@ def pq_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = F.broadcast(
         emb.filter(F.col("vec_id") < _NQ).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qe")
+            F.col("vec_id").alias("query_id"), *_lut_arrays("embedding")
         )
     )
     scored = codes.crossJoin(q).select(
         "query_id",
         "vec_id",
-        F.round(_adc_dist_col("_qe"), 9).alias("adc_dist"),
+        F.round(_lut_pick_col(), 9).alias("adc_dist"),
     )
     salt = F.pmod(F.hash(F.col("vec_id")), F.lit(_SALTS))
     pre = Window.partitionBy("query_id", "_salt").orderBy("adc_dist", "vec_id")
@@ -321,7 +379,7 @@ def _cell_col() -> F.Column:
             FROM codes
         ),
         qs AS (
-            SELECT vec_id AS query_id, embedding AS qe,
+            SELECT vec_id AS query_id, {_lut_sql_cols('embedding')},
                    unnest([
                        struct_pack(cell := 0, s := CAST(embedding[1] AS DOUBLE)),
                        struct_pack(cell := 1, s := CAST(embedding[2] AS DOUBLE)),
@@ -331,14 +389,15 @@ def _cell_col() -> F.Column:
             FROM embeddings WHERE vec_id < {_NQ}
         ),
         qcells AS (
-            SELECT query_id, qe, t.cell AS cell
+            SELECT query_id, {", ".join(f"lut_{s}_{c}" for s in range(_M) for c in range(_K))},
+                   t.cell AS cell
             FROM qs
             QUALIFY row_number() OVER (PARTITION BY query_id
                                        ORDER BY t.s DESC, t.cell) <= {_NPROBE}
         ),
         scored AS (
             SELECT q.query_id, cc.vec_id,
-                   round({_adc_dist_sql('q.qe')}, 9) AS adc_dist
+                   round({_lut_pick_sql()}, 9) AS adc_dist
             FROM cc JOIN qcells q ON cc.cell = q.cell
         ),
         ranked AS (
@@ -375,7 +434,7 @@ def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q_scored = emb.filter(F.col("vec_id") < _NQ).select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("_qe"),
+        *_lut_arrays("embedding"),
         F.posexplode(
             F.array(
                 *[
@@ -391,12 +450,12 @@ def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_cells = F.broadcast(
         q_scored.withColumn("_cell_rank", F.row_number().over(wq))
         .filter(F.col("_cell_rank") <= _NPROBE)
-        .select("query_id", "_qe", "_cell")
+        .select("query_id", *[f"_lut_{s}" for s in range(_M)], "_cell")
     )
     scored = codes.join(q_cells, on="_cell").select(
         "query_id",
         "vec_id",
-        F.round(_adc_dist_col("_qe"), 9).alias("adc_dist"),
+        F.round(_lut_pick_col(), 9).alias("adc_dist"),
     )
     salt = F.pmod(F.hash(F.col("vec_id")), F.lit(_SALTS))
     pre = Window.partitionBy("query_id", "_salt").orderBy("adc_dist", "vec_id")
