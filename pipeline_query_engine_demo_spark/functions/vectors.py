@@ -51,3 +51,26 @@ def normalize(vec: Column | str) -> Column:
     than raising (division by NULLIF(0))."""
     n = F.nullif(norm(vec), F.lit(0.0))
     return F.transform(as_double(vec), lambda x: x / n)
+
+
+def lit_matrix(rows: list[list[float]]) -> Column:
+    """A literal array<array<double>> (centroids, hyperplanes) as ONE
+    parsed SQL expression. Building it element-by-element with F.lit
+    costs one py4j round-trip per element — ~0.5 s of driver time for a
+    4x64 matrix on every query build — where the parser constructs the
+    identical tree JVM-side in a single call. repr() round-trips
+    doubles exactly, so the parsed literals are bit-identical to the
+    Python floats."""
+    inner = ", ".join(
+        "array(" + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in row) + ")"
+        for row in rows
+    )
+    return F.expr(f"array({inner})")
+
+
+def lit_vector(row: list[float]) -> Column:
+    """A literal array<double> as one parsed SQL expression (see
+    lit_matrix)."""
+    return F.expr(
+        "array(" + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in row) + ")"
+    )

@@ -33,7 +33,7 @@ from collections.abc import Iterable, Iterator
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from pipeline_query_engine_demo_spark.functions.vectors import cosine
+from pipeline_query_engine_demo_spark.functions.vectors import cosine, lit_matrix, lit_vector
 
 
 def cosine_scores(corpus: DataFrame, query: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -207,8 +207,9 @@ def hyperplane_bucket(vec_col: str, planes: list[list[float]]) -> F.Column:
 
     out = F.lit(0)
     for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(x) for x in plane])
-        out = out + (dot(vec_col, p) > 0).cast("int") * (2**i)
+        # lit_vector, not F.lit-per-element: one parsed expression per
+        # plane instead of dim py4j round-trips per plane.
+        out = out + (dot(vec_col, lit_vector(plane)) > 0).cast("int") * (2**i)
     return out
 
 
@@ -258,7 +259,7 @@ def ivf_topk(
     recall/cost dial every IVF index exposes. Centroids are broadcast
     literals; cell assignment is map-side (shared with ivf_assign via
     _assign_cells)."""
-    cent = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    cent = lit_matrix([[float(x) for x in c] for c in centroids])
     corpus_cells = _assign_cells(corpus, vec_col, cent)
     q_scored = query.select(
         F.col(id_col).alias("query_id"),
@@ -285,7 +286,7 @@ def ivf_assign(corpus: DataFrame, id_col: str, vec_col: str, centroids: list[lis
     """IVF coarse assignment: nearest centroid by cosine, centroids as a
     broadcast literal array. Output: (id, cell). Downstream ANN probes
     only matching cells (equi-join on cell), exactly like ann_topk_lsh."""
-    cent = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    cent = lit_matrix([[float(x) for x in c] for c in centroids])
     return _assign_cells(corpus, vec_col, cent).select(
         F.col(id_col), F.col("_cell").alias("cell")
     )
