@@ -2306,3 +2306,135 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+#: Media-fingerprint geometry: 16 positional stripes, 4 hex chars of
+#: md5 per stripe (the 64-char fingerprint), banded 4 stripes x 4 bands
+#: for the candidate join; near-dup = >= 14 of 16 stripes agree.
+_FP_STRIPES = 16
+_FP_SIG = 4
+_FP_BANDS = 4
+_FP_MIN_MATCH = 14
+
+
+def _stripe_sql(i: int, dialect: str, txt: str = "text") -> str:
+    """Stripe ``i``'s signature: md5 of the i-th of 16 equal positional
+    byte ranges. Integer floor division spells ``//`` in DuckDB but
+    ``DIV`` in Spark SQL — the only dialect split in the whole
+    fingerprint expression."""
+    div = "//" if dialect == "duckdb" else "DIV"
+    lo = f"(({i} * length({txt})) {div} {_FP_STRIPES})"
+    hi = f"((({i} + 1) * length({txt})) {div} {_FP_STRIPES})"
+    return f"substr(md5(substr({txt}, {lo} + 1, {hi} - {lo})), 1, {_FP_SIG})"
+
+
+_FP_CONCAT_DUCK = " || ".join(_stripe_sql(i, "duckdb") for i in range(_FP_STRIPES))
+_FP_CONCAT_SPARK = " || ".join(_stripe_sql(i, "spark") for i in range(_FP_STRIPES))
+_FP_MATCH_TERMS = " + ".join(
+    f"(CASE WHEN substr(fa, {i * _FP_SIG} + 1, {_FP_SIG}) = "
+    f"substr(fb, {i * _FP_SIG} + 1, {_FP_SIG}) THEN 1 ELSE 0 END)"
+    for i in range(_FP_STRIPES)
+)
+_FP_PLANT_IDS = (17, 123, 401)
+
+
+@query(
+    "media_fingerprint_near_dup",
+    category="llm-multimodal",
+    oracle=f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000,
+                   'X' || substr(text, 2, length(text) - 1)
+            FROM documents WHERE doc_id IN {_FP_PLANT_IDS}
+        ),
+        fp AS (
+            SELECT doc_id, ({_FP_CONCAT_DUCK}) AS f
+            FROM corpus WHERE length(text) >= {_FP_STRIPES * 2}
+        ),
+        bands AS (
+            SELECT doc_id, f, b.b AS band,
+                   substr(f, b.b * {_FP_SIG * _FP_BANDS} + 1,
+                          {_FP_SIG * _FP_BANDS}) AS band_key
+            FROM fp, unnest(generate_series(0, {_FP_BANDS - 1})) AS b(b)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, a.f AS fa,
+                            c.doc_id AS id_b, c.f AS fb
+            FROM bands a JOIN bands c
+              ON a.band = c.band AND a.band_key = c.band_key
+             AND a.doc_id < c.doc_id
+        )
+        SELECT id_a, id_b,
+               CAST(({_FP_MATCH_TERMS}) AS BIGINT) AS n_match
+        FROM cand
+        WHERE ({_FP_MATCH_TERMS}) >= {_FP_MIN_MATCH}
+        ORDER BY id_a, id_b
+    """,
+)
+def media_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash-style near-duplicate detection over opaque media
+    payloads — the image/video analog of MinHash dedup: a positional
+    stripe fingerprint (16 stripes x 4 hex chars; a real pipeline swaps
+    the byte-stripe hash for a DCT perceptual hash — same shape),
+    banded into 4 bucket keys so candidates come from a bucket
+    equi-self-join (NEVER all pairs), then verified by stripe
+    agreement >= 14/16. Planted single-byte mutations of 3 fixture
+    payloads (length-preserving, so only stripe 0 changes) are found at
+    15/16; exact dups at 16/16.
+
+    Scale shape: fingerprints are 64 bytes/doc — the only thing
+    shuffled; the band join scans ~corpus/16^16ths of the square per
+    band; verification is a 16-term expression on the carried
+    fingerprints, no payload re-read. Same hot-bucket caveat as LSH
+    (operators.dedup.DEFAULT_MAX_BUCKET_SIZE) if a constant payload
+    floods one bucket."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (
+        docs.filter(F.col("doc_id").isin(*_FP_PLANT_IDS))
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(
+                F.lit("X"), F.expr("substr(text, 2, length(text) - 1)")
+            ).alias("text"),
+        )
+    )
+    corpus = docs.unionAll(planted)
+    fp = corpus.filter(F.length("text") >= _FP_STRIPES * 2).select(
+        "doc_id", F.expr(_FP_CONCAT_SPARK).alias("f")
+    )
+    bands = fp.select(
+        "doc_id",
+        "f",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(
+                        f"substr(f, {b * _FP_SIG * _FP_BANDS} + 1,"
+                        f" {_FP_SIG * _FP_BANDS})"
+                    )
+                    for b in range(_FP_BANDS)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("f").alias("fa"), "band", "band_key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("f").alias("fb"), "band", "band_key"
+    )
+    cand = (
+        a.join(b, on=["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "fa", "id_b", "fb")
+        .distinct()
+    )
+    n_match = F.expr(_FP_MATCH_TERMS)
+    return (
+        cand.withColumn("n_match", n_match.cast("bigint"))
+        .filter(F.col("n_match") >= _FP_MIN_MATCH)
+        .select("id_a", "id_b", "n_match")
+        .orderBy("id_a", "id_b")
+    )
