@@ -29,6 +29,18 @@ from pyspark.sql import DataFrame
 _DEC = "decimal(28,12)"
 
 
+def _r9(col: F.Column) -> F.Column:
+    """Round to 9 decimals as ``floor(x*1e9 + 0.5)/1e9`` — pure IEEE
+    ops, bit-identical in every engine. Spark's round() goes through
+    BigDecimal HALF_UP while DuckDB rounds the scaled double directly;
+    on boundary values (seen at sf0.1: 8.2635e-05 vs 8.2636e-05) the
+    two disagree by one ulp of the 9th digit, so the mirrored oracle
+    uses this exact floor form instead. Valid for the non-negative
+    ranks/contributions used here (floor(x+0.5) is half-up only for
+    x >= 0); Spark's floor yields BIGINT, exact for values < 2^53."""
+    return F.floor(col * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 2,
@@ -53,7 +65,7 @@ def pagerank(
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
 
     ranks = nodes.crossJoin(n_tbl).select(
-        "node", F.round(F.lit(1.0) / F.col("n"), 9).alias("r")
+        "node", _r9(F.lit(1.0) / F.col("n")).alias("r")
     )
     for _ in range(iterations):
         contrib = (
@@ -61,7 +73,7 @@ def pagerank(
             .join(outdeg, "src")
             .select(
                 F.col("dst").alias("node"),
-                F.round(F.col("r") / F.col("outdeg"), 9).cast(_DEC).alias("term"),
+                _r9(F.col("r") / F.col("outdeg")).cast(_DEC).alias("term"),
             )
         )
         ranks = (
@@ -70,9 +82,8 @@ def pagerank(
             .crossJoin(n_tbl)
             .select(
                 "node",
-                F.round(
-                    F.lit(teleport) / F.col("n") + F.lit(damping) * F.col("s"),
-                    9,
+                _r9(
+                    F.lit(teleport) / F.col("n") + F.lit(damping) * F.col("s")
                 ).alias("r"),
             )
             .localCheckpoint(eager=False)

@@ -508,14 +508,18 @@ def constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pr_iter_sql(i: int, p: int) -> str:
-    """One PageRank iteration as a DuckDB CTE (reads r{p}, defines r{i})."""
+    """One PageRank iteration as a DuckDB CTE (reads r{p}, defines
+    r{i}). Rounding is ``floor(x*1e9 + 0.5)/1e9``, mirroring
+    operators.graph._r9 — round() itself disagrees between engines by
+    one ulp on boundary values (found by the sf0.1 sweep)."""
     return f"""
         r{i} AS (
             SELECT p.dst AS node,
-                   round(0.15 / ANY_VALUE(nn.n)
-                         + 0.85 * CAST(SUM(CAST(round(r{p}.r / deg.outdeg, 9)
-                                                AS DECIMAL(28,12))) AS DOUBLE),
-                         9) AS r
+                   floor((0.15 / ANY_VALUE(nn.n)
+                          + 0.85 * CAST(SUM(CAST(
+                                floor(r{p}.r / deg.outdeg * 1e9 + 0.5) / 1e9
+                                AS DECIMAL(28,12))) AS DOUBLE))
+                         * 1e9 + 0.5) / 1e9 AS r
             FROM pairs p
             JOIN r{p} ON r{p}.node = p.src
             JOIN deg ON deg.src = p.src
@@ -537,7 +541,8 @@ def _pr_iter_sql(i: int, p: int) -> str:
         nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
         deg AS (SELECT src, COUNT(*) AS outdeg FROM pairs GROUP BY src),
         r0 AS (
-            SELECT node, round(1.0 / nn.n, 9) AS r FROM nodes CROSS JOIN nn
+            SELECT node, floor(1.0 / nn.n * 1e9 + 0.5) / 1e9 AS r
+            FROM nodes CROSS JOIN nn
         ),
     """
     + _pr_iter_sql(1, 0)
