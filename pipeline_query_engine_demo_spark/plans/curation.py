@@ -723,3 +723,153 @@ def temperature_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "keep_prob")
         .orderBy("doc_id")
     )
+
+
+#: Source repeat factors for epoch oversampling (the data-recipe knob:
+#: low-resource quality sources see >1 epoch). Integer part = full
+#: copies for every doc; fractional part = probability of one more
+#: copy, decided by a deterministic md5 coin per (doc, extra-copy).
+EPOCH_FACTORS = {"src0": 2.5, "src1": 1.0, "src2": 1.25}
+_EPOCH_DEFAULT = 1.0
+#: md5-hex thresholds for the fractional coin: P(md5 < t) ≈ frac.
+_FRAC_THRESHOLD = {0.5: "8", 0.25: "4", 0.0: "0"}
+
+
+@query(
+    "epoch_repeat_oversample",
+    category="llm-sampling",
+    oracle=f"""
+        WITH factored AS (
+            SELECT doc_id, source,
+                   CASE source
+                       {' '.join(f"WHEN '{s}' THEN {int(f)}" for s, f in EPOCH_FACTORS.items())}
+                       ELSE {int(_EPOCH_DEFAULT)} END AS n_full,
+                   CASE source
+                       {' '.join(f"WHEN '{s}' THEN '{_FRAC_THRESHOLD[round(f - int(f), 2)]}'" for s, f in EPOCH_FACTORS.items())}
+                       ELSE '{_FRAC_THRESHOLD[0.0]}' END AS frac_thr
+            FROM documents
+        ),
+        expanded AS (
+            SELECT doc_id, source, e.epoch AS epoch
+            FROM factored, unnest(generate_series(0, n_full - 1)) AS e(epoch)
+            UNION ALL
+            SELECT doc_id, source, n_full AS epoch
+            FROM factored
+            WHERE md5(doc_id::VARCHAR || '|epoch-v1') < frac_thr
+        )
+        SELECT doc_id, source, CAST(epoch AS INTEGER) AS epoch
+        FROM expanded
+        ORDER BY doc_id, epoch
+    """,
+)
+def epoch_repeat_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-repeat oversampling — the other half of mixture design
+    (mixture_sample_by_weights downsamples; this UP-samples): each
+    source carries a repeat factor (e.g. 2.5 epochs for a small
+    high-quality source), realized as floor(f) full copies per doc plus
+    one extra copy with probability frac(f) via a deterministic
+    per-doc md5 coin. The (doc_id, epoch) pair stays unique so
+    downstream shuffling/packing treats copies as distinct rows.
+
+    Scale shape: the expansion is a generator (posexplode of a
+    sequence) — map-side row amplification bounded by max(f), never a
+    join; the coin is the same zero-shuffle md5 filter as every
+    deterministic sampler here. Re-weighting a source edits literals,
+    not data."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    n_full = F.lit(int(_EPOCH_DEFAULT))
+    frac_thr = F.lit(_FRAC_THRESHOLD[0.0])
+    for s, f in reversed(EPOCH_FACTORS.items()):
+        n_full = F.when(F.col("source") == s, F.lit(int(f))).otherwise(n_full)
+        frac_thr = F.when(
+            F.col("source") == s, F.lit(_FRAC_THRESHOLD[round(f - int(f), 2)])
+        ).otherwise(frac_thr)
+    factored = docs.withColumn("n_full", n_full).withColumn("frac_thr", frac_thr)
+    full = factored.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(0), F.col("n_full") - 1)).alias("epoch"),
+    )
+    coin = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|epoch-v1")))
+    extra = factored.filter(coin < F.col("frac_thr")).select(
+        "doc_id", "source", F.col("n_full").alias("epoch")
+    )
+    return (
+        full.unionAll(extra)
+        .select("doc_id", "source", F.col("epoch").cast("int").alias("epoch"))
+        .orderBy("doc_id", "epoch")
+    )
+
+
+#: Contrastive negative sampling geometry: k hash-ranked negatives per
+#: anchor, drawn from OTHER sources (in-batch negatives from the same
+#: source would often be topical near-positives).
+_NEG_K = 4
+_NEG_ANCHORS = 40
+
+
+@query(
+    "contrastive_negative_pairs",
+    category="llm-sampling",
+    oracle=f"""
+        WITH anchors AS (
+            SELECT doc_id AS anchor_id, source AS anchor_source
+            FROM documents WHERE doc_id < {_NEG_ANCHORS}
+        ),
+        scored AS (
+            SELECT a.anchor_id, d.doc_id AS negative_id,
+                   md5(a.anchor_id::VARCHAR || '|' || d.doc_id::VARCHAR || '|neg-v1') AS h,
+                   row_number() OVER (
+                       PARTITION BY a.anchor_id
+                       ORDER BY md5(a.anchor_id::VARCHAR || '|' || d.doc_id::VARCHAR || '|neg-v1'),
+                                d.doc_id
+                   ) AS rk
+            FROM anchors a JOIN documents d
+              ON d.source <> a.anchor_source
+        )
+        SELECT anchor_id, negative_id, CAST(rk AS INTEGER) AS neg_rank
+        FROM scored WHERE rk <= {_NEG_K}
+        ORDER BY anchor_id, neg_rank
+    """,
+)
+def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    each anchor doc draws its k=4 negatives as the lowest hash-ranked
+    docs from OTHER sources — a seedless, reproducible stand-in for
+    uniform sampling (same pairs on any cluster layout), with the
+    cross-source constraint that keeps topical near-positives out of
+    the negative set.
+
+    Scale shape: anchors broadcast (the query-set side is small by
+    construction); candidate scoring is map-side hash arithmetic; the
+    per-anchor top-k uses a bounded window (k * anchors rows survive).
+    At 100 TB the corpus side streams once — no per-anchor rescans —
+    and swapping uniform hashes for hard negatives = replacing the
+    hash order with an ANN distance order (ivfpq_topk_embeddings),
+    same plan."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    anchors = F.broadcast(
+        docs.filter(F.col("doc_id") < _NEG_ANCHORS).select(
+            F.col("doc_id").alias("anchor_id"),
+            F.col("source").alias("anchor_source"),
+        )
+    )
+    h = F.md5(
+        F.concat(
+            F.col("anchor_id").cast("string"),
+            F.lit("|"),
+            F.col("doc_id").cast("string"),
+            F.lit("|neg-v1"),
+        )
+    )
+    scored = (
+        docs.join(anchors, docs.source != anchors.anchor_source)
+        .select("anchor_id", F.col("doc_id").alias("negative_id"), h.alias("h"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy("h", "negative_id")
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("neg_rank") <= _NEG_K)
+        .select("anchor_id", "negative_id", "neg_rank")
+        .orderBy("anchor_id", "neg_rank")
+    )
