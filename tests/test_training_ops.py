@@ -145,3 +145,70 @@ def test_kmeans_recovers_planted_clusters(spark):
         # hot dimension mean ≈ 1.015, background dims stay at 0.05
         assert abs(hot[(cell, cell + 1)] - 1.015) < 0.01
         assert abs(hot[(cell, (cell + 1) % 8 + 1)] - 0.05) < 1e-6
+
+
+def test_media_fingerprint_finds_only_planted_mutations(spark, sf_dir):
+    from pipeline_query_engine_demo_spark.plans.llm import (
+        _FP_PLANT_IDS,
+        media_fingerprint_near_dup,
+    )
+
+    rows = media_fingerprint_near_dup(spark, sf_dir).collect()
+    # fixture corpus has no cross-doc near-dups at this threshold; the
+    # planted single-byte mutations pair with their originals at 15/16
+    got = {(r.id_a, r.id_b): r.n_match for r in rows}
+    expected_pairs = {(i, i + 1000000) for i in _FP_PLANT_IDS}
+    assert set(got) == expected_pairs
+    assert all(v == 15 for v in got.values())
+
+
+def test_epoch_repeat_counts_match_factors(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from pipeline_query_engine_demo_spark.plans.curation import (
+        EPOCH_FACTORS,
+        epoch_repeat_oversample,
+    )
+    from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+    out = epoch_repeat_oversample(spark, sf_dir)
+    per_doc = out.groupBy("doc_id", "source").agg(F.count(F.lit(1)).alias("n"))
+    # every doc gets floor(f) or ceil(f) copies of its source's factor
+    bad = 0
+    for r in per_doc.collect():
+        f = EPOCH_FACTORS.get(r.source, 1.0)
+        if not (int(f) <= r.n <= int(f) + (1 if f != int(f) else 0)):
+            bad += 1
+    assert bad == 0
+    # copies are distinct (doc_id, epoch) pairs
+    assert out.count() == out.select("doc_id", "epoch").distinct().count()
+    # integer-factor sources replicate exactly
+    n_src1 = load_table(spark, sf_dir, "documents").filter(
+        F.col("source") == "src1"
+    ).count()
+    assert out.filter(F.col("source") == "src1").count() == n_src1
+
+
+def test_contrastive_negatives_cross_source_and_exactly_k(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from pipeline_query_engine_demo_spark.plans.curation import (
+        _NEG_K,
+        contrastive_negative_pairs,
+    )
+    from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+    out = contrastive_negative_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    anchors = docs.withColumnRenamed("doc_id", "anchor_id").withColumnRenamed(
+        "source", "anchor_source"
+    )
+    negs = docs.withColumnRenamed("doc_id", "negative_id").withColumnRenamed(
+        "source", "negative_source"
+    )
+    joined = out.join(anchors, "anchor_id").join(negs, "negative_id")
+    assert joined.filter(
+        F.col("anchor_source") == F.col("negative_source")
+    ).count() == 0
+    sizes = out.groupBy("anchor_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in sizes] == [_NEG_K]
