@@ -2515,3 +2515,107 @@ def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@query(
+    "agg_filter_clause",
+    category="aggregation",
+    oracle="""
+        SELECT l_returnflag AS returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_all,
+               CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS rev_discounted
+        FROM lineitem
+        GROUP BY returnflag ORDER BY returnflag
+    """,
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL ``FILTER (WHERE …)`` aggregate modifier — per-aggregate
+    predicates in one pass over the data (the standard form of the
+    CASE-WHEN-inside-SUM idiom, planned identically: one scan, partial
+    aggs carry each filtered accumulator).
+
+    Scale: still a single map-side-combinable groupBy; adding filtered
+    aggregates adds accumulator width, never passes."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_fc_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag AS returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_all,
+               CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS rev_discounted
+        FROM _fc_lineitem
+        GROUP BY returnflag ORDER BY returnflag
+        """
+    )
+
+
+@query(
+    "sql_pivot_clause",
+    category="sql-surface",
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+        FROM orders
+        GROUP BY priority ORDER BY priority
+    """,
+)
+def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL ``PIVOT`` clause (the SQL-level twin of
+    ``GroupedData.pivot``, which agg_pivot covers): explicit IN values,
+    so the planner skips the distinct-value discovery job — the only
+    scalable form (an open value list would need a full pre-scan and an
+    unbounded output schema).
+
+    Scale: plans to the same single-pass conditional aggregation the
+    oracle spells out with CASE."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_pv_orders")
+    return spark.sql(
+        """
+        SELECT * FROM (
+            SELECT o_orderpriority AS priority, o_orderstatus
+            FROM _pv_orders
+        )
+        PIVOT (
+            CAST(COUNT(*) AS BIGINT) FOR o_orderstatus IN ('F' AS F, 'O' AS O, 'P' AS P)
+        )
+        ORDER BY priority
+        """
+    ).select(
+        "priority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("F"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("O"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("P"),
+    )
+
+
+@query(
+    "group_by_all_ordinal",
+    category="sql-surface",
+    oracle="""
+        SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY returnflag, linestatus
+        ORDER BY returnflag, linestatus
+    """,
+)
+def group_by_all_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` (infer grouping keys from the non-aggregate
+    select list) + ``ORDER BY`` ordinals — the analyst-ergonomics SQL
+    surface (Spark 3.4+). Plans identically to the explicit form; the
+    inference is purely syntactic."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_gba_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM _gba_lineitem
+        GROUP BY ALL
+        ORDER BY 1, 2
+        """
+    )
