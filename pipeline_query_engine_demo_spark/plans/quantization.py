@@ -472,3 +472,56 @@ def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", "adc_dist", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+def _pq_recall_oracle() -> str:
+    from pipeline_query_engine_demo_spark.plans.registry import REGISTRY as _REG
+
+    return f"""
+        WITH gt AS ({_REG["cosine_topk_embeddings"].oracle}),
+             ann AS ({_REG["ivfpq_topk_embeddings"].oracle})
+        SELECT gt.query_id,
+               CAST(COUNT(ann.rank) AS BIGINT) AS hits,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               ROUND(COUNT(ann.rank) / CAST(COUNT(*) AS DOUBLE), 6) AS recall_at_k
+        FROM gt
+        LEFT JOIN ann
+          ON ann.query_id = gt.query_id AND ann.vec_id = gt.vec_id
+        GROUP BY gt.query_id
+        ORDER BY gt.query_id
+    """
+
+
+@query(
+    "pq_recall_at_k",
+    category="llm-similarity",
+    oracle=_pq_recall_oracle(),
+)
+def pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF-PQ index against brute-force cosine ground
+    truth — the compression half of the evaluation story
+    (ann_recall_at_k grades the LSH bucketing tier): IVF-PQ loses
+    recall BOTH from probing nprobe/cells of the corpus AND from
+    scoring 8-byte codes instead of raw vectors, and this is the
+    harness that prices that double trade before a production rollout.
+    Composes the two verified pipelines' oracles verbatim as CTEs.
+
+    Scale: identical to ann_recall_at_k — ground truth on a sampled
+    query set is the expensive branch; the overlap join is
+    top-k-sized."""
+    from pipeline_query_engine_demo_spark.plans.llm import cosine_topk_embeddings
+
+    gt = cosine_topk_embeddings(spark, sf_dir)
+    ann = ivfpq_topk_embeddings(spark, sf_dir).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        gt.join(ann, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("hits"),
+            F.count(F.lit(1)).alias("k"),
+            F.round(F.count("hit") / F.count(F.lit(1)), 6).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
