@@ -957,3 +957,194 @@ def stats_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("r2"),
     ).orderBy("returnflag")
+
+
+@query(
+    "cohort_retention_orders",
+    category="window",
+    oracle="""
+        WITH firsts AS (
+            SELECT o_custkey,
+                   MIN(date_trunc('month', o_orderdate)) AS cohort_month
+            FROM orders GROUP BY o_custkey
+        ),
+        activity AS (
+            SELECT DISTINCT o.o_custkey, f.cohort_month,
+                   date_diff('month', f.cohort_month,
+                             date_trunc('month', o.o_orderdate)) AS months_since
+            FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+        )
+        SELECT CAST(cohort_month AS TIMESTAMP) AS cohort_month,
+               CAST(months_since AS BIGINT) AS months_since,
+               CAST(COUNT(*) AS BIGINT) AS active_customers
+        FROM activity
+        GROUP BY cohort_month, months_since
+        ORDER BY cohort_month, months_since
+    """,
+)
+def cohort_retention_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the canonical product-analytics matrix: each
+    customer joins the cohort of their first order month; each later
+    active month increments that cohort's months-since-acquisition
+    cell. Two aggregations (first-month per customer, then cohort x
+    offset counts) and one join.
+
+    Scale shape: the firsts table is customer-sized and re-joins on
+    the customer key (AQE picks broadcast vs shuffle by its actual
+    size); the distinct + count are map-side-combinable. The month
+    arithmetic is integer (year*12+month), identical in both engines.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    firsts = orders.groupBy("o_custkey").agg(F.min(month).alias("cohort_month"))
+    months_since = (
+        (F.year("o_orderdate") - F.year("cohort_month")) * 12
+        + (F.month("o_orderdate") - F.month("cohort_month"))
+    ).cast("bigint")
+    activity = (
+        orders.join(firsts, "o_custkey")
+        .select("o_custkey", "cohort_month", months_since.alias("months_since"))
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_month", "months_since")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("active_customers"))
+        .orderBy("cohort_month", "months_since")
+    )
+
+
+@query(
+    "yoy_growth_by_month",
+    category="window",
+    oracle="""
+        WITH monthly AS (
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS revenue
+            FROM orders GROUP BY month
+        )
+        SELECT CAST(month AS TIMESTAMP) AS month, revenue,
+               lag(revenue, 12) OVER (ORDER BY month) AS revenue_prior_year,
+               ROUND(revenue / lag(revenue, 12) OVER (ORDER BY month) - 1.0, 6)
+                   AS yoy_growth
+        FROM monthly
+        ORDER BY month
+    """,
+)
+def yoy_growth_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth — the decision-support staple: aggregate
+    to months (exact DECIMAL revenue so both engines agree to the
+    cent), then a 12-step lag over the month series and a ratio.
+
+    Scale shape: the window runs over the AGGREGATED series (months,
+    not orders) — a single tiny partition by construction, which is
+    the correct place for an unpartitioned window; the heavy data only
+    ever sees the map-side-combinable monthly groupBy."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    monthly = (
+        orders.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = W.orderBy("month")
+    prior = F.lag("revenue", 12).over(w)
+    return (
+        monthly.select(
+            "month",
+            "revenue",
+            prior.alias("revenue_prior_year"),
+            F.round(F.col("revenue") / prior - 1.0, 6).alias("yoy_growth"),
+        )
+        .orderBy("month")
+    )
+
+
+#: Snapshot-diff cutoff: rows strictly before = the "old" snapshot;
+#: the "new" snapshot additionally mutates a deterministic slice so
+#: every diff class (added / removed / changed) is non-empty.
+_DIFF_CUTOFF = "1997-01-01"
+
+
+@query(
+    "snapshot_diff_orders",
+    category="ops",
+    oracle=f"""
+        WITH old AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderdate < TIMESTAMP '{_DIFF_CUTOFF}'
+        ),
+        new AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 97 = 0 THEN 'X' ELSE o_orderstatus END
+                       AS o_orderstatus,
+                   o_totalprice
+            FROM orders
+            WHERE o_orderdate < TIMESTAMP '{_DIFF_CUTOFF}' OR o_orderkey % 5 = 0
+        ),
+        classified AS (
+            SELECT
+                CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                     WHEN new.o_orderkey IS NULL THEN 'removed'
+                     WHEN old.o_orderstatus <> new.o_orderstatus
+                          OR old.o_totalprice <> new.o_totalprice THEN 'changed'
+                     ELSE 'unchanged' END AS diff_class
+            FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+        )
+        SELECT diff_class, CAST(COUNT(*) AS BIGINT) AS n
+        FROM classified
+        GROUP BY diff_class ORDER BY diff_class
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the dataset-versioning audit (what changed
+    between yesterday's and today's table): full outer join on the key
+    classifies every row as added / removed / changed / unchanged.
+    The fixture derives both snapshots from one table (date cutoff +
+    deterministic mutations) so all four classes are non-empty.
+
+    Scale shape: one co-partitioned full outer join on the key (SMJ;
+    bucketing both snapshots on the key makes it exchange-free — see
+    bucketed_join_colocated) plus a tiny class count. Comparing row
+    HASHES instead of column lists (doc_fingerprints) generalizes to
+    wide tables with the same plan."""
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit(_DIFF_CUTOFF).cast("timestamp")
+    old = orders.filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = (
+        orders.filter(
+            (F.col("o_orderdate") < cutoff) | (F.col("o_orderkey") % 5 == 0)
+        )
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 97 == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            "o_totalprice",
+        )
+    )
+    o = old.alias("o")
+    n = new.alias("n")
+    joined = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+    diff_class = (
+        F.when(F.col("o.o_orderkey").isNull(), F.lit("added"))
+        .when(F.col("n.o_orderkey").isNull(), F.lit("removed"))
+        .when(
+            (F.col("o.o_orderstatus") != F.col("n.o_orderstatus"))
+            | (F.col("o.o_totalprice") != F.col("n.o_totalprice")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(diff_class.alias("diff_class"))
+        .groupBy("diff_class")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("diff_class")
+    )
