@@ -1148,3 +1148,67 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy("diff_class")
     )
+
+
+#: Columns profiled by dataset_profile_orders (name -> cast for the
+#: min/max string rendering; DECIMAL(18,2) prints identically in both
+#: engines where raw DOUBLE text formatting would not).
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+
+@query(
+    "dataset_profile_orders",
+    category="ops",
+    oracle="""
+        """
+    + "\nUNION ALL\n".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_value,
+               CAST(MAX({c}) AS VARCHAR) AS max_value
+        FROM orders
+        """
+        for c in _PROFILE_COLS
+    )
+    + """
+        ORDER BY column_name
+    """,
+)
+def dataset_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling pass — the describe()/dbt-docs shape every
+    ingest runs before trusting a new drop: per-column null count,
+    distinct count, and min/max rendered as strings so one long-format
+    table covers heterogeneous column types.
+
+    Scale shape: ONE scan computes all columns' aggregates side by side
+    (count/min/max combine map-side; countDistinct plans its own
+    expand), then the wide row unpivots to long format via a generator
+    — no per-column rescans, which is what separates a profiler that
+    works at 100 TB from a loop over columns. Production swaps
+    countDistinct for approx_count_distinct past memory limits;
+    exactness here keeps the oracle exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"{c}__nulls"),
+            F.countDistinct(c).cast("bigint").alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return (
+        wide.select(
+            F.expr(
+                f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+                "(column_name, n_nulls, n_distinct, min_value, max_value)"
+            )
+        )
+        .orderBy("column_name")
+    )

@@ -276,3 +276,90 @@ def streaming_session_window_values(spark: SparkSession, sf_dir: str) -> DataFra
     )
     result = streaming.run_to_memory(agg, "complete", name="t_session")
     return result.orderBy("user_id", "session_start")
+
+
+def _embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the embeddings Parquet (the vector-ingest
+    path: new embedding shards land in a directory and stream through
+    scoring). Schema from one batch footer read, like read_events_stream."""
+    import hashlib
+
+    tag = hashlib.md5(f"{sf_dir}|embeddings".encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "embeddings.parquet")
+    if not os.path.lexists(link):
+        try:
+            os.symlink(
+                os.path.abspath(os.path.join(sf_dir, "embeddings.parquet")), link
+            )
+        except FileExistsError:
+            pass
+    schema = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).schema
+    return spark.readStream.schema(schema).parquet(d)
+
+
+@query(
+    "streaming_cosine_scores",
+    category="streaming",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE vec_id < 2
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+                         (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                e.embedding::DOUBLE[])) *
+                          sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+            FROM embeddings e CROSS JOIN q
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, cosine_sim,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine_sim DESC, vec_id
+                   ) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, cosine_sim, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 10
+        ORDER BY query_id, rank
+    """,
+)
+def streaming_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming vector scoring — the vector-ingest shape: embedding
+    shards stream through a STATELESS map-side cosine against the
+    broadcast query set (append mode, no watermark needed), land in the
+    sink, and ranking happens downstream on the scored table. This is
+    how production keeps a vector index fresh: scoring rides ingest;
+    global top-k is a batch query over the scored sink, because a
+    global sort is not a streaming-computable operator (only complete-
+    mode aggregations are — the documented split).
+
+    Oracle: stream-batch parity against the brute-force cosine SQL.
+    Scale: per-batch work is the broadcast-join scoring only; state is
+    zero; the sink table is what any downstream consumer ranks."""
+    from pipeline_query_engine_demo_spark.functions.vectors import cosine
+
+    emb_stream = _embeddings_stream(spark, sf_dir)
+    q = F.broadcast(
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 2)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv"))
+    )
+    scored = emb_stream.join(q).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("embedding"), F.col("_qv")), 6).alias("cosine_sim"),
+    )
+    sunk = streaming.run_to_memory(scored, "append", name="t_vecscore")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "vec_id")
+    return (
+        sunk.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .orderBy("query_id", "rank")
+    )
