@@ -827,14 +827,17 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph — the standard graph-structure summary (community density,
     spam/bot detection in link graphs) alongside PageRank.
 
-    Scale shape: edges are canonically ordered (u < v), so each
-    triangle is generated exactly once by the two equi-joins — never a
-    per-triangle dedup pass. Both joins key on a single vertex column
-    (shuffle joins that AQE can skew-split); wedge counts are one
-    map-side-combinable groupBy over the edge endpoints. Production
-    hardening for power-law graphs orders vertices by (degree, id)
-    instead of raw id, which provably bounds every join fan-out at
-    O(sqrt(edges)) per vertex — same plan shape, one extra degree join.
+    Scale shape: edges are DEGREE-ORDERED — each undirected edge is
+    oriented from its lower-(degree, id) endpoint to the higher — and
+    triangles are enumerated as wedges at the lowest-ordered vertex
+    closed by an oriented edge. Every triangle has exactly one lowest
+    vertex, so each is counted once (the total provably equals the
+    id-ordered count, which is what the oracle computes), and the
+    wedge join's fan-out per vertex is bounded by its OUT-degree,
+    which degree ordering caps at O(sqrt(edges)) even on power-law
+    hubs — the standard hardening that makes distributed triangle
+    counting survive a celebrity node. Wedge counts for transitivity
+    stay on the undirected degrees (one map-side-combinable groupBy).
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
@@ -847,17 +850,40 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
     )
-    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
-        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
-    )
     deg = (
         pairs.select(F.col("u").alias("node"))
         .unionAll(pairs.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    # Orient each edge low->high in the (degree, id) total order.
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    with_deg = pairs.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("du")).otherwise(F.col("dv")).alias("dsrc"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+    )
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    # Wedge at the lowest vertex: two out-edges (src, b) and (src, c)
+    # with ord(b) < ord(c); closed iff oriented edge (b, c) exists.
+    wedge_order = (F.col("e1.ddst") < F.col("e2.ddst")) | (
+        (F.col("e1.ddst") == F.col("e2.ddst"))
+        & (F.col("e1.dst") < F.col("e2.dst"))
+    )
+    tri = (
+        e1.join(e2, (F.col("e2.src") == F.col("e1.src")) & wedge_order)
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.dst"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
     )
     # Integer DIV, not float /: d*(d-1) is even so DIV 2 is exact, and
     # the double path would silently lose bits past 2^53 on hub nodes.

@@ -866,9 +866,24 @@ def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(anchors, docs.source != anchors.anchor_source)
         .select("anchor_id", F.col("doc_id").alias("negative_id"), h.alias("h"))
     )
+    # Two-phase top-k (the operators.similarity._topk_per_query shape):
+    # a single window on anchor_id would funnel each anchor's ENTIRE
+    # candidate corpus into one reducer — with few anchors over a
+    # 100 TB corpus that is the job's straggler. Phase 1 keeps a local
+    # top-k per (anchor, hash-salt of candidate); phase 2 re-ranks the
+    # <= k*16 survivors. Identical result: any global top-k row also
+    # tops its salt bucket under the same (h, id) order.
+    salt = F.pmod(F.hash(F.col("negative_id")), F.lit(16))
+    pre = Window.partitionBy("anchor_id", "_salt").orderBy("h", "negative_id")
+    partial = (
+        scored.withColumn("_salt", salt)
+        .withColumn("_prank", F.row_number().over(pre))
+        .filter(F.col("_prank") <= _NEG_K)
+        .drop("_salt", "_prank")
+    )
     w = Window.partitionBy("anchor_id").orderBy("h", "negative_id")
     return (
-        scored.withColumn("neg_rank", F.row_number().over(w).cast("int"))
+        partial.withColumn("neg_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("neg_rank") <= _NEG_K)
         .select("anchor_id", "negative_id", "neg_rank")
         .orderBy("anchor_id", "neg_rank")

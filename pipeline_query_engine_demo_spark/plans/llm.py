@@ -2336,6 +2336,11 @@ _FP_MATCH_TERMS = " + ".join(
     for i in range(_FP_STRIPES)
 )
 _FP_PLANT_IDS = (17, 123, 401)
+#: Hot-bucket cap for the band self-join — same 100 TB safety valve as
+#: operators.dedup.DEFAULT_MAX_BUCKET_SIZE: a constant payload (black
+#: frames, logo stills) floods one bucket with B docs and B^2 pairs; a
+#: band shared by >1000 payloads carries no discriminating signal.
+_FP_MAX_BUCKET = 1000
 
 
 @query(
@@ -2353,11 +2358,18 @@ _FP_PLANT_IDS = (17, 123, 401)
             SELECT doc_id, ({_FP_CONCAT_DUCK}) AS f
             FROM corpus WHERE length(text) >= {_FP_STRIPES * 2}
         ),
-        bands AS (
+        bands_all AS (
             SELECT doc_id, f, b.b AS band,
                    substr(f, b.b * {_FP_SIG * _FP_BANDS} + 1,
                           {_FP_SIG * _FP_BANDS}) AS band_key
             FROM fp, unnest(generate_series(0, {_FP_BANDS - 1})) AS b(b)
+        ),
+        bands AS (
+            SELECT doc_id, f, band, band_key
+            FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY band, band_key) AS _n
+                FROM bands_all
+            ) WHERE _n <= {_FP_MAX_BUCKET}
         ),
         cand AS (
             SELECT DISTINCT a.doc_id AS id_a, a.f AS fa,
@@ -2387,9 +2399,11 @@ def media_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: fingerprints are 64 bytes/doc — the only thing
     shuffled; the band join scans ~corpus/16^16ths of the square per
     band; verification is a 16-term expression on the carried
-    fingerprints, no payload re-read. Same hot-bucket caveat as LSH
-    (operators.dedup.DEFAULT_MAX_BUCKET_SIZE) if a constant payload
-    floods one bucket."""
+    fingerprints, no payload re-read. The hot-bucket cap is ON by
+    default (same valve as operators.dedup.DEFAULT_MAX_BUCKET_SIZE,
+    same one-shuffle window-count form): a constant payload — black
+    frames, logo stills — would otherwise put B^2 pairs from one
+    bucket on one reducer."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     planted = (
         docs.filter(F.col("doc_id").isin(*_FP_PLANT_IDS))
@@ -2418,6 +2432,14 @@ def media_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band", "band_key"),
+    )
+    from pyspark.sql import Window as _W
+
+    bucket_n = F.count(F.lit(1)).over(_W.partitionBy("band", "band_key"))
+    bands = (
+        bands.withColumn("_n", bucket_n)
+        .filter(F.col("_n") <= _FP_MAX_BUCKET)
+        .drop("_n")
     )
     a = bands.select(
         F.col("doc_id").alias("id_a"), F.col("f").alias("fa"), "band", "band_key"
