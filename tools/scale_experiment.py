@@ -83,6 +83,13 @@ QUERIES = [
     "triangle_count_copurchase",
     "stats_linear_regression",
     "unicode_nfc_normalize",
+    # round-3 session-4 continued: curation/analytics/ops additions
+    "media_fingerprint_near_dup",
+    "epoch_repeat_oversample",
+    "contrastive_negative_pairs",
+    "cohort_retention_orders",
+    "snapshot_diff_orders",
+    "dataset_profile_orders",
 ]
 
 
