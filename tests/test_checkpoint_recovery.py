@@ -205,3 +205,64 @@ def test_statestore_reader_exposes_operator_state(spark, sf_dir, tmp_path):
         state.filter(F.col("window_start") == last_window).count()
         == expected.filter(F.col("window_start") == last_window).count()
     )
+
+
+def test_rocksdb_state_store_provider_parity(spark, sf_dir, tmp_path):
+    """The RocksDB state store provider — the backend a production
+    cluster runs (state spills to local disk instead of growing the JVM
+    heap) — must produce batch-identical results through the same
+    windowed aggregation, and its artifacts (zip/changelog uploads, not
+    the HDFS provider's delta files) must actually appear in the
+    checkpoint, proving the provider was in effect and not silently
+    defaulted."""
+    src = str(tmp_path / "rdb_src")
+    load_table(spark, sf_dir, "events").repartition(2).write.mode(
+        "overwrite"
+    ).parquet(src)
+    ckpt = str(tmp_path / "rdb_ckpt")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(_SCHEMA).parquet(src)
+        q = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n")
+            .writeStream.format("memory")
+            .queryName("rdb_counts")
+            .option("checkpointLocation", ckpt)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    got = spark.table("rdb_counts")
+    expected = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    diff = expected.join(got, ["window_start", "event_type"]).filter(
+        expected["n"] != got["n"]
+    )
+    assert got.count() == expected.count()
+    assert diff.count() == 0
+
+    rocksdb_files = []
+    for root, _dirs, files in os.walk(os.path.join(ckpt, "state")):
+        rocksdb_files += [
+            f for f in files if f.endswith(".zip") or f.endswith(".changelog")
+        ]
+    assert rocksdb_files, "no RocksDB artifacts under the state checkpoint"
