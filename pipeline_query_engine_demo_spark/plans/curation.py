@@ -888,3 +888,102 @@ def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("anchor_id", "negative_id", "neg_rank")
         .orderBy("anchor_id", "neg_rank")
     )
+
+
+@query(
+    "url_canonical_dedup",
+    category="llm-dedup",
+    oracle="""
+        WITH raw AS (
+            -- Deterministic URL variants: doc_id mod 4 picks the noise
+            -- (uppercase host / utm params / fragment / trailing slash)
+            -- so the same page appears under several surface forms.
+            SELECT doc_id,
+                   CASE doc_id % 4
+                       WHEN 0 THEN 'https://WWW.Example.COM/docs/'
+                                   || CAST(doc_id // 4 AS VARCHAR)
+                       WHEN 1 THEN 'https://www.example.com/docs/'
+                                   || CAST(doc_id // 4 AS VARCHAR)
+                                   || '?utm_source=feed&utm_campaign=x'
+                       WHEN 2 THEN 'https://www.example.com/docs/'
+                                   || CAST(doc_id // 4 AS VARCHAR) || '#section-2'
+                       ELSE 'https://www.example.com/docs/'
+                            || CAST(doc_id // 4 AS VARCHAR) || '/'
+                   END AS url
+            FROM documents
+        ),
+        canon AS (
+            SELECT doc_id, url,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(
+                               lower(regexp_extract(url, '^https?://[^/#?]+'))
+                               || regexp_replace(url, '^https?://[^/#?]+', ''),
+                               '[?&]utm_[^&#]*', '', 'g'),
+                           '#.*$', ''),
+                       '/$', '') AS curl
+            FROM raw
+        )
+        SELECT curl AS canonical_url,
+               CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_variants
+        FROM canon
+        GROUP BY curl
+        ORDER BY canonical_url
+    """,
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the FIRST dedup pass of every web
+    corpus (CCNet/C4 drop same-URL recrawls before any content hashing,
+    since it's free): lowercase the host, strip tracking params
+    (utm_*), fragments, and trailing slashes, then keep one
+    representative per canonical URL. The fixture synthesizes four
+    surface variants per logical page so every noise class is
+    exercised.
+
+    Scale shape: canonicalization is pure map-side regexp; the dedup
+    groupBy shuffles only (canonical_url, doc_id) pairs — the same
+    fixed-width-key contract as exact_dedup's sha2 grouping. The
+    scheme+host prefix is lowercased via the identical
+    extract-lower-concat expression on both sides (DuckDB regexes have
+    no case-folding escape)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    base = F.concat(
+        F.lit("https://www.example.com/docs/"),
+        F.expr("CAST(doc_id DIV 4 AS STRING)"),
+    )
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("https://WWW.Example.COM/docs/"),
+                F.expr("CAST(doc_id DIV 4 AS STRING)"),
+            ),
+        )
+        .when(F.col("doc_id") % 4 == 1, F.concat(base, F.lit("?utm_source=feed&utm_campaign=x")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(base, F.lit("#section-2")))
+        .otherwise(F.concat(base, F.lit("/")))
+    )
+    raw = docs.select("doc_id", url.alias("url"))
+    lowered = F.concat(
+        F.lower(F.regexp_extract(F.col("url"), "^https?://[^/#?]+", 0)),
+        F.regexp_replace(F.col("url"), "^https?://[^/#?]+", ""),
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(lowered, "[?&]utm_[^&#]*", ""),
+            "#.*$",
+            "",
+        ),
+        "/$",
+        "",
+    )
+    return (
+        raw.select("doc_id", curl.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+        )
+        .orderBy("canonical_url")
+    )
