@@ -987,3 +987,82 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_url")
     )
+
+
+#: FIM geometry: middle span = the central ~30% of each document's
+#: characters, with deterministic per-doc jitter from an md5 nibble so
+#: split points vary across the corpus (fixed splits teach the model
+#: positional artifacts).
+_FIM_MIN_CHARS = 40
+
+
+@query(
+    "fim_split_docs",
+    category="llm-text",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, text, length(text) AS n,
+                   CAST(substr(md5(CAST(doc_id AS VARCHAR) || '|fim-v1'), 1, 1)
+                        IN ('0','1','2','3','4','5','6','7') AS INTEGER) AS jit
+            FROM documents WHERE length(text) >= {_FIM_MIN_CHARS}
+        ),
+        cuts AS (
+            SELECT doc_id, text, n,
+                   (n * 35 // 100) + jit AS p_end,
+                   (n * 65 // 100) + jit AS m_end
+            FROM base
+        )
+        SELECT doc_id,
+               substr(text, 1, p_end) AS prefix,
+               substr(text, p_end + 1, m_end - p_end) AS middle,
+               substr(text, m_end + 1, n - m_end) AS suffix,
+               CAST(n AS BIGINT) AS n_chars,
+               substr(text, 1, p_end) || substr(text, p_end + 1, m_end - p_end)
+                   || substr(text, m_end + 1, n - m_end) = text AS lossless
+        FROM cuts
+        ORDER BY doc_id
+    """,
+)
+def fim_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle (FIM) data preparation — the span-corruption
+    transform behind infilling-capable code/text models: each document
+    splits into (prefix, middle, suffix) so training can present
+    prefix+suffix and predict the middle. Cut points sit at ~35%/65%
+    of the characters with a deterministic per-doc md5 jitter (fixed
+    cut ratios across a corpus teach positional artifacts; production
+    uses a seeded RNG — same plumbing). The ``lossless`` column proves
+    the three spans reassemble the exact document.
+
+    Scale shape: pure map-side substring arithmetic — scales with the
+    scan, zero shuffles; reordering into the PSM/SPM training layouts
+    is a downstream concat over these columns."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.length("text") >= _FIM_MIN_CHARS).select(
+        "doc_id",
+        "text",
+        F.length("text").alias("n"),
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|fim-v1"))), 1, 1
+        )
+        .isin(*"01234567")
+        .cast("int")
+        .alias("jit"),
+    )
+    cuts = base.select(
+        "doc_id",
+        "text",
+        "n",
+        (F.expr("n * 35 DIV 100") + F.col("jit")).alias("p_end"),
+        (F.expr("n * 65 DIV 100") + F.col("jit")).alias("m_end"),
+    )
+    prefix = F.expr("substr(text, 1, p_end)")
+    middle = F.expr("substr(text, p_end + 1, m_end - p_end)")
+    suffix = F.expr("substr(text, m_end + 1, n - m_end)")
+    return cuts.select(
+        "doc_id",
+        prefix.alias("prefix"),
+        middle.alias("middle"),
+        suffix.alias("suffix"),
+        F.col("n").cast("bigint").alias("n_chars"),
+        (F.concat(prefix, middle, suffix) == F.col("text")).alias("lossless"),
+    ).orderBy("doc_id")
