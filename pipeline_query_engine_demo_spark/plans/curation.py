@@ -1066,3 +1066,79 @@ def fim_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_chars"),
         (F.concat(prefix, middle, suffix) == F.col("text")).alias("lossless"),
     ).orderBy("doc_id")
+
+
+#: Ranked BPE merges for bpe_apply_merges (the output shape of
+#: bpe_pair_frequencies' training step). Applied in priority order,
+#: each replacing every occurrence of the adjacent pair corpus-wide —
+#: chosen so no merged piece creates a false suffix match for a later
+#: pattern on this vocabulary.
+BPE_MERGES = (("e", "r"), ("i", "n"), ("s", "t"))
+
+
+@query(
+    "bpe_apply_merges",
+    category="llm-text",
+    oracle="""
+        WITH vocab AS (
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS corpus_freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            WHERE word <> ''
+            GROUP BY word
+        ),
+        split AS (
+            SELECT word, corpus_freq,
+                   array_to_string(string_split(word, ''), ' ') AS s0
+            FROM vocab
+        ),
+        merged AS (
+            SELECT word, corpus_freq,
+                   replace(replace(replace(s0,
+                       'e r', 'er'),
+                       'i n', 'in'),
+                       's t', 'st') AS pieces
+            FROM split
+        )
+        SELECT word, pieces,
+               CAST(len(string_split(pieces, ' ')) AS BIGINT) AS n_pieces,
+               corpus_freq
+        FROM merged
+        ORDER BY word
+    """,
+)
+def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge APPLICATION — the other half of tokenizer training
+    (bpe_pair_frequencies ranks candidate merges; this applies a ranked
+    merge list): each word splits to characters and the merges collapse
+    adjacent pairs in priority order, exactly the greedy BPE encode.
+    Plain substring replacement on the space-joined pieces is correct
+    here because every piece is atomic in the string representation
+    (the merge list is chosen so no earlier output creates a false
+    suffix match for a later pattern — the per-vocabulary check a real
+    tokenizer build does).
+
+    Scale shape: tokenization applies to the DISTINCT vocabulary —
+    which does not grow with corpus size — and the result broadcasts
+    back as a lookup, so the corpus itself never re-tokenizes per
+    occurrence. That vocabulary-level contract (same as
+    fuzzy_name_match_pairs' name-vocab join) is what makes tokenizer
+    application O(vocab), not O(corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("corpus_freq"))
+    )
+    pieces = F.array_join(F.split(F.col("word"), ""), " ")
+    for x, y in BPE_MERGES:
+        pieces = F.replace(pieces, F.lit(f"{x} {y}"), F.lit(x + y))
+    return (
+        vocab.select(
+            "word",
+            pieces.alias("pieces"),
+            F.size(F.split(pieces, " ")).cast("bigint").alias("n_pieces"),
+            "corpus_freq",
+        )
+        .orderBy("word")
+    )
