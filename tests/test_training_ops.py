@@ -212,3 +212,44 @@ def test_contrastive_negatives_cross_source_and_exactly_k(spark, sf_dir):
     ).count() == 0
     sizes = out.groupBy("anchor_id").count().select("count").distinct().collect()
     assert [r["count"] for r in sizes] == [_NEG_K]
+
+
+def test_bpe_pieces_reassemble_to_words(spark, sf_dir):
+    from pipeline_query_engine_demo_spark.plans.curation import bpe_apply_merges
+
+    rows = bpe_apply_merges(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # removing the piece separators must reproduce the word exactly
+        assert r.pieces.replace(" ", "") == r.word
+        assert 1 <= r.n_pieces <= len(r.word)
+    # the merges actually fired somewhere (some word has fewer pieces
+    # than characters)
+    assert any(r.n_pieces < len(r.word) for r in rows)
+
+
+def test_fim_split_is_lossless_with_nonempty_middle(spark, sf_dir):
+    from pipeline_query_engine_demo_spark.plans.curation import fim_split_docs
+
+    rows = fim_split_docs(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.lossless
+        assert len(r.prefix) > 0 and len(r.middle) > 0 and len(r.suffix) > 0
+        assert len(r.prefix) + len(r.middle) + len(r.suffix) == r.n_chars
+
+
+def test_url_canonical_dedup_collapses_all_variants(spark, sf_dir):
+    from pipeline_query_engine_demo_spark.plans.curation import url_canonical_dedup
+
+    rows = url_canonical_dedup(spark, sf_dir).collect()
+    assert rows
+    # every logical page collapses its 4 surface variants; the kept
+    # representative is the min doc_id of the group (4k..4k+3 -> 4k)
+    for r in rows:
+        assert r.n_variants == 4
+        assert r.keep_doc_id % 4 == 0
+        assert "utm_" not in r.canonical_url
+        assert "#" not in r.canonical_url
+        assert not r.canonical_url.endswith("/")
+        assert r.canonical_url.startswith("https://www.example.com/")
