@@ -1238,3 +1238,53 @@ def dataset_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+@query(
+    "approx_top_k_tokens",
+    category="approx",
+    oracle="""
+        WITH toks AS (
+            SELECT t.tok AS token
+            FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+            WHERE t.tok <> ''
+        ),
+        exact AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS est_count
+            FROM toks GROUP BY token
+        )
+        SELECT CAST(row_number() OVER (ORDER BY est_count DESC, token)
+                    AS INTEGER) AS rank,
+               token, est_count
+        FROM exact
+        ORDER BY est_count DESC, token
+        LIMIT 5
+    """,
+)
+def approx_top_k_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_top_k`` (Spark 4's heavy-hitter sketch aggregate) over
+    the token stream — the built-in counterpart of the hand-rolled
+    count-min sketch (cms_token_counts): one mergeable fixed-memory
+    sketch per partition, combined map-side, top-k extracted at the
+    end. On this bounded vocabulary the sketch tracks every item, so
+    its counts are exact and the oracle is the exact top-5 (k=5 keeps
+    the cut above the first tied count, where item order would be
+    sketch-internal).
+
+    Scale: the shuffle carries one sketch per partition instead of the
+    token multiset — the same mergeable-summary contract that makes
+    approx_count_distinct and approx_percentile the 100 TB forms."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        toks.selectExpr("approx_top_k(token, 5) AS t")
+        .select(F.posexplode("t").alias("pos", "entry"))
+        .select(
+            (F.col("pos") + 1).cast("int").alias("rank"),
+            F.col("entry.item").alias("token"),
+            F.col("entry.count").cast("bigint").alias("est_count"),
+        )
+        .orderBy(F.desc("est_count"), "token")
+    )
