@@ -680,3 +680,112 @@ def window_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts", "event_id")
     )
+
+
+@query(
+    "window_topk_with_ties",
+    category="window",
+    oracle="""
+        WITH ranked AS (
+            SELECT l_returnflag AS returnflag, l_orderkey, l_linenumber,
+                   l_quantity,
+                   rank() OVER (
+                       PARTITION BY l_returnflag ORDER BY l_quantity DESC
+                   ) AS rnk
+            FROM lineitem
+        )
+        SELECT returnflag, l_orderkey AS orderkey, l_linenumber AS linenumber,
+               l_quantity AS quantity, CAST(rnk AS INTEGER) AS rnk
+        FROM ranked WHERE rnk <= 3
+        ORDER BY returnflag, rnk, orderkey, linenumber
+    """,
+)
+def window_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH TIES (``rank() <= k``) — the SQL `FETCH FIRST k ROWS
+    WITH TIES` semantics: every row tied with the k-th keeps its place,
+    so the result size is data-dependent (here the quantity domain has
+    heavy ties, so "top 3" returns hundreds of rows per group).
+    Contrast window_topk_per_group's row_number form, which cuts
+    arbitrarily inside a tie — choosing between them is a correctness
+    decision, not style, whenever the sort key is coarse.
+
+    Scale: same single window shuffle as any per-group rank; the
+    data-dependent output size is the caveat to plan for (a coarse key
+    can return the whole group)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("l_quantity").desc())
+    return (
+        li.select(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").alias("linenumber"),
+            F.col("l_quantity").alias("quantity"),
+            F.rank().over(w).cast("int").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .orderBy("returnflag", "rnk", "orderkey", "linenumber")
+    )
+
+
+@query(
+    "ratio_to_report_revenue",
+    category="window",
+    oracle="""
+        WITH nrev AS (
+            SELECT r.r_name AS region, n.n_name AS nation,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                        AS DECIMAL(18,2)) AS revenue
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY region, nation
+        )
+        SELECT region, nation,
+               CAST(revenue AS DOUBLE) AS revenue,
+               ROUND(CAST(revenue AS DOUBLE) /
+                     CAST(SUM(revenue) OVER (PARTITION BY region) AS DOUBLE),
+                     9) AS region_share
+        FROM nrev
+        ORDER BY region, nation
+    """,
+)
+def ratio_to_report_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report — each nation's share of its region's revenue:
+    aggregate first (exact DECIMAL sums), then a whole-partition window
+    sum over the AGGREGATED rows provides the denominator without a
+    second scan or a self-join. The share divides one exact decimal by
+    another, so both engines compute identical doubles.
+
+    Scale: the window runs over nation-level rows (tens), not orders —
+    the aggregate-then-window layering is what keeps percent-of-total
+    reports scan-bound at any fact-table size."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nrev = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy("region")
+    return (
+        nrev.select(
+            "region",
+            "nation",
+            F.col("revenue").cast("double").alias("revenue"),
+            F.round(
+                F.col("revenue").cast("double")
+                / F.sum("revenue").over(w).cast("double"),
+                9,
+            ).alias("region_share"),
+        )
+        .orderBy("region", "nation")
+    )
