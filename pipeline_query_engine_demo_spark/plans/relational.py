@@ -2619,3 +2619,92 @@ def group_by_all_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY 1, 2
         """
     )
+
+
+@query(
+    "agg_listagg_ordered",
+    category="aggregation",
+    oracle="""
+        SELECT n_regionkey AS regionkey,
+               string_agg(n_name, '|' ORDER BY n_name) AS nations,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM nation
+        GROUP BY regionkey
+        ORDER BY regionkey
+    """,
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (Spark 4 ``listagg … WITHIN GROUP``,
+    the ISO form of string_agg): deterministic only BECAUSE of the
+    WITHIN GROUP order — an unordered listagg concatenates in
+    partition-arrival order and can never hash-match across engines or
+    even across runs. The oracle uses DuckDB's string_agg with the same
+    ORDER BY.
+
+    Scale: the per-group result grows with group size — fine for
+    dimension-sized groups (nations per region here); for fact-sized
+    groups prefer collect_list bounded by a prior top-k."""
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        nation.groupBy(F.col("n_regionkey").alias("regionkey"))
+        .agg(
+            F.expr("listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name)").alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .orderBy("regionkey")
+    )
+
+
+@query(
+    "sort_null_ordering",
+    category="sort",
+    oracle="""
+        WITH t AS (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END
+                       AS bal
+            FROM customer WHERE c_custkey <= 60
+        )
+        SELECT c_custkey, bal,
+               CAST(row_number() OVER (
+                   ORDER BY bal DESC NULLS LAST, c_custkey) AS INTEGER)
+                   AS rn_nulls_last,
+               CAST(row_number() OVER (
+                   ORDER BY bal ASC NULLS FIRST, c_custkey) AS INTEGER)
+                   AS rn_nulls_first
+        FROM t
+        ORDER BY c_custkey
+    """,
+)
+def sort_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULL placement in sort orders (``desc_nulls_last`` /
+    ``asc_nulls_first``) — the semantics every ranking over an optional
+    metric must choose deliberately: Spark's defaults (NULLS LAST on
+    ASC, NULLS FIRST on DESC) differ from the SQL standard's
+    implementation-defined behavior, so portable queries spell it out.
+    Planted NULLs (every 7th customer) make both orders observable.
+
+    Scale: null placement is a sort-key flag, not an extra pass —
+    identical shuffle/sort cost either way."""
+    customer = load_table(spark, sf_dir, "customer")
+    t = customer.filter(F.col("c_custkey") <= 60).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+    )
+    from pyspark.sql import Window as W
+
+    w_last = W.orderBy(F.col("bal").desc_nulls_last(), F.col("c_custkey"))
+    w_first = W.orderBy(F.col("bal").asc_nulls_first(), F.col("c_custkey"))
+    return (
+        t.select(
+            "c_custkey",
+            "bal",
+            F.row_number().over(w_last).cast("int").alias("rn_nulls_last"),
+            F.row_number().over(w_first).cast("int").alias("rn_nulls_first"),
+        )
+        .orderBy("c_custkey")
+    )
