@@ -363,3 +363,163 @@ def streaming_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .orderBy("query_id", "rank")
     )
+
+
+#: Left-outer stream-stream cutoff: clicks are restricted to those
+#: whose 30-minute join window provably expires before the final
+#: watermark (max ts ~23:26+ on Jan 30 at every SF, minus the 10-min
+#: delay), so every unmatched click's null row is guaranteed emitted
+#: before the availableNow drain terminates. Without the cutoff the
+#: youngest clicks' outer results stay buffered in state — correct
+#: streaming semantics, but not batch-equivalent output.
+_SS_LEFT_CUTOFF = "2024-01-30 12:00:00"
+
+
+@query(
+    "streaming_stream_stream_left_join",
+    category="streaming",
+    oracle=f"""
+        WITH clicks AS (
+            SELECT event_id AS click_id, user_id, ts AS click_ts
+            FROM events
+            WHERE event_type = 'click' AND ts < TIMESTAMP '{_SS_LEFT_CUTOFF}'
+        ),
+        purchases AS (
+            SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT c.click_id, p.purchase_id
+        FROM clicks c LEFT JOIN purchases p
+          ON c.user_id = p.user_id
+         AND p.purchase_ts > c.click_ts
+         AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+        ORDER BY click_id, purchase_id
+    """,
+)
+def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join — the hard half of
+    stream joins: matched rows emit as found, but an UNMATCHED click's
+    null row can only emit once the watermark proves no future purchase
+    can still match (click_ts + 30 min < watermark), i.e. outer results
+    are inherently delayed by the join window + watermark delay, and
+    rows still inside that horizon at shutdown stay buffered in state.
+    The query restricts clicks to a cutoff whose windows all expire
+    before the drain finishes, which is exactly the contract a
+    production job relies on (continuous watermark progress); the
+    boundary behavior is documented rather than hidden.
+
+    Scale: both join states bounded by watermark + time range, same as
+    the inner form; the outer emission adds no state beyond it."""
+    # Private staged source (NOT the shared stream dir): the flush
+    # mechanism below appends a dummy file, which must never pollute
+    # the other streaming queries' shared input.
+    import hashlib
+    import shutil
+
+    tag = hashlib.md5(f"{sf_dir}|ssleft".encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_ssleft_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    srcdir = os.path.join(root, "src")
+    os.makedirs(srcdir)
+    os.symlink(
+        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
+        os.path.join(srcdir, "events.parquet"),
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in raw_schema)["ts"]
+    events = spark.readStream.schema(raw_schema).parquet(srcdir)
+    if ts_type == "bigint":
+        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    # The user_id == -1 escape admits the far-future flush row (below)
+    # through the cutoff: the GLOBAL watermark is the MIN over both
+    # input watermarks, so flushing buffered clicks requires advancing
+    # the CLICK side's own watermark, not just the purchase side's.
+    clicks = (
+        events.filter(
+            (F.col("event_type") == "click")
+            & (
+                (F.col("ts") < F.lit(_SS_LEFT_CUTOFF).cast("timestamp"))
+                | (F.col("user_id") == -1)
+            )
+        )
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("purchase_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    cond = (
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    joined = clicks.join(purchases, cond, "left_outer").select(
+        "click_id", "purchase_id"
+    )
+    # TWO availableNow drains over one checkpoint: outer-null emission
+    # requires a batch that RUNS AFTER the watermark has passed a
+    # click's expiry, and the drain's final data batch leaves its own
+    # clicks' state unflushed (observed: the last micro-batch's
+    # unmatched clicks were missing from a single drain). An
+    # availableNow restart with NO new data runs no batch at all, so a
+    # dummy far-future PURCHASE row (purchases cannot produce
+    # left-outer rows) is appended between drains — the forced batch
+    # runs under the advanced watermark and flushes the expired click
+    # state, exactly what the next trigger of a continuously-running
+    # production job does. Memory sinks cannot resume a checkpoint, so
+    # the sink is foreachBatch → parquet (the proven pattern from
+    # tests/test_checkpoint_recovery).
+    ckpt, dest = os.path.join(root, "ckpt"), os.path.join(root, "out")
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(dest)
+
+    def drain():
+        q = (
+            joined.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    dummy = spark.createDataFrame(
+        [
+            (-1, "2024-02-15 00:00:00", -1, "click", 0.0, "{}"),
+            (-2, "2024-02-15 00:00:00", -1, "purchase", 0.0, "{}"),
+        ],
+        "event_id long, ts_s string, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    if ts_type == "bigint":
+        dummy = dummy.withColumn("ts", F.unix_micros("ts") * 1000)
+    elif ts_type == "timestamp_ntz":
+        dummy = dummy.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    dummy.select([f.name for f in raw_schema]).write.mode("append").parquet(srcdir)
+    drain()
+    return (
+        spark.read.parquet(dest)
+        .filter(F.col("click_id") >= 0)
+        .orderBy("click_id", "purchase_id")
+    )
