@@ -523,3 +523,139 @@ def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataF
         .filter(F.col("click_id") >= 0)
         .orderBy("click_id", "purchase_id")
     )
+
+
+@query(
+    "streaming_stream_stream_full_join",
+    category="streaming",
+    oracle=f"""
+        WITH clicks AS (
+            SELECT event_id AS click_id, user_id, ts AS click_ts
+            FROM events
+            WHERE event_type = 'click' AND ts < TIMESTAMP '{_SS_LEFT_CUTOFF}'
+        ),
+        purchases AS (
+            SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+            FROM events
+            WHERE event_type = 'purchase' AND ts < TIMESTAMP '{_SS_LEFT_CUTOFF}'
+        )
+        SELECT c.click_id, p.purchase_id
+        FROM clicks c FULL OUTER JOIN purchases p
+          ON c.user_id = p.user_id
+         AND p.purchase_ts > c.click_ts
+         AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+        ORDER BY click_id, purchase_id
+    """,
+)
+def streaming_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER join — completing the
+    stream-join semantics triple (inner / left / full): BOTH sides'
+    unmatched rows must survive to null-emission, so both sides carry
+    the expiry cutoff and the watermark-advancing flush applies to each
+    (see streaming_stream_stream_left_join for the mechanics: global
+    watermark = min of the inputs; two drains over one checkpoint; the
+    excluded flush rows advance both sides).
+
+    Scale: state on both sides bounded by watermark + the join's time
+    range, exactly as in the inner form — full outer adds emission
+    logic, not state."""
+    import hashlib
+    import shutil
+
+    tag = hashlib.md5(f"{sf_dir}|ssfull".encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_ssfull_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    srcdir = os.path.join(root, "src")
+    os.makedirs(srcdir)
+    os.symlink(
+        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
+        os.path.join(srcdir, "events.parquet"),
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in raw_schema)["ts"]
+    events = spark.readStream.schema(raw_schema).parquet(srcdir)
+    if ts_type == "bigint":
+        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    cutoff = F.lit(_SS_LEFT_CUTOFF).cast("timestamp")
+    clicks = (
+        events.filter(
+            (F.col("event_type") == "click")
+            & ((F.col("ts") < cutoff) | (F.col("user_id") == -1))
+        )
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        events.filter(
+            (F.col("event_type") == "purchase")
+            & ((F.col("ts") < cutoff) | (F.col("user_id") == -1))
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("purchase_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    cond = (
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    joined = clicks.join(purchases, cond, "full_outer").select(
+        "click_id", "purchase_id", "click_user", "purchase_user"
+    )
+    ckpt, dest = os.path.join(root, "ckpt"), os.path.join(root, "out")
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(dest)
+
+    def drain():
+        q = (
+            joined.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    dummy = spark.createDataFrame(
+        [
+            (-1, "2024-02-15 00:00:00", -1, "click", 0.0, "{}"),
+            (-2, "2024-02-15 00:00:00", -1, "purchase", 0.0, "{}"),
+        ],
+        "event_id long, ts_s string, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    if ts_type == "bigint":
+        dummy = dummy.withColumn("ts", F.unix_micros("ts") * 1000)
+    elif ts_type == "timestamp_ntz":
+        dummy = dummy.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    dummy.select([f.name for f in raw_schema]).write.mode("append").parquet(srcdir)
+    drain()
+    # Exclude the flush rows from BOTH sides (either side may be null
+    # on an outer row, so test the user columns, not the ids).
+    return (
+        spark.read.parquet(dest)
+        .filter(
+            (F.col("click_user").isNull() | (F.col("click_user") != -1))
+            & (F.col("purchase_user").isNull() | (F.col("purchase_user") != -1))
+        )
+        .select("click_id", "purchase_id")
+        .orderBy("click_id", "purchase_id")
+    )
