@@ -659,3 +659,82 @@ def streaming_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataF
         .select("click_id", "purchase_id")
         .orderBy("click_id", "purchase_id")
     )
+
+
+@query(
+    "streaming_scd2_enrichment",
+    category="streaming",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type AS state, ts, event_id,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_state
+            FROM events
+        ),
+        changes AS (
+            SELECT user_id, state, ts AS valid_from, event_id
+            FROM ordered
+            WHERE prev_state IS NULL OR prev_state <> state
+        ),
+        dim AS (
+            SELECT user_id,
+                   CAST(row_number() OVER (PARTITION BY user_id
+                                           ORDER BY valid_from, event_id) AS BIGINT)
+                       AS version,
+                   state, valid_from,
+                   lead(valid_from) OVER (PARTITION BY user_id
+                                          ORDER BY valid_from, event_id) AS valid_to
+            FROM changes
+        )
+        SELECT p.event_id AS purchase_id, p.user_id, d.version,
+               d.state AS state_at_purchase
+        FROM events p JOIN dim d
+          ON p.user_id = d.user_id
+         AND p.ts >= d.valid_from
+         AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+        WHERE p.event_type = 'purchase'
+        ORDER BY purchase_id
+    """,
+)
+def streaming_scd2_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming point-in-time enrichment against an SCD2 dimension —
+    the CDC-warehouse serving shape: each streamed purchase joins the
+    user-state HISTORY (scd2_user_state_history's versioned intervals,
+    computed batch-side as the static relation) on user + interval
+    containment, picking the exact dimension version valid AT the
+    event's timestamp — never today's version for yesterday's event.
+    The intervals tile, so each purchase matches exactly one version
+    and the availableNow drain equals the batch range join.
+
+    Scale: stream-static joins re-join each micro-batch against the
+    static relation; the dimension is change-row-sized (collapsed
+    no-ops), and the interval predicate makes the per-batch join a
+    range join on the user key — the same plan family as
+    range_join_followups, with state-free streaming semantics (no
+    watermark needed: the static side is not a stream)."""
+    from pipeline_query_engine_demo_spark.plans.windows import scd2_user_state_history
+
+    dim = (
+        scd2_user_state_history(spark, sf_dir)
+        .select("user_id", "version", "state", "valid_from", "valid_to")
+        .withColumnRenamed("user_id", "dim_user_id")
+    )
+    events = streaming.read_events_stream(spark, sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("dim_user_id"))
+        & (F.col("purchase_ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("purchase_ts") < F.col("valid_to")))
+    )
+    joined = purchases.join(dim, cond, "inner").select(
+        "purchase_id",
+        "user_id",
+        "version",
+        F.col("state").alias("state_at_purchase"),
+    )
+    result = streaming.run_to_memory(joined, "append", name="t_scd2enrich")
+    return result.orderBy("purchase_id")
