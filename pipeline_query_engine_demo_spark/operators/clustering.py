@@ -29,6 +29,8 @@ both engines iterate from bit-identical centroids.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+
+from pipeline_query_engine_demo_spark.functions.rounding import round_half_up
 from pyspark.sql import DataFrame
 
 #: Exact accumulator type: scale 12 holds round(x, 9) terms exactly;
@@ -48,7 +50,7 @@ def explode_dims(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
 def _sq_norms(df: DataFrame, key: str, val: str) -> DataFrame:
     return df.groupBy(key).agg(
-        F.sum(F.round(F.col(val) * F.col(val), 9).cast(_DEC))
+        F.sum(round_half_up(F.col(val) * F.col(val), 9).cast(_DEC))
         .cast("double")
         .alias("_n2")
     )
@@ -64,7 +66,7 @@ def assign_cells(e: DataFrame, id_col: str, cent: DataFrame) -> DataFrame:
         e.join(F.broadcast(cent), "dim")
         .groupBy(id_col, "cell")
         .agg(
-            F.sum(F.round(F.col("val") * F.col("c"), 9).cast(_DEC))
+            F.sum(round_half_up(F.col("val") * F.col("c"), 9).cast(_DEC))
             .cast("double")
             .alias("dot")
         )
@@ -92,8 +94,10 @@ def update_centroids(e: DataFrame, assign: DataFrame, id_col: str) -> DataFrame:
         e.join(assign, id_col)
         .groupBy("cell", "dim")
         .agg(
-            F.round(
-                F.sum(F.round("val", 9).cast(_DEC)).cast("double") / F.count("*"), 6
+            round_half_up(
+                F.sum(round_half_up(F.col("val"), 9).cast(_DEC)).cast("double")
+                / F.count("*"),
+                6,
             ).alias("c")
         )
     )

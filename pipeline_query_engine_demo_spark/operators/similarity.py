@@ -33,6 +33,7 @@ from collections.abc import Iterable, Iterator
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from pipeline_query_engine_demo_spark.functions.rounding import round_half_up
 from pipeline_query_engine_demo_spark.functions.vectors import cosine, lit_matrix, lit_vector
 
 
@@ -45,7 +46,7 @@ def cosine_scores(corpus: DataFrame, query: DataFrame, id_col: str, vec_col: str
     return corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(q).select(
         "query_id",
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cosine_sim"),
+        round_half_up(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cosine_sim"),
     )
 
 
@@ -130,7 +131,7 @@ def _bucketed_topk(
     scored = bucketed.join(q, on="_bucket").select(
         "query_id",
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cosine_sim"),
+        round_half_up(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cosine_sim"),
     )
     return _topk_per_query(scored, id_col, k)
 
@@ -183,7 +184,7 @@ def embedding_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine_sim"),
+            round_half_up(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -277,7 +278,7 @@ def ivf_topk(
     scored = corpus_cells.join(q_cells, on="_cell").select(
         "query_id",
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cosine_sim"),
+        round_half_up(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cosine_sim"),
     )
     return _topk_per_query(scored, id_col, k)
 
@@ -310,7 +311,7 @@ def pandas_cosine_topk(
             mat = np.vstack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
             norms = np.sqrt((mat * mat).sum(axis=1))
             sims = (mat @ qv) / np.where(norms * qn == 0.0, np.nan, norms * qn)
-            yield pd.DataFrame({id_col: pdf[id_col], "cosine_sim": np.round(sims, 6)})
+            yield pd.DataFrame({id_col: pdf[id_col], "cosine_sim": np.floor(sims * 1e6 + 0.5) / 1e6})
 
     scored = corpus.select(id_col, vec_col).mapInPandas(
         score, schema=f"{id_col} {id_type}, cosine_sim double"

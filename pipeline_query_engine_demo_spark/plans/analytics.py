@@ -32,6 +32,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Observation, SparkSession
 
+from pipeline_query_engine_demo_spark.functions.rounding import (
+    round_half_up,
+    sql_round_half_up,
+)
 from pipeline_query_engine_demo_spark.plans.registry import query
 from pipeline_query_engine_demo_spark.sources.catalog import load_table
 
@@ -238,7 +242,7 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     + ",\n".join(
         f"""CAST(SUM(CASE WHEN j = {jj}
-                 THEN CAST(round(val * w, 9) AS DECIMAL(28,12)) END)
+                 THEN CAST(floor((val * w) * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,12)) END)
                  AS DOUBLE) AS y{jj}"""
         for jj in range(1, _PROJ_OUT + 1)
     )
@@ -277,7 +281,7 @@ def random_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_d0") + 1).alias("dim"),
         F.col("_vf").cast("double").alias("val"),
     )
-    term = F.round(F.col("val") * F.col("w"), 9).cast(_DEC)
+    term = round_half_up(F.col("val") * F.col("w"), 9).cast(_DEC)
     return (
         e.join(F.broadcast(proj), "dim")
         .groupBy("vec_id")
@@ -387,7 +391,7 @@ def crosstab_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                MIN(value) AS low,
                ANY_VALUE(close) AS close,
                CAST(COUNT(*) AS BIGINT) AS n_events,
-               CAST(SUM(CAST(round(value, 9) AS DECIMAL(28,12))) AS DOUBLE)
+               CAST(SUM(CAST(floor((value) * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,12))) AS DOUBLE)
                    AS total_value
         FROM b
         GROUP BY event_type, bucket_start
@@ -415,7 +419,7 @@ def time_bucket_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("value").alias("low"),
             F.max_by("value", tiebreak).alias("close"),
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.round("value", 9).cast(_DEC)).cast("double").alias("total_value"),
+            F.sum(round_half_up(F.col("value"), 9).cast(_DEC)).cast("double").alias("total_value"),
         )
         .orderBy("event_type", "bucket_start")
     )
@@ -635,7 +639,7 @@ _U_DENOM = float(16**_U_HEX)
             FROM keyed
         )
         SELECT doc_id, source, n_chars,
-               round(round(ln(u), 9) / n_chars, 12) AS es_key
+               floor((floor((ln(u)) * 1000000000.0 + 0.5) / 1000000000.0 / n_chars) * 1000000000000.0 + 0.5) / 1000000000000.0 AS es_key
         FROM u
         ORDER BY es_key DESC, doc_id
         LIMIT 10
@@ -670,7 +674,7 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "source",
             "n_chars",
-            F.round(F.round(F.log(u), 9) / F.col("n_chars"), 12).alias("es_key"),
+            round_half_up(round_half_up(F.log(u), 9) / F.col("n_chars"), 12).alias("es_key"),
         )
         .orderBy(F.desc("es_key"), "doc_id")
         .limit(10)
@@ -788,10 +792,15 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RHU_TRANSITIVITY = sql_round_half_up(
+    "3.0 * CAST(tri.t AS DOUBLE) / CAST(wed.w AS DOUBLE)", 9
+)
+
+
 @query(
     "triangle_count_copurchase",
     category="graph",
-    oracle="""
+    oracle=f"""
         WITH pairs AS (
             SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
             FROM lineitem a JOIN lineitem b
@@ -817,8 +826,7 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT tri.t AS n_triangles,
                wed.w AS n_wedges,
-               ROUND(3.0 * CAST(tri.t AS DOUBLE) / CAST(wed.w AS DOUBLE), 9)
-                   AS transitivity
+               {_RHU_TRANSITIVITY} AS transitivity
         FROM tri CROSS JOIN wed
     """,
 )
@@ -891,16 +899,24 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.crossJoin(wed).select(
         F.col("t").alias("n_triangles"),
         F.col("w").alias("n_wedges"),
-        F.round(
+        round_half_up(
             F.lit(3.0) * F.col("t").cast("double") / F.col("w").cast("double"), 9
         ).alias("transitivity"),
     )
 
 
+#: OLS output columns as the shared floor-based half-up rounding (see
+#: functions.rounding) — Spark round() vs DuckDB round() disagree by
+#: one ulp on boundary doubles, and fixtures regenerate every round.
+_RHU_SLOPE = sql_round_half_up("cov_n / varx_n", 9)
+_RHU_INTERCEPT = sql_round_half_up("(syd - (cov_n / varx_n) * sxd) / ndd", 9)
+_RHU_R2 = sql_round_half_up("(cov_n * cov_n) / (varx_n * vary_n)", 9)
+
+
 @query(
     "stats_linear_regression",
     category="aggregation",
-    oracle="""
+    oracle=f"""
         WITH s AS (
             SELECT l_returnflag AS returnflag,
                    CAST(COUNT(*) AS BIGINT) AS n,
@@ -914,29 +930,24 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
             FROM lineitem GROUP BY l_returnflag
         )
+        , t AS (
+            SELECT returnflag, n,
+                   CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_n,
+                   CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx_n,
+                   CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary_n,
+                   CAST(sx AS DOUBLE) AS sxd,
+                   CAST(sy AS DOUBLE) AS syd,
+                   CAST(n AS DOUBLE) AS ndd
+            FROM s
+        )
         SELECT returnflag, n,
-               ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9)
-                   AS slope,
-               ROUND((CAST(sy AS DOUBLE)
-                      - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-                        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 9)
-                   AS intercept,
-               ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                      * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
-                     / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
-                   AS r2
-        FROM s
+               {_RHU_SLOPE} AS slope,
+               {_RHU_INTERCEPT} AS intercept,
+               {_RHU_R2} AS r2
+        FROM t
         ORDER BY returnflag
     """,
 )
@@ -975,9 +986,9 @@ def stats_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "returnflag",
         "n",
-        F.round(slope, 9).alias("slope"),
-        F.round((sy - slope * sx) / nd, 9).alias("intercept"),
-        F.round(
+        round_half_up(slope, 9).alias("slope"),
+        round_half_up((sy - slope * sx) / nd, 9).alias("intercept"),
+        round_half_up(
             ((nd * sxy - sx * sy) * (nd * sxy - sx * sy))
             / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)),
             9,
@@ -1039,10 +1050,15 @@ def cohort_retention_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RHU_YOY = sql_round_half_up(
+    "revenue / lag(revenue, 12) OVER (ORDER BY month) - 1.0", 6
+)
+
+
 @query(
     "yoy_growth_by_month",
     category="window",
-    oracle="""
+    oracle=f"""
         WITH monthly AS (
             SELECT date_trunc('month', o_orderdate) AS month,
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
@@ -1051,8 +1067,7 @@ def cohort_retention_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT CAST(month AS TIMESTAMP) AS month, revenue,
                lag(revenue, 12) OVER (ORDER BY month) AS revenue_prior_year,
-               ROUND(revenue / lag(revenue, 12) OVER (ORDER BY month) - 1.0, 6)
-                   AS yoy_growth
+               {_RHU_YOY} AS yoy_growth
         FROM monthly
         ORDER BY month
     """,
@@ -1084,7 +1099,7 @@ def yoy_growth_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
             "month",
             "revenue",
             prior.alias("revenue_prior_year"),
-            F.round(F.col("revenue") / prior - 1.0, 6).alias("yoy_growth"),
+            round_half_up(F.col("revenue") / prior - 1.0, 6).alias("yoy_growth"),
         )
         .orderBy("month")
     )

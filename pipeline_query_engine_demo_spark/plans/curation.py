@@ -21,6 +21,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from pipeline_query_engine_demo_spark.functions.rounding import (
+    round_half_up,
+    sql_round_half_up,
+)
 from pipeline_query_engine_demo_spark.plans.registry import query
 from pipeline_query_engine_demo_spark.sources.catalog import load_table
 
@@ -130,12 +134,12 @@ def span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM (SELECT unnest(w) AS word FROM words)),
         terms AS (
             SELECT b.doc_id,
-                   round(-ln((c2.cnt2 + 0.5) / (c1.cnt1 + 0.5 * v.vocab)), 9) AS term
+                   floor((-ln((c2.cnt2 + 0.5) / (c1.cnt1 + 0.5 * v.vocab))) * 1000000000.0 + 0.5) / 1000000000.0 AS term
             FROM big b JOIN c2 USING (bigram) JOIN c1 USING (w1), v
         )
         SELECT doc_id,
                COUNT(*) AS n_bigrams,
-               round(CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+               floor((CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0
                  AS avg_nll
         FROM terms
         GROUP BY doc_id
@@ -186,13 +190,13 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         big.join(c2, "bigram")
         .join(c1, "w1")
         .join(F.broadcast(vocab))
-        .select("doc_id", F.round(-F.log(p), 9).alias("term"))
+        .select("doc_id", round_half_up(-F.log(p), 9).alias("term"))
     )
     return (
         terms.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(
+            round_half_up(
                 F.sum(F.col("term").cast("decimal(28,12)")).cast("double")
                 / F.count(F.lit(1)),
                 6,
@@ -329,9 +333,7 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         dropped AS (
             SELECT DISTINCT b.vec_id
             FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
-            WHERE ROUND(list_dot_product(a.v, b.v) /
-                        (sqrt(list_dot_product(a.v, a.v)) *
-                         sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+            WHERE floor((list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 1000000.0 + 0.5) / 1000000.0 >= 0.4
         )
         SELECT c.vec_id, c.cell, d.vec_id IS NULL AS kept
         FROM c LEFT JOIN dropped d ON c.vec_id = d.vec_id
@@ -380,7 +382,7 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
-            F.round(
+            round_half_up(
                 dot(F.col("_va"), F.col("_vb"))
                 / F.nullif(F.col("_na") * F.col("_nb"), F.lit(0.0)),
                 6,
@@ -419,10 +421,8 @@ def similarity_centroids():
         sig AS (
             SELECT doc_id, source,
                    CAST(len(words) AS BIGINT) AS n_words,
-                   ROUND(CAST(CAST(list_sum(list_transform(words, x -> len(x))) AS BIGINT) AS DOUBLE)
-                         / len(words), 6) AS mean_word_len,
-                   ROUND(CAST(len(list_filter(words, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
-                         / len(words), 6) AS alpha_word_frac,
+                   floor((CAST(CAST(list_sum(list_transform(words, x -> len(x))) AS BIGINT) AS DOUBLE) / len(words)) * 1000000.0 + 0.5) / 1000000.0 AS mean_word_len,
+                   floor((CAST(len(list_filter(words, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(words)) * 1000000.0 + 0.5) / 1000000.0 AS alpha_word_frac,
                    CAST(len(list_filter(['the', 'a'], s -> list_contains(words, s))) AS BIGINT)
                        AS stopword_hits
             FROM w
@@ -460,12 +460,12 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.size("words").cast("bigint").alias("n_words"),
-        F.round(
+        round_half_up(
             F.expr("cast(aggregate(words, 0L, (acc, x) -> acc + length(x)) as double)")
             / F.size("words"),
             6,
         ).alias("mean_word_len"),
-        F.round(
+        round_half_up(
             F.expr("cast(size(filter(words, x -> x rlike '[a-z]')) as double)")
             / F.size("words"),
             6,
@@ -625,10 +625,7 @@ def bpe_pair_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         z AS (
             SELECT e.event_id, e.event_type, e.value,
-                   ROUND((e.value - CAST(s.sx AS DOUBLE) / s.n)
-                         / sqrt((CAST(s.sxx AS DOUBLE)
-                                 - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE) / s.n)
-                                / (s.n - 1)), 6) AS zscore
+                   floor(((e.value - CAST(s.sx AS DOUBLE) / s.n) / sqrt((CAST(s.sxx AS DOUBLE) - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE) / s.n) / (s.n - 1))) * 1000000.0 + 0.5) / 1000000.0 AS zscore
             FROM events e JOIN s USING (event_type)
         )
         SELECT event_id, event_type, value, zscore
@@ -656,7 +653,7 @@ def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nd = F.col("n").cast("double")
     sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
-    z = F.round(
+    z = round_half_up(
         (F.col("value") - sx / nd) / F.sqrt((sxx - sx * sx / nd) / (nd - F.lit(1.0))),
         6,
     )
@@ -678,8 +675,7 @@ def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         probs AS (
             SELECT source, n_docs,
-                   ROUND(pow(n_docs, 0.7 - 1.0)
-                         / (SELECT max(pow(n_docs, 0.7 - 1.0)) FROM counts), 6)
+                   floor((pow(n_docs, 0.7 - 1.0) / (SELECT max(pow(n_docs, 0.7 - 1.0)) FROM counts)) * 1000000.0 + 0.5) / 1000000.0
                        AS keep_prob
             FROM counts
         )
@@ -711,7 +707,7 @@ def temperature_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.pow(F.col("n_docs"), F.lit(alpha - 1.0))
     probs = counts.join(
         F.broadcast(counts.agg(F.max(F.pow(F.col("n_docs"), F.lit(alpha - 1.0))).alias("_mx")))
-    ).select("source", F.round(w / F.col("_mx"), 6).alias("keep_prob"))
+    ).select("source", round_half_up(w / F.col("_mx"), 6).alias("keep_prob"))
     coin = (
         F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":temp"))), 1, 8), 16, 10)
         .cast("double")

@@ -16,9 +16,11 @@ Cross-engine determinism notes:
   on exact operands — bit-identical;
 - cosine folds left-to-right in both engines (F.aggregate vs DuckDB's
   list_dot_product loop) over doubles, then rounds to 6 — identical;
-- ROUND agrees across engines for either sign: Spark's HALF_UP on a
-  BigDecimal of the shortest repr and DuckDB's rounding both take
-  halves AWAY FROM ZERO (cosines and quantized values are signed).
+- every rounded comparison column uses functions.rounding's shared
+  ``floor(x*10^d + 0.5)/10^d`` form on BOTH sides — Spark's round()
+  (BigDecimal HALF_UP on the shortest repr) and DuckDB's round()
+  (scaled-double) disagree by one ulp on boundary doubles (observed
+  at sf0.1 on PageRank ranks), and fixtures regenerate each round.
 """
 
 from __future__ import annotations
@@ -27,6 +29,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from pipeline_query_engine_demo_spark.functions import multimodal, text, vectors
+from pipeline_query_engine_demo_spark.functions.rounding import (
+    round_half_up,
+    sql_round_half_up,
+)
 from pipeline_query_engine_demo_spark.operators import dedup, similarity
 from pipeline_query_engine_demo_spark.plans.registry import query
 from pipeline_query_engine_demo_spark.sources.catalog import load_table
@@ -383,9 +389,10 @@ def ngram_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search over embeddings
 # --------------------------------------------------------------------------
 
-_COSINE_SQL = (
-    "ROUND(list_dot_product(c.v, q.qv) / "
-    "(sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6)"
+_COSINE_SQL = sql_round_half_up(
+    "list_dot_product(c.v, q.qv)"
+    " / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv)))",
+    6,
 )
 
 
@@ -508,7 +515,7 @@ IVF_CENTROIDS = [[1.0 if i == d else 0.0 for i in range(_IVF_DIM)] for d in rang
 @query(
     "ivf_topk_embeddings",
     category="llm-similarity",
-    oracle="""
+    oracle=f"""
         WITH c AS (
             SELECT vec_id, embedding::DOUBLE[] AS v,
                    CASE WHEN embedding[1] >= embedding[2] AND embedding[1] >= embedding[3]
@@ -536,9 +543,7 @@ IVF_CENTROIDS = [[1.0 if i == d else 0.0 for i in range(_IVF_DIM)] for d in rang
         ),
         scored AS (
             SELECT q.query_id, c.vec_id,
-                   ROUND(list_dot_product(c.v, q.qv) /
-                         (sqrt(list_dot_product(c.v, c.v)) *
-                          sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+                   {_COSINE_SQL} AS cosine_sim
             FROM c JOIN qcells q ON c.cell = q.cell
         ),
         ranked AS (SELECT *, row_number() OVER (
@@ -596,9 +601,7 @@ def ivf_assign_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         scored AS (
             SELECT vec_id,
-                   ROUND(list_dot_product(v, q) /
-                         (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q, q))),
-                         6) AS cosine_sim
+                   floor((list_dot_product(v, q) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q, q)))) * 1000000.0 + 0.5) / 1000000.0 AS cosine_sim
             FROM c CROSS JOIN qv)
         SELECT vec_id, cosine_sim FROM scored
         ORDER BY cosine_sim DESC NULLS LAST, vec_id LIMIT 10
@@ -738,9 +741,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM v)
         SELECT vec_id,
                max_abs,
-               CAST(round(e[1] * 127.0 / max_abs) AS INT) AS q1,
-               CAST(round(e[2] * 127.0 / max_abs) AS INT) AS q2,
-               CAST(round(e[64] * 127.0 / max_abs) AS INT) AS q64
+               CAST(floor((e[1] * 127.0 / max_abs) * 1.0 + 0.5) / 1.0 AS INT) AS q1,
+               CAST(floor((e[2] * 127.0 / max_abs) * 1.0 + 0.5) / 1.0 AS INT) AS q2,
+               CAST(floor((e[64] * 127.0 / max_abs) * 1.0 + 0.5) / 1.0 AS INT) AS q64
         FROM s ORDER BY vec_id
     """,
 )
@@ -753,7 +756,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     e = vectors.as_double("embedding")
     max_abs = F.array_max(F.transform(e, F.abs))
-    q = F.transform(e, lambda x: F.round(x * 127.0 / max_abs).cast("int"))
+    q = F.transform(e, lambda x: round_half_up(x * 127.0 / max_abs).cast("int"))
     return emb.select(
         "vec_id",
         max_abs.alias("max_abs"),
@@ -901,7 +904,7 @@ def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         n AS (SELECT COUNT(*) AS n_docs FROM documents),
         scored AS (
             SELECT t.doc_id, t.tok,
-                   ROUND(t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)), 6) AS tfidf
+                   floor((t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0))) * 1000000.0 + 0.5) / 1000000.0 AS tfidf
             FROM tfc t JOIN dfc d ON t.tok = d.tok CROSS JOIN n
         ),
         ranked AS (
@@ -930,7 +933,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "tok",
-            F.round(
+            round_half_up(
                 F.col("tf") * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
                 6,
             ).alias("tfidf"),
@@ -1149,13 +1152,9 @@ def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                               AS bucket
                    FROM embeddings)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               ROUND(list_dot_product(a.v, b.v) /
-                     (sqrt(list_dot_product(a.v, a.v)) *
-                      sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
+               floor((list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 1000000.0 + 0.5) / 1000000.0 AS cosine_sim
         FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        WHERE ROUND(list_dot_product(a.v, b.v) /
-                    (sqrt(list_dot_product(a.v, a.v)) *
-                     sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+        WHERE floor((list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 1000000.0 + 0.5) / 1000000.0 >= 0.4
         ORDER BY id_a, id_b
     """,
 )
@@ -1404,12 +1403,12 @@ def dedup_representatives_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vocab),
         probs AS (
             SELECT tok,
-                   CAST(round(-ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+                   CAST(floor((-ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000000.0 + 0.5) / 1000000000.0
                         AS DECIMAL(20, 9)) AS s
             FROM vocab, tot)
         SELECT t.doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_tokens,
-               round(CAST(SUM(p.s) AS DOUBLE) / COUNT(*), 6) AS avg_surprisal
+               floor((CAST(SUM(p.s) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_surprisal
         FROM tok t JOIN probs p ON p.tok = t.tok
         GROUP BY t.doc_id ORDER BY t.doc_id
     """,
@@ -1431,7 +1430,7 @@ def unigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = vocab.agg(F.sum("c").alias("n"))
     probs = vocab.crossJoin(F.broadcast(total)).select(
         "tok",
-        F.round(-F.log(F.col("c").cast("double") / F.col("n").cast("double")), 9)
+        round_half_up(-F.log(F.col("c").cast("double") / F.col("n").cast("double")), 9)
         .cast("decimal(20,9)")
         .alias("s"),
     )
@@ -1440,7 +1439,7 @@ def unigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_tokens"),
-            F.round(F.sum("s").cast("double") / F.count("*"), 6).alias(
+            round_half_up(F.sum("s").cast("double") / F.count("*"), 6).alias(
                 "avg_surprisal"
             ),
         )
@@ -1647,13 +1646,13 @@ _KMEANS_K, _KMEANS_ITERS = 4, 2
 _KMEANS_ITER_SQL = """
         d{i} AS (
             SELECT e.vec_id, c.cell,
-                   CAST(SUM(CAST(round(e.val * c.c, 9) AS DECIMAL(28,12)))
+                   CAST(SUM(CAST(floor((e.val * c.c) * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,12)))
                         AS DOUBLE) AS dot
             FROM e JOIN c{p} c ON c.dim = e.dim
             GROUP BY e.vec_id, c.cell),
         nc{i} AS (
             SELECT cell,
-                   CAST(SUM(CAST(round(c * c, 9) AS DECIMAL(28,12)))
+                   CAST(SUM(CAST(floor((c * c) * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,12)))
                         AS DOUBLE) AS nc
             FROM c{p} GROUP BY cell),
         a{i} AS (
@@ -1665,8 +1664,7 @@ _KMEANS_ITER_SQL = """
                 ORDER BY d.dot / sqrt(nv.nv * nc.nc) DESC, d.cell) = 1),
         c{i} AS (
             SELECT a.cell, e.dim,
-                   round(CAST(SUM(CAST(round(e.val, 9) AS DECIMAL(28,12)))
-                              AS DOUBLE) / COUNT(*), 6) AS c
+                   floor((CAST(SUM(CAST(floor((e.val) * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS c
             FROM e JOIN a{i} a ON a.vec_id = e.vec_id
             GROUP BY a.cell, e.dim)"""
 
@@ -1685,7 +1683,7 @@ _KMEANS_ITER_SQL = """
                  unnest(generate_series(1, 64)) AS t(d)),
         nv AS (
             SELECT vec_id,
-                   CAST(SUM(CAST(round(val * val, 9) AS DECIMAL(28,12)))
+                   CAST(SUM(CAST(floor((val * val) * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,12)))
                         AS DOUBLE) AS nv
             FROM e GROUP BY vec_id),
     """
@@ -2271,7 +2269,7 @@ from pipeline_query_engine_demo_spark.plans.registry import REGISTRY as _REG  # 
         SELECT gt.query_id,
                CAST(COUNT(ann.rank) AS BIGINT) AS hits,
                CAST(COUNT(*) AS BIGINT) AS k,
-               ROUND(COUNT(ann.rank) / CAST(COUNT(*) AS DOUBLE), 6) AS recall_at_k
+               floor((COUNT(ann.rank) / CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS recall_at_k
         FROM gt
         LEFT JOIN ann
           ON ann.query_id = gt.query_id AND ann.vec_id = gt.vec_id
@@ -2302,7 +2300,7 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("hit").alias("hits"),
             F.count(F.lit(1)).alias("k"),
-            F.round(F.count("hit") / F.count(F.lit(1)), 6).alias("recall_at_k"),
+            round_half_up(F.count("hit") / F.count(F.lit(1)), 6).alias("recall_at_k"),
         )
         .orderBy("query_id")
     )

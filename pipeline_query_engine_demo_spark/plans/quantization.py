@@ -43,6 +43,10 @@ from functools import reduce
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from pipeline_query_engine_demo_spark.functions.rounding import (
+    round_half_up,
+    sql_round_half_up,
+)
 from pipeline_query_engine_demo_spark.plans.registry import query
 from pipeline_query_engine_demo_spark.sources.catalog import load_table
 
@@ -277,7 +281,7 @@ def _lut_pick_sql() -> str:
         ),
         scored AS (
             SELECT q.query_id, codes.vec_id,
-                   round({_lut_pick_sql()}, 9) AS adc_dist
+                   {sql_round_half_up(_lut_pick_sql(), 9)} AS adc_dist
             FROM codes CROSS JOIN q
         ),
         ranked AS (
@@ -322,7 +326,7 @@ def pq_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = codes.crossJoin(q).select(
         "query_id",
         "vec_id",
-        F.round(_lut_pick_col(), 9).alias("adc_dist"),
+        round_half_up(_lut_pick_col(), 9).alias("adc_dist"),
     )
     salt = F.pmod(F.hash(F.col("vec_id")), F.lit(_SALTS))
     pre = Window.partitionBy("query_id", "_salt").orderBy("adc_dist", "vec_id")
@@ -397,7 +401,7 @@ def _cell_col() -> F.Column:
         ),
         scored AS (
             SELECT q.query_id, cc.vec_id,
-                   round({_lut_pick_sql()}, 9) AS adc_dist
+                   {sql_round_half_up(_lut_pick_sql(), 9)} AS adc_dist
             FROM cc JOIN qcells q ON cc.cell = q.cell
         ),
         ranked AS (
@@ -455,7 +459,7 @@ def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = codes.join(q_cells, on="_cell").select(
         "query_id",
         "vec_id",
-        F.round(_lut_pick_col(), 9).alias("adc_dist"),
+        round_half_up(_lut_pick_col(), 9).alias("adc_dist"),
     )
     salt = F.pmod(F.hash(F.col("vec_id")), F.lit(_SALTS))
     pre = Window.partitionBy("query_id", "_salt").orderBy("adc_dist", "vec_id")
@@ -483,7 +487,7 @@ def _pq_recall_oracle() -> str:
         SELECT gt.query_id,
                CAST(COUNT(ann.rank) AS BIGINT) AS hits,
                CAST(COUNT(*) AS BIGINT) AS k,
-               ROUND(COUNT(ann.rank) / CAST(COUNT(*) AS DOUBLE), 6) AS recall_at_k
+               floor((COUNT(ann.rank) / CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS recall_at_k
         FROM gt
         LEFT JOIN ann
           ON ann.query_id = gt.query_id AND ann.vec_id = gt.vec_id
@@ -521,7 +525,7 @@ def pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("hit").alias("hits"),
             F.count(F.lit(1)).alias("k"),
-            F.round(F.count("hit") / F.count(F.lit(1)), 6).alias("recall_at_k"),
+            round_half_up(F.count("hit") / F.count(F.lit(1)), 6).alias("recall_at_k"),
         )
         .orderBy("query_id")
     )

@@ -20,6 +20,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from pipeline_query_engine_demo_spark.functions.rounding import (
+    round_half_up,
+    sql_round_half_up,
+)
 from pipeline_query_engine_demo_spark.plans.registry import query
 from pipeline_query_engine_demo_spark.sources.catalog import load_table
 
@@ -595,6 +599,44 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
         .groupBy(F.col("c_custkey").alias("custkey"))
         .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("custkey")
+    )
+
+
+@query(
+    "join_right_outer",
+    category="join",
+    oracle="""
+        SELECT c.c_custkey AS custkey,
+               c.c_mktsegment AS segment,
+               COUNT(o.o_orderkey) AS n_orders,
+               CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 0) AS DOUBLE)
+                   AS total_spend
+        FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_mktsegment ORDER BY custkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join preserving customers with no orders (count 0,
+    spend 0). The reference executor implements inner hash join only
+    (src/executor/mod.rs:310-381); SURVEY §2.3 maps the right-outer
+    variant to ``how="right"``, which Catalyst plans as the mirrored
+    left-outer with build/probe sides swapped — at 100 TB the fact
+    (orders) side streams and the preserved customer side shuffles on
+    the same key, so the plan is identical in cost to join_left_outer.
+    Decimal sum keeps the cross-engine aggregate exact before the final
+    double cast."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "right")
+        .groupBy(F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_spend"),
+        )
         .orderBy("custkey")
     )
 
@@ -1234,7 +1276,7 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                abs(l_quantity - 25.0) AS qty_dev,
                CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
                CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
-               round(l_extendedprice / 100.0, 2) AS price_hundreds,
+               floor((l_extendedprice / 100.0) * 100.0 + 0.5) / 100.0 AS price_hundreds,
                sqrt(l_quantity) AS qty_sqrt,
                l_quantity * l_quantity AS qty_sq,
                CAST(l_quantity AS BIGINT) % 7 AS qty_mod
@@ -1256,7 +1298,7 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
             F.floor("l_extendedprice").alias("price_floor"),
             F.ceil("l_extendedprice").alias("price_ceil"),
-            F.round(F.col("l_extendedprice") / 100.0, 2).alias("price_hundreds"),
+            round_half_up(F.col("l_extendedprice") / 100.0, 2).alias("price_hundreds"),
             F.sqrt("l_quantity").alias("qty_sqrt"),
             (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
             (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod"),
@@ -2048,16 +2090,9 @@ def map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM lineitem GROUP BY l_returnflag
         )
         SELECT returnflag, n,
-               ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                     / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+               floor(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) * 1000000.0 + 0.5) / 1000000.0
                    AS corr_qty_price,
-               ROUND((CAST(sxy AS DOUBLE)
-                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
-                     / (CAST(n AS DOUBLE) - 1), 6) AS covar_samp_qty_price
+               floor(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) * 1000000.0 + 0.5) / 1000000.0 AS covar_samp_qty_price
         FROM s
         ORDER BY returnflag
     """,
@@ -2097,12 +2132,12 @@ def stats_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.select(
             "returnflag",
             "n",
-            F.round(
+            round_half_up(
                 (nd * sxy - sx * sy)
                 / (F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)),
                 6,
             ).alias("corr_qty_price"),
-            F.round((sxy - sx * sy / nd) / (nd - F.lit(1.0)), 6).alias(
+            round_half_up((sxy - sx * sy / nd) / (nd - F.lit(1.0)), 6).alias(
                 "covar_samp_qty_price"
             ),
         )
@@ -2302,7 +2337,7 @@ def xml_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) WHERE rn = 1
         )
         SELECT m.returnflag, m.mode_qty,
-               ROUND(CAST(MEDIAN(l.l_quantity) AS DOUBLE), 6) AS median_qty,
+               floor((CAST(MEDIAN(l.l_quantity) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS median_qty,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM lineitem l JOIN modes m ON l.l_returnflag = m.returnflag
         GROUP BY m.returnflag, m.mode_qty
@@ -2326,7 +2361,7 @@ def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.groupBy(F.col("l_returnflag").alias("returnflag"))
         .agg(
             F.mode(F.col("l_quantity"), True).alias("mode_qty"),
-            F.round(F.median(F.col("l_quantity")), 6).alias("median_qty"),
+            round_half_up(F.median(F.col("l_quantity")), 6).alias("median_qty"),
             F.count(F.lit(1)).cast("bigint").alias("n"),
         )
         .orderBy("returnflag")
@@ -2344,8 +2379,8 @@ def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT CAST(bucket AS INTEGER) AS bucket,
                CAST(COUNT(*) AS BIGINT) AS n,
-               ROUND(MIN(o_totalprice), 2) AS lo,
-               ROUND(MAX(o_totalprice), 2) AS hi
+               floor((MIN(o_totalprice)) * 100.0 + 0.5) / 100.0 AS lo,
+               floor((MAX(o_totalprice)) * 100.0 + 0.5) / 100.0 AS hi
         FROM buckets GROUP BY bucket ORDER BY bucket
     """,
 )
@@ -2370,8 +2405,8 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.round(F.min("o_totalprice"), 2).alias("lo"),
-            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            round_half_up(F.min("o_totalprice"), 2).alias("lo"),
+            round_half_up(F.max("o_totalprice"), 2).alias("hi"),
         )
         .select(F.col("bucket").cast("int").alias("bucket"), "n", "lo", "hi")
         .orderBy("bucket")

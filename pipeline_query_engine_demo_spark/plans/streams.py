@@ -19,6 +19,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from pipeline_query_engine_demo_spark import streaming
+from pipeline_query_engine_demo_spark.functions.rounding import (
+    round_half_up,
+    sql_round_half_up,
+)
 from pipeline_query_engine_demo_spark.plans.registry import query
 from pipeline_query_engine_demo_spark.sources.catalog import load_table
 
@@ -299,20 +303,25 @@ def _embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(schema).parquet(d)
 
 
+_RHU_COS = sql_round_half_up(
+    "list_dot_product(e.embedding::DOUBLE[], q.qv)"
+    " / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(q.qv, q.qv)))",
+    6,
+)
+
+
 @query(
     "streaming_cosine_scores",
     category="streaming",
-    oracle="""
+    oracle=f"""
         WITH q AS (
             SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
             FROM embeddings WHERE vec_id < 2
         ),
         scored AS (
             SELECT q.query_id, e.vec_id,
-                   ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv) /
-                         (sqrt(list_dot_product(e.embedding::DOUBLE[],
-                                                e.embedding::DOUBLE[])) *
-                          sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+                   {_RHU_COS} AS cosine_sim
             FROM embeddings e CROSS JOIN q
         ),
         ranked AS (
@@ -352,7 +361,7 @@ def streaming_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = emb_stream.join(q).select(
         "query_id",
         "vec_id",
-        F.round(cosine(F.col("embedding"), F.col("_qv")), 6).alias("cosine_sim"),
+        round_half_up(cosine(F.col("embedding"), F.col("_qv")), 6).alias("cosine_sim"),
     )
     sunk = streaming.run_to_memory(scored, "append", name="t_vecscore")
     from pyspark.sql import Window
@@ -373,6 +382,10 @@ def streaming_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: youngest clicks' outer results stay buffered in state — correct
 #: streaming semantics, but not batch-equivalent output.
 _SS_LEFT_CUTOFF = "2024-01-30 12:00:00"
+
+#: Far-future timestamp for the watermark-advancing flush rows the
+#: outer stream-stream joins append between drains.
+_SS_FLUSH_TS = "2024-02-15 00:00:00"
 
 
 @query(
@@ -411,28 +424,11 @@ def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataF
     Scale: both join states bounded by watermark + time range, same as
     the inner form; the outer emission adds no state beyond it."""
     # Private staged source (NOT the shared stream dir): the flush
-    # mechanism below appends a dummy file, which must never pollute
-    # the other streaming queries' shared input.
-    import hashlib
-    import shutil
-
-    tag = hashlib.md5(f"{sf_dir}|ssleft".encode()).hexdigest()[:12]
-    root = os.path.join(tempfile.gettempdir(), f"spark_graft_ssleft_{tag}")
-    shutil.rmtree(root, ignore_errors=True)
-    srcdir = os.path.join(root, "src")
-    os.makedirs(srcdir)
-    os.symlink(
-        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
-        os.path.join(srcdir, "events.parquet"),
+    # mechanism appends dummy rows, which must never pollute the other
+    # streaming queries' shared input.
+    events, append_flush_rows, root = streaming.staged_events_source(
+        spark, sf_dir, "ssleft"
     )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    ts_type = dict((f.name, f.dataType.simpleString()) for f in raw_schema)["ts"]
-    events = spark.readStream.schema(raw_schema).parquet(srcdir)
-    if ts_type == "bigint":
-        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     # The user_id == -1 escape admits the far-future flush row (below)
     # through the cutoff: the GLOBAL watermark is the MIN over both
     # input watermarks, so flushing buffered clicks requires advancing
@@ -469,60 +465,22 @@ def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataF
     joined = clicks.join(purchases, cond, "left_outer").select(
         "click_id", "purchase_id"
     )
-    # TWO availableNow drains over one checkpoint: outer-null emission
-    # requires a batch that RUNS AFTER the watermark has passed a
-    # click's expiry, and the drain's final data batch leaves its own
-    # clicks' state unflushed (observed: the last micro-batch's
-    # unmatched clicks were missing from a single drain). An
-    # availableNow restart with NO new data runs no batch at all, so a
-    # dummy far-future PURCHASE row (purchases cannot produce
-    # left-outer rows) is appended between drains — the forced batch
-    # runs under the advanced watermark and flushes the expired click
-    # state, exactly what the next trigger of a continuously-running
-    # production job does. Memory sinks cannot resume a checkpoint, so
-    # the sink is foreachBatch → parquet (the proven pattern from
-    # tests/test_checkpoint_recovery).
-    ckpt, dest = os.path.join(root, "ckpt"), os.path.join(root, "out")
-
-    def sink(batch_df, batch_id):
-        batch_df.write.mode("append").parquet(dest)
-
-    def drain():
-        q = (
-            joined.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-
-    drain()
-    dummy = spark.createDataFrame(
-        [
-            (-1, "2024-02-15 00:00:00", -1, "click", 0.0, "{}"),
-            (-2, "2024-02-15 00:00:00", -1, "purchase", 0.0, "{}"),
-        ],
-        "event_id long, ts_s string, user_id long, event_type string, value double, props string",
-    ).select(
-        "event_id",
-        F.col("ts_s").cast("timestamp").alias("ts"),
-        "user_id",
-        "event_type",
-        "value",
-        "props",
+    # Two availableNow drains over one checkpoint, with dummy
+    # far-future flush rows between them advancing BOTH sides'
+    # watermarks (global watermark = min over inputs) — mechanics in
+    # streaming.drain_with_flush. The flush purchase row cannot
+    # produce left-outer output; the flush click row is filtered below.
+    result = streaming.drain_with_flush(
+        joined,
+        root,
+        flush=lambda: append_flush_rows(
+            [
+                (-1, _SS_FLUSH_TS, -1, "click"),
+                (-2, _SS_FLUSH_TS, -1, "purchase"),
+            ]
+        ),
     )
-    if ts_type == "bigint":
-        dummy = dummy.withColumn("ts", F.unix_micros("ts") * 1000)
-    elif ts_type == "timestamp_ntz":
-        dummy = dummy.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
-    dummy.select([f.name for f in raw_schema]).write.mode("append").parquet(srcdir)
-    drain()
-    return (
-        spark.read.parquet(dest)
-        .filter(F.col("click_id") >= 0)
-        .orderBy("click_id", "purchase_id")
-    )
+    return result.filter(F.col("click_id") >= 0).orderBy("click_id", "purchase_id")
 
 
 @query(
@@ -559,26 +517,9 @@ def streaming_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataF
     Scale: state on both sides bounded by watermark + the join's time
     range, exactly as in the inner form — full outer adds emission
     logic, not state."""
-    import hashlib
-    import shutil
-
-    tag = hashlib.md5(f"{sf_dir}|ssfull".encode()).hexdigest()[:12]
-    root = os.path.join(tempfile.gettempdir(), f"spark_graft_ssfull_{tag}")
-    shutil.rmtree(root, ignore_errors=True)
-    srcdir = os.path.join(root, "src")
-    os.makedirs(srcdir)
-    os.symlink(
-        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
-        os.path.join(srcdir, "events.parquet"),
+    events, append_flush_rows, root = streaming.staged_events_source(
+        spark, sf_dir, "ssfull"
     )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    ts_type = dict((f.name, f.dataType.simpleString()) for f in raw_schema)["ts"]
-    events = spark.readStream.schema(raw_schema).parquet(srcdir)
-    if ts_type == "bigint":
-        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     cutoff = F.lit(_SS_LEFT_CUTOFF).cast("timestamp")
     clicks = (
         events.filter(
@@ -612,47 +553,20 @@ def streaming_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataF
     joined = clicks.join(purchases, cond, "full_outer").select(
         "click_id", "purchase_id", "click_user", "purchase_user"
     )
-    ckpt, dest = os.path.join(root, "ckpt"), os.path.join(root, "out")
-
-    def sink(batch_df, batch_id):
-        batch_df.write.mode("append").parquet(dest)
-
-    def drain():
-        q = (
-            joined.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-
-    drain()
-    dummy = spark.createDataFrame(
-        [
-            (-1, "2024-02-15 00:00:00", -1, "click", 0.0, "{}"),
-            (-2, "2024-02-15 00:00:00", -1, "purchase", 0.0, "{}"),
-        ],
-        "event_id long, ts_s string, user_id long, event_type string, value double, props string",
-    ).select(
-        "event_id",
-        F.col("ts_s").cast("timestamp").alias("ts"),
-        "user_id",
-        "event_type",
-        "value",
-        "props",
+    result = streaming.drain_with_flush(
+        joined,
+        root,
+        flush=lambda: append_flush_rows(
+            [
+                (-1, _SS_FLUSH_TS, -1, "click"),
+                (-2, _SS_FLUSH_TS, -1, "purchase"),
+            ]
+        ),
     )
-    if ts_type == "bigint":
-        dummy = dummy.withColumn("ts", F.unix_micros("ts") * 1000)
-    elif ts_type == "timestamp_ntz":
-        dummy = dummy.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
-    dummy.select([f.name for f in raw_schema]).write.mode("append").parquet(srcdir)
-    drain()
     # Exclude the flush rows from BOTH sides (either side may be null
     # on an outer row, so test the user columns, not the ids).
     return (
-        spark.read.parquet(dest)
-        .filter(
+        result.filter(
             (F.col("click_user").isNull() | (F.col("click_user") != -1))
             & (F.col("purchase_user").isNull() | (F.col("purchase_user") != -1))
         )

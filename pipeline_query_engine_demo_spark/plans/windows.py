@@ -16,6 +16,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from pipeline_query_engine_demo_spark.operators.joins import asof_join
+from pipeline_query_engine_demo_spark.functions.rounding import (
+    round_half_up,
+    sql_round_half_up,
+)
 from pipeline_query_engine_demo_spark.plans.registry import query
 from pipeline_query_engine_demo_spark.sources.catalog import load_table
 
@@ -727,10 +731,16 @@ def window_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RHU_SHARE = sql_round_half_up(
+    "CAST(revenue AS DOUBLE) / CAST(SUM(revenue) OVER (PARTITION BY region) AS DOUBLE)",
+    9,
+)
+
+
 @query(
     "ratio_to_report_revenue",
     category="window",
-    oracle="""
+    oracle=f"""
         WITH nrev AS (
             SELECT r.r_name AS region, n.n_name AS nation,
                    CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
@@ -743,9 +753,7 @@ def window_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT region, nation,
                CAST(revenue AS DOUBLE) AS revenue,
-               ROUND(CAST(revenue AS DOUBLE) /
-                     CAST(SUM(revenue) OVER (PARTITION BY region) AS DOUBLE),
-                     9) AS region_share
+               {_RHU_SHARE} AS region_share
         FROM nrev
         ORDER BY region, nation
     """,
@@ -781,7 +789,7 @@ def ratio_to_report_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "region",
             "nation",
             F.col("revenue").cast("double").alias("revenue"),
-            F.round(
+            round_half_up(
                 F.col("revenue").cast("double")
                 / F.sum("revenue").over(w).cast("double"),
                 9,

@@ -14,7 +14,9 @@ equivalent batch SQL (stream-batch parity — DuckDB cannot run streams).
 """
 
 from pipeline_query_engine_demo_spark.streaming.windows import (
+    drain_with_flush,
     read_events_stream,
+    staged_events_source,
     run_to_memory,
     stateful_user_counts,
     stream_static_join_segments,
@@ -24,7 +26,9 @@ from pipeline_query_engine_demo_spark.streaming.windows import (
 )
 
 __all__ = [
+    "drain_with_flush",
     "read_events_stream",
+    "staged_events_source",
     "run_to_memory",
     "stateful_user_counts",
     "stream_static_join_segments",

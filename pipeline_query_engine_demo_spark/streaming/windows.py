@@ -55,6 +55,30 @@ def _stream_source_dir(sf_dir: str) -> str:
     return d
 
 
+def _events_schema_and_ts_type(spark: SparkSession, sf_dir: str):
+    """One-time batch footer read of the events fixture (metadata only)
+    — streams cannot infer schemas, and the fixture has shipped with
+    two ``ts`` physical types, so the declared schema must track the
+    actual generation instead of hard-coding one."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    ts_type = {f.name: f.dataType.simpleString() for f in raw_schema}["ts"]
+    return raw_schema, ts_type
+
+
+def _normalize_ts(df: DataFrame, ts_type: str) -> DataFrame:
+    """Normalize the fixture's ``ts`` physical type to a session-zoned
+    microsecond timestamp, exactly like ``sources.catalog.load_table``.
+    The single copy of this generation-aware logic — batch readers,
+    the shared stream source, and the private staged-source harness
+    all route through here."""
+    if ts_type == "bigint":  # nanos generation: truncate ns → µs like DuckDB
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":  # µs generation: NTZ → LTZ (UTC session)
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events Parquet, ts normalized to a
     session-zoned microsecond timestamp exactly like the batch reader.
@@ -63,15 +87,100 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture file (metadata only — no data scan), so the stream tracks
     whichever ``ts`` physical type this fixture generation uses instead
     of hard-coding one and silently mis-scaling the other."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    raw_schema, ts_type = _events_schema_and_ts_type(spark, sf_dir)
     stream = spark.readStream.schema(raw_schema).parquet(_stream_source_dir(sf_dir))
-    ts_type = dict((f.name, f.dataType.simpleString()) for f in raw_schema)["ts"]
-    if ts_type == "bigint":  # nanos generation: truncate ns → µs like DuckDB
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":  # µs generation: NTZ → LTZ (UTC session)
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    return stream
+    return _normalize_ts(stream, ts_type)
+
+
+def staged_events_source(spark: SparkSession, sf_dir: str, tag: str):
+    """PRIVATE staged events stream for queries that append flush rows.
+
+    The watermark-advancing flush mechanism (see the stream-stream
+    outer joins) appends dummy far-future rows to its source dir; that
+    must never pollute the shared ``read_events_stream`` directory, so
+    each caller gets its own scratch root keyed by (sf_dir, tag),
+    recreated fresh per run.
+
+    Returns ``(events, append_flush_rows, root)``:
+
+    - ``events`` — the ts-normalized streaming DataFrame;
+    - ``append_flush_rows(rows)`` — writes dummy events (in whatever
+      physical ts type this generation uses) into the staged source;
+      ``rows`` is a list of ``(event_id, ts_str, user_id, event_type)``;
+    - ``root`` — scratch directory for the caller's checkpoint/sink.
+    """
+    import shutil
+
+    h = hashlib.md5(f"{sf_dir}|{tag}".encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_{tag}_{h}")
+    shutil.rmtree(root, ignore_errors=True)
+    srcdir = os.path.join(root, "src")
+    os.makedirs(srcdir)
+    os.symlink(
+        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
+        os.path.join(srcdir, "events.parquet"),
+    )
+    raw_schema, ts_type = _events_schema_and_ts_type(spark, sf_dir)
+    events = _normalize_ts(
+        spark.readStream.schema(raw_schema).parquet(srcdir), ts_type
+    )
+
+    def append_flush_rows(rows) -> None:
+        dummy = spark.createDataFrame(
+            [(eid, ts_s, uid, et, 0.0, "{}") for eid, ts_s, uid, et in rows],
+            "event_id long, ts_s string, user_id long, event_type string, "
+            "value double, props string",
+        ).select(
+            "event_id",
+            F.col("ts_s").cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        if ts_type == "bigint":
+            dummy = dummy.withColumn("ts", F.unix_micros("ts") * 1000)
+        elif ts_type == "timestamp_ntz":
+            dummy = dummy.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        dummy.select([f.name for f in raw_schema]).write.mode("append").parquet(srcdir)
+
+    return events, append_flush_rows, root
+
+
+def drain_with_flush(joined: DataFrame, root: str, flush=None) -> DataFrame:
+    """Run an availableNow drain into a parquet foreachBatch sink; if
+    ``flush`` is given, invoke it and drain AGAIN over the same
+    checkpoint.
+
+    Outer-join null emission requires a batch that runs after the
+    watermark passes a row's expiry, and a single drain's final data
+    batch leaves its own rows' state unflushed; an availableNow restart
+    with no new data runs no batch at all. The second drain therefore
+    needs ``flush`` to append watermark-advancing rows first — exactly
+    what the next trigger of a continuously-running production job
+    does. Memory sinks cannot resume a checkpoint, so the sink is
+    foreachBatch → parquet (the proven pattern from
+    tests/test_checkpoint_recovery)."""
+    ckpt, dest = os.path.join(root, "ckpt"), os.path.join(root, "out")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(dest)
+
+    def drain() -> None:
+        q = (
+            joined.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    if flush is not None:
+        flush()
+        drain()
+    return joined.sparkSession.read.parquet(dest)
 
 
 def run_to_memory(

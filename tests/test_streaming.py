@@ -132,3 +132,106 @@ def test_stream_batch_parity_tumbling(spark, sf_dir):
     s = {tuple(r) for r in streamed.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert s == b
+
+
+def test_stream_stream_left_join_batch_parity(spark, sf_dir):
+    """The watermarked stream-stream LEFT OUTER join plan must equal the
+    batch left join over the same cutoff-restricted inputs — including
+    the null rows for unmatched clicks, which only a correct
+    watermark-flush (second drain) emission produces."""
+    from pipeline_query_engine_demo_spark.plans.streams import (
+        _SS_LEFT_CUTOFF,
+        streaming_stream_stream_left_join,
+    )
+
+    streamed = streaming_stream_stream_left_join(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(_SS_LEFT_CUTOFF).cast("timestamp")
+    clicks = ev.filter((F.col("event_type") == "click") & (F.col("ts") < cutoff)).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (F.col("cu") == F.col("pu"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    batch = clicks.join(purchases, cond, "left_outer").select("click_id", "purchase_id")
+    s = sorted((r.click_id, r.purchase_id) for r in streamed.collect())
+    b = sorted((r.click_id, r.purchase_id) for r in batch.collect())
+    assert s == b
+    # the outer semantics must actually be exercised
+    assert any(p is None for _, p in s)
+
+
+def test_stream_stream_full_join_batch_parity(spark, sf_dir):
+    """FULL OUTER stream-stream join vs the batch full join over the
+    same cutoff-restricted inputs: unmatched rows from BOTH sides."""
+    from pipeline_query_engine_demo_spark.plans.streams import (
+        _SS_LEFT_CUTOFF,
+        streaming_stream_stream_full_join,
+    )
+
+    streamed = streaming_stream_stream_full_join(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(_SS_LEFT_CUTOFF).cast("timestamp")
+    clicks = ev.filter((F.col("event_type") == "click") & (F.col("ts") < cutoff)).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("ts") < cutoff)
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (F.col("cu") == F.col("pu"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    batch = clicks.join(purchases, cond, "full_outer").select("click_id", "purchase_id")
+    key = lambda t: (t[0] if t[0] is not None else -10**9, t[1] if t[1] is not None else -10**9)
+    s = sorted(((r.click_id, r.purchase_id) for r in streamed.collect()), key=key)
+    b = sorted(((r.click_id, r.purchase_id) for r in batch.collect()), key=key)
+    assert s == b
+    assert any(c is None for c, _ in s)  # purchase-only rows survived
+    assert any(p is None for _, p in s)  # click-only rows survived
+
+
+def test_streaming_scd2_enrichment_batch_parity(spark, sf_dir):
+    """Streaming point-in-time enrichment vs the pure-batch range join
+    against the same SCD2 dimension: every purchase picks the exact
+    version valid at its timestamp."""
+    from pipeline_query_engine_demo_spark.plans.streams import streaming_scd2_enrichment
+    from pipeline_query_engine_demo_spark.plans.windows import scd2_user_state_history
+
+    streamed = streaming_scd2_enrichment(spark, sf_dir)
+    dim = scd2_user_state_history(spark, sf_dir).select(
+        F.col("user_id").alias("du"), "version", "state", "valid_from", "valid_to"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts")
+    )
+    cond = (
+        (F.col("user_id") == F.col("du"))
+        & (F.col("pts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("pts") < F.col("valid_to")))
+    )
+    batch = purchases.join(dim, cond).select(
+        "purchase_id", "user_id", "version", F.col("state").alias("state_at_purchase")
+    )
+    s = sorted(tuple(r) for r in streamed.collect())
+    b = sorted(tuple(r) for r in batch.collect())
+    assert s == b
+    # intervals tile: every purchase matched exactly one version
+    assert len(s) == purchases.count()

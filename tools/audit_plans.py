@@ -8,7 +8,12 @@ scale invariants:
   scalar-subquery pattern broadcasts a 1-row aggregate);
 - no row-at-a-time PythonUDF except the one API-coverage query;
 - parquet scans must prune columns (ReadSchema never the full table
-  when the query touches a strict subset).
+  when the query touches a strict subset);
+- no partition-less Window (``Window.orderBy`` without partitionBy —
+  a single-reducer sort of its whole input) unless the query is
+  whitelisted as running it over a bounded aggregate (vocab-, bucket-,
+  or status-sized), so the gate log's WindowExec warnings can't mask
+  a real single-partition regression on a fact table.
 
 Writes PLANS.md: per-query exchange/scan/join-strategy summary.
 
@@ -56,6 +61,22 @@ PYUDF_WHITELIST = {
     "udf_sql_registered",
     "udtf_table_argument_digest",
 }
+#: Queries allowed a partition-less Window: each one runs the window
+#: over a BOUNDED aggregate/sample, never a fact table. Any new
+#: partition-less window must either be re-shaped (two-phase bucketed
+#: rank, see global_shuffle_positions) or argued onto this list.
+UNPARTITIONED_WINDOW_WHITELIST: dict[str, str] = {
+    "yoy_growth_by_month": "lag over the month-level aggregate (tens of rows)",
+    "bpe_pair_frequencies": "rank over the pair-vocabulary aggregate",
+    "bpe_apply_merges": "rank over the pair-vocabulary aggregate",
+    "approx_top_k_tokens": "rank over the token-vocabulary aggregate",
+    "global_shuffle_positions": "cumulative offsets over the 256-row bucket table",
+    "sequence_pack_greedy": "running total over the 256-row bucket-offset table",
+    "length_bucket_batches": "rank within the bounded bucket table",
+    "equi_depth_histogram": "ntile for optimizer statistics over a sample-scale table (docstring documents the sketch substitute at 100 TB)",
+    "window_null_ordering": "NULLS FIRST/LAST API surface over the customer-level aggregate",
+    "write_sorted_bucketed_table": "rank over the status x priority aggregate (tens of rows)",
+}
 # Streaming queries execute a real stream inside their builder (memory
 # sink / foreachBatch), so the returned DataFrame's plan is just the
 # sink read-back — not the streaming computation. They are skipped by
@@ -91,6 +112,23 @@ def main() -> None:
             violations.append(f"{name}: nested-loop/cartesian join in plan")
         if has_pyudf and name not in PYUDF_WHITELIST:
             violations.append(f"{name}: row-at-a-time Python UDF in plan")
+        # Partition-less window: `Window [exprs], [part], [order]` has two
+        # `], [` separators; `Window [exprs], [order]` (no partitionBy) has
+        # one, and its last bracket group is an ORDER spec (ASC/DESC).
+        n_bare_windows = 0
+        for ln in plan.splitlines():
+            stripped = ln.lstrip("+- :*(0123456789) ")
+            if not stripped.startswith("Window "):
+                continue
+            groups = stripped.split("], [")
+            if len(groups) == 2 and re.search(r"\b(ASC|DESC)\b", groups[-1]):
+                n_bare_windows += 1
+        if n_bare_windows and name not in UNPARTITIONED_WINDOW_WHITELIST:
+            violations.append(
+                f"{name}: {n_bare_windows} partition-less Window(s) — single-reducer "
+                "sort; re-shape (two-phase bucketed rank) or whitelist with a "
+                "bounded-input justification"
+            )
         notes = ", ".join(joins + arrow)
         rows.append((name, f"{n_exchange} exchange(s)", notes))
 
