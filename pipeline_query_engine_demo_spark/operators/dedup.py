@@ -27,6 +27,9 @@ oracle-checkable in SQL (plans/llm.py carries the CTE translations).
 
 from __future__ import annotations
 
+from functools import reduce
+from operator import add
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -61,6 +64,12 @@ DEFAULT_SHINGLE_N = 3
 #: candidates — for boilerplate templates that is exactly the intended
 #: drop. Pass ``max_bucket_size=None`` for exact LSH semantics.
 DEFAULT_MAX_BUCKET_SIZE = 1000
+
+#: Estimated-Jaccard prefilter cutoff (fraction of agreeing MinHash
+#: signature positions) applied between LSH banding and the exact
+#: verify join — see near_dup_pairs. Well below the verify threshold
+#: (0.6 in the registered queries) so borderline-true pairs survive.
+DEFAULT_EST_PREFILTER = 0.4
 
 
 def _units(text_col: Column, shingle_n: int) -> Column:
@@ -144,8 +153,14 @@ def lsh_candidate_pairs(
     shingle_n: int = DEFAULT_SHINGLE_N,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     materialize: bool = True,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) that collide in >= 1 LSH band.
+
+    ``signatures`` lets a caller that already computed (and ideally
+    checkpointed) the MinHash signature table share it instead of
+    re-deriving it from the corpus — ``near_dup_pairs`` does this so
+    its estimated-Jaccard prefilter reuses the same signatures.
     The self-join is keyed on (band_id, band_hash) — only intra-bucket
     pairs are generated, never the cartesian corpus square.
 
@@ -166,7 +181,9 @@ def lsh_candidate_pairs(
     heavy lifting (measured 9.5 s -> 5.6 s at sf0.1). The lineage cut
     also means a lost executor re-reads the checkpoint, not the corpus."""
     buckets = lsh_band_buckets(
-        minhash_signatures(df, id_col, text_col, num_hashes, shingle_n),
+        signatures
+        if signatures is not None
+        else minhash_signatures(df, id_col, text_col, num_hashes, shingle_n),
         id_col,
         num_hashes,
         bands,
@@ -259,13 +276,67 @@ def near_dup_pairs(
     bands: int = DEFAULT_BANDS,
     shingle_n: int = DEFAULT_SHINGLE_N,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    est_prefilter: float | None = DEFAULT_EST_PREFILTER,
 ) -> DataFrame:
     """Full near-dup pipeline: MinHash -> LSH banding (hot-bucket cap on
-    by default, see DEFAULT_MAX_BUCKET_SIZE) -> exact shingle-Jaccard
-    verification -> threshold. Returns (id_a, id_b, jaccard)."""
+    by default, see DEFAULT_MAX_BUCKET_SIZE) -> estimated-Jaccard
+    prefilter -> exact shingle-Jaccard verification -> threshold.
+    Returns (id_a, id_b, jaccard).
+
+    The prefilter (``est_prefilter``, ON by default at
+    DEFAULT_EST_PREFILTER) discards candidates whose MinHash signature
+    agreement fraction — an unbiased Jaccard estimate costing two
+    candidate-sized equi-joins against the already-computed signature
+    table — falls below the cutoff, BEFORE the explode-verify join
+    whose cost is O(|pairs| x doc_tokens). On high-duplication corpora
+    (the x30 scale experiment's 71 s case) most LSH candidates are
+    true high-Jaccard pairs and survive, but boilerplate-collision
+    candidates die here for the price of comparing 8 hashes instead of
+    exploding two documents. Recall trade, owned like the hot-bucket
+    cap: with k=8 hashes a band collision fixes 2 agreements, so a
+    true-J pair needs >= 2 of its other 6 hashes to agree to clear
+    0.4; at the verify threshold J=0.6 that fails with probability
+    ~4% per candidate (Binomial(6, 0.6) <= 1) and falls off
+    exponentially for higher J — production raises k, which tightens
+    the estimator, before raising the prefilter. Pass None for exact
+    pre-r4 semantics."""
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_n
+    ).localCheckpoint(eager=False)
     candidates = lsh_candidate_pairs(
-        df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket_size
+        df,
+        id_col,
+        text_col,
+        num_hashes,
+        bands,
+        shingle_n,
+        max_bucket_size,
+        signatures=sigs,
     )
+    if est_prefilter is not None:
+        sa = sigs.select(
+            F.col(id_col).alias("id_a"),
+            *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(num_hashes)],
+        )
+        sb = sigs.select(
+            F.col(id_col).alias("id_b"),
+            *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(num_hashes)],
+        )
+        agree = reduce(
+            add,
+            [
+                (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int")
+                for i in range(num_hashes)
+            ],
+        )
+        # integer count / float literal: n/8.0 is exact in IEEE, so the
+        # SQL oracle's identical expression can't diverge.
+        candidates = (
+            candidates.join(sa, "id_a")
+            .join(sb, "id_b")
+            .filter(agree / F.lit(float(num_hashes)) >= est_prefilter)
+            .select("id_a", "id_b")
+        )
     verified = jaccard_pairs(df, candidates, id_col, text_col, shingle_n)
     return verified.filter(F.col("jaccard") >= threshold)
 

@@ -858,12 +858,19 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
     )
+    # The distinct edge table feeds the degree count AND the orientation
+    # join; the oriented table feeds THREE wedge-join branches. Without
+    # checkpoints each alias re-runs the whole upstream pipeline (the r3
+    # plan audit measured 34 exchanges from exactly that re-execution);
+    # lazy localCheckpoints make each table compute once — the same
+    # lineage-cut pattern as dedup's banded bucket table.
+    pairs = pairs.localCheckpoint(eager=False)
     deg = (
         pairs.select(F.col("u").alias("node"))
         .unionAll(pairs.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-    )
+    ).localCheckpoint(eager=False)
     # Orient each edge low->high in the (degree, id) total order.
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
@@ -876,7 +883,7 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(u_first, F.col("du")).otherwise(F.col("dv")).alias("dsrc"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
-    )
+    ).localCheckpoint(eager=False)
     e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     # Wedge at the lowest vertex: two out-edges (src, b) and (src, c)
     # with ord(b) < ord(c); closed iff oriented edge (b, c) exists.

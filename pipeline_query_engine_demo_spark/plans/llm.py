@@ -83,6 +83,21 @@ _CAND_CTE = (
     "FROM buckets a JOIN buckets b "
     "ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)"
 )
+#: Estimated-Jaccard prefilter between banding and exact verification
+#: (operators.dedup.DEFAULT_EST_PREFILTER): candidates whose signature
+#: agreement fraction is below the cutoff never reach the explode-verify
+#: join. Integer agreement count / 8.0 is exact IEEE on both engines.
+_EST_PREFILTER = dedup.DEFAULT_EST_PREFILTER
+_ESTF_CTE = (
+    "estf AS (SELECT c.id_a, c.id_b FROM cand c "
+    "JOIN sigs sa ON sa.doc_id = c.id_a JOIN sigs sb ON sb.doc_id = c.id_b "
+    "WHERE ("
+    + " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+        for i in range(_NUM_HASHES)
+    )
+    + f") / {float(_NUM_HASHES)!r} >= {_EST_PREFILTER!r})"
+)
 
 #: Fixture-vocabulary stopwords (the synthetic corpus is word soup over
 #: ~31 engine terms; 'the' and 'a' play the stopword role).
@@ -186,11 +201,11 @@ def lsh_candidate_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "near_dup_pairs_docs",
     category="llm-dedup",
     oracle=f"""
-        WITH {_UNITS_CTE}, {_SIGS_CTE}, {_BUCKETS_CTE}, {_CAND_CTE},
+        WITH {_UNITS_CTE}, {_SIGS_CTE}, {_BUCKETS_CTE}, {_CAND_CTE}, {_ESTF_CTE},
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM units GROUP BY doc_id),
         inter AS (
             SELECT c.id_a, c.id_b, COUNT(*) AS n_common
-            FROM cand c
+            FROM estf c
             JOIN units ta ON ta.doc_id = c.id_a
             JOIN units tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
             GROUP BY c.id_a, c.id_b
@@ -216,11 +231,11 @@ def near_dup_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Near-dup pair graph as SQL (id_a < id_b, jaccard >= 0.6) — shared by
 #: the clustering oracles below.
 _NEAR_DUP_EDGES = f"""
-        {_UNITS_CTE}, {_SIGS_CTE}, {_BUCKETS_CTE}, {_CAND_CTE},
+        {_UNITS_CTE}, {_SIGS_CTE}, {_BUCKETS_CTE}, {_CAND_CTE}, {_ESTF_CTE},
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM units GROUP BY doc_id),
         inter AS (
             SELECT c.id_a, c.id_b, COUNT(*) AS n_common
-            FROM cand c
+            FROM estf c
             JOIN units ta ON ta.doc_id = c.id_a
             JOIN units tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
             GROUP BY c.id_a, c.id_b

@@ -550,8 +550,10 @@ def python_datasource_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "file_metadata_scan",
     category="source",
     oracle="""
-        SELECT 'lineitem.parquet' AS file_name,
-               CAST(COUNT(*) AS BIGINT) AS n_rows
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               TRUE AS all_parquet,
+               TRUE AS all_nonempty_names,
+               TRUE AS files_cover_rows
         FROM lineitem
     """,
 )
@@ -562,14 +564,27 @@ def file_metadata_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     produced this row" for incident rollback and per-file quarantine
     without a separate manifest join.
 
+    The output asserts layout-INDEPENDENT invariants (every row
+    carries a non-empty ``*.parquet`` provenance name; per-file
+    subtotals re-sum to the total), not a literal file name — the
+    fixture generator has already changed physical details once and a
+    multi-file generation must re-verify, not break, this query.
+
     Scale: ``_metadata`` fields are constant-folded per file split —
     no per-row cost, no extra scan; grouping by file name is a
     map-side-combinable agg over as many distinct keys as files."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    per_file = (
         li.select(F.col("_metadata.file_name").alias("file_name"))
         .groupBy("file_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+    total = li.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return per_file.crossJoin(F.broadcast(total)).agg(
+        F.max("n_total").alias("n_rows"),
+        F.bool_and(F.col("file_name").endswith(".parquet")).alias("all_parquet"),
+        F.bool_and(F.length("file_name") > 0).alias("all_nonempty_names"),
+        (F.sum(F.col("n_rows")) == F.max("n_total")).alias("files_cover_rows"),
     )
 
 

