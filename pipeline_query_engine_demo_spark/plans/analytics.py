@@ -1310,3 +1310,174 @@ def approx_top_k_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("est_count"), "token")
     )
+
+
+# --------------------------------------------------------------------------
+# Dataset drift monitoring
+# --------------------------------------------------------------------------
+
+#: Drift cutoff: orders strictly before = the reference window, on/after
+#: = the current window (fixture dates span 1995..2001, so both windows
+#: are well-populated at every SF).
+_DRIFT_CUTOFF = "1998-01-01"
+
+#: Fixed-width price bins: floor(p/50k) capped at 9 — 10 deterministic
+#: buckets over the fixture's [1e3, 5e5] o_totalprice range. Fixed edges
+#: (not quantiles) keep the binning engine-independent and mergeable.
+_PSI_BIN_WIDTH = 50000.0
+_PSI_EPS = "0.000001"
+
+
+@query(
+    "dataset_drift_psi",
+    category="ops",
+    oracle=f"""
+        WITH binned AS (
+            SELECT LEAST(9, CAST(FLOOR(o_totalprice / {_PSI_BIN_WIDTH!r}) AS INT)) AS bin,
+                   CAST(SUM(CASE WHEN o_orderdate <  TIMESTAMP '{_DRIFT_CUTOFF}'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS ref_cnt,
+                   CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '{_DRIFT_CUTOFF}'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS cur_cnt
+            FROM orders GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(SUM(ref_cnt) AS DOUBLE) AS ref_total,
+                   CAST(SUM(cur_cnt) AS DOUBLE) AS cur_total
+            FROM binned
+        ),
+        frac AS (
+            SELECT bin, ref_cnt, cur_cnt,
+                   GREATEST(CAST(ref_cnt AS DOUBLE) / ref_total, {_PSI_EPS}) AS ref_e,
+                   GREATEST(CAST(cur_cnt AS DOUBLE) / cur_total, {_PSI_EPS}) AS cur_e
+            FROM binned CROSS JOIN tot
+        )
+        SELECT bin, ref_cnt, cur_cnt,
+               {sql_round_half_up('ref_e', 6)} AS ref_frac,
+               {sql_round_half_up('cur_e', 6)} AS cur_frac,
+               {sql_round_half_up('(cur_e - ref_e) * ln(cur_e / ref_e)', 6)} AS psi_term
+        FROM frac ORDER BY bin
+    """,
+)
+def dataset_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two date-window snapshots of
+    ``orders`` — the standard production drift monitor a training-data
+    platform runs between yesterday's and today's drop before retraining
+    on it: bin the metric into fixed-edge buckets, compare the bucket
+    mass fractions, PSI term = (cur - ref) * ln(cur / ref) per bucket
+    (sum > 0.2 conventionally = significant drift).
+
+    Scale shape: ONE map-side-combinable groupBy over 10 fixed bins
+    (conditional-sum counts for both windows in the same pass — the
+    table is scanned once, not once per window), then a broadcast cross
+    join of the 1-row totals. Output is bin-count-sized regardless of
+    corpus size — the mergeable-summary contract. Epsilon-guarded
+    fractions keep ln finite when a bucket is empty on one side.
+    Both engines derive fractions from identical integer counts, so the
+    doubles entering ln are bit-identical.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit(_DRIFT_CUTOFF).cast("timestamp")
+    binned = (
+        orders.select(
+            F.least(
+                F.lit(9), F.floor(F.col("o_totalprice") / F.lit(_PSI_BIN_WIDTH)).cast("int")
+            ).alias("bin"),
+            (F.col("o_orderdate") < cutoff).alias("is_ref"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).cast("bigint").alias("ref_cnt"),
+            F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).cast("bigint").alias("cur_cnt"),
+        )
+    )
+    tot = F.broadcast(
+        binned.agg(
+            F.sum("ref_cnt").cast("double").alias("ref_total"),
+            F.sum("cur_cnt").cast("double").alias("cur_total"),
+        )
+    )
+    eps = F.lit(float(_PSI_EPS))
+    frac = binned.crossJoin(tot).select(
+        "bin",
+        "ref_cnt",
+        "cur_cnt",
+        F.greatest(F.col("ref_cnt").cast("double") / F.col("ref_total"), eps).alias("ref_e"),
+        F.greatest(F.col("cur_cnt").cast("double") / F.col("cur_total"), eps).alias("cur_e"),
+    )
+    return frac.select(
+        "bin",
+        "ref_cnt",
+        "cur_cnt",
+        round_half_up(F.col("ref_e"), 6).alias("ref_frac"),
+        round_half_up(F.col("cur_e"), 6).alias("cur_frac"),
+        round_half_up(
+            (F.col("cur_e") - F.col("ref_e")) * F.log(F.col("cur_e") / F.col("ref_e")), 6
+        ).alias("psi_term"),
+    ).orderBy("bin")
+
+
+@query(
+    "embedding_drift_centroid",
+    category="ops",
+    oracle=f"""
+        WITH ex AS (
+            SELECT vec_id % 2 = 0 AS is_ref, t.d AS dim,
+                   CAST({sql_round_half_up('CAST(embedding[t.d] AS DOUBLE)', 9)}
+                        AS DECIMAL(28,12)) AS val
+            FROM embeddings, unnest(generate_series(1, 64)) AS t(d)
+        ),
+        per AS (
+            SELECT dim,
+                   CAST(SUM(CASE WHEN is_ref THEN val END) AS DOUBLE)
+                       / SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS ref_m,
+                   CAST(SUM(CASE WHEN NOT is_ref THEN val END) AS DOUBLE)
+                       / SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS cur_m
+            FROM ex GROUP BY dim
+        )
+        SELECT CAST(dim AS INTEGER) AS dim,
+               {sql_round_half_up('ref_m', 6)} AS ref_mean,
+               {sql_round_half_up('cur_m', 6)} AS cur_mean,
+               {sql_round_half_up('abs(ref_m - cur_m)', 6)} AS abs_shift
+        FROM per ORDER BY dim
+    """,
+)
+def embedding_drift_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between two cohorts (even vs odd vec_id,
+    standing in for last-week vs this-week encoder output): per-dimension
+    centroid means and their absolute shift. A large shift on any axis
+    means the encoder or the corpus moved — the cheap early-warning check
+    run before re-indexing an ANN store or retraining on new embeddings.
+
+    Scale shape: posexplode to (dim, value) long format, ONE combinable
+    groupBy over 64 fixed dims with conditional DECIMAL sums (both
+    cohorts in the same pass), output dim-count-sized. The dim-fan-out
+    shuffle that makes long format wrong for ITERATIVE k-means
+    (SCALE.md) is fine here: a single pass, and the shuffle rows carry
+    one decimal each. DECIMAL(28,12) sums of 1e-9-rounded values make
+    the means order-independent and bit-identical across engines.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        (F.col("vec_id") % 2 == 0).alias("is_ref"),
+        F.posexplode("embedding").alias("dim0", "v"),
+    ).select(
+        "is_ref",
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        round_half_up(F.col("v").cast("double"), 9).cast(_DEC).alias("val"),
+    )
+    per = ex.groupBy("dim").agg(
+        (
+            F.sum(F.when(F.col("is_ref"), F.col("val"))).cast("double")
+            / F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+        ).alias("ref_m"),
+        (
+            F.sum(F.when(~F.col("is_ref"), F.col("val"))).cast("double")
+            / F.sum(F.when(~F.col("is_ref"), 1).otherwise(0))
+        ).alias("cur_m"),
+    )
+    return per.select(
+        "dim",
+        round_half_up(F.col("ref_m"), 6).alias("ref_mean"),
+        round_half_up(F.col("cur_m"), 6).alias("cur_mean"),
+        round_half_up(F.abs(F.col("ref_m") - F.col("cur_m")), 6).alias("abs_shift"),
+    ).orderBy("dim")

@@ -107,3 +107,38 @@ def test_constraint_audit_clean_on_fixtures_and_fires_on_planted(spark, sf_dir, 
     assert got["orders_dup_orderkey"] >= 1
     assert got["orders_negative_totalprice"] == 1
     assert got["orders_orphan_custkey"] == 1
+
+
+def test_psi_terms_nonnegative_and_fracs_sum_to_one(spark, sf_dir):
+    """(a-b)*ln(a/b) >= 0 for any a,b > 0 — every PSI term is
+    non-negative — and each window's bucket fractions re-sum to ~1."""
+    from pipeline_query_engine_demo_spark.plans.analytics import dataset_drift_psi
+
+    rows = dataset_drift_psi(spark, sf_dir).collect()
+    assert rows, "no bins"
+    for r in rows:
+        assert r.psi_term >= 0.0, (r.bin, r.psi_term)
+    assert abs(sum(r.ref_frac for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.cur_frac for r in rows) - 1.0) < 1e-4
+
+
+def test_embedding_drift_matches_numpy_centroids(spark, sf_dir):
+    """The per-dim cohort means equal an independent numpy computation
+    over the same parquet (and abs_shift is their absolute delta)."""
+    import numpy as np
+
+    from pipeline_query_engine_demo_spark.plans.analytics import (
+        embedding_drift_centroid,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    ref = np.array([r.embedding for r in emb if r.vec_id % 2 == 0], dtype=np.float64)
+    cur = np.array([r.embedding for r in emb if r.vec_id % 2 == 1], dtype=np.float64)
+    ref_m, cur_m = ref.mean(axis=0), cur.mean(axis=0)
+    got = embedding_drift_centroid(spark, sf_dir).orderBy("dim").collect()
+    assert len(got) == 64
+    for r in got:
+        i = r.dim - 1
+        assert abs(r.ref_mean - ref_m[i]) < 1e-5, (r.dim, r.ref_mean, ref_m[i])
+        assert abs(r.cur_mean - cur_m[i]) < 1e-5
+        assert abs(r.abs_shift - abs(r.ref_mean - r.cur_mean)) < 2e-6

@@ -51,6 +51,7 @@ NL_WHITELIST = {
     "compact_small_files",  # 1-row observed-file-count scalars joined onto the 1-row summary
     "file_metadata_scan",  # 1-row corpus-total broadcast onto the per-file subtotal table
     "contrastive_negative_pairs",  # broadcast anchor-set theta fan-out, the intended shape
+    "dataset_drift_psi",  # 1-row window-totals broadcast onto the 10-row bin table
 }
 #: The deliberate row-at-a-time Python evals (API coverage: F.udf,
 #: spark.udf.register for SQL, and the TABLE-argument UDTF whose
