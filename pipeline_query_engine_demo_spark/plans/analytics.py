@@ -1481,3 +1481,62 @@ def embedding_drift_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(F.col("cur_m"), 6).alias("cur_mean"),
         round_half_up(F.abs(F.col("ref_m") - F.col("cur_m")), 6).alias("abs_shift"),
     ).orderBy("dim")
+
+
+@query(
+    "key_skew_profile",
+    category="ops",
+    oracle="""
+        WITH per_key AS (
+            SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM lineitem GROUP BY l_partkey
+        ),
+        bucketed AS (
+            SELECT CAST(FLOOR(LN(cnt) / LN(2) + 0.000000001) AS INT) AS log2_bucket,
+                   cnt
+            FROM per_key
+        )
+        SELECT log2_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               CAST(MAX(cnt) AS BIGINT) AS max_key_rows
+        FROM bucketed
+        GROUP BY log2_bucket ORDER BY log2_bucket
+    """,
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the profile run BEFORE shuffling 100 TB
+    on a key, to decide between a plain shuffle join, AQE skew splitting,
+    or explicit salting (salted_join_skewed): a frequency-of-frequencies
+    histogram of rows-per-key in log2 buckets. A long tail of high
+    buckets = hot keys that will straggle any hash-partitioned stage.
+
+    Scale shape: groupBy key (the one real shuffle — map-side combinable
+    counts), then a re-aggregation onto <= ~40 log2 buckets. No global
+    sort, no rank: Gini-style exact rank statistics would need a
+    partition-less window over every distinct key, which is exactly the
+    single-reducer shape this engine bans; the histogram answers the
+    same operational question with combinable aggregates only. The
+    +1e-9 nudge inside floor absorbs libm's one-ulp log error on exact
+    powers of two (error ~1e-15 at these magnitudes, far below the
+    nudge; both engines compute ln via libm on identical integers).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    per_key = lineitem.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    bucketed = per_key.select(
+        F.floor(F.log(F.col("cnt")) / F.log(F.lit(2.0)) + F.lit(1e-9))
+        .cast("int")
+        .alias("log2_bucket"),
+        "cnt",
+    )
+    return (
+        bucketed.groupBy("log2_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.max("cnt").cast("bigint").alias("max_key_rows"),
+        )
+        .orderBy("log2_bucket")
+    )

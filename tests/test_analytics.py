@@ -142,3 +142,15 @@ def test_embedding_drift_matches_numpy_centroids(spark, sf_dir):
         assert abs(r.ref_mean - ref_m[i]) < 1e-5, (r.dim, r.ref_mean, ref_m[i])
         assert abs(r.cur_mean - cur_m[i]) < 1e-5
         assert abs(r.abs_shift - abs(r.ref_mean - r.cur_mean)) < 2e-6
+
+
+def test_key_skew_profile_resums_to_table_count(spark, sf_dir):
+    """Histogram conservation: bucket row totals re-sum to the table's
+    row count, and every bucket's max fits its log2 range."""
+    from pipeline_query_engine_demo_spark.plans.analytics import key_skew_profile
+
+    rows = key_skew_profile(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "lineitem").count()
+    assert sum(r.n_rows for r in rows) == total
+    for r in rows:
+        assert r.max_key_rows < 2 ** (r.log2_bucket + 1), r
