@@ -90,6 +90,12 @@ QUERIES = [
     "cohort_retention_orders",
     "snapshot_diff_orders",
     "dataset_profile_orders",
+    # round-4 additions: the missing join surface, drift monitors, and
+    # the pre-shuffle skew diagnostic.
+    "join_right_outer",
+    "dataset_drift_psi",
+    "embedding_drift_centroid",
+    "key_skew_profile",
 ]
 
 
