@@ -73,3 +73,59 @@ def test_approx_percentile_within_bound(spark, sf_dir):
             # exact — allow one unit of interpolation slack (exact
             # percentile interpolates, the sketch returns an element)
             assert abs(a - e) <= 1.0, (flag, a, e)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE's runtime skew-join handling — the 100 TB answer to hot keys
+    that salting handles manually (salted_join_skewed): plant one key
+    owning ~75% of a 400k-row fact, lower the skew thresholds to
+    fixture scale, and assert the FINAL adaptive SortMergeJoin really
+    split the hot partition (``skew=true`` in the executed plan)."""
+    import pyspark.sql.functions as F
+
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin",
+    )
+    saved = {}
+    for k in keys:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100k"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+
+        # Payload must be incompressible and non-foldable: a constant
+        # string constant-folds out of the shuffle entirely (observed:
+        # the agg became sum(100) and the hot partition shrank below
+        # every threshold), hiding the very skew being planted.
+        fact = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 4 != 0, F.lit(0))
+            .otherwise(F.col("id") % 97 + 1)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        dim = spark.range(0, 98).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        joined = fact.join(dim, "k").select(F.sum(F.length("payload")).alias("s"))
+        [row] = joined.collect()
+        assert row.s == 400_000 * 64  # every fact row matches exactly one dim row
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
