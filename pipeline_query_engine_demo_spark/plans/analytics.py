@@ -1540,3 +1540,102 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("log2_bucket")
     )
+
+
+@query(
+    "chi2_categorical_drift",
+    category="ops",
+    oracle=f"""
+        WITH obs AS (
+            SELECT o_orderpriority AS priority,
+                   CAST(SUM(CASE WHEN o_orderdate <  TIMESTAMP '{_DRIFT_CUTOFF}'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS ref_cnt,
+                   CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '{_DRIFT_CUTOFF}'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS cur_cnt
+            FROM orders GROUP BY o_orderpriority
+        ),
+        tot AS (
+            SELECT CAST(SUM(ref_cnt) AS DOUBLE) AS ref_total,
+                   CAST(SUM(cur_cnt) AS DOUBLE) AS cur_total,
+                   CAST(SUM(ref_cnt) + SUM(cur_cnt) AS DOUBLE) AS grand
+            FROM obs
+        ),
+        ex AS (
+            SELECT priority, ref_cnt, cur_cnt,
+                   CAST(ref_cnt + cur_cnt AS DOUBLE) * ref_total / grand AS exp_ref,
+                   CAST(ref_cnt + cur_cnt AS DOUBLE) * cur_total / grand AS exp_cur
+            FROM obs CROSS JOIN tot
+        )
+        SELECT priority, ref_cnt, cur_cnt,
+               {sql_round_half_up('exp_ref', 6)} AS exp_ref,
+               {sql_round_half_up('exp_cur', 6)} AS exp_cur,
+               {sql_round_half_up(
+                   '(ref_cnt - exp_ref) * (ref_cnt - exp_ref) / exp_ref'
+                   ' + (cur_cnt - exp_cur) * (cur_cnt - exp_cur) / exp_cur', 6)}
+                   AS chi2_term
+        FROM ex ORDER BY priority
+    """,
+)
+def chi2_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square homogeneity drift for a CATEGORICAL column — the
+    companion to dataset_drift_psi's numeric-bin PSI: did the
+    o_orderpriority mix shift between the reference and current
+    date windows? Per category: observed counts, expected counts under
+    homogeneity (row_total x window_total / grand_total), and the
+    chi-square contribution; sum against a chi2(k-1) critical value is
+    the drift alarm.
+
+    Scale shape: identical to the PSI plan — one conditional-count
+    groupBy over the category domain (both windows in a single scan),
+    broadcast 1-row totals, category-count-sized output forever. All
+    arithmetic is products/ratios of exact integer counts evaluated in
+    double the same way on both engines; no transcendental functions.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit(_DRIFT_CUTOFF).cast("timestamp")
+    obs = (
+        orders.select(
+            F.col("o_orderpriority").alias("priority"),
+            (F.col("o_orderdate") < cutoff).alias("is_ref"),
+        )
+        .groupBy("priority")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).cast("bigint").alias("ref_cnt"),
+            F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).cast("bigint").alias("cur_cnt"),
+        )
+    )
+    tot = F.broadcast(
+        obs.agg(
+            F.sum("ref_cnt").cast("double").alias("ref_total"),
+            F.sum("cur_cnt").cast("double").alias("cur_total"),
+            (F.sum("ref_cnt") + F.sum("cur_cnt")).cast("double").alias("grand"),
+        )
+    )
+    ex = obs.crossJoin(tot).select(
+        "priority",
+        "ref_cnt",
+        "cur_cnt",
+        (
+            (F.col("ref_cnt") + F.col("cur_cnt")).cast("double")
+            * F.col("ref_total")
+            / F.col("grand")
+        ).alias("exp_ref"),
+        (
+            (F.col("ref_cnt") + F.col("cur_cnt")).cast("double")
+            * F.col("cur_total")
+            / F.col("grand")
+        ).alias("exp_cur"),
+    )
+    chi2 = (F.col("ref_cnt") - F.col("exp_ref")) * (
+        F.col("ref_cnt") - F.col("exp_ref")
+    ) / F.col("exp_ref") + (F.col("cur_cnt") - F.col("exp_cur")) * (
+        F.col("cur_cnt") - F.col("exp_cur")
+    ) / F.col("exp_cur")
+    return ex.select(
+        "priority",
+        "ref_cnt",
+        "cur_cnt",
+        round_half_up(F.col("exp_ref"), 6).alias("exp_ref"),
+        round_half_up(F.col("exp_cur"), 6).alias("exp_cur"),
+        round_half_up(chi2, 6).alias("chi2_term"),
+    ).orderBy("priority")

@@ -2473,3 +2473,54 @@ def media_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "n_match")
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "tokenizer_fertility_by_source",
+    category="llm-text",
+    oracle=f"""
+        WITH per_doc AS (
+            SELECT source,
+                   len(string_split(text, ' ')) AS ws,
+                   len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe
+            FROM documents
+        )
+        SELECT source,
+               CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+               CAST(SUM(bpe) AS BIGINT) AS bpeish_tokens,
+               {sql_round_half_up('CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE)', 6)}
+                   AS fertility
+        FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def tokenizer_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (BPE-ish tokens per whitespace word) per
+    source — the metric that decides whether a tokenizer is efficient
+    on a corpus slice (fertility creep on a domain means its text is
+    being shredded into too many pieces, inflating training cost for
+    the same content). Uses the same two counters as token_count_bpeish,
+    aggregated per source.
+
+    Scale shape: both token counts are map-side regexes inside codegen;
+    one combinable groupBy on source; output is source-count-sized.
+    The ratio divides two exact BIGINT sums in double, so both engines
+    produce the identical IEEE value."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        text.token_count("text").alias("ws"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).alias(
+            "bpe"
+        ),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.sum("ws").cast("bigint").alias("ws_tokens"),
+            F.sum("bpe").cast("bigint").alias("bpeish_tokens"),
+            round_half_up(
+                F.sum("bpe").cast("double") / F.sum("ws").cast("double"), 6
+            ).alias("fertility"),
+        )
+        .orderBy("source")
+    )

@@ -154,3 +154,20 @@ def test_key_skew_profile_resums_to_table_count(spark, sf_dir):
     assert sum(r.n_rows for r in rows) == total
     for r in rows:
         assert r.max_key_rows < 2 ** (r.log2_bucket + 1), r
+
+
+def test_chi2_terms_nonnegative_and_expected_conserves(spark, sf_dir):
+    """Chi-square contributions are sums of squares (>= 0), and the
+    expected counts re-sum to each window's observed total."""
+    from pipeline_query_engine_demo_spark.plans.analytics import (
+        chi2_categorical_drift,
+    )
+
+    rows = chi2_categorical_drift(spark, sf_dir).collect()
+    assert rows, "no categories"
+    for r in rows:
+        assert r.chi2_term >= 0.0, r
+    ref_total = sum(r.ref_cnt for r in rows)
+    cur_total = sum(r.cur_cnt for r in rows)
+    assert abs(sum(r.exp_ref for r in rows) - ref_total) < 1e-3
+    assert abs(sum(r.exp_cur for r in rows) - cur_total) < 1e-3

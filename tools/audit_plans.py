@@ -52,6 +52,7 @@ NL_WHITELIST = {
     "file_metadata_scan",  # 1-row corpus-total broadcast onto the per-file subtotal table
     "contrastive_negative_pairs",  # broadcast anchor-set theta fan-out, the intended shape
     "dataset_drift_psi",  # 1-row window-totals broadcast onto the 10-row bin table
+    "chi2_categorical_drift",  # 1-row window-totals broadcast onto the 5-row category table
 }
 #: The deliberate row-at-a-time Python evals (API coverage: F.udf,
 #: spark.udf.register for SQL, and the TABLE-argument UDTF whose
