@@ -242,7 +242,7 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     + ",\n".join(
         f"""CAST(SUM(CASE WHEN j = {jj}
-                 THEN CAST(floor((val * w) * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,12)) END)
+                 THEN CAST(CASE WHEN isfinite(val * w) THEN floor((val * w) * 1000000000.0 + 0.5) / 1000000000.0 END AS DECIMAL(28,12)) END)
                  AS DOUBLE) AS y{jj}"""
         for jj in range(1, _PROJ_OUT + 1)
     )
@@ -391,7 +391,7 @@ def crosstab_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                MIN(value) AS low,
                ANY_VALUE(close) AS close,
                CAST(COUNT(*) AS BIGINT) AS n_events,
-               CAST(SUM(CAST(floor((value) * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,12))) AS DOUBLE)
+               CAST(SUM(CAST(CASE WHEN isfinite(value) THEN floor((value) * 1000000000.0 + 0.5) / 1000000000.0 END AS DECIMAL(28,12))) AS DOUBLE)
                    AS total_value
         FROM b
         GROUP BY event_type, bucket_start
@@ -639,7 +639,7 @@ _U_DENOM = float(16**_U_HEX)
             FROM keyed
         )
         SELECT doc_id, source, n_chars,
-               floor((floor((ln(u)) * 1000000000.0 + 0.5) / 1000000000.0 / n_chars) * 1000000000000.0 + 0.5) / 1000000000000.0 AS es_key
+               CASE WHEN isfinite(floor((ln(u)) * 1000000000.0 + 0.5) / 1000000000.0 / n_chars) THEN floor((floor((ln(u)) * 1000000000.0 + 0.5) / 1000000000.0 / n_chars) * 1000000000000.0 + 0.5) / 1000000000000.0 END AS es_key
         FROM u
         ORDER BY es_key DESC, doc_id
         LIMIT 10

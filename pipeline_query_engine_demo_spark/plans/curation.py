@@ -134,12 +134,12 @@ def span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM (SELECT unnest(w) AS word FROM words)),
         terms AS (
             SELECT b.doc_id,
-                   floor((-ln((c2.cnt2 + 0.5) / (c1.cnt1 + 0.5 * v.vocab))) * 1000000000.0 + 0.5) / 1000000000.0 AS term
+                   CASE WHEN isfinite(-ln((c2.cnt2 + 0.5) / (c1.cnt1 + 0.5 * v.vocab))) THEN floor((-ln((c2.cnt2 + 0.5) / (c1.cnt1 + 0.5 * v.vocab))) * 1000000000.0 + 0.5) / 1000000000.0 END AS term
             FROM big b JOIN c2 USING (bigram) JOIN c1 USING (w1), v
         )
         SELECT doc_id,
                COUNT(*) AS n_bigrams,
-               floor((CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0
+               CASE WHEN isfinite(CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)) THEN floor((CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 END
                  AS avg_nll
         FROM terms
         GROUP BY doc_id
@@ -333,7 +333,7 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         dropped AS (
             SELECT DISTINCT b.vec_id
             FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
-            WHERE floor((list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 1000000.0 + 0.5) / 1000000.0 >= 0.4
+            WHERE CASE WHEN isfinite(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) THEN floor((list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 1000000.0 + 0.5) / 1000000.0 END >= 0.4
         )
         SELECT c.vec_id, c.cell, d.vec_id IS NULL AS kept
         FROM c LEFT JOIN dropped d ON c.vec_id = d.vec_id
@@ -421,8 +421,8 @@ def similarity_centroids():
         sig AS (
             SELECT doc_id, source,
                    CAST(len(words) AS BIGINT) AS n_words,
-                   floor((CAST(CAST(list_sum(list_transform(words, x -> len(x))) AS BIGINT) AS DOUBLE) / len(words)) * 1000000.0 + 0.5) / 1000000.0 AS mean_word_len,
-                   floor((CAST(len(list_filter(words, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(words)) * 1000000.0 + 0.5) / 1000000.0 AS alpha_word_frac,
+                   CASE WHEN isfinite(CAST(CAST(list_sum(list_transform(words, x -> len(x))) AS BIGINT) AS DOUBLE) / len(words)) THEN floor((CAST(CAST(list_sum(list_transform(words, x -> len(x))) AS BIGINT) AS DOUBLE) / len(words)) * 1000000.0 + 0.5) / 1000000.0 END AS mean_word_len,
+                   CASE WHEN isfinite(CAST(len(list_filter(words, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(words)) THEN floor((CAST(len(list_filter(words, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(words)) * 1000000.0 + 0.5) / 1000000.0 END AS alpha_word_frac,
                    CAST(len(list_filter(['the', 'a'], s -> list_contains(words, s))) AS BIGINT)
                        AS stopword_hits
             FROM w
@@ -625,7 +625,7 @@ def bpe_pair_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         z AS (
             SELECT e.event_id, e.event_type, e.value,
-                   floor(((e.value - CAST(s.sx AS DOUBLE) / s.n) / sqrt((CAST(s.sxx AS DOUBLE) - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE) / s.n) / (s.n - 1))) * 1000000.0 + 0.5) / 1000000.0 AS zscore
+                   CASE WHEN isfinite((e.value - CAST(s.sx AS DOUBLE) / s.n) / sqrt((CAST(s.sxx AS DOUBLE) - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE) / s.n) / (s.n - 1))) THEN floor(((e.value - CAST(s.sx AS DOUBLE) / s.n) / sqrt((CAST(s.sxx AS DOUBLE) - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE) / s.n) / (s.n - 1))) * 1000000.0 + 0.5) / 1000000.0 END AS zscore
             FROM events e JOIN s USING (event_type)
         )
         SELECT event_id, event_type, value, zscore
@@ -675,7 +675,7 @@ def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         probs AS (
             SELECT source, n_docs,
-                   floor((pow(n_docs, 0.7 - 1.0) / (SELECT max(pow(n_docs, 0.7 - 1.0)) FROM counts)) * 1000000.0 + 0.5) / 1000000.0
+                   CASE WHEN isfinite(pow(n_docs, 0.7 - 1.0) / (SELECT max(pow(n_docs, 0.7 - 1.0)) FROM counts)) THEN floor((pow(n_docs, 0.7 - 1.0) / (SELECT max(pow(n_docs, 0.7 - 1.0)) FROM counts)) * 1000000.0 + 0.5) / 1000000.0 END
                        AS keep_prob
             FROM counts
         )

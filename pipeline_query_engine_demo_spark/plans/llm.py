@@ -616,7 +616,7 @@ def ivf_assign_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         scored AS (
             SELECT vec_id,
-                   floor((list_dot_product(v, q) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q, q)))) * 1000000.0 + 0.5) / 1000000.0 AS cosine_sim
+                   CASE WHEN isfinite(list_dot_product(v, q) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q, q)))) THEN floor((list_dot_product(v, q) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q, q)))) * 1000000.0 + 0.5) / 1000000.0 END AS cosine_sim
             FROM c CROSS JOIN qv)
         SELECT vec_id, cosine_sim FROM scored
         ORDER BY cosine_sim DESC NULLS LAST, vec_id LIMIT 10
@@ -756,18 +756,24 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM v)
         SELECT vec_id,
                max_abs,
-               CAST(floor((e[1] * 127.0 / max_abs) * 1.0 + 0.5) / 1.0 AS INT) AS q1,
-               CAST(floor((e[2] * 127.0 / max_abs) * 1.0 + 0.5) / 1.0 AS INT) AS q2,
-               CAST(floor((e[64] * 127.0 / max_abs) * 1.0 + 0.5) / 1.0 AS INT) AS q64
+               CAST(CASE WHEN isfinite(e[1] * 127.0 / max_abs) THEN floor((e[1] * 127.0 / max_abs) * 1.0 + 0.5) / 1.0 END AS INT) AS q1,
+               CAST(CASE WHEN isfinite(e[2] * 127.0 / max_abs) THEN floor((e[2] * 127.0 / max_abs) * 1.0 + 0.5) / 1.0 END AS INT) AS q2,
+               CAST(CASE WHEN isfinite(e[64] * 127.0 / max_abs) THEN floor((e[64] * 127.0 / max_abs) * 1.0 + 0.5) / 1.0 END AS INT) AS q64
         FROM s ORDER BY vec_id
     """,
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization (per-vector max-abs scaling) — the
     4x storage cut that makes a 100 TB embedding corpus hold-able; the
-    dequantize error is bounded by max_abs/254 per element. Both
-    engines round half away from zero on these positive-and-negative
-    operands computed from identical doubles."""
+    dequantize error is bounded by max_abs/254 per element. Rounding is
+    the shared floor-form half-up (functions.rounding), which on a
+    NEGATIVE exact half-boundary gives half-toward-+inf (-2.5 -> -2)
+    where classic int8 quantizers round half away from zero (-2.5 ->
+    -3); both engines agree with each other, the divergence from the
+    away-from-zero convention is confined to exact .5 scaled values
+    IEEE doubles essentially never produce, and max error stays
+    max_abs/254. A zero vector (max_abs = 0) quantizes to NULL codes on
+    both sides rather than 0/0 artifacts."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = vectors.as_double("embedding")
     max_abs = F.array_max(F.transform(e, F.abs))
@@ -919,7 +925,7 @@ def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         n AS (SELECT COUNT(*) AS n_docs FROM documents),
         scored AS (
             SELECT t.doc_id, t.tok,
-                   floor((t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0))) * 1000000.0 + 0.5) / 1000000.0 AS tfidf
+                   CASE WHEN isfinite(t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0))) THEN floor((t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0))) * 1000000.0 + 0.5) / 1000000.0 END AS tfidf
             FROM tfc t JOIN dfc d ON t.tok = d.tok CROSS JOIN n
         ),
         ranked AS (
@@ -1167,9 +1173,9 @@ def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                               AS bucket
                    FROM embeddings)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               floor((list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 1000000.0 + 0.5) / 1000000.0 AS cosine_sim
+               CASE WHEN isfinite(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) THEN floor((list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 1000000.0 + 0.5) / 1000000.0 END AS cosine_sim
         FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        WHERE floor((list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 1000000.0 + 0.5) / 1000000.0 >= 0.4
+        WHERE CASE WHEN isfinite(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) THEN floor((list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 1000000.0 + 0.5) / 1000000.0 END >= 0.4
         ORDER BY id_a, id_b
     """,
 )
@@ -1418,12 +1424,12 @@ def dedup_representatives_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vocab),
         probs AS (
             SELECT tok,
-                   CAST(floor((-ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000000.0 + 0.5) / 1000000000.0
+                   CAST(CASE WHEN isfinite(-ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) THEN floor((-ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000000.0 + 0.5) / 1000000000.0 END
                         AS DECIMAL(20, 9)) AS s
             FROM vocab, tot)
         SELECT t.doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_tokens,
-               floor((CAST(SUM(p.s) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_surprisal
+               CASE WHEN isfinite(CAST(SUM(p.s) AS DOUBLE) / COUNT(*)) THEN floor((CAST(SUM(p.s) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 END AS avg_surprisal
         FROM tok t JOIN probs p ON p.tok = t.tok
         GROUP BY t.doc_id ORDER BY t.doc_id
     """,
@@ -1661,13 +1667,13 @@ _KMEANS_K, _KMEANS_ITERS = 4, 2
 _KMEANS_ITER_SQL = """
         d{i} AS (
             SELECT e.vec_id, c.cell,
-                   CAST(SUM(CAST(floor((e.val * c.c) * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,12)))
+                   CAST(SUM(CAST(CASE WHEN isfinite(e.val * c.c) THEN floor((e.val * c.c) * 1000000000.0 + 0.5) / 1000000000.0 END AS DECIMAL(28,12)))
                         AS DOUBLE) AS dot
             FROM e JOIN c{p} c ON c.dim = e.dim
             GROUP BY e.vec_id, c.cell),
         nc{i} AS (
             SELECT cell,
-                   CAST(SUM(CAST(floor((c * c) * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,12)))
+                   CAST(SUM(CAST(CASE WHEN isfinite(c * c) THEN floor((c * c) * 1000000000.0 + 0.5) / 1000000000.0 END AS DECIMAL(28,12)))
                         AS DOUBLE) AS nc
             FROM c{p} GROUP BY cell),
         a{i} AS (
@@ -1679,7 +1685,7 @@ _KMEANS_ITER_SQL = """
                 ORDER BY d.dot / sqrt(nv.nv * nc.nc) DESC, d.cell) = 1),
         c{i} AS (
             SELECT a.cell, e.dim,
-                   floor((CAST(SUM(CAST(floor((e.val) * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS c
+                   CASE WHEN isfinite(CAST(SUM(CAST(floor((e.val) * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)) THEN floor((CAST(SUM(CAST(floor((e.val) * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 END AS c
             FROM e JOIN a{i} a ON a.vec_id = e.vec_id
             GROUP BY a.cell, e.dim)"""
 
@@ -1698,7 +1704,7 @@ _KMEANS_ITER_SQL = """
                  unnest(generate_series(1, 64)) AS t(d)),
         nv AS (
             SELECT vec_id,
-                   CAST(SUM(CAST(floor((val * val) * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,12)))
+                   CAST(SUM(CAST(CASE WHEN isfinite(val * val) THEN floor((val * val) * 1000000000.0 + 0.5) / 1000000000.0 END AS DECIMAL(28,12)))
                         AS DOUBLE) AS nv
             FROM e GROUP BY vec_id),
     """
@@ -2284,7 +2290,7 @@ from pipeline_query_engine_demo_spark.plans.registry import REGISTRY as _REG  # 
         SELECT gt.query_id,
                CAST(COUNT(ann.rank) AS BIGINT) AS hits,
                CAST(COUNT(*) AS BIGINT) AS k,
-               floor((COUNT(ann.rank) / CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS recall_at_k
+               CASE WHEN isfinite(COUNT(ann.rank) / CAST(COUNT(*) AS DOUBLE)) THEN floor((COUNT(ann.rank) / CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 END AS recall_at_k
         FROM gt
         LEFT JOIN ann
           ON ann.query_id = gt.query_id AND ann.vec_id = gt.vec_id

@@ -487,7 +487,7 @@ def _pq_recall_oracle() -> str:
         SELECT gt.query_id,
                CAST(COUNT(ann.rank) AS BIGINT) AS hits,
                CAST(COUNT(*) AS BIGINT) AS k,
-               floor((COUNT(ann.rank) / CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS recall_at_k
+               CASE WHEN isfinite(COUNT(ann.rank) / CAST(COUNT(*) AS DOUBLE)) THEN floor((COUNT(ann.rank) / CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 END AS recall_at_k
         FROM gt
         LEFT JOIN ann
           ON ann.query_id = gt.query_id AND ann.vec_id = gt.vec_id

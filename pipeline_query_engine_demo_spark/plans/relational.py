@@ -1276,7 +1276,7 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                abs(l_quantity - 25.0) AS qty_dev,
                CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
                CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
-               floor((l_extendedprice / 100.0) * 100.0 + 0.5) / 100.0 AS price_hundreds,
+               CASE WHEN isfinite(l_extendedprice / 100.0) THEN floor((l_extendedprice / 100.0) * 100.0 + 0.5) / 100.0 END AS price_hundreds,
                sqrt(l_quantity) AS qty_sqrt,
                l_quantity * l_quantity AS qty_sq,
                CAST(l_quantity AS BIGINT) % 7 AS qty_mod
@@ -2090,9 +2090,9 @@ def map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM lineitem GROUP BY l_returnflag
         )
         SELECT returnflag, n,
-               floor(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) * 1000000.0 + 0.5) / 1000000.0
+               CASE WHEN isfinite((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) THEN floor(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) * 1000000.0 + 0.5) / 1000000.0 END
                    AS corr_qty_price,
-               floor(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) * 1000000.0 + 0.5) / 1000000.0 AS covar_samp_qty_price
+               CASE WHEN isfinite((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) THEN floor(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) * 1000000.0 + 0.5) / 1000000.0 END AS covar_samp_qty_price
         FROM s
         ORDER BY returnflag
     """,
@@ -2337,7 +2337,7 @@ def xml_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) WHERE rn = 1
         )
         SELECT m.returnflag, m.mode_qty,
-               floor((CAST(MEDIAN(l.l_quantity) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS median_qty,
+               CASE WHEN isfinite(CAST(MEDIAN(l.l_quantity) AS DOUBLE)) THEN floor((CAST(MEDIAN(l.l_quantity) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 END AS median_qty,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM lineitem l JOIN modes m ON l.l_returnflag = m.returnflag
         GROUP BY m.returnflag, m.mode_qty
@@ -2379,8 +2379,8 @@ def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT CAST(bucket AS INTEGER) AS bucket,
                CAST(COUNT(*) AS BIGINT) AS n,
-               floor((MIN(o_totalprice)) * 100.0 + 0.5) / 100.0 AS lo,
-               floor((MAX(o_totalprice)) * 100.0 + 0.5) / 100.0 AS hi
+               CASE WHEN isfinite(MIN(o_totalprice)) THEN floor((MIN(o_totalprice)) * 100.0 + 0.5) / 100.0 END AS lo,
+               CASE WHEN isfinite(MAX(o_totalprice)) THEN floor((MAX(o_totalprice)) * 100.0 + 0.5) / 100.0 END AS hi
         FROM buckets GROUP BY bucket ORDER BY bucket
     """,
 )
