@@ -639,7 +639,7 @@ _U_DENOM = float(16**_U_HEX)
             FROM keyed
         )
         SELECT doc_id, source, n_chars,
-               CASE WHEN isfinite(floor((ln(u)) * 1000000000.0 + 0.5) / 1000000000.0 / n_chars) THEN floor((floor((ln(u)) * 1000000000.0 + 0.5) / 1000000000.0 / n_chars) * 1000000000000.0 + 0.5) / 1000000000000.0 END AS es_key
+               CASE WHEN isfinite(CASE WHEN isfinite(ln(u)) THEN floor((ln(u)) * 1000000000.0 + 0.5) / 1000000000.0 END / n_chars) THEN floor((CASE WHEN isfinite(ln(u)) THEN floor((ln(u)) * 1000000000.0 + 0.5) / 1000000000.0 END / n_chars) * 1000000000000.0 + 0.5) / 1000000000000.0 END AS es_key
         FROM u
         ORDER BY es_key DESC, doc_id
         LIMIT 10

@@ -21,10 +21,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from pipeline_query_engine_demo_spark.functions.rounding import (
-    round_half_up,
-    sql_round_half_up,
-)
+from pipeline_query_engine_demo_spark.functions.rounding import round_half_up
 from pipeline_query_engine_demo_spark.plans.registry import query
 from pipeline_query_engine_demo_spark.sources.catalog import load_table
 

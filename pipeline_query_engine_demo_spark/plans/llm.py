@@ -1685,7 +1685,7 @@ _KMEANS_ITER_SQL = """
                 ORDER BY d.dot / sqrt(nv.nv * nc.nc) DESC, d.cell) = 1),
         c{i} AS (
             SELECT a.cell, e.dim,
-                   CASE WHEN isfinite(CAST(SUM(CAST(floor((e.val) * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)) THEN floor((CAST(SUM(CAST(floor((e.val) * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 END AS c
+                   CASE WHEN isfinite(CAST(SUM(CAST(CASE WHEN isfinite(e.val) THEN floor((e.val) * 1000000000.0 + 0.5) / 1000000000.0 END AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)) THEN floor((CAST(SUM(CAST(CASE WHEN isfinite(e.val) THEN floor((e.val) * 1000000000.0 + 0.5) / 1000000000.0 END AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 END AS c
             FROM e JOIN a{i} a ON a.vec_id = e.vec_id
             GROUP BY a.cell, e.dim)"""
 

@@ -129,3 +129,26 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_every_oracle_floor_round_is_isfinite_guarded():
+    """The non-finite contract of functions.rounding holds corpus-wide:
+    every half-up floor-round in every RENDERED oracle (helper-emitted
+    or hand-inlined) must sit inside its CASE WHEN isfinite(...) guard,
+    so a NaN/Inf from a degenerate future fixture can never hash-diverge
+    between engines. PageRank is the one whitelisted pair: its ranks are
+    provably finite (outdeg >= 1, n >= 1) and both sides share the same
+    unguarded form."""
+    import re
+
+    from pipeline_query_engine_demo_spark import plans
+
+    pat = re.compile(r"floor\(\([^\n]*?\* [0-9.e]+ \+ 0\.5\)")
+    bad = []
+    for name, sql in plans.oracles().items():
+        if name == "pagerank_copurchase":
+            continue
+        for m in pat.finditer(sql):
+            if sql[max(0, m.start() - 5):m.start()] != "THEN ":
+                bad.append((name, m.group(0)[:60]))
+    assert not bad, bad
