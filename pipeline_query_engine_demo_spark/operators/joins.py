@@ -52,13 +52,31 @@ def asof_join(
     Requirements: ``right`` must be unique per (key, right_time) — ties
     there are ambiguous in any as-of definition; pre-aggregate to pick a
     winner. ``right_values`` must not collide with ``left`` column names.
+
+    NULL keys never match (SQL equi-join semantics): a NULL-key probe
+    row gets NULL payload, never another NULL-key reference — the
+    window partitioner would otherwise group NULL with NULL.
     """
     keys = [on] if isinstance(on, str) else list(on)
+    reserved = {"_asof_t", "_asof_payload", "_asof_is_ref", "_asof_match", "asof_ts"}
+    clash = (reserved & set(left.columns)) | (set(right_values) & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join reserved/output column collision on left input: {sorted(clash)} "
+            "(rename before joining — e.g. alias a prior asof_ts away when chaining)"
+        )
     payload = F.struct(F.col(right_time).alias("asof_ts"), *[F.col(v) for v in right_values])
     # A NULL-timestamp reference matches nothing in any SQL ASOF join;
     # unfiltered it would sort nulls-first and its payload would be
-    # carried onto every probe row with no real predecessor.
-    ref = right.filter(F.col(right_time).isNotNull()).select(
+    # carried onto every probe row with no real predecessor. A NULL-KEY
+    # reference likewise matches nothing (NULL = NULL is never true in
+    # an equi-join), but the window partitioner groups NULLs together —
+    # drop those rows so NULL-key probes see an empty frame instead.
+    null_key = None
+    for k in keys:
+        cond = F.col(k).isNull()
+        null_key = cond if null_key is None else (null_key | cond)
+    ref = right.filter(F.col(right_time).isNotNull() & ~null_key).select(
         *keys,
         F.col(right_time).alias("_asof_t"),
         payload.alias("_asof_payload"),
@@ -140,6 +158,11 @@ def salted_join(
         raise ValueError(
             f"salted_join supports how='inner'|'left', got {how!r}: outer joins "
             "would duplicate unmatched small-side rows once per salt replica"
+        )
+    if "_salt" in big.columns or "_salt" in small.columns:
+        raise ValueError(
+            "salted_join reserved column '_salt' already present on an input — "
+            "it would be silently overwritten and dropped from the result"
         )
     salted_big = big.withColumn("_salt", F.pmod(F.xxhash64(salt_src), F.lit(buckets)))
     salted_small = (

@@ -214,9 +214,16 @@ def streaming_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFram
 def streaming_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked SLIDING-window streaming aggregation (1 hour every
     30 min — each event feeds 2 overlapping windows): the streaming twin
-    of plans.windows.sliding_window_counts, sharing its oracle. State is
-    bounded by the watermark: windows older than (max event time − 1 h)
-    finalize and evict."""
+    of plans.windows.sliding_window_counts, sharing its oracle.
+
+    Output-mode honesty: this harness drains in COMPLETE mode (the
+    memory sink returns the full final table for the oracle hash), and
+    in complete mode Spark documents that watermarks do NOT evict
+    aggregation state — every window stays resident. The production
+    deployment of this exact aggregation uses append/update mode, where
+    the declared 1-hour watermark finalizes and evicts windows older
+    than (max event time − 1 h); append-mode eviction is exercised by
+    the foreachBatch sink queries and tests/test_streaming."""
     events = streaming.read_events_stream(spark, sf_dir)
     agg = (
         events.withWatermark("ts", "1 hour")
@@ -285,20 +292,13 @@ def streaming_session_window_values(spark: SparkSession, sf_dir: str) -> DataFra
 def _embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the embeddings Parquet (the vector-ingest
     path: new embedding shards land in a directory and stream through
-    scoring). Schema from one batch footer read, like read_events_stream."""
-    import hashlib
+    scoring). Schema from one batch footer read, like read_events_stream;
+    the scratch-dir/symlink mechanics are the shared
+    ``streaming.windows._stream_source_dir`` (one copy of the
+    lexists/absolute-target/race invariants)."""
+    from pipeline_query_engine_demo_spark.streaming.windows import _stream_source_dir
 
-    tag = hashlib.md5(f"{sf_dir}|embeddings".encode()).hexdigest()[:12]
-    d = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_{tag}")
-    os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "embeddings.parquet")
-    if not os.path.lexists(link):
-        try:
-            os.symlink(
-                os.path.abspath(os.path.join(sf_dir, "embeddings.parquet")), link
-            )
-        except FileExistsError:
-            pass
+    d = _stream_source_dir(sf_dir, "embeddings.parquet")
     schema = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).schema
     return spark.readStream.schema(schema).parquet(d)
 

@@ -58,6 +58,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     schema-declared sources, mixed NTZ/LTZ comparisons) only accept the
     zoned type. The cast is a zero-cost projection — pushdown and
     pruning on the remaining columns are unaffected.
+
+    The streaming twin of the ts rules (ns-div-1000 + NTZ→LTZ for the
+    declared-schema stream readers) is
+    ``streaming.windows._normalize_ts`` — change the two together.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")

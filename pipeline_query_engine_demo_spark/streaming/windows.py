@@ -7,7 +7,11 @@ Scale notes (the cluster story):
 - Watermarks bound state: without one, a windowed aggregation's state
   grows with the number of open windows forever. ``1 hour`` here means
   late events more than an hour behind the max seen timestamp are
-  dropped and their windows finalized.
+  dropped and their windows finalized. Caveat: eviction applies in
+  append/update output modes (the production deployment and the
+  foreachBatch queries here); the COMPLETE-mode memory-sink drains some
+  oracle harnesses use keep all windows resident by definition — those
+  docstrings own it.
 - ``applyInPandasWithState`` state lives in the state store (RocksDB on
   a real cluster); per-key state must stay O(1) — counters here, never
   buffered rows.
@@ -34,22 +38,24 @@ if TYPE_CHECKING:  # pragma: no cover
 #: footer read and normalizes exactly like sources.catalog.load_table.
 
 
-def _stream_source_dir(sf_dir: str) -> str:
+def _stream_source_dir(sf_dir: str, table_file: str = "events.parquet") -> str:
     """The file stream source requires a directory; the fixture is a
     single file. Build (idempotently) a scratch dir holding a symlink to
-    the events Parquet — no data is copied, and each fixture dir gets
-    its own stable scratch path."""
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    the fixture Parquet — no data is copied, and each (fixture dir,
+    table) pair gets its own stable scratch path. Shared by the events
+    stream here and the embeddings ingest stream (plans.streams) so the
+    lexists/absolute-target/race invariants live in ONE place."""
+    tag = hashlib.md5(f"{sf_dir}|{table_file}".encode()).hexdigest()[:12]
     d = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_{tag}")
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
+    link = os.path.join(d, table_file)
     # lexists (not exists): a dangling link must not trigger re-creation;
     # the except guards the create-create race between concurrent runs.
     if not os.path.lexists(link):
         try:
             # absolute target: a relative sf_dir would otherwise resolve
             # relative to the scratch dir and dangle forever
-            os.symlink(os.path.abspath(os.path.join(sf_dir, "events.parquet")), link)
+            os.symlink(os.path.abspath(os.path.join(sf_dir, table_file)), link)
         except FileExistsError:
             pass
     return d
@@ -68,10 +74,12 @@ def _events_schema_and_ts_type(spark: SparkSession, sf_dir: str):
 
 def _normalize_ts(df: DataFrame, ts_type: str) -> DataFrame:
     """Normalize the fixture's ``ts`` physical type to a session-zoned
-    microsecond timestamp, exactly like ``sources.catalog.load_table``.
-    The single copy of this generation-aware logic — batch readers,
-    the shared stream source, and the private staged-source harness
-    all route through here."""
+    microsecond timestamp. The single copy for the STREAMING paths (the
+    shared stream source and the staged-source harness both route
+    through here); the batch twin lives in ``sources.catalog.load_table``,
+    which applies the same ns-div-1000 + NTZ→LTZ rules generically to
+    every timestamp column of every table — change the two together
+    (each cites the other)."""
     if ts_type == "bigint":  # nanos generation: truncate ns → µs like DuckDB
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if ts_type == "timestamp_ntz":  # µs generation: NTZ → LTZ (UTC session)
@@ -160,11 +168,19 @@ def drain_with_flush(joined: DataFrame, root: str, flush=None) -> DataFrame:
     what the next trigger of a continuously-running production job
     does. Memory sinks cannot resume a checkpoint, so the sink is
     foreachBatch → parquet (the proven pattern from
-    tests/test_checkpoint_recovery)."""
+    tests/test_checkpoint_recovery).
+
+    The sink is IDEMPOTENT per batch: foreachBatch is at-least-once, so
+    a retried micro-batch must overwrite its own output, not append a
+    second copy — each batch owns a ``batch_<id>`` subdirectory
+    (mirroring plans.streams.streaming_foreach_batch_sink), and the
+    read-back walks the tree with recursiveFileLookup."""
     ckpt, dest = os.path.join(root, "ckpt"), os.path.join(root, "out")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(dest)
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(dest, f"batch_{batch_id}")
+        )
 
     def drain() -> None:
         q = (
@@ -180,7 +196,9 @@ def drain_with_flush(joined: DataFrame, root: str, flush=None) -> DataFrame:
     if flush is not None:
         flush()
         drain()
-    return joined.sparkSession.read.parquet(dest)
+    return (
+        joined.sparkSession.read.option("recursiveFileLookup", "true").parquet(dest)
+    )
 
 
 def run_to_memory(

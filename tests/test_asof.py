@@ -120,3 +120,27 @@ def test_asof_bad_how_raises(spark, frames):
     left, right = frames
     with pytest.raises(ValueError):
         asof_join(left, right, "k", "ts", "ts", ["val"], how="right")
+
+
+def test_asof_null_keys_match_nothing(spark):
+    """SQL equi-join semantics: NULL keys never equal NULL keys — a
+    NULL-key probe row must get NULL payload even when a NULL-key
+    reference row exists at an earlier timestamp."""
+    left = spark.createDataFrame(
+        [(1, None, _ts("2024-01-01 13:00:00")), (2, "k1", _ts("2024-01-01 13:00:00"))],
+        "event_id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(None, _ts("2024-01-01 12:00:00"), 99.0), ("k1", _ts("2024-01-01 12:00:00"), 1.0)],
+        "k string, ts timestamp, val double",
+    )
+    out = {r.event_id: r for r in asof_join(left, right, "k", "ts", "ts", ["val"]).collect()}
+    assert out[1].val is None and out[1].asof_ts is None
+    assert out[2].val == 1.0
+
+
+def test_asof_reserved_column_collision_raises(spark, frames):
+    left, right = frames
+    chained = asof_join(left, right, "k", "ts", "ts", ["val"])
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(chained, right, "k", "ts", "ts", ["val"])

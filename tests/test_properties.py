@@ -213,3 +213,13 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
         .count()
         == 0
     )
+
+
+def test_salted_join_rejects_reserved_salt_column(spark):
+    import pytest
+    import pyspark.sql.functions as F
+
+    df = spark.range(5).withColumn("_salt", F.lit(1))
+    other = spark.range(5).withColumnRenamed("id", "id2")
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(df, other, "id", F.col("id"))
