@@ -13,11 +13,13 @@ per-iteration steps are plain relational ops:
   one groupBy.
 
 Scale shape: per iteration the corpus shuffles twice (dot-product agg,
-mean agg) and the centroid table broadcasts; nothing corpus-sized ever
-sits on the driver. The iteration count is a fixed small constant, so
-the whole train is one lazy DAG; a production run at 100 TB would
-``localCheckpoint`` the exploded corpus once and each centroid table
-per round to cut lineage, exactly like ``dedup.connected_components``.
+mean agg) and the centroid table broadcasts; the per-id norm table is
+iteration-invariant and computed once before the loop. Nothing
+corpus-sized ever sits on the driver. The iteration count is a fixed
+small constant, so the whole train is one lazy DAG; the exploded corpus
+and norm table are ``localCheckpoint``-ed once and each round's
+centroid/assignment tables per iteration to cut lineage, exactly like
+``dedup.connected_components``.
 
 Cross-engine determinism (the DuckDB oracle mirrors every step): all
 dot products and means accumulate ``round(x, 9)`` terms as
@@ -56,11 +58,18 @@ def _sq_norms(df: DataFrame, key: str, val: str) -> DataFrame:
     )
 
 
-def assign_cells(e: DataFrame, id_col: str, cent: DataFrame) -> DataFrame:
+def assign_cells(
+    e: DataFrame, id_col: str, cent: DataFrame, nv: DataFrame | None = None
+) -> DataFrame:
     """Nearest centroid by cosine for every id in the long-format corpus
     ``e`` against the long-format centroid table ``cent`` (cell, dim, c).
-    Ties break lowest-cell-first, mirrored by the oracle."""
-    nv = _sq_norms(e, id_col, "val").withColumnRenamed("_n2", "nv")
+    Ties break lowest-cell-first, mirrored by the oracle.
+
+    ``nv`` (per-id squared norms) is iteration-invariant — the training
+    loop computes it ONCE and passes it in, saving a corpus-scale
+    aggregation per round; standalone callers may omit it."""
+    if nv is None:
+        nv = _sq_norms(e, id_col, "val").withColumnRenamed("_n2", "nv")
     nc = _sq_norms(cent, "cell", "c").withColumnRenamed("_n2", "nc")
     dots = (
         e.join(F.broadcast(cent), "dim")
@@ -170,14 +179,26 @@ def kmeans_train(
     ``init_centroids`` (cell, dim, c). Returns (final centroids long
     table, final assignment (id, cell)) — the assignment is the one the
     final centroids were computed from."""
+    if iterations < 1:
+        raise ValueError(
+            f"iterations must be >= 1, got {iterations}: zero rounds would "
+            "return no assignment table"
+        )
     # The exploded corpus feeds 2 aggregations per iteration plus the
     # norm table; the centroid/assignment tables feed the next round
     # twice each. Lazy localCheckpoints cut the re-scan of the parquet
     # + explode lineage (same pattern as dedup's banded bucket table).
+    # Per-id squared norms never change across iterations — computed
+    # once here (and checkpointed) instead of once per assign round.
     e = explode_dims(corpus, id_col, vec_col).localCheckpoint(eager=False)
+    nv = (
+        _sq_norms(e, id_col, "val")
+        .withColumnRenamed("_n2", "nv")
+        .localCheckpoint(eager=False)
+    )
     cent = init_centroids
     assign = None
     for _ in range(iterations):
-        assign = assign_cells(e, id_col, cent).localCheckpoint(eager=False)
+        assign = assign_cells(e, id_col, cent, nv=nv).localCheckpoint(eager=False)
         cent = update_centroids(e, assign, id_col).localCheckpoint(eager=False)
     return cent, assign

@@ -221,7 +221,11 @@ def jaccard_pairs(
     text_col: str,
     shingle_n: int = DEFAULT_SHINGLE_N,
 ) -> DataFrame:
-    """True token-set Jaccard for the given (id_a, id_b) candidate pairs.
+    """Exact unit-set Jaccard for the given (id_a, id_b) candidate pairs,
+    where a unit is what ``_units`` emits — a ``shingle_n``-gram shingle
+    by default (shingle-set Jaccard decays faster than token-set Jaccard
+    on partial overlaps; tune thresholds against the shingle metric), or
+    single tokens at ``shingle_n=1``.
 
     Scale contract: only candidate pairs ever materialize. The
     intersection count comes from joining ``pairs`` → tokens-of-a (equi
@@ -358,12 +362,17 @@ def connected_components(
     rounds) — not needed for dedup workloads.
 
     Checkpointing via ``localCheckpoint`` truncates the lineage each
-    round so the plan doesn't grow exponentially with iterations.
+    round so the plan doesn't grow exponentially with iterations — and
+    ``sym`` itself is checkpointed so the edge-PRODUCING pipeline (the
+    full LSH + prefilter + Jaccard-verify DAG when called from
+    dedup_clusters) materializes once instead of re-executing inside
+    every iteration's join.
     """
     sym = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id"))
     for _ in range(max_iter):
@@ -407,14 +416,25 @@ def dedup_clusters(
     bands: int = DEFAULT_BANDS,
     shingle_n: int = DEFAULT_SHINGLE_N,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    est_prefilter: float | None = DEFAULT_EST_PREFILTER,
 ) -> DataFrame:
     """Near-dup clustering: LSH+Jaccard pair graph → connected
     components. Returns (id, cluster_id); a document with no near-dups
     is its own cluster. Downstream dedup keeps ``id == cluster_id``
     (the min-id representative per cluster — deterministic). The LSH
-    hot-bucket cap is on by default (DEFAULT_MAX_BUCKET_SIZE)."""
+    hot-bucket cap is on by default (DEFAULT_MAX_BUCKET_SIZE), and
+    every near_dup_pairs knob — including ``est_prefilter=None`` for
+    exact pre-prefilter semantics — plumbs through."""
     pairs = near_dup_pairs(
-        df, id_col, text_col, threshold, num_hashes, bands, shingle_n, max_bucket_size
+        df,
+        id_col,
+        text_col,
+        threshold,
+        num_hashes,
+        bands,
+        shingle_n,
+        max_bucket_size,
+        est_prefilter,
     )
     return connected_components(df.select(id_col), pairs, id_col)
 
@@ -544,7 +564,10 @@ def incremental_dedup(
     derived inline because the fixture has no index sink). The
     ``max_bucket_size`` valve applies to the existing-side buckets —
     a viral boilerplate bucket must not cross-join against every
-    incoming batch. Ids of the two sides must be disjoint."""
+    incoming batch. Ids of the two sides must be disjoint — an UNCHECKED
+    precondition (enforcing it would cost an extra anti-join action per
+    batch): a shared id puts two rows in the union corpus and inflates
+    that id's shingle counts, mis-scoring its Jaccard verification."""
     ex_hashes = existing.select(F.sha2(F.col(text_col), 256).alias("_h")).distinct()
     inc_hashed = incoming.select(
         F.col(id_col), F.sha2(F.col(text_col), 256).alias("_h")
@@ -568,6 +591,12 @@ def incremental_dedup(
             .filter(F.col("_n") <= max_bucket_size)
             .drop("_n")
         )
+    # Checkpoint: jaccard_pairs references its candidate table three
+    # times (both cand_ids branches + the inter join), and without a
+    # lineage cut each reference re-executes the existing-corpus MinHash
+    # + banding scan — the 100 TB side — from scratch (the same 2x-scan
+    # trap lsh_candidate_pairs' bucket checkpoint closes, measured there
+    # at 9.5 -> 5.6 s).
     pairs = (
         inc_buckets.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
         .join(
@@ -576,6 +605,7 @@ def incremental_dedup(
         )
         .select("id_a", "id_b")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     union_corpus = existing.select(id_col, text_col).unionByName(
         incoming.select(id_col, text_col)

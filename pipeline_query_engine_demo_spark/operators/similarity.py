@@ -97,7 +97,14 @@ def cosine_topk(
 
 def lsh_bucket(vec_col: str, dims: Iterable[int]) -> F.Column:
     """Sign-bit LSH bucket id: bit i = (vec[dims[i]] > 0). Deterministic
-    coordinate-hyperplane LSH — same banding math as random hyperplanes."""
+    coordinate-hyperplane LSH — same banding math as random hyperplanes.
+
+    Precondition (shared by hyperplane_bucket): vectors are fixed-width
+    with len > max(dims) and non-NULL elements — the fixture contract.
+    A short/NULL-element vector yields a NULL bucket, and the null-unsafe
+    bucket equi-join then silently excludes that row (corpus side) or
+    returns an empty result (query side); validate widths upstream when
+    ingesting foreign embeddings."""
     bit_cols = [
         (F.element_at(vec_col, d + 1) > 0).cast("int") * (2**i)
         for i, d in enumerate(dims)
@@ -308,7 +315,16 @@ def pandas_cosine_topk(
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            mat = np.vstack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            # A NULL embedding must score NaN (-> NULL downstream) like
+            # the expression-based cosine path, not crash the worker:
+            # np.asarray(None) is 0-d and np.vstack raises on it.
+            mat = np.vstack(
+                pdf[vec_col].map(
+                    lambda v: np.full(len(qv), np.nan)
+                    if v is None
+                    else np.asarray(v, dtype=np.float64)
+                )
+            )
             norms = np.sqrt((mat * mat).sum(axis=1))
             sims = (mat @ qv) / np.where(norms * qn == 0.0, np.nan, norms * qn)
             yield pd.DataFrame({id_col: pdf[id_col], "cosine_sim": np.floor(sims * 1e6 + 0.5) / 1e6})
