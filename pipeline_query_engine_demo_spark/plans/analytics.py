@@ -1639,3 +1639,334 @@ def chi2_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(F.col("exp_cur"), 6).alias("exp_cur"),
         round_half_up(chi2, 6).alias("chi2_term"),
     ).orderBy("priority")
+
+
+# --------------------------------------------------------------------------
+# Higher-moment statistics from exact power sums
+# --------------------------------------------------------------------------
+
+#: Shared sub-expressions for the higher-moment oracle. Every stage the
+#: SQL computes mirrors the Spark builder's staged selects exactly, so
+#: both engines evaluate the same IEEE expression tree on the same exact
+#: decimal sums (see stats_corr_covar for the power-sum rationale).
+_HM_SUMS_SQL = """
+    s AS (
+        SELECT l_returnflag AS returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+               SUM(CAST(CAST(l_quantity AS DECIMAL(9,2))
+                        * CAST(l_quantity AS DECIMAL(9,2)) AS DECIMAL(18,4))) AS sxx,
+               SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(9,2))
+                             * CAST(l_quantity AS DECIMAL(9,2)) AS DECIMAL(18,4))
+                        * CAST(l_quantity AS DECIMAL(9,2)) AS DECIMAL(18,6))) AS sxxx,
+               SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(9,2))
+                             * CAST(l_quantity AS DECIMAL(9,2)) AS DECIMAL(18,4))
+                        * CAST(CAST(l_quantity AS DECIMAL(9,2))
+                               * CAST(l_quantity AS DECIMAL(9,2)) AS DECIMAL(18,4))
+                        AS DECIMAL(18,8))) AS sxxxx
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    d AS (
+        SELECT returnflag, n,
+               CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+               CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) AS ex2,
+               CAST(sxxx AS DOUBLE) / CAST(n AS DOUBLE) AS ex3,
+               CAST(sxxxx AS DOUBLE) / CAST(n AS DOUBLE) AS ex4
+        FROM s
+    ),
+    e AS (
+        SELECT returnflag, n, m1, ex2, ex3, ex4,
+               ex2 - m1 * m1 AS var_pop
+        FROM d
+    )
+"""
+
+
+@query(
+    "stats_higher_moments",
+    category="aggregation",
+    oracle=f"""
+        WITH {_HM_SUMS_SQL}
+        SELECT returnflag, n,
+               {sql_round_half_up("m1", 6)} AS mean_qty,
+               {sql_round_half_up("sqrt(var_pop)", 6)} AS stddev_pop_qty,
+               {sql_round_half_up(
+                   "(ex3 - 3.0 * m1 * ex2 + 2.0 * m1 * m1 * m1)"
+                   " / (sqrt(var_pop) * var_pop)", 6)} AS skewness_qty,
+               {sql_round_half_up(
+                   "(ex4 - 4.0 * m1 * ex3 + 6.0 * m1 * m1 * ex2"
+                   " - 3.0 * m1 * m1 * m1 * m1) / (var_pop * var_pop) - 3.0",
+                   6)} AS kurtosis_excess_qty
+        FROM e
+        ORDER BY returnflag
+    """,
+)
+def stats_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean, population stddev, skewness, and excess kurtosis per group
+    from exact DECIMAL power sums (n, Σx, Σx², Σx³, Σx⁴) — the built-in
+    ``skewness``/``kurtosis`` accumulate centered floats whose low bits
+    depend on partition order, so they can't hash-match across engines
+    (same rationale as stats_corr_covar). Powers are staged through
+    width-bounded DECIMAL casts (x² at scale 4, x³ at 6, x⁴ at 8 — all
+    exact for the 2-decimal quantity domain), so every partial-agg
+    order yields bit-identical sums; one double-precision expression
+    tree, written identically in both engines, finishes per group.
+
+    Scale: one map-side-combinable groupBy — the same single shuffle as
+    any sum; moment statistics at 100 TB are exactly this shape
+    (distributed partial power sums + a constant-size driver finish).
+
+    Reference parity: the reference engine exposes only sum/avg
+    aggregates (/root/reference/src/executor/mod.rs:383-466); this is
+    the distribution-shape profiling a curation pipeline layers on top.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(9,2)")
+    x2 = (x * x).cast("decimal(18,4)")
+    s = lineitem.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sx"),
+        F.sum(x2).alias("sxx"),
+        F.sum((x2 * x).cast("decimal(18,6)")).alias("sxxx"),
+        F.sum((x2 * x2).cast("decimal(18,8)")).alias("sxxxx"),
+    )
+    nd = F.col("n").cast("double")
+    d = s.select(
+        "returnflag",
+        "n",
+        (F.col("sx").cast("double") / nd).alias("m1"),
+        (F.col("sxx").cast("double") / nd).alias("ex2"),
+        (F.col("sxxx").cast("double") / nd).alias("ex3"),
+        (F.col("sxxxx").cast("double") / nd).alias("ex4"),
+    )
+    e = d.select(
+        "*", (F.col("ex2") - F.col("m1") * F.col("m1")).alias("var_pop")
+    )
+    m1, ex2, ex3, ex4 = (F.col(c) for c in ("m1", "ex2", "ex3", "ex4"))
+    var_pop = F.col("var_pop")
+    return e.select(
+        "returnflag",
+        "n",
+        round_half_up(m1, 6).alias("mean_qty"),
+        round_half_up(F.sqrt(var_pop), 6).alias("stddev_pop_qty"),
+        round_half_up(
+            (ex3 - F.lit(3.0) * m1 * ex2 + F.lit(2.0) * m1 * m1 * m1)
+            / (F.sqrt(var_pop) * var_pop),
+            6,
+        ).alias("skewness_qty"),
+        round_half_up(
+            (
+                ex4
+                - F.lit(4.0) * m1 * ex3
+                + F.lit(6.0) * m1 * m1 * ex2
+                - F.lit(3.0) * m1 * m1 * m1 * m1
+            )
+            / (var_pop * var_pop)
+            - F.lit(3.0),
+            6,
+        ).alias("kurtosis_excess_qty"),
+    ).orderBy("returnflag")
+
+
+@query(
+    "spearman_rank_corr",
+    category="aggregation",
+    oracle=f"""
+        WITH r AS (
+            SELECT l_returnflag AS returnflag,
+                   rank() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_quantity) AS rx,
+                   rank() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) AS ry
+            FROM lineitem
+        ),
+        s AS (
+            SELECT returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(rx) AS DOUBLE) AS sx,
+                   CAST(SUM(ry) AS DOUBLE) AS sy,
+                   CAST(SUM(rx * rx) AS DOUBLE) AS sxx,
+                   CAST(SUM(ry * ry) AS DOUBLE) AS syy,
+                   CAST(SUM(rx * ry) AS DOUBLE) AS sxy
+            FROM r GROUP BY returnflag
+        )
+        SELECT returnflag, n,
+               {sql_round_half_up(
+                   "(CAST(n AS DOUBLE) * sxy - sx * sy)"
+                   " / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)"
+                   " * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))", 6)}
+                   AS spearman_qty_price
+        FROM s
+        ORDER BY returnflag
+    """,
+)
+def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per group: ``rank()`` windows replace
+    the values (ties share a rank, so the ranking is deterministic with
+    no tie-break column), then Pearson's formula runs on exact integer
+    rank sums. Ranks ≤ group size, so Σr² fits a BIGINT far beyond
+    100 TB row counts; the sums are cast to double once and a single
+    identical expression tree finishes on both engines — no
+    partition-order float drift anywhere.
+
+    Scale: one exchange on the group key serves both rank windows (two
+    in-partition sorts) and the downstream partial agg — the plan every
+    distributed rank statistic wants."""
+    from pyspark.sql import Window
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    # rank() is int32 in Spark (BIGINT in DuckDB); cast before squaring —
+    # rank² overflows int32 past ~46k rows per group.
+    r = lineitem.select(
+        F.col("l_returnflag").alias("returnflag"),
+        F.rank().over(wq).cast("bigint").alias("rx"),
+        F.rank().over(wp).cast("bigint").alias("ry"),
+    )
+    s = r.groupBy("returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rx").cast("double").alias("sx"),
+        F.sum("ry").cast("double").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("double").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("double").alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("double").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "returnflag",
+        "n",
+        round_half_up(
+            (nd * sxy - sx * sy)
+            / (F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)),
+            6,
+        ).alias("spearman_qty_price"),
+    ).orderBy("returnflag")
+
+
+@query(
+    "mad_robust_outliers_events",
+    category="analytics",
+    oracle="""
+        WITH r AS (
+            SELECT event_type, event_id, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        ),
+        med AS (
+            SELECT event_type,
+                   CAST(MAX(n) AS BIGINT) AS n,
+                   SUM(value) FILTER (WHERE 2 * rn = n OR 2 * rn = n + 1
+                                         OR 2 * rn = n + 2)
+                       / COUNT(*) FILTER (WHERE 2 * rn = n OR 2 * rn = n + 1
+                                             OR 2 * rn = n + 2) AS median_value
+            FROM r GROUP BY event_type
+        ),
+        dev AS (
+            SELECT r.event_type, r.event_id,
+                   abs(r.value - m.median_value) AS d
+            FROM r JOIN med m ON r.event_type = m.event_type
+        ),
+        r2 AS (
+            SELECT event_type, d,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY d, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM dev
+        ),
+        mad AS (
+            SELECT event_type,
+                   SUM(d) FILTER (WHERE 2 * rn = n OR 2 * rn = n + 1
+                                     OR 2 * rn = n + 2)
+                       / COUNT(*) FILTER (WHERE 2 * rn = n OR 2 * rn = n + 1
+                                             OR 2 * rn = n + 2) AS mad_value
+            FROM r2 GROUP BY event_type
+        )
+        SELECT m.event_type, m.n, m.median_value, md.mad_value,
+               CAST((SELECT COUNT(*) FROM dev d
+                     WHERE d.event_type = m.event_type
+                       AND d.d > 3.0 * 1.4826 * md.mad_value) AS BIGINT)
+                   AS n_outliers
+        FROM med m JOIN mad md ON m.event_type = md.event_type
+        ORDER BY m.event_type
+    """,
+)
+def mad_robust_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier detection per event type —
+    the robust alternative to z-scores (zscore_outlier_events) that a
+    single corrupted batch can't poison, since median and MAD both have
+    a 50% breakdown point.
+
+    Exact distributed median without interpolation ambiguity: rank each
+    partition's values once, then pick the middle element(s) with the
+    pure-integer predicate 2·rn ∈ {n, n+1, n+2} — for odd n exactly
+    rank (n+1)/2 matches, for even n ranks n/2 and n/2+1 — and average
+    the ≤2 picks (a 2-term IEEE sum, commutative, engine-identical).
+    Repeating the construction on |x − median| yields MAD; outliers are
+    |x − median| > 3·1.4826·MAD (1.4826 scales MAD to σ under
+    normality).
+
+    Scale: two exchanges on the group key (values, then deviations),
+    each a single in-partition sort — no quantile interpolation formula
+    to disagree on and no driver-side collect. For extreme per-group
+    cardinalities swap the full sort for percentile_approx; this is the
+    exact path."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wv = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    mid = (
+        (F.lit(2) * F.col("rn") == F.col("n"))
+        | (F.lit(2) * F.col("rn") == F.col("n") + F.lit(1))
+        | (F.lit(2) * F.col("rn") == F.col("n") + F.lit(2))
+    )
+    r = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = r.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        (
+            F.sum(F.when(mid, F.col("value"))) / F.count(F.when(mid, 1))
+        ).alias("median_value"),
+    )
+    dev = r.join(med.select("event_type", "median_value"), "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("value") - F.col("median_value")).alias("d"),
+    )
+    wd = Window.partitionBy("event_type").orderBy("d", "event_id")
+    r2 = dev.select(
+        "event_type",
+        "d",
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mad = r2.groupBy("event_type").agg(
+        (F.sum(F.when(mid, F.col("d"))) / F.count(F.when(mid, 1))).alias("mad_value")
+    )
+    outliers = (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(
+                F.when(F.col("d") > F.lit(3.0) * F.lit(1.4826) * F.col("mad_value"), 1)
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+    )
+    return (
+        med.join(mad, "event_type")
+        .join(outliers, "event_type")
+        .select("event_type", "n", "median_value", "mad_value", "n_outliers")
+        .orderBy("event_type")
+    )

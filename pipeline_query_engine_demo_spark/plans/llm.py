@@ -2530,3 +2530,328 @@ def tokenizer_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Preference-pair construction + shingle novelty
+# --------------------------------------------------------------------------
+
+#: The quality_score(text, STOPWORDS) expression as DuckDB SQL — kept in
+#: lockstep with functions.text.quality_score (same operand doubles, same
+#: operation order, deliberately unrounded; see text_stats_docs).
+_QUALITY_SQL = (
+    "len(list_distinct(string_split(text, ' '))) / "
+    "len(string_split(text, ' ')) * 0.5 "
+    f"+ len(list_filter(string_split(text, ' '), t -> t IN ({_STOPWORDS_SQL}))) / "
+    "len(string_split(text, ' ')) * 0.2 "
+    "+ (len(string_split(text, ' ')) >= 10)::INT::DOUBLE * 0.3"
+)
+
+
+@query(
+    "preference_pairs_rlhf",
+    category="llm-curation",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, source, {_QUALITY_SQL} AS quality FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, source, quality,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY quality DESC, doc_id) AS rn_top,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY quality ASC, doc_id) AS rn_bot
+            FROM scored
+        )
+        SELECT t.source AS source,
+               t.doc_id AS chosen_doc_id,
+               b.doc_id AS rejected_doc_id,
+               t.quality AS chosen_quality,
+               b.quality AS rejected_quality,
+               t.quality - b.quality AS quality_margin
+        FROM ranked t
+        JOIN ranked b ON t.source = b.source
+        WHERE t.rn_top = 1 AND b.rn_bot = 1 AND t.doc_id <> b.doc_id
+        ORDER BY source
+    """,
+)
+def preference_pairs_rlhf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for reward-model / DPO training
+    data: within each prompt group (source stands in for the prompt
+    key), the highest-quality document becomes `chosen` and the lowest
+    `rejected`, with the score margin carried for margin-weighted
+    losses. Ranking is two row_number windows over the same partition
+    key (one exchange, two in-partition sorts) with doc_id tie-breaks,
+    so pair selection is deterministic; groups with a single document
+    produce no pair.
+
+    Scale: the per-group extremes shrink the corpus to |groups| rows
+    before the self-join, so the join is group-count-sized regardless
+    of corpus size — the standard shape for pairing exemplars at
+    100 TB. Quality is functions.text.quality_score, the same unrounded
+    double both engines compute identically (see text_stats_docs)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", text.quality_score("text", STOPWORDS).alias("quality")
+    )
+    w_top = Window.partitionBy("source").orderBy(F.desc("quality"), "doc_id")
+    w_bot = Window.partitionBy("source").orderBy(F.asc("quality"), "doc_id")
+    ranked = scored.select(
+        "*",
+        F.row_number().over(w_top).alias("rn_top"),
+        F.row_number().over(w_bot).alias("rn_bot"),
+    )
+    top = ranked.filter(F.col("rn_top") == 1).select(
+        "source",
+        F.col("doc_id").alias("chosen_doc_id"),
+        F.col("quality").alias("chosen_quality"),
+    )
+    bot = ranked.filter(F.col("rn_bot") == 1).select(
+        "source",
+        F.col("doc_id").alias("rejected_doc_id"),
+        F.col("quality").alias("rejected_quality"),
+    )
+    return (
+        top.join(bot, "source")
+        .filter(F.col("chosen_doc_id") != F.col("rejected_doc_id"))
+        .select(
+            "source",
+            "chosen_doc_id",
+            "rejected_doc_id",
+            "chosen_quality",
+            "rejected_quality",
+            (F.col("chosen_quality") - F.col("rejected_quality")).alias(
+                "quality_margin"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "shingle_novelty_docs",
+    category="llm-text",
+    oracle=f"""
+        WITH sh AS ({_shingle_units_sql(alias="sh")}),
+        df AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY sh),
+        per AS (
+            SELECT s.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                   CAST(COUNT(*) FILTER (WHERE d.df = 1) AS BIGINT) AS n_unique
+            FROM sh s JOIN df d ON s.sh = d.sh
+            GROUP BY s.doc_id
+        )
+        SELECT doc_id, n_shingles, n_unique,
+               n_unique / n_shingles AS novelty_frac
+        FROM per ORDER BY doc_id
+    """,
+)
+def shingle_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a document's distinct
+    3-word shingles that occur in NO other document. Low novelty marks
+    boilerplate/template text worth down-weighting in a training mix —
+    the inverse signal of near-dup detection (a doc can be globally
+    unique yet assembled from corpus-common phrases).
+
+    Plan: explode distinct shingles per doc, one groupBy for corpus
+    document frequency (each doc contributes a shingle once, so
+    COUNT(*) is the document frequency), join back on the shingle, and
+    re-aggregate per doc. Two map-side-combinable shuffles on the
+    shingle key plus one on doc_id; the df table is the corpus inverted
+    index and both joins carry (hash, count) pairs only — the 100 TB
+    shape. Uniqueness ratio is BIGINT/BIGINT, one exact double division
+    per row."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(text.shingles("text", dedup.DEFAULT_SHINGLE_N))).alias(
+            "sh"
+        ),
+    )
+    df = sh.groupBy("sh").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    per = (
+        sh.join(df, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.count(F.when(F.col("df") == 1, 1)).cast("bigint").alias("n_unique"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_unique",
+        (F.col("n_unique") / F.col("n_shingles")).alias("novelty_frac"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "rouge2_eval_pairs",
+    category="llm-text",
+    oracle=f"""
+        WITH {_UNITS_CTE}, {_SIGS_CTE}, {_BUCKETS_CTE}, {_CAND_CTE},
+        cids AS (SELECT id_a AS doc_id FROM cand
+                 UNION SELECT id_b AS doc_id FROM cand),
+        bg AS ({_shingle_units_sql(
+            n=2,
+            source="(SELECT * FROM documents"
+            " WHERE doc_id IN (SELECT doc_id FROM cids))",
+            alias="bg")}),
+        sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bg
+                  FROM bg GROUP BY doc_id),
+        inter AS (
+            SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM cand c
+            JOIN bg a ON a.doc_id = c.id_a
+            JOIN bg b ON b.doc_id = c.id_b AND b.bg = a.bg
+            GROUP BY c.id_a, c.id_b
+        )
+        SELECT i.id_a, i.id_b, i.n_common,
+               i.n_common / sb.n_bg AS rouge2_precision,
+               i.n_common / sa.n_bg AS rouge2_recall,
+               2.0 * (i.n_common / sb.n_bg) * (i.n_common / sa.n_bg)
+                   / ((i.n_common / sb.n_bg) + (i.n_common / sa.n_bg)) AS rouge2_f1
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        ORDER BY id_a, id_b
+    """,
+)
+def rouge2_eval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 precision/recall/F1 between LSH candidate pairs — the
+    n-gram-overlap evaluation metric (summarization eval, distillation
+    quality checks) computed at corpus scale by restricting the bigram
+    join to MinHash-LSH candidates instead of all pairs. id_a plays the
+    reference (recall denominator), id_b the candidate (precision
+    denominator); pairs sharing zero bigrams drop out structurally.
+    Ratios are exact BIGINT/BIGINT divisions and the F1 combiner is one
+    identical IEEE expression tree on both engines, so no rounding is
+    needed.
+
+    Scale: candidate generation is the banded bucket self-join
+    (operators.dedup.lsh_candidate_pairs — capped buckets, materialized
+    bucket table); the bigram overlap join is candidate-restricted, so
+    total cost tracks true-pair output, not corpus²."""
+    docs = load_table(spark, sf_dir, "documents")
+    # Lazy checkpoint: cand feeds three consumers (the id semi-filter
+    # and both overlap joins) — without the cut each would replay the
+    # whole MinHash/banding chain (same rationale as near_dup_pairs).
+    cand = dedup.lsh_candidate_pairs(docs, "doc_id", "text").localCheckpoint(
+        eager=False
+    )
+    # Only candidate documents ever need bigrams: semi-filter before the
+    # explode so the overlap joins shuffle candidate-doc bigrams, not the
+    # whole corpus's (candidates ~ output-sized, corpus ~ 100 TB).
+    ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .union(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    # bg also feeds three consumers (both overlap joins + sizes); cut its
+    # lineage too so the semi-join + explode runs once.
+    bg = (
+        docs.join(ids, "doc_id", "left_semi")
+        .select(
+            "doc_id", F.explode(F.array_distinct(text.shingles("text", 2))).alias("bg")
+        )
+        .localCheckpoint(eager=False)
+    )
+    sizes = bg.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_bg"))
+    inter = (
+        cand.join(bg.withColumnsRenamed({"doc_id": "id_a"}), "id_a")
+        .join(bg.withColumnsRenamed({"doc_id": "id_b"}), ["id_b", "bg"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    joined = inter.join(
+        sizes.withColumnsRenamed({"doc_id": "id_a", "n_bg": "n_a"}), "id_a"
+    ).join(sizes.withColumnsRenamed({"doc_id": "id_b", "n_bg": "n_b"}), "id_b")
+    p = F.col("n_common") / F.col("n_b")
+    r = F.col("n_common") / F.col("n_a")
+    return joined.select(
+        "id_a",
+        "id_b",
+        "n_common",
+        p.alias("rouge2_precision"),
+        r.alias("rouge2_recall"),
+        (F.lit(2.0) * p * r / (p + r)).alias("rouge2_f1"),
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "char_entropy_docs",
+    category="llm-text",
+    oracle=f"""
+        WITH chars AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, length(text)),
+                                         i -> substr(text, i, 1))) AS ch
+            FROM documents
+        ),
+        cnts AS (
+            SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM chars GROUP BY doc_id, ch
+        ),
+        tot AS (
+            SELECT doc_id,
+                   CAST(SUM(cnt) AS BIGINT) AS n_total,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct_chars
+            FROM cnts GROUP BY doc_id
+        ),
+        terms AS (
+            SELECT c.doc_id,
+                   CAST({sql_round_half_up(
+                       "(c.cnt / t.n_total) * ln(c.cnt / t.n_total)", 9)}
+                        AS DECIMAL(28,12)) AS term
+            FROM cnts c JOIN tot t ON c.doc_id = t.doc_id
+        )
+        SELECT t.doc_id, t.n_total, t.n_distinct_chars,
+               CAST(-SUM(s.term) AS DOUBLE) AS char_entropy_nats
+        FROM terms s JOIN tot t ON s.doc_id = t.doc_id
+        GROUP BY t.doc_id, t.n_total, t.n_distinct_chars
+        ORDER BY t.doc_id
+    """,
+)
+def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (nats) — the cheap
+    gibberish/compression detector every quality-filter stack carries:
+    natural text sits in a narrow entropy band, base64 blobs and
+    repeated-character junk fall far outside it.
+
+    Determinism: each p·ln(p) term is floor-rounded to 9 digits and
+    summed as DECIMAL, so the per-document sum is exact and
+    order-independent — float accumulation order (the usual
+    cross-engine killer for entropy) never appears. One explode to
+    (doc, char) counts, two map-side-combinable groupBys; the char
+    domain is tiny so the shuffles carry ~alphabet rows per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text")),
+                lambda i: F.col("text").substr(i, F.lit(1)),
+            )
+        ).alias("ch"),
+    )
+    cnts = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tot = cnts.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
+    )
+    p = F.col("cnt") / F.col("n_total")
+    terms = cnts.join(tot, "doc_id").select(
+        "doc_id",
+        round_half_up(p * F.log(p), 9).cast("decimal(28,12)").alias("term"),
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg((-F.sum("term")).cast("double").alias("char_entropy_nats"))
+        .join(tot, "doc_id")
+        .select("doc_id", "n_total", "n_distinct_chars", "char_entropy_nats")
+        .orderBy("doc_id")
+    )
