@@ -1970,3 +1970,299 @@ def mad_robust_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n", "median_value", "mad_value", "n_outliers")
         .orderBy("event_type")
     )
+
+
+@query(
+    "interval_sweep_concurrency",
+    category="analytics",
+    oracle="""
+        WITH pts AS (
+            SELECT event_type, ts AS t, 1 AS delta FROM events
+            UNION ALL
+            SELECT event_type, ts + INTERVAL 1 HOUR AS t, -1 AS delta
+            FROM events
+        ),
+        run AS (
+            SELECT event_type, delta,
+                   SUM(delta) OVER (PARTITION BY event_type
+                                    ORDER BY t, delta) AS running
+            FROM pts
+        )
+        SELECT event_type,
+               CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_intervals,
+               CAST(MAX(running) AS BIGINT) AS max_concurrent
+        FROM run GROUP BY event_type ORDER BY event_type
+    """,
+)
+def interval_sweep_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum concurrency of half-open 1-hour intervals per event
+    type, by the classic sweep line: every interval contributes a +1
+    endpoint at its start and a -1 at its end, and the peak of the
+    running endpoint sum is the max overlap. Ordering ends (-1) before
+    starts (+1) at equal timestamps gives exact half-open semantics —
+    an interval ending at T never overlaps one starting at T. The
+    running sum uses the default RANGE frame, so all peer rows at one
+    (t, delta) key are summed together and the per-type max is
+    order-independent under ties.
+
+    Scale: endpoints double the row count but carry 3 narrow columns;
+    one hash exchange on the sweep key (event_type) followed by an
+    in-partition sort — the same plan at any fact size. Skewed sweep
+    keys would range-partition the time axis and carry per-split open
+    counts, the standard distributed-sweep refinement."""
+    ev = load_table(spark, sf_dir, "events")
+    starts = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    )
+    ends = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    pts = starts.unionAll(ends)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("t", "delta")
+    run = pts.select("event_type", "delta", F.sum("delta").over(w).alias("running"))
+    return (
+        run.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_intervals"),
+            F.max("running").cast("bigint").alias("max_concurrent"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "welch_ttest_acctbal",
+    category="aggregation",
+    oracle=f"""
+        WITH s AS (
+            SELECT
+                CAST(COUNT(*) FILTER (WHERE c_mktsegment = 'BUILDING')
+                     AS BIGINT) AS n1,
+                CAST(COUNT(*) FILTER (WHERE c_mktsegment = 'MACHINERY')
+                     AS BIGINT) AS n2,
+                CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)))
+                     FILTER (WHERE c_mktsegment = 'BUILDING') AS DOUBLE) AS s1,
+                CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)))
+                     FILTER (WHERE c_mktsegment = 'MACHINERY') AS DOUBLE) AS s2,
+                CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))
+                         * CAST(c_acctbal AS DECIMAL(12,2)))
+                     FILTER (WHERE c_mktsegment = 'BUILDING') AS DOUBLE) AS q1,
+                CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))
+                         * CAST(c_acctbal AS DECIMAL(12,2)))
+                     FILTER (WHERE c_mktsegment = 'MACHINERY') AS DOUBLE) AS q2
+            FROM customer
+            WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        ),
+        d AS (
+            SELECT n1, n2,
+                   s1 / n1 AS m1, s2 / n2 AS m2,
+                   (q1 - s1 * s1 / n1) / (n1 - 1) AS v1,
+                   (q2 - s2 * s2 / n2) / (n2 - 1) AS v2
+            FROM s
+        )
+        SELECT n1, n2,
+               {sql_round_half_up('m1', 6)} AS mean_1,
+               {sql_round_half_up('m2', 6)} AS mean_2,
+               {sql_round_half_up(
+                   '(m1 - m2) / sqrt(v1 / n1 + v2 / n2)', 6)} AS t_stat,
+               {sql_round_half_up(
+                   '(v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)'
+                   ' / ((v1 / n1) * (v1 / n1) / (n1 - 1)'
+                   ' + (v2 / n2) * (v2 / n2) / (n2 - 1))', 6)} AS df_welch
+        FROM d
+    """,
+)
+def welch_ttest_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two customer segments on
+    account balance: one conditional-aggregate scan produces exact
+    DECIMAL sums and sums-of-squares for both cohorts (the fixture's
+    2-decimal balances are exact in DECIMAL(12,2)), then mean,
+    sample variance, the t statistic, and the Welch–Satterthwaite
+    degrees of freedom evaluate as one identical double expression tree
+    on both engines — squares written as x*x, never pow(), so no libm
+    variance.
+
+    Scale: a single partial+final aggregate over the scan (both cohorts
+    in one pass, no join, no shuffle beyond the 1-row combine); the
+    statistic is O(1) state per cohort — the textbook map-side-combine
+    shape at any table size."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    is1 = F.col("c_mktsegment") == "BUILDING"
+    is2 = F.col("c_mktsegment") == "MACHINERY"
+    s = cust.agg(
+        F.count(F.when(is1, F.lit(1))).cast("bigint").alias("n1"),
+        F.count(F.when(is2, F.lit(1))).cast("bigint").alias("n2"),
+        F.sum(F.when(is1, bal)).cast("double").alias("s1"),
+        F.sum(F.when(is2, bal)).cast("double").alias("s2"),
+        F.sum(F.when(is1, bal * bal)).cast("double").alias("q1"),
+        F.sum(F.when(is2, bal * bal)).cast("double").alias("q2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    d = s.select(
+        "n1",
+        "n2",
+        (F.col("s1") / n1).alias("m1"),
+        (F.col("s2") / n2).alias("m2"),
+        ((F.col("q1") - F.col("s1") * F.col("s1") / n1) / (n1 - F.lit(1))).alias("v1"),
+        ((F.col("q2") - F.col("s2") * F.col("s2") / n2) / (n2 - F.lit(1))).alias("v2"),
+    )
+    m1, m2 = F.col("m1"), F.col("m2")
+    se1 = F.col("v1") / F.col("n1")
+    se2 = F.col("v2") / F.col("n2")
+    return d.select(
+        "n1",
+        "n2",
+        round_half_up(m1, 6).alias("mean_1"),
+        round_half_up(m2, 6).alias("mean_2"),
+        round_half_up((m1 - m2) / F.sqrt(se1 + se2), 6).alias("t_stat"),
+        round_half_up(
+            (se1 + se2) * (se1 + se2)
+            / (se1 * se1 / (F.col("n1") - F.lit(1))
+               + se2 * se2 / (F.col("n2") - F.lit(1))),
+            6,
+        ).alias("df_welch"),
+    )
+
+
+@query(
+    "mann_whitney_u_events",
+    category="aggregation",
+    oracle=f"""
+        WITH e AS (
+            SELECT event_type, value FROM events
+            WHERE event_type IN ('click', 'view')
+        ),
+        v AS (
+            SELECT value,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'click')
+                        AS BIGINT) AS c1,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'view')
+                        AS BIGINT) AS c2,
+                   CAST(COUNT(*) AS BIGINT) AS ct
+            FROM e GROUP BY value
+        ),
+        r AS (
+            SELECT c1, c2, ct,
+                   CAST(COALESCE(SUM(ct) OVER (
+                       ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS cum_before
+            FROM v
+        ),
+        s AS (
+            SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                   CAST(SUM(c2) AS BIGINT) AS n2,
+                   CAST(SUM(c1 * (2 * cum_before + ct + 1)) AS BIGINT)
+                       AS two_r1,
+                   CAST(SUM(ct * ct * ct - ct) AS BIGINT) AS tie
+            FROM r
+        ),
+        d AS (
+            SELECT n1, n2,
+                   CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+                   CAST(n1 * n2 AS DOUBLE) AS nn,
+                   CAST(n1 + n2 AS DOUBLE) AS n,
+                   CAST(tie AS DOUBLE) AS tie_d
+            FROM s
+        )
+        SELECT n1, n2,
+               {sql_round_half_up('u1', 6)} AS u_stat,
+               {sql_round_half_up(
+                   '(u1 - nn / 2.0)'
+                   ' / sqrt(nn / 12.0 * ((n + 1.0) - tie_d / (n * (n - 1.0))))',
+                   6)} AS z_stat
+        FROM d
+    """,
+)
+def mann_whitney_u_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test between two event types, with
+    midrank tie handling and the tie-corrected normal approximation —
+    the non-parametric two-sample companion to welch_ttest_acctbal.
+    All rank arithmetic stays in integers: per-value counts replace
+    per-row ranks (2×avg-midrank = 2×cum_before + ct + 1 is exact), so
+    U and the tie term are BIGINT-exact and the only doubles are the
+    final identical expression tree on both engines.
+
+    Scale: ranking is two-phase, never global — values aggregate to
+    (value, counts) rows, rank within ~16 value-range buckets in
+    parallel, and add broadcast per-bucket offsets (the
+    global_shuffle_positions pattern); because the bucket is a prefix
+    of the value order, bucket-then-within IS the global rank. The one
+    partition-less window runs over the bucket-count table (≤ range/32
+    rows), not the fact table."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    g = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+        F.count("*").cast("bigint").alias("ct"),
+    )
+    g = g.withColumn("bucket", F.floor(F.col("value") / F.lit(32.0)).cast("bigint"))
+    w_in = Window.partitionBy("bucket").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    g2 = g.withColumn(
+        "cum_in", F.coalesce(F.sum("ct").over(w_in), F.lit(0).cast("bigint"))
+    )
+    counts = g.groupBy("bucket").agg(F.sum("ct").alias("bn"))
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bucket",
+        F.coalesce(F.sum("bn").over(w_off), F.lit(0)).cast("bigint").alias("off"),
+    )
+    j = g2.join(F.broadcast(offsets), "bucket").withColumn(
+        "cum_before", F.col("off") + F.col("cum_in")
+    )
+    s = j.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum(
+            F.col("c1")
+            * (F.lit(2) * F.col("cum_before") + F.col("ct") + F.lit(1))
+        )
+        .cast("bigint")
+        .alias("two_r1"),
+        F.sum(F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct"))
+        .cast("bigint")
+        .alias("tie"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    d = s.select(
+        "n1",
+        "n2",
+        ((F.col("two_r1") - n1 * (n1 + F.lit(1))).cast("double") / F.lit(2.0)).alias("u1"),
+        (n1 * n2).cast("double").alias("nn"),
+        (n1 + n2).cast("double").alias("n"),
+        F.col("tie").cast("double").alias("tie_d"),
+    )
+    u1, nn, n, tie_d = (F.col(c) for c in ("u1", "nn", "n", "tie_d"))
+    return d.select(
+        "n1",
+        "n2",
+        round_half_up(u1, 6).alias("u_stat"),
+        round_half_up(
+            (u1 - nn / F.lit(2.0))
+            / F.sqrt(
+                nn / F.lit(12.0)
+                * ((n + F.lit(1.0)) - tie_d / (n * (n - F.lit(1.0))))
+            ),
+            6,
+        ).alias("z_stat"),
+    )

@@ -797,3 +797,116 @@ def ratio_to_report_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region", "nation")
     )
+
+
+#: Dyadic EWMA tap weights (2^7 … 2^0): alpha = 1/2 over an 8-row
+#: horizon. Powers of two keep every weighted term an exact integer in
+#: the scaled micro-unit space, so both engines sum identically.
+_EWMA_WEIGHTS = [128, 64, 32, 16, 8, 4, 2, 1]
+
+
+def _ewma_oracle_sql() -> str:
+    taps = ",\n                   ".join(
+        f"lag(scaled, {i}) OVER w AS l{i}" for i in range(1, 8)
+    )
+    cols = ["scaled"] + [f"l{i}" for i in range(1, 8)]
+    num = " + ".join(
+        f"COALESCE({c} * {w}.0, 0.0)" for c, w in zip(cols, _EWMA_WEIGHTS)
+    )
+    den = " + ".join(
+        f"(CASE WHEN {c} IS NOT NULL THEN {w}.0 ELSE 0.0 END)"
+        for c, w in zip(cols, _EWMA_WEIGHTS)
+    )
+    return f"""
+        WITH s AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN isfinite(value)
+                        THEN floor((value) * 1000000.0 + 0.5) END AS scaled
+            FROM events
+        ),
+        t AS (
+            SELECT user_id, value, scaled,
+                   {taps},
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn_last,
+                   CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
+            FROM s
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        m AS (
+            SELECT user_id, n_events, value,
+                   ({num}) AS num, ({den}) AS den
+            FROM t WHERE rn_last = 1
+        )
+        SELECT user_id, n_events,
+               {sql_round_half_up('value', 6)} AS last_value,
+               {sql_round_half_up('num / den / 1000000.0', 6)} AS ewma_value
+        FROM m ORDER BY user_id
+    """
+
+
+@query(
+    "ewma_smoothed_values",
+    category="window",
+    oracle=_ewma_oracle_sql(),
+)
+def ewma_smoothed_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha = 1/2) of each
+    user's event values over a bounded 8-tap horizon, reported at the
+    user's latest event. Cross-engine exactness: values are scaled to
+    integer micro-units with the shared floor-half-up form, the dyadic
+    weights 2^0..2^7 keep every weighted term an exact integer in
+    double space (< 2^53), and the single num/den/1e6 division is the
+    only inexact step — an identical IEEE expression on both engines.
+    Partial windows at a user's first events renormalize over the taps
+    actually present, the standard EWMA warm-up.
+
+    Scale: one hash exchange on user_id serves the 8 lag taps, the
+    count, and the latest-row filter (all windows share the partition
+    key); the bounded frame means state per row is 8 taps regardless of
+    history length — the same fixed-memory shape a streaming EWMA
+    keeps. No global sort anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    c = F.col("value").cast("double")
+    finite = ~(
+        F.isnan(c) | (c == F.lit(float("inf"))) | (c == F.lit(float("-inf")))
+    )
+    scaled = F.when(finite, F.floor(c * F.lit(1000000.0) + F.lit(0.5)))
+    df = ev.select(
+        "user_id", "ts", "event_id", "value", scaled.alias("scaled")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    taps = [F.col("scaled")] + [
+        F.lag("scaled", i).over(w) for i in range(1, 8)
+    ]
+    num = None
+    den = None
+    for tap, wt in zip(taps, _EWMA_WEIGHTS):
+        n_term = F.coalesce(tap.cast("double") * F.lit(float(wt)), F.lit(0.0))
+        d_term = F.when(tap.isNotNull(), F.lit(float(wt))).otherwise(F.lit(0.0))
+        num = n_term if num is None else num + n_term
+        den = d_term if den is None else den + d_term
+    w_last = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    w_part = Window.partitionBy("user_id")
+    return (
+        df.select(
+            "user_id",
+            "value",
+            num.alias("num"),
+            den.alias("den"),
+            F.row_number().over(w_last).alias("rn_last"),
+            F.count("*").over(w_part).cast("bigint").alias("n_events"),
+        )
+        .filter(F.col("rn_last") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            round_half_up(F.col("value"), 6).alias("last_value"),
+            round_half_up(
+                F.col("num") / F.col("den") / F.lit(1000000.0), 6
+            ).alias("ewma_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,118 @@
+"""Semantic tests for the round-4 session-2 extension queries: EWMA
+smoothing, interval sweep concurrency, Welch's t-test, and
+Mann-Whitney U.
+
+The registry gate proves DuckDB parity; these pin the math against
+independent numpy/pandas recomputation so a parity-preserving-but-wrong
+formula can't slip through on both engines at once.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from pipeline_query_engine_demo_spark.plans.analytics import (
+    interval_sweep_concurrency,
+    mann_whitney_u_events,
+    welch_ttest_acctbal,
+)
+from pipeline_query_engine_demo_spark.plans.windows import (
+    _EWMA_WEIGHTS,
+    ewma_smoothed_values,
+)
+
+
+def test_ewma_matches_direct_recomputation(spark, sf_dir):
+    out = {r["user_id"]: r for r in ewma_smoothed_values(spark, sf_dir).collect()}
+    assert out
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append((r["ts"], r["event_id"], r["value"]))
+    assert set(out) == set(by_user)
+    for uid, rows in by_user.items():
+        rows.sort()
+        tail = [v for _, _, v in rows][-8:][::-1]  # most recent first
+        num = sum(w * v for w, v in zip(_EWMA_WEIGHTS, tail))
+        den = sum(w for w, _ in zip(_EWMA_WEIGHTS, tail))
+        r = out[uid]
+        assert r["n_events"] == len(rows)
+        assert math.isclose(r["last_value"], rows[-1][2], abs_tol=1e-6)
+        # micro-unit scaling introduces <=0.5e-6 per tap before the final round
+        assert math.isclose(r["ewma_value"], num / den, abs_tol=5e-6)
+
+
+def test_sweep_concurrency_matches_bruteforce(spark, sf_dir):
+    out = {
+        r["event_type"]: r for r in interval_sweep_concurrency(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_type", "ts").collect()
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(r["ts"].timestamp())
+    assert set(out) == set(by_type)
+    hour = 3600.0
+    for et, starts in by_type.items():
+        s = np.array(sorted(starts))
+        # for half-open intervals the max concurrency is attained at a start
+        best = max(int(((t >= s) & (t < s + hour)).sum()) for t in s)
+        assert out[et]["n_intervals"] == len(s)
+        assert out[et]["max_concurrent"] == best
+
+
+def test_welch_matches_numpy(spark, sf_dir):
+    row = welch_ttest_acctbal(spark, sf_dir).collect()[0]
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    g1 = np.array([r["c_acctbal"] for r in cust if r["c_mktsegment"] == "BUILDING"])
+    g2 = np.array([r["c_acctbal"] for r in cust if r["c_mktsegment"] == "MACHINERY"])
+    v1, v2 = g1.var(ddof=1), g2.var(ddof=1)
+    se = v1 / len(g1) + v2 / len(g2)
+    t = (g1.mean() - g2.mean()) / math.sqrt(se)
+    df = se * se / (
+        (v1 / len(g1)) ** 2 / (len(g1) - 1) + (v2 / len(g2)) ** 2 / (len(g2) - 1)
+    )
+    assert row["n1"] == len(g1) and row["n2"] == len(g2)
+    assert math.isclose(row["mean_1"], g1.mean(), abs_tol=1e-4)
+    assert math.isclose(row["mean_2"], g2.mean(), abs_tol=1e-4)
+    assert math.isclose(row["t_stat"], t, abs_tol=1e-4)
+    assert math.isclose(row["df_welch"], df, rel_tol=1e-6, abs_tol=1e-3)
+
+
+def _midranks(values: np.ndarray) -> np.ndarray:
+    order = np.argsort(values, kind="mergesort")
+    ranks = np.empty(len(values), dtype=np.float64)
+    sorted_v = values[order]
+    i = 0
+    while i < len(values):
+        j = i
+        while j < len(values) and sorted_v[j] == sorted_v[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0  # average of ranks i+1..j
+        i = j
+    return ranks
+
+
+def test_mann_whitney_matches_numpy(spark, sf_dir):
+    row = mann_whitney_u_events(spark, sf_dir).collect()[0]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    g1 = np.array([r["value"] for r in ev if r["event_type"] == "click"])
+    g2 = np.array([r["value"] for r in ev if r["event_type"] == "view"])
+    combined = np.concatenate([g1, g2])
+    ranks = _midranks(combined)
+    r1 = ranks[: len(g1)].sum()
+    n1, n2 = len(g1), len(g2)
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    n = n1 + n2
+    _, counts = np.unique(combined, return_counts=True)
+    tie = float((counts**3 - counts).sum())
+    var = n1 * n2 / 12.0 * ((n + 1) - tie / (n * (n - 1)))
+    z = (u1 - n1 * n2 / 2.0) / math.sqrt(var)
+    assert row["n1"] == n1 and row["n2"] == n2
+    assert math.isclose(row["u_stat"], u1, abs_tol=1e-6)
+    assert math.isclose(row["z_stat"], z, abs_tol=1e-5)
