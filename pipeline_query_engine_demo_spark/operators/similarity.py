@@ -341,3 +341,55 @@ def pandas_cosine_topk(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def knn_classify(
+    corpus: DataFrame,
+    query: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int,
+) -> DataFrame:
+    """k-NN majority-vote classification: each query vector takes the
+    modal label of its k cosine-nearest corpus neighbors (self-matches
+    excluded by id). Vote ties break on the smaller label, so the
+    prediction is deterministic. Returns (query_id, true_label,
+    predicted_label, votes, correct).
+
+    Scale shape: identical to :func:`cosine_topk` (broadcast query
+    side, salted two-phase top-k), plus a neighbor-label equi-join in
+    which the tiny top-k side broadcasts — the corpus never shuffles."""
+    scored = cosine_scores(corpus, query, id_col, vec_col).filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    top = _topk_per_query(scored, id_col, k)
+    labels = corpus.select(F.col(id_col), F.col(label_col).alias("_nbr_label"))
+    voted = (
+        F.broadcast(top)
+        .join(labels, id_col)
+        .groupBy("query_id", "_nbr_label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("_nbr_label")
+    )
+    pred = (
+        voted.withColumn("_vr", F.row_number().over(w))
+        .filter(F.col("_vr") == 1)
+        .select(
+            "query_id",
+            F.col("_nbr_label").alias("predicted_label"),
+            "votes",
+        )
+    )
+    truth = query.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
+    )
+    return pred.join(F.broadcast(truth), "query_id").select(
+        "query_id",
+        "true_label",
+        "predicted_label",
+        "votes",
+        (F.col("predicted_label") == F.col("true_label")).alias("correct"),
+    )

@@ -2855,3 +2855,188 @@ def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_total", "n_distinct_chars", "char_entropy_nats")
         .orderBy("doc_id")
     )
+
+
+#: BM25 retrieval constants: Robertson k1/b defaults and a fixed
+#: 3-term query over the fixture vocabulary. The same literals are
+#: interpolated into the DuckDB oracle.
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "bm25_topk_docs",
+    category="llm-text",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+               FROM toks GROUP BY doc_id),
+        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                         CAST(SUM(dl) AS BIGINT) AS total_tokens
+                  FROM dl),
+        tfc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM toks WHERE tok IN {_BM25_TERMS!r}
+                GROUP BY doc_id, tok),
+        dfc AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                FROM toks WHERE tok IN {_BM25_TERMS!r}
+                GROUP BY tok),
+        scored AS (
+            SELECT t.doc_id, t.tok,
+                   ln((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                      / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+                   * (CAST(t.tf AS DOUBLE) * {_BM25_K1 + 1.0!r})
+                   / (CAST(t.tf AS DOUBLE) + {_BM25_K1!r}
+                      * (1.0 - {_BM25_B!r} + {_BM25_B!r}
+                         * CAST(l.dl AS DOUBLE)
+                         / (CAST(s.total_tokens AS DOUBLE)
+                            / CAST(s.n_docs AS DOUBLE)))) AS term_score
+            FROM tfc t
+            JOIN dfc d ON t.tok = d.tok
+            JOIN dl l ON l.doc_id = t.doc_id
+            CROSS JOIN stats s
+        ),
+        agg AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN tok = '{_BM25_TERMS[0]}' THEN term_score END) AS s0,
+                   SUM(CASE WHEN tok = '{_BM25_TERMS[1]}' THEN term_score END) AS s1,
+                   SUM(CASE WHEN tok = '{_BM25_TERMS[2]}' THEN term_score END) AS s2
+            FROM scored GROUP BY doc_id
+        ),
+        fin AS (
+            SELECT doc_id,
+                   CAST((CASE WHEN s0 IS NOT NULL THEN 1 ELSE 0 END)
+                        + (CASE WHEN s1 IS NOT NULL THEN 1 ELSE 0 END)
+                        + (CASE WHEN s2 IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS matched_terms,
+                   COALESCE(s0, 0.0) + COALESCE(s1, 0.0) + COALESCE(s2, 0.0)
+                       AS score_raw
+            FROM agg
+        )
+        SELECT doc_id, matched_terms,
+               {sql_round_half_up('score_raw', 6)} AS bm25_score
+        FROM fin ORDER BY bm25_score DESC, doc_id LIMIT 15
+    """,
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-15 retrieval for a fixed 3-term query over an inverted
+    index built from relational primitives: explode -> per-doc term
+    frequencies and lengths -> document frequencies -> the
+    Robertson/Lucene BM25 formula (idf = ln((N-df+0.5)/(df+0.5)+1),
+    always positive). Per-doc scores sum the <=3 term contributions in
+    a FIXED coalesce order (conditional aggregate per term), so the
+    double addition order is engine-independent.
+
+    Scale: the term filter prunes the exploded stream to query-term
+    postings before any shuffle (the inverted-index access path); df
+    and the 1-row corpus stats broadcast; no window over the corpus —
+    the final top-15 is a TakeOrdered. The same plan serves a stored
+    posting-list table; here the index is built in-flight."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(text.tokens("text")).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_tokens"),
+    )
+    qtoks = toks.filter(F.col("tok").isin(*_BM25_TERMS))
+    tfc = qtoks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfc = qtoks.groupBy("tok").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    scored = (
+        tfc.join(F.broadcast(dfc), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    nd = F.col("n_docs").cast("double")
+    tt = F.col("total_tokens").cast("double")
+    dfd = F.col("df").cast("double")
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    k1, b = _BM25_K1, _BM25_B
+    term_score = (
+        F.log((nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5)) + F.lit(1.0))
+        * (tfd * F.lit(k1 + 1.0))
+        / (tfd + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * dld / (tt / nd)))
+    )
+    scored = scored.select("doc_id", "tok", term_score.alias("term_score"))
+    agg = scored.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("tok") == t, F.col("term_score"))).alias(f"s{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ]
+    )
+    matched = (
+        F.when(F.col("s0").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("s1").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("s2").isNotNull(), 1).otherwise(0)
+    ).cast("bigint")
+    score_raw = (
+        F.coalesce(F.col("s0"), F.lit(0.0))
+        + F.coalesce(F.col("s1"), F.lit(0.0))
+        + F.coalesce(F.col("s2"), F.lit(0.0))
+    )
+    return (
+        agg.select(
+            "doc_id",
+            matched.alias("matched_terms"),
+            round_half_up(score_raw, 6).alias("bm25_score"),
+        )
+        .orderBy(F.col("bm25_score").desc(), "doc_id")
+        .limit(15)
+    )
+
+
+@query(
+    "knn_classify_embeddings",
+    category="llm-similarity",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                          label AS true_label
+                   FROM embeddings WHERE vec_id % 97 = 0),
+        c AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        scored AS (SELECT q.query_id, c.vec_id, c.label,
+                          {_COSINE_SQL} AS cosine_sim
+                   FROM c CROSS JOIN q
+                   WHERE c.vec_id <> q.query_id),
+        top AS (SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY cosine_sim DESC, vec_id) AS rnk
+                    FROM scored)
+                WHERE rnk <= 5),
+        votes AS (SELECT query_id, label,
+                         CAST(COUNT(*) AS BIGINT) AS votes
+                  FROM top GROUP BY query_id, label),
+        pred AS (SELECT query_id, label AS predicted_label, votes FROM (
+                     SELECT *, row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY votes DESC, label) AS vr
+                     FROM votes)
+                 WHERE vr = 1)
+        SELECT p.query_id, q.true_label, p.predicted_label, p.votes,
+               (p.predicted_label = q.true_label) AS correct
+        FROM pred p JOIN q ON q.query_id = p.query_id
+        ORDER BY p.query_id
+    """,
+)
+def knn_classify_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label prediction (k=5, cosine, majority vote) for a ~1%
+    deterministic query sample (vec_id % 97 == 0), self-matches
+    excluded — the classification use of the similarity stack
+    (operators.similarity.knn_classify). Vote ties break on the
+    smaller label; `correct` compares against the held-out true label,
+    so the query doubles as a labeled-recall probe of the embedding
+    space. Same broadcast + salted-top-k scale shape as
+    cosine_topk_embeddings."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 97 == 0)
+    return similarity.knn_classify(
+        emb, q, "vec_id", "embedding", "label", k=5
+    ).orderBy("query_id")

@@ -1,0 +1,86 @@
+"""Semantic tests for the retrieval/classification extension queries:
+BM25 top-k and k-NN majority-vote classification.
+
+The registry gate proves DuckDB parity; these pin the math against
+independent pure-Python/numpy recomputation.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+
+from pipeline_query_engine_demo_spark.plans.llm import (
+    _BM25_B,
+    _BM25_K1,
+    _BM25_TERMS,
+    bm25_topk_docs,
+    knn_classify_embeddings,
+)
+
+
+def test_bm25_matches_pure_python(spark, sf_dir):
+    out = bm25_topk_docs(spark, sf_dir).collect()
+    assert 0 < len(out) <= 15
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    n_docs = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n_docs
+    df = {
+        t: sum(1 for toks in docs.values() if t in toks) for t in _BM25_TERMS
+    }
+    def score(toks: list) -> float:
+        s = 0.0
+        c = Counter(toks)
+        for t in _BM25_TERMS:
+            tf = c.get(t, 0)
+            if tf == 0 or df[t] == 0:
+                continue
+            idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += idf * (tf * (_BM25_K1 + 1.0)) / (
+                tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * len(toks) / avgdl)
+            )
+        return s
+
+    expected = sorted(
+        ((score(toks), did) for did, toks in docs.items()),
+        key=lambda p: (-p[0], p[1]),
+    )[: len(out)]
+    for row, (exp_score, exp_id) in zip(out, expected):
+        assert row["doc_id"] == exp_id
+        assert math.isclose(row["bm25_score"], exp_score, abs_tol=1e-5)
+        toks = set(docs[exp_id])
+        assert row["matched_terms"] == sum(1 for t in _BM25_TERMS if t in toks)
+
+
+def test_knn_classify_matches_numpy(spark, sf_dir):
+    out = {r["query_id"]: r for r in knn_classify_embeddings(spark, sf_dir).collect()}
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    ids = np.array([r["vec_id"] for r in emb])
+    labels = {r["vec_id"]: r["label"] for r in emb}
+    mat = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    qids = [i for i in ids if i % 97 == 0]
+    assert set(out) == set(qids)
+    for qid in qids:
+        qi = int(np.where(ids == qid)[0][0])
+        sims = mat @ mat[qi] / (norms * norms[qi])
+        # replicate the engine's rounding before ranking, ties by id
+        order = sorted(
+            (
+                (-round(s * 1e6 + 1e-9) / 1e6, int(i))
+                for s, i in zip(sims, ids)
+                if i != qid
+            ),
+        )[:5]
+        votes = Counter(labels[i] for _, i in order)
+        best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+        r = out[qid]
+        assert r["true_label"] == labels[qid]
+        assert r["predicted_label"] == best[0]
+        assert r["votes"] == best[1]
+        assert r["correct"] == (best[0] == labels[qid])

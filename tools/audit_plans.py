@@ -53,6 +53,8 @@ NL_WHITELIST = {
     "contrastive_negative_pairs",  # broadcast anchor-set theta fan-out, the intended shape
     "dataset_drift_psi",  # 1-row window-totals broadcast onto the 10-row bin table
     "chi2_categorical_drift",  # 1-row window-totals broadcast onto the 5-row category table
+    "bm25_topk_docs",  # 1-row corpus-stats broadcast onto the query-term postings
+    "knn_classify_embeddings",  # inherits cosine_topk's intended brute-force BNLJ scoring
 }
 #: The deliberate row-at-a-time Python evals (API coverage: F.udf,
 #: spark.udf.register for SQL, and the TABLE-argument UDTF whose
