@@ -160,6 +160,26 @@ def format_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(path).orderBy("partkey")
 
 
+@query("format_roundtrip_xml", category="source-format", oracle=_PART_ORACLE)
+def format_roundtrip_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML write + schema-declared read (built-in XML source, rowTag
+    per record). Like CSV/JSON, XML carries no types, so the reader
+    declares the schema up front — no inference scan. Covers the
+    enterprise-feed ingest path (SURVEY §2.1 file formats)."""
+    path = os.path.join(_SCRATCH, "fmt_xml")
+    _part_subset(spark, sf_dir).write.mode("overwrite").format("xml").option(
+        "rowTag", "part"
+    ).save(path)
+    return (
+        spark.read.schema("partkey long, brand string, type string, size int")
+        .format("xml")
+        .option("rowTag", "part")
+        .load(path)
+        .select("partkey", "brand", "type", "size")
+        .orderBy("partkey")
+    )
+
+
 @query(
     "write_sorted_layout",
     category="sink",

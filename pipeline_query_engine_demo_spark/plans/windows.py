@@ -910,3 +910,82 @@ def ewma_smoothed_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "interval_overlap_join",
+    category="join",
+    oracle="""
+        WITH promo AS (
+            SELECT DISTINCT date_trunc('month', o_orderdate) AS p_start,
+                   date_trunc('month', o_orderdate) + INTERVAL 10 DAY AS p_end
+            FROM orders
+        ),
+        ords AS (
+            SELECT o_orderkey, o_totalprice, o_orderdate AS s,
+                   o_orderdate + INTERVAL 7 DAY AS e
+            FROM orders
+        ),
+        j AS (
+            SELECT p.p_start, o.o_orderkey, o.o_totalprice
+            FROM ords o JOIN promo p
+              ON o.s < p.p_end AND p.p_start < o.e
+        )
+        SELECT p_start AS promo_month,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM j GROUP BY p_start ORDER BY promo_month
+    """,
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: each order owns a half-open 7-day window
+    and joins every 10-day promo window (first 10 days of each month,
+    derived from the data) it overlaps — the two-sided generalization
+    of range_join_followups' point-in-interval shape.
+
+    Scale: a naive theta join is O(orders × promos). Instead each
+    order interval explodes to the DISTINCT calendar months it touches
+    (≤ 2 rows), the promo side keys by its own month, and a bucket
+    equi-join + exact overlap filter replaces the inequality join —
+    the standard time-bucketed interval join. Because a promo window
+    fits inside one month, every overlapping pair shares exactly one
+    bucket: no duplicates, no post-join distinct. The promo side
+    broadcasts; the fact side never shuffles before aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    promo = (
+        orders.select(F.date_trunc("month", F.col("o_orderdate")).alias("p_start"))
+        .distinct()
+        .withColumn("p_end", F.col("p_start") + F.expr("INTERVAL 10 DAYS"))
+        .withColumn("bucket", F.col("p_start"))
+    )
+    ords = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderdate").alias("s"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("e"),
+    )
+    bucketed = ords.withColumn(
+        "bucket",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.date_trunc("month", F.col("s")),
+                    F.date_trunc("month", F.col("e")),
+                )
+            )
+        ),
+    )
+    j = bucketed.join(F.broadcast(promo), "bucket").filter(
+        (F.col("s") < F.col("p_end")) & (F.col("p_start") < F.col("e"))
+    )
+    return (
+        j.groupBy(F.col("p_start").alias("promo_month"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("promo_month")
+    )

@@ -116,3 +116,22 @@ def test_mann_whitney_matches_numpy(spark, sf_dir):
     assert row["n1"] == n1 and row["n2"] == n2
     assert math.isclose(row["u_stat"], u1, abs_tol=1e-6)
     assert math.isclose(row["z_stat"], z, abs_tol=1e-5)
+
+
+def test_interval_overlap_join_matches_bruteforce(spark, sf_dir):
+    from datetime import timedelta
+
+    from pipeline_query_engine_demo_spark.plans.windows import interval_overlap_join
+
+    out = {r["promo_month"]: r for r in interval_overlap_join(spark, sf_dir).collect()}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    months = sorted({r["o_orderdate"].replace(day=1, hour=0, minute=0, second=0, microsecond=0) for r in orders})
+    assert set(out) == set(months)
+    for m in months:
+        p_end = m + timedelta(days=10)
+        hits = [
+            r for r in orders
+            if r["o_orderdate"] < p_end and m < r["o_orderdate"] + timedelta(days=7)
+        ]
+        assert out[m]["n_orders"] == len(hits)
+        assert abs(out[m]["revenue"] - round(sum(round(r["o_totalprice"], 2) for r in hits), 2)) < 1e-6
