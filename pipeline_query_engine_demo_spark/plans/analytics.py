@@ -2266,3 +2266,171 @@ def mann_whitney_u_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_stat"),
     )
+
+
+@query(
+    "assoc_rules_copurchase",
+    category="analytics",
+    oracle=f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+            FROM lineitem
+        ),
+        n AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders
+              FROM items),
+        supp AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS s
+                 FROM items GROUP BY part),
+        pairs AS (
+            SELECT a.part AS p1, b.part AS p2,
+                   CAST(COUNT(*) AS BIGINT) AS sp
+            FROM items a JOIN items b
+              ON a.okey = b.okey AND a.part < b.part
+            GROUP BY a.part, b.part
+        ),
+        scored AS (
+            SELECT p.p1, p.p2, p.sp,
+                   CAST(p.sp AS DOUBLE) / CAST(s1.s AS DOUBLE) AS conf_12,
+                   CAST(p.sp AS DOUBLE) / CAST(s2.s AS DOUBLE) AS conf_21,
+                   CAST(n.n_orders * p.sp AS DOUBLE)
+                       / CAST(s1.s * s2.s AS DOUBLE) AS lift_raw
+            FROM pairs p
+            JOIN supp s1 ON s1.part = p.p1
+            JOIN supp s2 ON s2.part = p.p2
+            CROSS JOIN n
+            WHERE p.sp >= 2
+        )
+        SELECT p1, p2, sp AS pair_support,
+               {sql_round_half_up('conf_12', 6)} AS conf_12,
+               {sql_round_half_up('conf_21', 6)} AS conf_21,
+               {sql_round_half_up('lift_raw', 6)} AS lift
+        FROM scored
+        ORDER BY lift DESC, p1, p2 LIMIT 20
+    """,
+)
+def assoc_rules_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over co-purchased parts: pair support from the
+    basket self-join (a.part < b.part orients each pair once),
+    per-part support, and the top rules by lift with confidence in
+    both directions. All supports are BIGINT counts; confidence and
+    lift divide exact integer products cast to double in one identical
+    expression, rounded half-up to 6.
+
+    Scale: the same oriented basket self-join shape as
+    triangle_count_copurchase — quadratic only in per-basket size, so
+    a degenerate mega-basket wants the degree-cap/salting treatment
+    documented there; supports join back by part key (hash exchanges
+    on bounded item vocabulary) and the 1-row basket total broadcasts.
+    The support>=2 floor prunes the long random-pair tail before the
+    support joins — at 100 TB that floor is what keeps rule mining
+    tractable (classic a-priori pruning)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    items = lineitem.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    n = items.agg(F.countDistinct("okey").cast("bigint").alias("n_orders"))
+    supp = items.groupBy("part").agg(F.count(F.lit(1)).cast("bigint").alias("s"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.part") < F.col("b.part")),
+        )
+        .groupBy(
+            F.col("a.part").alias("p1"), F.col("b.part").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sp"))
+        .filter(F.col("sp") >= 2)
+    )
+    s1 = supp.select(F.col("part").alias("p1"), F.col("s").alias("s1"))
+    s2 = supp.select(F.col("part").alias("p2"), F.col("s").alias("s2"))
+    scored = (
+        pairs.join(s1, "p1")
+        .join(s2, "p2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            F.col("sp").alias("pair_support"),
+            round_half_up(
+                F.col("sp").cast("double") / F.col("s1").cast("double"), 6
+            ).alias("conf_12"),
+            round_half_up(
+                F.col("sp").cast("double") / F.col("s2").cast("double"), 6
+            ).alias("conf_21"),
+            round_half_up(
+                (F.col("n_orders") * F.col("sp")).cast("double")
+                / (F.col("s1") * F.col("s2")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.col("lift").desc(), "p1", "p2").limit(20)
+
+
+@query(
+    "event_transition_matrix",
+    category="analytics",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, event_type AS from_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS to_type
+            FROM events
+        ),
+        t AS (
+            SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM seq WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type
+        ),
+        tot AS (
+            SELECT from_type, CAST(SUM(n) AS BIGINT) AS total_from
+            FROM t GROUP BY from_type
+        )
+        SELECT t.from_type, t.to_type, t.n,
+               {sql_round_half_up(
+                   'CAST(t.n AS DOUBLE) / CAST(tt.total_from AS DOUBLE)', 6)}
+                   AS prob
+        FROM t JOIN tot tt ON tt.from_type = t.from_type
+        ORDER BY t.from_type, t.to_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user
+    stream: lead() pairs each event with the user's next event, counts
+    aggregate per (from, to), and probabilities row-normalize by the
+    from-state total — exact integer ratios, one identical double
+    division. The behavioral-model summary every product-analytics
+    pipeline derives from its event log.
+
+    Scale: one hash exchange on user_id for the lead window, then a
+    combinable count aggregate on the (from, to) vocabulary (|types|²
+    rows at most); the normalization join runs on the vocabulary-sized
+    aggregate, never the fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    t = (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = t.groupBy("from_type").agg(F.sum("n").cast("bigint").alias("total_from"))
+    return (
+        t.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            round_half_up(
+                F.col("n").cast("double") / F.col("total_from").cast("double"), 6
+            ).alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )

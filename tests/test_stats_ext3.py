@@ -135,3 +135,60 @@ def test_interval_overlap_join_matches_bruteforce(spark, sf_dir):
         ]
         assert out[m]["n_orders"] == len(hits)
         assert abs(out[m]["revenue"] - round(sum(round(r["o_totalprice"], 2) for r in hits), 2)) < 1e-6
+
+
+def test_event_transition_matrix_matches_bruteforce(spark, sf_dir):
+    from pipeline_query_engine_demo_spark.plans.analytics import event_transition_matrix
+
+    out = {(r["from_type"], r["to_type"]): r for r in event_transition_matrix(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append((r["ts"], r["event_id"], r["event_type"]))
+    counts: dict = {}
+    for rows in by_user.values():
+        rows.sort()
+        for (_, _, a), (_, _, b) in zip(rows, rows[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    assert set(out) == set(counts)
+    totals: dict = {}
+    for (a, _), n in counts.items():
+        totals[a] = totals.get(a, 0) + n
+    for key, n in counts.items():
+        assert out[key]["n"] == n
+        assert abs(out[key]["prob"] - n / totals[key[0]]) < 1e-6
+    # rows of the matrix must sum to 1 (up to rounding)
+    for a, tot in totals.items():
+        s = sum(r["prob"] for (f, _), r in out.items() if f == a)
+        assert abs(s - 1.0) < 1e-4
+
+
+def test_assoc_rules_match_bruteforce(spark, sf_dir):
+    from collections import Counter
+    from itertools import combinations
+
+    from pipeline_query_engine_demo_spark.plans.analytics import assoc_rules_copurchase
+
+    out = assoc_rules_copurchase(spark, sf_dir).collect()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_partkey").collect()
+    baskets: dict = {}
+    for r in li:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    n_orders = len(baskets)
+    supp = Counter()
+    pair_supp = Counter()
+    for parts in baskets.values():
+        supp.update(parts)
+        pair_supp.update(combinations(sorted(parts), 2))
+    expected = []
+    for (p1, p2), sp in pair_supp.items():
+        if sp >= 2:
+            lift = n_orders * sp / (supp[p1] * supp[p2])
+            expected.append((round(lift * 1e6 + 1e-9) / 1e6, p1, p2, sp))
+    expected.sort(key=lambda t: (-t[0], t[1], t[2]))
+    assert len(out) == min(20, len(expected))
+    for row, (lift, p1, p2, sp) in zip(out, expected):
+        assert (row["p1"], row["p2"], row["pair_support"]) == (p1, p2, sp)
+        assert abs(row["lift"] - lift) < 1e-6
+        assert abs(row["conf_12"] - sp / supp[p1]) < 1e-6
+        assert abs(row["conf_21"] - sp / supp[p2]) < 1e-6

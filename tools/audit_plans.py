@@ -55,6 +55,7 @@ NL_WHITELIST = {
     "chi2_categorical_drift",  # 1-row window-totals broadcast onto the 5-row category table
     "bm25_topk_docs",  # 1-row corpus-stats broadcast onto the query-term postings
     "knn_classify_embeddings",  # inherits cosine_topk's intended brute-force BNLJ scoring
+    "assoc_rules_copurchase",  # 1-row basket-total broadcast onto the rule table
 }
 #: The deliberate row-at-a-time Python evals (API coverage: F.udf,
 #: spark.udf.register for SQL, and the TABLE-argument UDTF whose
