@@ -2434,3 +2434,168 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@query(
+    "cohens_kappa_quality",
+    category="aggregation",
+    oracle=f"""
+        WITH lab AS (
+            SELECT (n_chars >= 500) AS a,
+                   (len(string_split(text, ' ')) >= 90) AS b
+            FROM documents
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+                   CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+                   CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+                   CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+            FROM lab
+        ),
+        d AS (
+            SELECT n, n11, n10, n01, n00,
+                   CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+                   CAST((n11 + n10) * (n11 + n01)
+                        + (n01 + n00) * (n10 + n00) AS DOUBLE)
+                       / CAST(n * n AS DOUBLE) AS pe
+            FROM s
+        )
+        SELECT n, n11, n10, n01, n00,
+               {sql_round_half_up('po', 6)} AS p_observed,
+               {sql_round_half_up('pe', 6)} AS p_expected,
+               {sql_round_half_up('(po - pe) / (1.0 - pe)', 6)} AS kappa
+        FROM d
+    """,
+)
+def cohens_kappa_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa agreement between two cheap quality raters (a
+    character-length gate and a token-count gate) — the calibration
+    check a curation pipeline runs before trusting a heuristic filter
+    as a stand-in for a more expensive one. The 2×2 confusion counts
+    are BIGINT-exact from one conditional-aggregate scan; observed and
+    chance agreement divide exact integer products in an identical
+    double tree on both engines (kappa = (po-pe)/(1-pe)).
+
+    Scale: single map-side-combine aggregate, O(1) state — the same
+    shape at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = F.col("n_chars") >= 500
+    b = F.size(F.split(F.col("text"), " ")) >= 90
+    s = docs.select(a.alias("a"), b.alias("b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n11"),
+        F.sum(F.when(F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n10"),
+        F.sum(F.when(~F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n01"),
+        F.sum(F.when(~F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n00"),
+    )
+    n, n11, n10, n01, n00 = (F.col(c) for c in ("n", "n11", "n10", "n01", "n00"))
+    d = s.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        ((n11 + n00).cast("double") / n.cast("double")).alias("po"),
+        (
+            ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)).cast("double")
+            / (n * n).cast("double")
+        ).alias("pe"),
+    )
+    po, pe = F.col("po"), F.col("pe")
+    return d.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        round_half_up(po, 6).alias("p_observed"),
+        round_half_up(pe, 6).alias("p_expected"),
+        round_half_up((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )
+
+
+@query(
+    "source_concentration_hhi",
+    category="aggregation",
+    oracle=f"""
+        WITH c AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS docs,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+            FROM documents GROUP BY source
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+                   CAST(SUM(docs) AS BIGINT) AS nd,
+                   CAST(SUM(toks) AS BIGINT) AS nt,
+                   CAST(SUM(docs * docs) AS BIGINT) AS sd2,
+                   CAST(SUM(toks * toks) AS BIGINT) AS st2
+            FROM c
+        )
+        SELECT n_sources,
+               {sql_round_half_up(
+                   'CAST(sd2 AS DOUBLE) / CAST(nd * nd AS DOUBLE)', 9)}
+                   AS hhi_docs,
+               {sql_round_half_up(
+                   'CAST(nd * nd AS DOUBLE) / CAST(sd2 AS DOUBLE)', 6)}
+                   AS effective_sources_docs,
+               {sql_round_half_up(
+                   'CAST(st2 AS DOUBLE) / CAST(nt * nt AS DOUBLE)', 9)}
+                   AS hhi_tokens,
+               {sql_round_half_up(
+                   'CAST(nt * nt AS DOUBLE) / CAST(st2 AS DOUBLE)', 6)}
+                   AS effective_sources_tokens
+        FROM s
+    """,
+)
+def source_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of the training mixture by
+    source, on both document and token counts, plus the effective
+    number of sources (1/HHI, the Simpson-diversity inverse) — the
+    one-number diversity summary for a mixture report. HHI = Σ share²
+    is computed as Σ cnt² / (Σ cnt)²: both sums are BIGINT-exact
+    combinable aggregates, so no double addition ever happens across
+    cells and the result is order-independent by construction.
+
+    Scale: two stacked combinable aggregates (per-source, then 1-row);
+    token counts ride the same scan. At 2^63 the cnt² sums bound the
+    per-source count at ~3e9 × sources — beyond any real mixture; past
+    that, normalize shares to ppm integers first."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("toks"),
+    )
+    s = c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        F.sum("docs").cast("bigint").alias("nd"),
+        F.sum("toks").cast("bigint").alias("nt"),
+        F.sum(F.col("docs") * F.col("docs")).cast("bigint").alias("sd2"),
+        F.sum(F.col("toks") * F.col("toks")).cast("bigint").alias("st2"),
+    )
+    nd, nt = F.col("nd"), F.col("nt")
+    sd2, st2 = F.col("sd2"), F.col("st2")
+    return s.select(
+        "n_sources",
+        round_half_up(sd2.cast("double") / (nd * nd).cast("double"), 9).alias(
+            "hhi_docs"
+        ),
+        round_half_up((nd * nd).cast("double") / sd2.cast("double"), 6).alias(
+            "effective_sources_docs"
+        ),
+        round_half_up(st2.cast("double") / (nt * nt).cast("double"), 9).alias(
+            "hhi_tokens"
+        ),
+        round_half_up((nt * nt).cast("double") / st2.cast("double"), 6).alias(
+            "effective_sources_tokens"
+        ),
+    )

@@ -1135,3 +1135,49 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("word")
     )
+
+
+@query(
+    "diversity_capped_topk_docs",
+    category="llm-sampling",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, source, n_chars,
+                   CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rn_src
+            FROM documents
+        )
+        SELECT doc_id, source, n_chars, rn_src
+        FROM ranked WHERE rn_src <= 2
+        ORDER BY n_chars DESC, doc_id LIMIT 20
+    """,
+)
+def diversity_capped_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-capped global top-k: the 20 highest-scoring documents
+    (score = n_chars here) subject to at most 2 per source — the
+    anti-monoculture export every ranked-selection pipeline needs so a
+    single dominant source can't fill the whole budget. Per-source
+    row_number applies the cap, then a global TakeOrdered picks the
+    winners; both ranks break ties on doc_id, so the selection is
+    deterministic.
+
+    Scale: the cap runs in a source-partitioned window (one hash
+    exchange), after which at most 2×|sources| rows reach the global
+    top-k — a TakeOrderedAndProject over a vocabulary-sized input, no
+    global sort of the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.row_number().over(w).cast("bigint").alias("rn_src"),
+        )
+        .filter(F.col("rn_src") <= 2)
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .limit(20)
+    )

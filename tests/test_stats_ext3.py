@@ -192,3 +192,61 @@ def test_assoc_rules_match_bruteforce(spark, sf_dir):
         assert abs(row["lift"] - lift) < 1e-6
         assert abs(row["conf_12"] - sp / supp[p1]) < 1e-6
         assert abs(row["conf_21"] - sp / supp[p2]) < 1e-6
+
+
+def test_cohens_kappa_matches_bruteforce(spark, sf_dir):
+    from pipeline_query_engine_demo_spark.plans.analytics import cohens_kappa_quality
+
+    row = cohens_kappa_quality(spark, sf_dir).collect()[0]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    labs = [(r["n_chars"] >= 500, len(r["text"].split(" ")) >= 90) for r in docs]
+    n = len(labs)
+    n11 = sum(1 for a, b in labs if a and b)
+    n10 = sum(1 for a, b in labs if a and not b)
+    n01 = sum(1 for a, b in labs if not a and b)
+    n00 = sum(1 for a, b in labs if not a and not b)
+    po = (n11 + n00) / n
+    pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / (n * n)
+    assert (row["n"], row["n11"], row["n10"], row["n01"], row["n00"]) == (n, n11, n10, n01, n00)
+    assert abs(row["kappa"] - (po - pe) / (1 - pe)) < 1e-6
+    assert -1.0 <= row["kappa"] <= 1.0
+
+
+def test_hhi_matches_bruteforce_and_bounds(spark, sf_dir):
+    from collections import Counter
+
+    from pipeline_query_engine_demo_spark.plans.analytics import source_concentration_hhi
+
+    row = source_concentration_hhi(spark, sf_dir).collect()[0]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    dc = Counter(r["source"] for r in docs)
+    tc = Counter()
+    for r in docs:
+        tc[r["source"]] += len(r["text"].split(" "))
+    k = len(dc)
+    hhi_d = sum(v * v for v in dc.values()) / sum(dc.values()) ** 2
+    hhi_t = sum(v * v for v in tc.values()) / sum(tc.values()) ** 2
+    assert row["n_sources"] == k
+    assert abs(row["hhi_docs"] - hhi_d) < 1e-8
+    assert abs(row["hhi_tokens"] - hhi_t) < 1e-8
+    assert 1.0 / k - 1e-9 <= row["hhi_docs"] <= 1.0
+    assert 1.0 <= row["effective_sources_docs"] <= k + 1e-6
+
+
+def test_diversity_capped_topk_respects_cap(spark, sf_dir):
+    from collections import Counter
+
+    from pipeline_query_engine_demo_spark.plans.curation import diversity_capped_topk_docs
+
+    out = diversity_capped_topk_docs(spark, sf_dir).collect()
+    assert 0 < len(out) <= 20
+    per_source = Counter(r["source"] for r in out)
+    assert all(v <= 2 for v in per_source.values())
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    # brute-force: cap two longest per source, then global top
+    best: dict = {}
+    for r in sorted(docs, key=lambda r: (-r["n_chars"], r["doc_id"])):
+        best.setdefault(r["source"], []).append(r)
+    pool = [r for rows in best.values() for r in rows[:2]]
+    pool.sort(key=lambda r: (-r["n_chars"], r["doc_id"]))
+    assert [r["doc_id"] for r in out] == [r["doc_id"] for r in pool[: len(out)]]
