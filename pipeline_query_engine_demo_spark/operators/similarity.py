@@ -393,3 +393,110 @@ def knn_classify(
         "votes",
         (F.col("predicted_label") == F.col("true_label")).alias("correct"),
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    query: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_candidates: int,
+    k: int,
+    lam: float,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking: fetch ``n_candidates``
+    cosine-nearest candidates per query, then greedily select ``k`` of
+    them maximizing ``lam * relevance - (1 - lam) * max_sim_to_
+    selected`` — the standard diversity-aware second stage over an ANN
+    candidate pool.
+
+    The greedy loop is inherently sequential per query, so it runs in
+    ``applyInPandas`` over the per-query candidate pool — a BOUNDED
+    group (n_candidates rows, n_candidates² edges), never the corpus.
+    Everything numeric the loop consumes (relevance, pairwise sims) is
+    pre-rounded Spark-side with the shared half-up form, and the loop
+    itself does only comparisons plus the one lam-blend expression, so
+    a SQL implementation of the same greedy (the DuckDB recursive-CTE
+    oracle) reproduces it bit-for-bit. Ties break on the smaller id at
+    every step.
+
+    Returns (query_id, mmr_rank, id, mmr_score)."""
+    import math
+
+    import pandas as pd
+
+    scored = cosine_scores(corpus, query, id_col, vec_col).filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    cand = _topk_per_query(scored, id_col, n_candidates).select(
+        "query_id", F.col(id_col), F.col("cosine_sim").alias("rel")
+    )
+    vecs = corpus.select(F.col(id_col), F.col(vec_col).alias("_v"))
+    # The candidate pool feeds both sides of the pair join AND the edge
+    # build; without a cut, its whole ANN lineage (score + salted
+    # top-k) re-executes once per consumer. It is n_queries x
+    # n_candidates rows — checkpoint it (lazy, same pattern as
+    # dedup.banded buckets).
+    cand_v = F.broadcast(cand).join(vecs, id_col).localCheckpoint(eager=False)
+    a = cand_v.select(
+        "query_id",
+        F.col(id_col).alias("i"),
+        F.col("rel").alias("rel_i"),
+        F.col("_v").alias("_va"),
+    )
+    b = cand_v.select(
+        "query_id", F.col(id_col).alias("j"), F.col("_v").alias("_vb")
+    )
+    edges = (
+        a.join(b, "query_id")
+        .filter(F.col("i") != F.col("j"))
+        .select(
+            "query_id",
+            "i",
+            "j",
+            "rel_i",
+            round_half_up(cosine(F.col("_va"), F.col("_vb")), 6).alias("s"),
+        )
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        rels = {}
+        sims = {}
+        for r in pdf.itertuples(index=False):
+            rels[r.i] = r.rel_i
+            sims[(r.i, r.j)] = r.s
+        qid = pdf["query_id"].iloc[0]
+        remaining = sorted(rels)
+        out = []
+        selected: list = []
+        for step in range(1, k + 1):
+            if not remaining:
+                break
+            if not selected:
+                best = max(remaining, key=lambda x: (rels[x], -x))
+                raw = rels[best]
+            else:
+                def mmr_score(x):
+                    return lam * rels[x] - (1.0 - lam) * max(
+                        sims[(x, j)] for j in selected
+                    )
+                best = max(remaining, key=lambda x: (mmr_score(x), -x))
+                raw = mmr_score(best)
+            rounded = (
+                math.floor(raw * 1000000.0 + 0.5) / 1000000.0
+                if math.isfinite(raw)
+                else None
+            )
+            out.append((qid, step, best, rounded))
+            selected.append(best)
+            remaining.remove(best)
+        return pd.DataFrame(
+            out, columns=["query_id", "mmr_rank", "id", "mmr_score"]
+        )
+
+    out_schema = "query_id long, mmr_rank long, id long, mmr_score double"
+    return (
+        edges.groupBy("query_id")
+        .applyInPandas(greedy, schema=out_schema)
+        .withColumnRenamed("id", id_col)
+    )

@@ -3040,3 +3040,90 @@ def knn_classify_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_classify(
         emb, q, "vec_id", "embedding", "label", k=5
     ).orderBy("query_id")
+
+
+def _mmr_cos_sql(a: str, b: str) -> str:
+    """Guarded rounded-cosine SQL between two DOUBLE[] expressions —
+    the oracle twin of vectors.cosine + round_half_up."""
+    return sql_round_half_up(
+        f"list_dot_product({a}, {b})"
+        f" / (sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b})))",
+        6,
+    )
+
+
+@query(
+    "mmr_diversified_topk",
+    category="llm-similarity",
+    oracle=f"""
+        WITH RECURSIVE
+        q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 3),
+        c0 AS (SELECT q.query_id, e.vec_id, e.embedding::DOUBLE[] AS v,
+                      {_mmr_cos_sql('e.embedding::DOUBLE[]', 'q.qv')} AS rel
+               FROM embeddings e CROSS JOIN q
+               WHERE e.vec_id <> q.query_id),
+        cand AS (SELECT query_id, vec_id, v, rel FROM (
+                     SELECT *, row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY rel DESC, vec_id) AS rn
+                     FROM c0)
+                 WHERE rn <= 20),
+        pair AS (SELECT a.query_id, a.vec_id AS i, b.vec_id AS j,
+                        {_mmr_cos_sql('a.v', 'b.v')} AS s
+                 FROM cand a JOIN cand b
+                   ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+        sel AS (
+            SELECT query_id, 1 AS step, vec_id AS picked, rel AS raw_score,
+                   [vec_id] AS selected
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY rel DESC, vec_id) AS rn
+                  FROM cand)
+            WHERE rn = 1
+          UNION ALL
+            SELECT s.query_id, s.step + 1, nxt.vec_id, nxt.score,
+                   list_append(s.selected, nxt.vec_id)
+            FROM sel s, LATERAL (
+                SELECT c.vec_id,
+                       CAST(0.7 AS DOUBLE) * c.rel
+                       - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * (
+                           SELECT MAX(p.s) FROM pair p
+                           WHERE p.query_id = c.query_id
+                             AND p.i = c.vec_id
+                             AND list_contains(s.selected, p.j)) AS score
+                FROM cand c
+                WHERE c.query_id = s.query_id
+                  AND NOT list_contains(s.selected, c.vec_id)
+                ORDER BY score DESC, c.vec_id LIMIT 1
+            ) nxt
+            WHERE s.step < 5
+        )
+        SELECT query_id, CAST(step AS BIGINT) AS mmr_rank,
+               picked AS vec_id,
+               {sql_round_half_up('raw_score', 6)} AS mmr_score
+        FROM sel ORDER BY query_id, mmr_rank
+    """,
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-5 over a 20-candidate ANN pool per query
+    (operators.similarity.mmr_rerank, lambda = 0.7): the greedy
+    relevance-vs-redundancy re-rank every retrieval stack runs between
+    ANN and the consumer. The greedy loop is sequential per query, so
+    it executes in applyInPandas over the BOUNDED candidate pool;
+    relevance and pairwise sims are pre-rounded Spark-side, the loop
+    does only comparisons plus one lam-blend, and the DuckDB oracle
+    replays the identical greedy as a recursive CTE (LATERAL argmax
+    per step) — bit-for-bit parity on an iterative algorithm.
+
+    Note the SQL writes CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE), not
+    0.3: the Python operator computes 1.0 - lam in IEEE doubles
+    (0.30000000000000004), while DuckDB folds bare 1.0 - 0.7 in exact
+    DECIMAL to 0.3 — a one-ulp penalty-weight divergence that this
+    cast forces back to the Python bits."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    return similarity.mmr_rerank(
+        emb, q, "vec_id", "embedding", n_candidates=20, k=5, lam=0.7
+    ).orderBy("query_id", "mmr_rank")

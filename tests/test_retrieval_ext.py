@@ -84,3 +84,64 @@ def test_knn_classify_matches_numpy(spark, sf_dir):
         assert r["predicted_label"] == best[0]
         assert r["votes"] == best[1]
         assert r["correct"] == (best[0] == labels[qid])
+
+
+def _fold_cosine(a, b):
+    """Replicates the engine's strict left-fold double cosine and its
+    floor-half-up rounding bit-for-bit (plain Python floats are IEEE
+    doubles), so this oracle cannot ulp-flake against the Spark side."""
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        dot = dot + float(x) * float(y)
+    for x in a:
+        na = na + float(x) * float(x)
+    for y in b:
+        nb = nb + float(y) * float(y)
+    raw = dot / (math.sqrt(na) * math.sqrt(nb))
+    return math.floor(raw * 1000000.0 + 0.5) / 1000000.0
+
+
+def test_mmr_matches_pure_python_greedy(spark, sf_dir):
+    from pipeline_query_engine_demo_spark.plans.llm import mmr_diversified_topk
+
+    out = mmr_diversified_topk(spark, sf_dir).collect()
+    emb = {r["vec_id"]: r["embedding"] for r in
+           spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()}
+    lam = 0.7
+    expected = []
+    for qid in sorted(i for i in emb if i < 3):
+        rel = {
+            i: _fold_cosine(v, emb[qid]) for i, v in emb.items() if i != qid
+        }
+        cand = sorted(rel, key=lambda i: (-rel[i], i))[:20]
+        sims = {
+            (i, j): _fold_cosine(emb[i], emb[j])
+            for i in cand for j in cand if i != j
+        }
+        selected: list = []
+        remaining = sorted(cand)
+        for step in range(1, 6):
+            if not remaining:
+                break
+            if not selected:
+                best = max(remaining, key=lambda x: (rel[x], -x))
+                raw = rel[best]
+            else:
+                score = lambda x: lam * rel[x] - (1.0 - lam) * max(
+                    sims[(x, j)] for j in selected
+                )
+                best = max(remaining, key=lambda x: (score(x), -x))
+                raw = score(best)
+            expected.append(
+                (qid, step, best, math.floor(raw * 1000000.0 + 0.5) / 1000000.0)
+            )
+            selected.append(best)
+            remaining.remove(best)
+    got = [(r["query_id"], r["mmr_rank"], r["vec_id"], r["mmr_score"]) for r in out]
+    assert got == expected
+    # diversity sanity: each query's picks are distinct and step-1 is the top-1
+    for qid in {g[0] for g in got}:
+        picks = [g[2] for g in got if g[0] == qid]
+        assert len(picks) == len(set(picks)) == 5

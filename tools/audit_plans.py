@@ -56,6 +56,7 @@ NL_WHITELIST = {
     "bm25_topk_docs",  # 1-row corpus-stats broadcast onto the query-term postings
     "knn_classify_embeddings",  # inherits cosine_topk's intended brute-force BNLJ scoring
     "assoc_rules_copurchase",  # 1-row basket-total broadcast onto the rule table
+    "mmr_diversified_topk",  # inherits cosine_topk's intended brute-force BNLJ candidate scoring
 }
 #: The deliberate row-at-a-time Python evals (API coverage: F.udf,
 #: spark.udf.register for SQL, and the TABLE-argument UDTF whose
