@@ -89,3 +89,35 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks.select("node", F.col("r").alias("pagerank"))
+
+
+def bfs_distances(edges: DataFrame, seed: DataFrame, max_hops: int) -> DataFrame:
+    """Breadth-first minimum hop distance from ``seed`` (a 1-row
+    DataFrame with column ``node``) over the directed edge list,
+    bounded at ``max_hops``. Returns (node, dist) for every reached
+    node — dist is exact min-distance because each round's frontier is
+    anti-joined against everything already visited before it is
+    admitted (a node is labeled the first time BFS reaches it).
+
+    Scale: the textbook distributed frontier BFS — per hop, one
+    edge⋈frontier shuffle join plus a distinct; the frontier and
+    visited tables are node-sized, never edge-sized, and lazy
+    ``localCheckpoint`` per round cuts replayed lineage exactly like
+    the PageRank loop above. Hop count is a small constant, so the
+    whole walk is one DAG."""
+    edges = edges.select("src", "dst").localCheckpoint(eager=False)
+    frontier = seed.select(
+        F.col("node").cast("bigint").alias("node"), F.lit(0).alias("dist")
+    ).localCheckpoint(eager=False)
+    visited = frontier
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"), F.lit(h).alias("dist"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionAll(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited

@@ -2599,3 +2599,139 @@ def source_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "effective_sources_tokens"
         ),
     )
+
+
+@query(
+    "bfs_reachability_copurchase",
+    category="graph",
+    oracle="""
+        WITH RECURSIVE pairs AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        ),
+        seed AS (SELECT CAST(MIN(l_partkey) AS BIGINT) AS node
+                 FROM lineitem),
+        walk AS (
+            SELECT node, 0 AS dist FROM seed
+          UNION
+            SELECT p.dst AS node, w.dist + 1 AS dist
+            FROM walk w JOIN pairs p ON p.src = w.node
+            WHERE w.dist < 3
+        ),
+        d AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY node)
+        SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               MIN(node) AS min_partkey, MAX(node) AS max_partkey
+        FROM d GROUP BY dist ORDER BY dist
+    """,
+)
+def bfs_reachability_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop-distance profile from the smallest part over the
+    co-purchase graph, bounded at 3 hops (operators.graph.
+    bfs_distances): the reachability probe behind 'related items
+    within k hops' and graph-radius diagnostics — the fourth iterative
+    algorithm under the exact-hash gate (after PageRank, connected
+    components, k-means). Integer-only state, so no rounding is needed
+    anywhere; the DuckDB oracle replays the walk as a recursive CTE
+    with MIN(dist) collapsing revisits, which equals BFS first-visit
+    labeling.
+
+    Scale: per hop one frontier⋈edges shuffle + distinct with
+    node-sized state; the profile aggregate is 4 rows. The seed is a
+    broadcast 1-row MIN aggregate — no driver collect."""
+    from pipeline_query_engine_demo_spark.operators.graph import bfs_distances
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    seed = li.agg(F.min("l_partkey").cast("bigint").alias("node"))
+    vis = bfs_distances(pairs, seed, max_hops=3)
+    return (
+        vis.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min("node").alias("min_partkey"),
+            F.max("node").alias("max_partkey"),
+        )
+        .orderBy("dist")
+    )
+
+
+@query(
+    "nearest_rank_percentiles",
+    category="aggregation",
+    oracle="""
+        WITH r AS (
+            SELECT event_type, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        )
+        SELECT event_type,
+               CAST(MAX(n) AS BIGINT) AS n,
+               MAX(value) FILTER (WHERE rn = CAST(ceil(
+                   CAST(0.50 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT))
+                   AS p50,
+               MAX(value) FILTER (WHERE rn = CAST(ceil(
+                   CAST(0.90 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT))
+                   AS p90,
+               MAX(value) FILTER (WHERE rn = CAST(ceil(
+                   CAST(0.95 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT))
+                   AS p95,
+               MAX(value) FILTER (WHERE rn = CAST(ceil(
+                   CAST(0.99 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT))
+                   AS p99
+        FROM r GROUP BY event_type ORDER BY event_type
+    """,
+)
+def nearest_rank_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank percentiles (p50/p90/p95/p99) per event type
+    — the latency-dashboard quantile family. Nearest-rank (value at
+    row ceil(p·n)) has no interpolation formula for engines to
+    disagree on: the only float op is ceil(p·n) on identical doubles
+    (the percentile literals are CAST to DOUBLE in the oracle because
+    DuckDB would otherwise fold 0.95·n in DECIMAL), and the selected
+    values pass through untouched.
+
+    Scale: one hash exchange on event_type serves the rank window and
+    the aggregate; a conditional MAX per percentile replaces any
+    second scan. Compare approx_percentile_quantities for the
+    sketch-based form at unbounded group cardinality."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wp = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+    )
+    nd = F.col("n").cast("double")
+    def at_p(p: float, name: str):
+        target = F.ceil(F.lit(p) * nd).cast("bigint")
+        return F.max(F.when(F.col("rn") == target, F.col("value"))).alias(name)
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            at_p(0.50, "p50"),
+            at_p(0.90, "p90"),
+            at_p(0.95, "p95"),
+            at_p(0.99, "p99"),
+        )
+        .orderBy("event_type")
+    )

@@ -3127,3 +3127,81 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mmr_rerank(
         emb, q, "vec_id", "embedding", n_candidates=20, k=5, lam=0.7
     ).orderBy("query_id", "mmr_rank")
+
+
+@query(
+    "token_log_odds_by_source",
+    category="llm-text",
+    oracle=f"""
+        WITH toks AS (
+            SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents WHERE source IN ('src0', 'src1')
+        ),
+        c AS (
+            SELECT tok,
+                   CAST(COUNT(*) FILTER (WHERE source = 'src0') AS BIGINT) AS c1,
+                   CAST(COUNT(*) FILTER (WHERE source = 'src1') AS BIGINT) AS c2
+            FROM toks GROUP BY tok
+        ),
+        n AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                     CAST(SUM(c2) AS BIGINT) AS n2 FROM c),
+        s AS (
+            SELECT c.tok, c.c1, c.c2,
+                   (ln((CAST(c.c1 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                       / (CAST(n.n1 - c.c1 AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                    - ln((CAST(c.c2 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                         / (CAST(n.n2 - c.c2 AS DOUBLE) + CAST(0.5 AS DOUBLE))))
+                   / sqrt(CAST(1.0 AS DOUBLE)
+                          / (CAST(c.c1 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                          + CAST(1.0 AS DOUBLE)
+                            / (CAST(c.c2 AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                       AS z_raw
+            FROM c CROSS JOIN n
+        )
+        SELECT tok, c1, c2, {sql_round_half_up('z_raw', 6)} AS log_odds_z
+        FROM s ORDER BY log_odds_z DESC, tok LIMIT 10
+    """,
+)
+def token_log_odds_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive vocabulary between two sources by smoothed log-odds
+    ratio with an informative z-score (Monroe et al.'s 'Fightin'
+    Words' keyness statistic, +0.5 smoothing) — the drift/keyness
+    probe that surfaces which tokens make src0 read differently from
+    src1, used for contamination triage and mixture debugging. Counts
+    stay BIGINT to the end; the z expression evaluates on identical
+    doubles (every literal CAST to DOUBLE in the oracle — bare 0.5
+    would fold in DECIMAL on DuckDB).
+
+    Scale: explode → one combinable conditional-count aggregate on the
+    token vocabulary; the 1-row totals broadcast. Top-10 is a
+    TakeOrdered over the vocabulary table."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    toks = docs.select("source", F.explode(text.tokens("text")).alias("tok"))
+    c = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    n = c.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    j = c.crossJoin(F.broadcast(n))
+    c1d = F.col("c1").cast("double")
+    c2d = F.col("c2").cast("double")
+    half = F.lit(0.5)
+    one = F.lit(1.0)
+    delta = F.log(
+        (c1d + half) / ((F.col("n1") - F.col("c1")).cast("double") + half)
+    ) - F.log((c2d + half) / ((F.col("n2") - F.col("c2")).cast("double") + half))
+    z = delta / F.sqrt(one / (c1d + half) + one / (c2d + half))
+    return (
+        j.select("tok", "c1", "c2", round_half_up(z, 6).alias("log_odds_z"))
+        .orderBy(F.col("log_odds_z").desc(), "tok")
+        .limit(10)
+    )

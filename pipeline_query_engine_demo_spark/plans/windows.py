@@ -989,3 +989,57 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("promo_month")
     )
+
+
+@query(
+    "rolling_distinct_users",
+    category="window",
+    oracle="""
+        WITH ud AS (
+            SELECT DISTINCT date_trunc('day', ts) AS d, user_id
+            FROM events
+        ),
+        win AS (
+            SELECT ud.d + (g.g * INTERVAL 1 DAY) AS wend, ud.user_id
+            FROM ud, (SELECT unnest(generate_series(0, 6)) AS g) g
+        ),
+        obs AS (SELECT DISTINCT d FROM ud)
+        SELECT w.wend AS day,
+               CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS users_7d
+        FROM win w JOIN obs o ON o.d = w.wend
+        GROUP BY w.wend ORDER BY day
+    """,
+)
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per observed day — the
+    rolling-DAU/WAU metric. Exact sliding distinct counts cannot come
+    from a running window (distinct does not decompose), so each
+    (day, user) pair is exploded to the ≤7 window-ends it contributes
+    to and a plain COUNT(DISTINCT) runs per window — the standard
+    exact formulation; at unbounded user cardinality swap the distinct
+    for an HLL sketch union (approx_count_distinct) with the identical
+    explode shape.
+
+    Scale: the explode multiplies the (day, user) DISTINCT table — 
+    already collapsed far below the event count — by 7, then one
+    combinable aggregate; no event-grain shuffle survives past the
+    first distinct."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("d"), "user_id"
+    ).distinct()
+    win = ud.select(
+        F.col("d"),
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("g"),
+    ).select(
+        (F.col("d") + F.expr("make_dt_interval(g, 0, 0, 0)")).alias("wend"),
+        "user_id",
+    )
+    obs = ud.select("d").distinct()
+    return (
+        win.join(F.broadcast(obs), win["wend"] == obs["d"])
+        .groupBy(F.col("wend").alias("day"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("users_7d"))
+        .orderBy("day")
+    )

@@ -250,3 +250,108 @@ def test_diversity_capped_topk_respects_cap(spark, sf_dir):
     pool = [r for rows in best.values() for r in rows[:2]]
     pool.sort(key=lambda r: (-r["n_chars"], r["doc_id"]))
     assert [r["doc_id"] for r in out] == [r["doc_id"] for r in pool[: len(out)]]
+
+
+def test_bfs_matches_networkx_free_bruteforce(spark, sf_dir):
+    from collections import deque
+
+    from pipeline_query_engine_demo_spark.plans.analytics import (
+        bfs_reachability_copurchase,
+    )
+
+    out = {r["dist"]: r for r in bfs_reachability_copurchase(spark, sf_dir).collect()}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_partkey").collect()
+    orders: dict = {}
+    for r in li:
+        orders.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    adj: dict = {}
+    for parts in orders.values():
+        for p in parts:
+            adj.setdefault(p, set()).update(x for x in parts if x != p)
+    seed = min(p for parts in orders.values() for p in parts)
+    dist = {seed: 0}
+    dq = deque([seed])
+    while dq:
+        u = dq.popleft()
+        if dist[u] >= 3:
+            continue
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    from collections import Counter
+
+    per = Counter(dist.values())
+    assert {d: r["n_nodes"] for d, r in out.items()} == dict(per)
+    for d, r in out.items():
+        nodes = [n for n, dd in dist.items() if dd == d]
+        assert r["min_partkey"] == min(nodes) and r["max_partkey"] == max(nodes)
+
+
+def test_nearest_rank_percentiles_match_bruteforce(spark, sf_dir):
+    import math
+
+    from pipeline_query_engine_demo_spark.plans.analytics import (
+        nearest_rank_percentiles,
+    )
+
+    out = {r["event_type"]: r for r in nearest_rank_percentiles(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append((r["value"], r["event_id"]))
+    for et, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        r = out[et]
+        assert r["n"] == n
+        for p, col in ((0.5, "p50"), (0.9, "p90"), (0.95, "p95"), (0.99, "p99")):
+            assert r[col] == vals[math.ceil(p * n) - 1][0]
+        assert r["p50"] <= r["p90"] <= r["p95"] <= r["p99"]
+
+
+def test_rolling_distinct_users_matches_bruteforce(spark, sf_dir):
+    from datetime import timedelta
+
+    from pipeline_query_engine_demo_spark.plans.windows import rolling_distinct_users
+
+    out = {r["day"]: r["users_7d"] for r in rolling_distinct_users(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    ud = {(r["ts"].replace(hour=0, minute=0, second=0, microsecond=0), r["user_id"]) for r in ev}
+    days = sorted({d for d, _ in ud})
+    assert set(out) == set(days)
+    for day in days:
+        users = {u for d, u in ud if day - timedelta(days=6) <= d <= day}
+        assert out[day] == len(users)
+
+
+def test_token_log_odds_matches_bruteforce(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    from pipeline_query_engine_demo_spark.plans.llm import token_log_odds_by_source
+
+    out = token_log_odds_by_source(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    c1: Counter = Counter()
+    c2: Counter = Counter()
+    for r in docs:
+        if r["source"] == "src0":
+            c1.update(r["text"].split(" "))
+        elif r["source"] == "src1":
+            c2.update(r["text"].split(" "))
+    n1, n2 = sum(c1.values()), sum(c2.values())
+    scored = []
+    for tok in set(c1) | set(c2):
+        a, b = c1.get(tok, 0), c2.get(tok, 0)
+        delta = math.log((a + 0.5) / (n1 - a + 0.5)) - math.log(
+            (b + 0.5) / (n2 - b + 0.5)
+        )
+        z = delta / math.sqrt(1.0 / (a + 0.5) + 1.0 / (b + 0.5))
+        scored.append((round(z * 1e6 + 1e-9) / 1e6, tok, a, b))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    assert len(out) == 10
+    for row, (z, tok, a, b) in zip(out, scored[:10]):
+        assert row["tok"] == tok
+        assert (row["c1"], row["c2"]) == (a, b)
+        assert abs(row["log_odds_z"] - z) < 1e-6

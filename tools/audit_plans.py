@@ -57,6 +57,7 @@ NL_WHITELIST = {
     "knn_classify_embeddings",  # inherits cosine_topk's intended brute-force BNLJ scoring
     "assoc_rules_copurchase",  # 1-row basket-total broadcast onto the rule table
     "mmr_diversified_topk",  # inherits cosine_topk's intended brute-force BNLJ candidate scoring
+    "token_log_odds_by_source",  # 1-row corpus-totals broadcast onto the vocabulary table
 }
 #: The deliberate row-at-a-time Python evals (API coverage: F.udf,
 #: spark.udf.register for SQL, and the TABLE-argument UDTF whose
