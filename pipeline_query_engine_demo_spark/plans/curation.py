@@ -21,7 +21,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from pipeline_query_engine_demo_spark.functions.rounding import round_half_up
+from pipeline_query_engine_demo_spark.functions.rounding import (
+    round_half_up,
+    sql_round_half_up,
+)
 from pipeline_query_engine_demo_spark.plans.registry import query
 from pipeline_query_engine_demo_spark.sources.catalog import load_table
 
@@ -1180,4 +1183,80 @@ def diversity_capped_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn_src") <= 2)
         .orderBy(F.col("n_chars").desc(), "doc_id")
         .limit(20)
+    )
+
+
+@query(
+    "grouped_split_by_user",
+    category="llm-sampling",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT event_id, user_id,
+                   substring(md5(user_id::VARCHAR || '|gsplit-v1'), 1, 1) AS h
+            FROM events
+        ),
+        lab AS (
+            SELECT event_id, user_id,
+                   CASE WHEN h < 'c' THEN 'train'
+                        WHEN h < 'e' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM keyed
+        ),
+        s AS (
+            SELECT split,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM lab GROUP BY split
+        ),
+        tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS n FROM s)
+        SELECT s.split, s.n_users, s.n_events,
+               {sql_round_half_up(
+                   'CAST(s.n_events AS DOUBLE) / CAST(tot.n AS DOUBLE)', 6)}
+                   AS event_frac
+        FROM s CROSS JOIN tot
+        ORDER BY s.split
+    """,
+)
+def grouped_split_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split key is a hash of
+    the GROUP (user_id), not the row, so every event of a user lands
+    in exactly one split by construction — the grouping that
+    row-hashed splits (train_val_test_split) get wrong whenever rows
+    of one entity must not straddle the boundary (a user's behavior in
+    train AND test is leakage). Hex-prefix thresholds give ~12/2/2
+    sixteenths; the split is a pure map-side expression — reproducible
+    under repartitioning, no RNG, no shuffle before the summary
+    aggregate.
+
+    Scale: the label rides the scan; the summary is a 3-row aggregate
+    with a broadcast 1-row total."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.substring(
+        F.md5(F.concat(F.col("user_id").cast("string"), F.lit("|gsplit-v1"))),
+        1,
+        1,
+    )
+    lab = ev.select(
+        "event_id",
+        "user_id",
+        F.when(h < "c", "train").when(h < "e", "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    s = lab.groupBy("split").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    tot = s.agg(F.sum("n_events").cast("bigint").alias("n"))
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "split",
+            "n_users",
+            "n_events",
+            round_half_up(
+                F.col("n_events").cast("double") / F.col("n").cast("double"), 6
+            ).alias("event_frac"),
+        )
+        .orderBy("split")
     )

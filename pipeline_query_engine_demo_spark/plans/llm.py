@@ -3205,3 +3205,154 @@ def token_log_odds_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("log_odds_z").desc(), "tok")
         .limit(10)
     )
+
+
+#: Positional discount literals for nDCG@10: 1/log2(rank+1), folded to
+#: Python doubles once so BOTH engines consume the identical constants
+#: (no runtime ln/log2 divergence possible). IDCG is the ideal DCG of
+#: graded gains 10..1 — a pure constant for a fixed k.
+import math as _math  # noqa: E402
+
+_NDCG_K = 10
+_NDCG_DISCOUNTS = [1.0 / _math.log2(i + 1.0) for i in range(1, _NDCG_K + 1)]
+_NDCG_IDCG = sum(
+    (_NDCG_K + 1 - i) * d for i, d in enumerate(_NDCG_DISCOUNTS, start=1)
+)
+
+
+@query(
+    "ann_ndcg_at_k",
+    category="llm-similarity",
+    oracle=f"""
+        WITH gt AS ({_REG["cosine_topk_embeddings"].oracle}),
+             ann AS ({_REG["ann_lsh_topk_embeddings"].oracle}),
+        g AS (
+            SELECT ann.query_id, ann.rank,
+                   COALESCE({_NDCG_K + 1} - gt.rank, 0) AS gain
+            FROM ann LEFT JOIN gt
+              ON gt.query_id = ann.query_id AND gt.vec_id = ann.vec_id
+        ),
+        p AS (
+            SELECT query_id,
+                   {", ".join(
+                       f"MAX(CASE WHEN rank = {i} THEN gain END) AS g{i}"
+                       for i in range(1, _NDCG_K + 1))}
+            FROM g GROUP BY query_id
+        ),
+        d AS (
+            SELECT query_id,
+                   ({" + ".join(
+                       f"COALESCE(g{i}, 0) * CAST({d!r} AS DOUBLE)"
+                       for i, d in enumerate(_NDCG_DISCOUNTS, start=1))})
+                       AS dcg
+            FROM p
+        )
+        SELECT query_id,
+               {sql_round_half_up('dcg', 6)} AS dcg_at_k,
+               {sql_round_half_up(f'dcg / CAST({_NDCG_IDCG!r} AS DOUBLE)', 6)}
+                   AS ndcg_at_k
+        FROM d ORDER BY query_id
+    """,
+)
+def ann_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the sign-LSH ANN index against brute-force cosine
+    ground truth — the rank-sensitive companion to ann_recall_at_k
+    (recall treats all top-10 slots equally; nDCG pays more for
+    getting the top of the list right). Gains are integer (11 - true
+    rank, 0 for misses), positional discounts 1/log2(rank+1) are
+    PRE-FOLDED Python literals embedded in both engines, and the DCG
+    sums its 10 per-rank terms in one fixed coalesce chain — no
+    runtime transcendentals, no float summation-order hazard. IDCG for
+    fixed k is a constant, so nDCG is one more literal division.
+
+    Scale shape: composes two verified top-k pipelines; everything
+    after them is top-k-sized per query."""
+    gt = cosine_topk_embeddings(spark, sf_dir).select(
+        "query_id", "vec_id", F.col("rank").alias("gt_rank")
+    )
+    ann = ann_lsh_topk_embeddings(spark, sf_dir).select(
+        "query_id", "vec_id", "rank"
+    )
+    g = ann.join(gt, ["query_id", "vec_id"], "left").select(
+        "query_id",
+        "rank",
+        F.coalesce(F.lit(_NDCG_K + 1) - F.col("gt_rank"), F.lit(0)).alias("gain"),
+    )
+    p = g.groupBy("query_id").agg(
+        *[
+            F.max(F.when(F.col("rank") == i, F.col("gain"))).alias(f"g{i}")
+            for i in range(1, _NDCG_K + 1)
+        ]
+    )
+    dcg = None
+    for i, disc in enumerate(_NDCG_DISCOUNTS, start=1):
+        term = F.coalesce(F.col(f"g{i}"), F.lit(0)) * F.lit(disc)
+        dcg = term if dcg is None else dcg + term
+    d = p.select("query_id", dcg.alias("dcg"))
+    return d.select(
+        "query_id",
+        round_half_up(F.col("dcg"), 6).alias("dcg_at_k"),
+        round_half_up(F.col("dcg") / F.lit(_NDCG_IDCG), 6).alias("ndcg_at_k"),
+    ).orderBy("query_id")
+
+
+@query(
+    "lang_id_confusion",
+    category="llm-text",
+    oracle=f"""
+        WITH pred AS ({_REG["lang_id_docs"].oracle}),
+        j AS (
+            SELECT d.lang AS true_lang, p.predicted
+            FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+        ),
+        conf AS (
+            SELECT true_lang, predicted, CAST(COUNT(*) AS BIGINT) AS n
+            FROM j GROUP BY true_lang, predicted
+        ),
+        tot AS (
+            SELECT true_lang, CAST(SUM(n) AS BIGINT) AS n_true
+            FROM conf GROUP BY true_lang
+        )
+        SELECT c.true_lang, c.predicted, c.n,
+               {sql_round_half_up(
+                   'CAST(c.n AS DOUBLE) / CAST(t.n_true AS DOUBLE)', 6)}
+                   AS row_frac
+        FROM conf c JOIN tot t ON t.true_lang = c.true_lang
+        ORDER BY c.true_lang, c.predicted
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the lang_id_docs heuristic against the
+    fixture's ground-truth language labels, with row-normalized
+    fractions (per-language recall on the diagonal) — the evaluation
+    loop that decides whether a cheap classifier is good enough to
+    gate a corpus. Composes the verified lang-ID pipeline (its oracle
+    is reused verbatim as a CTE); counts stay BIGINT and the row
+    fraction is one exact-integer division.
+
+    Scale: the predictor is a map-side expression over the scan; the
+    confusion aggregate is |langs|² rows."""
+    pred = lang_id_docs(spark, sf_dir).select("doc_id", "predicted")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("true_lang")
+    )
+    conf = (
+        pred.join(docs, "doc_id")
+        .groupBy("true_lang", "predicted")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = conf.groupBy("true_lang").agg(
+        F.sum("n").cast("bigint").alias("n_true")
+    )
+    return (
+        conf.join(F.broadcast(tot), "true_lang")
+        .select(
+            "true_lang",
+            "predicted",
+            "n",
+            round_half_up(
+                F.col("n").cast("double") / F.col("n_true").cast("double"), 6
+            ).alias("row_frac"),
+        )
+        .orderBy("true_lang", "predicted")
+    )

@@ -145,3 +145,83 @@ def test_mmr_matches_pure_python_greedy(spark, sf_dir):
     for qid in {g[0] for g in got}:
         picks = [g[2] for g in got if g[0] == qid]
         assert len(picks) == len(set(picks)) == 5
+
+
+def test_ndcg_matches_recomputation_from_topk(spark, sf_dir):
+    from pipeline_query_engine_demo_spark.plans.llm import (
+        _NDCG_DISCOUNTS,
+        _NDCG_IDCG,
+        _NDCG_K,
+        ann_lsh_topk_embeddings,
+        ann_ndcg_at_k,
+        cosine_topk_embeddings,
+    )
+
+    out = {r["query_id"]: r for r in ann_ndcg_at_k(spark, sf_dir).collect()}
+    gt = {
+        (r["query_id"], r["vec_id"]): r["rank"]
+        for r in cosine_topk_embeddings(spark, sf_dir).collect()
+    }
+    ann: dict = {}
+    for r in ann_lsh_topk_embeddings(spark, sf_dir).collect():
+        ann.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    assert set(out) == set(ann)
+    for qid, hits in ann.items():
+        dcg = 0.0
+        for rank, vid in sorted(hits):
+            gain = _NDCG_K + 1 - gt.get((qid, vid), _NDCG_K + 1)
+            dcg += gain * _NDCG_DISCOUNTS[rank - 1]
+        assert abs(out[qid]["dcg_at_k"] - dcg) < 1e-6
+        assert abs(out[qid]["ndcg_at_k"] - dcg / _NDCG_IDCG) < 1e-6
+        assert 0.0 <= out[qid]["ndcg_at_k"] <= 1.0 + 1e-9
+
+
+def test_lang_confusion_consistent_with_predictions(spark, sf_dir):
+    from collections import Counter
+
+    from pipeline_query_engine_demo_spark.plans.llm import (
+        lang_id_confusion,
+        lang_id_docs,
+    )
+
+    out = lang_id_confusion(spark, sf_dir).collect()
+    pred = {r["doc_id"]: r["predicted"] for r in lang_id_docs(spark, sf_dir).collect()}
+    truth = {
+        r["doc_id"]: r["lang"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    cells = Counter((truth[d], p) for d, p in pred.items())
+    assert {(r["true_lang"], r["predicted"]): r["n"] for r in out} == dict(cells)
+    # row fractions sum to 1 per true language
+    rows: dict = {}
+    for r in out:
+        rows.setdefault(r["true_lang"], []).append(r["row_frac"])
+    for fr in rows.values():
+        assert abs(sum(fr) - 1.0) < 1e-4
+
+
+def test_grouped_split_is_leakage_free(spark, sf_dir):
+    import hashlib
+
+    from pipeline_query_engine_demo_spark.plans.curation import grouped_split_by_user
+
+    out = {r["split"]: r for r in grouped_split_by_user(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+
+    def split_of(uid: int) -> str:
+        h = hashlib.md5(f"{uid}|gsplit-v1".encode()).hexdigest()[0]
+        return "train" if h < "c" else ("val" if h < "e" else "test")
+
+    users: dict = {}
+    counts: dict = {}
+    for r in ev:
+        s = split_of(r["user_id"])
+        users.setdefault(s, set()).add(r["user_id"])
+        counts[s] = counts.get(s, 0) + 1
+    # a user appears in exactly one split by construction of the key
+    seen = [users.get(s, set()) for s in ("train", "val", "test")]
+    assert not (seen[0] & seen[1]) and not (seen[0] & seen[2]) and not (seen[1] & seen[2])
+    for s, r in out.items():
+        assert r["n_events"] == counts[s]
+        assert r["n_users"] == len(users[s])
+    assert abs(sum(r["event_frac"] for r in out.values()) - 1.0) < 1e-4

@@ -58,6 +58,8 @@ NL_WHITELIST = {
     "assoc_rules_copurchase",  # 1-row basket-total broadcast onto the rule table
     "mmr_diversified_topk",  # inherits cosine_topk's intended brute-force BNLJ candidate scoring
     "token_log_odds_by_source",  # 1-row corpus-totals broadcast onto the vocabulary table
+    "ann_ndcg_at_k",  # inherits cosine_topk's intended brute-force BNLJ ground truth
+    "grouped_split_by_user",  # 1-row event-total broadcast onto the 3-row split summary
 }
 #: The deliberate row-at-a-time Python evals (API coverage: F.udf,
 #: spark.udf.register for SQL, and the TABLE-argument UDTF whose
