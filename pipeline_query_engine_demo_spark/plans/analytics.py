@@ -2735,3 +2735,208 @@ def nearest_rank_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: CUSUM parameters in integer cents: drift allowance k and alarm
+#: threshold h. Integer state keeps the whole recursion exact — no
+#: float ever enters the loop.
+_CUSUM_K = 15000
+_CUSUM_H = 50000
+
+
+@query(
+    "cusum_change_detection",
+    category="analytics",
+    oracle=f"""
+        WITH RECURSIVE e AS (
+            SELECT user_id,
+                   CASE WHEN isfinite(value)
+                        THEN CAST(floor((value) * 100.0 + 0.5) AS BIGINT) END
+                       AS x,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        steps AS (
+            SELECT user_id, rn,
+                   greatest(CAST(0 AS BIGINT), x - {_CUSUM_K}) AS s,
+                   greatest(CAST(0 AS BIGINT), x - {_CUSUM_K}) AS mx,
+                   CAST(CASE WHEN greatest(CAST(0 AS BIGINT), x - {_CUSUM_K})
+                                  >= {_CUSUM_H} THEN 1 ELSE 0 END AS BIGINT)
+                       AS alarms
+            FROM e WHERE rn = 1
+          UNION ALL
+            SELECT e.user_id, e.rn,
+                   greatest(CAST(0 AS BIGINT), st.s + e.x - {_CUSUM_K}),
+                   greatest(st.mx,
+                            greatest(CAST(0 AS BIGINT), st.s + e.x - {_CUSUM_K})),
+                   st.alarms + CASE WHEN greatest(CAST(0 AS BIGINT),
+                                                  st.s + e.x - {_CUSUM_K})
+                                        >= {_CUSUM_H} THEN 1 ELSE 0 END
+            FROM steps st JOIN e
+              ON e.user_id = st.user_id AND e.rn = st.rn + 1
+        ),
+        last AS (
+            SELECT user_id, rn, s, mx, alarms,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY rn DESC) AS rr
+            FROM steps
+        )
+        SELECT user_id, CAST(rn AS BIGINT) AS n_events,
+               s AS final_cusum, mx AS max_cusum, alarms AS n_alarms
+        FROM last WHERE rr = 1 ORDER BY user_id
+    """,
+)
+def cusum_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection per user stream: the state
+    s_t = max(0, s_(t-1) + x_t - k) accumulates evidence that the
+    process mean exceeds the allowance k, alarming when s crosses h —
+    the classic sequential change detector. Values scale to integer
+    cents with the shared floor-half-up form, so the ENTIRE recursion
+    is integer arithmetic: no float enters the loop on either engine,
+    and parity is structural rather than ulp-lucky.
+
+    The recurrence is order-dependent (not a window aggregate), so the
+    Spark side scans each user's sequence in applyInPandas — the same
+    partitioned-sequential shape a streaming applyInPandasWithState
+    detector keeps, with per-user state O(1). The oracle replays the
+    recurrence as a recursive CTE advancing every user one event per
+    iteration.
+
+    Scale: one hash exchange on user_id, then per-group sequential
+    scans; no state beyond (s, max, alarms) per user."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    c = F.col("value").cast("double")
+    finite = ~(
+        F.isnan(c) | (c == F.lit(float("inf"))) | (c == F.lit(float("-inf")))
+    )
+    x = F.when(finite, F.floor(c * F.lit(100.0) + F.lit(0.5)))
+    rows = ev.select(
+        "user_id", "ts", "event_id", x.cast("bigint").alias("x")
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        s = 0
+        mx = 0
+        alarms = 0
+        n = 0
+        for xv in pdf["x"]:
+            n += 1
+            s = max(0, s + int(xv) - _CUSUM_K)
+            mx = max(mx, s)
+            if s >= _CUSUM_H:
+                alarms += 1
+        return pd.DataFrame(
+            [(pdf["user_id"].iloc[0], n, s, mx, alarms)],
+            columns=["user_id", "n_events", "final_cusum", "max_cusum", "n_alarms"],
+        )
+
+    out_schema = (
+        "user_id long, n_events long, final_cusum long, "
+        "max_cusum long, n_alarms long"
+    )
+    return (
+        rows.groupBy("user_id").applyInPandas(scan, schema=out_schema).orderBy("user_id")
+    )
+
+
+@query(
+    "winsorized_mean_events",
+    category="aggregation",
+    oracle=f"""
+        WITH r AS (
+            SELECT event_type, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        ),
+        thr AS (
+            SELECT event_type,
+                   MAX(value) FILTER (WHERE rn = CAST(ceil(
+                       CAST(0.05 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT))
+                       AS lo,
+                   MAX(value) FILTER (WHERE rn = CAST(ceil(
+                       CAST(0.95 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT))
+                       AS hi
+            FROM r GROUP BY event_type
+        ),
+        w AS (
+            SELECT r.event_type,
+                   CAST(CASE WHEN r.value < t.lo THEN t.lo
+                             WHEN r.value > t.hi THEN t.hi
+                             ELSE r.value END AS DECIMAL(12,2)) AS wv,
+                   CAST(r.value AS DECIMAL(12,2)) AS v
+            FROM r JOIN thr t ON t.event_type = r.event_type
+        )
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_round_half_up('CAST(SUM(v) AS DOUBLE) / COUNT(*)', 6)}
+                   AS raw_mean,
+               {sql_round_half_up('CAST(SUM(wv) AS DOUBLE) / COUNT(*)', 6)}
+                   AS winsorized_mean
+        FROM w GROUP BY event_type ORDER BY event_type
+    """,
+)
+def winsorized_mean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5/95-winsorized mean per event type beside the raw mean — the
+    robust location estimate that survives fat tails without dropping
+    rows (clamp, don't trim). Thresholds are exact nearest-rank
+    percentiles (no interpolation); clamped values are the data's own
+    2-decimal values, so the DECIMAL sums stay exact and the only
+    float op is one identical division.
+
+    Scale: one hash exchange on event_type serves the rank window, the
+    threshold aggregate, and (after a broadcast threshold join) the
+    final combinable aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wp = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+    )
+    nd = F.col("n").cast("double")
+    thr = r.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.05) * nd).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.95) * nd).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias("hi"),
+    )
+    clamped = (
+        F.when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value"))
+    )
+    joined = r.join(F.broadcast(thr), "event_type").select(
+        "event_type",
+        clamped.cast("decimal(12,2)").alias("wv"),
+        F.col("value").cast("decimal(12,2)").alias("v"),
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            round_half_up(
+                F.sum("v").cast("double") / F.count(F.lit(1)), 6
+            ).alias("raw_mean"),
+            round_half_up(
+                F.sum("wv").cast("double") / F.count(F.lit(1)), 6
+            ).alias("winsorized_mean"),
+        )
+        .orderBy("event_type")
+    )

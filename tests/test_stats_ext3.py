@@ -355,3 +355,53 @@ def test_token_log_odds_matches_bruteforce(spark, sf_dir):
         assert row["tok"] == tok
         assert (row["c1"], row["c2"]) == (a, b)
         assert abs(row["log_odds_z"] - z) < 1e-6
+
+
+def test_cusum_matches_bruteforce(spark, sf_dir):
+    from pipeline_query_engine_demo_spark.plans.analytics import (
+        _CUSUM_H,
+        _CUSUM_K,
+        cusum_change_detection,
+    )
+
+    out = {r["user_id"]: r for r in cusum_change_detection(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append((r["ts"], r["event_id"], r["value"]))
+    assert set(out) == set(by_user)
+    for uid, rows in by_user.items():
+        rows.sort()
+        s = mx = alarms = 0
+        for _, _, v in rows:
+            s = max(0, s + round(v * 100) - _CUSUM_K)
+            mx = max(mx, s)
+            if s >= _CUSUM_H:
+                alarms += 1
+        r = out[uid]
+        assert r["n_events"] == len(rows)
+        assert (r["final_cusum"], r["max_cusum"], r["n_alarms"]) == (s, mx, alarms)
+
+
+def test_winsorized_mean_matches_numpy(spark, sf_dir):
+    import math
+
+    from pipeline_query_engine_demo_spark.plans.analytics import winsorized_mean_events
+
+    out = {r["event_type"]: r for r in winsorized_mean_events(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append((r["value"], r["event_id"]))
+    for et, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        lo = vals[math.ceil(0.05 * n) - 1][0]
+        hi = vals[math.ceil(0.95 * n) - 1][0]
+        wv = [min(max(v, lo), hi) for v, _ in vals]
+        r = out[et]
+        assert r["n"] == n
+        assert abs(r["raw_mean"] - sum(v for v, _ in vals) / n) < 1e-6
+        assert abs(r["winsorized_mean"] - sum(wv) / n) < 1e-6
+        # winsorizing pulls the mean toward the median, never outside [lo, hi]
+        assert lo <= r["winsorized_mean"] <= hi
