@@ -652,3 +652,34 @@ def streaming_scd2_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = streaming.run_to_memory(joined, "append", name="t_scd2enrich")
     return result.orderBy("purchase_id")
+
+
+from pipeline_query_engine_demo_spark.plans.registry import REGISTRY as _REGISTRY  # noqa: E402
+
+
+@query(
+    "streaming_cusum_alarms",
+    category="streaming",
+    oracle=_REGISTRY["cusum_change_detection"].oracle,
+)
+def streaming_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of cusum_change_detection: the same integer-cent
+    CUSUM recurrence held in applyInPandasWithState per-user state
+    (streaming/windows.stateful_cusum), drained via the availableNow
+    single-batch harness so the final state table equals the batch
+    detector — the oracle is REUSED VERBATIM from the batch query, so
+    stream-batch parity is checked by the same hash. Incremental
+    multi-batch state evolution (time-split batches) is exercised in
+    tests/test_streaming."""
+    from pipeline_query_engine_demo_spark.plans.analytics import (
+        _CUSUM_H,
+        _CUSUM_K,
+    )
+
+    events = streaming.read_events_stream(spark, sf_dir)
+    result = streaming.run_to_memory(
+        streaming.stateful_cusum(events, _CUSUM_K, _CUSUM_H),
+        "update",
+        name="t_cusum",
+    )
+    return result.orderBy("user_id")

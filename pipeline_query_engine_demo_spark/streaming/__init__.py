@@ -18,6 +18,7 @@ from pipeline_query_engine_demo_spark.streaming.windows import (
     read_events_stream,
     staged_events_source,
     run_to_memory,
+    stateful_cusum,
     stateful_user_counts,
     stream_static_join_segments,
     stream_stream_click_purchases,
@@ -30,6 +31,7 @@ __all__ = [
     "read_events_stream",
     "staged_events_source",
     "run_to_memory",
+    "stateful_cusum",
     "stateful_user_counts",
     "stream_static_join_segments",
     "stream_stream_click_purchases",

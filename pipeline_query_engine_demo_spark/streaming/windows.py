@@ -354,3 +354,55 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_cusum(events: DataFrame, k: int, h: int) -> DataFrame:
+    """Streaming one-sided CUSUM via ``applyInPandasWithState``: the
+    per-user state is the 4-tuple (s, max_s, alarms, n) of the batch
+    detector (plans.analytics.cusum_change_detection), updated by the
+    identical integer-cent recurrence max(0, s + x - k) — O(1) state
+    per key, RocksDB-backed on a cluster. Rows are sorted by
+    (ts, event_id) WITHIN each micro-batch; cross-batch order is the
+    stream's arrival order, correct when the source delivers
+    time-split files (the tested harness shape — see
+    tests/test_streaming multi-batch state evolution)."""
+    import math
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def scan(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        s, mx, alarms, n = state.get if state.exists else (0, 0, 0, 0)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+        for v in batch["value"]:
+            n += 1
+            x = int(math.floor(float(v) * 100.0 + 0.5))
+            s = max(0, s + x - k)
+            mx = max(mx, s)
+            if s >= h:
+                alarms += 1
+        state.update((s, mx, alarms, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "final_cusum": [s],
+                "max_cusum": [mx],
+                "n_alarms": [alarms],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        scan,
+        outputStructType=(
+            "user_id long, n_events long, final_cusum long, "
+            "max_cusum long, n_alarms long"
+        ),
+        stateStructType="s long, mx long, alarms long, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -235,3 +235,67 @@ def test_streaming_scd2_enrichment_batch_parity(spark, sf_dir):
     assert s == b
     # intervals tile: every purchase matched exactly one version
     assert len(s) == purchases.count()
+
+
+def test_streaming_cusum_state_evolves_across_time_split_batches(spark, sf_dir, tmp_path):
+    """CUSUM is order-dependent, so the multi-batch check feeds
+    time-split chunks in time order (file mtimes sequence the batches)
+    and asserts the final state equals the batch detector."""
+    import time
+
+    from pipeline_query_engine_demo_spark.plans.analytics import (
+        _CUSUM_H,
+        _CUSUM_K,
+        cusum_change_detection,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_time_chunks")
+    cuts = ev.selectExpr(
+        "percentile_approx(ts, 0.34) AS c1", "percentile_approx(ts, 0.67) AS c2"
+    ).collect()[0]
+    chunks = [
+        ev.filter(F.col("ts") <= cuts["c1"]),
+        ev.filter((F.col("ts") > cuts["c1"]) & (F.col("ts") <= cuts["c2"])),
+        ev.filter(F.col("ts") > cuts["c2"]),
+    ]
+    for ch in chunks:
+        ch.coalesce(1).write.mode("append").parquet(out)
+        time.sleep(1.1)  # distinct file mtimes => deterministic batch order
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    result = streaming.run_to_memory(
+        streaming.stateful_cusum(stream, _CUSUM_K, _CUSUM_H), "update"
+    )
+    from pyspark.sql import Window
+
+    # n_events grows monotonically, so the max-n row is the final state
+    final = result.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        ),
+    ).filter("rn = 1")
+    expected = cusum_change_detection(spark, sf_dir)
+    j = final.select("user_id", "n_events", "final_cusum", "max_cusum", "n_alarms").join(
+        expected.withColumnRenamed("n_events", "e_n")
+        .withColumnRenamed("final_cusum", "e_s")
+        .withColumnRenamed("max_cusum", "e_mx")
+        .withColumnRenamed("n_alarms", "e_a"),
+        "user_id",
+    )
+    assert j.count() == expected.count()
+    assert (
+        j.filter(
+            (F.col("n_events") != F.col("e_n"))
+            | (F.col("final_cusum") != F.col("e_s"))
+            | (F.col("max_cusum") != F.col("e_mx"))
+            | (F.col("n_alarms") != F.col("e_a"))
+        ).count()
+        == 0
+    )
+    # at least one user must have been emitted in >1 batch
+    assert result.groupBy("user_id").count().filter("count > 1").count() > 0
