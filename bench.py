@@ -53,6 +53,11 @@ EXTENDED = [
     "triangle_count_copurchase",
     "training_manifest_pipeline",
     "streaming_tumbling_window_counts",
+    # round-4 session-5: retrieval + sequential-state representatives
+    "bm25_topk_docs",
+    "mmr_diversified_topk",
+    "cusum_change_detection",
+    "bfs_reachability_copurchase",
 ]
 
 

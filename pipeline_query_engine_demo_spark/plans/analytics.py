@@ -2940,3 +2940,120 @@ def winsorized_mean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "mutual_information_source_lang",
+    category="aggregation",
+    oracle=f"""
+        WITH cells AS (
+            SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS nij
+            FROM documents GROUP BY source, lang
+        ),
+        rows_ AS (SELECT source, CAST(SUM(nij) AS BIGINT) AS ni
+                  FROM cells GROUP BY source),
+        cols_ AS (SELECT lang, CAST(SUM(nij) AS BIGINT) AS nj
+                  FROM cells GROUP BY lang),
+        tot AS (SELECT CAST(SUM(nij) AS BIGINT) AS n FROM cells),
+        mi_terms AS (
+            SELECT CASE WHEN isfinite((CAST(c.nij AS DOUBLE) / CAST(t.n AS DOUBLE))
+                       * ln(CAST(c.nij * t.n AS DOUBLE)
+                            / CAST(r.ni * l.nj AS DOUBLE))) THEN floor(((CAST(c.nij AS DOUBLE) / CAST(t.n AS DOUBLE))
+                       * ln(CAST(c.nij * t.n AS DOUBLE)
+                            / CAST(r.ni * l.nj AS DOUBLE))) * 1000000000.0 + 0.5) / 1000000000.0 END AS term
+            FROM cells c
+            JOIN rows_ r ON r.source = c.source
+            JOIN cols_ l ON l.lang = c.lang
+            CROSS JOIN tot t
+        ),
+        hs_terms AS (
+            SELECT CASE WHEN isfinite(-(CAST(ni AS DOUBLE) / CAST(t.n AS DOUBLE))
+                       * ln(CAST(ni AS DOUBLE) / CAST(t.n AS DOUBLE))) THEN floor((-(CAST(ni AS DOUBLE) / CAST(t.n AS DOUBLE))
+                       * ln(CAST(ni AS DOUBLE) / CAST(t.n AS DOUBLE))) * 1000000000.0 + 0.5) / 1000000000.0 END AS term
+            FROM rows_ CROSS JOIN tot t
+        ),
+        hl_terms AS (
+            SELECT CASE WHEN isfinite(-(CAST(nj AS DOUBLE) / CAST(t.n AS DOUBLE))
+                       * ln(CAST(nj AS DOUBLE) / CAST(t.n AS DOUBLE))) THEN floor((-(CAST(nj AS DOUBLE) / CAST(t.n AS DOUBLE))
+                       * ln(CAST(nj AS DOUBLE) / CAST(t.n AS DOUBLE))) * 1000000000.0 + 0.5) / 1000000000.0 END AS term
+            FROM cols_ CROSS JOIN tot t
+        ),
+        s AS (
+            SELECT (SELECT CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE)
+                    FROM mi_terms) AS mi,
+                   (SELECT CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE)
+                    FROM hs_terms) AS hs,
+                   (SELECT CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE)
+                    FROM hl_terms) AS hl,
+                   (SELECT n FROM tot) AS n
+        )
+        SELECT n,
+               {sql_round_half_up('mi', 6)} AS mi_nats,
+               {sql_round_half_up('hs', 6)} AS h_source,
+               {sql_round_half_up('hl', 6)} AS h_lang,
+               {sql_round_half_up('mi / sqrt(hs * hl)', 6)} AS nmi
+        FROM s
+    """,
+)
+def mutual_information_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between source and language (plus marginal
+    entropies and sqrt-normalized NMI) — the information-theoretic
+    companion to chi2_categorical_drift: how much knowing the source
+    tells you about the language of a document, the association score
+    mixture debugging reads first. Cross-engine order-independence
+    uses the repo's proven recipe (bigram LM, char entropy): every
+    ln term is rounded to 9 decimals and accumulated as
+    DECIMAL(28,12), so the cell-sum order cannot matter; the operand
+    of each ln is a ratio of exact BIGINT products. (Past ~1e9 docs
+    the nij*n product wants the ln-difference form to dodge int64
+    overflow — noted, not needed at fixture scale.)
+
+    Scale: one conditional-count aggregate over the scan; everything
+    after runs on vocabulary-sized cell tables with broadcast 1-row
+    totals."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nij")
+    )
+    rows_ = cells.groupBy("source").agg(F.sum("nij").cast("bigint").alias("ni"))
+    cols_ = cells.groupBy("lang").agg(F.sum("nij").cast("bigint").alias("nj"))
+    tot = cells.agg(F.sum("nij").cast("bigint").alias("n"))
+
+    def _dec_sum(df, term_col):
+        return df.agg(
+            F.sum(round_half_up(term_col, 9).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("v")
+        )
+
+    nd = F.col("n").cast("double")
+    mi_cells = (
+        cells.join(F.broadcast(rows_), "source")
+        .join(F.broadcast(cols_), "lang")
+        .crossJoin(F.broadcast(tot))
+    )
+    mi_term = (F.col("nij").cast("double") / nd) * F.log(
+        (F.col("nij") * F.col("n")).cast("double")
+        / (F.col("ni") * F.col("nj")).cast("double")
+    )
+    hs_term = -(F.col("ni").cast("double") / nd) * F.log(
+        F.col("ni").cast("double") / nd
+    )
+    hl_term = -(F.col("nj").cast("double") / nd) * F.log(
+        F.col("nj").cast("double") / nd
+    )
+    mi = _dec_sum(mi_cells, mi_term).withColumnRenamed("v", "mi")
+    hs = _dec_sum(rows_.crossJoin(F.broadcast(tot)), hs_term).withColumnRenamed("v", "hs")
+    hl = _dec_sum(cols_.crossJoin(F.broadcast(tot)), hl_term).withColumnRenamed("v", "hl")
+    s = mi.crossJoin(F.broadcast(hs)).crossJoin(F.broadcast(hl)).crossJoin(
+        F.broadcast(tot)
+    )
+    return s.select(
+        "n",
+        round_half_up(F.col("mi"), 6).alias("mi_nats"),
+        round_half_up(F.col("hs"), 6).alias("h_source"),
+        round_half_up(F.col("hl"), 6).alias("h_lang"),
+        round_half_up(
+            F.col("mi") / F.sqrt(F.col("hs") * F.col("hl")), 6
+        ).alias("nmi"),
+    )

@@ -405,3 +405,33 @@ def test_winsorized_mean_matches_numpy(spark, sf_dir):
         assert abs(r["winsorized_mean"] - sum(wv) / n) < 1e-6
         # winsorizing pulls the mean toward the median, never outside [lo, hi]
         assert lo <= r["winsorized_mean"] <= hi
+
+
+def test_mutual_information_matches_bruteforce(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    from pipeline_query_engine_demo_spark.plans.analytics import (
+        mutual_information_source_lang,
+    )
+
+    row = mutual_information_source_lang(spark, sf_dir).collect()[0]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    cells = Counter((r["source"], r["lang"]) for r in docs)
+    ni = Counter(r["source"] for r in docs)
+    nj = Counter(r["lang"] for r in docs)
+    n = len(docs)
+    mi = sum(
+        (c / n) * math.log(c * n / (ni[s] * nj[l]))
+        for (s, l), c in cells.items()
+    )
+    hs = -sum((c / n) * math.log(c / n) for c in ni.values())
+    hl = -sum((c / n) * math.log(c / n) for c in nj.values())
+    assert row["n"] == n
+    assert abs(row["mi_nats"] - mi) < 1e-6
+    assert abs(row["h_source"] - hs) < 1e-6
+    assert abs(row["h_lang"] - hl) < 1e-6
+    assert abs(row["nmi"] - mi / math.sqrt(hs * hl)) < 1e-6
+    # information bounds: 0 <= MI <= min(H_source, H_lang)
+    assert -1e-9 <= row["mi_nats"] <= min(hs, hl) + 1e-9
+    assert 0.0 <= row["nmi"] <= 1.0 + 1e-9

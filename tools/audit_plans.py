@@ -60,6 +60,7 @@ NL_WHITELIST = {
     "token_log_odds_by_source",  # 1-row corpus-totals broadcast onto the vocabulary table
     "ann_ndcg_at_k",  # inherits cosine_topk's intended brute-force BNLJ ground truth
     "grouped_split_by_user",  # 1-row event-total broadcast onto the 3-row split summary
+    "mutual_information_source_lang",  # 1-row totals/entropies broadcast onto cell tables
 }
 #: The deliberate row-at-a-time Python evals (API coverage: F.udf,
 #: spark.udf.register for SQL, and the TABLE-argument UDTF whose

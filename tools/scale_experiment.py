@@ -96,6 +96,26 @@ QUERIES = [
     "dataset_drift_psi",
     "embedding_drift_centroid",
     "key_skew_profile",
+    # round-4 session-5 additions: statistics, retrieval, intervals,
+    # sequences, curation. Cheap single-aggregate stats (welch/kappa/
+    # hhi) are present as scan-bound sanity rows.
+    "ewma_smoothed_values",
+    "interval_sweep_concurrency",
+    "mann_whitney_u_events",
+    "welch_ttest_acctbal",
+    "nearest_rank_percentiles",
+    "winsorized_mean_events",
+    "bm25_topk_docs",
+    "knn_classify_embeddings",
+    "mmr_diversified_topk",
+    "token_log_odds_by_source",
+    "assoc_rules_copurchase",
+    "event_transition_matrix",
+    "bfs_reachability_copurchase",
+    "rolling_distinct_users",
+    "cusum_change_detection",
+    "interval_overlap_join",
+    "diversity_capped_topk_docs",
 ]
 
 
