@@ -2755,7 +2755,7 @@ _CUSUM_H = 50000
                        AS x,
                    row_number() OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id) AS rn
-            FROM events
+            FROM events WHERE isfinite(value)
         ),
         steps AS (
             SELECT user_id, rn,
@@ -2813,7 +2813,11 @@ def cusum_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.isnan(c) | (c == F.lit(float("inf"))) | (c == F.lit(float("-inf")))
     )
     x = F.when(finite, F.floor(c * F.lit(100.0) + F.lit(0.5)))
-    rows = ev.select(
+    # Non-finite values are EXCLUDED on both engines (the oracle filters
+    # isfinite too): without the filter, DuckDB's greatest(0, NULL)
+    # folds the NULL away while the pandas loop would crash on NaN —
+    # "skip the row" is the one semantics both sides state identically.
+    rows = ev.filter(finite).select(
         "user_id", "ts", "event_id", x.cast("bigint").alias("x")
     )
 

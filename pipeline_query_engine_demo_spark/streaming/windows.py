@@ -379,6 +379,8 @@ def stateful_cusum(events: DataFrame, k: int, h: int) -> DataFrame:
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values(["ts", "event_id"])
         for v in batch["value"]:
+            if not math.isfinite(float(v)):
+                continue  # mirror the batch detector: non-finite rows skipped
             n += 1
             x = int(math.floor(float(v) * 100.0 + 0.5))
             s = max(0, s + x - k)
