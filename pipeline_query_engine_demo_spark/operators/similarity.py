@@ -458,13 +458,26 @@ def mmr_rerank(
             round_half_up(cosine(F.col("_va"), F.col("_vb")), 6).alias("s"),
         )
     )
+    # Base rows (one per candidate, NULL pair columns) guarantee every
+    # candidate reaches the greedy even when a query's pool degenerates
+    # to a single candidate (zero pair edges) — the oracle's recursive
+    # base case emits that query, so the Spark side must too.
+    base = a.select(
+        "query_id",
+        "i",
+        F.lit(None).cast("bigint").alias("j"),
+        "rel_i",
+        F.lit(None).cast("double").alias("s"),
+    )
+    edges = base.unionByName(edges)
 
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         rels = {}
         sims = {}
         for r in pdf.itertuples(index=False):
             rels[r.i] = r.rel_i
-            sims[(r.i, r.j)] = r.s
+            if r.j is not None and not pd.isna(r.j):
+                sims[(r.i, int(r.j))] = r.s
         qid = pdf["query_id"].iloc[0]
         remaining = sorted(rels)
         out = []
