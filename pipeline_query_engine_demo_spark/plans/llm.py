@@ -3356,3 +3356,97 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_lang", "predicted")
     )
+
+
+def _hamming16_sql(a: str, b: str) -> str:
+    """Fixed-order 16-term character-Hamming chain between two 16-char
+    '0'/'1' signatures — pure integer adds, identical on both engines."""
+    terms = " + ".join(
+        f"(CASE WHEN substr({a}, {j + 1}, 1) <> substr({b}, {j + 1}, 1)"
+        f" THEN 1 ELSE 0 END)"
+        for j in range(16)
+    )
+    return f"({terms})"
+
+
+@query(
+    "simhash_hamming_pairs",
+    category="llm-dedup",
+    oracle=f"""
+        WITH sig0 AS ({_REG["simhash_docs"].oracle}),
+        sig AS (SELECT * FROM sig0 WHERE doc_id < 1000)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST({_hamming16_sql('a.simhash', 'b.simhash')} AS BIGINT)
+                   AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE {_hamming16_sql('a.simhash', 'b.simhash')} <= 3
+        ORDER BY id_a, id_b
+    """,
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs at Hamming distance <= 3 over the
+    16-bit signatures, found the scale way: the signature splits into
+    4 bands of 4 bits and candidates come from a band equi-self-join —
+    by pigeonhole, any pair within distance 3 agrees exactly on at
+    least one band, so banding is RECALL-LOSSLESS for this radius.
+    The oracle is the opposite construction (brute-force all-pairs
+    theta join with the same fixed-order character-Hamming chain), so
+    the gate independently proves the banded plan drops nothing. The
+    query runs on a bounded slice (doc_id < 1000) purely to keep the
+    QUADRATIC ORACLE affordable — the banded Spark plan itself needs no
+    slice (tests/test_retrieval_ext verifies banding-vs-brute-force
+    equality on the full small-SF corpus).
+
+    Scale: candidates are bucketed (4 × 2^4 band values here; 64-bit
+    production signatures band into 2^16 buckets), the pair set is
+    DISTINCT-ed because near-identical pairs match in several bands,
+    and the verify filter touches only candidates — the standard
+    in-production simhash dedup shape (Manku et al., WWW'07)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 1000
+    )
+    sig = dedup.simhash(docs, "doc_id", "text", bits=16)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.substring("simhash", i * 4 + 1, 4).alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "simhash", "bv.band", "bv.val")
+    a = bands.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("simhash").alias("sig_a"),
+        "band",
+        "val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("simhash").alias("sig_b"),
+        "band",
+        "val",
+    )
+    cand = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = None
+    for j in range(16):
+        term = (
+            F.substring("sig_a", j + 1, 1) != F.substring("sig_b", j + 1, 1)
+        ).cast("int")
+        hamming = term if hamming is None else hamming + term
+    return (
+        cand.select("id_a", "id_b", hamming.cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .orderBy("id_a", "id_b")
+    )

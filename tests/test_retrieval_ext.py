@@ -225,3 +225,37 @@ def test_grouped_split_is_leakage_free(spark, sf_dir):
         assert r["n_events"] == counts[s]
         assert r["n_users"] == len(users[s])
     assert abs(sum(r["event_frac"] for r in out.values()) - 1.0) < 1e-4
+
+
+def test_simhash_banding_equals_bruteforce_full_corpus(spark, sf_dir):
+    """The pigeonhole claim itself: on the FULL small-SF corpus (no
+    slice), the banded candidate join followed by the Hamming filter
+    finds exactly the brute-force all-pairs <=3 set."""
+    from pipeline_query_engine_demo_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash(docs, "doc_id", "text", bits=16).collect()
+    }
+    ids = sorted(sigs)
+    expected = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ham = sum(1 for x, y in zip(sigs[a], sigs[b]) if x != y)
+            if ham <= 3:
+                expected.add((a, b, ham))
+    # replicate the banded plan without the slice
+    bands: dict = {}
+    for d, s in sigs.items():
+        for band in range(4):
+            bands.setdefault((band, s[band * 4:band * 4 + 4]), []).append(d)
+    got = set()
+    for members in bands.values():
+        members = sorted(members)
+        for i, a in enumerate(members):
+            for b in members[i + 1:]:
+                ham = sum(1 for x, y in zip(sigs[a], sigs[b]) if x != y)
+                if ham <= 3:
+                    got.add((a, b, ham))
+    assert got == expected
