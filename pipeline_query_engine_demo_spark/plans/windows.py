@@ -1043,3 +1043,147 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").cast("bigint").alias("users_7d"))
         .orderBy("day")
     )
+
+
+@query(
+    "attribution_first_last_touch",
+    category="window",
+    oracle="""
+        WITH w AS (
+            SELECT event_id, user_id, ts, event_type,
+                   MIN(CASE WHEN event_type = 'click' THEN ts END) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 2 HOUR PRECEDING
+                             AND CURRENT ROW) AS first_touch_ts,
+                   MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 2 HOUR PRECEDING
+                             AND CURRENT ROW) AS last_touch_ts
+            FROM events
+        )
+        SELECT event_id, user_id, ts AS purchase_ts,
+               first_touch_ts, last_touch_ts
+        FROM w WHERE event_type = 'purchase'
+        ORDER BY event_id
+    """,
+)
+def attribution_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch and last-touch click attribution for every purchase:
+    the earliest and latest click by the same user inside the trailing
+    2-hour window, via conditional MIN/MAX over a time-RANGE frame —
+    the two endpoints of the marketing-attribution spectrum in one
+    window pass (last-touch alone is the as-of join;
+    asof_join_last_purchase is the join-shaped sibling). NULLs where
+    no click precedes the purchase in-window.
+
+    Scale: one hash exchange on user_id + in-partition sort carries
+    both frames; the RANGE frame is bounded by the attribution window,
+    so state per row is O(events-in-2h). No self-join, no row
+    amplification."""
+    ev = load_table(spark, sf_dir, "events")
+    # unix_micros, NOT cast("long"): the cast truncates to seconds, so
+    # a click 7200.4 s back would sneak into the frame while DuckDB's
+    # INTERVAL arithmetic (full microsecond precision) excludes it —
+    # observed as a real sf0.1 divergence.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-7200 * 1_000_000, 0)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    out = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.min(click_ts).over(w).alias("first_touch_ts"),
+        F.max(click_ts).over(w).alias("last_touch_ts"),
+    )
+    return (
+        out.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "first_touch_ts",
+            "last_touch_ts",
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "weighted_median_price",
+    category="aggregation",
+    oracle="""
+        WITH r AS (
+            SELECT l_returnflag AS returnflag, l_extendedprice AS price,
+                   CAST(floor((l_quantity) * 100.0 + 0.5) AS BIGINT) AS wq,
+                   l_orderkey, l_linenumber
+            FROM lineitem WHERE isfinite(l_quantity)
+        ),
+        c AS (
+            SELECT returnflag, price, wq,
+                   SUM(wq) OVER (PARTITION BY returnflag
+                                 ORDER BY price, l_orderkey, l_linenumber
+                                 ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(wq) OVER (PARTITION BY returnflag) AS total
+            FROM r
+        ),
+        m AS (
+            SELECT returnflag, price,
+                   row_number() OVER (PARTITION BY returnflag
+                                      ORDER BY cum, price) AS rn
+            FROM c WHERE 2 * cum >= total
+        )
+        SELECT returnflag, price AS weighted_median_price
+        FROM m WHERE rn = 1 ORDER BY returnflag
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per return flag — the
+    'median dollar' rather than the median row. Weights scale to
+    integer quantity-cents with the shared floor form, so the running
+    weight and the half-total predicate 2*cum >= total are exact
+    integer arithmetic: there is NO interpolation formula and NO float
+    comparison for the engines to disagree on, and the (price,
+    orderkey, linenumber) tie-break makes the cumulative walk
+    deterministic.
+
+    Scale: one hash exchange on the group key serves the cumulative
+    window and the group total; the median row falls out of an integer
+    predicate + first-row filter, never a driver-side sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("double")
+    finite = ~(
+        F.isnan(q) | (q == F.lit(float("inf"))) | (q == F.lit(float("-inf")))
+    )
+    r = li.filter(finite).select(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_extendedprice").alias("price"),
+        F.floor(q * F.lit(100.0) + F.lit(0.5)).cast("bigint").alias("wq"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_cum = (
+        Window.partitionBy("returnflag")
+        .orderBy("price", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("returnflag")
+    c = r.select(
+        "returnflag",
+        "price",
+        F.sum("wq").over(w_cum).alias("cum"),
+        F.sum("wq").over(w_tot).alias("total"),
+    )
+    w_first = Window.partitionBy("returnflag").orderBy("cum", "price")
+    return (
+        c.filter(F.lit(2) * F.col("cum") >= F.col("total"))
+        .select(
+            "returnflag", "price", F.row_number().over(w_first).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .select("returnflag", F.col("price").alias("weighted_median_price"))
+        .orderBy("returnflag")
+    )
