@@ -3061,3 +3061,206 @@ def mutual_information_source_lang(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("mi") / F.sqrt(F.col("hs") * F.col("hl")), 6
         ).alias("nmi"),
     )
+
+
+@query(
+    "wilson_ci_conversion",
+    category="analytics",
+    oracle=f"""
+        WITH ud AS (
+            SELECT date_trunc('day', ts) AS day, user_id,
+                   MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS clicked,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS purchased
+            FROM events GROUP BY day, user_id
+        ),
+        d AS (
+            SELECT day,
+                   CAST(SUM(clicked) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN clicked = 1 AND purchased = 1
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS k
+            FROM ud GROUP BY day
+        ),
+        w AS (
+            SELECT day, n, k,
+                   CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                   CAST(1.96 AS DOUBLE) AS z,
+                   CAST(n AS DOUBLE) AS nd
+            FROM d WHERE n > 0
+        ),
+        ci AS (
+            SELECT day, n, k, p,
+                   (p + z * z / (2.0 * nd)) / (1.0 + z * z / nd) AS center,
+                   z * sqrt(p * (1.0 - p) / nd + z * z / (4.0 * nd * nd))
+                       / (1.0 + z * z / nd) AS half
+            FROM w
+        )
+        SELECT day, n, k,
+               {sql_round_half_up('p', 6)} AS conversion,
+               {sql_round_half_up('center - half', 6)} AS wilson_lo,
+               {sql_round_half_up('center + half', 6)} AS wilson_hi
+        FROM ci ORDER BY day
+    """,
+)
+def wilson_ci_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily click→purchase conversion among clicking users with the
+    Wilson 95% score interval — the uncertainty-honest way to report a
+    small-sample rate (a plain ±1.96·SE interval misbehaves near 0/1;
+    Wilson stays inside [0,1]). Counts are per-(day,user) flag
+    aggregates, so repeated events don't inflate the rate; the interval
+    evaluates as one identical double tree (the z literal is CAST to
+    DOUBLE — a bare 1.96 folds in DECIMAL on DuckDB).
+
+    Scale: two stacked combinable aggregates ((day,user) flags, then
+    day), both riding one exchange keyed on day+user then day."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "clicked"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "purchased"
+        ),
+    )
+    d = ud.groupBy("day").agg(
+        F.sum("clicked").cast("bigint").alias("n"),
+        F.sum(
+            F.when((F.col("clicked") == 1) & (F.col("purchased") == 1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("k"),
+    ).filter(F.col("n") > 0)
+    p = F.col("k").cast("double") / F.col("n").cast("double")
+    z = F.lit(1.96)
+    nd = F.col("n").cast("double")
+    w = d.select("day", "n", "k", p.alias("p"), nd.alias("nd"))
+    pc, ndc = F.col("p"), F.col("nd")
+    center = (pc + z * z / (F.lit(2.0) * ndc)) / (F.lit(1.0) + z * z / ndc)
+    half = (
+        z
+        * F.sqrt(pc * (F.lit(1.0) - pc) / ndc + z * z / (F.lit(4.0) * ndc * ndc))
+        / (F.lit(1.0) + z * z / ndc)
+    )
+    return (
+        w.select(
+            "day",
+            "n",
+            "k",
+            round_half_up(pc, 6).alias("conversion"),
+            round_half_up(center - half, 6).alias("wilson_lo"),
+            round_half_up(center + half, 6).alias("wilson_hi"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "signup_to_purchase_latency",
+    category="analytics",
+    oracle=f"""
+        WITH s AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts
+            FROM events GROUP BY user_id
+        ),
+        p AS (
+            SELECT e.user_id,
+                   MIN(e.ts) AS first_purchase_ts
+            FROM events e JOIN s ON s.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND s.signup_ts IS NOT NULL
+              AND e.ts >= s.signup_ts
+            GROUP BY e.user_id
+        ),
+        lat AS (
+            SELECT p.user_id,
+                   epoch_us(p.first_purchase_ts) - epoch_us(s.signup_ts)
+                       AS micros
+            FROM p JOIN s ON s.user_id = p.user_id
+        ),
+        r AS (
+            SELECT user_id, micros,
+                   row_number() OVER (ORDER BY micros, user_id) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM lat
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+               {sql_round_half_up(
+                   "SUM(CASE WHEN 2 * rn = n OR 2 * rn = n + 1"
+                   " OR 2 * rn = n + 2 THEN micros END)"
+                   " / COUNT(CASE WHEN 2 * rn = n OR 2 * rn = n + 1"
+                   " OR 2 * rn = n + 2 THEN 1 END) / 1000000.0", 6)}
+                   AS median_latency_sec,
+               {sql_round_half_up(
+                   "MAX(CASE WHEN rn = CAST(ceil(CAST(0.90 AS DOUBLE)"
+                   " * CAST(n AS DOUBLE)) AS BIGINT)"
+                   " THEN micros END) / 1000000.0", 6)} AS p90_latency_sec
+        FROM r
+    """,
+)
+def signup_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time from signup to first subsequent purchase per user, reduced
+    to the median and nearest-rank p90 — the activation-funnel latency
+    metric. Latencies are exact integer microseconds; the median uses
+    the integer predicate 2·rn ∈ {n, n+1, n+2} (mad_robust_outliers'
+    no-interpolation trick) and p90 the nearest-rank predicate, so the
+    only float op is the final µs→s division.
+
+    Scale note: the global rank over CONVERTED users runs partition-
+    less here (converted users ≪ events; still user-scaled at 100 TB —
+    swap in the bucketed two-phase rank of mann_whitney_u_events when
+    that matters); flagged to the plan auditor whitelist with that
+    justification."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "signup_ts"
+        )
+    )
+    p = (
+        ev.join(F.broadcast(s), "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("signup_ts").isNotNull()
+            & (F.col("ts") >= F.col("signup_ts"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    lat = p.join(F.broadcast(s), "user_id").select(
+        "user_id",
+        (
+            F.unix_micros(F.col("first_purchase_ts"))
+            - F.unix_micros(F.col("signup_ts"))
+        ).alias("micros"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("micros", "user_id")
+    r = lat.select(
+        "micros",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    mid = (
+        (F.lit(2) * F.col("rn") == F.col("n"))
+        | (F.lit(2) * F.col("rn") == F.col("n") + F.lit(1))
+        | (F.lit(2) * F.col("rn") == F.col("n") + F.lit(2))
+    )
+    p90_rn = F.ceil(F.lit(0.90) * F.col("n").cast("double")).cast("bigint")
+    return r.agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        round_half_up(
+            F.sum(F.when(mid, F.col("micros")))
+            / F.count(F.when(mid, F.lit(1)))
+            / F.lit(1000000.0),
+            6,
+        ).alias("median_latency_sec"),
+        round_half_up(
+            F.max(F.when(F.col("rn") == p90_rn, F.col("micros")))
+            / F.lit(1000000.0),
+            6,
+        ).alias("p90_latency_sec"),
+    )

@@ -435,3 +435,71 @@ def test_mutual_information_matches_bruteforce(spark, sf_dir):
     # information bounds: 0 <= MI <= min(H_source, H_lang)
     assert -1e-9 <= row["mi_nats"] <= min(hs, hl) + 1e-9
     assert 0.0 <= row["nmi"] <= 1.0 + 1e-9
+
+
+def test_wilson_ci_matches_bruteforce(spark, sf_dir):
+    import math
+
+    from pipeline_query_engine_demo_spark.plans.analytics import wilson_ci_conversion
+
+    out = {r["day"]: r for r in wilson_ci_conversion(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    flags: dict = {}
+    for r in ev:
+        day = r["ts"].replace(hour=0, minute=0, second=0, microsecond=0)
+        f = flags.setdefault((day, r["user_id"]), [False, False])
+        if r["event_type"] == "click":
+            f[0] = True
+        elif r["event_type"] == "purchase":
+            f[1] = True
+    per_day: dict = {}
+    for (day, _), (c, p) in flags.items():
+        n, k = per_day.get(day, (0, 0))
+        per_day[day] = (n + (1 if c else 0), k + (1 if c and p else 0))
+    z = 1.96
+    for day, (n, k) in per_day.items():
+        if n == 0:
+            assert day not in out
+            continue
+        p = k / n
+        denom = 1 + z * z / n
+        center = (p + z * z / (2 * n)) / denom
+        half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+        r = out[day]
+        assert (r["n"], r["k"]) == (n, k)
+        assert abs(r["conversion"] - p) < 1e-6
+        assert abs(r["wilson_lo"] - (center - half)) < 1e-6
+        assert abs(r["wilson_hi"] - (center + half)) < 1e-6
+        assert 0.0 <= r["wilson_lo"] <= r["conversion"] <= r["wilson_hi"] <= 1.0
+
+
+def test_signup_latency_matches_bruteforce(spark, sf_dir):
+    import math
+
+    from pipeline_query_engine_demo_spark.plans.analytics import (
+        signup_to_purchase_latency,
+    )
+
+    row = signup_to_purchase_latency(spark, sf_dir).collect()[0]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    signup: dict = {}
+    for r in ev:
+        if r["event_type"] == "signup":
+            u = r["user_id"]
+            if u not in signup or r["ts"] < signup[u]:
+                signup[u] = r["ts"]
+    first_p: dict = {}
+    for r in ev:
+        if r["event_type"] == "purchase" and r["user_id"] in signup and r["ts"] >= signup[r["user_id"]]:
+            u = r["user_id"]
+            if u not in first_p or r["ts"] < first_p[u]:
+                first_p[u] = r["ts"]
+    lats = sorted(
+        (int((first_p[u] - signup[u]).total_seconds() * 1e6), u) for u in first_p
+    )
+    n = len(lats)
+    assert row["n_converted"] == n
+    mids = [m for i, (m, _) in enumerate(lats, start=1)
+            if 2 * i in (n, n + 1, n + 2)]
+    assert abs(row["median_latency_sec"] - sum(mids) / len(mids) / 1e6) < 1e-5
+    assert abs(row["p90_latency_sec"] - lats[math.ceil(0.9 * n) - 1][0] / 1e6) < 1e-6

@@ -87,6 +87,7 @@ UNPARTITIONED_WINDOW_WHITELIST: dict[str, str] = {
     "vocab_induction_oov": "vocab cutoff rank over the token-FREQUENCY aggregate (vocab-sized)",
     "training_manifest_pipeline": "composed bucket-offset window over the 256-row bucket table",
     "mann_whitney_u_events": "cumulative offsets over the ~16-row value-range bucket table",
+    "signup_to_purchase_latency": "rank over CONVERTED users (aggregate far below event grain; bucketed two-phase rank documented as the at-scale swap)",
 }
 # Streaming queries execute a real stream inside their builder (memory
 # sink / foreachBatch), so the returned DataFrame's plan is just the
