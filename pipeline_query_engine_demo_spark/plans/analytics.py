@@ -3264,3 +3264,136 @@ def signup_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p90_latency_sec"),
     )
+
+
+def _bucketed_row_number(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    bucket_expr: F.Column,
+    out_col: str,
+) -> DataFrame:
+    """Global dense row_number in (value, tiebreak) order WITHOUT a
+    partition-less window over the input: rows rank inside value-range
+    buckets in parallel, and broadcast per-bucket cumulative counts
+    supply the offsets — because the bucket is a monotone function of
+    the value, bucket-then-within IS the global order. The same
+    two-phase shape as llm._shuffle_positions (hash buckets) and
+    mann_whitney_u_events (value buckets); the only partition-less
+    window runs over the bucket-count table."""
+    from pyspark.sql import Window
+
+    b = df.withColumn("_b", bucket_expr.cast("bigint"))
+    w_in = Window.partitionBy("_b").orderBy(value_col, tiebreak_col)
+    within = b.withColumn("_rn_in", F.row_number().over(w_in))
+    counts = b.groupBy("_b").agg(F.count(F.lit(1)).alias("_bn"))
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_b", F.coalesce(F.sum("_bn").over(w_off), F.lit(0)).alias("_off")
+    )
+    return (
+        within.join(F.broadcast(offsets), "_b")
+        .withColumn(out_col, (F.col("_off") + F.col("_rn_in")).cast("bigint"))
+        .drop("_b", "_rn_in", "_off")
+    )
+
+
+@query(
+    "rfm_segmentation",
+    category="analytics",
+    oracle="""
+        WITH u AS (
+            SELECT o_custkey AS custkey,
+                   CAST(date_diff('day', MAX(o_orderdate),
+                        (SELECT MAX(o_orderdate) FROM orders)) AS BIGINT)
+                       AS recency_days,
+                   CAST(COUNT(*) AS BIGINT) AS freq,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100
+                        AS BIGINT) AS monetary_cents
+            FROM orders GROUP BY o_custkey
+        ),
+        r AS (
+            SELECT *,
+                   row_number() OVER (ORDER BY recency_days, custkey) AS rn_r,
+                   row_number() OVER (ORDER BY freq, custkey) AS rn_f,
+                   row_number() OVER (ORDER BY monetary_cents, custkey) AS rn_m,
+                   COUNT(*) OVER () AS n
+            FROM u
+        ),
+        s AS (
+            SELECT custkey, monetary_cents,
+                   CAST(6 - ((5 * rn_r + n - 1) // n) AS BIGINT) AS r_score,
+                   CAST((5 * rn_f + n - 1) // n AS BIGINT) AS f_score,
+                   CAST((5 * rn_m + n - 1) // n AS BIGINT) AS m_score
+            FROM r
+        )
+        SELECT r_score, f_score, m_score,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(monetary_cents) AS BIGINT) AS total_monetary_cents
+        FROM s GROUP BY r_score, f_score, m_score
+        ORDER BY r_score, f_score, m_score
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: every customer scores 1–5 on Recency
+    (days since last order, 5 = most recent), Frequency, and Monetary
+    value, and the output is the segment-cell summary (≤125 rows).
+    Quintiles come from exact global ranks via the INTEGER formula
+    q = ceil(5·rn/n) = (5·rn + n − 1) div n — no percentile
+    interpolation, no float.
+
+    Scale: each of the three ranks uses _bucketed_row_number — rows
+    rank within value-range buckets in parallel and add broadcast
+    bucket offsets, so no partition-less window ever touches the
+    customer table (the quintile thresholds a naive ntile() would
+    compute in one reducer). Monetary stays in exact integer cents."""
+    orders = load_table(spark, sf_dir, "orders")
+    ref = orders.agg(F.max("o_orderdate").alias("ref_date"))
+    u = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            (F.sum(F.col("o_totalprice").cast("decimal(12,2)")) * 100)
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "custkey",
+            F.datediff(F.col("ref_date"), F.col("last_order"))
+            .cast("bigint")
+            .alias("recency_days"),
+            "freq",
+            "monetary_cents",
+        )
+    )
+    ranked = _bucketed_row_number(
+        u, "recency_days", "custkey", F.col("recency_days") / F.lit(64), "rn_r"
+    )
+    ranked = _bucketed_row_number(
+        ranked, "freq", "custkey", F.col("freq") / F.lit(4), "rn_f"
+    )
+    ranked = _bucketed_row_number(
+        ranked,
+        "monetary_cents",
+        "custkey",
+        F.col("monetary_cents") / F.lit(4194304),
+        "rn_m",
+    )
+    n_tbl = u.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    s = ranked.crossJoin(F.broadcast(n_tbl)).selectExpr(
+        "custkey",
+        "monetary_cents",
+        "CAST(6 - ((5 * rn_r + n - 1) div n) AS BIGINT) AS r_score",
+        "CAST((5 * rn_f + n - 1) div n AS BIGINT) AS f_score",
+        "CAST((5 * rn_m + n - 1) div n AS BIGINT) AS m_score",
+    )
+    return (
+        s.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("monetary_cents").cast("bigint").alias("total_monetary_cents"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

@@ -503,3 +503,45 @@ def test_signup_latency_matches_bruteforce(spark, sf_dir):
             if 2 * i in (n, n + 1, n + 2)]
     assert abs(row["median_latency_sec"] - sum(mids) / len(mids) / 1e6) < 1e-5
     assert abs(row["p90_latency_sec"] - lats[math.ceil(0.9 * n) - 1][0] / 1e6) < 1e-6
+
+
+def test_rfm_matches_bruteforce(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    from pipeline_query_engine_demo_spark.plans.analytics import rfm_segmentation
+
+    out = {(r["r_score"], r["f_score"], r["m_score"]): r
+           for r in rfm_segmentation(spark, sf_dir).collect()}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    per: dict = {}
+    for r in orders:
+        c = per.setdefault(r["o_custkey"], {"last": r["o_orderdate"], "n": 0, "m": 0})
+        c["last"] = max(c["last"], r["o_orderdate"])
+        c["n"] += 1
+        c["m"] += round(r["o_totalprice"] * 100)
+    ref = max(c["last"] for c in per.values())
+    users = [
+        (ck, (ref - c["last"]).days, c["n"], c["m"]) for ck, c in per.items()
+    ]
+    n = len(users)
+
+    def quintile(ranked_keys):
+        return {ck: math.ceil(5 * (i + 1) / n) for i, ck in enumerate(ranked_keys)}
+
+    qr = quintile([ck for ck, d, _, _ in sorted(users, key=lambda t: (t[1], t[0]))])
+    qf = quintile([ck for ck, _, f, _ in sorted(users, key=lambda t: (t[2], t[0]))])
+    qm = quintile([ck for ck, _, _, m in sorted(users, key=lambda t: (t[3], t[0]))])
+    cells = Counter()
+    money = Counter()
+    for ck, _, _, m in users:
+        key = (6 - qr[ck], qf[ck], qm[ck])
+        cells[key] += 1
+        money[key] += m
+    assert {k: r["n_users"] for k, r in out.items()} == dict(cells)
+    for k, r in out.items():
+        assert r["total_monetary_cents"] == money[k]
+    assert sum(r["n_users"] for r in out.values()) == n
+    # every score in 1..5
+    for (a, b, c) in out:
+        assert 1 <= a <= 5 and 1 <= b <= 5 and 1 <= c <= 5
