@@ -3397,3 +3397,156 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+#: Benford first-digit probabilities log10(1 + 1/d), pre-folded to
+#: Python doubles once and embedded as literals in BOTH engines — the
+#: nDCG-discount trick: no runtime log10 anywhere.
+import math as _math  # noqa: E402
+
+_BENFORD_P = {d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+@query(
+    "benford_digit_test",
+    category="analytics",
+    oracle=f"""
+        WITH digits AS (
+            SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                               AS VARCHAR), 1, 1) AS BIGINT) AS d
+            FROM orders WHERE o_totalprice >= 1.0
+        ),
+        c AS (
+            SELECT d, CAST(COUNT(*) AS BIGINT) AS observed
+            FROM digits GROUP BY d
+        ),
+        n AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM c)
+        SELECT c.d AS digit, c.observed,
+               {sql_round_half_up(
+                   'CAST(n.n AS DOUBLE) * CASE c.d '
+                   + " ".join(
+                       f"WHEN {d} THEN CAST({p!r} AS DOUBLE)"
+                       for d, p in _BENFORD_P.items())
+                   + ' END', 6)} AS expected,
+               {sql_round_half_up(
+                   '(CAST(c.observed AS DOUBLE) - CAST(n.n AS DOUBLE)'
+                   ' * CASE c.d '
+                   + " ".join(
+                       f"WHEN {d} THEN CAST({p!r} AS DOUBLE)"
+                       for d, p in _BENFORD_P.items())
+                   + ' END) * (CAST(c.observed AS DOUBLE)'
+                   ' - CAST(n.n AS DOUBLE) * CASE c.d '
+                   + " ".join(
+                       f"WHEN {d} THEN CAST({p!r} AS DOUBLE)"
+                       for d, p in _BENFORD_P.items())
+                   + ' END) / (CAST(n.n AS DOUBLE) * CASE c.d '
+                   + " ".join(
+                       f"WHEN {d} THEN CAST({p!r} AS DOUBLE)"
+                       for d, p in _BENFORD_P.items())
+                   + ' END)', 6)} AS chi2_term
+        FROM c CROSS JOIN n ORDER BY digit
+    """,
+)
+def benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: observed
+    leading-digit counts against n·log10(1+1/d) expectations with the
+    per-digit chi-square contribution — the classic fabricated-data /
+    corrupted-feed screen. The Benford probabilities are pre-folded
+    Python literals embedded in both engines (the nDCG-discount
+    trick), so no runtime log10 exists and every term is one identical
+    double tree over exact BIGINT counts. Emitting per-digit terms
+    (not their sum) keeps the output order-independent without any
+    cross-row float addition.
+
+    Scale: one map-side digit extraction + a 9-row aggregate."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1.0
+    )
+    d = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    c = orders.select(d.alias("d")).groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("observed")
+    )
+    n_tbl = c.agg(F.sum("observed").cast("bigint").alias("n"))
+    j = c.crossJoin(F.broadcast(n_tbl))
+    p_expr = F.lit(None).cast("double")
+    for digit, p in reversed(list(_BENFORD_P.items())):
+        p_expr = F.when(F.col("d") == digit, F.lit(p)).otherwise(p_expr)
+    expected = F.col("n").cast("double") * p_expr
+    obs = F.col("observed").cast("double")
+    return (
+        j.select(
+            F.col("d").alias("digit"),
+            "observed",
+            round_half_up(expected, 6).alias("expected"),
+            round_half_up(
+                (obs - expected) * (obs - expected) / expected, 6
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+@query(
+    "seasonal_naive_backtest",
+    category="analytics",
+    oracle=f"""
+        WITH m AS (
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100
+                        AS BIGINT) AS rev_cents
+            FROM orders GROUP BY month
+        ),
+        j AS (
+            SELECT a.month, a.rev_cents AS actual_cents,
+                   b.rev_cents AS forecast_cents
+            FROM m a JOIN m b ON b.month = a.month - INTERVAL 12 MONTH
+        )
+        SELECT month, actual_cents, forecast_cents,
+               {sql_round_half_up(
+                   'abs(CAST(actual_cents - forecast_cents AS DOUBLE))'
+                   ' / CAST(actual_cents AS DOUBLE)', 6)} AS ape
+        FROM j ORDER BY month
+    """,
+)
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecast (next month = same month
+    last year) on monthly revenue: per-month actual, forecast, and
+    absolute percentage error — the baseline every fancier forecaster
+    must beat, and the shape of a forecast-accuracy dashboard. Revenue
+    stays in exact integer cents (DECIMAL sum × 100), so the only
+    float op is the final error ratio; emitting per-month rows (MAPE
+    reduced in the test) avoids any cross-row float sum.
+
+    Scale: one month-level aggregate, then a self-join on the
+    12-month-shifted key — month-level tables are tiny at any fact
+    size."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(12,2)")) * 100)
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    a = m.alias("a")
+    b = m.select(
+        (F.col("month") + F.expr("INTERVAL 12 MONTHS")).alias("month"),
+        F.col("rev_cents").alias("forecast_cents"),
+    )
+    j = a.join(F.broadcast(b), "month").select(
+        "month",
+        F.col("rev_cents").alias("actual_cents"),
+        "forecast_cents",
+    )
+    return j.select(
+        "month",
+        "actual_cents",
+        "forecast_cents",
+        round_half_up(
+            F.abs((F.col("actual_cents") - F.col("forecast_cents")).cast("double"))
+            / F.col("actual_cents").cast("double"),
+            6,
+        ).alias("ape"),
+    ).orderBy("month")

@@ -545,3 +545,50 @@ def test_rfm_matches_bruteforce(spark, sf_dir):
     # every score in 1..5
     for (a, b, c) in out:
         assert 1 <= a <= 5 and 1 <= b <= 5 and 1 <= c <= 5
+
+
+def test_benford_matches_bruteforce(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    from pipeline_query_engine_demo_spark.plans.analytics import benford_digit_test
+
+    out = {r["digit"]: r for r in benford_digit_test(spark, sf_dir).collect()}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    digits = Counter(
+        int(str(int(r["o_totalprice"]))[0])
+        for r in orders if r["o_totalprice"] >= 1.0
+    )
+    n = sum(digits.values())
+    assert {d: r["observed"] for d, r in out.items()} == dict(digits)
+    for d, r in out.items():
+        e = n * math.log10(1 + 1 / d)
+        assert abs(r["expected"] - e) < 1e-4
+        assert abs(r["chi2_term"] - (digits[d] - e) ** 2 / e) < 1e-4
+    # expectations themselves must sum to ~n
+    assert abs(sum(r["expected"] for r in out.values()) - n) < 1e-2
+
+
+def test_seasonal_naive_matches_bruteforce(spark, sf_dir):
+    from collections import defaultdict
+
+    from pipeline_query_engine_demo_spark.plans.analytics import (
+        seasonal_naive_backtest,
+    )
+
+    out = {r["month"]: r for r in seasonal_naive_backtest(spark, sf_dir).collect()}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    rev = defaultdict(int)
+    for r in orders:
+        m = r["o_orderdate"].replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+        rev[m] += round(r["o_totalprice"] * 100)
+    expected = {}
+    for m, a in rev.items():
+        ly = m.replace(year=m.year - 1)
+        if ly in rev:
+            expected[m] = (a, rev[ly])
+    assert set(out) == set(expected)
+    for m, (a, f) in expected.items():
+        r = out[m]
+        assert (r["actual_cents"], r["forecast_cents"]) == (a, f)
+        assert abs(r["ape"] - abs(a - f) / a) < 1e-6
