@@ -3450,3 +3450,103 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "dedup_funnel_report",
+    category="llm-dedup",
+    oracle=_CLUSTERS_SQL
+    + f""" ,
+        ex AS (
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       row_number() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) AS rn
+                FROM documents)
+            WHERE rn = 1
+        ),
+        reps AS (SELECT doc_id FROM labels WHERE doc_id = cluster_id),
+        flags AS (
+            SELECT d.source,
+                   CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS ex_ok,
+                   CASE WHEN e.doc_id IS NOT NULL AND r.doc_id IS NOT NULL
+                        THEN 1 ELSE 0 END AS nd_ok,
+                   CASE WHEN e.doc_id IS NOT NULL AND r.doc_id IS NOT NULL
+                             AND len(string_split(d.text, ' ')) >= 20
+                        THEN 1 ELSE 0 END AS fin_ok
+            FROM documents d
+            LEFT JOIN ex e ON e.doc_id = d.doc_id
+            LEFT JOIN reps r ON r.doc_id = d.doc_id
+        ),
+        agg AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_raw,
+                   CAST(SUM(ex_ok) AS BIGINT) AS n_after_exact,
+                   CAST(SUM(nd_ok) AS BIGINT) AS n_after_neardup,
+                   CAST(SUM(fin_ok) AS BIGINT) AS n_final
+            FROM flags GROUP BY source
+        )
+        SELECT source, n_raw, n_after_exact, n_after_neardup, n_final,
+               {sql_round_half_up(
+                   'CAST(n_final AS DOUBLE) / CAST(n_raw AS DOUBLE)', 6)}
+                   AS retention
+        FROM agg ORDER BY source
+    """,
+)
+def dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup funnel: raw → exact-dedup survivors (first
+    doc per content hash) → near-dup cluster representatives → length
+    filter, with end-to-end retention — the observability report a
+    curation pipeline publishes per run so a source silently losing
+    90% of its documents gets noticed. Stage predicates are computed
+    once on the full corpus and intersected (standard funnel
+    semantics); counts are monotone non-increasing by construction,
+    asserted in tests.
+
+    Scale: one content-hash window (hash-partitioned, never global),
+    the verified near-dup pipeline it composes, two survivor joins,
+    and a source-sized aggregate."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    flagged = docs.select(
+        "source",
+        "doc_id",
+        "text",
+        (F.row_number().over(w) == 1).alias("ex_ok"),
+    )
+    clusters = dedup.dedup_clusters(docs, "doc_id", "text", threshold=0.6)
+    reps = clusters.filter(F.col("id") == F.col("cluster_id")).select(
+        F.col("id").alias("doc_id"), F.lit(True).alias("is_rep")
+    )
+    j = flagged.join(reps, "doc_id", "left").select(
+        "source",
+        F.col("ex_ok").cast("int").alias("ex_ok"),
+        (F.col("ex_ok") & F.col("is_rep").isNotNull())
+        .cast("int")
+        .alias("nd_ok"),
+        (
+            F.col("ex_ok")
+            & F.col("is_rep").isNotNull()
+            & (text.token_count("text") >= 20)
+        )
+        .cast("int")
+        .alias("fin_ok"),
+    )
+    agg = j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+        F.sum("ex_ok").cast("bigint").alias("n_after_exact"),
+        F.sum("nd_ok").cast("bigint").alias("n_after_neardup"),
+        F.sum("fin_ok").cast("bigint").alias("n_final"),
+    )
+    return agg.select(
+        "source",
+        "n_raw",
+        "n_after_exact",
+        "n_after_neardup",
+        "n_final",
+        round_half_up(
+            F.col("n_final").cast("double") / F.col("n_raw").cast("double"), 6
+        ).alias("retention"),
+    ).orderBy("source")

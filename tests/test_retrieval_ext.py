@@ -259,3 +259,21 @@ def test_simhash_banding_equals_bruteforce_full_corpus(spark, sf_dir):
                 if ham <= 3:
                     got.add((a, b, ham))
     assert got == expected
+
+
+def test_dedup_funnel_is_monotone_and_consistent(spark, sf_dir):
+    from pipeline_query_engine_demo_spark.plans.llm import dedup_funnel_report
+
+    out = dedup_funnel_report(spark, sf_dir).collect()
+    assert out
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    raw = {}
+    for r in docs:
+        raw[r["source"]] = raw.get(r["source"], 0) + 1
+    assert {r["source"]: r["n_raw"] for r in out} == raw
+    for r in out:
+        assert r["n_raw"] >= r["n_after_exact"] >= r["n_after_neardup"] >= r["n_final"] >= 0
+        assert abs(r["retention"] - r["n_final"] / r["n_raw"]) < 1e-6
+    # the exact stage corpus-wide must equal distinct texts
+    total_exact = sum(r["n_after_exact"] for r in out)
+    assert total_exact == len({r["text"] for r in docs})
