@@ -2750,8 +2750,8 @@ _CUSUM_H = 50000
     oracle=f"""
         WITH RECURSIVE e AS (
             SELECT user_id,
-                   CASE WHEN isfinite(value)
-                        THEN CAST(floor((value) * 100.0 + 0.5) AS BIGINT) END
+                   CAST(CASE WHEN isfinite(value)
+                        THEN floor((value) * 100.0 + 0.5) END AS BIGINT)
                        AS x,
                    row_number() OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id) AS rn

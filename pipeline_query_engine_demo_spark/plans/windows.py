@@ -1118,7 +1118,9 @@ def attribution_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH r AS (
             SELECT l_returnflag AS returnflag, l_extendedprice AS price,
-                   CAST(floor((l_quantity) * 100.0 + 0.5) AS BIGINT) AS wq,
+                   CAST(CASE WHEN isfinite(l_quantity)
+                        THEN floor((l_quantity) * 100.0 + 0.5) END
+                        AS BIGINT) AS wq,
                    l_orderkey, l_linenumber
             FROM lineitem WHERE isfinite(l_quantity)
         ),
