@@ -61,6 +61,8 @@ NL_WHITELIST = {
     "ann_ndcg_at_k",  # inherits cosine_topk's intended brute-force BNLJ ground truth
     "grouped_split_by_user",  # 1-row event-total broadcast onto the 3-row split summary
     "mutual_information_source_lang",  # 1-row totals/entropies broadcast onto cell tables
+    "rfm_segmentation",  # 1-row reference-date/user-count broadcasts onto the customer aggregate
+    "benford_digit_test",  # 1-row digit-total broadcast onto the 9-row digit table
 }
 #: The deliberate row-at-a-time Python evals (API coverage: F.udf,
 #: spark.udf.register for SQL, and the TABLE-argument UDTF whose
@@ -88,6 +90,7 @@ UNPARTITIONED_WINDOW_WHITELIST: dict[str, str] = {
     "training_manifest_pipeline": "composed bucket-offset window over the 256-row bucket table",
     "mann_whitney_u_events": "cumulative offsets over the ~16-row value-range bucket table",
     "signup_to_purchase_latency": "rank over CONVERTED users (aggregate far below event grain; bucketed two-phase rank documented as the at-scale swap)",
+    "rfm_segmentation": "three bucket-offset windows over ~40-row value-range bucket tables (_bucketed_row_number), one per RFM metric",
 }
 # Streaming queries execute a real stream inside their builder (memory
 # sink / foreachBatch), so the returned DataFrame's plan is just the
