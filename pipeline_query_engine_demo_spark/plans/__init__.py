@@ -12,11 +12,16 @@ from pipeline_query_engine_demo_spark.plans import (  # noqa: F401  (registratio
     quantization,
     relational,
     sinks,
-    streams,
     tpch,
     udfs,
     windows,
 )
+
+# streams imports LAST (not alphabetically): its stream-twin queries
+# reuse batch oracles verbatim via REGISTRY lookups (cusum from
+# analytics, ewma from windows), so every batch module must have
+# registered first.
+from pipeline_query_engine_demo_spark.plans import streams  # noqa: F401,E402
 from pipeline_query_engine_demo_spark.plans.registry import REGISTRY, QuerySpec, oracles, queries
 
 __all__ = ["REGISTRY", "QuerySpec", "queries", "oracles"]

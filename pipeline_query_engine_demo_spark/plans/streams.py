@@ -683,3 +683,22 @@ def streaming_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
         name="t_cusum",
     )
     return result.orderBy("user_id")
+
+
+@query(
+    "streaming_ewma_values",
+    category="streaming",
+    oracle=_REGISTRY["ewma_smoothed_values"].oracle,
+)
+def streaming_ewma_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ewma_smoothed_values: the 8-tap integer-unit
+    EWMA state held per user in applyInPandasWithState
+    (streaming/windows.stateful_ewma) and drained via the availableNow
+    harness; the batch oracle applies VERBATIM because the state IS
+    the batch query's bounded window. Incremental multi-batch state
+    evolution is exercised in tests/test_streaming."""
+    events = streaming.read_events_stream(spark, sf_dir)
+    result = streaming.run_to_memory(
+        streaming.stateful_ewma(events), "update", name="t_ewma"
+    )
+    return result.orderBy("user_id")

@@ -19,6 +19,7 @@ from pipeline_query_engine_demo_spark.streaming.windows import (
     staged_events_source,
     run_to_memory,
     stateful_cusum,
+    stateful_ewma,
     stateful_user_counts,
     stream_static_join_segments,
     stream_stream_click_purchases,
@@ -32,6 +33,7 @@ __all__ = [
     "staged_events_source",
     "run_to_memory",
     "stateful_cusum",
+    "stateful_ewma",
     "stateful_user_counts",
     "stream_static_join_segments",
     "stream_stream_click_purchases",

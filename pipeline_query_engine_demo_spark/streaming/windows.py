@@ -408,3 +408,73 @@ def stateful_cusum(events: DataFrame, k: int, h: int) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_ewma(events: DataFrame) -> DataFrame:
+    """Streaming 8-tap dyadic EWMA (alpha = 1/2) via
+    ``applyInPandasWithState``: the per-user state is exactly the
+    bounded window the batch query (plans.windows.ewma_smoothed_values)
+    reads — the last 8 values in integer micro-units plus the event
+    count — so the drained state table is bit-identical to the batch
+    result and the batch oracle applies verbatim. O(1) state per key
+    (8 longs + a counter); same time-ordered-batch contract as
+    stateful_cusum."""
+    import math
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    weights = [128, 64, 32, 16, 8, 4, 2, 1]
+
+    def scan(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        if state.exists:
+            st = list(state.get)
+            taps = [t for t in st[:8] if t is not None]
+            n = st[8]
+        else:
+            taps = []  # most-recent first
+            n = 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+        for v in batch["value"]:
+            fv = float(v)
+            if not math.isfinite(fv):
+                continue
+            n += 1
+            taps.insert(0, int(math.floor(fv * 1000000.0 + 0.5)))
+            del taps[8:]
+        padded = taps + [None] * (8 - len(taps))
+        state.update(tuple(padded) + (n,))
+        if taps:
+            num = float(sum(w * t for w, t in zip(weights, taps)))
+            den = float(sum(w for w, _ in zip(weights, taps)))
+            raw = num / den / 1000000.0
+            ewma = math.floor(raw * 1000000.0 + 0.5) / 1000000.0
+            last = taps[0] / 1000000.0
+        else:
+            ewma = None
+            last = None
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "last_value": [last],
+                "ewma_value": [ewma],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        scan,
+        outputStructType=(
+            "user_id long, n_events long, last_value double, ewma_value double"
+        ),
+        stateStructType=(
+            "t0 long, t1 long, t2 long, t3 long, t4 long, t5 long, "
+            "t6 long, t7 long, n long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

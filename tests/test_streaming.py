@@ -299,3 +299,54 @@ def test_streaming_cusum_state_evolves_across_time_split_batches(spark, sf_dir, 
     )
     # at least one user must have been emitted in >1 batch
     assert result.groupBy("user_id").count().filter("count > 1").count() > 0
+
+
+def test_streaming_ewma_state_evolves_across_time_split_batches(spark, sf_dir, tmp_path):
+    """EWMA taps are order-dependent; time-split chunks in mtime order
+    must evolve the 8-tap state to exactly the batch query's result."""
+    import time
+
+    from pyspark.sql import Window
+    from pipeline_query_engine_demo_spark.plans.windows import ewma_smoothed_values
+
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_time_chunks_ewma")
+    cuts = ev.selectExpr(
+        "percentile_approx(ts, 0.34) AS c1", "percentile_approx(ts, 0.67) AS c2"
+    ).collect()[0]
+    chunks = [
+        ev.filter(F.col("ts") <= cuts["c1"]),
+        ev.filter((F.col("ts") > cuts["c1"]) & (F.col("ts") <= cuts["c2"])),
+        ev.filter(F.col("ts") > cuts["c2"]),
+    ]
+    for ch in chunks:
+        ch.coalesce(1).write.mode("append").parquet(out)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    result = streaming.run_to_memory(streaming.stateful_ewma(stream), "update")
+    final = result.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        ),
+    ).filter("rn = 1").select("user_id", "n_events", "last_value", "ewma_value")
+    expected = ewma_smoothed_values(spark, sf_dir).withColumnRenamed(
+        "n_events", "e_n"
+    ).withColumnRenamed("last_value", "e_l").withColumnRenamed(
+        "ewma_value", "e_e"
+    )
+    j = final.join(expected, "user_id")
+    assert j.count() == expected.count()
+    assert (
+        j.filter(
+            (F.col("n_events") != F.col("e_n"))
+            | (F.abs(F.col("last_value") - F.col("e_l")) > 1e-9)
+            | (F.abs(F.col("ewma_value") - F.col("e_e")) > 1e-9)
+        ).count()
+        == 0
+    )
+    assert result.groupBy("user_id").count().filter("count > 1").count() > 0
