@@ -3550,3 +3550,124 @@ def dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_final").cast("double") / F.col("n_raw").cast("double"), 6
         ).alias("retention"),
     ).orderBy("source")
+
+
+def _ivf_oracle_sql(nprobe: int) -> str:
+    """The ivf_topk_embeddings oracle parameterized by nprobe (same
+    one-hot-centroid coordinate reduction, same tie-breaks)."""
+    return f"""
+        WITH c AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   CASE WHEN embedding[1] >= embedding[2] AND embedding[1] >= embedding[3]
+                             AND embedding[1] >= embedding[4] THEN 0
+                        WHEN embedding[2] >= embedding[3] AND embedding[2] >= embedding[4] THEN 1
+                        WHEN embedding[3] >= embedding[4] THEN 2
+                        ELSE 3 END AS cell
+            FROM embeddings
+        ),
+        qs AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                   unnest([
+                       struct_pack(cell := 0, s := embedding[1]::DOUBLE),
+                       struct_pack(cell := 1, s := embedding[2]::DOUBLE),
+                       struct_pack(cell := 2, s := embedding[3]::DOUBLE),
+                       struct_pack(cell := 3, s := embedding[4]::DOUBLE)
+                   ]) AS t
+            FROM embeddings WHERE vec_id < 5
+        ),
+        qcells AS (
+            SELECT query_id, qv, t.cell AS cell
+            FROM qs
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                                       ORDER BY t.s DESC, t.cell) <= {nprobe}
+        ),
+        scored AS (
+            SELECT q.query_id, c.vec_id,
+                   {_COSINE_SQL} AS cosine_sim
+            FROM c JOIN qcells q ON c.cell = q.cell
+        ),
+        ranked AS (SELECT *, row_number() OVER (
+                       PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rank
+                   FROM scored)
+        SELECT query_id, vec_id, cosine_sim, rank
+        FROM ranked WHERE rank <= 10
+    """
+
+
+@query(
+    "ivf_recall_vs_probes",
+    category="llm-similarity",
+    oracle=f"""
+        WITH gt AS ({_REG["cosine_topk_embeddings"].oracle}),
+        a1 AS ({_ivf_oracle_sql(1)}),
+        a2 AS ({_ivf_oracle_sql(2)}),
+        a4 AS ({_ivf_oracle_sql(4)}),
+        ann AS (
+            SELECT CAST(1 AS INTEGER) AS nprobe, query_id, vec_id FROM a1
+            UNION ALL
+            SELECT CAST(2 AS INTEGER), query_id, vec_id FROM a2
+            UNION ALL
+            SELECT CAST(4 AS INTEGER), query_id, vec_id FROM a4
+        ),
+        probes AS (SELECT CAST(unnest([1, 2, 4]) AS INTEGER) AS nprobe),
+        g AS (
+            SELECT p.nprobe, gt.query_id, gt.vec_id
+            FROM gt CROSS JOIN probes p
+        ),
+        j AS (
+            SELECT g.nprobe, g.query_id,
+                   CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+            FROM g LEFT JOIN ann a
+              ON a.nprobe = g.nprobe AND a.query_id = g.query_id
+                 AND a.vec_id = g.vec_id
+        )
+        SELECT nprobe, query_id,
+               CAST(SUM(hit) AS BIGINT) AS hits,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               {sql_round_half_up(
+                   'CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)', 6)}
+                   AS recall_at_k
+        FROM j GROUP BY nprobe, query_id
+        ORDER BY nprobe, query_id
+    """,
+)
+def ivf_recall_vs_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF recall/cost curve: recall@10 against brute-force ground
+    truth at nprobe ∈ {1, 2, 4} — the measurement that picks the
+    operating point of every IVF deployment (nprobe=4 probes all 4
+    cells, so its recall is exactly 1.0 and anchors the curve). Each
+    arm composes the already-verified IVF pipeline at a different
+    probe count; arms run as one unioned plan.
+
+    Scale shape: ground truth over a sampled query set (5 probes); the
+    per-arm overlap joins are top-k-sized."""
+    gt = cosine_topk_embeddings(spark, sf_dir).select("query_id", "vec_id")
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    arms = None
+    for p in (1, 2, 4):
+        arm = similarity.ivf_topk(
+            emb, q, "vec_id", "embedding", IVF_CENTROIDS, k=10, nprobe=p
+        ).select(
+            F.lit(p).cast("int").alias("nprobe"),
+            "query_id",
+            "vec_id",
+            F.lit(1).alias("hit"),
+        )
+        arms = arm if arms is None else arms.unionByName(arm)
+    probes = spark.createDataFrame([(1,), (2,), (4,)], "nprobe int")
+    g = gt.crossJoin(F.broadcast(probes))
+    j = g.join(arms, ["nprobe", "query_id", "vec_id"], "left")
+    return (
+        j.groupBy("nprobe", "query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("hits"),
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            round_half_up(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("recall_at_k"),
+        )
+        .orderBy("nprobe", "query_id")
+    )

@@ -277,3 +277,19 @@ def test_dedup_funnel_is_monotone_and_consistent(spark, sf_dir):
     # the exact stage corpus-wide must equal distinct texts
     total_exact = sum(r["n_after_exact"] for r in out)
     assert total_exact == len({r["text"] for r in docs})
+
+
+def test_ivf_recall_curve_is_monotone_and_anchored(spark, sf_dir):
+    from pipeline_query_engine_demo_spark.plans.llm import ivf_recall_vs_probes
+
+    out = ivf_recall_vs_probes(spark, sf_dir).collect()
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], {})[r["nprobe"]] = r["recall_at_k"]
+        assert r["k"] == 10 and 0 <= r["hits"] <= 10
+    assert by_q
+    for _, curve in by_q.items():
+        assert set(curve) == {1, 2, 4}
+        # more probes can only help, and probing all 4 cells is exact
+        assert curve[1] <= curve[2] + 1e-9 <= curve[4] + 2e-9
+        assert abs(curve[4] - 1.0) < 1e-9
