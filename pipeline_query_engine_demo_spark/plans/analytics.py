@@ -3550,3 +3550,155 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ape"),
     ).orderBy("month")
+
+
+@query(
+    "seasonal_baseline_outliers",
+    category="analytics",
+    oracle=f"""
+        WITH e AS (
+            SELECT ts, value,
+                   CAST(epoch_us(date_trunc('day', ts)) / 86400000000
+                        AS BIGINT) % 7 AS dowi,
+                   CAST(hour(ts) AS BIGINT) AS hr,
+                   date_trunc('day', ts) AS day
+            FROM events
+        ),
+        base AS (
+            SELECT dowi, hr,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))
+                            * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ss
+            FROM e GROUP BY dowi, hr
+        ),
+        z AS (
+            SELECT e.day,
+                   CASE WHEN (b.ss / b.n - (b.s / b.n) * (b.s / b.n)) > 0.0
+                        AND abs((e.value - b.s / b.n)
+                                / sqrt(b.ss / b.n - (b.s / b.n) * (b.s / b.n)))
+                            > 3.0
+                        THEN 1 ELSE 0 END AS is_outlier
+            FROM e JOIN base b ON b.dowi = e.dowi AND b.hr = e.hr
+        )
+        SELECT day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(is_outlier) AS BIGINT) AS n_outliers,
+               {sql_round_half_up(
+                   'CAST(SUM(is_outlier) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)',
+                   6)} AS outlier_rate
+        FROM z GROUP BY day ORDER BY day
+    """,
+)
+def seasonal_baseline_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily anomaly rate against a (day-of-week, hour) seasonal
+    baseline: each event's value is z-scored against its weekly-hour
+    cell's population moments (exact DECIMAL power sums, the
+    zscore_outlier_events recipe) and days are summarized by their
+    |z| > 3 rate — the seasonality-aware monitor that a flat global
+    threshold gets wrong on weekends. The day-of-week index is a pure
+    integer epoch-day mod 7, dodging the Spark-vs-DuckDB
+    dayofweek-convention mismatch entirely.
+
+    Scale: one 168-cell baseline aggregate broadcast back onto the
+    scan, then a day-level count — two combinable aggregates, no
+    window."""
+    ev = load_table(spark, sf_dir, "events")
+    dowi = (
+        F.unix_micros(F.date_trunc("day", F.col("ts"))) / F.lit(86400000000)
+    ).cast("bigint") % 7
+    e = ev.select(
+        F.col("value"),
+        dowi.alias("dowi"),
+        F.hour("ts").cast("bigint").alias("hr"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    )
+    v = F.col("value").cast("decimal(18,2)")
+    base = e.groupBy("dowi", "hr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(v).cast("double").alias("s"),
+        F.sum(v * v).cast("double").alias("ss"),
+    )
+    j = e.join(F.broadcast(base), ["dowi", "hr"])
+    mean = F.col("s") / F.col("n")
+    var = F.col("ss") / F.col("n") - mean * mean
+    is_out = F.when(
+        (var > F.lit(0.0))
+        & (F.abs((F.col("value") - mean) / F.sqrt(var)) > F.lit(3.0)),
+        1,
+    ).otherwise(0)
+    return (
+        j.select("day", is_out.alias("is_outlier"))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("is_outlier").cast("bigint").alias("n_outliers"),
+            round_half_up(
+                F.sum("is_outlier").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("outlier_rate"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "inter_event_gap_histogram",
+    category="analytics",
+    oracle="""
+        WITH g AS (
+            SELECT event_type,
+                   epoch_us(ts) - epoch_us(lag(ts) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id)) AS gap_us
+            FROM events
+        ),
+        b AS (
+            SELECT event_type,
+                   CAST(floor(ln(CAST(gap_us AS DOUBLE) / 1000000.0)
+                              / ln(2.0)) AS BIGINT) AS log2_bucket
+            FROM g WHERE gap_us IS NOT NULL AND gap_us > 0
+        )
+        SELECT event_type, log2_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps
+        FROM b GROUP BY event_type, log2_bucket
+        ORDER BY event_type, log2_bucket
+    """,
+)
+def inter_event_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of inter-event gaps per (user, event-type) stream in
+    log2-second buckets — the burstiness profile that picks session
+    timeouts and watermark delays (the time-axis companion to
+    key_skew_profile's frequency histogram). Gaps are exact integer
+    microseconds; the bucket is floor(log2(seconds)) on identical
+    doubles (ln/ln(2), both operands exact), and zero gaps (same-µs
+    events) are excluded as degenerate.
+
+    Scale: one lag window per (user, type) partition, then a
+    combinable count on ~60 bucket cells."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (
+            F.unix_micros(F.col("ts"))
+            - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    )
+    b = g.filter(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0)).select(
+        "event_type",
+        F.floor(
+            F.log(F.col("gap_us").cast("double") / F.lit(1000000.0))
+            / F.log(F.lit(2.0))
+        )
+        .cast("bigint")
+        .alias("log2_bucket"),
+    )
+    return (
+        b.groupBy("event_type", "log2_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_gaps"))
+        .orderBy("event_type", "log2_bucket")
+    )

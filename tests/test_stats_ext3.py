@@ -592,3 +592,68 @@ def test_seasonal_naive_matches_bruteforce(spark, sf_dir):
         r = out[m]
         assert (r["actual_cents"], r["forecast_cents"]) == (a, f)
         assert abs(r["ape"] - abs(a - f) / a) < 1e-6
+
+
+def test_seasonal_baseline_outliers_matches_bruteforce(spark, sf_dir):
+    import math
+    from collections import defaultdict
+
+    from pipeline_query_engine_demo_spark.plans.analytics import (
+        seasonal_baseline_outliers,
+    )
+
+    out = {r["day"]: r for r in seasonal_baseline_outliers(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    cells = defaultdict(list)
+    rows = []
+    for r in ev:
+        day = r["ts"].replace(hour=0, minute=0, second=0, microsecond=0)
+        dowi = int(day.timestamp() // 86400) % 7
+        key = (dowi, r["ts"].hour)
+        cells[key].append(r["value"])
+        rows.append((day, key, r["value"]))
+    stats = {}
+    for k, vs in cells.items():
+        n = len(vs)
+        s = sum(round(v * 100) for v in vs) / 100.0
+        ss = sum(round(v * 100) ** 2 for v in vs) / 10000.0
+        mean = s / n
+        var = ss / n - mean * mean
+        stats[k] = (mean, var)
+    per_day = defaultdict(lambda: [0, 0])
+    for day, key, v in rows:
+        mean, var = stats[key]
+        per_day[day][0] += 1
+        if var > 0 and abs((v - mean) / math.sqrt(var)) > 3.0:
+            per_day[day][1] += 1
+    assert set(out) == set(per_day)
+    for day, (n, k) in per_day.items():
+        assert (out[day]["n_events"], out[day]["n_outliers"]) == (n, k)
+        assert abs(out[day]["outlier_rate"] - k / n) < 1e-6
+
+
+def test_gap_histogram_matches_bruteforce(spark, sf_dir):
+    import math
+    from collections import Counter, defaultdict
+
+    from pipeline_query_engine_demo_spark.plans.analytics import (
+        inter_event_gap_histogram,
+    )
+
+    out = {(r["event_type"], r["log2_bucket"]): r["n_gaps"]
+           for r in inter_event_gap_histogram(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    streams = defaultdict(list)
+    for r in ev:
+        streams[(r["user_id"], r["event_type"])].append((r["ts"], r["event_id"]))
+    cells = Counter()
+    total_gaps = 0
+    for (_, et), rows in streams.items():
+        rows.sort()
+        for (a, _), (b, _) in zip(rows, rows[1:]):
+            gap_us = round((b - a).total_seconds() * 1e6)
+            if gap_us > 0:
+                total_gaps += 1
+                cells[(et, math.floor(math.log(gap_us / 1e6, 2)))] += 1
+    assert dict(cells) == out
+    assert sum(out.values()) == total_gaps
