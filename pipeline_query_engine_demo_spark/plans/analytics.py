@@ -3702,3 +3702,78 @@ def inter_event_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_gaps"))
         .orderBy("event_type", "log2_bucket")
     )
+
+
+@query(
+    "k_anonymity_audit",
+    category="analytics",
+    oracle=f"""
+        WITH classes AS (
+            SELECT c_mktsegment, c_nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS class_size
+            FROM customer GROUP BY c_mktsegment, c_nationkey
+        ),
+        b AS (
+            SELECT CASE WHEN class_size = 1 THEN '1'
+                        WHEN class_size < 5 THEN '2-4'
+                        WHEN class_size < 10 THEN '5-9'
+                        ELSE '10+' END AS size_band,
+                   class_size
+            FROM classes
+        ),
+        tot AS (SELECT CAST(SUM(class_size) AS BIGINT) AS n_rows,
+                       CAST(MIN(class_size) AS BIGINT) AS min_class
+                FROM classes)
+        SELECT b.size_band,
+               CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(SUM(b.class_size) AS BIGINT) AS n_rows,
+               {sql_round_half_up(
+                   'CAST(SUM(b.class_size) AS DOUBLE)'
+                   ' / CAST(MAX(tot.n_rows) AS DOUBLE)', 6)} AS row_frac,
+               CAST(MAX(tot.min_class) AS BIGINT) AS corpus_min_class
+        FROM b CROSS JOIN tot
+        GROUP BY b.size_band
+        ORDER BY size_band
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier (market segment,
+    nation): equivalence-class size bands with row fractions and the
+    corpus-wide minimum class size — the privacy screen a dataset
+    publisher runs before release (a '1' band row means unique
+    quasi-identifier combinations exist; k-anonymity equals the
+    corpus_min_class column). Pure integer counts; one ratio.
+
+    Scale: one combinable aggregate on the quasi-identifier key, then
+    a band-sized rollup with a broadcast 1-row total."""
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("class_size")
+    )
+    band = (
+        F.when(F.col("class_size") == 1, "1")
+        .when(F.col("class_size") < 5, "2-4")
+        .when(F.col("class_size") < 10, "5-9")
+        .otherwise("10+")
+    )
+    tot = classes.agg(
+        F.sum("class_size").cast("bigint").alias("n_rows_total"),
+        F.min("class_size").cast("bigint").alias("min_class"),
+    )
+    b = classes.select(band.alias("size_band"), "class_size").crossJoin(
+        F.broadcast(tot)
+    )
+    return (
+        b.groupBy("size_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum("class_size").cast("bigint").alias("n_rows"),
+            round_half_up(
+                F.sum("class_size").cast("double")
+                / F.max("n_rows_total").cast("double"),
+                6,
+            ).alias("row_frac"),
+            F.max("min_class").cast("bigint").alias("corpus_min_class"),
+        )
+        .orderBy("size_band")
+    )

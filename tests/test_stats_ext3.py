@@ -657,3 +657,28 @@ def test_gap_histogram_matches_bruteforce(spark, sf_dir):
                 cells[(et, math.floor(math.log(gap_us / 1e6, 2)))] += 1
     assert dict(cells) == out
     assert sum(out.values()) == total_gaps
+
+
+def test_k_anonymity_matches_bruteforce(spark, sf_dir):
+    from collections import Counter
+
+    from pipeline_query_engine_demo_spark.plans.analytics import k_anonymity_audit
+
+    out = {r["size_band"]: r for r in k_anonymity_audit(spark, sf_dir).collect()}
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    classes = Counter((r["c_mktsegment"], r["c_nationkey"]) for r in cust)
+
+    def band(n):
+        return "1" if n == 1 else ("2-4" if n < 5 else ("5-9" if n < 10 else "10+"))
+
+    bands = Counter(band(n) for n in classes.values())
+    rows = Counter()
+    for n in classes.values():
+        rows[band(n)] += n
+    assert {b: r["n_classes"] for b, r in out.items()} == dict(bands)
+    assert {b: r["n_rows"] for b, r in out.items()} == dict(rows)
+    total = len(cust)
+    for b, r in out.items():
+        assert abs(r["row_frac"] - rows[b] / total) < 1e-6
+        assert r["corpus_min_class"] == min(classes.values())
+    assert sum(r["n_rows"] for r in out.values()) == total
