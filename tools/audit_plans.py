@@ -64,6 +64,7 @@ NL_WHITELIST = {
     "rfm_segmentation",  # 1-row reference-date/user-count broadcasts onto the customer aggregate
     "benford_digit_test",  # 1-row digit-total broadcast onto the 9-row digit table
     "k_anonymity_audit",  # 1-row total/min broadcast onto the class-size table
+    "ivf_recall_vs_probes",  # 3-row probes table broadcast onto ground truth + inherited cosine shape
 }
 #: The deliberate row-at-a-time Python evals (API coverage: F.udf,
 #: spark.udf.register for SQL, and the TABLE-argument UDTF whose
