@@ -3671,3 +3671,153 @@ def ivf_recall_vs_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe", "query_id")
     )
+
+
+@query(
+    "heaps_law_vocab_growth",
+    category="llm-text",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        first_seen AS (
+            SELECT tok, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+            FROM toks GROUP BY tok
+        ),
+        doc_tok AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks
+            FROM toks GROUP BY doc_id
+        ),
+        checkpoints AS (
+            SELECT CAST(unnest([100, 200, 300, 400, 500]) AS BIGINT) AS c
+        )
+        SELECT cp.c AS n_docs_prefix,
+               (SELECT CAST(SUM(n_toks) AS BIGINT) FROM doc_tok
+                WHERE doc_id < cp.c) AS n_tokens,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM first_seen
+                WHERE first_doc < cp.c) AS vocab_size
+        FROM checkpoints cp
+        ORDER BY n_docs_prefix
+    """,
+)
+def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law): distinct-token count at
+    doc-id-prefix checkpoints, computed WITHOUT re-scanning per
+    checkpoint — each token contributes only its FIRST-appearance
+    doc_id (a min aggregate), and every checkpoint then counts tokens
+    whose first appearance precedes it. The sub-linearity of this
+    curve is the sanity check that a corpus is natural text rather
+    than noise (vocab ~ tokens^beta, beta < 1), and its flattening
+    point sizes tokenizer vocab budgets.
+
+    Scale: one explode + two combinable aggregates + a 5-row
+    checkpoint probe — the per-checkpoint work is a filtered count of
+    the token-vocabulary table, never a corpus re-scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(text.tokens("text")).alias("tok"))
+    first_seen = toks.groupBy("tok").agg(
+        F.min("doc_id").cast("bigint").alias("first_doc")
+    )
+    doc_tok = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_toks")
+    )
+    cps = spark.createDataFrame([(c,) for c in (100, 200, 300, 400, 500)], "c long")
+    tok_counts = (
+        doc_tok.crossJoin(F.broadcast(cps))
+        .filter(F.col("doc_id") < F.col("c"))
+        .groupBy("c")
+        .agg(F.sum("n_toks").cast("bigint").alias("n_tokens"))
+    )
+    vocab_counts = (
+        first_seen.crossJoin(F.broadcast(cps))
+        .filter(F.col("first_doc") < F.col("c"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vocab_size"))
+    )
+    return (
+        cps.join(tok_counts, "c", "left")
+        .join(vocab_counts, "c", "left")
+        .select(
+            F.col("c").alias("n_docs_prefix"), "n_tokens", "vocab_size"
+        )
+        .orderBy("n_docs_prefix")
+    )
+
+
+@query(
+    "dataset_card_summary",
+    category="llm-text",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        per_doc AS (
+            SELECT d.doc_id, d.lang, d.source, d.text,
+                   CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks
+            FROM documents d
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+                   CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts
+            FROM per_doc
+        ),
+        v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab_size
+              FROM toks)
+        SELECT s.n_docs, s.n_tokens, v.vocab_size, s.n_langs, s.n_sources,
+               {sql_round_half_up(
+                   'CAST(s.n_docs - s.n_unique_texts AS DOUBLE)'
+                   ' / CAST(s.n_docs AS DOUBLE)', 6)} AS exact_dup_rate,
+               {sql_round_half_up(
+                   'CAST(s.n_tokens AS DOUBLE) / CAST(s.n_docs AS DOUBLE)',
+                   6)} AS mean_doc_tokens,
+               {sql_round_half_up(
+                   'CAST(v.vocab_size AS DOUBLE) / CAST(s.n_tokens AS DOUBLE)',
+                   6)} AS type_token_ratio
+        FROM s CROSS JOIN v
+    """,
+)
+def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row dataset card: corpus size, token count, vocabulary,
+    language/source cardinalities, exact-duplicate rate, mean document
+    length, and type-token ratio — the header block of every dataset
+    release document, computed in one pass plus a vocabulary count.
+    All counts BIGINT; three exact-integer ratios.
+
+    Scale: combinable aggregates + two COUNT(DISTINCT)s (hash +
+    partial-distinct shuffles); swap approx_count_distinct in at
+    extreme cardinalities — same plan shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokens("text")).alias("tok"))
+    s = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(text.token_count("text")).cast("bigint").alias("n_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.countDistinct(F.md5("text")).cast("bigint").alias("n_unique_texts"),
+    )
+    v = toks.agg(F.countDistinct("tok").cast("bigint").alias("vocab_size"))
+    j = s.crossJoin(F.broadcast(v))
+    return j.select(
+        "n_docs",
+        "n_tokens",
+        "vocab_size",
+        "n_langs",
+        "n_sources",
+        round_half_up(
+            (F.col("n_docs") - F.col("n_unique_texts")).cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("exact_dup_rate"),
+        round_half_up(
+            F.col("n_tokens").cast("double") / F.col("n_docs").cast("double"), 6
+        ).alias("mean_doc_tokens"),
+        round_half_up(
+            F.col("vocab_size").cast("double") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("type_token_ratio"),
+    )

@@ -293,3 +293,43 @@ def test_ivf_recall_curve_is_monotone_and_anchored(spark, sf_dir):
         # more probes can only help, and probing all 4 cells is exact
         assert curve[1] <= curve[2] + 1e-9 <= curve[4] + 2e-9
         assert abs(curve[4] - 1.0) < 1e-9
+
+
+def test_heaps_law_matches_bruteforce_and_is_sublinear(spark, sf_dir):
+    from pipeline_query_engine_demo_spark.plans.llm import heaps_law_vocab_growth
+
+    out = {r["n_docs_prefix"]: r for r in heaps_law_vocab_growth(spark, sf_dir).collect()}
+    docs = sorted(
+        (r["doc_id"], r["text"].split(" "))
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    )
+    for c, row in out.items():
+        prefix = [toks for did, toks in docs if did < c]
+        n_tokens = sum(len(t) for t in prefix)
+        vocab = len({w for t in prefix for w in t})
+        assert row["n_tokens"] == (n_tokens if prefix else None) or row["n_tokens"] == n_tokens
+        assert row["vocab_size"] == (vocab if prefix else None) or row["vocab_size"] == vocab
+    # vocab grows monotonically and sub-linearly vs tokens
+    cps = sorted(out)
+    vs = [out[c]["vocab_size"] for c in cps if out[c]["vocab_size"] is not None]
+    assert vs == sorted(vs)
+
+
+def test_dataset_card_matches_bruteforce(spark, sf_dir):
+    from pipeline_query_engine_demo_spark.plans.llm import dataset_card_summary
+
+    row = dataset_card_summary(spark, sf_dir).collect()[0]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    n_docs = len(docs)
+    toks = [r["text"].split(" ") for r in docs]
+    n_tokens = sum(len(t) for t in toks)
+    vocab = len({w for t in toks for w in t})
+    assert row["n_docs"] == n_docs
+    assert row["n_tokens"] == n_tokens
+    assert row["vocab_size"] == vocab
+    assert row["n_langs"] == len({r["lang"] for r in docs})
+    assert row["n_sources"] == len({r["source"] for r in docs})
+    uniq = len({r["text"] for r in docs})
+    assert abs(row["exact_dup_rate"] - (n_docs - uniq) / n_docs) < 1e-6
+    assert abs(row["mean_doc_tokens"] - n_tokens / n_docs) < 1e-6
+    assert abs(row["type_token_ratio"] - vocab / n_tokens) < 1e-6

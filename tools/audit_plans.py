@@ -65,6 +65,8 @@ NL_WHITELIST = {
     "benford_digit_test",  # 1-row digit-total broadcast onto the 9-row digit table
     "k_anonymity_audit",  # 1-row total/min broadcast onto the class-size table
     "ivf_recall_vs_probes",  # 3-row probes table broadcast onto ground truth + inherited cosine shape
+    "heaps_law_vocab_growth",  # 5-row checkpoint table broadcast onto vocab/doc aggregates
+    "dataset_card_summary",  # 1-row vocab count broadcast onto the 1-row corpus summary
 }
 #: The deliberate row-at-a-time Python evals (API coverage: F.udf,
 #: spark.udf.register for SQL, and the TABLE-argument UDTF whose
