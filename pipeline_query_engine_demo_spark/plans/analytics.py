@@ -3777,3 +3777,129 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("size_band")
     )
+
+
+@query(
+    "trimmed_mean_events",
+    category="aggregation",
+    oracle=f"""
+        WITH r AS (
+            SELECT event_type, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        ),
+        kept AS (
+            SELECT event_type, value
+            FROM r
+            WHERE rn > CAST(ceil(CAST(0.05 AS DOUBLE) * CAST(n AS DOUBLE))
+                            AS BIGINT)
+              AND rn <= CAST(ceil(CAST(0.95 AS DOUBLE) * CAST(n AS DOUBLE))
+                             AS BIGINT)
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               {sql_round_half_up(
+                   'CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)'
+                   ' / COUNT(*)', 6)} AS trimmed_mean
+        FROM kept GROUP BY event_type ORDER BY event_type
+    """,
+)
+def trimmed_mean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5/95 trimmed mean per event type — the drop-the-tails robust
+    estimator beside winsorized_mean_events' clamp-the-tails (the two
+    bracket how aggressively a robust pipeline discounts outliers).
+    Row retention is an exact integer rank predicate (same ceil(p·n)
+    nearest-rank arithmetic as the percentile family, literals CAST
+    to DOUBLE), and the kept values sum in exact DECIMAL.
+
+    Scale: the same one-exchange rank-window-plus-aggregate shape as
+    nearest_rank_percentiles."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wp = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+    )
+    nd = F.col("n").cast("double")
+    lo = F.ceil(F.lit(0.05) * nd).cast("bigint")
+    hi = F.ceil(F.lit(0.95) * nd).cast("bigint")
+    kept = r.filter((F.col("rn") > lo) & (F.col("rn") <= hi))
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            round_half_up(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("trimmed_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "l_diversity_audit",
+    category="analytics",
+    oracle=f"""
+        WITH classes AS (
+            SELECT c_mktsegment, c_nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS class_size,
+                   CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 1000.0)
+                                            AS BIGINT)) AS BIGINT)
+                       AS l_distinct
+            FROM customer GROUP BY c_mktsegment, c_nationkey
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(MIN(class_size) AS BIGINT) AS k_anonymity,
+               CAST(MIN(l_distinct) AS BIGINT) AS l_diversity,
+               CAST(SUM(CASE WHEN l_distinct < 3 THEN class_size ELSE 0 END)
+                    AS BIGINT) AS rows_below_l3,
+               {sql_round_half_up(
+                   'CAST(SUM(CASE WHEN l_distinct < 3 THEN class_size'
+                   ' ELSE 0 END) AS DOUBLE) / CAST(SUM(class_size) AS DOUBLE)',
+                   6)} AS frac_below_l3
+        FROM classes
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit completing k_anonymity_audit: within each
+    quasi-identifier class, how many DISTINCT sensitive values (account
+    balance in coarse $1000 bands) appear — a class can be large
+    (k-anonymous) yet still leak if everyone in it shares one sensitive
+    value. Reports corpus k, corpus l, and the row mass in classes
+    below l=3. Integer-only except one ratio; the band floor is true
+    floor on both engines, so negative balances band identically.
+
+    Scale: one combinable aggregate with a partial distinct on the
+    (class, band) pair — the same shuffle the k-audit already pays."""
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint")
+    classes = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("class_size"),
+        F.countDistinct(band).cast("bigint").alias("l_distinct"),
+    )
+    return classes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("class_size").cast("bigint").alias("k_anonymity"),
+        F.min("l_distinct").cast("bigint").alias("l_diversity"),
+        F.sum(
+            F.when(F.col("l_distinct") < 3, F.col("class_size")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("rows_below_l3"),
+        round_half_up(
+            F.sum(
+                F.when(F.col("l_distinct") < 3, F.col("class_size")).otherwise(0)
+            ).cast("double")
+            / F.sum("class_size").cast("double"),
+            6,
+        ).alias("frac_below_l3"),
+    )

@@ -682,3 +682,44 @@ def test_k_anonymity_matches_bruteforce(spark, sf_dir):
         assert abs(r["row_frac"] - rows[b] / total) < 1e-6
         assert r["corpus_min_class"] == min(classes.values())
     assert sum(r["n_rows"] for r in out.values()) == total
+
+
+def test_trimmed_mean_matches_bruteforce(spark, sf_dir):
+    import math
+
+    from pipeline_query_engine_demo_spark.plans.analytics import trimmed_mean_events
+
+    out = {r["event_type"]: r for r in trimmed_mean_events(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append((r["value"], r["event_id"]))
+    for et, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        lo, hi = math.ceil(0.05 * n), math.ceil(0.95 * n)
+        kept = [v for v, _ in vals[lo:hi]]
+        r = out[et]
+        assert r["n_kept"] == len(kept)
+        assert abs(r["trimmed_mean"] - sum(kept) / len(kept)) < 1e-6
+
+
+def test_l_diversity_matches_bruteforce(spark, sf_dir):
+    import math
+    from collections import defaultdict
+
+    from pipeline_query_engine_demo_spark.plans.analytics import l_diversity_audit
+
+    row = l_diversity_audit(spark, sf_dir).collect()[0]
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    classes = defaultdict(lambda: [0, set()])
+    for r in cust:
+        c = classes[(r["c_mktsegment"], r["c_nationkey"])]
+        c[0] += 1
+        c[1].add(math.floor(r["c_acctbal"] / 1000.0))
+    assert row["n_classes"] == len(classes)
+    assert row["k_anonymity"] == min(c[0] for c in classes.values())
+    assert row["l_diversity"] == min(len(c[1]) for c in classes.values())
+    below = sum(c[0] for c in classes.values() if len(c[1]) < 3)
+    assert row["rows_below_l3"] == below
+    assert abs(row["frac_below_l3"] - below / len(cust)) < 1e-6
