@@ -2740,3 +2740,69 @@ def sort_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "entity_merge_precedence",
+    category="join",
+    oracle="""
+        WITH a AS (
+            SELECT o_custkey AS k,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   MAX(o_orderdate) AS last_order
+            FROM orders GROUP BY o_custkey
+        ),
+        b AS (
+            SELECT user_id AS k,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MAX(ts) AS last_event
+            FROM events GROUP BY user_id
+        )
+        SELECT COALESCE(a.k, b.k) AS entity_id,
+               CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL THEN 'both'
+                    WHEN a.k IS NOT NULL THEN 'orders_only'
+                    ELSE 'events_only' END AS presence,
+               COALESCE(a.n_orders, 0) AS n_orders,
+               COALESCE(b.n_events, 0) AS n_events,
+               greatest(a.last_order, b.last_event) AS last_seen
+        FROM a FULL OUTER JOIN b ON a.k = b.k
+        ORDER BY entity_id
+    """,
+)
+def entity_merge_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source entity merge: per-entity order stats and event
+    stats unified through a FULL OUTER join with COALESCE precedence
+    and a NULL-skipping greatest() for last-seen — the master-data
+    consolidation pattern (the single-pair full outer is
+    join_full_outer; this is its applied, survivorship-rule form).
+    Both engines' greatest() skip NULLs (Postgres semantics), so a
+    one-sided entity keeps its one timestamp.
+
+    Scale: two combinable pre-aggregates shrink each side to
+    entity-grain BEFORE the join — the full outer shuffles entity
+    rows, never fact rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    a = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+    b = events.groupBy(F.col("user_id").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("ts").alias("last_event"),
+    )
+    j = a.alias("a").join(
+        b.alias("b"), F.col("a.k") == F.col("b.k"), "full_outer"
+    )
+    return j.select(
+        F.coalesce(F.col("a.k"), F.col("b.k")).alias("entity_id"),
+        F.when(
+            F.col("a.k").isNotNull() & F.col("b.k").isNotNull(), "both"
+        )
+        .when(F.col("a.k").isNotNull(), "orders_only")
+        .otherwise("events_only")
+        .alias("presence"),
+        F.coalesce(F.col("n_orders"), F.lit(0).cast("bigint")).alias("n_orders"),
+        F.coalesce(F.col("n_events"), F.lit(0).cast("bigint")).alias("n_events"),
+        F.greatest(F.col("last_order"), F.col("last_event")).alias("last_seen"),
+    ).orderBy("entity_id")

@@ -723,3 +723,31 @@ def test_l_diversity_matches_bruteforce(spark, sf_dir):
     below = sum(c[0] for c in classes.values() if len(c[1]) < 3)
     assert row["rows_below_l3"] == below
     assert abs(row["frac_below_l3"] - below / len(cust)) < 1e-6
+
+
+def test_entity_merge_matches_bruteforce(spark, sf_dir):
+    from pipeline_query_engine_demo_spark.plans.relational import (
+        entity_merge_precedence,
+    )
+
+    out = {r["entity_id"]: r for r in entity_merge_precedence(spark, sf_dir).collect()}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    a: dict = {}
+    for r in orders:
+        c = a.setdefault(r["o_custkey"], [0, None])
+        c[0] += 1
+        c[1] = max(c[1], r["o_orderdate"]) if c[1] else r["o_orderdate"]
+    b: dict = {}
+    for r in events:
+        c = b.setdefault(r["user_id"], [0, None])
+        c[0] += 1
+        c[1] = max(c[1], r["ts"]) if c[1] else r["ts"]
+    assert set(out) == set(a) | set(b)
+    for k, r in out.items():
+        na, la = a.get(k, (0, None))
+        nb, lb = b.get(k, (0, None))
+        assert (r["n_orders"], r["n_events"]) == (na, nb)
+        exp_presence = "both" if k in a and k in b else ("orders_only" if k in a else "events_only")
+        assert r["presence"] == exp_presence
+        assert r["last_seen"] == max(t for t in (la, lb) if t is not None)
