@@ -472,32 +472,57 @@ def mmr_rerank(
     edges = base.unionByName(edges)
 
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        # NULL doubles surface as NaN in the pandas frame; a NaN rel or
+        # sim would poison max()/comparisons nondeterministically
+        # (ADVICE r4). Mirror SQL instead: NULL sims are SKIPPED (the
+        # oracle's MAX(p.s) ignores NULLs), a NULL rel or an all-NULL
+        # sim set makes the whole score NULL, and NULL scores sort LAST
+        # with the vec_id tiebreak (DuckDB's default NULLS LAST under
+        # ORDER BY score DESC, vec_id) — so degenerate zero-norm
+        # embeddings rank identically on both engines.
         rels = {}
         sims = {}
         for r in pdf.itertuples(index=False):
-            rels[r.i] = r.rel_i
-            if r.j is not None and not pd.isna(r.j):
-                sims[(r.i, int(r.j))] = r.s
+            rels[r.i] = None if pd.isna(r.rel_i) else float(r.rel_i)
+            if r.j is not None and not pd.isna(r.j) and not pd.isna(r.s):
+                sims[(r.i, int(r.j))] = float(r.s)
         qid = pdf["query_id"].iloc[0]
         remaining = sorted(rels)
         out = []
         selected: list = []
+
+        def null_last_key(score, x):
+            return (
+                score is not None,
+                score if score is not None else 0.0,
+                -x,
+            )
+
         for step in range(1, k + 1):
             if not remaining:
                 break
             if not selected:
-                best = max(remaining, key=lambda x: (rels[x], -x))
+                best = max(
+                    remaining, key=lambda x: null_last_key(rels[x], x)
+                )
                 raw = rels[best]
             else:
                 def mmr_score(x):
-                    return lam * rels[x] - (1.0 - lam) * max(
-                        sims[(x, j)] for j in selected
-                    )
-                best = max(remaining, key=lambda x: (mmr_score(x), -x))
+                    if rels[x] is None:
+                        return None
+                    vals = [
+                        sims[(x, j)] for j in selected if (x, j) in sims
+                    ]
+                    if not vals:
+                        return None
+                    return lam * rels[x] - (1.0 - lam) * max(vals)
+                best = max(
+                    remaining, key=lambda x: null_last_key(mmr_score(x), x)
+                )
                 raw = mmr_score(best)
             rounded = (
                 math.floor(raw * 1000000.0 + 0.5) / 1000000.0
-                if math.isfinite(raw)
+                if raw is not None and math.isfinite(raw)
                 else None
             )
             out.append((qid, step, best, rounded))

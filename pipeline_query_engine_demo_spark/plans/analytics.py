@@ -2705,21 +2705,15 @@ def nearest_rank_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB would otherwise fold 0.95·n in DECIMAL), and the selected
     values pass through untouched.
 
-    Scale: one hash exchange on event_type serves the rank window and
-    the aggregate; a conditional MAX per percentile replaces any
-    second scan. Compare approx_percentile_quantities for the
-    sketch-based form at unbounded group cardinality."""
+    Scale: ranks come from _event_type_value_ranks' bucketed two-phase
+    form — a PARTITION BY event_type window alone would funnel the
+    fact table into ~5 reducers (the 5.1x-at-x10 straggler ADVICE r4
+    flagged); bucketing by value range restores full parallelism. A
+    conditional MAX per percentile replaces any second scan. Compare
+    approx_percentile_quantities for the sketch-based form at
+    unbounded group cardinality."""
     ev = load_table(spark, sf_dir, "events")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    wp = Window.partitionBy("event_type")
-    r = ev.select(
-        "event_type",
-        "value",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wp).alias("n"),
-    )
+    r = _event_type_value_ranks(ev)
     nd = F.col("n").cast("double")
     def at_p(p: float, name: str):
         target = F.ceil(F.lit(p) * nd).cast("bigint")
@@ -2892,20 +2886,12 @@ def winsorized_mean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-decimal values, so the DECIMAL sums stay exact and the only
     float op is one identical division.
 
-    Scale: one hash exchange on event_type serves the rank window, the
-    threshold aggregate, and (after a broadcast threshold join) the
-    final combinable aggregate."""
+    Scale: ranks come from _event_type_value_ranks' bucketed two-phase
+    form (not a 5-reducer PARTITION BY event_type window — ADVICE r4);
+    the thresholds then broadcast back onto the rows for one final
+    combinable aggregate."""
     ev = load_table(spark, sf_dir, "events")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    wp = Window.partitionBy("event_type")
-    r = ev.select(
-        "event_type",
-        "value",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wp).alias("n"),
-    )
+    r = _event_type_value_ranks(ev)
     nd = F.col("n").cast("double")
     thr = r.groupBy("event_type").agg(
         F.max(
@@ -3212,24 +3198,29 @@ def signup_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     less here (converted users ≪ events; still user-scaled at 100 TB —
     swap in the bucketed two-phase rank of mann_whitney_u_events when
     that matters); flagged to the plan auditor whitelist with that
-    justification."""
+    justification. The events⋈signups join is deliberately UNhinted
+    (ADVICE r4): s is a per-user aggregate — even filtered to
+    signed-up users it is user-cardinality, and a forced broadcast of
+    a user-grain table OOMs the driver at large user counts. AQE
+    broadcasts it while it fits and falls back to shuffle when it
+    doesn't; signup_ts rides the groupBy (functionally dependent on
+    user_id) so no second join is needed at all."""
     ev = load_table(spark, sf_dir, "events")
     s = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
             "signup_ts"
         )
-    )
+    ).filter(F.col("signup_ts").isNotNull())
     p = (
-        ev.join(F.broadcast(s), "user_id")
+        ev.join(s, "user_id")
         .filter(
             (F.col("event_type") == "purchase")
-            & F.col("signup_ts").isNotNull()
             & (F.col("ts") >= F.col("signup_ts"))
         )
-        .groupBy("user_id")
+        .groupBy("user_id", "signup_ts")
         .agg(F.min("ts").alias("first_purchase_ts"))
     )
-    lat = p.join(F.broadcast(s), "user_id").select(
+    lat = p.select(
         "user_id",
         (
             F.unix_micros(F.col("first_purchase_ts"))
@@ -3295,6 +3286,59 @@ def _bucketed_row_number(
         within.join(F.broadcast(offsets), "_b")
         .withColumn(out_col, (F.col("_off") + F.col("_rn_in")).cast("bigint"))
         .drop("_b", "_rn_in", "_off")
+    )
+
+
+def _event_type_value_ranks(ev: DataFrame) -> DataFrame:
+    """(event_type, value, rn, n): within-event_type row_number in
+    (value, event_id) order plus the group count, computed WITHOUT a
+    per-event_type window over the fact table. With ~5 event types a
+    plain PARTITION BY event_type rank funnels the whole events table
+    into 5 reducer tasks — the exact low-cardinality straggler
+    weighted_median_price measured at 5.1x wall at x10 data (ADVICE
+    r4). Rows rank inside (event_type, value-range bucket) in parallel
+    instead: the bucket floor(value/10) is a monotone function of
+    value, so bucket-then-within IS the per-type (value, event_id)
+    order once broadcast per-bucket cumulative offsets are added. The
+    only remaining windows run over the tiny (event_type, bucket)
+    count table (~280 rows at any SF: value spans [0, ~560]).
+
+    Shared by nearest_rank_percentiles, winsorized_mean_events and
+    trimmed_mean_events, whose oracles all rank with the plain
+    PARTITION BY event_type window — equality of the two forms is
+    exactly the monotone-bucket argument above, and is additionally
+    pinned by an independent pytest comparing this helper to a bare
+    Window rank row-for-row."""
+    from pyspark.sql import Window
+
+    b = ev.select("event_type", "value", "event_id").withColumn(
+        "_b", F.floor(F.col("value") / F.lit(10.0)).cast("bigint")
+    )
+    w_in = Window.partitionBy("event_type", "_b").orderBy("value", "event_id")
+    within = b.withColumn("_rn_in", F.row_number().over(w_in))
+    counts = b.groupBy("event_type", "_b").agg(F.count(F.lit(1)).alias("_bn"))
+    w_off = (
+        Window.partitionBy("event_type")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "event_type",
+        "_b",
+        F.coalesce(F.sum("_bn").over(w_off), F.lit(0)).alias("_off"),
+    )
+    totals = counts.groupBy("event_type").agg(
+        F.sum("_bn").cast("bigint").alias("n")
+    )
+    return (
+        within.join(F.broadcast(offsets), ["event_type", "_b"])
+        .join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "value",
+            (F.col("_off") + F.col("_rn_in")).cast("bigint").alias("rn"),
+            "n",
+        )
     )
 
 
@@ -3814,19 +3858,12 @@ def trimmed_mean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest-rank arithmetic as the percentile family, literals CAST
     to DOUBLE), and the kept values sum in exact DECIMAL.
 
-    Scale: the same one-exchange rank-window-plus-aggregate shape as
-    nearest_rank_percentiles."""
+    Scale: the same bucketed two-phase rank as
+    nearest_rank_percentiles (_event_type_value_ranks — no 5-reducer
+    event_type window, ADVICE r4), then one combinable aggregate over
+    the kept rows."""
     ev = load_table(spark, sf_dir, "events")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    wp = Window.partitionBy("event_type")
-    r = ev.select(
-        "event_type",
-        "value",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wp).alias("n"),
-    )
+    r = _event_type_value_ranks(ev)
     nd = F.col("n").cast("double")
     lo = F.ceil(F.lit(0.05) * nd).cast("bigint")
     hi = F.ceil(F.lit(0.95) * nd).cast("bigint")

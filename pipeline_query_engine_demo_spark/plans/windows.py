@@ -822,7 +822,7 @@ def _ewma_oracle_sql() -> str:
             SELECT user_id, ts, event_id, value,
                    CASE WHEN isfinite(value)
                         THEN floor((value) * 1000000.0 + 0.5) END AS scaled
-            FROM events
+            FROM events WHERE isfinite(value)
         ),
         t AS (
             SELECT user_id, value, scaled,
@@ -859,7 +859,15 @@ def ewma_smoothed_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     double space (< 2^53), and the single num/den/1e6 division is the
     only inexact step — an identical IEEE expression on both engines.
     Partial windows at a user's first events renormalize over the taps
-    actually present, the standard EWMA warm-up.
+    actually present, the standard EWMA warm-up. Non-finite values are
+    EXCLUDED on both engines (matching filters here and in the oracle),
+    the same skip-the-row semantics cusum_change_detection states and —
+    critically — the same semantics the streaming twin
+    (streaming/windows.stateful_ewma) applies, so the shared-oracle
+    claim of streaming_ewma_values holds even if a regenerated fixture
+    ever plants a NaN/Inf: n_events counts finite rows only, the taps
+    hold the last 8 finite values, and last_value is the latest finite
+    value.
 
     Scale: one hash exchange on user_id serves the 8 lag taps, the
     count, and the latest-row filter (all windows share the partition
@@ -872,7 +880,7 @@ def ewma_smoothed_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.isnan(c) | (c == F.lit(float("inf"))) | (c == F.lit(float("-inf")))
     )
     scaled = F.when(finite, F.floor(c * F.lit(1000000.0) + F.lit(0.5)))
-    df = ev.select(
+    df = ev.filter(finite).select(
         "user_id", "ts", "event_id", "value", scaled.alias("scaled")
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")

@@ -171,3 +171,46 @@ def test_chi2_terms_nonnegative_and_expected_conserves(spark, sf_dir):
     cur_total = sum(r.cur_cnt for r in rows)
     assert abs(sum(r.exp_ref for r in rows) - ref_total) < 1e-3
     assert abs(sum(r.exp_cur for r in rows) - cur_total) < 1e-3
+
+
+def test_event_type_value_ranks_equals_bare_window(spark, sf_dir):
+    """_event_type_value_ranks' bucketed two-phase rank must equal a
+    plain PARTITION BY event_type row_number row-for-row (the form the
+    nearest-rank/winsorized/trimmed oracles use) — the monotone-bucket
+    offset argument checked directly, per (event_type, event_id)."""
+    from pyspark.sql import Window
+    from pipeline_query_engine_demo_spark.plans.analytics import (
+        _event_type_value_ranks,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    bucketed = _event_type_value_ranks(
+        ev.select("event_type", "value", "event_id")
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wp = Window.partitionBy("event_type")
+    bare = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.row_number().over(w).cast("bigint").alias("rn_ref"),
+        F.count("*").over(wp).cast("bigint").alias("n_ref"),
+    )
+    # value+event_type uniquely identify a rank position only with the
+    # event_id tiebreak, so compare on (event_type, value, rn): both
+    # sides sorted identically means rn sequences must coincide.
+    j = bucketed.alias("a").join(
+        bare.alias("b"),
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.rn") == F.col("b.rn_ref")),
+    )
+    total = ev.count()
+    assert bucketed.count() == total
+    assert (
+        j.filter(
+            (F.col("a.value") != F.col("b.value"))
+            | (F.col("a.n") != F.col("b.n_ref"))
+        ).count()
+        == 0
+    )
+    assert j.count() == total

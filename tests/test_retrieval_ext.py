@@ -333,3 +333,46 @@ def test_dataset_card_matches_bruteforce(spark, sf_dir):
     assert abs(row["exact_dup_rate"] - (n_docs - uniq) / n_docs) < 1e-6
     assert abs(row["mean_doc_tokens"] - n_tokens / n_docs) < 1e-6
     assert abs(row["type_token_ratio"] - vocab / n_tokens) < 1e-6
+
+
+def test_mmr_degenerate_zero_norm_embedding_ranks_last(spark):
+    """ADVICE r4: a zero-norm embedding yields NULL cosine (Spark's
+    0/0 division is NULL) for both its relevance and every pair sim.
+    The greedy must mirror SQL NULL semantics — skip NULL sims like
+    MAX(p.s), sort NULL scores last with the vec_id tiebreak — instead
+    of letting NaN poison the comparisons: the degenerate vector is
+    selected LAST, with a NULL mmr_score, and every other score is
+    finite and deterministic."""
+    from pipeline_query_engine_demo_spark.operators.similarity import mmr_rerank
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+            (4, [0.5, 0.5, 0.0]),
+            (9, [0.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    query = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = mmr_rerank(
+        corpus, query, "vec_id", "embedding",
+        n_candidates=5, k=5, lam=0.7,
+    ).orderBy("mmr_rank").collect()
+    assert [r["mmr_rank"] for r in out] == [1, 2, 3, 4, 5]
+    picks = [r["vec_id"] for r in out]
+    assert picks[0] == 1          # top relevance
+    assert picks[-1] == 9         # NULL rel sorts last
+    assert out[-1]["mmr_score"] is None
+    for r in out[:-1]:
+        assert r["mmr_score"] is not None
+        assert math.isfinite(r["mmr_score"])
+    # rerun is bit-stable (no NaN nondeterminism)
+    again = mmr_rerank(
+        corpus, query, "vec_id", "embedding",
+        n_candidates=5, k=5, lam=0.7,
+    ).orderBy("mmr_rank").collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]

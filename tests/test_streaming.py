@@ -350,3 +350,64 @@ def test_streaming_ewma_state_evolves_across_time_split_batches(spark, sf_dir, t
         == 0
     )
     assert result.groupBy("user_id").count().filter("count > 1").count() > 0
+
+
+def test_ewma_batch_streaming_nonfinite_parity(spark, sf_dir, tmp_path):
+    """ADVICE r4 (medium): batch ewma_smoothed_values and
+    streaming stateful_ewma must agree when events.value contains
+    NaN/Inf. Both now state skip-the-row semantics (matching
+    isfinite filters), so on a doctored fixture with planted
+    non-finite rows the drained streaming state must equal the batch
+    result exactly: n_events counts finite rows only, last_value is
+    the latest finite value, and non-finite rows never occupy a tap."""
+    from pyspark.sql import Window
+    from pipeline_query_engine_demo_spark.plans.windows import ewma_smoothed_values
+
+    ev = load_table(spark, sf_dir, "events")
+    users = [r[0] for r in ev.select("user_id").distinct().limit(5).collect()]
+    small = ev.filter(F.col("user_id").isin(users))
+    mx = small.agg(F.max("event_id")).collect()[0][0] or 0
+    mxts = small.agg(F.max("ts")).collect()[0][0]
+    bad = spark.createDataFrame(
+        [
+            (users[0], float("nan")),
+            (users[1], float("inf")),
+            (users[2], float("-inf")),
+        ],
+        "user_id long, value double",
+    ).select(
+        F.lit(mxts).alias("ts"),
+        (F.lit(mx) + F.monotonically_increasing_id() + 1).alias("event_id"),
+        "user_id",
+        "value",
+    )
+    doctored = small.select("ts", "event_id", "user_id", "value").unionByName(
+        bad
+    )
+    sfd = tmp_path / "sf_nonfinite"
+    doctored.coalesce(1).write.parquet(str(sfd / "events.parquet"))
+    expected = ewma_smoothed_values(spark, str(sfd)).withColumnRenamed(
+        "n_events", "e_n"
+    ).withColumnRenamed("last_value", "e_l").withColumnRenamed(
+        "ewma_value", "e_e"
+    )
+    stream = spark.readStream.schema(
+        "ts timestamp, event_id long, user_id long, value double"
+    ).parquet(str(sfd / "events.parquet"))
+    result = streaming.run_to_memory(streaming.stateful_ewma(stream), "update")
+    final = result.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        ),
+    ).filter("rn = 1").select("user_id", "n_events", "last_value", "ewma_value")
+    j = final.join(expected, "user_id")
+    assert j.count() == expected.count() == len(users)
+    assert (
+        j.filter(
+            (F.col("n_events") != F.col("e_n"))
+            | (F.abs(F.col("last_value") - F.col("e_l")) > 1e-9)
+            | (F.abs(F.col("ewma_value") - F.col("e_e")) > 1e-9)
+        ).count()
+        == 0
+    )
