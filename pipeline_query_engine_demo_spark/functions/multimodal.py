@@ -1,12 +1,18 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed
 metadata, with decode/featurize as Arrow-batched Pandas UDFs.
 
-The container has no image/audio codecs, so the *decode* step is a
-clearly marked stub (:func:`decode_media` raises NotImplementedError;
-:func:`fake_decode_features` is the deterministic stand-in used by
-tests). Everything Spark-side — the schema shape, the mapInPandas batch
-contract, partitioning behavior — is real and tested; swapping the stub
-for PIL/ffmpeg is a one-function change inside the UDF body.
+The container has no codec LIBRARIES (PIL/opencv/ffmpeg), so
+:func:`decode_media` ships pure-numpy decoders for the public
+uncompressed raster formats those libraries would otherwise cover:
+BMP (BITMAPINFOHEADER and later, BI_RGB 24/32-bit, bottom-up and
+top-down row order, 4-byte row padding) and binary netpbm (P6 PPM /
+P5 PGM, maxval ≤ 255, comment-tolerant headers). Compressed codecs
+(JPEG/PNG/H.264) remain out of scope — a real deployment swaps the
+per-payload ``_decode_one`` dispatch for the library call; the
+Spark-side shape (mapInPandas batches, map-side only, per-row error
+capture instead of task failure) is identical either way.
+:func:`fake_decode_features` stays as the codec-free featurizer used
+where only the batch contract is under test.
 
 Scale notes: binary payloads ride in Parquet as ordinary byte arrays;
 keep ``spark.sql.files.maxPartitionBytes`` at the default 128 MB so a
@@ -53,13 +59,238 @@ def pack_media(payload: Column, kind: Column | str) -> Column:
     )
 
 
-def decode_media(df: DataFrame, payload_col: str, kind: str) -> DataFrame:
-    """Real decoder entry point — NOT implemented in this container
-    (no PIL/opencv/ffmpeg). Kept as the documented seam where decoding
-    plugs in; use :func:`fake_decode_features` for plumbing tests."""
-    raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "use fake_decode_features() for the Spark-side plumbing"
+#: Prime modulus for the order-sensitive decoded-pixel checksum: small
+#: enough that the running sum stays exact in int64 per modular step,
+#: large enough that row-order / channel-swap decode bugs can't collide.
+_WEIGHTED_MOD = 2147483647
+
+
+def encode_bmp(
+    width: int, height: int, rgb: bytes, top_down: bool = False, alpha: bool = False
+) -> bytes:
+    """Minimal valid BMP writer (BITMAPINFOHEADER, BI_RGB): interleaved
+    top-down RGB in → 24-bit (or 32-bit BGRA when ``alpha``) BMP bytes
+    out, bottom-up unless ``top_down``. Exercised both as the test
+    fixture generator for :func:`decode_media` and as the synthetic
+    image source in the multimodal_decode_stats query. Pure stdlib —
+    the format is public (Windows BMP / OS2 DIB)."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+    nch = 4 if alpha else 3
+    stride = ((width * nch + 3) // 4) * 4
+    rows = []
+    order = range(height) if top_down else range(height - 1, -1, -1)
+    for y in order:
+        row = bytearray()
+        base = y * width * 3
+        for x in range(width):
+            r, g, b = rgb[base + 3 * x : base + 3 * x + 3]
+            row += bytes((b, g, r, 255)) if alpha else bytes((b, g, r))
+        row += bytes(stride - len(row))
+        rows.append(bytes(row))
+    data = b"".join(rows)
+    h_field = height if not top_down else -height
+    info = (
+        (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + h_field.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (nch * 8).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(data).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    off = 14 + len(info)
+    hdr = (
+        b"BM"
+        + (off + len(data)).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + off.to_bytes(4, "little")
+    )
+    return hdr + info + data
+
+
+def encode_pnm(width: int, height: int, pixels: bytes, gray: bool = False) -> bytes:
+    """Binary netpbm writer: P5 PGM (``gray``) or P6 PPM, maxval 255.
+    ``pixels`` is top-down row-major — interleaved RGB for P6, one byte
+    per pixel for P5."""
+    nch = 1 if gray else 3
+    if len(pixels) != width * height * nch:
+        raise ValueError("pixel length mismatch")
+    magic = b"P5" if gray else b"P6"
+    return magic + f"\n{width} {height}\n255\n".encode() + pixels
+
+
+def _read_pnm_header(data: bytes) -> tuple[bytes, int, int, int, int]:
+    """Tokenize a netpbm header (whitespace-separated, ``#`` comments to
+    end-of-line) → (magic, width, height, maxval, pixel_offset)."""
+    magic = data[:2]
+    pos = 2
+    vals: list[int] = []
+    n = len(data)
+    while len(vals) < 3:
+        while pos < n and data[pos : pos + 1].isspace():
+            pos += 1
+        if pos < n and data[pos] == 0x23:  # '#' comment
+            while pos < n and data[pos] not in (0x0A, 0x0D):
+                pos += 1
+            continue
+        start = pos
+        while pos < n and not data[pos : pos + 1].isspace():
+            pos += 1
+        tok = data[start:pos]
+        if not tok.isdigit():
+            raise ValueError("bad netpbm header token")
+        vals.append(int(tok))
+    # exactly one whitespace byte separates maxval from pixel data
+    if pos >= n or not data[pos : pos + 1].isspace():
+        raise ValueError("truncated netpbm header")
+    return magic, vals[0], vals[1], vals[2], pos + 1
+
+
+def _decode_one(data: bytes) -> tuple[str, int, int, int, bytes]:
+    """Dispatch one payload → (format, width, height, channels, pixels)
+    with pixels canonicalized to top-down row-major interleaved RGB
+    (3 channels) or grayscale (1). Raises ValueError on anything it
+    cannot decode — the mapInPandas wrapper turns that into a NULL row
+    with an ``err`` string rather than failing the task."""
+    import numpy as np
+
+    if data[:2] == b"BM":
+        if len(data) < 54:
+            raise ValueError("truncated BMP header")
+        pixel_off = int.from_bytes(data[10:14], "little")
+        hdr_size = int.from_bytes(data[14:18], "little")
+        if hdr_size < 40:
+            raise ValueError("unsupported BMP core header")
+        width = int.from_bytes(data[18:22], "little", signed=True)
+        height = int.from_bytes(data[22:26], "little", signed=True)
+        bpp = int.from_bytes(data[28:30], "little")
+        compression = int.from_bytes(data[30:34], "little")
+        if compression != 0:
+            raise ValueError("only BI_RGB (uncompressed) BMP supported")
+        if bpp not in (24, 32):
+            raise ValueError(f"unsupported BMP bit depth {bpp}")
+        top_down = height < 0
+        h = abs(height)
+        nch = bpp // 8
+        if width <= 0 or h <= 0:
+            raise ValueError("degenerate BMP dimensions")
+        stride = ((width * nch + 3) // 4) * 4
+        if len(data) < pixel_off + stride * h:
+            raise ValueError("truncated BMP pixel array")
+        arr = np.frombuffer(
+            data, np.uint8, count=stride * h, offset=pixel_off
+        ).reshape(h, stride)
+        rows = arr[:, : width * nch].reshape(h, width, nch)
+        if not top_down:
+            rows = rows[::-1]
+        rgb = rows[:, :, [2, 1, 0]]  # BGR(A) -> RGB, alpha dropped
+        return "bmp", width, h, 3, rgb.tobytes()
+    if data[:2] in (b"P5", b"P6"):
+        magic, width, height, maxval, off = _read_pnm_header(data)
+        if width <= 0 or height <= 0:
+            raise ValueError("degenerate netpbm dimensions")
+        if maxval <= 0 or maxval > 255:
+            raise ValueError("only 8-bit netpbm supported")
+        nch = 1 if magic == b"P5" else 3
+        need = width * height * nch
+        if len(data) < off + need:
+            raise ValueError("truncated netpbm pixel data")
+        fmt = "pgm" if magic == b"P5" else "ppm"
+        return fmt, width, height, nch, data[off : off + need]
+    raise ValueError("unrecognized media payload")
+
+
+def decode_media(
+    df: DataFrame, id_col: str, payload_col: str, with_stats: bool = False
+) -> DataFrame:
+    """Decode binary raster payloads (BMP / P6 PPM / P5 PGM — see the
+    module docstring for exact coverage) via mapInPandas. Output per
+    row: ``format``, ``width``, ``height``, ``channels``,
+    ``n_pixel_bytes``, ``pixels`` (canonical top-down row-major
+    interleaved RGB or grayscale bytes) and ``err`` — undecodable
+    payloads yield NULL media fields plus the error message instead of
+    failing the task, the only sane contract when one corrupt blob in
+    100 TB must not kill a stage. With ``with_stats`` two exact-integer
+    reductions are computed in the same pass (no second scan of the
+    blobs): ``pixel_sum`` = Σ v_i and ``weighted_sum`` =
+    (Σ (i+1)·v_i) mod 2147483647 — the latter is ORDER-SENSITIVE, so a
+    bottom-up/top-down or BGR/RGB decode bug changes it even though
+    plain means would not.
+
+    Scale: map-side only (zero shuffles); payloads never leave the
+    executor — downstream stats/filters ride on the narrow columns.
+    Reference parity: the reference engine has no multimodal surface;
+    this family comes from the north star's LLM-pipeline mandate."""
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                id_col: [],
+                "format": [],
+                "width": [],
+                "height": [],
+                "channels": [],
+                "n_pixel_bytes": [],
+                "pixels": [],
+                "err": [],
+            }
+            if with_stats:
+                out["pixel_sum"] = []
+                out["weighted_sum"] = []
+            for doc_id, blob in zip(pdf[id_col], pdf[payload_col]):
+                out[id_col].append(doc_id)
+                try:
+                    fmt, w, h, nch, px = _decode_one(bytes(blob))
+                except (ValueError, IndexError) as exc:
+                    out["format"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["channels"].append(None)
+                    out["n_pixel_bytes"].append(None)
+                    out["pixels"].append(None)
+                    out["err"].append(str(exc))
+                    if with_stats:
+                        out["pixel_sum"].append(None)
+                        out["weighted_sum"].append(None)
+                    continue
+                out["format"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(nch)
+                out["n_pixel_bytes"].append(len(px))
+                out["pixels"].append(px)
+                out["err"].append(None)
+                if with_stats:
+                    import numpy as np
+
+                    v = np.frombuffer(px, np.uint8).astype(np.int64)
+                    out["pixel_sum"].append(int(v.sum()))
+                    idx = np.arange(1, len(v) + 1, dtype=np.int64)
+                    # chunked modular accumulation keeps every partial
+                    # exact in int64 even for giga-pixel payloads
+                    acc = 0
+                    for lo in range(0, len(v), 1 << 20):
+                        acc = (
+                            acc + int((idx[lo : lo + (1 << 20)]
+                                       * v[lo : lo + (1 << 20)]).sum())
+                        ) % _WEIGHTED_MOD
+                    out["weighted_sum"].append(acc)
+            yield pd.DataFrame(out)
+
+    stats = ", pixel_sum bigint, weighted_sum bigint" if with_stats else ""
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run,
+        schema=(
+            f"{id_col} {id_type}, format string, width int, height int,"
+            f" channels int, n_pixel_bytes bigint, pixels binary,"
+            f" err string{stats}"
+        ),
     )
 
 

@@ -816,6 +816,111 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_decode_stats",
+    category="llm-multimodal",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(4 + doc_id % 5 AS INT) AS width,
+                   CAST(3 + doc_id % 4 AS INT) AS height,
+                   CASE CAST(doc_id % 3 AS INT)
+                        WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+                        ELSE 'pgm' END AS format,
+                   CAST(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 3 END AS INT)
+                       AS channels
+            FROM documents
+        ),
+        px AS (
+            SELECT *, CAST(width * height * channels AS BIGINT)
+                       AS n_pixel_bytes
+            FROM d
+        ),
+        v0 AS (
+            SELECT doc_id, format, width, height, channels, n_pixel_bytes,
+                   unnest(range(n_pixel_bytes)) AS i
+            FROM px
+        ),
+        v AS (
+            SELECT *, (doc_id * 7 + i * 13) % 256 AS v FROM v0
+        )
+        SELECT doc_id, format, width, height, channels, n_pixel_bytes,
+               CAST(SUM(v) AS BIGINT) AS pixel_sum,
+               CAST(SUM((i + 1) * v) % 2147483647 AS BIGINT) AS weighted_sum,
+               {mean} AS mean_pixel
+        FROM v
+        GROUP BY doc_id, format, width, height, channels, n_pixel_bytes
+        ORDER BY doc_id
+    """.format(
+        mean=sql_round_half_up(
+            "CAST(SUM(v) AS DOUBLE) / CAST(n_pixel_bytes AS DOUBLE)", 6
+        )
+    ),
+)
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end (functions.multimodal.decode_media
+    — no stub left): per document a deterministic synthetic raster is
+    ENCODED to genuine on-disk bytes (BMP with 4-byte row padding and
+    alternating bottom-up/top-down row order for doc_id%3==0, binary
+    P6 PPM for %3==1, P5 PGM for %3==2; pixel i carries
+    (doc_id*7 + i*13) mod 256), then decoded back by the pure-numpy
+    decoder and reduced to exact-integer stats. The oracle recomputes
+    width/height/channels/sums straight from the arithmetic pixel
+    formula — so a decoder bug in stride handling, BGR order, or
+    bottom-up flip breaks the ORDER-SENSITIVE weighted checksum and
+    fails the hash gate; the encoders can't mask a decoder bug because
+    tests/test_multimodal.py pins both against hand-built byte
+    fixtures independently.
+
+    Scale: encode and decode are one fused mapInPandas pass each —
+    map-side only, zero shuffles, blobs never leave the executor; only
+    the narrow stat columns survive. The mean is a single IEEE division
+    of exact integers on both engines."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w = 4 + did % 5
+                h = 3 + did % 4
+                fmt = did % 3
+                nch = 1 if fmt == 2 else 3
+                px = bytes(
+                    (did * 7 + i * 13) % 256 for i in range(w * h * nch)
+                )
+                if fmt == 0:
+                    payloads.append(
+                        multimodal.encode_bmp(w, h, px, top_down=bool(did % 2))
+                    )
+                elif fmt == 1:
+                    payloads.append(multimodal.encode_pnm(w, h, px))
+                else:
+                    payloads.append(multimodal.encode_pnm(w, h, px, gray=True))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    decoded = multimodal.decode_media(media, "doc_id", "payload", with_stats=True)
+    return decoded.select(
+        "doc_id",
+        "format",
+        "width",
+        "height",
+        "channels",
+        "n_pixel_bytes",
+        "pixel_sum",
+        "weighted_sum",
+        round_half_up(
+            F.col("pixel_sum").cast("double")
+            / F.col("n_pixel_bytes").cast("double"),
+            6,
+        ).alias("mean_pixel"),
+    ).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------

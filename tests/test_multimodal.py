@@ -54,11 +54,78 @@ def test_frame_sample_boundaries(spark):
     assert multimodal.frame_sample(empty, "doc_id", "payload").count() == 0
 
 
-def test_decode_media_is_documented_stub(spark):
-    import pytest
+def _checker_rgb(w: int, h: int) -> bytes:
+    """Deterministic non-symmetric RGB test pattern (top-down
+    row-major) — row- and channel-order bugs change it."""
+    return bytes(
+        ((y * w + x) * 3 + c) * 7 % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
 
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_media(None, "payload", "image")
+
+def test_decode_bmp_roundtrip_bottom_up_and_top_down(spark):
+    rgb = _checker_rgb(5, 3)  # width 5 → 15-byte rows, stride 16 (padding)
+    for top_down in (False, True):
+        payload = multimodal.encode_bmp(5, 3, rgb, top_down=top_down)
+        df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+        row = multimodal.decode_media(df, "doc_id", "payload").collect()[0]
+        assert row.err is None
+        assert (row.format, row.width, row.height, row.channels) == ("bmp", 5, 3, 3)
+        assert bytes(row.pixels) == rgb
+
+
+def test_decode_bmp_32bit_drops_alpha(spark):
+    rgb = _checker_rgb(3, 2)
+    payload = multimodal.encode_bmp(3, 2, rgb, alpha=True)
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    row = multimodal.decode_media(df, "doc_id", "payload").collect()[0]
+    assert row.err is None and row.channels == 3
+    assert bytes(row.pixels) == rgb
+
+
+def test_decode_pnm_with_comments_and_errors(spark):
+    rgb = _checker_rgb(4, 2)
+    ppm = multimodal.encode_pnm(4, 2, rgb)
+    # comment-laden header variant
+    commented = b"P6\n# a comment\n4 2\n# another\n255\n" + rgb
+    gray = bytes(range(12))
+    pgm = multimodal.encode_pnm(4, 3, gray, gray=True)
+    rows = {
+        r.doc_id: r
+        for r in multimodal.decode_media(
+            spark.createDataFrame(
+                [
+                    (1, ppm),
+                    (2, commented),
+                    (3, pgm),
+                    (4, b"\x89PNG not supported"),
+                    (5, ppm[:10]),  # truncated
+                ],
+                "doc_id long, payload binary",
+            ),
+            "doc_id",
+            "payload",
+        ).collect()
+    }
+    assert bytes(rows[1].pixels) == rgb and rows[1].format == "ppm"
+    assert bytes(rows[2].pixels) == rgb
+    assert (rows[3].format, rows[3].channels) == ("pgm", 1)
+    assert bytes(rows[3].pixels) == gray
+    assert rows[4].err is not None and rows[4].width is None
+    assert rows[5].err is not None
+    # with_stats: exact integer reductions, order-sensitive checksum
+    st = multimodal.decode_media(
+        spark.createDataFrame([(1, ppm)], "doc_id long, payload binary"),
+        "doc_id",
+        "payload",
+        with_stats=True,
+    ).collect()[0]
+    assert st.pixel_sum == sum(rgb)
+    assert st.weighted_sum == sum(
+        (i + 1) * v for i, v in enumerate(rgb)
+    ) % 2147483647
 
 
 def test_fake_resize_fits_box_preserving_aspect(spark):
