@@ -702,3 +702,52 @@ def streaming_ewma_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming.stateful_ewma(events), "update", name="t_ewma"
     )
     return result.orderBy("user_id")
+
+
+@query(
+    "streaming_rate_source_rollup",
+    category="streaming",
+    oracle="""
+        WITH v AS (SELECT unnest(range(5000)) AS v)
+        SELECT CAST(v % 10 AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(v) AS BIGINT) AS sum_value,
+               CAST(SUM(v // 1000) AS BIGINT) AS sum_epoch_sec
+        FROM v GROUP BY bucket ORDER BY bucket
+    """,
+)
+def streaming_rate_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NON-file streaming source: Spark's ``rate-micro-batch``
+    generator (the deterministic cousin of ``rate`` — exactly
+    rowsPerBatch rows per micro-batch, values 0,1,2,…, timestamps
+    advancing 1 s per batch from epoch 0). The stream appends raw rows
+    to a memory sink until ≥5000 arrived, is stopped, and the
+    deterministic prefix value<5000 is rolled up by value mod 10. The
+    oracle regenerates the identical prefix from range(5000): n and
+    Σvalue check the VALUE contract, Σepoch_sec checks the TIMESTAMP
+    contract (value v lands in batch v div 1000 at epoch second
+    v div 1000 — integer µs→s division, no rounding). sf_dir is
+    unused: the source is the generator itself.
+
+    Scale: rate-* sources exist for throughput/latency harnesses; the
+    production swap is readStream.format("kafka") with this exact
+    downstream shape. numPartitions=4 exercises the multi-partition
+    generator path; the rollup is one combinable aggregate."""
+    rows = streaming.run_rate_bounded(
+        spark, rows_per_batch=1000, n_rows=5000, name="t_rate_rollup"
+    )
+    return (
+        rows.groupBy((F.col("value") % 10).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("value").cast("bigint").alias("sum_value"),
+            F.sum(
+                (F.unix_micros(F.col("timestamp")) / F.lit(1000000)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("sum_epoch_sec"),
+        )
+        .orderBy("bucket")
+    )

@@ -17,6 +17,7 @@ from pipeline_query_engine_demo_spark.streaming.windows import (
     drain_with_flush,
     read_events_stream,
     staged_events_source,
+    run_rate_bounded,
     run_to_memory,
     stateful_cusum,
     stateful_ewma,
@@ -31,6 +32,7 @@ __all__ = [
     "drain_with_flush",
     "read_events_stream",
     "staged_events_source",
+    "run_rate_bounded",
     "run_to_memory",
     "stateful_cusum",
     "stateful_ewma",

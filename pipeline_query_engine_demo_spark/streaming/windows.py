@@ -478,3 +478,58 @@ def stateful_ewma(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def run_rate_bounded(
+    spark: SparkSession,
+    rows_per_batch: int,
+    n_rows: int,
+    name: str,
+    timeout_sec: float = 120.0,
+) -> DataFrame:
+    """Drain a bounded, DETERMINISTIC prefix of the ``rate-micro-batch``
+    source — the non-file streaming source (SURVEY §2.3 'streaming
+    source' row beyond the Kafka-stand-in file source). Unlike
+    ``rate``, rate-micro-batch emits exactly ``rowsPerBatch`` rows per
+    micro-batch with values 0,1,2,… and timestamps advancing a fixed
+    ``advanceMillisPerBatch`` from ``startTimestamp`` — so the first
+    ``n_rows`` rows are a pure function of the options, which is what
+    makes an unbounded source oracle-checkable: append raw rows to a
+    memory sink, stop once ≥ n_rows arrived, and cut at value < n_rows
+    (the source has no natural end, so the cut IS the determinism).
+
+    Returns the bounded batch DataFrame of (timestamp, value). The
+    timestamp contract (value v arrives in batch v div rowsPerBatch at
+    epoch startTimestamp + batch·advance) is part of the assertion
+    surface downstream queries aggregate over."""
+    import time as _time
+
+    src = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", 1000)
+        .option("numPartitions", 4)
+        .load()
+    )
+    q = (
+        src.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = _time.monotonic() + timeout_sec
+        while _time.monotonic() < deadline:
+            if spark.table(name).count() >= n_rows:
+                break
+            _time.sleep(0.2)
+        else:
+            raise TimeoutError(
+                f"rate-micro-batch produced <{n_rows} rows in {timeout_sec}s"
+            )
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table(name).filter(F.col("value") < n_rows)
