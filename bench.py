@@ -91,8 +91,25 @@ def main() -> None:
     # job) without any extra wall-clock.
     cold = {name: run(name) for name in HEADLINE + EXTENDED}
 
-    timings = {name: run(name) for name in HEADLINE}
-    extended = {name: run(name) for name in EXTENDED}
+    # Since r5 (r4 verdict item 1): n warm reps per query, reporting the
+    # per-query MEDIAN under the same "queries"/"extended" keys (so the
+    # headline stays comparable round-over-round) plus the [min, max]
+    # spread — a single hot neighbor process can no longer masquerade as
+    # a regression, and a real one shows up in the spread.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
+    def median_run(name: str) -> tuple[float, float, float]:
+        ts = sorted(run(name) for _ in range(reps))
+        if reps % 2:
+            m = ts[reps // 2]
+        else:
+            m = round((ts[reps // 2 - 1] + ts[reps // 2]) / 2, 3)
+        return m, ts[0], ts[-1]
+
+    med = {name: median_run(name) for name in HEADLINE}
+    med_ext = {name: median_run(name) for name in EXTENDED}
+    timings = {n: v[0] for n, v in med.items()}
+    extended = {n: v[0] for n, v in med_ext.items()}
 
     print(
         json.dumps(
@@ -105,10 +122,16 @@ def main() -> None:
                 # Methodology (since r3): a full first pass precedes the
                 # timed pass, so headline numbers are warm steady-state —
                 # NOT comparable to r2's cold-start run. The first pass's
-                # own timings are reported under "cold".
+                # own timings are reported under "cold". Since r5 the
+                # warm numbers are medians of `reps` runs.
                 "warm": True,
+                "reps": reps,
+                "spread": {n: [v[1], v[2]] for n, v in med.items()},
                 "extended_total": round(sum(extended.values()), 3),
                 "extended": extended,
+                "extended_spread": {
+                    n: [v[1], v[2]] for n, v in med_ext.items()
+                },
                 "cold_headline_total": round(
                     sum(cold[n] for n in HEADLINE), 3
                 ),
