@@ -394,3 +394,59 @@ def union_by_name_missing_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_name").alias("name"),
     )
     return nation.unionByName(region, allowMissingColumns=True).orderBy("nationkey")
+
+
+@query(
+    "apply_in_arrow_user_stats",
+    category="udf",
+    oracle="""
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               MIN(ts) AS first_ts,
+               MAX(ts) AS last_ts,
+               MAX(value) AS max_value
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def apply_in_arrow_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInArrow`` (Spark 4): the zero-copy sibling of
+    applyInPandas — each group arrives as a ``pyarrow.Table``, no
+    pandas conversion at all, so Python sees the Arrow buffers Spark
+    shipped. Same group-stats computation as apply_in_pandas_user_stats
+    (same oracle) computed with pyarrow.compute kernels; count/min/max
+    only, so results are independent of within-group row order.
+
+    Scale: identical distribution shape to applyInPandas (one shuffle
+    on the group key); the Arrow path skips the pandas materialization
+    per batch — the preferred surface when the Python logic can stay in
+    Arrow kernels."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(tbl: pa.Table) -> pa.Table:
+        ts = tbl.column("ts")
+        return pa.table(
+            {
+                "user_id": pa.array([tbl.column("user_id")[0].as_py()], pa.int64()),
+                "n_events": pa.array([tbl.num_rows], pa.int64()),
+                "first_ts": pa.array([pc.min(ts).as_py()], ts.type),
+                "last_ts": pa.array([pc.max(ts).as_py()], ts.type),
+                "max_value": pa.array(
+                    [pc.max(tbl.column("value")).as_py()], pa.float64()
+                ),
+            }
+        )
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInArrow(
+            stats,
+            schema=(
+                "user_id long, n_events long, first_ts timestamp,"
+                " last_ts timestamp, max_value double"
+            ),
+        )
+        .orderBy("user_id")
+    )

@@ -1223,3 +1223,66 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("returnflag", F.col("price").alias("weighted_median_price"))
         .orderBy("returnflag")
     )
+
+
+@query(
+    "asof_join_pandas_api",
+    category="asof-join",
+    oracle="""
+        WITH ev AS (SELECT * FROM events WHERE user_id % 10 = 0),
+        purchases AS (
+            SELECT user_id, ts, MAX(value) AS ref_value
+            FROM ev WHERE event_type = 'purchase'
+            GROUP BY user_id, ts
+        )
+        SELECT e.event_id, e.user_id,
+               p.ts AS last_purchase_ts,
+               p.ref_value AS last_purchase_value
+        FROM ev e
+        ASOF LEFT JOIN purchases p
+          ON e.user_id = p.user_id AND e.ts >= p.ts
+        ORDER BY e.event_id
+    """,
+)
+def asof_join_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas-on-Spark ``merge_asof`` surface (SURVEY §2.3 names it
+    beside the operator form): the same backward as-of join as
+    asof_join_last_purchase — most recent purchase per user at or
+    before each event — expressed through ``pyspark.pandas``, proving a
+    pandas-API user gets the identical answer as the union+window
+    operator (operators.joins.asof_join) and DuckDB's native ASOF JOIN.
+    The matched right timestamp rides along as a duplicated payload
+    column because pandas merge_asof consumes the ``on`` key.
+
+    Scale: pandas-on-Spark lowers merge_asof onto the distributed
+    engine (broadcastable right side here after the purchase
+    pre-aggregation); it is the migration surface, not a new physical
+    strategy — the operator form documents the at-scale shape."""
+    import pyspark.pandas as ps
+
+    # Deterministic 10%-of-users slice: Spark rewrites its internal
+    # AsOfJoin (what ps.merge_asof lowers to) into an inequality join +
+    # aggregate — the exact per-key blow-up operators.joins.asof_join
+    # exists to avoid, and at full sf0.1 it runs minutes. The slice
+    # keeps this row an API-parity check at honest cost; the operator
+    # form remains the at-scale path.
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 10 == 0
+    )
+    left = events.select("event_id", "user_id", "ts")
+    right = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("last_purchase_value"))
+        .withColumn("last_purchase_ts", F.col("ts"))
+    )
+    merged = ps.merge_asof(
+        left.pandas_api(),
+        right.pandas_api(),
+        on="ts",
+        by="user_id",
+        direction="backward",
+    ).to_spark()
+    return merged.select(
+        "event_id", "user_id", "last_purchase_ts", "last_purchase_value"
+    ).orderBy("event_id")
