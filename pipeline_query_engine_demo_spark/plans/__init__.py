@@ -8,6 +8,7 @@ registers its queries at import time via
 from pipeline_query_engine_demo_spark.plans import (  # noqa: F401  (registration side effects)
     analytics,
     curation,
+    geo,
     llm,
     quantization,
     relational,

@@ -3940,3 +3940,117 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("frac_below_l3"),
     )
+
+
+@query(
+    "ordered_funnel_conversion",
+    category="analytics",
+    oracle=f"""
+        WITH t1 AS (
+            SELECT user_id, MIN(ts) AS ts1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        t2 AS (
+            SELECT e.user_id, MIN(e.ts) AS ts2
+            FROM events e JOIN t1 ON t1.user_id = e.user_id
+            WHERE e.event_type = 'click' AND e.ts >= t1.ts1
+            GROUP BY e.user_id
+        ),
+        t3 AS (
+            SELECT e.user_id, MIN(e.ts) AS ts3
+            FROM events e JOIN t2 ON t2.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= t2.ts2
+            GROUP BY e.user_id
+        ),
+        counts AS (
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM t1) AS n_view,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM t2) AS n_click,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM t3) AS n_purchase
+        )
+        SELECT n_view, n_click, n_purchase,
+               {sql_round_half_up(
+                   'CAST(n_click AS DOUBLE) / CAST(n_view AS DOUBLE)', 6)}
+                   AS click_rate,
+               {sql_round_half_up(
+                   'CAST(n_purchase AS DOUBLE) / CAST(n_click AS DOUBLE)', 6)}
+                   AS purchase_rate,
+               {sql_round_half_up(
+                   'CAST(n_purchase AS DOUBLE) / CAST(n_view AS DOUBLE)', 6)}
+                   AS overall_rate
+        FROM counts
+    """,
+)
+def ordered_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly ORDERED funnel: view → first click AT OR AFTER the
+    first view → first purchase AT OR AFTER that click, with per-step
+    user counts and conversion rates. Order matters — a purchase before
+    the first view does not convert — which is what separates a funnel
+    from three independent EXISTS filters (signup_to_purchase_latency
+    measures the unordered 2-step latency; this is the k-step ordered
+    membership).
+
+    Spark shape: two window passes over ONE user_id exchange (Catalyst
+    reuses the hash partitioning across both): pass 1 pins ts1 =
+    min(view ts) per user; rows failing click ∧ ts >= ts1 drop; pass 2
+    pins ts2 and filters purchases the same way. The final counts are
+    three tiny aggregates. The oracle builds the identical chain with
+    per-step GROUP BY joins.
+
+    Scale: no self-joins of the fact table and no driver-side counts —
+    each pass is a window + filter on the already-partitioned stream,
+    the per-user step flags reduce in the same exchange, and the final
+    three counts are one combinable aggregate; at 100 TB this is the
+    sessionization access pattern (one shuffle, linear passes)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id")
+    with_t1 = ev.withColumn(
+        "ts1",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    ).filter(F.col("ts1").isNotNull())
+    with_t2 = (
+        with_t1.withColumn(
+            "ts2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") >= F.col("ts1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = with_t2.groupBy("user_id").agg(
+        F.max(F.col("ts2").isNotNull()).alias("has_click"),
+        F.max(
+            F.col("ts2").isNotNull()
+            & (F.col("event_type") == "purchase")
+            & (F.col("ts") >= F.col("ts2"))
+        ).alias("has_purchase"),
+    )
+    counts = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_view"),
+        F.sum(F.col("has_click").cast("long")).cast("bigint").alias("n_click"),
+        F.sum(F.col("has_purchase").cast("long"))
+        .cast("bigint")
+        .alias("n_purchase"),
+    )
+    return counts.select(
+        "n_view",
+        "n_click",
+        "n_purchase",
+        round_half_up(
+            F.col("n_click").cast("double") / F.col("n_view").cast("double"), 6
+        ).alias("click_rate"),
+        round_half_up(
+            F.col("n_purchase").cast("double") / F.col("n_click").cast("double"),
+            6,
+        ).alias("purchase_rate"),
+        round_half_up(
+            F.col("n_purchase").cast("double") / F.col("n_view").cast("double"),
+            6,
+        ).alias("overall_rate"),
+    )

@@ -214,3 +214,36 @@ def test_event_type_value_ranks_equals_bare_window(spark, sf_dir):
         == 0
     )
     assert j.count() == total
+
+
+def test_ordered_funnel_rejects_out_of_order_conversions(spark, tmp_path):
+    """The funnel is ORDERED: a purchase before the first view, or a
+    click before the first view, must not convert. Planted fixture with
+    hand-known step membership."""
+    import datetime as dt
+
+    from pipeline_query_engine_demo_spark.plans.analytics import (
+        ordered_funnel_conversion,
+    )
+
+    t = lambda m: dt.datetime(2025, 1, 1, 0, m)
+    rows = [
+        # user 1: view -> click -> purchase, fully ordered (converts all)
+        (1, "view", t(0)), (1, "click", t(1)), (1, "purchase", t(2)),
+        # user 2: click BEFORE first view -> no click step
+        (2, "click", t(0)), (2, "view", t(1)),
+        # user 3: purchase BEFORE the ordered click -> view+click only
+        (3, "purchase", t(0)), (3, "view", t(1)), (3, "click", t(2)),
+        # user 4: never views (no funnel entry at all)
+        (4, "click", t(0)), (4, "purchase", t(1)),
+        # user 5: view at same ts as click (>= counts) then purchase
+        (5, "view", t(3)), (5, "click", t(3)), (5, "purchase", t(4)),
+    ]
+    ev = spark.createDataFrame(
+        [(uid, et, ts, i, float(i)) for i, (uid, et, ts) in enumerate(rows)],
+        "user_id long, event_type string, ts timestamp, event_id long, value double",
+    )
+    sfd = tmp_path / "sf_funnel"
+    ev.coalesce(1).write.parquet(str(sfd / "events.parquet"))
+    row = ordered_funnel_conversion(spark, str(sfd)).collect()[0]
+    assert (row.n_view, row.n_click, row.n_purchase) == (4, 3, 2)

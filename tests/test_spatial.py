@@ -1,0 +1,79 @@
+"""Spatial operator semantics the oracle hash can't localize: the grid
+radius join versus a numpy brute force on adversarial point sets (cell
+boundaries, negative coordinates, exact-radius hits), plus the
+synthetic-coordinate contract."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from pipeline_query_engine_demo_spark.operators import spatial
+
+
+def _brute(left, right, r):
+    out = set()
+    for lid, llat, llon in left:
+        for rid, rlat, rlon in right:
+            if (llat - rlat) ** 2 + (llon - rlon) ** 2 <= r * r:
+                out.add((lid, rid))
+    return out
+
+
+def test_radius_join_equals_brute_force_on_adversarial_points(spark):
+    rng = np.random.default_rng(7)
+    r = 1.5
+    left = [
+        (int(i), float(lat), float(lon))
+        for i, (lat, lon) in enumerate(
+            zip(rng.uniform(-90, 90, 150), rng.uniform(-180, 180, 150))
+        )
+    ]
+    # adversarial rows: exact cell boundaries, shared cells, exact-radius
+    left += [
+        (1000, 0.0, 0.0),
+        (1001, -1.5, -1.5),      # negative boundary (floor semantics)
+        (1002, 1.5, 0.0),        # exactly r from (0,0)
+        (1003, 1.5000001, 0.0),  # just outside
+    ]
+    right = [
+        (int(2000 + i), float(lat), float(lon))
+        for i, (lat, lon) in enumerate(
+            zip(rng.uniform(-90, 90, 120), rng.uniform(-180, 180, 120))
+        )
+    ] + [(3000, 0.0, 0.0), (3001, -3.0, -3.0)]
+    ldf = spark.createDataFrame(left, "id long, lat double, lon double")
+    rdf = spark.createDataFrame(right, "id long, lat double, lon double")
+    got = {
+        (row["_lid"], row["_rid"])
+        for row in spatial.radius_join(ldf, rdf, r).collect()
+    }
+    assert got == _brute(left, right, r)
+    # the exact-radius pair is IN (<=), the epsilon-outside pair is OUT
+    assert (1002, 3000) in got and (1003, 3000) not in got
+
+
+def test_radius_join_emits_each_pair_exactly_once(spark):
+    # both points in the same cell AND within r of several neighbors:
+    # the single-home-cell construction must not duplicate pairs
+    pts = [(i, 0.1 * i, 0.0) for i in range(10)]
+    ldf = spark.createDataFrame(pts, "id long, lat double, lon double")
+    rdf = spark.createDataFrame(
+        [(100 + i, 0.1 * i + 0.05, 0.0) for i in range(10)],
+        "id long, lat double, lon double",
+    )
+    rows = spatial.radius_join(ldf, rdf, 2.0).collect()
+    pairs = [(r["_lid"], r["_rid"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_synth_coords_in_range(spark):
+    df = spark.range(1, 5000).select(
+        spatial.synth_lat(F.col("id")).alias("lat"),
+        spatial.synth_lon(F.col("id")).alias("lon"),
+    )
+    row = df.agg(
+        F.min("lat"), F.max("lat"), F.min("lon"), F.max("lon")
+    ).collect()[0]
+    assert -90 <= row[0] and row[1] < 90
+    assert -180 <= row[2] and row[3] < 180

@@ -68,6 +68,7 @@ NL_WHITELIST = {
     "heaps_law_vocab_growth",  # 5-row checkpoint table broadcast onto vocab/doc aggregates
     "dataset_card_summary",  # 1-row vocab count broadcast onto the 1-row corpus summary
     "asof_join_pandas_api",  # Spark's own AsOfJoin rewrite (ps.merge_asof -> _joinAsOf) plans an inequality join; input deliberately sliced to 10% of users, and operators.joins.asof_join is the documented at-scale path
+    "spatial_grid_density",  # 1-row point-total broadcast onto the ~200-row cell table
 }
 #: The deliberate row-at-a-time Python evals (API coverage: F.udf,
 #: spark.udf.register for SQL, and the TABLE-argument UDTF whose
