@@ -2790,16 +2790,27 @@ def cusum_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     is integer arithmetic: no float enters the loop on either engine,
     and parity is structural rather than ulp-lucky.
 
-    The recurrence is order-dependent (not a window aggregate), so the
-    Spark side scans each user's sequence in applyInPandas — the same
-    partitioned-sequential shape a streaming applyInPandasWithState
-    detector keeps, with per-user state O(1). The oracle replays the
-    recurrence as a recursive CTE advancing every user one event per
-    iteration.
+    The recurrence LOOKS order-dependent, but the one-sided max(0, .)
+    reset has a closed form (Lindley's recursion / reflected random
+    walk): with y_t = x_t - k and prefix sum P_t = sum_{i<=t} y_i,
+        s_t = P_t - min(0, min_{i<=t} P_i),
+    because the running minimum of the prefix sum (clamped at the
+    initial 0) is exactly the amount the reflecting barrier has
+    absorbed. That turns the whole detector into two cumulative
+    window frames — a running SUM and a running MIN over the same
+    (user_id, ts, event_id) ordering — followed by one combinable
+    group-by: n_events = count, final_cusum = s at the last row,
+    max_cusum = max(s), n_alarms = count of s >= h. Everything stays
+    integer and JVM-side (whole-stage codegen; no Python eval node).
+    The oracle replays the recurrence as a recursive CTE advancing
+    every user one event per iteration; tests/test_stats_ext3.py
+    additionally replays it as a literal Python scan, so the window
+    identity is proven against the sequential form, not assumed.
 
-    Scale: one hash exchange on user_id, then per-group sequential
-    scans; no state beyond (s, max, alarms) per user."""
-    import pandas as pd
+    Scale: ONE hash exchange on user_id followed by an in-partition
+    sort; both frames and the final aggregate ride the same exchange;
+    per-user state is O(1) columns, never a per-group Python worker."""
+    from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
     c = F.col("value").cast("double")
@@ -2815,29 +2826,33 @@ def cusum_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", x.cast("bigint").alias("x")
     )
 
-    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        s = 0
-        mx = 0
-        alarms = 0
-        n = 0
-        for xv in pdf["x"]:
-            n += 1
-            s = max(0, s + int(xv) - _CUSUM_K)
-            mx = max(mx, s)
-            if s >= _CUSUM_H:
-                alarms += 1
-        return pd.DataFrame(
-            [(pdf["user_id"].iloc[0], n, s, mx, alarms)],
-            columns=["user_id", "n_events", "final_cusum", "max_cusum", "n_alarms"],
-        )
-
-    out_schema = (
-        "user_id long, n_events long, final_cusum long, "
-        "max_cusum long, n_alarms long"
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stepped = rows.select(
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.sum(F.col("x") - F.lit(_CUSUM_K)).over(cum).alias("p"),
     )
+    cum2 = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = F.col("p") - F.least(F.lit(0).cast("bigint"), F.min("p").over(cum2))
+    per_row = stepped.select("user_id", "rn", s.alias("s"))
     return (
-        rows.groupBy("user_id").applyInPandas(scan, schema=out_schema).orderBy("user_id")
+        per_row.groupBy("user_id")
+        .agg(
+            F.max("rn").cast("bigint").alias("n_events"),
+            F.max_by("s", "rn").alias("final_cusum"),
+            F.max("s").alias("max_cusum"),
+            F.sum(
+                F.when(F.col("s") >= F.lit(_CUSUM_H), F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_alarms"),
+        )
+        .orderBy("user_id")
     )
 
 

