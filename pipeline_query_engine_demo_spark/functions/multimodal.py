@@ -246,8 +246,13 @@ def decode_media(
             for doc_id, blob in zip(pdf[id_col], pdf[payload_col]):
                 out[id_col].append(doc_id)
                 try:
+                    if blob is None or (
+                        not isinstance(blob, (bytes, bytearray, memoryview))
+                        and pd.isna(blob)
+                    ):
+                        raise ValueError("null media payload")
                     fmt, w, h, nch, px = _decode_one(bytes(blob))
-                except (ValueError, IndexError) as exc:
+                except (ValueError, IndexError, TypeError) as exc:
                     out["format"].append(None)
                     out["width"].append(None)
                     out["height"].append(None)

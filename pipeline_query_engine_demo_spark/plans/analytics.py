@@ -3286,10 +3286,19 @@ def _bucketed_row_number(
     the value, bucket-then-within IS the global order. The same
     two-phase shape as llm._shuffle_positions (hash buckets) and
     mann_whitney_u_events (value buckets); the only partition-less
-    window runs over the bucket-count table."""
+    window runs over the bucket-count table.
+
+    NULL values get the sentinel bucket -(2^62): it sorts before every
+    real bucket, so NULL rows rank FIRST — exactly Spark's default
+    NULLS FIRST window order — instead of being silently dropped by a
+    null-unsafe equi-join on a NULL bucket (ADVICE r5). If a fixture
+    ever ships NULL values, DuckDB oracles must say NULLS FIRST
+    explicitly (DuckDB defaults to NULLS LAST)."""
     from pyspark.sql import Window
 
-    b = df.withColumn("_b", bucket_expr.cast("bigint"))
+    b = df.withColumn(
+        "_b", F.coalesce(bucket_expr.cast("bigint"), F.lit(-(1 << 62)))
+    )
     w_in = Window.partitionBy("_b").orderBy(value_col, tiebreak_col)
     within = b.withColumn("_rn_in", F.row_number().over(w_in))
     counts = b.groupBy("_b").agg(F.count(F.lit(1)).alias("_bn"))
@@ -3326,8 +3335,17 @@ def _event_type_value_ranks(ev: DataFrame) -> DataFrame:
     Window rank row-for-row."""
     from pyspark.sql import Window
 
+    # NULL/NaN values bucket to the -(2^62) sentinel so they rank FIRST
+    # (Spark's default NULLS FIRST window order) rather than vanishing
+    # through a null-unsafe join on a NULL bucket (ADVICE r5). NaN gets
+    # +2^62: Spark sorts NaN GREATER than any double, so NaN rows rank
+    # last — again matching the plain-window form this helper replaces.
+    v = F.col("value")
     b = ev.select("event_type", "value", "event_id").withColumn(
-        "_b", F.floor(F.col("value") / F.lit(10.0)).cast("bigint")
+        "_b",
+        F.when(v.isNull(), F.lit(-(1 << 62)))
+        .when(F.isnan(v), F.lit(1 << 62))
+        .otherwise(F.floor(v / F.lit(10.0)).cast("bigint")),
     )
     w_in = Window.partitionBy("event_type", "_b").orderBy("value", "event_id")
     within = b.withColumn("_rn_in", F.row_number().over(w_in))

@@ -216,6 +216,58 @@ def test_event_type_value_ranks_equals_bare_window(spark, sf_dir):
     assert j.count() == total
 
 
+def test_event_type_value_ranks_null_and_nan_values(spark):
+    """ADVICE r5: a NULL value used to get a NULL bucket and silently
+    vanish through the null-unsafe equi-join, while the plain window
+    form ranks NULLs first. The helper now sentinels NULL to -(2^62)
+    (ranks FIRST, Spark's NULLS FIRST default) and NaN to +2^62 (ranks
+    LAST — Spark sorts NaN above every double). Verify row-for-row
+    against the bare window on a fixture that ships both."""
+    from pyspark.sql import Window
+    from pipeline_query_engine_demo_spark.plans.analytics import (
+        _event_type_value_ranks,
+    )
+
+    rows = [
+        ("a", None, 1),
+        ("a", 5.0, 2),
+        ("a", float("nan"), 3),
+        ("a", -3.0, 4),
+        ("a", None, 5),
+        ("a", 120.5, 6),
+        ("b", float("nan"), 7),
+        ("b", 0.0, 8),
+        ("b", None, 9),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_type string, value double, event_id long"
+    )
+    bucketed = {
+        (r["event_type"], r["rn"]): r
+        for r in _event_type_value_ranks(ev).collect()
+    }
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wp = Window.partitionBy("event_type")
+    bare = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count("*").over(wp).cast("bigint").alias("n"),
+    ).collect()
+    assert len(bucketed) == len(rows)
+    for r in bare:
+        g = bucketed[(r["event_type"], r["rn"])]
+        same = (g["value"] == r["value"]) or (
+            g["value"] is None and r["value"] is None
+        ) or (
+            g["value"] is not None
+            and r["value"] is not None
+            and g["value"] != g["value"]
+            and r["value"] != r["value"]
+        )
+        assert same and g["n"] == r["n"], (r, g)
+
+
 def test_ordered_funnel_rejects_out_of_order_conversions(spark, tmp_path):
     """The funnel is ORDERED: a purchase before the first view, or a
     click before the first view, must not convert. Planted fixture with

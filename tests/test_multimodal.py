@@ -102,6 +102,7 @@ def test_decode_pnm_with_comments_and_errors(spark):
                     (3, pgm),
                     (4, b"\x89PNG not supported"),
                     (5, ppm[:10]),  # truncated
+                    (6, None),  # NULL payload must yield an err row (ADVICE r5)
                 ],
                 "doc_id long, payload binary",
             ),
@@ -115,6 +116,7 @@ def test_decode_pnm_with_comments_and_errors(spark):
     assert bytes(rows[3].pixels) == gray
     assert rows[4].err is not None and rows[4].width is None
     assert rows[5].err is not None
+    assert rows[6].err == "null media payload" and rows[6].pixels is None
     # with_stats: exact integer reductions, order-sensitive checksum
     st = multimodal.decode_media(
         spark.createDataFrame([(1, ppm)], "doc_id long, payload binary"),

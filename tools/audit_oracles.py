@@ -94,13 +94,56 @@ def _shares_long_run(literals: list[str], oracle: str) -> bool:
     return False
 
 
-def _tested_names(tests_dir: str) -> str:
-    chunks = []
+def _tested_names(tests_dir: str) -> set[str]:
+    """Whole-token identifiers/strings used INSIDE test function bodies.
+
+    ADVICE r5: the old raw-substring scan over concatenated test text
+    let a query whose name is a substring of another tested query's
+    name — or that appears only in a comment/docstring — pass without
+    any real test. Parse each test module instead and collect, per
+    `def test_*` body (docstring excluded): every ast.Name /
+    ast.Attribute identifier and every whole \\w+ token inside string
+    constants (queries are often addressed by name-string, e.g.
+    `run("near_dup_pairs")`)."""
+    import ast
+    import re
+
+    tokens: set[str] = set()
     for fname in sorted(os.listdir(tests_dir)):
-        if fname.endswith(".py"):
-            with open(os.path.join(tests_dir, fname)) as f:
-                chunks.append(f.read())
-    return "\n".join(chunks)
+        if not fname.endswith(".py"):
+            continue
+        with open(os.path.join(tests_dir, fname)) as f:
+            try:
+                tree = ast.parse(f.read())
+            except SyntaxError:
+                continue
+        for node in ast.walk(tree):
+            if not isinstance(
+                node, (ast.FunctionDef, ast.AsyncFunctionDef)
+            ) or not node.name.startswith("test"):
+                continue
+            body = node.body
+            if (
+                body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)
+            ):
+                body = body[1:]  # docstring doesn't count as coverage
+            for stmt in body:
+                for sub in ast.walk(stmt):
+                    if isinstance(sub, ast.Name):
+                        tokens.add(sub.id)
+                    elif isinstance(sub, ast.Attribute):
+                        tokens.add(sub.attr)
+                    elif isinstance(sub, ast.Constant) and isinstance(
+                        sub.value, str
+                    ):
+                        tokens.update(re.findall(r"\w+", sub.value))
+                    elif isinstance(sub, (ast.Import, ast.ImportFrom)):
+                        for alias in sub.names:
+                            tokens.add(alias.asname or alias.name)
+    return tokens
 
 
 def find_violations() -> tuple[list[str], list[str]]:
