@@ -357,9 +357,9 @@ def connected_components(
     (a count per iteration, standard for iterative graph algorithms).
     Plain propagation needs O(graph diameter) rounds; near-dup clusters
     are shallow (dups of a common source), so diameter is small. For
-    adversarial long-chain graphs the upgrade path is the
-    large-star/small-star algorithm (same join primitives, O(log n)
-    rounds) — not needed for dedup workloads.
+    adversarial long-chain graphs use ``connected_components_star``
+    below (same join primitives, O(log n) rounds regardless of
+    diameter) — the two are asserted label-identical in tests.
 
     Checkpointing via ``localCheckpoint`` truncates the lineage each
     round so the plan doesn't grow exponentially with iterations — and
@@ -404,6 +404,96 @@ def connected_components(
         f"connected_components did not converge in {max_iter} iterations — "
         "the graph has a component with diameter > max_iter; raise max_iter "
         "or switch to the large-star/small-star variant for long chains"
+    )
+
+
+def connected_components_star(
+    nodes: DataFrame, edges: DataFrame, id_col: str, max_iter: int = 25
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14): converges in O(log n) rounds regardless of graph
+    DIAMETER, where min-label propagation (``connected_components``)
+    needs O(diameter) rounds — the difference between surviving and not
+    surviving an adversarial duplicate CHAIN (doc1~doc2~...~docN with
+    no shortcut edges) at 100 TB. Returns (id, cluster_id) with
+    cluster_id = the component's minimum node id, identical to the
+    propagation variant.
+
+    Each round over the canonical edge list E (u < v):
+      * large-star — for every node, hang all strictly LARGER
+        neighbors off the minimum of its closed neighborhood:
+        sym = E ∪ swap(E); m(x) = least(x, min neighbor); emit
+        (m(x), v) for each neighbor v > x. Canonical order is
+        preserved because m(x) <= x < v.
+      * small-star — for every node, hang its SMALLER neighbors (and
+        itself) off their minimum: group canonical edges by the larger
+        endpoint v; m = min smaller-neighbor; emit (m, u) for the
+        other smaller neighbors u plus (m, v).
+    Both are one shuffle (groupBy) + one shuffle (join) on node id;
+    star graphs are a fixed point of both, so an unchanged edge set
+    (checked with two exceptAll counts — order-free) terminates the
+    loop. ``localCheckpoint`` truncates lineage per round, as in the
+    propagation variant. At the fixed point every edge is
+    (component_min, member); members absent from the edge list are
+    their own singleton clusters."""
+    e = (
+        edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        closed_min = sym.groupBy("u").agg(
+            F.least(F.col("u"), F.min("v")).alias("m")
+        )
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(closed_min, "u")
+            .select(F.col("m").alias("u"), "v")
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        small_min = large.groupBy("v").agg(F.min("u").alias("m"))
+        hang_smaller = (
+            large.join(small_min, "v")
+            .filter(F.col("u") != F.col("m"))
+            .select(F.col("m").alias("u"), F.col("u").alias("v"))
+        )
+        hang_self = small_min.select(F.col("m").alias("u"), "v")
+        new_e = (
+            hang_smaller.unionByName(hang_self)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if new_e.exceptAll(e).count() == 0 and e.exceptAll(new_e).count() == 0:
+            e = new_e
+            break
+        e = new_e
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds — at O(log n) rounds this indicates n > 2^max_iter "
+            "components merging or a bug; raise max_iter"
+        )
+    member_labels = e.select(
+        F.col("v").alias("id"), F.col("u").alias("cluster_id")
+    )
+    return (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(member_labels, "id", "left")
+        .groupBy("id")
+        .agg(
+            F.least(F.col("id"), F.coalesce(F.min("cluster_id"), F.col("id"))).alias(
+                "cluster_id"
+            )
+        )
     )
 
 

@@ -301,6 +301,31 @@ def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_clusters_starcontract",
+    category="llm-dedup",
+    oracle=_CLUSTERS_SQL + "SELECT doc_id, cluster_id FROM labels ORDER BY doc_id",
+)
+def dedup_clusters_starcontract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_clusters_docs' exact twin, but the pair graph collapses via
+    alternating large-star/small-star contraction
+    (operators.dedup.connected_components_star) instead of min-label
+    propagation: O(log n) rounds regardless of component DIAMETER,
+    versus O(diameter) for propagation — the variant that survives an
+    adversarial duplicate chain at 100 TB. Same recursive-CTE oracle as
+    dedup_clusters_docs (the algorithms must agree on every label);
+    tests/test_dedup.py additionally plants a 40-node chain where
+    propagation at max_iter=15 provably cannot converge and
+    star-contraction does."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.near_dup_pairs(docs, "doc_id", "text", threshold=0.6)
+    return (
+        dedup.connected_components_star(docs.select("doc_id"), pairs, "doc_id")
+        .select(F.col("id").alias("doc_id"), "cluster_id")
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "clean_corpus_pipeline",
     category="llm-dedup",
     oracle=_CLUSTERS_SQL

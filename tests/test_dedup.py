@@ -110,6 +110,70 @@ def test_connected_components_raises_on_non_convergence(spark):
         dedup.connected_components(nodes, edges, "doc_id", max_iter=2)
 
 
+def test_starcontract_long_chain_beats_propagation_budget(spark):
+    """Planted 40-node chain (ids shuffled so the min sits mid-chain):
+    min-label propagation needs ~diameter rounds, so at max_iter=15 it
+    provably CANNOT converge — while large-star/small-star contracts
+    the same chain in O(log n) rounds under a far smaller budget and
+    still labels every node with the component minimum. This is the
+    adversarial-long-chain case the star variant exists for."""
+    import pytest
+
+    n = 40
+    # permute ids deterministically so the min label (0) starts mid-chain:
+    # position i holds id (i*17 + 5) % n — propagation distance from the
+    # min to the far end is ~n, not n/2-lucky.
+    ids = [(i * 17 + 5) % n for i in range(n)]
+    nodes = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    edges = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup.connected_components(nodes, edges, "doc_id", max_iter=15)
+    labels = {
+        r.id: r.cluster_id
+        for r in dedup.connected_components_star(
+            nodes, edges, "doc_id", max_iter=10
+        ).collect()
+    }
+    assert labels == {i: 0 for i in ids}
+
+
+def test_starcontract_matches_propagation_on_mixed_graph(spark):
+    """Random-ish mixed graph (two components + isolates + a self-loop
+    + duplicate/reversed edges): the star variant must produce exactly
+    the propagation variant's labels."""
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(12)], "doc_id long"
+    )
+    edges = spark.createDataFrame(
+        [(3, 7), (7, 3), (7, 9), (9, 11), (2, 4), (4, 2), (4, 8), (5, 5), (8, 2)],
+        "id_a long, id_b long",
+    )
+    a = {
+        r.id: r.cluster_id
+        for r in dedup.connected_components(nodes, edges, "doc_id").collect()
+    }
+    b = {
+        r.id: r.cluster_id
+        for r in dedup.connected_components_star(nodes, edges, "doc_id").collect()
+    }
+    assert a == b
+    assert b[3] == b[7] == b[9] == b[11] == 3
+    assert b[2] == b[4] == b[8] == 2
+    assert all(b[i] == i for i in (0, 1, 5, 6, 10))
+
+
+def test_starcontract_empty_edges(spark):
+    nodes = spark.createDataFrame([(i,) for i in (4, 7)], "doc_id long")
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    labels = {
+        r.id: r.cluster_id
+        for r in dedup.connected_components_star(nodes, edges, "doc_id").collect()
+    }
+    assert labels == {4: 4, 7: 7}
+
+
 def test_dedup_clusters_planted(spark, docs):
     labels = {
         r.id: r.cluster_id for r in dedup.dedup_clusters(docs, "doc_id", "text").collect()
