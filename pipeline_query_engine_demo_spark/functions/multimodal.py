@@ -243,6 +243,9 @@ def decode_media(
             if with_stats:
                 out["pixel_sum"] = []
                 out["weighted_sum"] = []
+            # row-loop-ok: decode is per-payload by nature (variable
+            # length, per-blob format dispatch, per-row error capture);
+            # the pixel math inside is numpy over the whole blob.
             for doc_id, blob in zip(pdf[id_col], pdf[payload_col]):
                 out[id_col].append(doc_id)
                 try:
@@ -322,6 +325,9 @@ def frame_sample(
     def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             ids, idxs, lens, sums = [], [], [], []
+            # row-loop-ok: frame fan-out is per-payload (variable blob
+            # length => variable frame count) and each frame needs its
+            # own checksum; a real decoder would be per-row here too.
             for doc_id, blob in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(blob)
                 n_frames = (len(data) - 1) // stride + 1 if data else 0
@@ -355,6 +361,10 @@ def fake_decode_features(df: DataFrame, id_col: str, payload_col: str, kind_col:
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             feats = []
+            # row-loop-ok: payloads are variable-length binary, so the
+            # histogram can't batch across rows without a concat +
+            # reduceat contortion; the interior (frombuffer + bincount)
+            # is already numpy-vectorized over every byte of the blob.
             for blob in pdf[payload_col]:
                 arr = np.frombuffer(bytes(blob), dtype=np.uint8)
                 hist = np.bincount(arr >> 4, minlength=16).astype(np.float64)

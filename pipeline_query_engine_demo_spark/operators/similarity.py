@@ -482,6 +482,11 @@ def mmr_rerank(
         # embeddings rank identically on both engines.
         rels = {}
         sims = {}
+        # row-loop-ok: MMR's greedy argmax is inherently sequential
+        # (each pick changes the next scores) and the group is bounded
+        # by the per-query candidate pool (k<=pool<=shortlist), so this
+        # is O(k*pool) driver-free work per group by construction
+        # (r5 verdict: "legitimately sequential and bounded").
         for r in pdf.itertuples(index=False):
             rels[r.i] = None if pd.isna(r.rel_i) else float(r.rel_i)
             if r.j is not None and not pd.isna(r.j) and not pd.isna(r.s):

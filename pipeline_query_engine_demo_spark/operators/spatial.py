@@ -89,6 +89,7 @@ def radius_join(
     radius: float,
     left_cols: tuple[str, str, str] = ("id", "lat", "lon"),
     right_cols: tuple[str, str, str] = ("id", "lat", "lon"),
+    max_cell_points: int | None = None,
 ) -> DataFrame:
     """All (left, right) pairs with planar distance <= ``radius``.
 
@@ -100,10 +101,19 @@ def radius_join(
     no post-join distinct needed.
 
     Scale: one hash shuffle of 9·|left| + |right| rows on the cell id.
-    Cell population is data-dependent; a hot cell (urban cluster) is
-    bounded by cell area — the geo analogue of the LSH bucket cap is
-    shrinking the cell side and raising the neighborhood to ceil(r/side)
-    rings, which trades explode factor against cell occupancy."""
+    Cell population is data-dependent; when a cell's RIGHT-side
+    occupancy exceeds ``max_cell_points`` (an "urban cluster" — in the
+    degenerate limit, every point in ONE cell), the per-cell candidate
+    product goes quadratic, and if point spread is actually below the
+    radius the TRUE output is quadratic too — no algorithm emits N²
+    pairs in o(N²). ``max_cell_points`` is the geo twin of the LSH
+    hot-bucket cap (operators.dedup.DEFAULT_MAX_BUCKET_SIZE): cells
+    whose right-side count exceeds the cap are EXCLUDED entirely (a
+    documented recall trade, detectable via spatial_grid_density /
+    key_skew_profile before running), which bounds per-cell work at
+    cap·9·occupancy_left instead of melting one reducer. Default None
+    keeps exact semantics — the gate queries run uncapped and
+    hash-match brute-force oracles."""
     lid, llat, llon = left_cols
     rid, rlat, rlon = right_cols
     r = float(radius)
@@ -143,6 +153,18 @@ def radius_join(
         F.floor(F.col("_rlat") / F.lit(r)).alias("_clat"),
         F.floor(F.col("_rlon") / F.lit(r)).alias("_clon"),
     )
+    if max_cell_points is not None:
+        # Hot-cell exclusion: one partial-agg count per cell (skew-safe
+        # map-side combine), broadcast the small cold-cell set back onto
+        # both sides. Matches the LSH cap's drop-the-bucket semantics.
+        cold = (
+            r_cells.groupBy("_clat", "_clon")
+            .agg(F.count(F.lit(1)).alias("_cn"))
+            .filter(F.col("_cn") <= F.lit(int(max_cell_points)))
+            .select("_clat", "_clon")
+        )
+        r_cells = r_cells.join(F.broadcast(cold), ["_clat", "_clon"])
+        l_cells = l_cells.join(F.broadcast(cold), ["_clat", "_clon"])
     d2 = _dist2(
         F.col("_llat"), F.col("_llon"), F.col("_rlat"), F.col("_rlon")
     )

@@ -906,16 +906,25 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def gen(batches):
+        import numpy as np
+
         for pdf in batches:
             payloads = []
+            # row-loop-ok: per-row format/geometry heterogeneity (BMP vs
+            # P6 vs P5, w/h from doc_id) makes the encode genuinely
+            # per-row; the interior byte math is numpy-vectorized and
+            # each payload is <=170 bytes (a fixture generator, not a
+            # data path).
             for doc_id in pdf["doc_id"]:
                 did = int(doc_id)
                 w = 4 + did % 5
                 h = 3 + did % 4
                 fmt = did % 3
                 nch = 1 if fmt == 2 else 3
-                px = bytes(
-                    (did * 7 + i * 13) % 256 for i in range(w * h * nch)
+                px = (
+                    ((did * 7 + np.arange(w * h * nch, dtype=np.int64) * 13) % 256)
+                    .astype(np.uint8)
+                    .tobytes()
                 )
                 if fmt == 0:
                     payloads.append(

@@ -366,8 +366,6 @@ def stateful_cusum(events: DataFrame, k: int, h: int) -> DataFrame:
     stream's arrival order, correct when the source delivers
     time-split files (the tested harness shape — see
     tests/test_streaming multi-batch state evolution)."""
-    import math
-
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def scan(
@@ -375,18 +373,26 @@ def stateful_cusum(events: DataFrame, k: int, h: int) -> DataFrame:
     ) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
+        import numpy as np
+
         s, mx, alarms, n = state.get if state.exists else (0, 0, 0, 0)
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values(["ts", "event_id"])
-        for v in batch["value"]:
-            if not math.isfinite(float(v)):
-                continue  # mirror the batch detector: non-finite rows skipped
-            n += 1
-            x = int(math.floor(float(v) * 100.0 + 0.5))
-            s = max(0, s + x - k)
-            mx = max(mx, s)
-            if s >= h:
-                alarms += 1
+        v = batch["value"].to_numpy(dtype=np.float64)
+        v = v[np.isfinite(v)]  # mirror the batch detector: skip non-finite
+        if len(v):
+            # Vectorized Lindley recursion seeded with the carried state
+            # s0 (same identity as the batch window rewrite): with
+            # y = x - k and S = cumsum(y),
+            #   s_t = S_t - min(-s0, running_min(S)_t)
+            # — exact int64 throughout, one pass, no Python row loop.
+            y = np.floor(v * 100.0 + 0.5).astype(np.int64) - k
+            ps = np.cumsum(y)
+            w = ps - np.minimum(np.int64(-s), np.minimum.accumulate(ps))
+            n += len(v)
+            mx = max(mx, int(w.max()))
+            alarms += int((w >= h).sum())
+            s = int(w[-1])
         state.update((s, mx, alarms, n))
         yield pd.DataFrame(
             {
@@ -437,14 +443,18 @@ def stateful_ewma(events: DataFrame) -> DataFrame:
         else:
             taps = []  # most-recent first
             n = 0
+        import numpy as np
+
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values(["ts", "event_id"])
-        for v in batch["value"]:
-            fv = float(v)
-            if not math.isfinite(fv):
-                continue
-            n += 1
-            taps.insert(0, int(math.floor(fv * 1000000.0 + 0.5)))
+        v = batch["value"].to_numpy(dtype=np.float64)
+        v = v[np.isfinite(v)]
+        if len(v):
+            n += len(v)
+            # taps = most-recent-first last-8: the new batch's tail 8
+            # (reversed) prepended to the carried taps — no row loop.
+            micro = np.floor(v * 1000000.0 + 0.5).astype(np.int64)
+            taps = [int(t) for t in micro[-8:][::-1]] + taps
             del taps[8:]
         padded = taps + [None] * (8 - len(taps))
         state.update(tuple(padded) + (n,))

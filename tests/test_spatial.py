@@ -67,6 +67,38 @@ def test_radius_join_emits_each_pair_exactly_once(spark):
     assert len(pairs) == len(set(pairs))
 
 
+def test_radius_join_hot_cell_cap(spark):
+    """max_cell_points (the geo twin of the LSH hot-bucket cap): a cell
+    whose RIGHT-side occupancy exceeds the cap is excluded entirely —
+    its pairs vanish (documented recall trade) — while pairs in cold
+    cells are untouched, and cap=None stays exact."""
+    # hot cell around (0.5, 0.5): 20 right points; cold cell around
+    # (10.5, 10.5): 2 right points. One left point in each.
+    hot_r = [(100 + i, 0.5 + i * 1e-3, 0.5) for i in range(20)]
+    cold_r = [(300, 10.5, 10.5), (301, 10.6, 10.5)]
+    left = [(1, 0.5, 0.5), (2, 10.55, 10.5)]
+    ldf = spark.createDataFrame(left, "id long, lat double, lon double")
+    rdf = spark.createDataFrame(hot_r + cold_r, "id long, lat double, lon double")
+
+    exact = {
+        (r["_lid"], r["_rid"]) for r in spatial.radius_join(ldf, rdf, 1.0).collect()
+    }
+    assert exact == _brute(left, hot_r + cold_r, 1.0)
+
+    capped = {
+        (r["_lid"], r["_rid"])
+        for r in spatial.radius_join(ldf, rdf, 1.0, max_cell_points=5).collect()
+    }
+    # every hot-cell pair dropped, every cold-cell pair kept
+    assert capped == {(2, 300), (2, 301)}
+    # a cap above the hot occupancy restores exactness
+    loose = {
+        (r["_lid"], r["_rid"])
+        for r in spatial.radius_join(ldf, rdf, 1.0, max_cell_points=50).collect()
+    }
+    assert loose == exact
+
+
 def test_synth_coords_in_range(spark):
     df = spark.range(1, 5000).select(
         spatial.synth_lat(F.col("id")).alias("lat"),
