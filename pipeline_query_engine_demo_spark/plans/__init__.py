@@ -13,6 +13,7 @@ from pipeline_query_engine_demo_spark.plans import (  # noqa: F401  (registratio
     quantization,
     relational,
     sinks,
+    sketches,
     tpch,
     udfs,
     windows,

@@ -1,0 +1,288 @@
+"""KMV / theta-sketch cardinality family (r5 verdict task 8).
+
+``approx_count_distinct`` already covers Spark's built-in HLL++, but
+HLL sketches can't INTERSECT: a union of HLLs is exact sketch algebra,
+an intersection is inclusion-exclusion noise. The theta-sketch family
+(Dalvi et al. / DataSketches) fixes that by keeping the k MINIMUM hash
+values (KMV): the k-th smallest normalized hash θ estimates density
+(distinct ≈ (k-1)/θ), and because every sketch retains actual hash
+values below its θ, two sketches intersect by literally intersecting
+their retained sets below min(θ_a, θ_b) — the set-intersection
+estimate a 100 TB dedup/decontamination planner needs ("how much does
+crawl A overlap crawl B?") without ever joining the full corpora.
+
+Cross-engine determinism: the hash is the repo-wide md5 idiom — 15 hex
+digits → bigint in [0, 2^60) (`F.conv` ↔ DuckDB ``'0x' || substr``,
+established in plans/curation.py's deterministic coin) — so sketch
+contents, θ, and every estimate are bit-identical in Spark and DuckDB
+and the driver gate hash-compares them raw. Accuracy (estimate vs
+exact, within KMV's ~1/sqrt(k-1) relative error) is pinned by
+tests/test_sketches.py, NOT by the oracle — the oracle proves the two
+engines build the same sketch; the test proves the sketch math is
+worth building.
+
+Scale: sketch construction is ONE pass over the distinct (source,
+hash) pairs — the bottom-k per source runs the same salted two-phase
+shape as operators.similarity._topk_per_query (no per-source
+single-reducer window over the corpus); everything after operates on
+k·|sources| rows (KB), which is the entire point of sketches.
+
+Reference parity: the reference engine has no sketch surface (its
+whole operator set is scan/filter/hash-join/limit,
+``/root/reference/src/executor/mod.rs:250-466``); this family comes
+from the north star's LLM-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pipeline_query_engine_demo_spark.functions.rounding import (
+    round_half_up,
+    sql_round_half_up,
+)
+from pipeline_query_engine_demo_spark.operators import dedup
+from pipeline_query_engine_demo_spark.plans.registry import query
+from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+#: Retained minimum hash values per sketch. 128 sits well below the
+#: fixture shingle vocabulary (~1.2-1.5k per source), so the estimator
+#: path genuinely estimates at every fixture SF; production sizes k by
+#: target error ~ 1/sqrt(k-1) (k=1024 → ~3%).
+K = 128
+#: Hash universe: 15 md5 hex digits = [0, 2^60).
+U = 1 << 60
+#: Fan-out of the bottom-k pre-phase (same rationale as
+#: similarity._TOPK_SALTS).
+_SALTS = 16
+
+#: 127 * 2^60 is exactly representable in a double (7-bit mantissa
+#: times a power of two), so the estimator's one division is the same
+#: IEEE operation on both engines.
+_KMV_NUM = float(K - 1) * float(U)
+
+
+def _source_shingle_hashes(docs: DataFrame) -> DataFrame:
+    """Distinct (source, hv) with hv = md5-bigint of each 3-word
+    shingle — the stream a KMV sketch consumes. Distinct-before-sketch
+    keeps the bottom-k input minimal and is semantics-free (KMV is a
+    set sketch)."""
+    sh = docs.select(
+        "source",
+        F.explode(dedup._units(F.col("text"), dedup.DEFAULT_SHINGLE_N)).alias("tok"),
+    )
+    hv = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+    return sh.select("source", hv.alias("hv")).distinct()
+
+
+def kmv_sketch(hashes: DataFrame, k: int = K) -> DataFrame:
+    """Bottom-k hash values per source: (source, hv, rn), rn = 1-based
+    ascending rank. Salted two-phase so no reducer ever sees a whole
+    source's hash stream: phase 1 ranks within (source, salt-of-hv) and
+    keeps k per salt; phase 2 re-ranks the <= k * _SALTS survivors."""
+    pre = Window.partitionBy("source", "_salt").orderBy("hv")
+    fin = Window.partitionBy("source").orderBy("hv")
+    return (
+        hashes.withColumn("_salt", F.pmod(F.hash("hv"), F.lit(_SALTS)))
+        .withColumn("_p", F.row_number().over(pre))
+        .filter(F.col("_p") <= k)
+        .drop("_salt", "_p")
+        .withColumn("rn", F.row_number().over(fin))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def _sketch_meta(sk: DataFrame) -> DataFrame:
+    """(source, n_ret, theta): θ = the k-th smallest hv when the sketch
+    is full, else the whole universe (an unsaturated sketch IS the
+    exact set — the standard theta-sketch convention)."""
+    return sk.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ret"),
+        F.when(F.count(F.lit(1)) < F.lit(K), F.lit(U).cast("bigint"))
+        .otherwise(F.max("hv"))
+        .alias("theta"),
+    )
+
+
+#: Shared SQL CTE chain: shingles with source → distinct md5-bigints →
+#: per-source ascending ranks → retained bottom-k + θ. The shingle
+#: expression mirrors plans/llm._shingle_units_sql with the source
+#: column carried through.
+_SH_WORDS = ", ".join(f"string_split(text, ' ')[i + {j}]" for j in range(3))
+_SKETCH_CTES = f"""
+        sh AS (SELECT source, unnest(list_distinct(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 2),
+                   i -> concat_ws(' ', {_SH_WORDS})))) AS tok
+               FROM documents),
+        hv AS (SELECT DISTINCT source,
+                      CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS hv
+               FROM sh),
+        r AS (SELECT source, hv,
+                     row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+              FROM hv),
+        sk AS (SELECT source, hv, rn FROM r WHERE rn <= {K}),
+        mt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_ret,
+                      CASE WHEN COUNT(*) < {K} THEN CAST({U} AS BIGINT)
+                           ELSE MAX(hv) END AS theta
+               FROM sk GROUP BY source)
+"""
+
+
+@query(
+    "kmv_distinct_shingles_by_source",
+    category="sketch",
+    oracle=f"""
+        WITH {_SKETCH_CTES.strip()},
+        ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+               FROM hv GROUP BY source)
+        SELECT e.source, e.exact_distinct,
+               {sql_round_half_up(
+                   f"CASE WHEN m.n_ret < {K} THEN CAST(m.n_ret AS DOUBLE) "
+                   f"ELSE {_KMV_NUM!r} / CAST(m.theta AS DOUBLE) END", 6)}
+                   AS kmv_estimate
+        FROM ex e JOIN mt m ON m.source = e.source
+        ORDER BY e.source
+    """,
+)
+def kmv_distinct_shingles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-shingle cardinality, exact AND KMV-estimated
+    ((k-1) / normalized θ with θ = k-th smallest md5-bigint), side by
+    side — the accuracy of the sketch is part of the result. Estimate
+    and exact are both deterministic, so the gate hash-compares them
+    raw; tests additionally bound |est - exact| / exact by the KMV
+    error envelope.
+
+    Scale: the exact column is one combinable count over distinct
+    (source, hv) — at 100 TB you DROP that column and keep the sketch;
+    it ships here because the fixture can afford the ground truth and
+    the estimator's error then stays visible in every gate run."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = _source_shingle_hashes(docs)
+    exact = hashes.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_distinct")
+    )
+    meta = _sketch_meta(kmv_sketch(hashes))
+    est = F.when(
+        F.col("n_ret") < F.lit(K), F.col("n_ret").cast("double")
+    ).otherwise(F.lit(_KMV_NUM) / F.col("theta").cast("double"))
+    return (
+        exact.join(F.broadcast(meta), "source")
+        .select("source", "exact_distinct", round_half_up(est, 6).alias("kmv_estimate"))
+        .orderBy("source")
+    )
+
+
+@query(
+    "theta_sketch_shingle_overlap",
+    category="sketch",
+    oracle=f"""
+        WITH {_SKETCH_CTES.strip()},
+        pairs AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   least(a.theta, b.theta) AS th
+            FROM mt a JOIN mt b ON a.source < b.source
+        ),
+        c AS (
+            SELECT p.source_a, p.source_b,
+                   CAST(COUNT(y.hv) AS BIGINT) AS common_retained
+            FROM pairs p
+            LEFT JOIN sk x ON x.source = p.source_a AND x.hv < p.th
+            LEFT JOIN sk y ON y.source = p.source_b AND y.hv = x.hv
+            GROUP BY p.source_a, p.source_b
+        ),
+        u AS (
+            SELECT p.source_a, p.source_b,
+                   CAST(COUNT(DISTINCT s.hv) AS BIGINT) AS union_retained
+            FROM pairs p
+            JOIN sk s ON s.source IN (p.source_a, p.source_b)
+                     AND s.hv < p.th
+            GROUP BY p.source_a, p.source_b
+        )
+        SELECT p.source_a, p.source_b,
+               COALESCE(c.common_retained, CAST(0 AS BIGINT))
+                   AS common_retained,
+               {sql_round_half_up(
+                   "CAST(COALESCE(c.common_retained, 0) AS DOUBLE) * "
+                   f"{float(U)!r} / CAST(p.th AS DOUBLE)", 6)}
+                   AS est_common,
+               CASE WHEN COALESCE(u.union_retained, 0) > 0 THEN
+                   {sql_round_half_up(
+                       "CAST(COALESCE(c.common_retained, 0) AS DOUBLE) / "
+                       "CAST(u.union_retained AS DOUBLE)", 6)}
+               END AS est_jaccard
+        FROM pairs p
+        LEFT JOIN c ON c.source_a = p.source_a AND c.source_b = p.source_b
+        LEFT JOIN u ON u.source_a = p.source_a AND u.source_b = p.source_b
+        ORDER BY p.source_a, p.source_b
+    """,
+)
+def theta_sketch_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap estimates from the per-source KMV
+    sketches alone: intersect each pair's retained hash sets below
+    θ = min(θ_a, θ_b); |∩| · U / θ estimates the common-shingle count
+    and |∩| / |∪ below θ| the Jaccard — the theta-sketch intersection
+    (the operation HLL fundamentally can't do). No corpus-side pair
+    join exists in the plan: after the one sketch-building pass, all
+    20 sources x 190 pairs run over k·|sources| broadcast rows — at
+    100 TB the sketches are kilobytes while source_overlap_matrix's
+    exact join is another full-corpus shuffle.
+
+    Determinism: retained sets, θ, and both estimates derive from md5
+    — the gate hash-compares every column raw. Accuracy vs the exact
+    overlap is pinned in tests/test_sketches.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    sk = kmv_sketch(_source_shingle_hashes(docs)).localCheckpoint(eager=False)
+    meta = _sketch_meta(sk)
+    pairs = (
+        meta.alias("a")
+        .join(meta.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.least(F.col("a.theta"), F.col("b.theta")).alias("th"),
+        )
+    )
+    ska = sk.select(F.col("source").alias("source_a"), F.col("hv").alias("hva"))
+    skb = sk.select(F.col("source").alias("source_b"), F.col("hv").alias("hvb"))
+    common = (
+        pairs.join(F.broadcast(ska), "source_a")
+        .filter(F.col("hva") < F.col("th"))
+        .join(F.broadcast(skb), "source_b")
+        .filter(F.col("hvb") == F.col("hva"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common_retained"))
+    )
+    union_rows = pairs.join(F.broadcast(ska), "source_a").select(
+        "source_a", "source_b", "th", F.col("hva").alias("hv")
+    ).unionByName(
+        pairs.join(
+            F.broadcast(sk.select(F.col("source").alias("source_b"), "hv")),
+            "source_b",
+        ).select("source_a", "source_b", "th", "hv")
+    )
+    union_ret = (
+        union_rows.filter(F.col("hv") < F.col("th"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count_distinct(F.col("hv")).cast("bigint").alias("union_retained"))
+    )
+    cr = F.coalesce(F.col("common_retained"), F.lit(0).cast("bigint"))
+    est_common = round_half_up(
+        cr.cast("double") * F.lit(float(U)) / F.col("th").cast("double"), 6
+    )
+    est_jac = F.when(
+        F.coalesce(F.col("union_retained"), F.lit(0).cast("bigint")) > 0,
+        round_half_up(cr.cast("double") / F.col("union_retained").cast("double"), 6),
+    )
+    return (
+        pairs.join(common, ["source_a", "source_b"], "left")
+        .join(union_ret, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            cr.alias("common_retained"),
+            est_common.alias("est_common"),
+            est_jac.alias("est_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
