@@ -286,3 +286,82 @@ def theta_sketch_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@query(
+    "kmv_merge_global_distinct",
+    category="sketch",
+    oracle=f"""
+        WITH {_SKETCH_CTES.strip()},
+        merged AS (
+            SELECT DISTINCT hv FROM sk
+        ),
+        mr AS (
+            SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM merged
+        ),
+        msk AS (SELECT hv, rn FROM mr WHERE rn <= {K}),
+        mmeta AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_ret,
+                   CASE WHEN COUNT(*) < {K} THEN CAST({U} AS BIGINT)
+                        ELSE MAX(hv) END AS theta
+            FROM msk
+        ),
+        ex AS (SELECT CAST(COUNT(DISTINCT hv) AS BIGINT) AS exact_distinct
+               FROM hv)
+        SELECT CAST((SELECT COUNT(*) FROM mt) AS BIGINT) AS n_sources,
+               e.exact_distinct,
+               {sql_round_half_up(
+                   f"CASE WHEN m.n_ret < {K} THEN CAST(m.n_ret AS DOUBLE) "
+                   f"ELSE {_KMV_NUM!r} / CAST(m.theta AS DOUBLE) END", 6)}
+                   AS merged_estimate
+        FROM ex e, mmeta m
+    """,
+)
+def kmv_merge_global_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY — the property that makes KMV a distributed
+    aggregate: the union of per-source sketches, re-cut to its own
+    bottom-k, IS the sketch of the union (any global bottom-k value is
+    bottom-k within its own source, so no retained value is missing).
+    The global distinct-shingle estimate here is computed ONLY from the
+    20 per-source sketches (k·|sources| rows), exactly how a
+    1000-executor job merges per-partition sketches on a combiner
+    tree; the exact global count rides along for visible accuracy.
+
+    The merge re-cut is orderBy(hv).limit(k) — TakeOrderedAndProject,
+    a parallel partial top-k per partition + tiny driver merge, no
+    partition-less window.
+
+    Scale: after the one corpus pass that builds per-source sketches,
+    the merge touches KB regardless of corpus size; the exact column
+    is the piece you drop at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = _source_shingle_hashes(docs)
+    sk = kmv_sketch(hashes)
+    n_sources = sk.select("source").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sources")
+    )
+    merged = sk.select("hv").distinct().orderBy("hv").limit(K)
+    mmeta = merged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ret"),
+        F.max("hv").alias("mx"),
+    ).select(
+        "n_ret",
+        F.when(F.col("n_ret") < F.lit(K), F.lit(U).cast("bigint"))
+        .otherwise(F.col("mx"))
+        .alias("theta"),
+    )
+    exact = hashes.select("hv").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_distinct")
+    )
+    est = F.when(
+        F.col("n_ret") < F.lit(K), F.col("n_ret").cast("double")
+    ).otherwise(F.lit(_KMV_NUM) / F.col("theta").cast("double"))
+    return (
+        n_sources.crossJoin(exact)
+        .crossJoin(mmeta)
+        .select(
+            "n_sources",
+            "exact_distinct",
+            round_half_up(est, 6).alias("merged_estimate"),
+        )
+    )

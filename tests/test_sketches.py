@@ -115,3 +115,18 @@ def test_theta_intersection_tracks_exact_overlap(spark):
     # aggregate mass within 15%: individual estimates are noisy but an
     # estimator bias would shift the total
     assert abs(tot_est - tot_exact) / tot_exact <= 0.15
+
+
+def test_kmv_merge_equals_sketch_of_full_stream(spark, sf_dir):
+    """Mergeability, the property the kmv_merge_global_distinct query
+    rides on: bottom-k of the union of per-source bottom-k sets ==
+    bottom-k of the full hash stream (any global bottom-k value is
+    bottom-k within its own source). Asserted value-for-value."""
+    hashes = sketches._source_shingle_hashes(_load_docs(spark, sf_dir))
+    k = 16
+    per_source = sketches.kmv_sketch(hashes, k=k)
+    merged = sorted(
+        r["hv"] for r in per_source.select("hv").distinct().orderBy("hv").limit(k).collect()
+    )
+    full = sorted(set(r["hv"] for r in hashes.collect()))[:k]
+    assert merged == full
