@@ -751,3 +751,63 @@ def streaming_rate_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+from pipeline_query_engine_demo_spark.plans import sketches as _sketches  # noqa: E402
+
+
+@query(
+    "streaming_kmv_distinct_by_source",
+    category="streaming",
+    oracle=f"""
+        WITH {_sketches._SKETCH_CTES.strip()}
+        SELECT source,
+               {sql_round_half_up(
+                   f"CASE WHEN n_ret < {_sketches.K} THEN CAST(n_ret AS DOUBLE) "
+                   f"ELSE {_sketches._KMV_NUM!r} / CAST(theta AS DOUBLE) END", 6)}
+                   AS kmv_estimate
+        FROM mt ORDER BY source
+    """,
+)
+def streaming_kmv_distinct_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of kmv_distinct_shingles_by_source's estimator
+    column: documents stream in, per-source bottom-k hash state merges
+    incrementally (streaming.stateful_kmv — k longs per key, BOUNDED
+    regardless of stream length, duplicate-insensitive so re-delivered
+    rows are harmless), drained via the availableNow harness. The
+    final state table's estimate equals the batch sketch's — same
+    integer θ, same IEEE division — so the batch CTE chain serves as
+    the oracle. The stream side deliberately feeds RAW (source, hv)
+    rows (no stream-side distinct): dedup happens in the bounded state
+    merge, where it's free, instead of an unbounded dropDuplicates
+    state upstream. Multi-batch state evolution is exercised in
+    tests/test_streaming."""
+    import pyspark.sql.functions as _F
+
+    from pipeline_query_engine_demo_spark.operators import dedup as _dedup
+    from pipeline_query_engine_demo_spark.streaming.windows import (
+        _stream_source_dir,
+    )
+
+    d = _stream_source_dir(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    docs = spark.readStream.schema(schema).parquet(d)
+    rows = docs.select(
+        "source",
+        _F.explode(
+            _dedup._units(_F.col("text"), _dedup.DEFAULT_SHINGLE_N)
+        ).alias("tok"),
+    ).select(
+        "source",
+        _F.conv(_F.substring(_F.md5("tok"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("hv"),
+    )
+    result = streaming.run_to_memory(
+        streaming.stateful_kmv(
+            rows, _sketches.K, _sketches.U, _sketches._KMV_NUM
+        ),
+        "update",
+        name="t_kmv",
+    )
+    return result.orderBy("source")

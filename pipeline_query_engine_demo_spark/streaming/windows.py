@@ -490,6 +490,59 @@ def stateful_ewma(events: DataFrame) -> DataFrame:
     )
 
 
+def stateful_kmv(rows: DataFrame, k: int, universe: int, est_num: float) -> DataFrame:
+    """Streaming KMV sketch via ``applyInPandasWithState``: per-key
+    state is the bottom-k hash values seen so far — BOUNDED at k longs
+    per key no matter how much stream passes through, and
+    duplicate-insensitive by construction (a re-delivered row merges
+    into the same set), which is exactly why KMV suits streams where
+    exact distinct counting needs unbounded state. Each update emits
+    the key and the current (k-1)/θ estimate with the repo's
+    floor-half-up rounding, matching plans/sketches' batch estimator
+    bit-for-bit (same integer θ, same IEEE division).
+
+    ``rows``: streaming (source, hv) pairs; ``universe``/``est_num``:
+    plans.sketches.U and _KMV_NUM (passed in, not imported — streaming
+    must not depend on the query layer)."""
+    import math
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def merge(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        prev = (
+            np.array(state.get[0], dtype=np.int64)
+            if state.exists
+            else np.array([], dtype=np.int64)
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        hvs = np.unique(
+            np.concatenate([prev, batch["hv"].to_numpy(dtype=np.int64)])
+        )[:k]
+        state.update((hvs.tolist(),))
+        n = len(hvs)
+        theta = int(hvs[-1]) if n == k else universe
+        est = float(n) if n < k else est_num / float(theta)
+        yield pd.DataFrame(
+            {
+                "source": [key[0]],
+                "kmv_estimate": [math.floor(est * 1e6 + 0.5) / 1e6],
+            }
+        )
+
+    return rows.groupBy("source").applyInPandasWithState(
+        merge,
+        outputStructType="source string, kmv_estimate double",
+        stateStructType="hvs array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_rate_bounded(
     spark: SparkSession,
     rows_per_batch: int,

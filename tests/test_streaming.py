@@ -411,3 +411,57 @@ def test_ewma_batch_streaming_nonfinite_parity(spark, sf_dir, tmp_path):
         ).count()
         == 0
     )
+
+
+def test_streaming_kmv_state_evolves_across_split_batches(spark, sf_dir, tmp_path):
+    """KMV merge is order-INSENSITIVE (set semantics), so the
+    multi-batch check splits documents at the doc_id median (sources
+    cycle with doc_id, so BOTH halves carry every source — a parity
+    split would hand each source to a single batch and never exercise
+    the cross-batch merge) and asserts the final merged state equals
+    the batch sketch. The per-batch estimate is non-decreasing (more
+    distinct values can only shrink θ), so the max estimate per source
+    is the final state."""
+    import time
+
+    from pipeline_query_engine_demo_spark.plans import sketches
+    from pipeline_query_engine_demo_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_chunks")
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    for ch in [
+        docs.filter(F.col("doc_id") <= mid),
+        docs.filter(F.col("doc_id") > mid),
+    ]:
+        ch.coalesce(1).write.mode("append").parquet(out)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    rows = stream.select(
+        "source",
+        F.explode(dedup._units(F.col("text"), dedup.DEFAULT_SHINGLE_N)).alias("tok"),
+    ).select(
+        "source",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint").alias("hv"),
+    )
+    result = streaming.run_to_memory(
+        streaming.stateful_kmv(rows, sketches.K, sketches.U, sketches._KMV_NUM),
+        "update",
+    )
+    final = {
+        r["source"]: r["mx"]
+        for r in result.groupBy("source")
+        .agg(F.max("kmv_estimate").alias("mx"))
+        .collect()
+    }
+    batch = {
+        r["source"]: r["kmv_estimate"]
+        for r in sketches.kmv_distinct_shingles_by_source(spark, sf_dir).collect()
+    }
+    assert final == batch
+    # the split must actually have produced >1 batch for some source
+    assert result.groupBy("source").count().filter("count > 1").count() > 0
