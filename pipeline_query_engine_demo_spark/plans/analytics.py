@@ -4087,3 +4087,88 @@ def ordered_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("overall_rate"),
     )
+
+
+@query(
+    "sequential_pattern_support",
+    category="analytics",
+    oracle="""
+        WITH r AS (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        spans AS (
+            SELECT user_id, event_type,
+                   MIN(rn) AS first_rn, MAX(rn) AS last_rn
+            FROM r GROUP BY user_id, event_type
+        ),
+        tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n
+                FROM events),
+        sup AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM spans a
+            JOIN spans b ON b.user_id = a.user_id
+                        AND a.first_rn < b.last_rn
+            GROUP BY type_a, type_b
+        )
+        SELECT s.type_a, s.type_b, s.n_users,
+               CASE WHEN isfinite(CAST(s.n_users AS DOUBLE) / tot.n)
+                    THEN floor(CAST(s.n_users AS DOUBLE) / tot.n * 1000000.0
+                               + 0.5) / 1000000.0 END AS support
+        FROM sup s CROSS JOIN tot
+        ORDER BY s.n_users DESC, s.type_a, s.type_b
+    """,
+)
+def sequential_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern support mining (the length-2 core of
+    PrefixSpan): for every ordered pair of event types (a, b), the
+    number and fraction of users whose stream contains some a BEFORE
+    some b (any gap — subsequence, not bigram; contiguous hops are
+    event_transition_matrix's job).
+
+    The naive encoding enumerates all i<j event pairs per user —
+    quadratic in stream length, ~10^10 pairs per million-event user at
+    100 TB. The identity used instead: "∃ i<j with type_i=a, type_j=b"
+    ⟺ first_rank(a) < last_rank(b), so one rank window + one per-user
+    5-row span table + a 25-combination self-join per user replaces
+    the quadratic blow-up — O(n) + O(|types|^2) per user, exactly.
+
+    Scale: one hash exchange on user_id for the rank window; the span
+    self-join joins 5-rows-per-user tables co-partitioned on user_id;
+    the support aggregate is combinable over the 25-pair domain."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+    spans = r.groupBy("user_id", "event_type").agg(
+        F.min("rn").alias("first_rn"), F.max("rn").alias("last_rn")
+    )
+    tot = ev.agg(F.count_distinct("user_id").cast("bigint").alias("n"))
+    a = spans.select(
+        "user_id", F.col("event_type").alias("type_a"), "first_rn"
+    )
+    b = spans.select(
+        "user_id", F.col("event_type").alias("type_b"), "last_rn"
+    )
+    sup = (
+        a.join(b, "user_id")
+        .filter(F.col("first_rn") < F.col("last_rn"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+    return (
+        sup.join(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            "n_users",
+            round_half_up(
+                F.col("n_users").cast("double") / F.col("n").cast("double"), 6
+            ).alias("support"),
+        )
+        .orderBy(F.col("n_users").desc(), "type_a", "type_b")
+    )

@@ -201,3 +201,95 @@ def spatial_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_points").desc(), "cell_lat", "cell_lon")
         .limit(20)
     )
+
+
+_E_LAT, _E_LON = spatial.sql_synth_coords("event_id")
+
+
+@query(
+    "spatial_od_flows",
+    category="spatial",
+    oracle=f"""
+        WITH pts AS (
+            SELECT user_id, ts, event_id,
+                   CAST(floor(({_E_LAT}) / 15.0) AS BIGINT) AS cell_lat,
+                   CAST(floor(({_E_LON}) / 15.0) AS BIGINT) AS cell_lon
+            FROM events
+        ),
+        hops AS (
+            SELECT user_id, cell_lat, cell_lon,
+                   lag(cell_lat) OVER w AS from_lat,
+                   lag(cell_lon) OVER w AS from_lon
+            FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        flows AS (
+            SELECT from_lat, from_lon, cell_lat AS to_lat, cell_lon AS to_lon,
+                   CAST(COUNT(*) AS BIGINT) AS n_trips,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM hops
+            WHERE from_lat IS NOT NULL
+              AND (from_lat <> cell_lat OR from_lon <> cell_lon)
+            GROUP BY from_lat, from_lon, to_lat, to_lon
+        )
+        SELECT * FROM flows
+        ORDER BY n_trips DESC, from_lat, from_lon, to_lat, to_lon
+        LIMIT 20
+    """,
+)
+def spatial_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination matrix over the 15-degree grid — the
+    movement-flow aggregation behind mobility dashboards: each user's
+    event sequence (synthetic per-event coordinates, same two-prime
+    derivation as the rest of the spatial family) becomes a series of
+    cell-to-cell hops via one per-user lag; same-cell dwells drop;
+    flows aggregate trip and unique-traveler counts, top-20 by volume.
+    The spatial twin of event_transition_matrix (which hops over
+    event TYPES), composing the grid bucketing with the
+    sessionization-window machinery.
+
+    Scale: one hash exchange on user_id for the lag window (users are
+    high-cardinality — no low-cardinality reducer funnel), then a
+    combinable group-by on the ~(24x12)^2-bounded cell-pair domain;
+    top-20 is a TakeOrdered, never a global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(spatial.synth_lat(F.col("event_id")) / F.lit(15.0))
+        .cast("bigint")
+        .alias("cell_lat"),
+        F.floor(spatial.synth_lon(F.col("event_id")) / F.lit(15.0))
+        .cast("bigint")
+        .alias("cell_lon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hops = pts.select(
+        "user_id",
+        "cell_lat",
+        "cell_lon",
+        F.lag("cell_lat").over(w).alias("from_lat"),
+        F.lag("cell_lon").over(w).alias("from_lon"),
+    )
+    flows = (
+        hops.filter(
+            F.col("from_lat").isNotNull()
+            & (
+                (F.col("from_lat") != F.col("cell_lat"))
+                | (F.col("from_lon") != F.col("cell_lon"))
+            )
+        )
+        .groupBy(
+            "from_lat",
+            "from_lon",
+            F.col("cell_lat").alias("to_lat"),
+            F.col("cell_lon").alias("to_lon"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trips"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
+    return flows.orderBy(
+        F.col("n_trips").desc(), "from_lat", "from_lon", "to_lat", "to_lon"
+    ).limit(20)

@@ -299,3 +299,45 @@ def test_ordered_funnel_rejects_out_of_order_conversions(spark, tmp_path):
     ev.coalesce(1).write.parquet(str(sfd / "events.parquet"))
     row = ordered_funnel_conversion(spark, str(sfd)).collect()[0]
     assert (row.n_view, row.n_click, row.n_purchase) == (4, 3, 2)
+
+
+def test_sequential_pattern_identity_vs_bruteforce(spark, sf_dir):
+    """The first/last-rank identity ("exists a-before-b iff
+    first_rank(a) < last_rank(b)") replaces quadratic i<j pair
+    enumeration in sequential_pattern_support. Verify it against the
+    literal subsequence check on the real fixture, per (user, a, b)."""
+    from pipeline_query_engine_demo_spark.plans.analytics import (
+        sequential_pattern_support,
+    )
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    seqs: dict = {}
+    for r in sorted(ev, key=lambda r: (r["ts"], r["event_id"])):
+        seqs.setdefault(r["user_id"], []).append(r["event_type"])
+    types = sorted({r["event_type"] for r in ev})
+    expect: dict = {}
+    for _uid, seq in seqs.items():
+        for a in types:
+            for b in types:
+                # literal subsequence check: some a strictly before some b
+                found = False
+                seen_a = False
+                for t in seq:
+                    if seen_a and t == b:
+                        found = True
+                        break
+                    if t == a:
+                        seen_a = True
+                if found:
+                    expect[(a, b)] = expect.get((a, b), 0) + 1
+    got = {
+        (r["type_a"], r["type_b"]): (r["n_users"], r["support"])
+        for r in sequential_pattern_support(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    n_users = len(seqs)
+    import math
+
+    for key, n in expect.items():
+        assert got[key][0] == n, key
+        assert got[key][1] == math.floor(n / n_users * 1e6 + 0.5) / 1e6

@@ -71,6 +71,7 @@ NL_WHITELIST = {
     "spatial_grid_density",  # 1-row point-total broadcast onto the ~200-row cell table
     "theta_sketch_shingle_overlap",  # source-pair generation is an inequality self-join over the k-bounded sketch META table (|sources| rows, KB); corpus rows never enter a non-equi join — the sketch exists precisely to shrink the pairwise stage to broadcast size
     "kmv_merge_global_distinct",  # three 1-row aggregates (source count, exact count, merged-sketch meta) cross-joined into the single summary row
+    "sequential_pattern_support",  # 1-row total-user-count broadcast onto the 25-row pattern-support table
 }
 #: The deliberate row-at-a-time Python evals (API coverage: F.udf,
 #: spark.udf.register for SQL, and the TABLE-argument UDTF whose
