@@ -58,6 +58,16 @@ EXTENDED = [
     "mmr_diversified_topk",
     "cusum_change_detection",
     "bfs_reachability_copurchase",
+    # round-6 additions: star-contraction clustering, the sketch family,
+    # and the spatial grid join — bench_compare treats first-appearance
+    # queries as NEW (not checked), so extending the set here doesn't
+    # break round-over-round comparability of the prior entries.
+    "dedup_clusters_starcontract",
+    "kmv_distinct_shingles_by_source",
+    "theta_sketch_shingle_overlap",
+    "spatial_radius_join_pairs",
+    "spatial_od_flows",
+    "sequential_pattern_support",
 ]
 
 
