@@ -3,8 +3,9 @@
 ``approx_count_distinct`` already covers Spark's built-in HLL++, but
 HLL sketches can't INTERSECT: a union of HLLs is exact sketch algebra,
 an intersection is inclusion-exclusion noise. The theta-sketch family
-(Dalvi et al. / DataSketches) fixes that by keeping the k MINIMUM hash
-values (KMV): the k-th smallest normalized hash θ estimates density
+(KMV per Bar-Yossef et al. 2002; theta generalization per Apache
+DataSketches / Dasgupta et al. 2016) fixes that by keeping the k
+MINIMUM hash values: the k-th smallest normalized hash θ estimates density
 (distinct ≈ (k-1)/θ), and because every sketch retains actual hash
 values below its θ, two sketches intersect by literally intersecting
 their retained sets below min(θ_a, θ_b) — the set-intersection
