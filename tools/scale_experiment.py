@@ -19,6 +19,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE = "/root/testdata/sf0.1"
 FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+#: Optional query-name filter (argv[2:]) — run a subset against the
+#: (idempotently reused) replica instead of the whole list, for
+#: incremental SCALE.md evidence on newly added operators.
+ONLY = set(sys.argv[2:])
 OUT = f"/tmp/spark_graft_scale{FACTOR}"
 
 #: (table, [id columns to shift]) — shifted by copy_i * 10**9 so keys
@@ -136,6 +140,14 @@ QUERIES = [
     "heaps_law_vocab_growth",
     "dataset_card_summary",
     "dedup_funnel_report",
+    # round-6 additions: star-contraction clustering, the sketch family,
+    # spatial OD flows, sequential-pattern support.
+    "dedup_clusters_starcontract",
+    "kmv_distinct_shingles_by_source",
+    "theta_sketch_shingle_overlap",
+    "kmv_merge_global_distinct",
+    "spatial_od_flows",
+    "sequential_pattern_support",
 ]
 
 
@@ -172,6 +184,8 @@ def run(spark, sf_dir: str) -> dict[str, float]:
     qs["q1_pricing_summary"](spark, sf_dir).write.mode("overwrite").format("noop").save()
     out = {}
     for name in QUERIES:
+        if ONLY and name not in ONLY:
+            continue
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         out[name] = round(time.perf_counter() - t0, 2)
@@ -193,6 +207,7 @@ def main() -> None:
             "scaling": round(scaled[name] / base[name], 1) if base[name] > 0 else None,
         }
         for name in QUERIES
+        if not ONLY or name in ONLY
     }
     print(json.dumps(report, indent=2))
 
