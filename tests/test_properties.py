@@ -223,3 +223,132 @@ def test_salted_join_rejects_reserved_salt_column(spark):
     other = spark.range(5).withColumnRenamed("id", "id2")
     with pytest.raises(ValueError, match="_salt"):
         salted_join(df, other, "id", F.col("id"))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=_edges)
+def test_connected_components_star_matches_bfs(spark, edges):
+    """Large-star/small-star contraction against the same python BFS
+    reference as the propagation variant — random graphs including
+    empty edge lists, multi-edges after canonicalization, and isolates."""
+    from pipeline_query_engine_demo_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    nodes = list(range(8))
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected = {}
+    for n in nodes:
+        seen, todo = {n}, [n]
+        while todo:
+            cur = todo.pop()
+            for nb in adj[cur]:
+                if nb not in seen:
+                    seen.add(nb)
+                    todo.append(nb)
+        expected[n] = min(seen)
+
+    ndf = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+    edf = spark.createDataFrame(edges or [(0, 0)], "id_a long, id_b long")
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components_star(ndf, edf, "doc_id").collect()
+    }
+    assert got == expected
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    xs=st.lists(st.integers(-(10**6), 10**6), min_size=1, max_size=60),
+    s0=st.integers(0, 10**6),
+    k=st.integers(0, 1000),
+    h=st.integers(1, 10**5),
+)
+def test_cusum_lindley_identity_property(xs, s0, k, h):
+    """The prefix-sum/running-min closed form both CUSUM rewrites ride
+    on (batch window query and seeded streaming vectorization), checked
+    against the literal recurrence on random integer sequences with a
+    random carried state s0: s_t = S_t - min(-s0, running_min(S)),
+    S = cumsum(x - k)."""
+    import numpy as np
+
+    s = s0
+    exp_states = []
+    for x in xs:
+        s = max(0, s + x - k)
+        exp_states.append(s)
+
+    y = np.array(xs, dtype=np.int64) - k
+    ps = np.cumsum(y)
+    w = ps - np.minimum(np.int64(-s0), np.minimum.accumulate(ps))
+    assert w.tolist() == exp_states
+    # the derived outputs both implementations report
+    assert int(w.max()) == max(exp_states)
+    assert int((w >= h).sum()) == sum(1 for v in exp_states if v >= h)
+    assert int(w[-1]) == exp_states[-1]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    seq=st.lists(st.sampled_from("abcde"), min_size=0, max_size=40),
+)
+def test_sequential_pattern_first_last_rank_identity(seq):
+    """sequential_pattern_support's identity on random sequences:
+    ∃ i<j with seq[i]=a, seq[j]=b  ⟺  first_index(a) < last_index(b)."""
+    types = sorted(set(seq))
+    first = {t: min(i for i, v in enumerate(seq) if v == t) for t in types}
+    last = {t: max(i for i, v in enumerate(seq) if v == t) for t in types}
+    for a in types:
+        for b in types:
+            literal = any(
+                seq[i] == a and seq[j] == b
+                for i in range(len(seq))
+                for j in range(i + 1, len(seq))
+            )
+            assert literal == (first[a] < last[b]), (seq, a, b)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.floats(-10, 10, allow_nan=False, width=32),
+            st.floats(-10, 10, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    r=st.sampled_from([0.5, 1.0, 2.5]),
+)
+def test_radius_join_property_vs_bruteforce(spark, pts, r):
+    """Grid radius join == brute-force distance filter on random float
+    point sets (hypothesis drives boundary-adjacent coordinates the
+    hand-written adversarial test can't enumerate)."""
+    from pipeline_query_engine_demo_spark.operators import spatial
+
+    left = [(i, float(la), float(lo)) for i, (la, lo) in enumerate(pts)]
+    right = [(100 + i, float(lo), float(la)) for i, (la, lo) in enumerate(pts)]
+    ldf = spark.createDataFrame(left, "id long, lat double, lon double")
+    rdf = spark.createDataFrame(right, "id long, lat double, lon double")
+    got = {
+        (row["_lid"], row["_rid"])
+        for row in spatial.radius_join(ldf, rdf, r).collect()
+    }
+    brute = {
+        (lid, rid)
+        for lid, llat, llon in left
+        for rid, rlat, rlon in right
+        if (llat - rlat) ** 2 + (llon - rlon) ** 2 <= r * r
+    }
+    assert got == brute
