@@ -41,6 +41,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 BASE = "/root/testdata/sf0.1"
 UNIFORM = "/tmp/spark_graft_scale10"
 SKEWED = "/tmp/spark_graft_skew10"
+#: Optional query-name filter (argv[1:]) — subset runs against the
+#: idempotently reused twins, for incremental SCALE.md rows.
+ONLY = set(sys.argv[1:])
 
 #: One boilerplate template — the "same cookie banner on 20% of the
 #: web" scenario. Long enough to carry full shingle/MinHash signatures.
@@ -66,6 +69,13 @@ QUERIES = [
     "ivf_topk_embeddings",
     "ivfpq_topk_embeddings",
     "kmeans_train_embeddings",
+    # round-6: the sketch family + star-contraction clustering — the
+    # 20%-boilerplate template is their stress too (hot shingle sets,
+    # a 10k-doc identical-text cluster in the pair graph).
+    "kmv_distinct_shingles_by_source",
+    "theta_sketch_shingle_overlap",
+    "kmv_merge_global_distinct",
+    "dedup_clusters_starcontract",
 ]
 
 
@@ -129,6 +139,8 @@ def run(spark, sf_dir: str) -> dict[str, float]:
     ).save()
     out = {}
     for name in QUERIES:
+        if ONLY and name not in ONLY:
+            continue
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         out[name] = round(time.perf_counter() - t0, 2)
@@ -158,6 +170,7 @@ def main() -> None:
             else None,
         }
         for name in QUERIES
+        if not ONLY or name in ONLY
     }
     print(json.dumps(report, indent=2))
 
