@@ -432,8 +432,12 @@ def connected_components_star(
         other smaller neighbors u plus (m, v).
     Both are one shuffle (groupBy) + one shuffle (join) on node id;
     star graphs are a fixed point of both, so an unchanged edge set
-    (checked with two exceptAll counts — order-free) terminates the
-    loop. ``localCheckpoint`` truncates lineage per round, as in the
+    terminates the loop. The convergence check is count-equality
+    short-circuited: both edge sets are distinct, so |new| == |old|
+    AND new.exceptAll(old) empty ⟺ new == old — rounds that changed
+    the edge count (every round but the last) pay ONE cached count and
+    zero join work; only the terminal round runs the one exceptAll.
+    ``localCheckpoint`` truncates lineage per round, as in the
     propagation variant. At the fixed point every edge is
     (component_min, member); members absent from the edge list are
     their own singleton clusters."""
@@ -446,6 +450,7 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_e = e.count()
     for _ in range(max_iter):
         sym = e.unionByName(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -472,10 +477,12 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        if new_e.exceptAll(e).count() == 0 and e.exceptAll(new_e).count() == 0:
+        n_new = new_e.count()
+        if n_new == n_e and new_e.exceptAll(e).count() == 0:
             e = new_e
             break
         e = new_e
+        n_e = n_new
     else:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} "
