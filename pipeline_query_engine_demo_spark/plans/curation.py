@@ -1260,3 +1260,120 @@ def grouped_split_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+#: Sliding-window length (tokens) for exact-substring dedup. 50 tokens
+#: in Lee et al.; 10 here so the fixture corpus (short synthetic docs
+#: with planted near-dup families) exercises every code path at every
+#: SF. The algorithm is length-agnostic.
+SUBSTR_L = 10
+
+
+@query(
+    "duplicated_substring_spans",
+    category="llm-dedup",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, s.g AS pos,
+                   md5(array_to_string(w[s.g:s.g+{SUBSTR_L}-1], ' ')) AS gh
+            FROM words,
+                 LATERAL (SELECT unnest(generate_series(
+                     1, len(w) - {SUBSTR_L} + 1)) AS g) s
+            WHERE len(w) >= {SUBSTR_L}
+        ),
+        cnt AS (SELECT gh, CAST(COUNT(*) AS BIGINT) AS c
+                FROM grams GROUP BY gh),
+        dup AS (
+            SELECT g.doc_id, g.pos
+            FROM grams g JOIN cnt ON cnt.gh = g.gh
+            WHERE cnt.c > 1
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER w > {SUBSTR_L}
+                        THEN 1 ELSE 0 END AS brk
+            FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        grp AS (
+            SELECT doc_id, pos,
+                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS island
+            FROM isl
+        )
+        SELECT doc_id,
+               CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) + {SUBSTR_L} - 1 AS BIGINT) AS span_end,
+               CAST(MAX(pos) - MIN(pos) + {SUBSTR_L} AS BIGINT) AS span_len,
+               CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+        FROM grp GROUP BY doc_id, island
+        ORDER BY doc_id, span_start
+    """,
+)
+def duplicated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans, the sliding-window form of
+    corpus dedup from Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better", the ExactSubstr variant): every
+    {SUBSTR_L}-token window whose content occurs MORE THAN ONCE in the
+    corpus marks its positions as duplicated, and per document the
+    overlapping/adjacent marked windows merge (gaps-and-islands on
+    token position: break when pos - lag(pos) > L) into MAXIMAL
+    duplicated spans [span_start, span_end] (1-based token indices,
+    inclusive) — the byte ranges a training pipeline cuts out, versus
+    span_dedup_docs' fixed non-overlapping C4 grid, which misses
+    duplicates that straddle its block boundaries.
+
+    The reference paper builds a suffix array — inherently sequential
+    over a single in-memory corpus. The Spark-shaped equivalent:
+    sliding grams hash to fixed-width md5 keys (one combinable count
+    per gram, no suffix structure), the duplicated-gram set joins back
+    position-wise, and island-merging is a per-document window. A
+    viral boilerplate gram costs O(copies) in one count cell, never
+    O(copies²); the per-doc window partitions on high-cardinality
+    doc_id.
+
+    Determinism: positions and counts are integers, the gram key is
+    md5 — the oracle replays the identical pipeline and every column
+    hash-compares raw."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.col("text"), " ")
+    n_pos = F.size(w) - F.lit(SUBSTR_L - 1)
+    grams = docs.filter(F.size(w) >= SUBSTR_L).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_pos),
+                lambda i: F.md5(
+                    F.array_join(F.slice(w, i.cast("int"), SUBSTR_L), " ")
+                ),
+            )
+        ).alias("pos0", "gh"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gh")
+    cnt = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("c"))
+    dup = (
+        grams.join(cnt.filter(F.col("c") > 1).select("gh"), "gh")
+        .select("doc_id", "pos")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(win) > F.lit(SUBSTR_L), F.lit(1)
+    ).otherwise(F.lit(0))
+    grp = dup.withColumn("brk", brk).withColumn(
+        "island",
+        F.sum("brk").over(win.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        grp.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + F.lit(SUBSTR_L - 1)).cast("bigint").alias("span_end"),
+            (F.max("pos") - F.min("pos") + F.lit(SUBSTR_L))
+            .cast("bigint")
+            .alias("span_len"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_grams"),
+        )
+        .drop("island")
+        .orderBy("doc_id", "span_start")
+    )

@@ -298,3 +298,50 @@ def test_est_prefilter_identical_output_and_fewer_verify_pairs(spark):
     assert n_kept <= n_cand
     # the exact-copy clique all survives
     assert n_kept >= 6
+
+
+def test_duplicated_substring_spans_matches_literal(spark, sf_dir):
+    """duplicated_substring_spans vs a literal python implementation:
+    sliding L-token windows, corpus-frequency > 1, per-doc interval
+    merge — span-for-span on the real fixture."""
+    from collections import Counter
+
+    from pipeline_query_engine_demo_spark.plans.curation import (
+        SUBSTR_L,
+        duplicated_substring_spans,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    freq: Counter = Counter()
+    positions: dict = {}
+    for did, ws in docs.items():
+        grams = [
+            " ".join(ws[i : i + SUBSTR_L])
+            for i in range(len(ws) - SUBSTR_L + 1)
+        ]
+        positions[did] = grams
+        freq.update(grams)
+    expect = []
+    for did in sorted(docs):
+        dup_pos = [
+            i + 1 for i, g in enumerate(positions[did]) if freq[g] > 1
+        ]
+        spans = []  # (start, end, last_start, n_grams)
+        for p in dup_pos:
+            # merge when the new window [p, p+L-1] overlaps or touches
+            # the span's covered region, i.e. p <= prev_start + L
+            if spans and p <= spans[-1][2] + SUBSTR_L:
+                s, e, _ls, n = spans[-1]
+                spans[-1] = (s, max(e, p + SUBSTR_L - 1), p, n + 1)
+            else:
+                spans.append((p, p + SUBSTR_L - 1, p, 1))
+        for s, e, _ls, n in spans:
+            expect.append((did, s, e, e - s + 1, n))
+    got = [
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"], r["n_dup_grams"])
+        for r in duplicated_substring_spans(spark, sf_dir).collect()
+    ]
+    assert got == expect
