@@ -148,6 +148,7 @@ QUERIES = [
     "kmv_merge_global_distinct",
     "spatial_od_flows",
     "sequential_pattern_support",
+    "duplicated_substring_spans",
 ]
 
 
