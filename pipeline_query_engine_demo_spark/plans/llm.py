@@ -3960,3 +3960,131 @@ def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("type_token_ratio"),
     )
+
+
+#: RRF smoothing constant (Cormack et al. 2009's k=60 — the standard).
+_RRF_K = 60
+
+
+@query(
+    "rrf_hybrid_retrieval",
+    category="llm-text",
+    oracle=f"""
+        WITH bm AS ({_REG["bm25_topk_docs"].oracle}),
+        bmr AS (
+            SELECT doc_id, row_number() OVER (
+                ORDER BY bm25_score DESC, doc_id) AS rank_bm25
+            FROM bm
+        ),
+        toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+        nt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM toks
+               GROUP BY doc_id),
+        inter AS (
+            SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS i
+            FROM toks t WHERE t.tok IN {_BM25_TERMS!r}
+            GROUP BY t.doc_id
+        ),
+        jac AS (
+            SELECT nt.doc_id,
+                   CAST(COALESCE(i.i, 0) AS DOUBLE)
+                   / CAST(nt.n + {len(_BM25_TERMS)} - COALESCE(i.i, 0)
+                          AS DOUBLE) AS jscore
+            FROM nt LEFT JOIN inter i ON i.doc_id = nt.doc_id
+        ),
+        jr AS (
+            SELECT doc_id, row_number() OVER (
+                ORDER BY jscore DESC, doc_id) AS rank_jacc
+            FROM jac ORDER BY jscore DESC, doc_id LIMIT 15
+        ),
+        fused AS (
+            SELECT COALESCE(b.doc_id, j.doc_id) AS doc_id,
+                   b.rank_bm25, j.rank_jacc,
+                   COALESCE(1.0 / ({_RRF_K}.0 + CAST(b.rank_bm25 AS DOUBLE)), 0.0)
+                   + COALESCE(1.0 / ({_RRF_K}.0 + CAST(j.rank_jacc AS DOUBLE)), 0.0)
+                       AS raw
+            FROM bmr b FULL OUTER JOIN jr j ON j.doc_id = b.doc_id
+        )
+        SELECT doc_id, rank_bm25, rank_jacc,
+               {sql_round_half_up('raw', 9)} AS rrf_score
+        FROM fused ORDER BY raw DESC, doc_id LIMIT 10
+    """,
+)
+def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack et al. 2009,
+    the standard fusion in today's BM25-plus-dense stacks): two
+    retrievers rank the same corpus for the same query — the BM25
+    top-15 (bm25_topk_docs, composed verbatim) and a Jaccard retriever
+    (query-term set vs distinct-token set, the set-overlap proxy for a
+    second scoring model with DIFFERENT length normalization, so the
+    two rankings genuinely disagree) — and fuse as
+    Σ 1/(k + rank) with k={_RRF_K}, absent-from-a-list contributing 0.
+    Top-10 fused docs with both source ranks exposed (NULL when a doc
+    appeared in only one list).
+
+    RRF is the scale-correct fusion: it consumes only RANKS, so the
+    two retrievers never need score calibration, and each list is
+    already top-k-bounded before the full-outer fusion join — at
+    100 TB the fusion stage touches 2k rows per query regardless of
+    corpus size.
+
+    Determinism: ranks are integers with doc_id tiebreaks; the fused
+    score is a fixed-order two-term sum of exact-input divisions —
+    identical IEEE on both engines, hash-compared raw."""
+    from pyspark.sql import Window
+
+    bm = bm25_topk_docs(spark, sf_dir)
+    bmr = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25_score").desc(), "doc_id"))
+        .alias("rank_bm25"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    nt = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    inter = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    jscore = F.coalesce(F.col("i"), F.lit(0)).cast("double") / (
+        F.col("n") + F.lit(len(_BM25_TERMS)) - F.coalesce(F.col("i"), F.lit(0))
+    ).cast("double")
+    jac = nt.join(inter, "doc_id", "left").select("doc_id", jscore.alias("jscore"))
+    jr = (
+        jac.orderBy(F.col("jscore").desc(), "doc_id")
+        .limit(15)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("jscore").desc(), "doc_id"))
+            .alias("rank_jacc"),
+        )
+    )
+    raw = F.coalesce(
+        F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("rank_bm25").cast("double")),
+        F.lit(0.0),
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("rank_jacc").cast("double")),
+        F.lit(0.0),
+    )
+    return (
+        bmr.join(jr, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "rank_bm25",
+            "rank_jacc",
+            raw.alias("_raw"),
+        )
+        .orderBy(F.col("_raw").desc(), "doc_id")
+        .limit(10)
+        .select(
+            "doc_id",
+            "rank_bm25",
+            "rank_jacc",
+            round_half_up(F.col("_raw"), 9).alias("rrf_score"),
+        )
+    )

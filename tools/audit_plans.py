@@ -72,6 +72,7 @@ NL_WHITELIST = {
     "theta_sketch_shingle_overlap",  # source-pair generation is an inequality self-join over the k-bounded sketch META table (|sources| rows, KB); corpus rows never enter a non-equi join — the sketch exists precisely to shrink the pairwise stage to broadcast size
     "kmv_merge_global_distinct",  # three 1-row aggregates (source count, exact count, merged-sketch meta) cross-joined into the single summary row
     "sequential_pattern_support",  # 1-row total-user-count broadcast onto the 25-row pattern-support table
+    "rrf_hybrid_retrieval",  # inherits bm25_topk_docs' whitelisted 1-row corpus-stats broadcast (the query composes bm25 verbatim)
 }
 #: The deliberate row-at-a-time Python evals (API coverage: F.udf,
 #: spark.udf.register for SQL, and the TABLE-argument UDTF whose
@@ -100,6 +101,7 @@ UNPARTITIONED_WINDOW_WHITELIST: dict[str, str] = {
     "mann_whitney_u_events": "cumulative offsets over the ~16-row value-range bucket table",
     "signup_to_purchase_latency": "rank over CONVERTED users (aggregate far below event grain; bucketed two-phase rank documented as the at-scale swap)",
     "rfm_segmentation": "three bucket-offset windows over ~40-row value-range bucket tables (_bucketed_row_number), one per RFM metric",
+    "rrf_hybrid_retrieval": "two rank windows over the retrievers' already-top-15-bounded lists (fusion consumes 2k rows per query regardless of corpus size)",
 }
 # Streaming queries execute a real stream inside their builder (memory
 # sink / foreachBatch), so the returned DataFrame's plan is just the
