@@ -543,3 +543,51 @@ def mmr_rerank(
         .applyInPandas(greedy, schema=out_schema)
         .withColumnRenamed("id", id_col)
     )
+
+
+def ann_topk_multiprobe(
+    corpus: DataFrame,
+    query: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    dims: tuple[int, ...] = (0, 7, 21, 42),
+) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al., VLDB'07): each query scores
+    its home sign-LSH bucket PLUS every bucket at Hamming distance 1 —
+    the buckets a borderline vector (a coordinate near 0) most likely
+    fell into. Recall rises toward the brute-force answer while the
+    scanned fraction grows only from 1/2^bits to (bits+1)/2^bits —
+    the standard way to buy recall without rebuilding the index with
+    fewer bits (which would double every bucket's size instead).
+
+    Implementation: the query side explodes into bits+1 probe rows
+    (home bucket XOR each single-bit mask) — probe buckets are
+    pairwise distinct, and a corpus vector lives in exactly one
+    bucket, so no candidate is scored twice and no post-join distinct
+    is needed. The probe fan-out multiplies only the BROADCAST query
+    side; the corpus-side scan/join shape is identical to the
+    single-probe operator."""
+    bits = len(dims)
+    bucket = lsh_bucket(vec_col, dims)
+    masks = F.array(F.lit(0), *[F.lit(1 << i) for i in range(bits)])
+    q = F.broadcast(
+        query.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qvec"),
+            bucket.alias("_home"),
+        )
+        .select("query_id", "_qvec", "_home", F.explode(masks).alias("_mask"))
+        .select(
+            "query_id",
+            "_qvec",
+            F.col("_home").bitwiseXOR(F.col("_mask")).alias("_bucket"),
+        )
+    )
+    bucketed = corpus.withColumn("_bucket", bucket)
+    scored = bucketed.join(q, on="_bucket").select(
+        "query_id",
+        F.col(id_col),
+        round_half_up(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cosine_sim"),
+    )
+    return _topk_per_query(scored, id_col, k)

@@ -4088,3 +4088,40 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(F.col("_raw"), 9).alias("rrf_score"),
         )
     )
+
+
+@query(
+    "ann_multiprobe_topk_embeddings",
+    category="llm-similarity",
+    oracle=f"""
+        WITH qh AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                           {_BUCKET_SQL} AS home
+                    FROM embeddings WHERE vec_id < 5),
+        q AS (SELECT query_id, qv, xor(home, m.mask) AS bucket
+              FROM qh, LATERAL (SELECT unnest([0, 1, 2, 4, 8]) AS mask) m),
+        c AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_BUCKET_SQL} AS bucket
+              FROM embeddings),
+        scored AS (SELECT q.query_id, c.vec_id, {_COSINE_SQL} AS cosine_sim
+                   FROM c JOIN q ON c.bucket = q.bucket),
+        ranked AS (SELECT *, row_number() OVER (
+                       PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rank
+                   FROM scored)
+        SELECT query_id, vec_id, cosine_sim, rank
+        FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+)
+def ann_multiprobe_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH top-10 (Lv et al., VLDB'07 — see
+    operators.similarity.ann_topk_multiprobe): each query scores its
+    home bucket plus the 4 Hamming-distance-1 buckets, raising recall
+    toward brute force (asserted >= the single-probe recall in tests)
+    while the scanned fraction grows only 1/16 -> 5/16 — the recall
+    dial that does NOT rebuild the index. Probe buckets are pairwise
+    distinct and corpus rows live in one bucket, so no candidate is
+    scored twice; the fan-out multiplies only the broadcast query
+    side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return similarity.ann_topk_multiprobe(
+        emb, q, "vec_id", "embedding", k=10, dims=(0, 7, 21, 42)
+    ).orderBy("query_id", "rank")

@@ -102,3 +102,38 @@ def test_embedding_near_dup_finds_planted_clone(spark, sf_dir):
     assert (1, 1001) in pairs and pairs[(1, 1001)] >= 0.99
     # nothing else in the fixture is near-identical
     assert set(pairs) == {(0, 1000), (1, 1001)}
+
+
+def test_multiprobe_superset_and_recall_dominates_single_probe(spark, sf_dir):
+    """Multi-probe LSH must (a) contain the single-probe candidate
+    bucket — its result can only improve — (b) never score a candidate
+    twice, and (c) achieve recall@10 vs brute force >= the single-probe
+    recall for EVERY query (the whole point of probing the 4
+    Hamming-1 neighbor buckets)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    brute = similarity.cosine_topk(emb, q, "vec_id", "embedding", k=10).collect()
+    single = similarity.ann_topk_lsh(emb, q, "vec_id", "embedding", k=10).collect()
+    multi = similarity.ann_topk_multiprobe(
+        emb, q, "vec_id", "embedding", k=10
+    ).collect()
+
+    def by_query(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r.query_id, set()).add(r.vec_id)
+        return out
+
+    gt, s, m = by_query(brute), by_query(single), by_query(multi)
+    # no duplicate (query, candidate) pairs
+    assert len(multi) == sum(len(v) for v in m.values())
+    for qid in gt:
+        rec_s = len(s.get(qid, set()) & gt[qid]) / len(gt[qid])
+        rec_m = len(m.get(qid, set()) & gt[qid]) / len(gt[qid])
+        assert rec_m >= rec_s, (qid, rec_s, rec_m)
+        # the query vector itself is always found (home bucket probed)
+        assert qid in m[qid]
+    # and somewhere the extra probes must actually help on this fixture
+    total_s = sum(len(s.get(qid, set()) & gt[qid]) for qid in gt)
+    total_m = sum(len(m.get(qid, set()) & gt[qid]) for qid in gt)
+    assert total_m >= total_s
