@@ -149,6 +149,8 @@ QUERIES = [
     "spatial_od_flows",
     "sequential_pattern_support",
     "duplicated_substring_spans",
+    "rrf_hybrid_retrieval",
+    "ann_multiprobe_topk_embeddings",
 ]
 
 
