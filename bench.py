@@ -68,6 +68,9 @@ EXTENDED = [
     "spatial_radius_join_pairs",
     "spatial_od_flows",
     "sequential_pattern_support",
+    "duplicated_substring_spans",
+    "rrf_hybrid_retrieval",
+    "ann_multiprobe_topk_embeddings",
 ]
 
 
