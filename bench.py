@@ -74,6 +74,28 @@ EXTENDED = [
 ]
 
 
+def compact_line(payload: dict, detail_path: str, cap: int = 1900) -> str:
+    """Serialize the stdout payload under the driver's ~2000-char tail.
+
+    Degrade, never die: all timing work is done and the sidecar holds
+    the full detail, so if the compact payload outgrows the cap we shed
+    the bulkiest per-query maps (their totals stay) instead of aborting
+    a successful run (ADVICE r6: the old assert killed the bench)."""
+    line = json.dumps(payload)
+    for victim in ("extended", "queries"):
+        if len(line) < cap:
+            break
+        payload.pop(victim, None)
+        payload["truncated"] = f"see {os.path.basename(detail_path)}"
+        line = json.dumps(payload)
+        print(
+            f"bench: stdout payload over driver cap; dropped {victim!r} "
+            f"(full detail in {detail_path})",
+            file=sys.stderr,
+        )
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -158,9 +180,7 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
 
-    line = json.dumps(payload)
-    assert len(line) < 1900, f"bench stdout line {len(line)} chars (driver cap ~2000)"
-    print(line)
+    print(compact_line(payload, detail_path))
 
 
 if __name__ == "__main__":

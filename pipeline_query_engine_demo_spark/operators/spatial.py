@@ -155,16 +155,20 @@ def radius_join(
     )
     if max_cell_points is not None:
         # Hot-cell exclusion: one partial-agg count per cell (skew-safe
-        # map-side combine), broadcast the small cold-cell set back onto
-        # both sides. Matches the LSH cap's drop-the-bucket semantics.
-        cold = (
+        # map-side combine), then remove the HOT cells (count > cap)
+        # from both sides with a broadcast left-anti join. The hot set
+        # is bounded by |right| / cap regardless of data volume — the
+        # cold set is nearly every occupied cell and grows with the
+        # data, so broadcasting it would itself become the bottleneck
+        # at 100 TB. Matches the LSH cap's drop-the-bucket semantics.
+        hot = (
             r_cells.groupBy("_clat", "_clon")
             .agg(F.count(F.lit(1)).alias("_cn"))
-            .filter(F.col("_cn") <= F.lit(int(max_cell_points)))
+            .filter(F.col("_cn") > F.lit(int(max_cell_points)))
             .select("_clat", "_clon")
         )
-        r_cells = r_cells.join(F.broadcast(cold), ["_clat", "_clon"])
-        l_cells = l_cells.join(F.broadcast(cold), ["_clat", "_clon"])
+        r_cells = r_cells.join(F.broadcast(hot), ["_clat", "_clon"], "left_anti")
+        l_cells = l_cells.join(F.broadcast(hot), ["_clat", "_clon"], "left_anti")
     d2 = _dist2(
         F.col("_llat"), F.col("_llon"), F.col("_rlat"), F.col("_rlon")
     )

@@ -94,13 +94,15 @@ def kmv_sketch(hashes: DataFrame, k: int = K) -> DataFrame:
     )
 
 
-def _sketch_meta(sk: DataFrame) -> DataFrame:
+def _sketch_meta(sk: DataFrame, k: int = K) -> DataFrame:
     """(source, n_ret, theta): θ = the k-th smallest hv when the sketch
     is full, else the whole universe (an unsaturated sketch IS the
-    exact set — the standard theta-sketch convention)."""
+    exact set — the standard theta-sketch convention). ``k`` must match
+    the ``k`` the sketch was built with (``kmv_sketch(..., k=...)``) or
+    the saturation check would misclassify a full sketch as exact."""
     return sk.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_ret"),
-        F.when(F.count(F.lit(1)) < F.lit(K), F.lit(U).cast("bigint"))
+        F.when(F.count(F.lit(1)) < F.lit(int(k)), F.lit(U).cast("bigint"))
         .otherwise(F.max("hv"))
         .alias("theta"),
     )

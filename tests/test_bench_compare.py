@@ -78,3 +78,30 @@ def test_unparsed_driver_wrapper_rejected_with_message(tmp_path):
     r = _run(tmp_path, {"queries": {}}, prev)
     assert r.returncode != 0
     assert "parsed:null" in r.stdout + r.stderr
+
+
+def test_bench_compact_line_degrades_instead_of_dying():
+    """ADVICE r6 (bench.py:162): an oversized stdout payload must shed
+    the bulky per-query maps and still emit parseable JSON with the
+    totals intact — never abort after the timing work completed."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    payload = {
+        "metric": "headline_total",
+        "value": 12.5,
+        "unit": "sec",
+        "queries": {f"q{i:03d}_{'x' * 30}": 0.1 for i in range(40)},
+        "extended": {f"e{i:03d}_{'y' * 30}": 0.2 for i in range(40)},
+        "extended_total": 8.0,
+        "sf": 0.1,
+    }
+    line = bench.compact_line(dict(payload), "/tmp/DETAIL.json", cap=1900)
+    assert len(line) < 1900
+    out = json.loads(line)
+    assert out["value"] == 12.5 and out["extended_total"] == 8.0
+    assert "extended" not in out  # bulkiest map shed first
+    assert out["truncated"] == "see DETAIL.json"
+    # an already-compact payload passes through untouched
+    small = {"metric": "headline_total", "value": 1.0, "queries": {"q1": 1.0}}
+    assert json.loads(bench.compact_line(dict(small), "/tmp/D.json")) == small

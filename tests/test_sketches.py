@@ -61,6 +61,22 @@ def test_unsaturated_sketch_estimates_exactly(spark):
         assert r["kmv_estimate"] == float(r["exact_distinct"])
 
 
+def test_sketch_meta_respects_non_default_k(spark):
+    """A sketch built with k=10 must be read with k=10: 15 distinct
+    values saturate it, so θ must be the 10th-smallest hv, not the
+    whole universe (which would silently take the 'exact' path)."""
+    hvs = spark.createDataFrame(
+        [("srcA", (i + 1) * 1000) for i in range(15)], "source string, hv long"
+    )
+    sk = sketches.kmv_sketch(hvs, k=10)
+    meta = sketches._sketch_meta(sk, k=10).collect()[0]
+    assert meta["n_ret"] == 10
+    assert meta["theta"] == 10_000  # 10th smallest, NOT the universe
+    # the old hardcoded-K misread: n_ret=10 < K=128 -> theta=U ("exact")
+    bad = sketches._sketch_meta(sk).collect()[0]
+    assert bad["theta"] == sketches.U
+
+
 @needs_sf01
 def test_kmv_estimate_within_error_envelope(spark):
     """k=128 gives σ ≈ 1/sqrt(127) ≈ 8.9%; measured fixture errors are
