@@ -725,3 +725,110 @@ def incremental_dedup(
             .alias("status"),
         )
     )
+
+
+def setsim_join_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = DEFAULT_SHINGLE_N,
+    threshold: float = 0.5,
+    max_prefix_df: int | None = None,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering — the
+    AllPairs/PPJoin family (Bayardo et al. WWW'07; Xiao et al.
+    VLDB'08), the third route into the near-dup tier next to MinHash
+    LSH (probabilistic, operators above) and the bounded-slice inverted
+    self-join (``ngram_jaccard_pairs``). Returns every (id_a, id_b,
+    jaccard) pair with word-shingle Jaccard >= ``threshold`` — NO false
+    negatives, unlike LSH.
+
+    Why it scales where the inverted self-join melts: order each
+    document's shingles by ascending global document frequency and keep
+    only the first L = |x| - ceil(t*|x|) + 1 of them (the PREFIX — the
+    document's RAREST shingles). If J(x, y) >= t then
+    |x n y| >= ceil(t*|x|); a pair sharing no x-prefix token overlaps
+    at most |x| - L = ceil(t*|x|) - 1 < ceil(t*|x|) — contradiction, so
+    every qualifying pair collides on a prefix token of BOTH sides.
+    Candidate generation therefore joins the inverted index only on
+    each document's rarest tokens: stopword-grade shingles (the df^2
+    quadratic meltdown) sit at the END of the frequency order and never
+    enter a prefix unless a document is nearly all boilerplate.
+
+    Plan shape: one df-count agg over the shingle stream, one per-doc
+    rank window (partitioned by doc — never a global window), a
+    prefix-token equi-join for candidates (+ the t*max<=min length
+    prune), then a candidate-bounded verify join: candidates x their
+    two token lists, count the intersection, one division. Every
+    shuffle is keyed (token, doc, or pair); nothing is corpus-quadratic.
+
+    ``max_prefix_df``: skew valve — drop prefix ENTRIES whose token df
+    exceeds the cap before candidate generation (the setsim twin of the
+    LSH hot-bucket cap). Only documents whose entire prefix is that hot
+    (near-pure boilerplate) can lose candidates; the default None keeps
+    the join exact.
+    """
+    from pyspark.sql import Window
+
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_units(F.col(text_col), n)).alias("sh"),
+    )
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # Prefix length L = n_sh - o + 1 with o = ceil(t * n_sh), the
+    # minimum intersection a J >= t pair can have with this document.
+    # IEEE trap: 0.3 * 10 = 3.0000000000000004, so a bare ceil yields 4
+    # and SHORTENS the prefix — a false negative. ceil(t*n - 1e-9) can
+    # only round o DOWN across such a boundary (the double-multiply
+    # error is <= t*n*2^-52, orders below 1e-9 for any feasible doc
+    # size), and a smaller o means a LONGER prefix — always safe, at
+    # worst one extra candidate token.
+    ranked = (
+        sh.join(dfreq, "sh")
+        .withColumn(
+            "_pos",
+            F.row_number().over(Window.partitionBy("_id").orderBy("_df", "sh")),
+        )
+        .join(sizes, "_id")
+    )
+    o_min = F.greatest(
+        F.lit(1), F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+    )
+    prefix = ranked.filter(F.col("_pos") <= F.col("n_sh") - o_min + 1)
+    if max_prefix_df is not None:
+        prefix = prefix.filter(F.col("_df") <= F.lit(int(max_prefix_df)))
+    pa = prefix.select(F.col("_id").alias("id_a"), "sh", F.col("n_sh").alias("n_a"))
+    pb = prefix.select(F.col("_id").alias("id_b"), "sh", F.col("n_sh").alias("n_b"))
+    cand = (
+        pa.join(pb, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # length filter: J >= t implies t * max(|x|,|y|) <= min(|x|,|y|).
+        # Same epsilon guard as the prefix bound: 0.3 * 10 > 3 in IEEE
+        # would wrongly drop an exact-containment pair at the boundary.
+        .filter(
+            F.greatest("n_a", "n_b") * F.lit(threshold)
+            <= F.least("n_a", "n_b") + F.lit(1e-9)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.select(F.col("_id").alias("id_a"), "sh"), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), "sh"), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"_id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"_id": "id_b", "n_sh": "n_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -121,3 +121,51 @@ def bfs_distances(edges: DataFrame, seed: DataFrame, max_hops: int) -> DataFrame
         visited = visited.unionAll(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return visited
+
+
+def sssp_distances(
+    edges: DataFrame, seed: DataFrame, rounds: int
+) -> DataFrame:
+    """Single-source shortest path over a WEIGHTED edge list (columns
+    ``src``, ``dst``, integer ``w`` >= 0) — frontier-driven Bellman-Ford,
+    the weighted sibling of ``bfs_distances``. After ``rounds`` rounds
+    the returned (node, dist) is exactly min path cost over all paths
+    of <= ``rounds`` edges from the seed (the classic Bellman-Ford
+    invariant), which the registered query's unrolled-CTE oracle
+    replays with integer arithmetic — no rounding anywhere.
+
+    Scale: per round, one frontier⋈edges shuffle join, one groupBy(dst)
+    min, and one node-keyed improvement join — all state node-sized.
+    Only nodes whose distance IMPROVED last round relax their out-edges
+    (the frontier), so settled regions of a 100 TB graph stop paying
+    per-round cost; lazy ``localCheckpoint`` per round cuts replayed
+    lineage exactly like the PageRank/BFS loops above."""
+    edges = edges.select("src", "dst", "w").localCheckpoint(eager=False)
+    dist = seed.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.lit(0).cast("bigint").alias("dist"),
+    ).localCheckpoint(eager=False)
+    frontier = dist
+    for _ in range(rounds):
+        best = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).cast("bigint").alias("cand"),
+            )
+            .groupBy("node")
+            .agg(F.min("cand").alias("cand"))
+        )
+        improved = (
+            best.join(dist, "node", "left_outer")
+            .filter(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
+            .select("node", F.col("cand").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        dist = (
+            dist.join(improved.select("node"), "node", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=False)
+        )
+        frontier = improved
+    return dist

@@ -2668,6 +2668,93 @@ def bfs_reachability_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bf_iter_sql(i: int, p: int) -> str:
+    """One Bellman-Ford relaxation round as a DuckDB CTE (reads d{p},
+    defines d{i}): keep every known distance, add every one-edge
+    extension, take the min per node. Integer-only state."""
+    return f"""
+        d{i} AS (
+            SELECT node, MIN(dist) AS dist FROM (
+                SELECT node, dist FROM d{p}
+                UNION ALL
+                SELECT p.dst AS node, d.dist + p.w AS dist
+                FROM d{p} d JOIN pairs p ON p.src = d.node
+            ) GROUP BY node
+        )"""
+
+
+@query(
+    "shortest_path_weighted_copurchase",
+    category="graph",
+    oracle="""
+        WITH pairs AS (
+            SELECT a.l_partkey AS src, b.l_partkey AS dst,
+                   GREATEST(1, 6 - COUNT(DISTINCT a.l_orderkey)) AS w
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+        ),
+        seed AS (SELECT CAST(MIN(l_partkey) AS BIGINT) AS node
+                 FROM lineitem),
+        d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM seed),
+    """
+    + _bf_iter_sql(1, 0)
+    + ","
+    + _bf_iter_sql(2, 1)
+    + ","
+    + _bf_iter_sql(3, 2)
+    + """
+        SELECT CAST(node AS BIGINT) AS partkey, CAST(dist AS BIGINT) AS dist
+        FROM d3 ORDER BY dist, partkey LIMIT 100
+    """,
+)
+def shortest_path_weighted_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths over the part co-purchase
+    graph (operators.graph.sssp_distances) — Bellman-Ford, the weighted
+    sibling of bfs_reachability_copurchase. Edge weight = GREATEST(1,
+    6 - shared_orders): strongly co-purchased parts are 'closer', the
+    affinity metric behind related-item distance at catalog scale. The
+    100 nearest parts after 3 relaxation rounds, i.e. exact min cost
+    over <= 3-edge paths — the Bellman-Ford invariant the 3 unrolled
+    oracle CTEs replay with pure-integer state (no rounding anywhere).
+
+    Scale: frontier-driven — only nodes improved last round relax out-
+    edges, so settled regions stop paying per-round cost; per round one
+    frontier⋈edges shuffle + node-keyed min and merge, all node-sized
+    state, lineage cut per round."""
+    from pipeline_query_engine_demo_spark.operators.graph import sssp_distances
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.countDistinct("a.l_orderkey").alias("cnt"))
+        .select(
+            "src",
+            "dst",
+            F.greatest(F.lit(1), F.lit(6) - F.col("cnt")).cast("bigint").alias("w"),
+        )
+    )
+    seed = li.agg(F.min("l_partkey").cast("bigint").alias("node"))
+    dist = sssp_distances(edges, seed, rounds=3)
+    return (
+        dist.select(
+            F.col("node").cast("bigint").alias("partkey"),
+            F.col("dist").cast("bigint").alias("dist"),
+        )
+        .orderBy("dist", "partkey")
+        .limit(100)
+    )
+
+
 @query(
     "nearest_rank_percentiles",
     category="aggregation",

@@ -425,6 +425,44 @@ def ngram_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "setsim_prefix_join_docs",
+    category="llm-dedup",
+    oracle=f"""
+        WITH sh AS (
+            {_shingle_units_sql(source="documents", alias="s")} WHERE doc_id < 150
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT i.id_a, i.id_b,
+               i.n_common / (sa.n + sb.n - i.n_common) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.3
+        ORDER BY id_a, id_b
+    """,
+)
+def setsim_prefix_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT tau=0.3 shingle-Jaccard self-join via AllPairs/PPJoin
+    prefix filtering (operators.dedup.setsim_join_prefix) — the third
+    near-dup route (LSH = probabilistic recall, inverted self-join =
+    bounded slices only, prefix filtering = exact AND scalable). The
+    brute-force all-pairs oracle proves the no-false-negative claim on
+    every pair of the slice; candidate generation touched only each
+    document's rarest shingles, so the df^2 stopword meltdown the
+    inverted join suffers never happens. The doc_id < 150 slice exists
+    for the ORACLE's O(n^2) cost, not the operator's."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return dedup.setsim_join_prefix(
+        docs, "doc_id", "text", n=3, threshold=0.3
+    ).orderBy("id_a", "id_b")
+
+
 # --------------------------------------------------------------------------
 # Similarity search over embeddings
 # --------------------------------------------------------------------------

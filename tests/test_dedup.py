@@ -345,3 +345,79 @@ def test_duplicated_substring_spans_matches_literal(spark, sf_dir):
         for r in duplicated_substring_spans(spark, sf_dir).collect()
     ]
     assert got == expect
+
+
+def test_setsim_prefix_join_equals_brute_force_with_no_false_negatives(spark):
+    """AllPairs/PPJoin prefix filtering vs a literal python all-pairs
+    Jaccard on an adversarial fixture: IEEE ceil boundaries (t*n
+    landing on integers: 0.3 * 10), exact-containment pairs at the
+    length-filter edge (|x|=3 inside |y|=10, max J exactly 0.3), a
+    stopword shingle shared by EVERY doc, and identical twins."""
+    from pipeline_query_engine_demo_spark.operators import dedup
+
+    w = lambda *ts: " ".join(ts)  # noqa: E731
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    docs = [
+        (1, base),                                   # 12 tokens -> 10 shingles
+        (2, base),                                   # identical twin of 1
+        (3, base.replace("delta", "DELTA")),         # near-dup of 1
+        (4, "alpha beta gamma delta epsilon"),       # 3 shingles, contained in 1
+        (5, "one two three four five six seven"),    # unrelated
+        (6, "one two three four five six EIGHT"),    # near-dup of 5
+        (7, w("alpha", "beta", "gamma", "one", "two", "three", "nine")),
+    ]
+    # stopword shingle in every doc: append the same 3 words everywhere
+    docs = [(i, t + " common tail words") for i, t in docs]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def units(t):
+        ws = t.split()
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    for thr in (0.3, 0.5, 0.25):
+        expect = {}
+        for i, ti in docs:
+            for j, tj in docs:
+                if i < j:
+                    a, b = units(ti), units(tj)
+                    jac = len(a & b) / len(a | b)
+                    if jac >= thr:
+                        expect[(i, j)] = jac
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.setsim_join_prefix(
+                df, "doc_id", "text", n=3, threshold=thr
+            ).collect()
+        }
+        assert got.keys() == expect.keys(), f"thr={thr}"
+        for k in expect:
+            assert abs(got[k] - expect[k]) < 1e-12
+
+
+def test_setsim_prefix_cap_drops_only_boilerplate_candidacy(spark):
+    """max_prefix_df (the setsim skew valve): a document whose ENTIRE
+    prefix is corpus-wide boilerplate loses its candidates under the
+    cap, while pairs colliding on rare prefix tokens are untouched."""
+    from pipeline_query_engine_demo_spark.operators import dedup
+
+    boiler = "the quick brown fox jumps over it"
+    docs = (
+        # 30 docs sharing pure boilerplate (all shingles hot)
+        [(100 + i, boiler) for i in range(30)]
+        # one rare near-dup pair
+        + [(1, "unique alpha beta gamma delta"), (2, "unique alpha beta gamma DELTA")]
+    )
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.setsim_join_prefix(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert (1, 2) in exact and (100, 101) in exact
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.setsim_join_prefix(
+            df, "doc_id", "text", threshold=0.5, max_prefix_df=10
+        ).collect()
+    }
+    assert (1, 2) in capped
+    assert all(a < 100 for a, _ in capped)  # every boilerplate pair dropped

@@ -72,3 +72,42 @@ def test_zorder_locality_beats_single_key(spark, sf_dir):
         .first()[0]
     )
     assert zb < xb, (zb, xb)
+
+
+def test_sssp_bellman_ford_matches_python_and_differs_from_bfs(spark):
+    """Frontier Bellman-Ford vs a literal python relaxation on a graph
+    engineered so hop-count BFS and weighted SSSP DISAGREE (a 3-hop
+    cheap detour beats the 1-hop heavy edge) and the <=rounds-edges
+    bound is observable (the detour only wins once rounds >= 3)."""
+    from pipeline_query_engine_demo_spark.operators.graph import sssp_distances
+
+    edges = [
+        (0, 1, 10),          # direct but heavy
+        (0, 2, 1), (2, 3, 1), (3, 1, 1),   # 3-hop detour, cost 3
+        (1, 4, 1),
+        (5, 0, 1),           # unreachable direction (into the seed)
+    ]
+    edf = spark.createDataFrame(edges, "src long, dst long, w long")
+    seed = spark.createDataFrame([(0,)], "node long")
+
+    def python_bf(rounds):
+        dist = {0: 0}
+        for _ in range(rounds):
+            nd = dict(dist)
+            for s, d, w in edges:
+                if s in dist and dist[s] + w < nd.get(d, 1 << 60):
+                    nd[d] = dist[s] + w
+            dist = nd
+        return dist
+
+    for rounds in (1, 2, 3, 4):
+        got = {
+            r["node"]: r["dist"]
+            for r in sssp_distances(edf, seed, rounds=rounds).collect()
+        }
+        assert got == python_bf(rounds), f"rounds={rounds}"
+    # the designed disagreement: BFS hop-distance of node 1 is 1, but
+    # min COST path is the 3-edge detour
+    assert python_bf(4)[1] == 3
+    # node 5 only has an edge INTO the seed: never reached
+    assert 5 not in python_bf(4)
