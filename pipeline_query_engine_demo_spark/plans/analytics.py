@@ -2756,6 +2756,47 @@ def shortest_path_weighted_copurchase(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @query(
+    "skyline_parts_price_size",
+    category="analytics",
+    oracle="""
+        WITH pt AS (SELECT CAST(p_partkey AS BIGINT) AS partkey,
+                           CAST(p_retailprice AS DOUBLE) AS retailprice,
+                           CAST(p_size AS BIGINT) AS size
+                    FROM part)
+        SELECT me.partkey, me.retailprice, me.size
+        FROM pt me
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pt q
+            WHERE q.retailprice <= me.retailprice AND q.size >= me.size
+              AND (q.retailprice < me.retailprice OR q.size > me.size)
+        )
+        ORDER BY retailprice, partkey
+    """,
+)
+def skyline_parts_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts under (retailprice minimized, size
+    maximized) — the skyline operator (operators.skyline.skyline_2d,
+    Börzsönyi et al. ICDE'01): 'the cheapest part at every size level',
+    a multi-criteria frontier no single ORDER BY expresses. The oracle
+    is the literal NOT EXISTS dominance definition over all parts, so
+    the gate proves the two-phase plan (exact per-bucket prune via one
+    vectorized applyInPandas, then a broadcast dominance anti-join over
+    the skyline-sized candidate set) equals the quadratic semantics.
+    DECIMAL(15,2) money and the 1..50 size are float64-exact, so the
+    local prune's double comparisons introduce no boundary error."""
+    from pipeline_query_engine_demo_spark.operators.skyline import skyline_2d
+
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("bigint").alias("partkey"),
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    return skyline_2d(
+        part, "partkey", "retailprice", "size", maximize_y=True
+    ).orderBy("retailprice", "partkey")
+
+
+@query(
     "nearest_rank_percentiles",
     category="aggregation",
     oracle="""

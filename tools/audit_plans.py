@@ -62,6 +62,7 @@ NL_WHITELIST = {
     "grouped_split_by_user",  # 1-row event-total broadcast onto the 3-row split summary
     "mutual_information_source_lang",  # 1-row totals/entropies broadcast onto cell tables
     "rfm_segmentation",  # 1-row reference-date/user-count broadcasts onto the customer aggregate
+    "skyline_parts_price_size",  # broadcast dominance anti-join over the skyline-sized candidate set (post local-prune), the intended two-phase skyline verify
     "benford_digit_test",  # 1-row digit-total broadcast onto the 9-row digit table
     "k_anonymity_audit",  # 1-row total/min broadcast onto the class-size table
     "ivf_recall_vs_probes",  # 3-row probes table broadcast onto ground truth + inherited cosine shape
