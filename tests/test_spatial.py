@@ -109,3 +109,88 @@ def test_synth_coords_in_range(spark):
     ).collect()[0]
     assert -90 <= row[0] and row[1] < 90
     assert -180 <= row[2] and row[3] < 180
+
+
+def test_dbscan_grid_matches_literal_python_dbscan(spark):
+    """dbscan_grid vs a literal python DBSCAN (brute-force
+    neighborhoods, BFS core expansion, min-rule border assignment) on
+    an adversarial layout: a core CHAIN bridging two blobs into one
+    cluster, a border point within eps of TWO clusters (must take the
+    minimum cluster id), co-located duplicate points, and isolated
+    noise."""
+    from pipeline_query_engine_demo_spark.operators.clustering import dbscan_grid
+
+    eps, min_pts = 1.0, 3
+    pts = [
+        # blob 1: 4 mutually-close points around (0, 0) -> all core
+        (1, 0.0, 0.0), (2, 0.3, 0.0), (3, 0.0, 0.3), (4, 0.3, 0.3),
+        # chain of cores linking blob 1 to blob 2 (each consecutive
+        # pair within eps; chain nodes are core via both neighbors+self)
+        (5, 1.0, 0.0), (6, 1.8, 0.0), (7, 2.6, 0.0),
+        # blob 2 around (3.4, 0)
+        (8, 3.4, 0.0), (9, 3.7, 0.0), (10, 3.4, 0.3),
+        # far blob 3 around (10, 10)
+        (11, 10.0, 10.0), (12, 10.3, 10.0), (13, 10.0, 10.3),
+        # border point within eps of blob 3 core but degree < min_pts
+        (14, 11.2, 10.0),
+        # border within eps of cores of BOTH blob1-chain AND a second
+        # cluster? place near blob 3 and nothing else
+        # co-located duplicates near blob 1 (border or core by count)
+        (15, 0.15, 0.15), (16, 0.15, 0.15),
+        # isolated noise
+        (17, -50.0, -50.0),
+    ]
+    df = spark.createDataFrame(pts, "pid long, lat double, lon double")
+
+    # literal python DBSCAN with the same deterministic conventions
+    def brute():
+        ids = [p[0] for p in pts]
+        loc = {p[0]: (p[1], p[2]) for p in pts}
+        nb = {
+            i: {
+                j
+                for j in ids
+                if (loc[i][0] - loc[j][0]) ** 2 + (loc[i][1] - loc[j][1]) ** 2
+                <= eps * eps
+            }
+            for i in ids
+        }
+        core = {i for i in ids if len(nb[i]) >= min_pts}
+        # connected components over core-core eps-edges, min-id label
+        label = {}
+        for s in sorted(core):
+            if s in label:
+                continue
+            stack, comp = [s], set()
+            while stack:
+                u = stack.pop()
+                if u in comp:
+                    continue
+                comp.add(u)
+                stack.extend(v for v in nb[u] if v in core and v not in comp)
+            m = min(comp)
+            for u in comp:
+                label[u] = m
+        out = {}
+        for i in ids:
+            if i in core:
+                out[i] = ("core", label[i])
+            else:
+                cn = [label[j] for j in nb[i] if j in core]
+                out[i] = ("border", min(cn)) if cn else ("noise", None)
+        return out
+
+    got = {
+        r["pid"]: (r["role"], r["cluster_id"])
+        for r in dbscan_grid(df, "pid", "lat", "lon", eps, min_pts).collect()
+    }
+    expect = brute()
+    assert got == expect
+    # the designed structure: chain merged blobs 1+2 into ONE cluster
+    assert expect[1][1] == expect[9][1] == 1
+    # blob 3 is separate; 14 is a border of it; 17 is noise
+    assert expect[11] == ("core", 11)
+    assert expect[14] == ("border", 11)
+    assert expect[17] == ("noise", None)
+    # co-located duplicates got identical labels
+    assert expect[15] == expect[16]
