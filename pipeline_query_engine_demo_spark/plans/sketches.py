@@ -368,3 +368,125 @@ def kmv_merge_global_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(est, 6).alias("merged_estimate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog (register-based) — the third cardinality sketch
+# --------------------------------------------------------------------------
+
+#: HLL register count (2^6). j = hv % 64 picks the register; the
+#: remaining 54 bits feed the leading-zero rank.
+_HLL_M = 64
+#: rho = (54-bit window) leading zeros + 1 = 55 - bitlength(rest),
+#: capped at 55 when rest == 0.
+_HLL_RHO_CAP = 55
+#: alpha_64 * m^2 * 2^55, folded to ONE python double so both engines
+#: divide the identical IEEE numerator by the identical integer
+#: denominator (the repo's pre-folded-constant recipe). 0.709 is the
+#: standard alpha_m for m = 64 (Flajolet et al., AofA'07).
+_HLL_ALPHA_NUM = 0.709 * float(_HLL_M) * float(_HLL_M) * float(1 << _HLL_RHO_CAP)
+
+
+@query(
+    "hll_distinct_shingles_by_source",
+    category="sketch",
+    oracle=f"""
+        WITH sh AS (SELECT source, unnest(list_distinct(list_transform(
+                        generate_series(1, len(string_split(text, ' ')) - 2),
+                        i -> concat_ws(' ', {_SH_WORDS})))) AS tok
+                    FROM documents),
+        hv AS (SELECT DISTINCT source,
+                      CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS hv
+               FROM sh),
+        rho AS (SELECT source, hv % {_HLL_M} AS j,
+                       CASE WHEN hv // {_HLL_M} = 0 THEN {_HLL_RHO_CAP}
+                            ELSE {_HLL_RHO_CAP} - length(bin(hv // {_HLL_M}))
+                       END AS rho
+                FROM hv),
+        mx AS (SELECT source, j, MAX(rho) AS m FROM rho GROUP BY source, j),
+        regs AS (SELECT s.source, g.j
+                 FROM (SELECT DISTINCT source FROM hv) s
+                 CROSS JOIN (SELECT unnest(generate_series(0, {_HLL_M - 1})) AS j) g),
+        filled AS (SELECT r.source, r.j, COALESCE(mx.m, 0) AS m
+                   FROM regs r LEFT JOIN mx ON mx.source = r.source AND mx.j = r.j),
+        den AS (SELECT source,
+                       SUM(CAST(power(2, {_HLL_RHO_CAP} - m) AS BIGINT)) AS denom,
+                       SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS hit
+                FROM filled GROUP BY source),
+        ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+               FROM hv GROUP BY source)
+        SELECT d.source,
+               CAST(d.hit AS BIGINT) AS registers_hit,
+               {sql_round_half_up(f"{_HLL_ALPHA_NUM!r} / CAST(d.denom AS DOUBLE)", 6)}
+                   AS hll_estimate,
+               e.exact_distinct
+        FROM den d JOIN ex e ON e.source = d.source
+        ORDER BY d.source
+    """,
+)
+def hll_distinct_shingles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Register-based HyperLogLog (Flajolet et al., AofA'07) over the
+    same distinct-shingle stream the KMV/theta sketches consume — the
+    third cardinality sketch, completing the family (KMV/theta for
+    intersectable sets, CMS for frequencies, bloom for membership, HLL
+    for the smallest-memory union-able count): 64 registers = 64 longs
+    per source versus KMV's k=128 retained hashes.
+
+    Cross-engine exactness without transcendentals: rho = 55 -
+    bitlength(hv div 64) is pure integer (length(bin(x)) on both
+    engines); each register contributes the INTEGER 2^(55 - M[j]) and
+    the harmonic denominator accumulates in BIGINT (<= 64 * 2^55 =
+    2^61, exact) — the raw-HLL estimate is then ONE double division of
+    a pre-folded alpha*m^2*2^55 literal by the denominator, identical
+    IEEE on both engines (no small/large-range corrections: the
+    fixture's per-source cardinality ~ 1.2-1.5k sits far above the
+    2.5m = 160 bias zone, and bias-correction tables would import
+    engine-specific float behavior for nothing).
+
+    Scale: one pass over distinct (source, hv) pairs, groupBy
+    (source, j) max — fully combinable (map-side max) — then 64 rows
+    per source; sketches from disjoint partitions/days MERGE by
+    register max, the union-ability pytest proves it bit-for-bit."""
+    hashes = _source_shingle_hashes(load_table(spark, sf_dir, "documents"))
+    rest = F.expr(f"hv div {_HLL_M}")
+    rho = F.when(rest == 0, F.lit(_HLL_RHO_CAP)).otherwise(
+        F.lit(_HLL_RHO_CAP) - F.length(F.bin(rest))
+    )
+    mx = (
+        hashes.select(
+            "source", F.pmod("hv", F.lit(_HLL_M)).alias("j"), rho.alias("rho")
+        )
+        .groupBy("source", "j")
+        .agg(F.max("rho").alias("m"))
+    )
+    regs = (
+        hashes.select("source")
+        .distinct()
+        .select("source", F.explode(F.sequence(F.lit(0), F.lit(_HLL_M - 1))).alias("j"))
+    )
+    filled = regs.join(mx, ["source", "j"], "left").select(
+        "source", "j", F.coalesce("m", F.lit(0)).alias("m")
+    )
+    den = filled.groupBy("source").agg(
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(_HLL_RHO_CAP) - F.col("m")).cast("bigint")
+        ).alias("denom"),
+        F.sum(F.when(F.col("m") > 0, 1).otherwise(0)).cast("bigint").alias(
+            "registers_hit"
+        ),
+    )
+    ex = hashes.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_distinct")
+    )
+    return (
+        den.join(ex, "source")
+        .select(
+            "source",
+            "registers_hit",
+            round_half_up(
+                F.lit(_HLL_ALPHA_NUM) / F.col("denom").cast("double"), 6
+            ).alias("hll_estimate"),
+            "exact_distinct",
+        )
+        .orderBy("source")
+    )

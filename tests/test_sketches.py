@@ -146,3 +146,106 @@ def test_kmv_merge_equals_sketch_of_full_stream(spark, sf_dir):
     )
     full = sorted(set(r["hv"] for r in hashes.collect()))[:k]
     assert merged == full
+
+
+def _hll_python_registers(tokens_by_source):
+    """Literal python replay of the HLL register build: md5 15-hex-digit
+    bigint, j = hv % 64, rho = 55 - bitlength(hv // 64) (55 if zero)."""
+    import hashlib
+
+    regs = {}
+    for src, toks in tokens_by_source.items():
+        m = [0] * 64
+        for t in set(toks):
+            hv = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            j = hv % 64
+            rest = hv // 64
+            rho = 55 if rest == 0 else 55 - rest.bit_length()
+            m[j] = max(m[j], rho)
+        regs[src] = m
+    return regs
+
+
+@needs_sf01
+def test_hll_registers_match_python_replay(spark):
+    """The Spark register build (bin-length rho, groupBy max) equals a
+    literal hashlib replay register-for-register on real fixture data."""
+    docs = _load_docs(spark, SF01)
+    hashes = sketches._source_shingle_hashes(docs)
+    import pyspark.sql.functions as F2
+
+    rest = F2.expr("hv div 64")
+    rho = F2.when(rest == 0, F2.lit(55)).otherwise(55 - F2.length(F2.bin(rest)))
+    got = {}
+    rows = (
+        hashes.select("source", F2.pmod("hv", F2.lit(64)).alias("j"), rho.alias("rho"))
+        .groupBy("source", "j")
+        .agg(F2.max("rho").alias("m"))
+        .collect()
+    )
+    for r in rows:
+        got.setdefault(r["source"], [0] * 64)[r["j"]] = r["m"]
+
+    toks = {}
+    for r in docs.select("source", "text").collect():
+        ws = r["text"].split(" ")
+        toks.setdefault(r["source"], []).extend(
+            " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+        )
+    expect = _hll_python_registers(toks)
+    assert set(got) == set(expect)
+    for src in expect:
+        assert got[src] == expect[src], src
+
+
+@needs_sf01
+def test_hll_estimate_within_error_envelope(spark):
+    """Raw HLL at m=64: sigma ~ 1.04/sqrt(64) ~ 13%. Bound at ~2.5x
+    measured so the test catches a broken estimator, not an unlucky
+    hash draw (same convention as the KMV envelope test)."""
+    rows = sketches.hll_distinct_shingles_by_source(spark, SF01).collect()
+    assert len(rows) == 20
+    errs = [
+        abs(r["hll_estimate"] - r["exact_distinct"]) / r["exact_distinct"]
+        for r in rows
+    ]
+    assert sum(errs) / len(errs) <= 0.25
+    assert max(errs) <= 0.50
+    # far above the 2.5m bias zone, every register should be hit
+    assert all(r["registers_hit"] == 64 for r in rows)
+
+
+@needs_sf01
+def test_hll_merge_by_register_max_equals_full_sketch(spark):
+    """HLL's union-ability: registers built on two disjoint halves of
+    the corpus (split at the doc_id MEDIAN — key-parity splits never
+    exercise the merge, r6 lesson) then merged by per-register MAX must
+    equal the whole-corpus registers bit-for-bit."""
+    import pyspark.sql.functions as F2
+
+    docs = _load_docs(spark, SF01)
+    med = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+
+    def regs(d):
+        hashes = sketches._source_shingle_hashes(d)
+        rest = F2.expr("hv div 64")
+        rho = F2.when(rest == 0, F2.lit(55)).otherwise(55 - F2.length(F2.bin(rest)))
+        return (
+            hashes.select(
+                "source", F2.pmod("hv", F2.lit(64)).alias("j"), rho.alias("rho")
+            )
+            .groupBy("source", "j")
+            .agg(F2.max("rho").alias("m"))
+        )
+
+    lo = regs(docs.filter(F2.col("doc_id") <= med))
+    hi = regs(docs.filter(F2.col("doc_id") > med))
+    merged = (
+        lo.unionByName(hi).groupBy("source", "j").agg(F2.max("m").alias("m"))
+    )
+    full = regs(docs)
+    a = {(r["source"], r["j"]): r["m"] for r in merged.collect()}
+    b = {(r["source"], r["j"]): r["m"] for r in full.collect()}
+    assert a == b
+    # both halves actually contributed registers (split is non-trivial)
+    assert lo.count() > 0 and hi.count() > 0
