@@ -490,3 +490,127 @@ def hll_distinct_shingles_by_source(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Theta-sketch A-not-B — the set-DIFFERENCE estimator
+# --------------------------------------------------------------------------
+
+
+@query(
+    "theta_sketch_anotb_difference",
+    category="sketch",
+    oracle=f"""
+        WITH {_SKETCH_CTES.strip()},
+        pairs AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   least(a.theta, b.theta) AS th
+            FROM mt a JOIN mt b ON a.source < b.source
+        ),
+        ab AS (
+            SELECT p.source_a, p.source_b,
+                   CAST(COUNT(*) FILTER (WHERE y.hv IS NULL) AS BIGINT)
+                       AS a_not_b_retained
+            FROM pairs p
+            JOIN sk x ON x.source = p.source_a AND x.hv < p.th
+            LEFT JOIN sk y ON y.source = p.source_b AND y.hv = x.hv
+            GROUP BY p.source_a, p.source_b
+        ),
+        ba AS (
+            SELECT p.source_a, p.source_b,
+                   CAST(COUNT(*) FILTER (WHERE y.hv IS NULL) AS BIGINT)
+                       AS b_not_a_retained
+            FROM pairs p
+            JOIN sk x ON x.source = p.source_b AND x.hv < p.th
+            LEFT JOIN sk y ON y.source = p.source_a AND y.hv = x.hv
+            GROUP BY p.source_a, p.source_b
+        )
+        SELECT p.source_a, p.source_b,
+               COALESCE(ab.a_not_b_retained, CAST(0 AS BIGINT))
+                   AS a_not_b_retained,
+               COALESCE(ba.b_not_a_retained, CAST(0 AS BIGINT))
+                   AS b_not_a_retained,
+               {sql_round_half_up(
+                   "CAST(COALESCE(ab.a_not_b_retained, 0) AS DOUBLE) * "
+                   f"{float(U)!r} / CAST(p.th AS DOUBLE)", 6)}
+                   AS est_a_not_b,
+               {sql_round_half_up(
+                   "CAST(COALESCE(ba.b_not_a_retained, 0) AS DOUBLE) * "
+                   f"{float(U)!r} / CAST(p.th AS DOUBLE)", 6)}
+                   AS est_b_not_a
+        FROM pairs p
+        LEFT JOIN ab ON ab.source_a = p.source_a AND ab.source_b = p.source_b
+        LEFT JOIN ba ON ba.source_a = p.source_a AND ba.source_b = p.source_b
+        ORDER BY p.source_a, p.source_b
+    """,
+)
+def theta_sketch_anotb_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch A-not-B (Apache DataSketches' ``AnotB`` operation):
+    per source pair, restrict BOTH retained sets below θ = min(θ_a,
+    θ_b) and count A-side hashes absent from B; |A\\B below θ| · U / θ
+    estimates the set difference. With union (kmv merge), intersection
+    (theta overlap) and now difference, the sketch tier closes the full
+    set algebra — "how much of crawl A is NOT already in crawl B" is
+    the incremental-ingest sizing question, answered from kilobytes of
+    sketch without re-joining either corpus.
+
+    Determinism: same md5-bigint retained sets as every sketch query —
+    counts and the one estimate division hash-compare raw. Accuracy vs
+    the exact per-pair difference, plus the exact identity
+    (A\\B) + (A∩B) = |A below θ|, are pinned in tests.
+
+    Scale: after the one sketch-building corpus pass, both anti-join
+    legs run over broadcast k·|sources| rows — pair cost is
+    sketch-sized, independent of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    sk = kmv_sketch(_source_shingle_hashes(docs)).localCheckpoint(eager=False)
+    meta = _sketch_meta(sk)
+    pairs = (
+        meta.alias("a")
+        .join(meta.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.least(F.col("a.theta"), F.col("b.theta")).alias("th"),
+        )
+    )
+
+    def _one_side(keep: str, other: str, out: str) -> DataFrame:
+        """Count retained ``keep``-side hvs below th with no match in
+        the ``other`` side's retained set (hv-equality implies the
+        match is below th too)."""
+        x = sk.select(F.col("source").alias(keep), F.col("hv").alias("hvx"))
+        y = sk.select(F.col("source").alias("_ys"), F.col("hv").alias("hvy"))
+        return (
+            pairs.join(F.broadcast(x), keep)
+            .filter(F.col("hvx") < F.col("th"))
+            .join(
+                F.broadcast(y),
+                (F.col("_ys") == F.col(other)) & (F.col("hvy") == F.col("hvx")),
+                "left_outer",
+            )
+            .groupBy("source_a", "source_b")
+            .agg(
+                F.count(F.when(F.col("hvy").isNull(), 1)).cast("bigint").alias(out)
+            )
+        )
+
+    ab = _one_side("source_a", "source_b", "a_not_b_retained")
+    ba = _one_side("source_b", "source_a", "b_not_a_retained")
+    zero = F.lit(0).cast("bigint")
+    cab = F.coalesce(F.col("a_not_b_retained"), zero)
+    cba = F.coalesce(F.col("b_not_a_retained"), zero)
+    scale = F.lit(float(U)) / F.col("th").cast("double")
+    return (
+        pairs.join(ab, ["source_a", "source_b"], "left")
+        .join(ba, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            cab.alias("a_not_b_retained"),
+            cba.alias("b_not_a_retained"),
+            round_half_up(cab.cast("double") * scale, 6).alias("est_a_not_b"),
+            round_half_up(cba.cast("double") * scale, 6).alias("est_b_not_a"),
+        )
+        .orderBy("source_a", "source_b")
+    )

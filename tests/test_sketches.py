@@ -249,3 +249,72 @@ def test_hll_merge_by_register_max_equals_full_sketch(spark):
     assert a == b
     # both halves actually contributed registers (split is non-trivial)
     assert lo.count() > 0 and hi.count() > 0
+
+
+@needs_sf01
+def test_anotb_identity_and_accuracy(spark):
+    """Sketch algebra identity: for every pair, a_not_b_retained +
+    common_retained (from the overlap query) must EXACTLY equal the
+    count of A-retained hashes below th — the two queries partition
+    the same set. Then accuracy: est_a_not_b tracks the exact
+    |shingles(A) \\ shingles(B)| within the KMV envelope on average."""
+    diff = {
+        (r["source_a"], r["source_b"]): r
+        for r in sketches.theta_sketch_anotb_difference(spark, SF01).collect()
+    }
+    over = {
+        (r["source_a"], r["source_b"]): r["common_retained"]
+        for r in sketches.theta_sketch_shingle_overlap(spark, SF01).collect()
+    }
+    assert set(diff) == set(over) and len(diff) == 190
+
+    docs = _load_docs(spark, SF01)
+    hashes = sketches._source_shingle_hashes(docs)
+    sk_rows = sketches.kmv_sketch(hashes).collect()
+    meta = {}
+    by_src: dict = {}
+    for r in sk_rows:
+        by_src.setdefault(r["source"], set()).add(r["hv"])
+    for src, hvs in by_src.items():
+        meta[src] = max(hvs) if len(hvs) >= sketches.K else sketches.U
+
+    for (a, b), r in diff.items():
+        th = min(meta[a], meta[b])
+        below = sum(1 for hv in by_src[a] if hv < th)
+        assert r["a_not_b_retained"] + over[(a, b)] == below, (a, b)
+
+    exact: dict = {}
+    for row in hashes.collect():
+        exact.setdefault(row["source"], set()).add(row["hv"])
+    errs = []
+    for (a, b), r in diff.items():
+        true_diff = len(exact[a] - exact[b])
+        if true_diff:
+            errs.append(abs(r["est_a_not_b"] - true_diff) / true_diff)
+    # KMV k=128 sigma ~ 9%; difference compounds two sketches' noise.
+    assert sum(errs) / len(errs) <= 0.30
+    assert max(errs) <= 0.90
+
+
+@needs_sf01
+def test_anotb_symmetry_consistency(spark):
+    """A\\B and B\\A come from the same th: est_a_not_b - est_b_not_a
+    must equal (|A<th| - |B<th|) * U / th (the common part cancels) —
+    a cross-column consistency a per-cell hash compare can't state."""
+    rows = sketches.theta_sketch_anotb_difference(spark, SF01).collect()
+    hashes = sketches._source_shingle_hashes(_load_docs(spark, SF01))
+    sk_rows = sketches.kmv_sketch(hashes).collect()
+    by_src: dict = {}
+    for r in sk_rows:
+        by_src.setdefault(r["source"], set()).add(r["hv"])
+    meta = {
+        s: (max(h) if len(h) >= sketches.K else sketches.U)
+        for s, h in by_src.items()
+    }
+    for r in rows:
+        a, b = r["source_a"], r["source_b"]
+        th = min(meta[a], meta[b])
+        na = sum(1 for hv in by_src[a] if hv < th)
+        nb = sum(1 for hv in by_src[b] if hv < th)
+        lhs = r["a_not_b_retained"] - r["b_not_a_retained"]
+        assert lhs == na - nb, (a, b)
