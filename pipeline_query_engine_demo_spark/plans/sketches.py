@@ -386,15 +386,15 @@ _HLL_RHO_CAP = 55
 #: standard alpha_m for m = 64 (Flajolet et al., AofA'07).
 _HLL_ALPHA_NUM = 0.709 * float(_HLL_M) * float(_HLL_M) * float(1 << _HLL_RHO_CAP)
 
-
-@query(
-    "hll_distinct_shingles_by_source",
-    category="sketch",
-    oracle=f"""
-        WITH sh AS (SELECT source, unnest(list_distinct(list_transform(
-                        generate_series(1, len(string_split(text, ' ')) - 2),
-                        i -> concat_ws(' ', {_SH_WORDS})))) AS tok
-                    FROM documents),
+#: Shared CTE chain for the HLL oracles (batch query below + the
+#: streaming twin in plans/streams.py): shingle md5-bigints → register
+#: index / rank → per-register max → harmonic denominator in exact
+#: BIGINT.
+_HLL_CTES = f"""
+        sh AS (SELECT source, unnest(list_distinct(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 2),
+                   i -> concat_ws(' ', {_SH_WORDS})))) AS tok
+               FROM documents),
         hv AS (SELECT DISTINCT source,
                       CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS hv
                FROM sh),
@@ -412,7 +412,15 @@ _HLL_ALPHA_NUM = 0.709 * float(_HLL_M) * float(_HLL_M) * float(1 << _HLL_RHO_CAP
         den AS (SELECT source,
                        SUM(CAST(power(2, {_HLL_RHO_CAP} - m) AS BIGINT)) AS denom,
                        SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS hit
-                FROM filled GROUP BY source),
+                FROM filled GROUP BY source)
+"""
+
+
+@query(
+    "hll_distinct_shingles_by_source",
+    category="sketch",
+    oracle=f"""
+        WITH {_HLL_CTES.strip()},
         ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_distinct
                FROM hv GROUP BY source)
         SELECT d.source,

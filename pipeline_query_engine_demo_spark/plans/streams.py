@@ -811,3 +811,63 @@ def streaming_kmv_distinct_by_source(spark: SparkSession, sf_dir: str) -> DataFr
         name="t_kmv",
     )
     return result.orderBy("source")
+
+
+@query(
+    "streaming_hll_distinct_by_source",
+    category="streaming",
+    oracle=f"""
+        WITH {_sketches._HLL_CTES.strip()}
+        SELECT source,
+               CAST(hit AS BIGINT) AS registers_hit,
+               {sql_round_half_up(
+                   f"{_sketches._HLL_ALPHA_NUM!r} / CAST(denom AS DOUBLE)", 6)}
+                   AS hll_estimate
+        FROM den ORDER BY source
+    """,
+)
+def streaming_hll_distinct_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of hll_distinct_shingles_by_source: documents
+    stream in as raw (source, hv) shingle hashes, per-source register
+    state merges by element-wise max (streaming.stateful_hll — m=64
+    longs per key, FIXED regardless of stream length or duplicate
+    re-delivery), drained via the availableNow harness. Register max
+    is associative + commutative + idempotent, so any batch split of
+    the stream converges to the batch sketch bit-for-bit and the batch
+    CTE chain is the oracle verbatim. Like the KMV twin, no
+    stream-side distinct: dedup is free inside the bounded register
+    merge, not an unbounded dropDuplicates state upstream. Multi-batch
+    state evolution (median doc_id split) is exercised in
+    tests/test_streaming."""
+    import pyspark.sql.functions as _F
+
+    from pipeline_query_engine_demo_spark.operators import dedup as _dedup
+    from pipeline_query_engine_demo_spark.streaming.windows import (
+        _stream_source_dir,
+    )
+
+    d = _stream_source_dir(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    docs = spark.readStream.schema(schema).parquet(d)
+    rows = docs.select(
+        "source",
+        _F.explode(
+            _dedup._units(_F.col("text"), _dedup.DEFAULT_SHINGLE_N)
+        ).alias("tok"),
+    ).select(
+        "source",
+        _F.conv(_F.substring(_F.md5("tok"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("hv"),
+    )
+    result = streaming.run_to_memory(
+        streaming.stateful_hll(
+            rows,
+            _sketches._HLL_M,
+            _sketches._HLL_RHO_CAP,
+            _sketches._HLL_ALPHA_NUM,
+        ),
+        "update",
+        name="t_hll",
+    )
+    return result.orderBy("source")

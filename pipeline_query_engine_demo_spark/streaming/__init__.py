@@ -21,6 +21,7 @@ from pipeline_query_engine_demo_spark.streaming.windows import (
     run_to_memory,
     stateful_cusum,
     stateful_ewma,
+    stateful_hll,
     stateful_kmv,
     stateful_user_counts,
     stream_static_join_segments,
@@ -37,6 +38,8 @@ __all__ = [
     "run_to_memory",
     "stateful_cusum",
     "stateful_ewma",
+    "stateful_hll",
+    "stateful_kmv",
     "stateful_user_counts",
     "stream_static_join_segments",
     "stream_stream_click_purchases",

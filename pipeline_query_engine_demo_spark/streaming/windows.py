@@ -543,6 +543,73 @@ def stateful_kmv(rows: DataFrame, k: int, universe: int, est_num: float) -> Data
     )
 
 
+def stateful_hll(
+    rows: DataFrame, m: int, rho_cap: int, alpha_num: float
+) -> DataFrame:
+    """Streaming HyperLogLog via ``applyInPandasWithState``: per-key
+    state is the m max-rank registers — FIXED at m longs per key (even
+    tighter than KMV's k), merged by element-wise max, so re-delivered
+    rows and arbitrarily long streams cost nothing. Emits the key, the
+    hit-register count and the raw-HLL estimate with the repo's
+    floor-half-up rounding, matching plans/sketches' batch HLL
+    bit-for-bit: the same integer registers (rho from an exact shift
+    loop, no float log), the same exact-BIGINT harmonic denominator
+    (python ints), the same one IEEE division by the pre-folded
+    alpha*m^2*2^rho_cap numerator.
+
+    ``rows``: streaming (source, hv) pairs, hv in [0, 2^60);
+    ``m``/``rho_cap``/``alpha_num``: plans.sketches._HLL_M /
+    _HLL_RHO_CAP / _HLL_ALPHA_NUM (passed in, not imported — streaming
+    must not depend on the query layer)."""
+    import math
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def merge(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        regs = (
+            np.array(state.get[0], dtype=np.int64)
+            if state.exists
+            else np.zeros(m, dtype=np.int64)
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        hv = batch["hv"].to_numpy(dtype=np.int64)
+        j = hv % m
+        rest = hv // m
+        # exact integer bit-length via repeated shifts (<= rho_cap
+        # passes) — float log2/frexp could mis-rank values that round
+        # up across a power of two
+        bl = np.zeros(len(rest), dtype=np.int64)
+        tmp = rest.copy()
+        while (tmp > 0).any():
+            bl[tmp > 0] += 1
+            tmp >>= 1
+        rho = np.where(rest == 0, rho_cap, rho_cap - bl)
+        np.maximum.at(regs, j, rho)
+        state.update((regs.tolist(),))
+        denom = sum(1 << (rho_cap - int(r)) for r in regs)
+        est = alpha_num / float(denom)
+        yield pd.DataFrame(
+            {
+                "source": [key[0]],
+                "registers_hit": [int((regs > 0).sum())],
+                "hll_estimate": [math.floor(est * 1e6 + 0.5) / 1e6],
+            }
+        )
+
+    return rows.groupBy("source").applyInPandasWithState(
+        merge,
+        outputStructType="source string, registers_hit bigint, hll_estimate double",
+        stateStructType="regs array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_rate_bounded(
     spark: SparkSession,
     rows_per_batch: int,

@@ -465,3 +465,63 @@ def test_streaming_kmv_state_evolves_across_split_batches(spark, sf_dir, tmp_pat
     assert final == batch
     # the split must actually have produced >1 batch for some source
     assert result.groupBy("source").count().filter("count > 1").count() > 0
+
+
+def test_streaming_hll_state_evolves_across_split_batches(spark, sf_dir, tmp_path):
+    """HLL register merge is an element-wise max — associative,
+    commutative, idempotent — so any batch split converges to the
+    batch sketch. Same median doc_id split as the KMV twin (both
+    halves carry every source); the final state per source is the
+    max-registers_hit row, and its estimate must equal the batch HLL
+    query's column-for-column (the estimate is NON-decreasing in the
+    registers, so max registers_hit picks the last update)."""
+    import time
+
+    from pyspark.sql import Window
+
+    from pipeline_query_engine_demo_spark.plans import sketches
+    from pipeline_query_engine_demo_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_chunks_hll")
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    for ch in [
+        docs.filter(F.col("doc_id") <= mid),
+        docs.filter(F.col("doc_id") > mid),
+    ]:
+        ch.coalesce(1).write.mode("append").parquet(out)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    rows = stream.select(
+        "source",
+        F.explode(dedup._units(F.col("text"), dedup.DEFAULT_SHINGLE_N)).alias("tok"),
+    ).select(
+        "source",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint").alias("hv"),
+    )
+    result = streaming.run_to_memory(
+        streaming.stateful_hll(
+            rows, sketches._HLL_M, sketches._HLL_RHO_CAP, sketches._HLL_ALPHA_NUM
+        ),
+        "update",
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("registers_hit").desc(), F.col("hll_estimate").desc()
+    )
+    final = {
+        (r["source"]): (r["registers_hit"], r["hll_estimate"])
+        for r in result.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    batch = {
+        r["source"]: (r["registers_hit"], r["hll_estimate"])
+        for r in sketches.hll_distinct_shingles_by_source(spark, sf_dir).collect()
+    }
+    assert final == batch
+    # the split must actually have produced >1 update for some source
+    assert result.groupBy("source").count().filter("count > 1").count() > 0
