@@ -4300,3 +4300,138 @@ def sequential_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_users").desc(), "type_a", "type_b")
     )
+
+
+_ACF_MAX_LAG = 5
+#: round9-then-DECIMAL day-total term, shared by the Spark builder's
+#: SQL twin below.
+_ACF_TERM = sql_round_half_up("value", 9)
+
+
+@query(
+    "acf_daily_event_values",
+    category="analytics",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   SUM(CAST({_ACF_TERM} AS DECIMAL(28,12))) AS ds_dec
+            FROM events GROUP BY 1, 2),
+        st AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(ds_dec) AS DOUBLE) AS tot
+            FROM daily GROUP BY 1),
+        dev AS (
+            SELECT d.event_type, d.day, st.n_days,
+                   CAST(d.ds_dec AS DOUBLE) - st.tot / st.n_days AS dv
+            FROM daily d JOIN st ON st.event_type = d.event_type),
+        lagged AS (
+            SELECT event_type, day, n_days, dv,
+                   {", ".join(
+                       f"lag(dv, {L}) OVER "
+                       "(PARTITION BY event_type ORDER BY day) AS "
+                       f"dv{L}" for L in range(1, _ACF_MAX_LAG + 1))}
+            FROM dev),
+        agg AS (
+            SELECT event_type, MAX(n_days) AS n_days,
+                   CAST(SUM(CAST({sql_round_half_up("dv * dv", 9)}
+                       AS DECIMAL(28,12))) AS DOUBLE) AS denom,
+                   {", ".join(
+                       f"CAST(SUM(CAST({sql_round_half_up(f'dv * dv{L}', 9)}"
+                       f" AS DECIMAL(28,12))) AS DOUBLE) AS num{L}"
+                       for L in range(1, _ACF_MAX_LAG + 1))}
+            FROM lagged GROUP BY event_type)
+        SELECT event_type, CAST(lag AS INT) AS lag,
+               CAST(n_days AS BIGINT) AS n_days,
+               {sql_round_half_up("num / denom", 6)} AS acf
+        FROM agg,
+             LATERAL (VALUES {", ".join(
+                 f"({L}, num{L})" for L in range(1, _ACF_MAX_LAG + 1))})
+                 AS t(lag, num)
+        ORDER BY event_type, lag
+    """,
+)
+def acf_daily_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation function (lags 1..5) of each event
+    type's DAILY value total — the seasonality diagnostic that decides
+    whether a forecast needs weekly terms (big lag-7 ACF) or is white
+    noise. r_L = Σ (x_t - x̄)(x_{t-L} - x̄) / Σ (x_t - x̄)², the
+    standard biased estimator with the full-series denominator.
+
+    Determinism: day totals and all quadratic sums use the repo's
+    order-independent recipe (round each term to 9 dp → DECIMAL(28,12)
+    accumulate → one double cast); x̄ is one double division of an
+    exact decimal total, so every dev product is the same IEEE value
+    in both engines and the gate hash-compares acf raw.
+
+    Scale: the ONLY corpus-sized stage is the (event_type, day)
+    aggregation — fully combinable, shuffle carries one decimal per
+    group. The lag windows then run over |types| × |days| rows
+    (thousands at a century of days), so per-type sequential
+    dependence never touches the event-level data. Window is
+    partitioned by event_type (audit-clean)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.sum(round_half_up(F.col("value"), 9).cast("decimal(28,12)")).alias(
+            "ds_dec"
+        )
+    )
+    st = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("ds_dec").cast("double").alias("tot"),
+    )
+    dev = daily.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        "day",
+        "n_days",
+        (F.col("ds_dec").cast("double") - F.col("tot") / F.col("n_days")).alias(
+            "dv"
+        ),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = dev.select(
+        "event_type",
+        "n_days",
+        "dv",
+        *[
+            F.lag("dv", L).over(w).alias(f"dv{L}")
+            for L in range(1, _ACF_MAX_LAG + 1)
+        ],
+    )
+
+    def _dsum(col):
+        return F.sum(round_half_up(col, 9).cast("decimal(28,12)")).cast("double")
+
+    agg = lagged.groupBy("event_type").agg(
+        F.max("n_days").alias("n_days"),
+        _dsum(F.col("dv") * F.col("dv")).alias("denom"),
+        *[
+            _dsum(F.col("dv") * F.col(f"dv{L}")).alias(f"num{L}")
+            for L in range(1, _ACF_MAX_LAG + 1)
+        ],
+    )
+    stacked = agg.select(
+        "event_type",
+        "n_days",
+        "denom",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(L).cast("int").alias("lag"),
+                        F.col(f"num{L}").alias("num"),
+                    )
+                    for L in range(1, _ACF_MAX_LAG + 1)
+                ]
+            )
+        ).alias("ln"),
+    )
+    return stacked.select(
+        "event_type",
+        F.col("ln.lag").alias("lag"),
+        F.col("n_days").cast("bigint").alias("n_days"),
+        round_half_up(F.col("ln.num") / F.col("denom"), 6).alias("acf"),
+    ).orderBy("event_type", "lag")

@@ -341,3 +341,38 @@ def test_sequential_pattern_identity_vs_bruteforce(spark, sf_dir):
     for key, n in expect.items():
         assert got[key][0] == n, key
         assert got[key][1] == math.floor(n / n_users * 1e6 + 0.5) / 1e6
+
+
+def test_acf_matches_numpy_reference(spark, sf_dir):
+    """The distributed ACF (decimal-accumulated, lag windows) equals a
+    literal numpy autocorrelation of the same daily series to within
+    the output rounding, and every |r_L| <= 1 (Cauchy-Schwarz)."""
+    import numpy as np
+
+    from pipeline_query_engine_demo_spark.plans.analytics import (
+        acf_daily_event_values,
+    )
+
+    got = {
+        (r["event_type"], r["lag"]): (r["acf"], r["n_days"])
+        for r in acf_daily_event_values(spark, sf_dir).collect()
+    }
+    events = load_table(spark, sf_dir, "events")
+    rows = events.select(
+        "event_type", F.date_trunc("day", "ts").alias("day"), "value"
+    ).collect()
+    series: dict = {}
+    for r in rows:
+        series.setdefault(r["event_type"], {}).setdefault(r["day"], 0.0)
+        series[r["event_type"]][r["day"]] += r["value"]
+    for et, by_day in series.items():
+        x = np.array([v for _, v in sorted(by_day.items())])
+        dev = x - x.mean()
+        denom = float(dev @ dev)
+        for L in range(1, 6):
+            expect = float(dev[L:] @ dev[:-L]) / denom
+            acf, n_days = got[(et, L)]
+            assert n_days == len(x)
+            assert abs(acf - expect) < 5e-6, (et, L, acf, expect)
+            assert abs(acf) <= 1.0 + 1e-9
+    assert len(got) == 5 * len(series)
