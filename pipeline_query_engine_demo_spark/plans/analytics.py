@@ -4435,3 +4435,143 @@ def acf_daily_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_days").cast("bigint").alias("n_days"),
         round_half_up(F.col("ln.num") / F.col("denom"), 6).alias("acf"),
     ).orderBy("event_type", "lag")
+
+
+@query(
+    "gini_revenue_concentration",
+    category="analytics",
+    oracle="""
+        WITH rev AS (
+            SELECT c.c_mktsegment AS segment, o.o_custkey AS custkey,
+                   CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY 1, 2),
+        r AS (
+            SELECT segment, custkey, cents,
+                   row_number() OVER (PARTITION BY segment
+                                      ORDER BY cents, custkey) AS rn
+            FROM rev),
+        st AS (
+            SELECT segment,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents,
+                   CAST(SUM(rn * cents) AS BIGINT) AS a
+            FROM r GROUP BY segment),
+        top AS (
+            SELECT r.segment, CAST(SUM(r.cents) AS BIGINT) AS top_cents
+            FROM r JOIN st ON st.segment = r.segment
+            WHERE r.rn > st.n_customers - (st.n_customers + 9) // 10
+            GROUP BY r.segment)
+        SELECT st.segment, st.n_customers, st.total_cents,
+               CASE WHEN isfinite(CAST(2 * st.a - (st.n_customers + 1)
+                        * st.total_cents AS DOUBLE)
+                        / CAST(st.n_customers * st.total_cents AS DOUBLE))
+                    THEN floor((CAST(2 * st.a - (st.n_customers + 1)
+                        * st.total_cents AS DOUBLE)
+                        / CAST(st.n_customers * st.total_cents AS DOUBLE))
+                        * 1000000.0 + 0.5) / 1000000.0 END AS gini,
+               CASE WHEN isfinite(CAST(top.top_cents AS DOUBLE)
+                        / CAST(st.total_cents AS DOUBLE))
+                    THEN floor((CAST(top.top_cents AS DOUBLE)
+                        / CAST(st.total_cents AS DOUBLE))
+                        * 1000000.0 + 0.5) / 1000000.0 END AS top_decile_share
+        FROM st JOIN top ON top.segment = st.segment
+        ORDER BY st.segment
+    """,
+)
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient + top-decile revenue share per market segment —
+    the inequality/concentration diagnostic next to the HHI query
+    (source_concentration_hhi measures across-group concentration; Gini
+    measures WITHIN-group customer inequality). Uses the rank identity
+    G = (2·Σ rn·x − (n+1)·Σx) / (n·Σx) over ascending-revenue ranks;
+    ties permute equal values between equal weights, so any
+    deterministic tiebreak (custkey) gives the same G.
+
+    Determinism: revenue stays in exact integer CENTS (the RFM recipe)
+    through rank-weighted BIGINT sums; the only doubles are the two
+    final divisions — identical IEEE both engines, gate-hashed raw.
+
+    Scale: per-customer revenue is one combinable agg. The per-segment
+    ascending rank runs as a two-phase bucketed row_number (rank inside
+    (segment, cents-range bucket) in parallel + broadcast per-bucket
+    offsets) — no window ever sees a whole segment's customers in one
+    task, unlike a naive PARTITION BY segment rank whose parallelism
+    is the 5 segments."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    rev = (
+        orders.join(
+            customer.select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.col("c_mktsegment").alias("segment"),
+            ),
+            "o_custkey",
+        )
+        .groupBy("segment", F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    # two-phase rank: bucket is a monotone function of cents, so
+    # (segment, bucket)-local ranks + per-segment broadcast offsets
+    # equal the per-segment global rank
+    b = rev.withColumn("_b", F.expr("cents div 1048576"))
+    w_in = Window.partitionBy("segment", "_b").orderBy("cents", "custkey")
+    within = b.withColumn("_rn_in", F.row_number().over(w_in))
+    counts = b.groupBy("segment", "_b").agg(F.count(F.lit(1)).alias("_bn"))
+    w_off = (
+        Window.partitionBy("segment")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "segment", "_b", F.coalesce(F.sum("_bn").over(w_off), F.lit(0)).alias("_off")
+    )
+    r = (
+        within.join(F.broadcast(offsets), ["segment", "_b"])
+        .withColumn("rn", (F.col("_off") + F.col("_rn_in")).cast("bigint"))
+        .drop("_b", "_rn_in", "_off")
+    )
+    st = r.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.sum(F.col("rn") * F.col("cents")).cast("bigint").alias("a"),
+    )
+    top = (
+        r.join(F.broadcast(st), "segment")
+        .filter(
+            F.col("rn")
+            > F.col("n_customers") - F.expr("(n_customers + 9) div 10")
+        )
+        .groupBy("segment")
+        .agg(F.sum("cents").cast("bigint").alias("top_cents"))
+    )
+    gini = (
+        (
+            F.lit(2) * F.col("a")
+            - (F.col("n_customers") + 1) * F.col("total_cents")
+        ).cast("double")
+        / (F.col("n_customers") * F.col("total_cents")).cast("double")
+    )
+    share = F.col("top_cents").cast("double") / F.col("total_cents").cast("double")
+    return (
+        st.join(top, "segment")
+        .select(
+            "segment",
+            "n_customers",
+            "total_cents",
+            round_half_up(gini, 6).alias("gini"),
+            round_half_up(share, 6).alias("top_decile_share"),
+        )
+        .orderBy("segment")
+    )

@@ -376,3 +376,54 @@ def test_acf_matches_numpy_reference(spark, sf_dir):
             assert abs(acf - expect) < 5e-6, (et, L, acf, expect)
             assert abs(acf) <= 1.0 + 1e-9
     assert len(got) == 5 * len(series)
+
+
+def test_gini_matches_numpy_and_bounds(spark, sf_dir):
+    """The two-phase-ranked Gini equals the literal sorted-array
+    formula, top-decile share equals a literal slice sum, and both
+    sit in their theoretical ranges (0 <= G < 1, share >= decile
+    mass fraction)."""
+    import math
+
+    from pipeline_query_engine_demo_spark.plans.analytics import (
+        gini_revenue_concentration,
+    )
+
+    got = {
+        r["segment"]: r
+        for r in gini_revenue_concentration(spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    rows = (
+        orders.join(
+            customer.select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            ),
+            "o_custkey",
+        )
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+            ).alias("cents")
+        )
+        .collect()
+    )
+    by_seg: dict = {}
+    for r in rows:
+        by_seg.setdefault(r["c_mktsegment"], []).append(int(r["cents"]))
+    assert set(by_seg) == set(got)
+    for seg, xs in by_seg.items():
+        xs.sort()
+        n, total = len(xs), sum(xs)
+        num = sum((2 * i - n - 1) * x for i, x in enumerate(xs, start=1))
+        expect_g = math.floor(num / (n * total) * 1e6 + 0.5) / 1e6
+        k = (n + 9) // 10
+        expect_s = math.floor(sum(xs[n - k:]) / total * 1e6 + 0.5) / 1e6
+        row = got[seg]
+        assert row["n_customers"] == n and row["total_cents"] == total
+        assert row["gini"] == expect_g, seg
+        assert row["top_decile_share"] == expect_s, seg
+        assert 0.0 <= row["gini"] < 1.0
+        assert row["top_decile_share"] >= k / n - 1e-9
