@@ -4575,3 +4575,135 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "t_closeness_audit",
+    category="analytics",
+    oracle=f"""
+        WITH cb AS (
+            SELECT c_mktsegment AS seg, c_nationkey AS nat,
+                   CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band,
+                   CAST(COUNT(*) AS BIGINT) AS n_cb
+            FROM customer GROUP BY 1, 2, 3),
+        g AS (SELECT band, CAST(SUM(n_cb) AS BIGINT) AS g_b
+              FROM cb GROUP BY band),
+        tot AS (SELECT CAST(SUM(g_b) AS BIGINT) AS n,
+                       CAST(COUNT(*) AS BIGINT) AS m FROM g),
+        cls AS (SELECT seg, nat, CAST(SUM(n_cb) AS BIGINT) AS n_c
+                FROM cb GROUP BY 1, 2),
+        grid AS (
+            SELECT cls.seg, cls.nat, cls.n_c, g.band, g.g_b,
+                   COALESCE(cb.n_cb, CAST(0 AS BIGINT)) AS n_cb
+            FROM cls CROSS JOIN g
+            LEFT JOIN cb ON cb.seg = cls.seg AND cb.nat = cls.nat
+                        AND cb.band = g.band),
+        cum AS (
+            SELECT seg, nat, n_c,
+                   SUM(n_cb) OVER (PARTITION BY seg, nat ORDER BY band)
+                       AS c_ci,
+                   SUM(g_b) OVER (PARTITION BY seg, nat ORDER BY band)
+                       AS g_i
+            FROM grid),
+        emd AS (
+            SELECT c.seg, c.nat, MAX(c.n_c) AS n_c,
+                   CAST(SUM(ABS(t.n * c.c_ci - c.n_c * c.g_i)) AS BIGINT)
+                       AS s
+            FROM cum c CROSS JOIN tot t GROUP BY c.seg, c.nat)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(MAX(t.m) AS BIGINT) AS m_bands,
+               {sql_round_half_up(
+                   "MAX(CAST(e.s AS DOUBLE)"
+                   " / CAST(e.n_c * t.n * (t.m - 1) AS DOUBLE))", 6)}
+                   AS max_t,
+               CAST(SUM(CASE WHEN 5 * e.s > e.n_c * t.n * (t.m - 1)
+                             THEN e.n_c ELSE 0 END) AS BIGINT)
+                   AS rows_above_t02,
+               {sql_round_half_up(
+                   "CAST(SUM(CASE WHEN 5 * e.s > e.n_c * t.n * (t.m - 1)"
+                   " THEN e.n_c ELSE 0 END) AS DOUBLE)"
+                   " / CAST(MAX(t.n) AS DOUBLE)", 6)}
+                   AS frac_above_t02
+        FROM emd e CROSS JOIN tot t
+    """,
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE'07)
+    completing the privacy trio with k_anonymity_audit and
+    l_diversity_audit: a class can be large (k) and varied (l) yet
+    still leak if its sensitive-value DISTRIBUTION diverges from the
+    global one. For the ordered sensitive attribute (acctbal $1000
+    bands) the distance is the ordered earth-mover's:
+    EMD(P, Q) = Σ_i |cum_i(P) − cum_i(Q)| / (m − 1). Reports the worst
+    class t, plus the row mass in classes with EMD > 0.2.
+
+    Determinism: cum_i(P) − cum_i(Q) = (N·C_i − n_c·G_i) / (n_c·N)
+    with integer cumulative counts C, G — the whole audit is exact
+    BIGINT arithmetic (the t > 0.2 predicate cross-multiplies:
+    5·S > n_c·N·(m−1)); only the two reported ratios are doubles.
+
+    Scale: class×band counting is one combinable aggregate; the
+    class×band grid is |classes|·|bands| rows (tiny — the DOMAIN is
+    small even when the corpus isn't), with the global band histogram
+    broadcast onto it."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint")
+    cb = cust.groupBy(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+        band.alias("band"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_cb"))
+    g = cb.groupBy("band").agg(F.sum("n_cb").cast("bigint").alias("g_b"))
+    tot = g.agg(
+        F.sum("g_b").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    cls = cb.groupBy("seg", "nat").agg(
+        F.sum("n_cb").cast("bigint").alias("n_c")
+    )
+    grid = (
+        cls.crossJoin(F.broadcast(g))
+        .join(cb, ["seg", "nat", "band"], "left")
+        .select(
+            "seg",
+            "nat",
+            "n_c",
+            "band",
+            "g_b",
+            F.coalesce("n_cb", F.lit(0).cast("bigint")).alias("n_cb"),
+        )
+    )
+    w = Window.partitionBy("seg", "nat").orderBy("band")
+    cum = grid.select(
+        "seg",
+        "nat",
+        "n_c",
+        F.sum("n_cb").over(w).alias("c_ci"),
+        F.sum("g_b").over(w).alias("g_i"),
+    )
+    emd = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("seg", "nat")
+        .agg(
+            F.max("n_c").alias("n_c"),
+            F.sum(F.abs(F.col("n") * F.col("c_ci") - F.col("n_c") * F.col("g_i")))
+            .cast("bigint")
+            .alias("s"),
+        )
+    )
+    e = emd.crossJoin(F.broadcast(tot))
+    denom = F.col("n_c") * F.col("n") * (F.col("m") - 1)
+    above = F.when(F.lit(5) * F.col("s") > denom, F.col("n_c")).otherwise(0)
+    return e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.max("m").cast("bigint").alias("m_bands"),
+        round_half_up(
+            F.max(F.col("s").cast("double") / denom.cast("double")), 6
+        ).alias("max_t"),
+        F.sum(above).cast("bigint").alias("rows_above_t02"),
+        round_half_up(
+            F.sum(above).cast("double") / F.max("n").cast("double"), 6
+        ).alias("frac_above_t02"),
+    )

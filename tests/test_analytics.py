@@ -427,3 +427,53 @@ def test_gini_matches_numpy_and_bounds(spark, sf_dir):
         assert row["top_decile_share"] == expect_s, seg
         assert 0.0 <= row["gini"] < 1.0
         assert row["top_decile_share"] >= k / n - 1e-9
+
+
+def test_t_closeness_matches_python_emd(spark, sf_dir):
+    """The integer-arithmetic ordered EMD equals a literal python
+    fractions replay (exact rationals, no floats) for the worst class
+    and the violation mass; max_t respects 0 <= t <= 1."""
+    import math
+    from fractions import Fraction
+
+    from pipeline_query_engine_demo_spark.plans.analytics import (
+        t_closeness_audit,
+    )
+
+    row = t_closeness_audit(spark, sf_dir).collect()[0]
+    cust = load_table(spark, sf_dir, "customer")
+    rows = cust.select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint").alias("band"),
+    ).collect()
+    from collections import Counter
+
+    global_h: Counter = Counter()
+    by_class: dict = {}
+    for r in rows:
+        global_h[r["band"]] += 1
+        by_class.setdefault((r["c_mktsegment"], r["c_nationkey"]), Counter())[
+            r["band"]
+        ] += 1
+    bands = sorted(global_h)
+    n, m = sum(global_h.values()), len(bands)
+    emds = {}
+    for cls, h in by_class.items():
+        n_c = sum(h.values())
+        cp = cq = Fraction(0)
+        s = Fraction(0)
+        for b in bands:
+            cp += Fraction(h.get(b, 0), n_c)
+            cq += Fraction(global_h[b], n)
+            s += abs(cp - cq)
+        emds[cls] = s / (m - 1)
+    expect_max = max(emds.values())
+    above = sum(
+        sum(by_class[c].values()) for c, t in emds.items() if t > Fraction(1, 5)
+    )
+    assert row["n_classes"] == len(by_class)
+    assert row["m_bands"] == m
+    assert row["rows_above_t02"] == above
+    assert row["max_t"] == math.floor(float(expect_max) * 1e6 + 0.5) / 1e6
+    assert 0 <= row["max_t"] <= 1
