@@ -4163,3 +4163,108 @@ def ann_multiprobe_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     return similarity.ann_topk_multiprobe(
         emb, q, "vec_id", "embedding", k=10, dims=(0, 7, 21, 42)
     ).orderBy("query_id", "rank")
+
+
+_ZIPF_TOP = 1000
+_ZIPF_DSUM = (
+    "CAST(SUM(CAST(CASE WHEN isfinite({e}) THEN floor(({e}) * 1000000000.0"
+    " + 0.5) / 1000000000.0 END AS DECIMAL(28,12))) AS DOUBLE)"
+)
+
+
+@query(
+    "zipf_rank_frequency_fit",
+    category="llm-text",
+    oracle=f"""
+        WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+                FROM toks GROUP BY tok),
+        top AS (SELECT tok, c,
+                       row_number() OVER (ORDER BY c DESC, tok) AS r
+                FROM cnt ORDER BY c DESC, tok LIMIT {_ZIPF_TOP}),
+        terms AS (SELECT ln(CAST(r AS DOUBLE)) AS x,
+                         ln(CAST(c AS DOUBLE)) AS y
+                  FROM top),
+        s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     {_ZIPF_DSUM.format(e="x")} AS sx,
+                     {_ZIPF_DSUM.format(e="y")} AS sy,
+                     {_ZIPF_DSUM.format(e="x * y")} AS sxy,
+                     {_ZIPF_DSUM.format(e="x * x")} AS sxx,
+                     {_ZIPF_DSUM.format(e="y * y")} AS syy
+              FROM terms)
+        SELECT n AS n_ranks,
+               {sql_round_half_up(
+                   "(n * sxy - sx * sy) / (n * sxx - sx * sx)", 6)} AS slope,
+               {sql_round_half_up(
+                   "(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)"
+                   " / n", 6)} AS intercept,
+               {sql_round_half_up(
+                   "((n * sxy - sx * sy) * (n * sxy - sx * sy))"
+                   " / ((n * sxx - sx * sx) * (n * syy - sy * sy))", 6)}
+                   AS r2
+        FROM s
+    """,
+)
+def zipf_rank_frequency_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: OLS of ln(frequency) on ln(rank) over the top
+    1000 corpus token ranks — the rank-frequency twin of
+    heaps_law_vocab_growth (slope ≈ −1 for natural language; a far
+    shallower or steeper slope flags template spam or truncated
+    vocabularies before tokenizer training). Fitting the HEAD is
+    standard practice (the unigram tail departs from the power law)
+    and is also what makes the plan scale: top-k, never a full-vocab
+    rank.
+
+    Determinism: every logarithm both engines take is ln of the SAME
+    integer; the quadratic sums use the order-independent round9 →
+    DECIMAL(28,12) recipe, then slope/intercept/r² are closed-form
+    doubles from six scalars, gate-hashed raw.
+
+    Scale: token counting is one combinable aggregate; the top-1000
+    cut compiles to TakeOrderedAndProject (per-partition k-heaps, a
+    k·partitions driver merge — no global sort). Ranks attach on the
+    1000-row result via the bucketed two-phase row_number, and the
+    OLS is a 1000-row aggregate."""
+    from pipeline_query_engine_demo_spark.plans.analytics import (
+        _bucketed_row_number,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokens("text")).alias("tok"))
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    top = (
+        cnt.orderBy(F.col("c").desc(), "tok")
+        .limit(_ZIPF_TOP)
+        .withColumn("negc", -F.col("c"))
+    )
+    ranked = _bucketed_row_number(top, "negc", "tok", F.col("negc"), "r")
+    terms = ranked.select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+
+    def _dsum(col):
+        return F.sum(round_half_up(col, 9).cast("decimal(28,12)")).cast("double")
+
+    s = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        _dsum(F.col("x")).alias("sx"),
+        _dsum(F.col("y")).alias("sy"),
+        _dsum(F.col("x") * F.col("y")).alias("sxy"),
+        _dsum(F.col("x") * F.col("x")).alias("sxx"),
+        _dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / varx
+    return s.select(
+        F.col("n").alias("n_ranks"),
+        round_half_up(slope, 6).alias("slope"),
+        round_half_up((F.col("sy") - slope * F.col("sx")) / n, 6).alias(
+            "intercept"
+        ),
+        round_half_up((cov * cov) / (varx * vary), 6).alias("r2"),
+    )

@@ -431,3 +431,41 @@ def test_rrf_fusion_matches_python_reference(spark, sf_dir):
     assert all(
         r["rank_bm25"] is not None or r["rank_jacc"] is not None for r in got
     )
+
+
+def test_zipf_fit_matches_numpy_polyfit(spark, sf_dir):
+    """The decimal-accumulated OLS equals numpy's lstsq fit on the
+    identical (ln rank, ln count) points to within output rounding;
+    the fit is a genuine decreasing power-law head (negative slope,
+    r² in [0, 1]) — the fixture's synthetic unigram draw is flatter
+    than natural text (slope ≈ −0.18), which is exactly the signal
+    the query exists to surface."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from pipeline_query_engine_demo_spark.functions import text
+    from pipeline_query_engine_demo_spark.plans.llm import (
+        zipf_rank_frequency_fit,
+    )
+    from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+    row = zipf_rank_frequency_fit(spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokens("text")).alias("tok"))
+    cnt = {
+        r["tok"]: r["c"]
+        for r in toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:1000]
+    x = np.log(np.arange(1, len(top) + 1, dtype=float))
+    y = np.log(np.array([c for _, c in top], dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    r = np.corrcoef(x, y)[0, 1]
+    assert row["n_ranks"] == len(top)
+    assert abs(row["slope"] - slope) < 1e-4
+    assert abs(row["intercept"] - intercept) < 1e-4
+    assert abs(row["r2"] - r * r) < 1e-4
+    assert row["slope"] < 0
+    assert 0.0 <= row["r2"] <= 1.0
