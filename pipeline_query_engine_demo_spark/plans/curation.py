@@ -1377,3 +1377,144 @@ def duplicated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("island")
         .orderBy("doc_id", "span_start")
     )
+
+
+_DSIR_B = 4096
+_DSIR_TARGET = "src0"
+_DSIR_TOP = 20
+_DSIR_DSUM = (
+    "CAST(SUM(CAST(CASE WHEN isfinite({e}) THEN floor(({e}) * 1000000000.0"
+    " + 0.5) / 1000000000.0 END AS DECIMAL(28,12))) AS DOUBLE)"
+)
+
+
+@query(
+    "dsir_importance_selection",
+    category="llm-curation",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   CAST('0x' || substring(md5(unnest(string_split(text, ' '))),
+                        1, 15) AS BIGINT) % {_DSIR_B} AS b
+            FROM documents),
+        tcnt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS t_b FROM toks
+                 WHERE source = '{_DSIR_TARGET}' GROUP BY b),
+        rcnt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS r_b FROM toks
+                 WHERE source <> '{_DSIR_TARGET}' GROUP BY b),
+        nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM toks
+               WHERE source = '{_DSIR_TARGET}'),
+        nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM toks
+               WHERE source <> '{_DSIR_TARGET}'),
+        buckets AS (SELECT DISTINCT b FROM toks),
+        lr AS (
+            SELECT bk.b,
+                   ln(CAST((COALESCE(t.t_b, 0) + 1) * (nr.v + {_DSIR_B})
+                           AS DOUBLE)
+                      / CAST((COALESCE(r.r_b, 0) + 1) * (nt.v + {_DSIR_B})
+                             AS DOUBLE)) AS lr
+            FROM buckets bk
+            LEFT JOIN tcnt t ON t.b = bk.b
+            LEFT JOIN rcnt r ON r.b = bk.b
+            CROSS JOIN nt CROSS JOIN nr),
+        db AS (SELECT doc_id, source, b, CAST(COUNT(*) AS BIGINT) AS c
+               FROM toks WHERE source <> '{_DSIR_TARGET}'
+               GROUP BY doc_id, source, b),
+        w AS (
+            SELECT db.doc_id, db.source,
+                   {_DSIR_DSUM.format(e="db.c * lr.lr")} AS weight
+            FROM db JOIN lr ON lr.b = db.b
+            GROUP BY db.doc_id, db.source)
+        SELECT doc_id, source,
+               {sql_round_half_up("weight", 6)} AS importance
+        FROM w
+        ORDER BY weight DESC, doc_id
+        LIMIT {_DSIR_TOP}
+    """,
+)
+def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style targeted data selection (Xie et al., "Data Selection
+    for Language Models via Importance Resampling", NeurIPS 2023 —
+    public): score every out-of-domain document by the hashed-unigram
+    log importance ratio Σ_b c_{d,b}·ln(p̂_target(b)/p̂_raw(b)) with
+    add-1 smoothing over {_DSIR_B} md5 buckets, and select the top
+    {_DSIR_TOP} docs that look most like the target domain ({_DSIR_TARGET!r}
+    stands in for the high-quality target corpus). The hashed-feature
+    trick is the whole point at scale: the "language model" of each
+    side is a {_DSIR_B}-row table, not a vocabulary.
+
+    Determinism: the smoothed ratio folds to a quotient of two exact
+    BIGINT products, so each ln sees one identical double; per-doc
+    weights accumulate via the round9 → DECIMAL recipe; the top-20 cut
+    orders by the exact decimal weight before output rounding.
+
+    Scale: two passes of combinable aggregates (bucket counts; per-doc
+    bucket counts), a broadcast {_DSIR_B}-row log-ratio join, and a
+    TakeOrderedAndProject top-k — no shuffle ever carries text, and
+    the raw-corpus scoring is embarrassingly parallel."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("tok")
+    ).select(
+        "doc_id",
+        "source",
+        F.pmod(
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint"),
+            F.lit(_DSIR_B),
+        ).alias("b"),
+    )
+    is_t = F.col("source") == _DSIR_TARGET
+    tcnt = (
+        toks.filter(is_t)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t_b"))
+    )
+    rcnt = (
+        toks.filter(~is_t)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("r_b"))
+    )
+    nt = toks.filter(is_t).agg(F.count(F.lit(1)).cast("bigint").alias("ntv"))
+    nr = toks.filter(~is_t).agg(F.count(F.lit(1)).cast("bigint").alias("nrv"))
+    buckets = toks.select("b").distinct()
+    lr = (
+        buckets.join(tcnt, "b", "left")
+        .join(rcnt, "b", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "b",
+            F.log(
+                (
+                    (F.coalesce("t_b", F.lit(0)) + 1)
+                    * (F.col("nrv") + _DSIR_B)
+                ).cast("double")
+                / (
+                    (F.coalesce("r_b", F.lit(0)) + 1)
+                    * (F.col("ntv") + _DSIR_B)
+                ).cast("double")
+            ).alias("lr"),
+        )
+    )
+    db = (
+        toks.filter(~is_t)
+        .groupBy("doc_id", "source", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w = (
+        db.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(
+                round_half_up(F.col("c") * F.col("lr"), 9).cast("decimal(28,12)")
+            ).alias("wdec")
+        )
+    )
+    return (
+        w.orderBy(F.col("wdec").desc(), "doc_id")
+        .limit(_DSIR_TOP)
+        .select(
+            "doc_id",
+            "source",
+            round_half_up(F.col("wdec").cast("double"), 6).alias("importance"),
+        )
+    )

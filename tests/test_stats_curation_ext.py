@@ -198,3 +198,64 @@ def test_mad_matches_numpy_median(spark, sf_dir):
         assert math.isclose(r["median_value"], med, rel_tol=1e-12)
         assert math.isclose(r["mad_value"], mad, rel_tol=1e-12)
         assert r["n_outliers"] == int(np.sum(np.abs(x - med) > 3.0 * 1.4826 * mad))
+
+
+def test_dsir_selection_matches_python_replay(spark, sf_dir):
+    """Literal hashlib/Counter replay of the DSIR scorer: same md5
+    buckets, same add-1 smoothed integer-product log ratios, same
+    round9-then-sum weights — the top-20 selection and every reported
+    importance must match exactly."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from pipeline_query_engine_demo_spark.plans.curation import (
+        _DSIR_B,
+        _DSIR_TARGET,
+        _DSIR_TOP,
+        dsir_importance_selection,
+    )
+    from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+    got = dsir_importance_selection(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % _DSIR_B
+
+    tcnt: Counter = Counter()
+    rcnt: Counter = Counter()
+    per_doc: dict = {}
+    src_of = {}
+    for r in docs:
+        bs = [bucket(t) for t in r["text"].split(" ")]
+        src_of[r["doc_id"]] = r["source"]
+        if r["source"] == _DSIR_TARGET:
+            tcnt.update(bs)
+        else:
+            rcnt.update(bs)
+            per_doc[r["doc_id"]] = Counter(bs)
+    nt, nr = sum(tcnt.values()), sum(rcnt.values())
+    lr = {
+        b: math.log(
+            ((tcnt.get(b, 0) + 1) * (nr + _DSIR_B))
+            / ((rcnt.get(b, 0) + 1) * (nt + _DSIR_B))
+        )
+        for b in set(tcnt) | set(rcnt)
+    }
+
+    def r9(x):
+        return math.floor(x * 1e9 + 0.5) / 1e9
+
+    weights = {
+        d: sum(r9(c * lr[b]) for b, c in cnt.items())
+        for d, cnt in per_doc.items()
+    }
+    expect = sorted(weights.items(), key=lambda kv: (-kv[1], kv[0]))[:_DSIR_TOP]
+    assert len(got) == _DSIR_TOP
+    for row, (d, wv) in zip(got, expect):
+        assert row["doc_id"] == d
+        assert row["source"] == src_of[d]
+        assert row["importance"] == math.floor(wv * 1e6 + 0.5) / 1e6
