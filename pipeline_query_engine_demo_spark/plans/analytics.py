@@ -4707,3 +4707,136 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(above).cast("double") / F.max("n").cast("double"), 6
         ).alias("frac_above_t02"),
     )
+
+
+@query(
+    "stl_decompose_daily_values",
+    category="analytics",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   CAST(epoch_us(date_trunc('day', ts)) / 86400000000
+                        AS BIGINT) % 7 AS dowi,
+                   SUM(CAST({sql_round_half_up("value", 9)}
+                       AS DECIMAL(28,12))) AS ds_dec
+            FROM events GROUP BY 1, 2, 3),
+        tr AS (
+            SELECT event_type, day, dowi,
+                   CAST(ds_dec AS DOUBLE) AS x,
+                   CASE WHEN COUNT(*) OVER w = 7
+                        THEN CAST(SUM(ds_dec) OVER w AS DOUBLE) / 7.0
+                   END AS trend
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        det AS (
+            SELECT event_type, day, dowi, x, trend, x - trend AS d
+            FROM tr),
+        sraw AS (
+            SELECT event_type, dowi,
+                   CAST(SUM(CAST({sql_round_half_up("d", 9)}
+                       AS DECIMAL(28,12))) AS DOUBLE)
+                       / COUNT(d) AS s_raw
+            FROM det WHERE d IS NOT NULL GROUP BY 1, 2),
+        smean AS (
+            SELECT event_type,
+                   CAST(SUM(CAST({sql_round_half_up("s_raw", 9)}
+                       AS DECIMAL(28,12))) AS DOUBLE)
+                       / COUNT(*) AS sbar
+            FROM sraw GROUP BY 1),
+        seas AS (
+            SELECT s.event_type, s.dowi, s.s_raw - m.sbar AS seasonal
+            FROM sraw s JOIN smean m ON m.event_type = s.event_type)
+        SELECT d.event_type, d.day,
+               {sql_round_half_up("d.x", 6)} AS observed,
+               {sql_round_half_up("d.trend", 6)} AS trend,
+               {sql_round_half_up("se.seasonal", 6)} AS seasonal,
+               {sql_round_half_up("d.x - d.trend - se.seasonal", 6)}
+                   AS remainder
+        FROM det d JOIN seas se
+          ON se.event_type = d.event_type AND se.dowi = d.dowi
+        ORDER BY d.event_type, d.day
+    """,
+)
+def stl_decompose_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style additive decomposition of each event type's daily
+    value series: trend = centered 7-day moving average (NULL at the
+    edges where the window is short), seasonal = mean-centered
+    day-of-week effect of the detrended series, remainder = what's
+    left — the classic decomposition that turns "traffic dipped" into
+    "trend fell" vs "it's just Sunday" (Cleveland et al.'s STL, here
+    with a single moving-average pass instead of loess, which keeps it
+    a pure windowed-aggregate plan).
+
+    Determinism: day totals are exact decimals; the 7-day trend is an
+    exact decimal window sum with ONE division; day-of-week means use
+    the round9 → DECIMAL recipe; every remaining op is the same IEEE
+    expression on both engines. Day-of-week = epoch-day mod 7
+    (engine-neutral integer).
+
+    Scale: the corpus-sized stage is the combinable daily aggregate;
+    windows and seasonal means then run over |types|·|days| rows. A
+    longer season (monthly/yearly) changes constants, not shape."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    daily = events.groupBy(
+        "event_type",
+        day.alias("day"),
+        (
+            F.pmod(
+                (F.unix_micros(day) / F.lit(86400000000)).cast("bigint"),
+                F.lit(7),
+            )
+        ).alias("dowi"),
+    ).agg(
+        F.sum(round_half_up(F.col("value"), 9).cast("decimal(28,12)")).alias(
+            "ds_dec"
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    tr = daily.select(
+        "event_type",
+        "day",
+        "dowi",
+        F.col("ds_dec").cast("double").alias("x"),
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            F.sum("ds_dec").over(w).cast("double") / F.lit(7.0),
+        ).alias("trend"),
+    )
+    det = tr.withColumn("d", F.col("x") - F.col("trend"))
+
+    def _dsum(col):
+        return F.sum(round_half_up(col, 9).cast("decimal(28,12)")).cast("double")
+
+    sraw = (
+        det.filter(F.col("d").isNotNull())
+        .groupBy("event_type", "dowi")
+        .agg((_dsum(F.col("d")) / F.count("d")).alias("s_raw"))
+    )
+    smean = sraw.groupBy("event_type").agg(
+        (_dsum(F.col("s_raw")) / F.count(F.lit(1))).alias("sbar")
+    )
+    seas = sraw.join(F.broadcast(smean), "event_type").select(
+        "event_type", "dowi", (F.col("s_raw") - F.col("sbar")).alias("seasonal")
+    )
+    return (
+        det.join(F.broadcast(seas), ["event_type", "dowi"])
+        .select(
+            "event_type",
+            "day",
+            round_half_up(F.col("x"), 6).alias("observed"),
+            round_half_up(F.col("trend"), 6).alias("trend"),
+            round_half_up(F.col("seasonal"), 6).alias("seasonal"),
+            round_half_up(
+                F.col("x") - F.col("trend") - F.col("seasonal"), 6
+            ).alias("remainder"),
+        )
+        .orderBy("event_type", "day")
+    )

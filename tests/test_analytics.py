@@ -477,3 +477,41 @@ def test_t_closeness_matches_python_emd(spark, sf_dir):
     assert row["rows_above_t02"] == above
     assert row["max_t"] == math.floor(float(expect_max) * 1e6 + 0.5) / 1e6
     assert 0 <= row["max_t"] <= 1
+
+
+def test_stl_decomposition_identity_and_numpy_trend(spark, sf_dir):
+    """Decomposition invariants the hash can't state: (a) observed =
+    trend + seasonal + remainder wherever trend exists (additive
+    identity, up to output rounding), (b) trend equals numpy's
+    centered 7-day convolution, (c) per-type seasonal effects are
+    mean-centered, (d) exactly 6 edge days per type have NULL trend."""
+    import numpy as np
+
+    from pipeline_query_engine_demo_spark.plans.analytics import (
+        stl_decompose_daily_values,
+    )
+
+    rows = stl_decompose_daily_values(spark, sf_dir).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r["day"])
+        x = np.array([r["observed"] for r in rs])
+        trend = np.convolve(x, np.ones(7) / 7.0, mode="valid")
+        nulls = [r for r in rs if r["trend"] is None]
+        assert len(nulls) == 6, et
+        mids = [r for r in rs if r["trend"] is not None]
+        assert len(mids) == len(x) - 6
+        for r, t in zip(mids, trend):
+            assert abs(r["trend"] - t) < 5e-6, (et, r["day"])
+            assert (
+                abs(r["observed"] - (r["trend"] + r["seasonal"] + r["remainder"]))
+                < 5e-6
+            )
+        seasonal_by_dow = {}
+        for r in rs:
+            seasonal_by_dow[r["seasonal"]] = True
+        svals = sorted(seasonal_by_dow)
+        assert len(svals) == 7, et
+        assert abs(sum(svals)) < 5e-5, et
