@@ -4840,3 +4840,127 @@ def stl_decompose_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "theil_sen_daily_trend",
+    category="analytics",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(epoch_us(date_trunc('day', ts)) / 86400000000
+                        AS BIGINT) AS t,
+                   SUM(CAST({sql_round_half_up("value", 9)}
+                       AS DECIMAL(28,12))) AS ds_dec
+            FROM events GROUP BY 1, 2),
+        pairs AS (
+            SELECT a.event_type,
+                   (CAST(b.ds_dec AS DOUBLE) - CAST(a.ds_dec AS DOUBLE))
+                       / CAST(b.t - a.t AS DOUBLE) AS slope,
+                   a.t AS ta, b.t AS tb
+            FROM daily a JOIN daily b
+              ON b.event_type = a.event_type AND b.t > a.t),
+        r AS (
+            SELECT event_type, slope,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY slope, ta, tb) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM pairs),
+        med AS (
+            SELECT event_type, MAX(n) AS n_pairs,
+                   SUM(slope) / COUNT(*) AS m
+            FROM r
+            WHERE 2 * rn IN (n, n + 1, n + 2)
+            GROUP BY event_type),
+        nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+               FROM daily GROUP BY 1)
+        SELECT m.event_type, nd.n_days,
+               CAST(m.n_pairs AS BIGINT) AS n_pairs,
+               {sql_round_half_up("m.m", 6)} AS ts_slope
+        FROM med m JOIN nd ON nd.event_type = m.event_type
+        ORDER BY m.event_type
+    """,
+)
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator per event type: the MEDIAN of
+    all pairwise day-to-day slopes of the daily value series — the
+    breakdown-resistant alternative to the OLS slope
+    (stats_linear_regression family): one wild outlier day drags OLS
+    arbitrarily but moves a median of ~O(days²) slopes one rank.
+
+    Determinism: day totals are exact decimals, each pairwise slope is
+    one IEEE subtraction+division of identical operands, and the
+    median uses the exact midrank trick (2·rn ∈ {{n, n+1, n+2}} with a
+    (ta, tb) tiebreak) — the 1-or-2 selected values average exactly
+    the same on both engines.
+
+    Scale: the pair join is DAYS², not corpus² — the corpus-sized
+    stage is the combinable daily aggregate; a years-long series at
+    100 TB is still only ~10⁵ pairs per type, and the rank window is
+    bounded by that pair count, never the fact table."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    daily = events.groupBy(
+        "event_type",
+        (F.unix_micros(day) / F.lit(86400000000)).cast("bigint").alias("t"),
+    ).agg(
+        F.sum(round_half_up(F.col("value"), 9).cast("decimal(28,12)")).alias(
+            "ds_dec"
+        )
+    )
+    a = daily.select(
+        "event_type",
+        F.col("t").alias("ta"),
+        F.col("ds_dec").cast("double").alias("xa"),
+    )
+    b = daily.select(
+        "event_type",
+        F.col("t").alias("tb"),
+        F.col("ds_dec").cast("double").alias("xb"),
+    )
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("tb") > F.col("ta"))
+        .select(
+            "event_type",
+            (
+                (F.col("xb") - F.col("xa"))
+                / (F.col("tb") - F.col("ta")).cast("double")
+            ).alias("slope"),
+            "ta",
+            "tb",
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope", "ta", "tb")
+    wn = Window.partitionBy("event_type")
+    r = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = (
+        r.filter(
+            (2 * F.col("rn") >= F.col("n")) & (2 * F.col("rn") <= F.col("n") + 2)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_pairs"),
+            (F.sum("slope") / F.count(F.lit(1))).alias("m"),
+        )
+    )
+    nd = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    return (
+        med.join(nd, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            round_half_up(F.col("m"), 6).alias("ts_slope"),
+        )
+        .orderBy("event_type")
+    )

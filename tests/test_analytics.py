@@ -515,3 +515,59 @@ def test_stl_decomposition_identity_and_numpy_trend(spark, sf_dir):
         svals = sorted(seasonal_by_dow)
         assert len(svals) == 7, et
         assert abs(sum(svals)) < 5e-5, et
+
+
+def test_theil_sen_matches_numpy_median_and_robustness(spark, sf_dir):
+    """ts_slope equals numpy's median of all pairwise slopes of the
+    same exact daily series; n_pairs = n_days*(n_days-1)/2. Robustness
+    property: corrupting ONE day by 1000x moves the Theil-Sen slope
+    far less than the OLS slope on the same corrupted series."""
+    import numpy as np
+
+    from pipeline_query_engine_demo_spark.plans.analytics import (
+        theil_sen_daily_trend,
+    )
+
+    got = {
+        r["event_type"]: r for r in theil_sen_daily_trend(spark, sf_dir).collect()
+    }
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    daily = (
+        events.groupBy(
+            "event_type",
+            (F.unix_micros(day) / F.lit(86400000000)).cast("bigint").alias("t"),
+        )
+        .agg(F.sum("value").alias("x"))
+        .collect()
+    )
+    series: dict = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["t"], r["x"]))
+    for et, pts in series.items():
+        pts.sort()
+        t = np.array([p[0] for p in pts], dtype=float)
+        x = np.array([p[1] for p in pts], dtype=float)
+        slopes = [
+            (x[j] - x[i]) / (t[j] - t[i])
+            for i in range(len(t))
+            for j in range(i + 1, len(t))
+        ]
+        row = got[et]
+        assert row["n_days"] == len(t)
+        assert row["n_pairs"] == len(t) * (len(t) - 1) // 2
+        assert abs(row["ts_slope"] - float(np.median(slopes))) < 5e-5, et
+
+        # robustness: corrupt one day by 1000x
+        xc = x.copy()
+        xc[len(xc) // 2] *= 1000
+        slopes_c = np.median(
+            [
+                (xc[j] - xc[i]) / (t[j] - t[i])
+                for i in range(len(t))
+                for j in range(i + 1, len(t))
+            ]
+        )
+        ols = np.polyfit(t, xc, 1)[0]
+        clean_ols = np.polyfit(t, x, 1)[0]
+        assert abs(slopes_c - np.median(slopes)) < 0.1 * abs(ols - clean_ols)
