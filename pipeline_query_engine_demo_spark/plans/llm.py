@@ -4268,3 +4268,102 @@ def zipf_rank_frequency_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         round_half_up((cov * cov) / (varx * vary), 6).alias("r2"),
     )
+
+
+_PMI_TOP_TOKENS = 100
+_PMI_MIN_CO = 5
+_PMI_TOP_PAIRS = 30
+
+
+@query(
+    "pmi_token_cooccurrence",
+    category="llm-text",
+    oracle=f"""
+        WITH dt AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents),
+        df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM dt GROUP BY tok),
+        top AS (SELECT tok, c FROM df
+                ORDER BY c DESC, tok LIMIT {_PMI_TOP_TOKENS}),
+        dtt AS (SELECT dt.doc_id, dt.tok, top.c
+                FROM dt JOIN top ON top.tok = dt.tok),
+        n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS v
+              FROM documents),
+        co AS (
+            SELECT a.tok AS tok_a, b.tok AS tok_b,
+                   MAX(a.c) AS c_a, MAX(b.c) AS c_b,
+                   CAST(COUNT(*) AS BIGINT) AS c_ab
+            FROM dtt a JOIN dtt b
+              ON b.doc_id = a.doc_id AND a.tok < b.tok
+            GROUP BY a.tok, b.tok)
+        SELECT tok_a, tok_b, c_ab,
+               {sql_round_half_up(
+                   "ln(CAST(n.v * c_ab AS DOUBLE)"
+                   " / CAST(c_a * c_b AS DOUBLE))", 6)} AS pmi
+        FROM co CROSS JOIN n
+        WHERE c_ab >= {_PMI_MIN_CO}
+        ORDER BY ln(CAST(n.v * c_ab AS DOUBLE) / CAST(c_a * c_b AS DOUBLE))
+                 DESC, tok_a, tok_b
+        LIMIT {_PMI_TOP_PAIRS}
+    """,
+)
+def pmi_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of token pairs (document-level
+    co-occurrence of the top {_PMI_TOP_TOKENS} document-frequency
+    tokens): PMI = ln(N·c_ab / (c_a·c_b)) — the classic collocation /
+    word-association score (Church & Hanks 1990) that seeds phrase
+    mining and embedding evaluation; distinct from
+    mutual_information_source_lang, which scores two CATEGORICAL
+    columns, not item pairs. Pairs with support ≥ {_PMI_MIN_CO} rank
+    by PMI; top {_PMI_TOP_PAIRS} emitted.
+
+    Determinism: every PMI is ln of ONE quotient of exact BIGINT
+    products, identical IEEE on both engines; ordering ties break on
+    the token pair.
+
+    Scale: document-frequency counting is combinable; the restriction
+    to a top-k vocabulary (TakeOrderedAndProject + broadcast semi
+    join) bounds the pair join's fan-out per document at k, so the
+    co-occurrence shuffle is O(docs · k²_present) with k fixed —
+    never vocabulary × vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id", F.explode(F.array_distinct(text.tokens("text"))).alias("tok")
+    )
+    df_ = dt.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    top = df_.orderBy(F.col("c").desc(), "tok").limit(_PMI_TOP_TOKENS)
+    dtt = dt.join(F.broadcast(top), "tok").select("doc_id", "tok", "c")
+    n = docs.agg(F.count_distinct("doc_id").cast("bigint").alias("v"))
+    a = dtt.select(
+        F.col("doc_id"), F.col("tok").alias("tok_a"), F.col("c").alias("ca")
+    )
+    b = dtt.select(
+        F.col("doc_id"), F.col("tok").alias("tok_b"), F.col("c").alias("cb")
+    )
+    co = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(
+            F.max("ca").alias("c_a"),
+            F.max("cb").alias("c_b"),
+            F.count(F.lit(1)).cast("bigint").alias("c_ab"),
+        )
+    )
+    pmi = F.log(
+        (F.col("v") * F.col("c_ab")).cast("double")
+        / (F.col("c_a") * F.col("c_b")).cast("double")
+    )
+    return (
+        co.crossJoin(F.broadcast(n))
+        .filter(F.col("c_ab") >= _PMI_MIN_CO)
+        .withColumn("pmi_raw", pmi)
+        .orderBy(F.col("pmi_raw").desc(), "tok_a", "tok_b")
+        .limit(_PMI_TOP_PAIRS)
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_ab",
+            round_half_up(F.col("pmi_raw"), 6).alias("pmi"),
+        )
+    )

@@ -469,3 +469,49 @@ def test_zipf_fit_matches_numpy_polyfit(spark, sf_dir):
     assert abs(row["r2"] - r * r) < 1e-4
     assert row["slope"] < 0
     assert 0.0 <= row["r2"] <= 1.0
+
+
+def test_pmi_matches_python_counter_replay(spark, sf_dir):
+    """Literal Counter replay: same top-100 doc-frequency vocabulary,
+    same document-level co-occurrence counts, same ln(N·c_ab/(c_a·c_b))
+    — the top-30 selection and every PMI must match to output
+    rounding. Sanity: PMI > 0 pairs co-occur more than independence
+    predicts."""
+    import math
+    from collections import Counter
+    from itertools import combinations
+
+    import pyspark.sql.functions as F
+
+    from pipeline_query_engine_demo_spark.plans.llm import (
+        pmi_token_cooccurrence,
+    )
+    from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+    got = pmi_token_cooccurrence(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    df: Counter = Counter()
+    doc_sets = []
+    for r in docs:
+        s = set(r["text"].split(" "))
+        doc_sets.append(s)
+        df.update(s)
+    top = dict(
+        sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    )
+    co: Counter = Counter()
+    for s in doc_sets:
+        present = sorted(t for t in s if t in top)
+        co.update(combinations(present, 2))
+    n = len(docs)
+    scored = [
+        (math.log(n * c / (top[a] * top[b])), a, b, c)
+        for (a, b), c in co.items()
+        if c >= 5
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    expect = scored[:30]
+    assert len(got) == len(expect) == 30
+    for row, (p, a, b, c) in zip(got, expect):
+        assert (row["tok_a"], row["tok_b"], row["c_ab"]) == (a, b, c)
+        assert row["pmi"] == math.floor(p * 1e6 + 0.5) / 1e6
