@@ -71,6 +71,25 @@ EXTENDED = [
     "duplicated_substring_spans",
     "rrf_hybrid_retrieval",
     "ann_multiprobe_topk_embeddings",
+    # round-7 additions: the new graph/spatial/set-similarity operators,
+    # the HLL + A-not-B sketch completions, and representatives of the
+    # analytics/curation batch (ACF, Gini, t-closeness, STL, Theil-Sen,
+    # Zipf, DSIR, PMI, Jaro-Winkler).
+    "setsim_prefix_join_docs",
+    "shortest_path_weighted_copurchase",
+    "skyline_parts_price_size",
+    "dbscan_customers_grid",
+    "hll_distinct_shingles_by_source",
+    "theta_sketch_anotb_difference",
+    "acf_daily_event_values",
+    "gini_revenue_concentration",
+    "t_closeness_audit",
+    "stl_decompose_daily_values",
+    "theil_sen_daily_trend",
+    "zipf_rank_frequency_fit",
+    "dsir_importance_selection",
+    "pmi_token_cooccurrence",
+    "jaro_winkler_linkage_pairs",
 ]
 
 

@@ -74,6 +74,10 @@ NL_WHITELIST = {
     "kmv_merge_global_distinct",  # three 1-row aggregates (source count, exact count, merged-sketch meta) cross-joined into the single summary row
     "sequential_pattern_support",  # 1-row total-user-count broadcast onto the 25-row pattern-support table
     "rrf_hybrid_retrieval",  # inherits bm25_topk_docs' whitelisted 1-row corpus-stats broadcast (the query composes bm25 verbatim)
+    "theta_sketch_anotb_difference",  # same inequality self-join over the k-bounded sketch META table as theta_sketch_shingle_overlap; anti-join legs run on broadcast sketch rows
+    "t_closeness_audit",  # class x band grid cross join is DOMAIN-sized (|classes|*|bands| rows) by construction, plus 1-row (N, m) totals broadcast
+    "dsir_importance_selection",  # two 1-row token-total broadcasts (target N, raw N) onto the 4096-row bucket table
+    "pmi_token_cooccurrence",  # 1-row document-count broadcast onto the pair-count table
 }
 #: The deliberate row-at-a-time Python evals (API coverage: F.udf,
 #: spark.udf.register for SQL, and the TABLE-argument UDTF whose
@@ -103,6 +107,7 @@ UNPARTITIONED_WINDOW_WHITELIST: dict[str, str] = {
     "signup_to_purchase_latency": "rank over CONVERTED users (aggregate far below event grain; bucketed two-phase rank documented as the at-scale swap)",
     "rfm_segmentation": "three bucket-offset windows over ~40-row value-range bucket tables (_bucketed_row_number), one per RFM metric",
     "rrf_hybrid_retrieval": "two rank windows over the retrievers' already-top-15-bounded lists (fusion consumes 2k rows per query regardless of corpus size)",
+    "zipf_rank_frequency_fit": "bucket-offset window (_bucketed_row_number) over the top-1000 token table's count-distinct bucket list (<= 1000 rows by the upstream limit)",
 }
 # Streaming queries execute a real stream inside their builder (memory
 # sink / foreachBatch), so the returned DataFrame's plan is just the
