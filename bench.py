@@ -90,6 +90,7 @@ EXTENDED = [
     "dsir_importance_selection",
     "pmi_token_cooccurrence",
     "jaro_winkler_linkage_pairs",
+    "hilbert_curve_events",
 ]
 
 

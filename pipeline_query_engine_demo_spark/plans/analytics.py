@@ -4964,3 +4964,101 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_HILBERT_ORDER = 8  # 256 x 256 grid
+
+
+def _hilbert_stage_exprs(s: int, idiv: str) -> dict[str, str]:
+    """One unrolled level of the standard xy2d Hilbert walk (level
+    side ``s``), as engine-neutral SQL snippets; ``idiv`` is the
+    engine's integer-division operator ('div' for Spark, '//' for
+    DuckDB). Invariant: x, y enter the stage in [0, 2s), so the
+    quadrant bits are plain divisions — and the stage REDUCES into the
+    sub-square (x − rx·s) before the reflect-then-swap rotation, so
+    coordinates stay non-negative throughout (the canonical pseudocode
+    lets reflections go negative, where SQL's truncating division and
+    sign-of-dividend %% silently diverge from the two's-complement bit
+    tricks the canonical loop relies on). The d increment is
+    s²·((3·rx) XOR ry) written arithmetically (3·rx + ry·(1−2·rx), an
+    identity on {0,1}² — avoids engine-specific XOR spellings)."""
+    rx = f"(x {idiv} {s})"
+    ry = f"(y {idiv} {s})"
+    xr = f"(x - {rx} * {s})"
+    yr = f"(y - {ry} * {s})"
+    return {
+        "d": f"d + {s * s} * (3 * {rx} + {ry} * (1 - 2 * {rx}))",
+        "x": (
+            f"CASE WHEN {ry} = 0 THEN CASE WHEN {rx} = 1"
+            f" THEN {s - 1} - {yr} ELSE {yr} END ELSE {xr} END"
+        ),
+        "y": (
+            f"CASE WHEN {ry} = 0 THEN CASE WHEN {rx} = 1"
+            f" THEN {s - 1} - {xr} ELSE {xr} END ELSE {yr} END"
+        ),
+    }
+
+
+def _hilbert_oracle_sql() -> str:
+    ctes = [
+        "g AS (SELECT event_id, user_id % 256 AS x0, "
+        "CAST(extract(hour FROM ts) AS BIGINT) * 10 AS y0 FROM events)",
+        "h0 AS (SELECT event_id, x0 AS x, y0 AS y, "
+        "CAST(0 AS BIGINT) AS d FROM g)",
+    ]
+    for i in range(_HILBERT_ORDER):
+        s = 1 << (_HILBERT_ORDER - 1 - i)
+        e = _hilbert_stage_exprs(s, "//")
+        ctes.append(
+            f"h{i + 1} AS (SELECT event_id, {e['x']} AS x, {e['y']} AS y, "
+            f"{e['d']} AS d FROM h{i})"
+        )
+    last = f"h{_HILBERT_ORDER}"
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT g.event_id, g.x0 AS x, g.y0 AS y,
+               CAST({last}.d AS BIGINT) AS hvalue
+        FROM g JOIN {last} ON {last}.event_id = g.event_id
+        ORDER BY g.event_id
+    """
+
+
+@query(
+    "hilbert_curve_events",
+    category="layout",
+    oracle=_hilbert_oracle_sql(),
+)
+def hilbert_curve_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert curve over the same two query dimensions as
+    zorder_curve_events (user bucket × scaled hour) — the
+    locality-SUPERIOR multidimensional layout key: consecutive Hilbert
+    positions are always grid-adjacent (|Δx|+|Δy| = 1, proven
+    exhaustively in tests), where the Z curve takes long diagonal
+    jumps at bit boundaries, so range scans touch fewer files under
+    Hilbert ordering (the reason Delta Lake added HILBERT as an
+    OPTIMIZE mode beside ZORDER). The 8-level xy2d walk unrolls into
+    ONE whole-stage-codegen projection chain — pure map-side integer
+    arithmetic, zero shuffles before the presentation sort — generated
+    from the same per-level snippets the DuckDB oracle uses, with only
+    the integer-division spelling differing.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.selectExpr(
+        "event_id",
+        "user_id % 256 AS x0",
+        "CAST(hour(ts) AS BIGINT) * 10 AS y0",
+    ).selectExpr("event_id", "x0", "y0", "x0 AS x", "y0 AS y", "CAST(0 AS BIGINT) AS d")
+    for i in range(_HILBERT_ORDER):
+        s = 1 << (_HILBERT_ORDER - 1 - i)
+        e = _hilbert_stage_exprs(s, "div")
+        df = df.selectExpr(
+            "event_id",
+            "x0",
+            "y0",
+            f"{e['x']} AS x",
+            f"{e['y']} AS y",
+            f"{e['d']} AS d",
+        )
+    return df.selectExpr(
+        "event_id", "x0 AS x", "y0 AS y", "CAST(d AS BIGINT) AS hvalue"
+    ).orderBy("event_id")

@@ -111,3 +111,66 @@ def test_sssp_bellman_ford_matches_python_and_differs_from_bfs(spark):
     assert python_bf(4)[1] == 3
     # node 5 only has an edge INTO the seed: never reached
     assert 5 not in python_bf(4)
+
+
+def _xy2d(n: int, x: int, y: int) -> int:
+    """Canonical Hilbert xy2d (Wikipedia pseudocode, verbatim)."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_matches_canonical_xy2d(spark, sf_dir):
+    """The unrolled SQL walk equals the canonical loop for every
+    event row."""
+    from pipeline_query_engine_demo_spark.plans.analytics import (
+        hilbert_curve_events,
+    )
+
+    rows = hilbert_curve_events(spark, sf_dir).limit(2000).collect()
+    assert rows
+    for r in rows:
+        assert r["hvalue"] == _xy2d(256, r["x"], r["y"]), (r["x"], r["y"])
+
+
+def test_hilbert_adjacency_beats_zorder_jumps():
+    """The property that makes Hilbert the better layout key:
+    consecutive curve positions are ALWAYS grid-adjacent
+    (|dx|+|dy| = 1) — exhaustively true on the full 256x256 curve —
+    while consecutive Z-order positions take jumps up to half the
+    grid diagonal."""
+    n = 256
+    pos = [None] * (n * n)
+    for x in range(n):
+        for y in range(n):
+            pos[_xy2d(n, x, y)] = (x, y)
+    max_step = 0
+    for d in range(1, n * n):
+        (x0, y0), (x1, y1) = pos[d - 1], pos[d]
+        step = abs(x1 - x0) + abs(y1 - y0)
+        max_step = max(max_step, step)
+    assert max_step == 1
+
+    def z2xy(z):
+        x = y = 0
+        for i in range(8):
+            x |= ((z >> (2 * i)) & 1) << i
+            y |= ((z >> (2 * i + 1)) & 1) << i
+        return x, y
+
+    zmax = 0
+    for z in range(1, n * n):
+        x0, y0 = z2xy(z - 1)
+        x1, y1 = z2xy(z)
+        zmax = max(zmax, abs(x1 - x0) + abs(y1 - y0))
+    assert zmax > 100  # Z-order's worst consecutive jump spans the grid
