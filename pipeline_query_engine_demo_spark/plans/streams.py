@@ -871,3 +871,123 @@ def streaming_hll_distinct_by_source(spark: SparkSession, sf_dir: str) -> DataFr
         name="t_hll",
     )
     return result.orderBy("source")
+
+
+from pipeline_query_engine_demo_spark.plans import analytics as _analytics  # noqa: E402
+
+
+@query(
+    "streaming_cms_token_counts",
+    category="streaming",
+    oracle=f"""
+        WITH toks AS (
+            SELECT t.tok AS token
+            FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+            WHERE t.tok <> ''
+        ),
+        exact AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+            FROM toks GROUP BY token
+        ),
+        top AS (
+            SELECT * FROM exact ORDER BY exact_cnt DESC, token LIMIT 20
+        ),
+        salts AS (
+            SELECT 'cms' || CAST(s.j AS VARCHAR) AS salt
+            FROM unnest(generate_series(0, {_analytics._CMS_D - 1})) AS s(j)
+        ),
+        cells AS (
+            SELECT salt,
+                   substr(md5(salt || '|' || token), 1,
+                          {_analytics._CMS_W_HEX}) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks CROSS JOIN salts
+            GROUP BY salt, bucket
+        )
+        SELECT top.token, top.exact_cnt, CAST(MIN(cells.c) AS BIGINT) AS cms_est
+        FROM top
+        CROSS JOIN salts
+        JOIN cells
+          ON cells.salt = salts.salt
+         AND cells.bucket = substr(md5(salts.salt || '|' || top.token), 1,
+                                   {_analytics._CMS_W_HEX})
+        GROUP BY top.token, top.exact_cnt
+        ORDER BY exact_cnt DESC, token
+    """,
+)
+def streaming_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of cms_token_counts: tokens stream in as (salt,
+    bucket) pairs, per-salt CMS rows accumulate ADDITIVELY in state
+    (streaming.stateful_cms — the duplicate-SENSITIVE member of the
+    streaming-sketch family next to the idempotent KMV/HLL merges,
+    leaning on availableNow's exactly-once batch delivery), drained to
+    a memory sink. Cell counts only grow, so the final sketch is the
+    per-cell MAX over update-mode emissions; the probe side then runs
+    in the batch domain against exact top-20 counts, making the batch
+    CMS SQL the oracle verbatim. Multi-batch additive state is
+    exercised in tests/test_streaming."""
+    import pyspark.sql.functions as _F
+
+    from pipeline_query_engine_demo_spark.streaming.windows import (
+        _stream_source_dir,
+    )
+
+    d = _stream_source_dir(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    docs = spark.readStream.schema(schema).parquet(d)
+    salts = [f"cms{j}" for j in range(_analytics._CMS_D)]
+    toks = docs.select(
+        _F.explode(_F.split(_F.col("text"), " ")).alias("token")
+    ).filter(_F.col("token") != "")
+    rows = toks.select(
+        _F.explode(
+            _F.array(
+                *[
+                    _F.struct(
+                        _F.lit(s).alias("salt"),
+                        _F.substring(
+                            _F.md5(
+                                _F.concat(_F.lit(s), _F.lit("|"), _F.col("token"))
+                            ),
+                            1,
+                            _analytics._CMS_W_HEX,
+                        ).alias("bucket"),
+                    )
+                    for s in salts
+                ]
+            )
+        ).alias("sb")
+    ).select(_F.col("sb.salt").alias("salt"), _F.col("sb.bucket").alias("bucket"))
+    sink = streaming.run_to_memory(
+        streaming.stateful_cms(rows), "update", name="t_cms"
+    )
+    cells = sink.groupBy("salt", "bucket").agg(_F.max("c").alias("c"))
+
+    batch_docs = load_table(spark, sf_dir, "documents")
+    btoks = batch_docs.select(
+        _F.explode(_F.split(_F.col("text"), " ")).alias("token")
+    ).filter(_F.col("token") != "")
+    top = (
+        btoks.groupBy("token")
+        .agg(_F.count(_F.lit(1)).cast("bigint").alias("exact_cnt"))
+        .orderBy(_F.desc("exact_cnt"), "token")
+        .limit(20)
+    )
+    probes = top.select(
+        "token",
+        "exact_cnt",
+        _F.explode(_F.array(*[_F.lit(s) for s in salts])).alias("salt"),
+    ).withColumn(
+        "bucket",
+        _F.substring(
+            _F.md5(_F.concat(_F.col("salt"), _F.lit("|"), _F.col("token"))),
+            1,
+            _analytics._CMS_W_HEX,
+        ),
+    )
+    return (
+        probes.join(_F.broadcast(cells), ["salt", "bucket"])
+        .groupBy("token", "exact_cnt")
+        .agg(_F.min("c").cast("bigint").alias("cms_est"))
+        .orderBy(_F.desc("exact_cnt"), "token")
+    )

@@ -19,6 +19,7 @@ from pipeline_query_engine_demo_spark.streaming.windows import (
     staged_events_source,
     run_rate_bounded,
     run_to_memory,
+    stateful_cms,
     stateful_cusum,
     stateful_ewma,
     stateful_hll,
@@ -36,6 +37,7 @@ __all__ = [
     "staged_events_source",
     "run_rate_bounded",
     "run_to_memory",
+    "stateful_cms",
     "stateful_cusum",
     "stateful_ewma",
     "stateful_hll",

@@ -610,6 +610,51 @@ def stateful_hll(
     )
 
 
+def stateful_cms(rows: DataFrame) -> DataFrame:
+    """Streaming count-min sketch via ``applyInPandasWithState``: one
+    state group per hash row (salt), each holding its bucket->count
+    map — bounded at the bucket width no matter the stream length.
+    Unlike the KMV/HLL merges (idempotent set/max semantics), CMS
+    state is ADDITIVE, so it leans on the availableNow harness's
+    exactly-once delivery: each micro-batch's (salt, bucket) counts
+    add onto the state, and the emitted cells after the final batch
+    equal the batch sketch cell-for-cell (counts only ever grow, so
+    the last update per cell is the max — how the caller collapses
+    update-mode sink rows).
+
+    ``rows``: streaming (salt, bucket) pairs, one per token x hash
+    row."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def merge(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        prev = (
+            dict(zip(state.get[0], state.get[1])) if state.exists else {}
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        for b, c in batch["bucket"].value_counts().items():
+            prev[b] = prev.get(b, 0) + int(c)
+        state.update((list(prev.keys()), [int(v) for v in prev.values()]))
+        yield pd.DataFrame(
+            {
+                "salt": key[0],
+                "bucket": list(prev.keys()),
+                "c": [int(v) for v in prev.values()],
+            }
+        )
+
+    return rows.groupBy("salt").applyInPandasWithState(
+        merge,
+        outputStructType="salt string, bucket string, c bigint",
+        stateStructType="buckets array<string>, counts array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_rate_bounded(
     spark: SparkSession,
     rows_per_batch: int,

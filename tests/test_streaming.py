@@ -525,3 +525,91 @@ def test_streaming_hll_state_evolves_across_split_batches(spark, sf_dir, tmp_pat
     assert final == batch
     # the split must actually have produced >1 update for some source
     assert result.groupBy("source").count().filter("count > 1").count() > 0
+
+
+def test_streaming_cms_additive_state_across_split_batches(spark, sf_dir, tmp_path):
+    """CMS state is ADDITIVE (not idempotent), so this is the
+    exactly-once check the KMV/HLL merge tests can't give: documents
+    split at the doc_id median stream in as two micro-batches, each
+    cell's additive state after both batches must equal the batch
+    sketch cell-for-cell — a double-delivered batch would overcount,
+    a dropped one undercount."""
+    import time
+
+    from pipeline_query_engine_demo_spark.plans import analytics
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_chunks_cms")
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    for ch in [
+        docs.filter(F.col("doc_id") <= mid),
+        docs.filter(F.col("doc_id") > mid),
+    ]:
+        ch.coalesce(1).write.mode("append").parquet(out)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    salts = [f"cms{j}" for j in range(analytics._CMS_D)]
+    toks = stream.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    rows = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("salt"),
+                        F.substring(
+                            F.md5(F.concat(F.lit(s), F.lit("|"), F.col("token"))),
+                            1,
+                            analytics._CMS_W_HEX,
+                        ).alias("bucket"),
+                    )
+                    for s in salts
+                ]
+            )
+        ).alias("sb")
+    ).select(F.col("sb.salt").alias("salt"), F.col("sb.bucket").alias("bucket"))
+    sink = streaming.run_to_memory(streaming.stateful_cms(rows), "update")
+    got = {
+        (r["salt"], r["bucket"]): r["mx"]
+        for r in sink.groupBy("salt", "bucket")
+        .agg(F.max("c").alias("mx"))
+        .collect()
+    }
+    btoks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    expect = {
+        (r["salt"], r["bucket"]): r["c"]
+        for r in btoks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("salt"),
+                            F.substring(
+                                F.md5(
+                                    F.concat(F.lit(s), F.lit("|"), F.col("token"))
+                                ),
+                                1,
+                                analytics._CMS_W_HEX,
+                            ).alias("bucket"),
+                        )
+                        for s in salts
+                    ]
+                )
+            ).alias("sb")
+        )
+        .groupBy(
+            F.col("sb.salt").alias("salt"), F.col("sb.bucket").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert got == expect
+    # both batches must have contributed (some cell updated twice)
+    assert sink.groupBy("salt", "bucket").count().filter("count > 1").count() > 0
