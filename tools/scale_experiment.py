@@ -151,6 +151,26 @@ QUERIES = [
     "duplicated_substring_spans",
     "rrf_hybrid_retrieval",
     "ann_multiprobe_topk_embeddings",
+    # round-7 additions: set-similarity join, weighted SSSP, skyline,
+    # grid DBSCAN, the HLL + A-not-B sketch completions, the robust/
+    # decomposition statistics batch, targeted curation, collocations,
+    # record linkage, and the Hilbert layout key.
+    "setsim_prefix_join_docs",
+    "shortest_path_weighted_copurchase",
+    "skyline_parts_price_size",
+    "dbscan_customers_grid",
+    "hll_distinct_shingles_by_source",
+    "theta_sketch_anotb_difference",
+    "acf_daily_event_values",
+    "gini_revenue_concentration",
+    "t_closeness_audit",
+    "stl_decompose_daily_values",
+    "theil_sen_daily_trend",
+    "zipf_rank_frequency_fit",
+    "dsir_importance_selection",
+    "pmi_token_cooccurrence",
+    "jaro_winkler_linkage_pairs",
+    "hilbert_curve_events",
 ]
 
 
