@@ -174,3 +174,28 @@ def test_hilbert_adjacency_beats_zorder_jumps():
         x1, y1 = z2xy(z)
         zmax = max(zmax, abs(x1 - x0) + abs(y1 - y0))
     assert zmax > 100  # Z-order's worst consecutive jump spans the grid
+
+
+def test_kcore_peel_planted_cascade_matches_hand_computed_profile(spark):
+    """k=2 peel on a 5-path glued to a disjoint triangle: the path must
+    peel from both ends one layer per round (a genuinely multi-round
+    cascade), the triangle (a 2-core) must survive forever, and the
+    trailing rows must show the fixpoint. Profile is hand-computed, so
+    this pins kcore_peel independently of the mirrored SQL oracle."""
+    from pipeline_query_engine_demo_spark.operators.graph import kcore_peel
+
+    undirected = [
+        (0, 1), (1, 2), (2, 3), (3, 4),   # path a-b-c-d-e
+        (10, 11), (11, 12), (12, 10),     # triangle
+    ]
+    sym = undirected + [(b, a) for a, b in undirected]
+    edf = spark.createDataFrame(sym, "src long, dst long")
+    got = [
+        (r["peel_round"], r["nodes_remaining"], r["edges_remaining"])
+        for r in kcore_peel(edf, k=2, rounds=4).orderBy("peel_round").collect()
+    ]
+    # round 0: 8 nodes, 7 undirected edges = 14 directed
+    # round 1: path ends 0,4 (deg 1) drop         -> 6 nodes, 10 edges
+    # round 2: new ends 1,3 drop; 2 isolates away -> 3 nodes,  6 edges
+    # rounds 3,4: fixpoint at the triangle
+    assert got == [(0, 8, 14), (1, 6, 10), (2, 3, 6), (3, 3, 6), (4, 3, 6)]
