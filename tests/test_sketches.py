@@ -318,3 +318,58 @@ def test_anotb_symmetry_consistency(spark):
         nb = sum(1 for hv in by_src[b] if hv < th)
         lhs = r["a_not_b_retained"] - r["b_not_a_retained"]
         assert lhs == na - nb, (a, b)
+
+
+def test_hll_rollup_trailing_window_matches_python_replay(spark, sf_dir):
+    """Pure-python replay of the sketch cube: per-month registers from
+    hashlib.md5, trailing-3-month register-wise max, harmonic estimate
+    — value-for-value against the registered query, independent of the
+    mirrored DuckDB SQL. Also proves window-merge == sketch-of-union by
+    rebuilding each window's sketch from the raw month union."""
+    import hashlib
+    import math
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_partkey", "l_shipdate"]
+    ).to_pandas()
+    M, CAP = sketches._HLL_M, sketches._HLL_RHO_CAP
+    regs: dict[int, list[int]] = {}
+    months_parts: dict[int, set[int]] = {}
+    for pk, d in zip(tbl["l_partkey"], tbl["l_shipdate"]):
+        mi = d.year * 12 + d.month
+        hv = int(hashlib.md5(str(int(pk)).encode()).hexdigest()[:15], 16)
+        r = regs.setdefault(mi, [0] * M)
+        j, rest = hv % M, hv // M
+        rho = CAP if rest == 0 else CAP - rest.bit_length()
+        r[j] = max(r[j], rho)
+        months_parts.setdefault(mi, set()).add(int(pk))
+
+    months = sorted(regs)
+    expect = {}
+    for mi in months:
+        merged = [0] * M
+        union_parts: set[int] = set()
+        for back in range(sketches._HLL_WIN):
+            if mi - back in regs:
+                merged = [max(a, b) for a, b in zip(merged, regs[mi - back])]
+                union_parts |= months_parts[mi - back]
+        denom = sum(1 << (CAP - m) for m in merged)
+        est = math.floor(sketches._HLL_ALPHA_NUM / float(denom) * 1e6 + 0.5) / 1e6
+        hit = sum(1 for m in merged if m > 0)
+        expect[mi] = (hit, est, len(union_parts))
+        # window-merge == sketch built over the unioned raw months
+        direct = [0] * M
+        for pk in union_parts:
+            hv = int(hashlib.md5(str(pk).encode()).hexdigest()[:15], 16)
+            j, rest = hv % M, hv // M
+            rho = CAP if rest == 0 else CAP - rest.bit_length()
+            direct[j] = max(direct[j], rho)
+        assert direct == merged, mi
+
+    got = {
+        r["month_idx"]: (r["registers_hit"], r["hll_estimate"], r["exact_distinct"])
+        for r in sketches.hll_rollup_trailing_parts(spark, sf_dir).collect()
+    }
+    assert got == expect
