@@ -776,3 +776,100 @@ def hll_rollup_trailing_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month_idx")
     )
+
+
+# --------------------------------------------------------------------------
+# Bottom-k quantile sketch — a mergeable uniform-sample quantile summary
+# --------------------------------------------------------------------------
+
+#: Retained (hash, value) pairs in the quantile sketch. Bottom-k BY A
+#: DETERMINISTIC HASH is a uniform sample without replacement, so the
+#: sample's nearest-rank quantiles estimate the population's with error
+#: ~ z * sqrt(p(1-p)/k) at quantile level p (k=512 -> ~2-4 points).
+_QSK_K = 512
+#: Nearest-rank percentile levels, as integer percents so the rank
+#: arithmetic (pct*n + 99) div 100 = ceil(pct*n/100) stays in BIGINT on
+#: both engines — a DECIMAL-vs-double ceil(p*n) would diverge whenever
+#: p*n grazes an integer (0.9*400 is 360 in DECIMAL, 360.00000000000006
+#: in IEEE).
+_QSK_PCTS = [25, 50, 75, 90, 99]
+
+
+@query(
+    "quantile_sketch_totalprice",
+    category="sketch",
+    oracle=f"""
+        WITH h AS (
+            SELECT CAST('0x' || substring(md5(
+                       CAST(CAST(o_orderkey AS BIGINT) AS VARCHAR)), 1, 15)
+                       AS BIGINT) AS hv,
+                   o_totalprice AS v
+            FROM orders),
+        r AS (SELECT hv, v, row_number() OVER (ORDER BY hv) AS rn FROM h),
+        sk AS (SELECT v FROM r WHERE rn <= {_QSK_K}),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sk),
+        rv AS (SELECT v, row_number() OVER (ORDER BY v) AS vr FROM sk),
+        p AS (SELECT unnest([{", ".join(str(p) for p in _QSK_PCTS)}]) AS pct)
+        SELECT CAST(p.pct AS BIGINT) AS pct,
+               n.n AS n_retained,
+               rv.v AS est_quantile
+        FROM p CROSS JOIN n
+        JOIN rv ON rv.vr = (CAST(p.pct AS BIGINT) * n.n + 99) // 100
+        ORDER BY pct
+    """,
+)
+def quantile_sketch_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE sketch: retain the k=512 (hash, value) pairs
+    with the smallest deterministic md5-bigint of the row key — a
+    uniform sample without replacement whose sorted values answer any
+    nearest-rank percentile of ``o_totalprice``. The same bottom-k
+    algebra as KMV makes it a distributed aggregate: per-partition (or
+    per-day, per-source) sketches MERGE by union + re-cut to bottom-k,
+    bit-for-bit equal to the sketch of the full stream (pytest proves
+    the merge over per-orderstatus sketches; the KMV proof pattern,
+    now carrying VALUES so it summarizes a distribution, not just a
+    cardinality — the hash-ordered cousin of a GK/KLL summary with the
+    merge story a 1000-executor combiner tree needs).
+
+    Estimates are DETERMINISTIC (fixed hash), so the gate compares them
+    raw; accuracy vs the true population quantiles (~ sqrt(p(1-p)/k)
+    rank error) is pinned by pytest against numpy over the full table.
+
+    Rank arithmetic is all-BIGINT — ceil(pct*n/100) spelled
+    (pct*n + 99) div 100 — because DECIMAL-vs-IEEE ceil diverges when
+    p*n grazes an integer (docstring constant note above).
+
+    Scale: the bottom-k is ``orderBy(hv).limit(k)`` =
+    TakeOrderedAndProject (per-partition partial top-k + tiny driver
+    merge, no partition-less window, nothing value-sorted globally);
+    everything after runs on k rows via one 512-element sorted array in
+    a single-row aggregate. The full-table scan reads exactly two
+    columns (pruned scan)."""
+    orders = load_table(spark, sf_dir, "orders")
+    hv = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("bigint").cast("string")), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    retained = (
+        orders.select(hv.alias("hv"), F.col("o_totalprice").alias("v"))
+        .orderBy("hv")
+        .limit(_QSK_K)
+    )
+    one = retained.agg(
+        F.sort_array(F.collect_list("v")).alias("vals"),
+        F.count(F.lit(1)).cast("bigint").alias("n_retained"),
+    )
+    pct = F.explode(
+        F.array(*[F.lit(p).cast("bigint") for p in _QSK_PCTS])
+    ).alias("pct")
+    rank = F.expr("(pct * n_retained + 99) div 100").cast("int")
+    return (
+        one.select(pct, "vals", "n_retained")
+        .select(
+            "pct",
+            "n_retained",
+            F.element_at("vals", rank).alias("est_quantile"),
+        )
+        .orderBy("pct")
+    )

@@ -373,3 +373,51 @@ def test_hll_rollup_trailing_window_matches_python_replay(spark, sf_dir):
         for r in sketches.hll_rollup_trailing_parts(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_quantile_sketch_merge_and_accuracy(spark, sf_dir):
+    """(a) Mergeability: union of per-orderstatus bottom-k sketches,
+    re-cut to bottom-k, is bit-for-bit the global sketch — the combiner
+    -tree property that makes this a distributed aggregate. (b) The
+    sample's nearest-rank quantiles sit within the expected rank error
+    of numpy's exact population quantiles. Both independent of the
+    mirrored SQL oracle (hashlib + numpy replay)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    k = sketches._QSK_K
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    ).to_pandas()
+    hv = tbl["o_orderkey"].map(
+        lambda x: int(hashlib.md5(str(int(x)).encode()).hexdigest()[:15], 16)
+    )
+    tbl = tbl.assign(hv=hv).sort_values("hv", kind="mergesort")
+    global_sk = list(tbl.head(k)[["hv", "o_totalprice"]].itertuples(index=False))
+    merged = sorted(
+        (
+            row
+            for _, g in tbl.groupby("o_orderstatus")
+            for row in g.head(k)[["hv", "o_totalprice"]].itertuples(index=False)
+        ),
+    )[:k]
+    assert merged == sorted(global_sk)
+
+    got = {
+        r["pct"]: (r["n_retained"], r["est_quantile"])
+        for r in sketches.quantile_sketch_totalprice(spark, sf_dir).collect()
+    }
+    vals = np.sort(np.array([v for _, v in global_sk]))
+    n = len(vals)
+    all_vals = np.sort(tbl["o_totalprice"].to_numpy())
+    for p in sketches._QSK_PCTS:
+        n_got, est = got[p]
+        assert n_got == n
+        # exact nearest-rank replay of the sketch estimate
+        assert est == vals[(p * n + 99) // 100 - 1]
+        # rank error vs the population: ecdf(est) within 0.1 of p/100
+        ecdf = np.searchsorted(all_vals, est, side="right") / len(all_vals)
+        assert abs(ecdf - p / 100.0) < 0.1, (p, ecdf)
