@@ -4367,3 +4367,187 @@ def pmi_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(F.col("pmi_raw"), 6).alias("pmi"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer training: iterative pair-merge learning over the vocabulary
+# --------------------------------------------------------------------------
+
+#: Learned merge rounds. Each round is one vocabulary-sized pair count
+#: + a 1-row argmax + one merge application — model state is the merge
+#: table itself (rounds x 1 row), never corpus-sized.
+_BPE_ROUNDS = 6
+
+#: Adjacent symbol pairs of a word's current symbol array (every
+#: position, overlapping included — standard BPE pair statistics).
+_BPE_PAIRS = (
+    "zip_with(slice(sym, 1, size(sym) - 1), slice(sym, 2, size(sym) - 1), "
+    "(x, y) -> named_struct('a', x, 'b', y))"
+)
+
+#: Leftmost-first NON-overlapping application of the merge (pa, pb) to
+#: the symbol array, as a single fold: carry (emitted, pending); a
+#: pending pa followed by pb emits the merged symbol and clears the
+#: carry, so in a run like 'aaa' only positions 1-2 merge — the exact
+#: semantics of Sennrich et al.'s reference merge loop.
+_BPE_MERGE = """aggregate(sym,
+  named_struct('out', cast(array() as array<string>), 'pend', cast(null as string)),
+  (acc, s) -> CASE
+      WHEN acc.pend IS NULL THEN named_struct('out', acc.out, 'pend', s)
+      WHEN acc.pend = pa AND s = pb THEN named_struct(
+          'out', array_append(acc.out, concat(pa, pb)),
+          'pend', cast(null as string))
+      ELSE named_struct('out', array_append(acc.out, acc.pend), 'pend', s)
+  END,
+  acc -> CASE WHEN acc.pend IS NULL THEN acc.out
+              ELSE array_append(acc.out, acc.pend) END)"""
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One BPE learning round as DuckDB CTEs, on the POSITIONAL (word,
+    pos, sym) representation — deliberately a different algorithm shape
+    than the Spark fold (window-parity leftmost-nonoverlap instead of a
+    sequential carry), so engine agreement is evidence, not mirroring.
+    Overlapping matches chain only when a = b; within each maximal run
+    of consecutive match positions the leftmost-nonoverlap winners are
+    exactly the even offsets from the run start."""
+    keep = f"""
+        p{r} AS MATERIALIZED (
+            SELECT x.sym AS a, y.sym AS b, SUM(x.wt) AS cnt
+            FROM s{r} x JOIN s{r} y
+              ON y.word = x.word AND y.pos = x.pos + 1
+            GROUP BY 1, 2),
+        t{r} AS MATERIALIZED (
+            SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+        m{r} AS MATERIALIZED (
+            SELECT word, pos FROM (
+                SELECT word, pos,
+                       pos - MIN(pos) OVER (PARTITION BY word, grp) AS off
+                FROM (SELECT mm.word, mm.pos,
+                             mm.pos - ROW_NUMBER() OVER (
+                                 PARTITION BY mm.word ORDER BY mm.pos) AS grp
+                      FROM (SELECT x.word, x.pos
+                            FROM s{r} x
+                            JOIN s{r} y
+                              ON y.word = x.word AND y.pos = x.pos + 1
+                            CROSS JOIN t{r} t
+                            WHERE x.sym = t.a AND y.sym = t.b) mm) q)
+            WHERE off % 2 = 0)"""
+    nxt = f""",
+        s{r + 1} AS MATERIALIZED (
+            SELECT word, wt,
+                   ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+                   sym
+            FROM (SELECT s.word, s.wt, s.pos,
+                         CASE WHEN m.pos IS NOT NULL THEN t.a || t.b
+                              ELSE s.sym END AS sym
+                  FROM s{r} s
+                  CROSS JOIN t{r} t
+                  LEFT JOIN m{r} m
+                    ON m.word = s.word AND m.pos = s.pos
+                  LEFT JOIN m{r} mp
+                    ON mp.word = s.word AND mp.pos = s.pos - 1
+                  WHERE mp.pos IS NULL) u)"""
+    return keep + (nxt if r < _BPE_ROUNDS - 1 else "")
+
+
+_BPE_ORACLE = (
+    """
+        WITH base AS MATERIALIZED (
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS wt
+            FROM (SELECT unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+            WHERE word <> ''
+            GROUP BY word),
+        s0 AS MATERIALIZED (
+            SELECT word, wt, pos, substring(word, pos, 1) AS sym
+            FROM (SELECT word, wt,
+                         unnest(generate_series(1, length(word))) AS pos
+                  FROM base)),
+    """
+    + ",".join(_bpe_round_sql(r) for r in range(_BPE_ROUNDS))
+    + """
+        SELECT * FROM (
+    """
+    + " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_round, a AS left_sym, "
+        f"b AS right_sym, a || b AS merged_sym, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM t{r}"
+        for r in range(_BPE_ROUNDS)
+    )
+    + """
+        ) ORDER BY merge_round
+    """
+)
+
+
+@query("bpe_learn_merges", category="llm-text", oracle=_BPE_ORACLE)
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TOKENIZER TRAINING (Sennrich et al., ACL'16): learn the
+    first 6 byte-pair merges of the corpus — per round, count adjacent
+    symbol pairs weighted by word frequency, take the most frequent
+    pair (ties broken lexicographically), and merge it everywhere
+    (leftmost-first, non-overlapping) before the next count. Returns
+    the learned merge table (round, pair, merged symbol, count) — the
+    exact artifact a training pipeline ships to its tokenizer.
+
+    The distributed shape is the one that matters at 100 TB: the
+    corpus is touched ONCE (word-frequency aggregate, combinable);
+    every learning round then runs on the VOCABULARY (words x current
+    symbols), orders of magnitude smaller than the corpus, with the
+    argmax pair as a 1-row broadcast onto the vocab (no driver
+    round-trips — the whole 6-round train is one lazy DAG, lineage-cut
+    per round like the k-means/PageRank loops). Pair counting and the
+    merge application are pure JVM higher-order array expressions
+    (zip_with / aggregate fold), no Python workers.
+
+    The DuckDB oracle replays learning on a POSITIONAL representation
+    with window-parity non-overlap resolution — an independently
+    derived algorithm, so cross-engine agreement checks the semantics,
+    and the literal-python Sennrich loop in tests pins both.
+    All-integer counts + lexicographic tie-break make every round
+    deterministic in any engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wt"))
+    )
+    vocab = words.select(
+        "word", "wt", F.split("word", "").alias("sym")
+    ).localCheckpoint(eager=False)
+    out = None
+    for r in range(_BPE_ROUNDS):
+        pairs = vocab.select(
+            "wt", F.explode(F.expr(_BPE_PAIRS)).alias("p")
+        ).select("wt", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("wt").cast("bigint").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        row = top.select(
+            F.lit(r).cast("bigint").alias("merge_round"),
+            F.col("a").alias("left_sym"),
+            F.col("b").alias("right_sym"),
+            F.concat("a", "b").alias("merged_sym"),
+            F.col("cnt").alias("pair_count"),
+        )
+        out = row if out is None else out.unionAll(row)
+        if r < _BPE_ROUNDS - 1:
+            vocab = (
+                vocab.crossJoin(
+                    F.broadcast(
+                        top.select(
+                            F.col("a").alias("pa"), F.col("b").alias("pb")
+                        )
+                    )
+                )
+                .withColumn("sym", F.expr(_BPE_MERGE))
+                .drop("pa", "pb")
+                .localCheckpoint(eager=False)
+            )
+    return out.orderBy("merge_round")

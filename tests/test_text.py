@@ -82,3 +82,74 @@ def test_jaro_winkler_matches_duckdb_exactly(spark, sf_dir):
             "SELECT jaro_winkler_similarity(?, ?)", [na, nb]
         ).fetchone()[0]
         assert jw == expect, (na, nb, jw, expect)
+
+
+def test_bpe_learn_merges_matches_literal_sennrich_loop(spark, sf_dir):
+    """Literal-python BPE reference (Sennrich et al.'s get_stats /
+    merge_vocab loop, written against word-frequency dicts) replayed
+    over the same corpus — pins BOTH the Spark fold and the positional
+    SQL oracle. Also asserts merges genuinely chain (some later merge
+    consumes an earlier round's merged symbol) on a planted corpus."""
+    import collections
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pipeline_query_engine_demo_spark.plans import llm
+
+    def python_bpe(word_counts, rounds):
+        vocab = {w: tuple(w) for w in word_counts}
+        out = []
+        for r in range(rounds):
+            stats = collections.Counter()
+            for w, syms in vocab.items():
+                for i in range(len(syms) - 1):
+                    stats[(syms[i], syms[i + 1])] += word_counts[w]
+            if not stats:
+                break
+            (a, b), cnt = min(
+                stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            out.append((r, a, b, a + b, cnt))
+            for w, syms in vocab.items():
+                ns, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        ns.append(a + b)
+                        i += 2
+                    else:
+                        ns.append(syms[i])
+                        i += 1
+                vocab[w] = tuple(ns)
+        return out
+
+    texts = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    ).to_pandas()["text"]
+    wc = collections.Counter(
+        w for t in texts for w in str(t).split(" ") if w != ""
+    )
+    expect = python_bpe(wc, llm._BPE_ROUNDS)
+    got = [
+        (r["merge_round"], r["left_sym"], r["right_sym"], r["merged_sym"], r["pair_count"])
+        for r in llm.bpe_learn_merges(spark, sf_dir).orderBy("merge_round").collect()
+    ]
+    assert got == expect
+
+    # planted corpus where merges MUST chain: 'ababab' repeated makes
+    # (a,b) win round 0 and then (ab,ab) win round 1
+    import pandas as pd
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        pd.DataFrame({"text": ["ababab ababab", "ababab zz"]}).to_parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        wc2 = collections.Counter({"ababab": 3, "zz": 1})
+        expect2 = python_bpe(wc2, llm._BPE_ROUNDS)
+        got2 = [
+            (r["merge_round"], r["left_sym"], r["right_sym"], r["merged_sym"], r["pair_count"])
+            for r in llm.bpe_learn_merges(spark, d).orderBy("merge_round").collect()
+        ]
+        assert got2 == expect2
+        assert expect2[1][:2] == (1, "ab") and expect2[1][2] == "ab"

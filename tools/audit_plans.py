@@ -78,6 +78,7 @@ NL_WHITELIST = {
     "t_closeness_audit",  # class x band grid cross join is DOMAIN-sized (|classes|*|bands| rows) by construction, plus 1-row (N, m) totals broadcast
     "dsir_importance_selection",  # two 1-row token-total broadcasts (target N, raw N) onto the 4096-row bucket table
     "pmi_token_cooccurrence",  # 1-row document-count broadcast onto the pair-count table
+    "bpe_learn_merges",  # per-round 1-row argmax merge-pair broadcast onto the VOCAB table (model-sized state; the corpus is touched once, in the word-frequency aggregate)
 }
 #: The deliberate row-at-a-time Python evals (API coverage: F.udf,
 #: spark.udf.register for SQL, and the TABLE-argument UDTF whose
