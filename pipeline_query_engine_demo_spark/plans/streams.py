@@ -991,3 +991,91 @@ def streaming_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(_F.min("c").cast("bigint").alias("cms_est"))
         .orderBy(_F.desc("exact_cnt"), "token")
     )
+
+
+@query(
+    "streaming_quantile_sketch_by_status",
+    category="streaming",
+    oracle=f"""
+        WITH h AS (
+            SELECT o_orderstatus,
+                   CAST('0x' || substring(md5(
+                       CAST(CAST(o_orderkey AS BIGINT) AS VARCHAR)), 1, 15)
+                       AS BIGINT) AS hv,
+                   o_totalprice AS v
+            FROM orders),
+        tot AS (SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_seen
+                FROM h GROUP BY 1),
+        r AS (SELECT o_orderstatus, hv, v,
+                     row_number() OVER (PARTITION BY o_orderstatus
+                                        ORDER BY hv) AS rn
+              FROM h),
+        sk AS (SELECT o_orderstatus, v FROM r
+               WHERE rn <= {_sketches._QSK_K}),
+        n AS (SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+              FROM sk GROUP BY 1),
+        rv AS (SELECT o_orderstatus, v,
+                      row_number() OVER (PARTITION BY o_orderstatus
+                                         ORDER BY v) AS vr
+               FROM sk),
+        p AS (SELECT unnest([{", ".join(str(p) for p in _sketches._QSK_PCTS)}])
+                     AS pct)
+        SELECT n.o_orderstatus AS grp,
+               CAST(p.pct AS BIGINT) AS pct,
+               t.n_seen,
+               n.n AS n_retained,
+               rv.v AS est_quantile
+        FROM p CROSS JOIN n
+        JOIN tot t ON t.o_orderstatus = n.o_orderstatus
+        JOIN rv ON rv.o_orderstatus = n.o_orderstatus
+               AND rv.vr = (CAST(p.pct AS BIGINT) * n.n + 99) // 100
+        ORDER BY grp, pct
+    """,
+)
+def streaming_quantile_sketch_by_status(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of ``quantile_sketch_totalprice``, keyed by
+    ``o_orderstatus``: orders stream in as raw (status, hash, price)
+    rows, per-status bottom-k (hash, value) state merges incrementally
+    (streaming.stateful_bottomk_quantiles — k (long, double) pairs per
+    key, BOUNDED for any stream length, duplicate-insensitive), and
+    every update emits the current nearest-rank percentile estimates.
+    Bottom-k union is associative/commutative/idempotent, so any batch
+    split converges to the batch sketch bit-for-bit and the per-status
+    batch SQL is the oracle verbatim (same integer rank arithmetic,
+    same untouched parquet doubles — no float recomputation anywhere).
+    Multi-batch state evolution (orderkey median split, every status
+    in both batches) is exercised in tests/test_streaming."""
+    import pyspark.sql.functions as _F
+
+    from pipeline_query_engine_demo_spark.streaming.windows import (
+        _stream_source_dir,
+    )
+
+    d = _stream_source_dir(sf_dir, "orders.parquet")
+    schema = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).schema
+    orders = spark.readStream.schema(schema).parquet(d)
+    rows = orders.select(
+        _F.col("o_orderstatus").alias("grp"),
+        _F.conv(
+            _F.substring(
+                _F.md5(_F.col("o_orderkey").cast("bigint").cast("string")),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("hv"),
+        _F.col("o_totalprice").alias("v"),
+    )
+    result = streaming.run_to_memory(
+        streaming.stateful_bottomk_quantiles(
+            rows, _sketches._QSK_K, _sketches._QSK_PCTS
+        ),
+        "update",
+        name="t_qsk",
+    )
+    return result.orderBy("grp", "pct")

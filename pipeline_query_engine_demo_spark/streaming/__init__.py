@@ -19,6 +19,7 @@ from pipeline_query_engine_demo_spark.streaming.windows import (
     staged_events_source,
     run_rate_bounded,
     run_to_memory,
+    stateful_bottomk_quantiles,
     stateful_cms,
     stateful_cusum,
     stateful_ewma,
@@ -37,6 +38,7 @@ __all__ = [
     "staged_events_source",
     "run_rate_bounded",
     "run_to_memory",
+    "stateful_bottomk_quantiles",
     "stateful_cms",
     "stateful_cusum",
     "stateful_ewma",

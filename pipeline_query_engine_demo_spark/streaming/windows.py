@@ -610,6 +610,75 @@ def stateful_hll(
     )
 
 
+def stateful_bottomk_quantiles(
+    rows: DataFrame, k: int, pcts: list[int]
+) -> DataFrame:
+    """Streaming bottom-k QUANTILE sketch via ``applyInPandasWithState``:
+    per-key state is the k (hash, value) pairs with the smallest
+    deterministic hashes seen so far — a uniform-without-replacement
+    sample whose sorted values answer nearest-rank percentiles, BOUNDED
+    at k (long, double) pairs per key for any stream length and
+    duplicate-insensitive (a re-delivered row merges into the same
+    set). The value-carrying sibling of ``stateful_kmv``: same state
+    algebra (union + re-cut to bottom-k), but the sketch summarizes a
+    DISTRIBUTION, not just a cardinality.
+
+    Each update emits one row per percentile with the integer-exact
+    nearest-rank estimate rank = (pct*n + 99) div 100, matching the
+    batch query bit-for-bit, plus the cumulative absorbed-row count
+    ``n_seen`` (strictly increasing per key, so multi-batch tests can
+    select the final state without assuming monotone estimates).
+
+    ``rows``: streaming (grp, hv, v)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def merge(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        if state.exists:
+            ph, pv, pn = state.get
+            prev_h = np.array(ph, dtype=np.int64)
+            prev_v = np.array(pv, dtype=np.float64)
+        else:
+            prev_h = np.array([], dtype=np.int64)
+            prev_v = np.array([], dtype=np.float64)
+            pn = 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        all_h = np.concatenate([prev_h, batch["hv"].to_numpy(dtype=np.int64)])
+        all_v = np.concatenate(
+            [prev_v, batch["v"].to_numpy(dtype=np.float64)]
+        )
+        uh, idx = np.unique(all_h, return_index=True)
+        hs, vs = uh[:k], all_v[idx][:k]
+        n_seen = int(pn) + len(batch)
+        state.update((hs.tolist(), vs.tolist(), n_seen))
+        sv = np.sort(vs)
+        n = len(sv)
+        yield pd.DataFrame(
+            {
+                "grp": [key[0]] * len(pcts),
+                "pct": [int(p) for p in pcts],
+                "n_seen": [n_seen] * len(pcts),
+                "n_retained": [n] * len(pcts),
+                "est_quantile": [sv[(p * n + 99) // 100 - 1] for p in pcts],
+            }
+        )
+
+    return rows.groupBy("grp").applyInPandasWithState(
+        merge,
+        outputStructType=(
+            "grp string, pct bigint, n_seen bigint, "
+            "n_retained bigint, est_quantile double"
+        ),
+        stateStructType="hvs array<bigint>, vals array<double>, n_seen bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stateful_cms(rows: DataFrame) -> DataFrame:
     """Streaming count-min sketch via ``applyInPandasWithState``: one
     state group per hash row (salt), each holding its bucket->count

@@ -613,3 +613,91 @@ def test_streaming_cms_additive_state_across_split_batches(spark, sf_dir, tmp_pa
     assert got == expect
     # both batches must have contributed (some cell updated twice)
     assert sink.groupBy("salt", "bucket").count().filter("count > 1").count() > 0
+
+
+def test_streaming_quantile_sketch_state_evolves_across_split_batches(
+    spark, sf_dir, tmp_path
+):
+    """Bottom-k (hash, value) union is order-insensitive, so splitting
+    orders at the o_orderkey MEDIAN (every status appears in both
+    halves — statuses correlate with nothing here, but the median split
+    guarantees it) must converge to the batch sketch exactly. The final
+    state per status is selected by max n_seen (strictly increasing),
+    NOT by assuming estimates are monotone (they are not)."""
+    import time
+
+    from pyspark.sql import Window
+
+    from pipeline_query_engine_demo_spark.plans import sketches
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_chunks")
+    mid = orders.agg(F.expr("percentile_approx(o_orderkey, 0.5)")).collect()[0][0]
+    for ch in [
+        orders.filter(F.col("o_orderkey") <= mid),
+        orders.filter(F.col("o_orderkey") > mid),
+    ]:
+        ch.coalesce(1).write.mode("append").parquet(out)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    rows = stream.select(
+        F.col("o_orderstatus").alias("grp"),
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("bigint").cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("hv"),
+        F.col("o_totalprice").alias("v"),
+    )
+    result = streaming.run_to_memory(
+        streaming.stateful_bottomk_quantiles(
+            rows, sketches._QSK_K, sketches._QSK_PCTS
+        ),
+        "update",
+    ).cache()
+    # >1 batch must actually have been processed per status
+    n_emissions = result.select("grp", "n_seen").distinct().groupBy("grp").count()
+    assert n_emissions.agg(F.min("count")).collect()[0][0] >= 2
+    last = result.withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy("grp", "pct").orderBy(F.desc("n_seen"))
+        ),
+    ).filter(F.col("_rk") == 1)
+    final = {
+        (r["grp"], r["pct"]): (r["n_retained"], r["est_quantile"])
+        for r in last.collect()
+    }
+
+    # batch reference: per-status bottom-k replay with hashlib/numpy
+    import hashlib
+    import os as _os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        _os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    ).to_pandas()
+    tbl = tbl.assign(
+        hv=tbl["o_orderkey"].map(
+            lambda x: int(hashlib.md5(str(int(x)).encode()).hexdigest()[:15], 16)
+        )
+    )
+    k = sketches._QSK_K
+    expect = {}
+    for st, g in tbl.groupby("o_orderstatus"):
+        vs = np.sort(
+            g.sort_values("hv", kind="mergesort").head(k)["o_totalprice"].to_numpy()
+        )
+        n = len(vs)
+        for p in sketches._QSK_PCTS:
+            expect[(st, p)] = (n, vs[(p * n + 99) // 100 - 1])
+    assert final == expect
