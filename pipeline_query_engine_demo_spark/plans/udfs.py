@@ -450,3 +450,88 @@ def apply_in_arrow_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "cogroup_apply_customer_orders",
+    category="udf",
+    oracle="""
+        SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
+               c.c_acctbal,
+               CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders,
+               CAST(COALESCE(o.s, 0) AS BIGINT)
+                   / CAST(100.0 AS DOUBLE) AS sum_totalprice
+        FROM customer c
+        LEFT JOIN (
+            SELECT o_custkey, COUNT(*) AS n,
+                   SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS s
+            FROM orders GROUP BY 1
+        ) o ON o.o_custkey = c.c_custkey
+        ORDER BY c_custkey
+    """,
+)
+def cogroup_apply_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``groupBy(...).cogroup(...).applyInPandas`` — the two-sided
+    member of the pandas-UDF family (the one API-surface row the
+    single-input applyInPandas/mapInPandas/applyInArrow queries don't
+    cover): customers and their orders arrive CO-PARTITIONED by key as
+    two pandas frames per group, merged here into one per-customer
+    summary. The real use case is per-key reconciliation that built-in
+    joins can't express cheaply (two timelines interleaved, custom
+    conflict resolution); the summary math is kept SQL-expressible on
+    purpose so the oracle can hash-check the cogroup machinery itself.
+
+    Cross-engine float exactness: order totals accumulate as integer
+    CENTS (floor(x*100+0.5), exact for 2-decimal parquet prices) and
+    divide once by an IEEE 100.0 — numpy int64 sum vs DuckDB BIGINT
+    sum, no float-order divergence. Customers with no orders emit
+    (0, 0.0); order groups with no customer row emit nothing.
+
+    Scale: cogroup is the two-input shuffle — both sides hash-partition
+    on the key and stream per-group Arrow batches through one python
+    worker pass (vectorized numpy inside, no row loops); state is
+    per-group, never corpus-sized. The scan is column-pruned to the
+    two columns each side needs."""
+
+    def merge(cdf: pd.DataFrame, odf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(cdf) == 0:
+            return pd.DataFrame(
+                {
+                    "c_custkey": np.array([], dtype=np.int64),
+                    "c_acctbal": np.array([], dtype=np.float64),
+                    "n_orders": np.array([], dtype=np.int64),
+                    "sum_totalprice": np.array([], dtype=np.float64),
+                }
+            )
+        cents = np.floor(
+            odf["o_totalprice"].to_numpy(dtype=np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "c_custkey": [int(cdf["c_custkey"].iloc[0])],
+                "c_acctbal": [float(cdf["c_acctbal"].iloc[0])],
+                "n_orders": [len(odf)],
+                "sum_totalprice": [int(cents.sum()) / 100.0],
+            }
+        )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"), "c_acctbal"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("bigint").alias("o_custkey"), "o_totalprice"
+    )
+    return (
+        cust.groupBy("c_custkey")
+        .cogroup(orders.groupBy("o_custkey"))
+        .applyInPandas(
+            merge,
+            schema=(
+                "c_custkey bigint, c_acctbal double,"
+                " n_orders bigint, sum_totalprice double"
+            ),
+        )
+        .orderBy("c_custkey")
+    )

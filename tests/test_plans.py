@@ -152,3 +152,63 @@ def test_every_oracle_floor_round_is_isfinite_guarded():
             if sql[max(0, m.start() - 5):m.start()] != "THEN ":
                 bad.append((name, m.group(0)[:60]))
     assert not bad, bad
+
+
+def test_cogroup_customer_orders_matches_pandas_replay(spark, sf_dir):
+    """Pandas-side replay (merge of two groupbys, integer-cents sums)
+    matches the cogroup query row-for-row, including customers with
+    zero orders (n=0, 0.0) and the dropped orphan-order groups."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pipeline_query_engine_demo_spark.plans import udfs
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_acctbal"]
+    ).to_pandas()
+    orders = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    ).to_pandas()
+    cents = np.floor(orders["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+    agg = (
+        orders.assign(cents=cents)
+        .groupby("o_custkey")
+        .agg(n=("cents", "size"), s=("cents", "sum"))
+    )
+    expect = {}
+    for _, row in cust.iterrows():
+        k = int(row["c_custkey"])
+        if k in agg.index:
+            expect[k] = (
+                float(row["c_acctbal"]),
+                int(agg.loc[k, "n"]),
+                int(agg.loc[k, "s"]) / 100.0,
+            )
+        else:
+            expect[k] = (float(row["c_acctbal"]), 0, 0.0)
+    got = {
+        r["c_custkey"]: (r["c_acctbal"], r["n_orders"], r["sum_totalprice"])
+        for r in udfs.cogroup_apply_customer_orders(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+    # planted mini-corpus: customer 2 has no orders (-> 0, 0.0), order
+    # for customer 99 has no customer row (-> dropped)
+    import tempfile
+
+    import pandas as pd
+
+    with tempfile.TemporaryDirectory() as d:
+        pd.DataFrame(
+            {"c_custkey": [1, 2], "c_acctbal": [10.5, -3.25]}
+        ).to_parquet(os.path.join(d, "customer.parquet"))
+        pd.DataFrame(
+            {"o_custkey": [1, 1, 99], "o_totalprice": [1.11, 2.22, 9.99]}
+        ).to_parquet(os.path.join(d, "orders.parquet"))
+        mini = {
+            r["c_custkey"]: (r["c_acctbal"], r["n_orders"], r["sum_totalprice"])
+            for r in udfs.cogroup_apply_customer_orders(spark, d).collect()
+        }
+        assert mini == {1: (10.5, 2, 3.33), 2: (-3.25, 0, 0.0)}
