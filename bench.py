@@ -91,6 +91,14 @@ EXTENDED = [
     "pmi_token_cooccurrence",
     "jaro_winkler_linkage_pairs",
     "hilbert_curve_events",
+    # round-7 session-2 additions: graph k-core, the sketch-cube /
+    # quantile-sketch completions, BPE tokenizer training, and the
+    # cogroup API representative.
+    "kcore_peel_profile_copurchase",
+    "hll_rollup_trailing_parts",
+    "quantile_sketch_totalprice",
+    "bpe_learn_merges",
+    "cogroup_apply_customer_orders",
 ]
 
 

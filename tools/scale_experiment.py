@@ -171,6 +171,15 @@ QUERIES = [
     "pmi_token_cooccurrence",
     "jaro_winkler_linkage_pairs",
     "hilbert_curve_events",
+    # round-7 session-2 additions: graph k-core (fact-derived edge
+    # list), the HLL sketch cube + bottom-k quantile sketch, BPE
+    # tokenizer training (corpus-pass word counts; vocab-sized rounds),
+    # and the cogroup two-input shuffle.
+    "kcore_peel_profile_copurchase",
+    "hll_rollup_trailing_parts",
+    "quantile_sketch_totalprice",
+    "bpe_learn_merges",
+    "cogroup_apply_customer_orders",
 ]
 
 
