@@ -873,3 +873,109 @@ def quantile_sketch_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pct")
     )
+
+
+# --------------------------------------------------------------------------
+# AMS F2 sketch — self-join size / skew estimation in one combinable pass
+# --------------------------------------------------------------------------
+
+#: Sign hashes (one bit each, all drawn from ONE md5-bigint per row).
+_AMS_J = 40
+#: Averaging-group width and count: 5 groups of 8 estimators,
+#: median-of-means.
+_AMS_G, _AMS_NG = 8, 5
+
+
+@query(
+    "ams_f2_skew_events",
+    category="sketch",
+    oracle=f"""
+        WITH h AS (
+            SELECT CAST('0x' || substring(md5(
+                       CAST(CAST(user_id AS BIGINT) AS VARCHAR)), 1, 15)
+                       AS BIGINT) AS hv
+            FROM events),
+        s AS (SELECT {", ".join(
+            f"SUM(((hv >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(_AMS_J)
+        )},
+                     CAST(COUNT(*) AS BIGINT) AS n_rows
+              FROM h),
+        g AS (SELECT n_rows, {", ".join(
+            "(" + " + ".join(
+                f"s{j} * s{j}" for j in range(gi * _AMS_G, (gi + 1) * _AMS_G)
+            ) + f") AS g{gi}"
+            for gi in range(_AMS_NG)
+        )}
+              FROM s),
+        ex AS (SELECT CAST(SUM(c * c) AS BIGINT) AS exact_f2
+               FROM (SELECT COUNT(*) AS c FROM events GROUP BY user_id)),
+        med AS (SELECT n_rows,
+                       list_sort([{", ".join(f"g{gi}" for gi in range(_AMS_NG))}])
+                           [{_AMS_NG // 2 + 1}] AS m
+                FROM g)
+        SELECT med.n_rows,
+               ex.exact_f2,
+               CAST(med.m AS DOUBLE) / CAST({_AMS_G}.0 AS DOUBLE)
+                   AS ams_estimate
+        FROM med, ex
+    """,
+)
+def ams_f2_skew_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon-Matias-Szegedy,
+    STOC'96) over ``events.user_id``: F2 = Σ f(u)² is the SELF-JOIN
+    SIZE and the canonical key-skew statistic a distributed planner
+    wants BEFORE shuffling a join (F2/n² near 1/|keys| = uniform, near
+    1 = one hot key). Each sign hash keeps one running integer
+    S_j = Σ_rows s_j(row) — the per-row ±1 trick means NO pre-grouping:
+    the whole sketch is one map-side-combinable global aggregate of 40
+    longs, mergeable across partitions/days by plain addition (the
+    linear-sketch property; E[S_j²] = F2). Median of 5 means of 8
+    estimators bounds the tail. The 40 signs are bits of ONE
+    md5-bigint per row (a deliberate, documented simplification of
+    4-wise independence — deterministic and engine-portable; the
+    pytest pins the realized accuracy against exact F2).
+
+    All-integer until the single final division, so the gate
+    hash-compares exact F2, the estimate, and the row count raw.
+
+    Scale: the sketch pass is groupBy-free (one 40-long aggregate
+    state); the exact-F2 column is the piece you DROP at 100 TB —
+    it requires the full per-key count the sketch exists to avoid."""
+    ev = load_table(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("bigint").cast("string")), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    h = ev.select(hv.alias("hv"))
+    s = h.agg(
+        *[
+            F.sum(F.expr(f"(shiftright(hv, {j}) & 1) * 2 - 1")).alias(f"s{j}")
+            for j in range(_AMS_J)
+        ],
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    groups = [
+        sum(
+            (F.col(f"s{j}") * F.col(f"s{j}")
+             for j in range(gi * _AMS_G, (gi + 1) * _AMS_G)),
+            F.lit(0),
+        ).alias(f"g{gi}")
+        for gi in range(_AMS_NG)
+    ]
+    g = s.select("n_rows", *groups)
+    med = g.select(
+        "n_rows",
+        F.element_at(
+            F.sort_array(F.array(*[F.col(f"g{gi}") for gi in range(_AMS_NG)])),
+            _AMS_NG // 2 + 1,
+        ).alias("m"),
+    )
+    ex = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")).agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("exact_f2")
+    )
+    return med.crossJoin(ex).select(
+        "n_rows",
+        "exact_f2",
+        (F.col("m").cast("double") / F.lit(float(_AMS_G))).alias("ams_estimate"),
+    )

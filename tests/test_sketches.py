@@ -421,3 +421,42 @@ def test_quantile_sketch_merge_and_accuracy(spark, sf_dir):
         # rank error vs the population: ecdf(est) within 0.1 of p/100
         ecdf = np.searchsorted(all_vals, est, side="right") / len(all_vals)
         assert abs(ecdf - p / 100.0) < 0.1, (p, ecdf)
+
+
+def test_ams_f2_matches_python_replay_and_tracks_exact(spark, sf_dir):
+    """hashlib/numpy replay of the 40-bit AMS sketch — sums, groups,
+    median-of-means — value-for-value against the registered query,
+    plus linearity (sketch of a split stream = sum of part sketches)
+    and a pinned deterministic accuracy band vs exact F2."""
+    import collections
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    u = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    ).to_pandas()["user_id"]
+    hv = u.map(
+        lambda x: int(hashlib.md5(str(int(x)).encode()).hexdigest()[:15], 16)
+    ).to_numpy()
+    J, G, NG = sketches._AMS_J, sketches._AMS_G, sketches._AMS_NG
+    S = [int(np.sum(((hv >> j) & 1) * 2 - 1)) for j in range(J)]
+    g = [sum(S[i] * S[i] for i in range(k * G, (k + 1) * G)) for k in range(NG)]
+    est = sorted(g)[NG // 2] / float(G)
+    f2 = sum(c * c for c in collections.Counter(u).values())
+
+    row = sketches.ams_f2_skew_events(spark, sf_dir).collect()[0]
+    assert row["n_rows"] == len(u)
+    assert row["exact_f2"] == f2
+    assert row["ams_estimate"] == est
+
+    # linearity: per-half sign sums ADD to the full-stream sums
+    half = len(hv) // 2
+    for j in range(0, J, 7):
+        a = int(np.sum(((hv[:half] >> j) & 1) * 2 - 1))
+        b = int(np.sum(((hv[half:] >> j) & 1) * 2 - 1))
+        assert a + b == S[j]
+
+    # deterministic accuracy band (measured 0.70-1.12 across fixture SFs)
+    assert 0.5 * f2 <= est <= 1.5 * f2

@@ -79,6 +79,7 @@ NL_WHITELIST = {
     "dsir_importance_selection",  # two 1-row token-total broadcasts (target N, raw N) onto the 4096-row bucket table
     "pmi_token_cooccurrence",  # 1-row document-count broadcast onto the pair-count table
     "bpe_learn_merges",  # per-round 1-row argmax merge-pair broadcast onto the VOCAB table (model-sized state; the corpus is touched once, in the word-frequency aggregate)
+    "ams_f2_skew_events",  # 1-row sketch summary x 1-row exact-F2 scalar join
 }
 #: The deliberate row-at-a-time Python evals (API coverage: F.udf,
 #: spark.udf.register for SQL, and the TABLE-argument UDTF whose
