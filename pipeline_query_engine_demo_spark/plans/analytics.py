@@ -5168,3 +5168,105 @@ def kcore_peel_profile_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame
     return kcore_peel(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS).orderBy(
         "peel_round"
     )
+
+
+# --------------------------------------------------------------------------
+# Label propagation communities — graph family
+# --------------------------------------------------------------------------
+
+#: Synchronous LPA rounds. Communities on the repeat co-purchase graph
+#: stabilize within a few sweeps; the round count is part of the exact
+#: semantics (both engines replay the same fixed number).
+_LPA_ROUNDS = 4
+
+
+def _lpa_iter_sql(i: int) -> str:
+    """One synchronous label sweep as a DuckDB CTE: each node adopts
+    its neighbors' most frequent label, smallest label on ties —
+    the argmax spelled as a window over the grouped counts."""
+    return f"""
+        l{i} AS MATERIALIZED (
+            SELECT src AS node, lbl FROM (
+                SELECT e.src, l.lbl, COUNT(*) AS c,
+                       ROW_NUMBER() OVER (PARTITION BY e.src
+                                          ORDER BY COUNT(*) DESC, l.lbl)
+                           AS rn
+                FROM e0 e JOIN l{i - 1} l ON l.node = e.dst
+                GROUP BY e.src, l.lbl) q
+            WHERE rn = 1)"""
+
+
+@query(
+    "label_propagation_communities",
+    category="graph",
+    oracle="""
+        WITH d AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e0 AS MATERIALIZED (
+            SELECT a.l_partkey AS src, b.l_partkey AS dst
+            FROM d a JOIN d b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey <> b.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        l0 AS MATERIALIZED (
+            SELECT src AS node, src AS lbl FROM e0 GROUP BY src),
+    """
+    + ",".join(_lpa_iter_sql(i) for i in range(1, _LPA_ROUNDS + 1))
+    + f"""
+        SELECT CAST(lbl AS BIGINT) AS community,
+               CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM l{_LPA_ROUNDS}
+        GROUP BY lbl
+        ORDER BY n_members DESC, community
+    """,
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al., 2007; deterministic min-tie variant) on the repeat
+    co-purchase graph — the COMMUNITY view of the same graph whose
+    components, core layers, triangles, and shortest paths the
+    neighboring queries expose: near-linear-time community structure
+    for item/domain grouping without a modularity solver. Output is
+    the community-size table after 4 sweeps.
+
+    Determinism: labels are node ids (integers), the per-node argmax
+    orders by (count DESC, label ASC) — a total order, so every sweep
+    is exact in both engines; the pytest replays the sweeps in literal
+    python dicts and also checks a planted two-clique graph splits
+    into exactly its cliques.
+
+    Scale shape: per sweep, one edge⋈label join + combinable label
+    count + a node-partitioned argmax window bounded by node degree
+    (operators/graph.py:219). Label state is node-sized; the sweep
+    count is a fixed constant.
+    """
+    from pipeline_query_engine_demo_spark.operators.graph import (
+        label_propagation,
+    )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+    labels = label_propagation(edges, iterations=_LPA_ROUNDS)
+    return (
+        labels.groupBy(F.col("lbl").cast("bigint").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .orderBy(F.desc("n_members"), "community")
+    )

@@ -199,3 +199,67 @@ def test_kcore_peel_planted_cascade_matches_hand_computed_profile(spark):
     # round 2: new ends 1,3 drop; 2 isolates away -> 3 nodes,  6 edges
     # rounds 3,4: fixpoint at the triangle
     assert got == [(0, 8, 14), (1, 6, 10), (2, 3, 6), (3, 3, 6), (4, 3, 6)]
+
+
+def test_label_propagation_matches_python_replay_and_planted_cliques(spark, sf_dir):
+    """Literal-python synchronous LPA (dict-based, same min-tie rule)
+    over the sf fixture's repeat co-purchase graph must match the
+    operator node-for-node; a planted two-clique graph with one bridge
+    must resolve into exactly its two cliques."""
+    import collections
+
+    from pipeline_query_engine_demo_spark.operators.graph import label_propagation
+    from pipeline_query_engine_demo_spark.plans.analytics import _LPA_ROUNDS
+    from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+    def python_lpa(directed_edges, rounds):
+        adj = collections.defaultdict(list)
+        for s, t in directed_edges:
+            adj[s].append(t)
+        lbl = {v: v for v in adj}
+        for _ in range(rounds):
+            nxt = {}
+            for v, nbrs in adj.items():
+                cnt = collections.Counter(lbl[u] for u in nbrs)
+                nxt[v] = min(cnt, key=lambda l: (-cnt[l], l))
+            lbl = nxt
+        return lbl
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    by_order = collections.defaultdict(set)
+    for r in li:
+        by_order[r["l_orderkey"]].add(r["l_partkey"])
+    w = collections.Counter()
+    for parts in by_order.values():
+        for x in parts:
+            for y in parts:
+                if x != y:
+                    w[(x, y)] += 1
+    edges = [e for e, c in w.items() if c >= 2]
+    expect = python_lpa(edges, _LPA_ROUNDS)
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["lbl"]
+        for r in label_propagation(edf, iterations=_LPA_ROUNDS).collect()
+    }
+    assert got == expect
+
+    # planted: two 4-cliques bridged by a single edge
+    c1, c2 = [0, 1, 2, 3], [10, 11, 12, 13]
+    und = [(a, b) for c in (c1, c2) for a in c for b in c if a < b] + [(3, 10)]
+    sym = und + [(b, a) for a, b in und]
+    final = {
+        r["node"]: r["lbl"]
+        for r in label_propagation(
+            spark.createDataFrame(sym, "src long, dst long"), iterations=4
+        ).collect()
+    }
+    assert final == python_lpa(sym, 4)
+    l1 = {final[v] for v in c1}
+    l2 = {final[v] for v in c2}
+    assert len(l1) == 1 and len(l2) == 1 and l1 != l2
