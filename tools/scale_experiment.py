@@ -180,6 +180,8 @@ QUERIES = [
     "quantile_sketch_totalprice",
     "bpe_learn_merges",
     "cogroup_apply_customer_orders",
+    "ams_f2_skew_events",
+    "label_propagation_communities",
 ]
 
 
