@@ -704,6 +704,8 @@ def stateful_cms(rows: DataFrame) -> DataFrame:
             dict(zip(state.get[0], state.get[1])) if state.exists else {}
         )
         batch = pd.concat(list(pdfs), ignore_index=True)
+        # row-loop-ok: iterates value_counts() output — DISTINCT bucket
+        # ids, bounded by the CMS width (state size), never batch rows.
         for b, c in batch["bucket"].value_counts().items():
             prev[b] = prev.get(b, 0) + int(c)
         state.update((list(prev.keys()), [int(v) for v in prev.values()]))
