@@ -5270,3 +5270,357 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
         .orderBy(F.desc("n_members"), "community")
     )
+
+
+@query(
+    "mann_kendall_trend",
+    category="aggregation",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   SUM(CAST({sql_round_half_up('value', 9)}
+                       AS DECIMAL(28,12))) AS ds
+            FROM events GROUP BY 1, 2),
+        pairs AS (
+            SELECT a.event_type,
+                   CAST(SUM(CAST(sign(b.ds - a.ds) AS BIGINT)) AS BIGINT)
+                       AS s_stat
+            FROM daily a JOIN daily b
+              ON b.event_type = a.event_type AND a.day < b.day
+            GROUP BY 1),
+        tg AS (
+            SELECT event_type, ds, CAST(COUNT(*) AS BIGINT) AS t
+            FROM daily GROUP BY 1, 2),
+        ties AS (
+            SELECT event_type,
+                   CAST(SUM(t) AS BIGINT) AS n_days,
+                   CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie
+            FROM tg GROUP BY 1),
+        j AS (
+            SELECT t.event_type, t.n_days, p.s_stat,
+                   CAST(t.n_days * (t.n_days - 1) * (2 * t.n_days + 5)
+                        - t.tie AS DOUBLE) / 18.0 AS var_s
+            FROM ties t JOIN pairs p ON p.event_type = t.event_type)
+        SELECT event_type, n_days, s_stat,
+               {sql_round_half_up('var_s', 6)} AS var_s,
+               CASE WHEN s_stat > 0
+                    THEN {sql_round_half_up(
+                        'CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)', 6)}
+                    WHEN s_stat < 0
+                    THEN {sql_round_half_up(
+                        'CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)', 6)}
+                    ELSE CAST(0.0 AS DOUBLE) END AS z_stat
+        FROM j
+        ORDER BY event_type
+    """,
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per event type over the DAILY value
+    series: S = Σ_{i<j} sign(x_j − x_i) with the tie-corrected
+    variance Var(S) = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18 and the
+    continuity-corrected z — the standard non-parametric "is this
+    metric drifting?" monitor (the reference has no statistics surface;
+    a 100 TB pipeline needs drift gates on every daily roll-up).
+
+    Determinism: day totals are 9-dp-rounded DECIMAL(28,12) sums
+    (order-independent), so every pairwise sign() compares exact
+    decimals, S and the tie term are BIGINT-exact, and the only doubles
+    are one identical final expression tree per engine.
+
+    Scale: the only corpus-sized stage is the combinable (event_type,
+    day) aggregation; the pairwise join is quadratic in DAYS PER TYPE
+    (bounded by the calendar, ~hundreds of rows), partitioned by
+    event_type — never corpus-quadratic."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.sum(
+                round_half_up(F.col("value"), 9).cast("decimal(28,12)")
+            ).alias("ds")
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(F.signum(F.col("b.ds") - F.col("a.ds")).cast("bigint"))
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    tg = daily.groupBy("event_type", "ds").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t")
+    )
+    t = F.col("t")
+    ties = tg.groupBy("event_type").agg(
+        F.sum(t).cast("bigint").alias("n_days"),
+        F.sum(t * (t - 1) * (2 * t + 5)).cast("bigint").alias("tie"),
+    )
+    n = F.col("n_days")
+    j = ties.join(s, "event_type").select(
+        "event_type",
+        "n_days",
+        "s_stat",
+        (
+            (n * (n - 1) * (2 * n + 5) - F.col("tie")).cast("double")
+            / F.lit(18.0)
+        ).alias("var_s"),
+    )
+    sstat = F.col("s_stat")
+    return j.select(
+        "event_type",
+        "n_days",
+        "s_stat",
+        round_half_up(F.col("var_s"), 6).alias("var_s"),
+        F.when(
+            sstat > 0,
+            round_half_up(
+                (sstat - 1).cast("double") / F.sqrt(F.col("var_s")), 6
+            ),
+        )
+        .when(
+            sstat < 0,
+            round_half_up(
+                (sstat + 1).cast("double") / F.sqrt(F.col("var_s")), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("z_stat"),
+    ).orderBy("event_type")
+
+
+@query(
+    "isotonic_regression_minimax",
+    category="aggregation",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS cents
+            FROM events GROUP BY 1, 2),
+        seq AS (
+            SELECT event_type, day, cents,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                                           ORDER BY day) AS BIGINT) AS rn,
+                   CAST(SUM(cents) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS p
+            FROM daily),
+        pairs AS (
+            SELECT a.event_type, a.rn AS j, b.rn AS k,
+                   CAST(b.p - (a.p - a.cents) AS DOUBLE)
+                       / CAST(b.rn - a.rn + 1 AS DOUBLE) AS avg_jk
+            FROM seq a JOIN seq b
+              ON b.event_type = a.event_type AND a.rn <= b.rn),
+        rm AS (
+            SELECT event_type, j, k,
+                   MIN(avg_jk) OVER (PARTITION BY event_type, j ORDER BY k DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS suffix_min
+            FROM pairs),
+        fit AS (
+            SELECT event_type, k AS rn, MAX(suffix_min) AS iso
+            FROM rm GROUP BY 1, 2)
+        SELECT s.event_type, s.day,
+               CAST(s.cents AS DOUBLE) / CAST(100.0 AS DOUBLE) AS actual,
+               {sql_round_half_up('f.iso / 100.0', 6)} AS iso_fit
+        FROM seq s JOIN fit f
+          ON f.event_type = s.event_type AND f.rn = s.rn
+        ORDER BY s.event_type, s.day
+    """,
+)
+def isotonic_regression_minimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) regression of each event
+    type's daily value total, via the minimax identity
+    ŷ_i = max_{j≤i} min_{k≥i} mean(y_j..y_k) — the closed form of
+    pool-adjacent-violators (Barlow et al. 1972), used for calibration
+    curves (Platt/isotonic score calibration) and enforcing monotone
+    metric baselines.
+
+    The O(n³) minimax collapses to O(n²) rows + two window passes:
+    pair averages mean(j..k) from BIGINT-cents prefix sums (each a
+    single exact-int division — order-independent), a per-j suffix MIN
+    over k (ORDER BY k DESC running min), then a per-k MAX over j≤k
+    (plain groupBy — every pair row with k carries j≤k already).
+
+    Determinism: cents are floor(x·100+0.5) BIGINTs, prefix sums exact,
+    each avg one identical IEEE division; MIN/MAX never re-accumulate.
+
+    Scale: quadratic only in DAYS PER SERIES (calendar-bounded),
+    partitioned by event_type; the corpus-sized stage is the combinable
+    daily roll-up. Windows are partitioned (event_type, j) — no global
+    sorts."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    wseq = Window.partitionBy("event_type").orderBy("day")
+    seq = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.row_number().over(wseq).cast("bigint").alias("rn"),
+        F.sum("cents")
+        .over(wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("p"),
+    )
+    a, b = seq.alias("a"), seq.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("a.rn") <= F.col("b.rn")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.rn").alias("j"),
+        F.col("b.rn").alias("k"),
+        (
+            (F.col("b.p") - (F.col("a.p") - F.col("a.cents"))).cast("double")
+            / (F.col("b.rn") - F.col("a.rn") + 1).cast("double")
+        ).alias("avg_jk"),
+    )
+    wmin = (
+        Window.partitionBy("event_type", "j")
+        .orderBy(F.desc("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rm = pairs.select(
+        "event_type", "j", "k", F.min("avg_jk").over(wmin).alias("suffix_min")
+    )
+    fit = rm.groupBy("event_type", F.col("k").alias("rn")).agg(
+        F.max("suffix_min").alias("iso")
+    )
+    return (
+        seq.join(fit, ["event_type", "rn"])
+        .select(
+            "event_type",
+            "day",
+            (F.col("cents").cast("double") / F.lit(100.0)).alias("actual"),
+            round_half_up(F.col("iso") / F.lit(100.0), 6).alias("iso_fit"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "two_proportion_ztest",
+    category="aggregation",
+    oracle=f"""
+        WITH seg AS (
+            SELECT c.c_mktsegment AS segment,
+                   CAST(COUNT(*) FILTER (WHERE o.o_orderpriority = '1-URGENT')
+                        AS BIGINT) AS x,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY 1),
+        p AS (
+            SELECT a.segment AS segment_a, b.segment AS segment_b,
+                   a.x AS x_a, a.n AS n_a, b.x AS x_b, b.n AS n_b,
+                   CAST(a.x AS DOUBLE) / CAST(a.n AS DOUBLE) AS p_a,
+                   CAST(b.x AS DOUBLE) / CAST(b.n AS DOUBLE) AS p_b,
+                   CAST(a.x + b.x AS DOUBLE) / CAST(a.n + b.n AS DOUBLE)
+                       AS pool
+            FROM seg a JOIN seg b ON a.segment < b.segment)
+        SELECT segment_a, segment_b, x_a, n_a, x_b, n_b,
+               {sql_round_half_up('p_a - p_b', 6)} AS diff,
+               {sql_round_half_up(
+                   '(p_a - p_b) / sqrt(pool * (1.0 - pool)'
+                   ' * (1.0 / CAST(n_a AS DOUBLE)'
+                   ' + 1.0 / CAST(n_b AS DOUBLE)))', 6)} AS z_stat
+        FROM p
+        ORDER BY segment_a, segment_b
+    """,
+)
+def two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test over every market-segment pair: does the
+    urgent-order share differ between segments? The pooled-variance
+    z = (p̂_a − p̂_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b)) — the A/B-test
+    primitive every experimentation pipeline runs on conversion-style
+    binary outcomes.
+
+    Determinism: successes/trials stay BIGINT through the shuffle; the
+    proportions and z are one identical final double expression tree
+    per engine (each operand an exact-integer cast).
+
+    Scale: one combinable fact-table aggregation to |segments| rows,
+    then a trivially tiny segment×segment self-join (broadcast); the
+    customer dimension joins broadcast-side. Nothing pairwise ever
+    touches fact rows."""
+    seg = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "customer").select(
+                    "c_custkey", "c_mktsegment"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    a, b = seg.alias("a"), seg.alias("b")
+    p = a.join(
+        F.broadcast(b), F.col("a.segment") < F.col("b.segment")
+    ).select(
+        F.col("a.segment").alias("segment_a"),
+        F.col("b.segment").alias("segment_b"),
+        F.col("a.x").alias("x_a"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.x").alias("x_b"),
+        F.col("b.n").alias("n_b"),
+        (F.col("a.x").cast("double") / F.col("a.n").cast("double")).alias(
+            "p_a"
+        ),
+        (F.col("b.x").cast("double") / F.col("b.n").cast("double")).alias(
+            "p_b"
+        ),
+        (
+            (F.col("a.x") + F.col("b.x")).cast("double")
+            / (F.col("a.n") + F.col("b.n")).cast("double")
+        ).alias("pool"),
+    )
+    pool = F.col("pool")
+    return p.select(
+        "segment_a",
+        "segment_b",
+        "x_a",
+        "n_a",
+        "x_b",
+        "n_b",
+        round_half_up(F.col("p_a") - F.col("p_b"), 6).alias("diff"),
+        round_half_up(
+            (F.col("p_a") - F.col("p_b"))
+            / F.sqrt(
+                pool
+                * (F.lit(1.0) - pool)
+                * (
+                    F.lit(1.0) / F.col("n_a").cast("double")
+                    + F.lit(1.0) / F.col("n_b").cast("double")
+                )
+            ),
+            6,
+        ).alias("z_stat"),
+    ).orderBy("segment_a", "segment_b")
