@@ -267,3 +267,68 @@ def sssp_distances(
         )
         frontier = improved
     return dist
+
+
+def hits_bipartite(
+    edges: DataFrame, iterations: int = 2
+) -> tuple[DataFrame, DataFrame]:
+    """HITS hubs & authorities (Kleinberg 1999, JACM 46(5)) over a
+    BIPARTITE directed edge list (``src`` → ``dst``; the two node
+    spaces never mix, so hub scores live on src nodes and authority
+    scores on dst nodes with no id-collision bookkeeping). Returns
+    (hubs, authorities) as (node, score) DataFrames after
+    ``iterations`` full hub→authority→hub sweeps.
+
+    Determinism (mirrored by the unrolled-CTE DuckDB oracle): scores
+    are normalized by the MAX (the max-norm HITS variant — max over
+    exact decimals, one shared IEEE division) instead of the L2 norm,
+    and every accumulation is a DECIMAL(28,12) sum of 9-dp-rounded
+    terms, so both engines iterate from bit-identical vectors.
+
+    Scale: per half-iteration, one edge⋈score shuffle join plus one
+    combinable groupBy — the same node-sized-state flow as ``pagerank``
+    above; the normalizing max rides along as a broadcast 1-row cross
+    join (no driver action), and lazy ``localCheckpoint`` per round
+    cuts replayed lineage."""
+    edges = edges.select("src", "dst").localCheckpoint(eager=False)
+    hubs = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.lit(1.0).alias("score"))
+        .localCheckpoint(eager=False)
+    )
+    auths = None
+    for _ in range(iterations):
+        a_raw = (
+            edges.join(hubs.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(_r9(F.col("score")).cast(_DEC)).alias("raw"))
+        )
+        a_max = F.broadcast(a_raw.agg(F.max("raw").alias("mx")))
+        auths = (
+            a_raw.crossJoin(a_max)
+            .select(
+                "node",
+                _r9(
+                    F.col("raw").cast("double") / F.col("mx").cast("double")
+                ).alias("score"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        h_raw = (
+            edges.join(auths.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum(_r9(F.col("score")).cast(_DEC)).alias("raw"))
+        )
+        h_max = F.broadcast(h_raw.agg(F.max("raw").alias("mx")))
+        hubs = (
+            h_raw.crossJoin(h_max)
+            .select(
+                "node",
+                _r9(
+                    F.col("raw").cast("double") / F.col("mx").cast("double")
+                ).alias("score"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return hubs, auths

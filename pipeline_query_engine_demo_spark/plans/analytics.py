@@ -5624,3 +5624,112 @@ def two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_stat"),
     ).orderBy("segment_a", "segment_b")
+
+
+def _hits_r9_sql(x: str) -> str:
+    """floor(x*1e9+0.5)/1e9 — operators.graph._r9 in SQL."""
+    return f"floor({x} * 1e9 + 0.5) / 1e9"
+
+
+def _hits_half_sql(i: int, score_tbl: str, join_key: str, group_key: str) -> str:
+    """One HITS half-sweep as two MATERIALIZED CTEs: raw{i} sums the
+    9-dp-rounded partner scores as DECIMAL(28,12); nrm{i} max-normalizes.
+    MATERIALIZED is load-bearing: DuckDB inlines plain CTEs and a
+    2-iteration unroll re-expands each level multiply (see the k-core /
+    LPA oracles)."""
+    return f"""
+        raw{i} AS MATERIALIZED (
+            SELECT e.{group_key} AS node,
+                   SUM(CAST({_hits_r9_sql('s.score')} AS DECIMAL(28,12)))
+                       AS raw
+            FROM e JOIN {score_tbl} s ON s.node = e.{join_key}
+            GROUP BY e.{group_key}),
+        nrm{i} AS MATERIALIZED (
+            SELECT node,
+                   {_hits_r9_sql(
+                       'CAST(raw AS DOUBLE) / CAST(mx AS DOUBLE)')} AS score
+            FROM raw{i} CROSS JOIN
+                 (SELECT MAX(raw) AS mx FROM raw{i}) m)"""
+
+
+@query(
+    "hits_hubs_authorities",
+    category="graph",
+    oracle="""
+        WITH e AS MATERIALIZED (
+            SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+        h0 AS MATERIALIZED (
+            SELECT DISTINCT src AS node, CAST(1.0 AS DOUBLE) AS score
+            FROM e),
+    """
+    + _hits_half_sql(1, "h0", "src", "dst")
+    + ","
+    + _hits_half_sql(2, "nrm1", "dst", "src")
+    + ","
+    + _hits_half_sql(3, "nrm2", "src", "dst")
+    + ","
+    + _hits_half_sql(4, "nrm3", "dst", "src")
+    + """,
+        th AS (SELECT 'hub' AS role, CAST(node AS BIGINT) AS node, score
+               FROM nrm4 ORDER BY score DESC, node LIMIT 25),
+        ta AS (SELECT 'authority' AS role, CAST(node AS BIGINT) AS node,
+                      score
+               FROM nrm3 ORDER BY score DESC, node LIMIT 25)
+        SELECT * FROM (SELECT * FROM ta UNION ALL SELECT * FROM th)
+        ORDER BY role, score DESC, node
+    """,
+)
+def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg 1999) over the bipartite customer→part purchase
+    graph: hub customers are those who buy authoritative parts,
+    authoritative parts are those bought by hub customers — the
+    mutual-reinforcement ranking used for curating seed lists (good
+    crawl sources ↔ good documents) that PageRank's single-score view
+    can't express. Two full sweeps, max-norm variant; top 25 of each
+    role.
+
+    Determinism: every accumulation is a DECIMAL(28,12) sum of
+    9-dp-rounded terms and each normalization is one shared IEEE
+    division then a 9-dp round, so the oracle's unrolled MATERIALIZED
+    CTE chain replays the iteration bit-for-bit (operators.graph
+    docstring; the same recipe as pagerank_copurchase).
+
+    Scale shape: per half-sweep one edge⋈score shuffle join + one
+    combinable groupBy; score state is node-sized, the normalizing max
+    is a broadcast 1-row cross join, lineage is localCheckpoint-cut per
+    round. Top-k is per-branch TakeOrderedAndProject — no global
+    sort."""
+    from pipeline_query_engine_demo_spark.operators.graph import hits_bipartite
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    hubs, auths = hits_bipartite(edges, iterations=2)
+    top_h = (
+        hubs.select(
+            F.lit("hub").alias("role"),
+            F.col("node").cast("bigint").alias("node"),
+            "score",
+        )
+        .orderBy(F.desc("score"), "node")
+        .limit(25)
+    )
+    top_a = (
+        auths.select(
+            F.lit("authority").alias("role"),
+            F.col("node").cast("bigint").alias("node"),
+            "score",
+        )
+        .orderBy(F.desc("score"), "node")
+        .limit(25)
+    )
+    return top_a.unionAll(top_h).orderBy("role", F.desc("score"), "node")

@@ -263,3 +263,47 @@ def test_label_propagation_matches_python_replay_and_planted_cliques(spark, sf_d
     l1 = {final[v] for v in c1}
     l2 = {final[v] for v in c2}
     assert len(l1) == 1 and len(l2) == 1 and l1 != l2
+
+
+def test_hits_bipartite_matches_exact_python_replay(spark):
+    """Exact nano-unit replay of hits_bipartite on a planted bipartite
+    graph: customer u1 buys {p1,p2,p3}, u2 buys {p1,p2}, u3 buys {p1} —
+    hub order must be u1>u2>u3, authority order p1>p2>p3, and every
+    score must equal the integer-nanos replay bit-for-bit."""
+    from pipeline_query_engine_demo_spark.operators.graph import hits_bipartite
+
+    raw_edges = [
+        (1, 101), (1, 102), (1, 103),
+        (2, 101), (2, 102),
+        (3, 101),
+    ]
+    edges = spark.createDataFrame(raw_edges, "src long, dst long")
+    hubs_df, auths_df = hits_bipartite(edges, iterations=2)
+    hubs = {r.node: r.score for r in hubs_df.collect()}
+    auths = {r.node: r.score for r in auths_df.collect()}
+
+    def r9(x: float) -> float:
+        return math.floor(x * 1e9 + 0.5) / 1e9
+
+    def nanos(x: float) -> int:
+        return math.floor(x * 1e9 + 0.5)
+
+    h = {u: 1.0 for u, _ in raw_edges}
+    a = {}
+    for _ in range(2):
+        raw = {}
+        for u, v in raw_edges:
+            raw[v] = raw.get(v, 0) + nanos(h[u])  # DECIMAL sum == int nanos
+        mx = max(raw.values())
+        a = {v: r9((n / 1e9) / (mx / 1e9)) for v, n in raw.items()}
+        raw = {}
+        for u, v in raw_edges:
+            raw[u] = raw.get(u, 0) + nanos(a[v])
+        mx = max(raw.values())
+        h = {u: r9((n / 1e9) / (mx / 1e9)) for u, n in raw.items()}
+
+    assert hubs == h, (hubs, h)
+    assert auths == a, (auths, a)
+    assert hubs[1] > hubs[2] > hubs[3]
+    assert auths[101] > auths[102] > auths[103]
+    assert max(hubs.values()) == 1.0 and max(auths.values()) == 1.0
