@@ -4551,3 +4551,211 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint(eager=False)
             )
     return out.orderBy("merge_round")
+
+
+@query(
+    "feature_hashing_docs",
+    category="llm-text",
+    oracle="""
+        WITH sample AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+        toks AS (
+            SELECT doc_id, md5('fh|' || t.tok) AS h
+            FROM sample, unnest(string_split(text, ' ')) AS t(tok)
+            WHERE t.tok <> ''),
+        hashed AS (
+            SELECT doc_id,
+                   CAST('0x' || substring(h, 1, 8) AS BIGINT) % 64 AS bucket,
+                   CASE WHEN CAST('0x' || substring(h, 9, 1) AS BIGINT) % 2
+                             = 0
+                        THEN 1 ELSE -1 END AS sgn
+            FROM toks)
+        SELECT doc_id, bucket,
+               CAST(SUM(sgn) AS BIGINT) AS weight,
+               CAST(COUNT(*) AS BIGINT) AS n_terms
+        FROM hashed
+        GROUP BY doc_id, bucket
+        ORDER BY doc_id, bucket
+    """,
+)
+def feature_hashing_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al., ICML 2009): tokens map to
+    a FIXED 64-dim signed feature space via bucket = md5 mod 64 and a
+    ±1 sign bit from the next hash digit — the vocabulary-free
+    vectorizer used when a 100 TB corpus can't afford a fitted
+    vocabulary (signs make collisions cancel in expectation, keeping
+    inner products unbiased). Emitted sparse as (doc_id, bucket,
+    weight, n_terms) for a deterministic 1/97 doc sample.
+
+    Determinism: both engines take bucket and sign from the same md5
+    hex prefix (F.conv ↔ '0x'||substr cast), weights are integer sums.
+
+    Scale: one token explode → one combinable (doc, bucket) groupBy;
+    output dimensionality is FIXED at 64 per doc regardless of corpus
+    or vocabulary size (that is the point of the trick), so the shuffle
+    carries at most 64 rows per document. The 1/97 sample bounds this
+    demo's output only — the full-corpus path is the same plan."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 97 == 0
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    h = F.md5(F.concat(F.lit("fh|"), F.col("tok")))
+    hashed = toks.select(
+        "doc_id",
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 64).alias(
+            "bucket"
+        ),
+        F.when(
+            F.conv(F.substring(h, 9, 1), 16, 10).cast("bigint") % 2 == 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .alias("sgn"),
+    )
+    return (
+        hashed.groupBy("doc_id", "bucket")
+        .agg(
+            F.sum("sgn").cast("bigint").alias("weight"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        )
+        .orderBy("doc_id", "bucket")
+    )
+
+
+#: ln(2) pre-folded to a Python literal so both engines divide by the
+#: identical double (the Benford/log2-discount recipe).
+_LN2 = 0.6931471805599453
+
+#: JSD support size: the top-K global tokens (deterministic tie-break).
+_JSD_TOPK = 500
+
+
+@query(
+    "js_divergence_sources",
+    category="llm-text",
+    oracle=f"""
+        WITH toks AS (
+            SELECT source, t.tok AS token
+            FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+            WHERE t.tok <> ''),
+        cnt AS (
+            SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks GROUP BY 1, 2),
+        support AS (
+            SELECT token FROM cnt
+            GROUP BY token
+            ORDER BY SUM(c) DESC, token LIMIT {_JSD_TOPK}),
+        srcs AS (SELECT DISTINCT source FROM cnt),
+        grid AS (
+            SELECT s.source, v.token, COALESCE(cnt.c, 0) AS c
+            FROM srcs s CROSS JOIN support v
+            LEFT JOIN cnt ON cnt.source = s.source AND cnt.token = v.token),
+        tot AS (
+            SELECT source, CAST(SUM(c) AS BIGINT) AS n
+            FROM grid GROUP BY source),
+        probs AS (
+            SELECT g.source, g.token,
+                   CAST(g.c AS DOUBLE) / CAST(t.n AS DOUBLE) AS p
+            FROM grid g JOIN tot t ON t.source = g.source),
+        terms AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   (CASE WHEN a.p > 0
+                         THEN a.p * ln(a.p / ((a.p + b.p) / 2.0))
+                         ELSE CAST(0.0 AS DOUBLE) END)
+                   + (CASE WHEN b.p > 0
+                          THEN b.p * ln(b.p / ((a.p + b.p) / 2.0))
+                          ELSE CAST(0.0 AS DOUBLE) END) AS term
+            FROM probs a JOIN probs b
+              ON b.token = a.token AND a.source < b.source)
+        SELECT source_a, source_b,
+               {sql_round_half_up(
+                   f"CAST(SUM(CAST({sql_round_half_up('term', 9)}"
+                   " AS DECIMAL(28,12))) AS DOUBLE)"
+                   f" / (2.0 * {_LN2!r})", 6)} AS jsd_bits
+        FROM terms
+        GROUP BY source_a, source_b
+        ORDER BY source_a, source_b
+    """,
+)
+def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (in bits, so 0 = identical, 1 =
+    disjoint) between every pair of sources' token distributions over
+    the shared top-{_JSD_TOPK} support — the symmetric, bounded
+    distribution distance used to pick mixture weights and detect
+    source drift (PSI's multi-class sibling; unlike KL it never blows
+    up on zero cells).
+
+    Determinism: probabilities are single divisions of exact BIGINTs;
+    each p·ln(p/m) term is one identical expression tree (shared libm
+    ln), and the per-pair sum uses the order-independent 9-dp →
+    DECIMAL(28,12) recipe before one division by the pre-folded 2·ln2
+    literal.
+
+    Scale: corpus-sized work is one combinable (source, token) count;
+    everything after runs on the FIXED {_JSD_TOPK}-token support —
+    grid is |sources|×K rows, the pair join is K rows per source pair
+    (token-hash equi-join), never corpus-quadratic. Truncating to a
+    top-K support is the standard practice for distribution distances
+    over unbounded vocabularies (the tail mass is per-source
+    negligible and the support is IDENTICAL for every pair, so
+    comparisons stay apples-to-apples)."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    cnt = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    support = (
+        cnt.groupBy("token")
+        .agg(F.sum("c").alias("g"))
+        .orderBy(F.desc("g"), "token")
+        .limit(_JSD_TOPK)
+        .select("token")
+    )
+    srcs = cnt.select("source").distinct()
+    grid = (
+        srcs.crossJoin(F.broadcast(support))
+        .join(cnt, ["source", "token"], "left")
+        .select("source", "token", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    tot = grid.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    probs = grid.join(F.broadcast(tot), "source").select(
+        "source",
+        "token",
+        (F.col("c").cast("double") / F.col("n").cast("double")).alias("p"),
+    )
+    a, b = probs.alias("a"), probs.alias("b")
+    m = (F.col("a.p") + F.col("b.p")) / F.lit(2.0)
+    term = F.when(
+        F.col("a.p") > 0, F.col("a.p") * F.log(F.col("a.p") / m)
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("b.p") > 0, F.col("b.p") * F.log(F.col("b.p") / m)
+    ).otherwise(
+        F.lit(0.0)
+    )
+    terms = a.join(
+        b,
+        (F.col("b.token") == F.col("a.token"))
+        & (F.col("a.source") < F.col("b.source")),
+    ).select(
+        F.col("a.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+        term.alias("term"),
+    )
+    return (
+        terms.groupBy("source_a", "source_b")
+        .agg(
+            round_half_up(
+                F.sum(
+                    round_half_up(F.col("term"), 9).cast("decimal(28,12)")
+                ).cast("double")
+                / (F.lit(2.0) * F.lit(_LN2)),
+                6,
+            ).alias("jsd_bits")
+        )
+        .orderBy("source_a", "source_b")
+    )

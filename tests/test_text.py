@@ -153,3 +153,84 @@ def test_bpe_learn_merges_matches_literal_sennrich_loop(spark, sf_dir):
         ]
         assert got2 == expect2
         assert expect2[1][:2] == (1, "ab") and expect2[1][2] == "ab"
+
+
+def test_feature_hashing_matches_python_md5_replay(spark, sf_dir):
+    """Exact md5 replay of the hashing trick for every sampled doc."""
+    import hashlib
+
+    from pipeline_query_engine_demo_spark.plans.llm import feature_hashing_docs
+
+    out = {}
+    for r in feature_hashing_docs(spark, sf_dir).collect():
+        out[(r["doc_id"], r["bucket"])] = (r["weight"], r["n_terms"])
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 97 == 0)
+        .select("doc_id", "text")
+        .collect()
+    )
+    assert docs
+    exp = {}
+    for d in docs:
+        for tok in d["text"].split(" "):
+            if not tok:
+                continue
+            h = hashlib.md5(f"fh|{tok}".encode()).hexdigest()
+            bucket = int(h[:8], 16) % 64
+            sgn = 1 if int(h[8], 16) % 2 == 0 else -1
+            w, n = exp.get((d["doc_id"], bucket), (0, 0))
+            exp[(d["doc_id"], bucket)] = (w + sgn, n + 1)
+    assert out == exp
+    # signs must actually cancel somewhere (both polarities in play)
+    assert any(w < n for (w, n) in out.values())
+    assert all(abs(w) <= n for (w, n) in out.values())
+
+
+def test_js_divergence_matches_bruteforce_and_bounds(spark, sf_dir):
+    import math
+
+    from pipeline_query_engine_demo_spark.plans.llm import (
+        _JSD_TOPK,
+        js_divergence_sources,
+    )
+
+    out = {
+        (r["source_a"], r["source_b"]): r["jsd_bits"]
+        for r in js_divergence_sources(spark, sf_dir).collect()
+    }
+    assert out
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source", "text")
+        .collect()
+    )
+    cnt: dict = {}
+    glob: dict = {}
+    for d in docs:
+        for tok in d["text"].split(" "):
+            if not tok:
+                continue
+            cnt[(d["source"], tok)] = cnt.get((d["source"], tok), 0) + 1
+            glob[tok] = glob.get(tok, 0) + 1
+    support = sorted(glob, key=lambda t: (-glob[t], t))[:_JSD_TOPK]
+    sources = sorted({s for s, _ in cnt})
+    totals = {
+        s: sum(cnt.get((s, t), 0) for t in support) for s in sources
+    }
+    for i, sa in enumerate(sources):
+        for sb in sources[i + 1 :]:
+            acc = 0.0
+            for t in support:
+                p = cnt.get((sa, t), 0) / totals[sa]
+                q = cnt.get((sb, t), 0) / totals[sb]
+                m = (p + q) / 2.0
+                if p > 0:
+                    acc += p * math.log(p / m)
+                if q > 0:
+                    acc += q * math.log(q / m)
+            jsd = acc / (2.0 * math.log(2))
+            got = out[(sa, sb)]
+            assert math.isclose(got, jsd, rel_tol=0, abs_tol=1e-5), (sa, sb)
+            assert -1e-9 <= got <= 1.0 + 1e-9
+    assert len(out) == len(sources) * (len(sources) - 1) // 2

@@ -74,6 +74,7 @@ NL_WHITELIST = {
     "kmv_merge_global_distinct",  # three 1-row aggregates (source count, exact count, merged-sketch meta) cross-joined into the single summary row
     "sequential_pattern_support",  # 1-row total-user-count broadcast onto the 25-row pattern-support table
     "two_proportion_ztest",  # segment-pair generation is an inequality self-join over the |segments|-row (5) aggregate — fact rows never enter the non-equi join
+    "js_divergence_sources",  # |sources| x top-500-support grid product (~10k rows) with the support broadcast; corpus rows only feed the combinable (source, token) count
     "rrf_hybrid_retrieval",  # inherits bm25_topk_docs' whitelisted 1-row corpus-stats broadcast (the query composes bm25 verbatim)
     "theta_sketch_anotb_difference",  # same inequality self-join over the k-bounded sketch META table as theta_sketch_shingle_overlap; anti-join legs run on broadcast sketch rows
     "t_closeness_audit",  # class x band grid cross join is DOMAIN-sized (|classes|*|bands| rows) by construction, plus 1-row (N, m) totals broadcast
