@@ -5733,3 +5733,854 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(25)
     )
     return top_a.unionAll(top_h).orderBy("role", F.desc("score"), "node")
+
+
+@query(
+    "kaplan_meier_retention",
+    category="aggregation",
+    oracle=f"""
+        WITH h AS (SELECT max(o_orderdate) AS hmax FROM orders),
+        life AS (
+            SELECT c.c_mktsegment AS seg,
+                   CAST(date_diff('day', min(o.o_orderdate),
+                                  max(o.o_orderdate)) AS BIGINT) AS t,
+                   CASE WHEN date_diff('day', max(o.o_orderdate),
+                                       h.hmax) > 90
+                        THEN 1 ELSE 0 END AS churn
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            CROSS JOIN h
+            GROUP BY c.c_mktsegment, o.o_custkey, h.hmax),
+        grp AS (
+            SELECT seg, t, CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(SUM(churn) AS BIGINT) AS d
+            FROM life GROUP BY 1, 2),
+        tot AS (
+            SELECT seg, CAST(SUM(cnt) AS BIGINT) AS n
+            FROM grp GROUP BY 1),
+        risk AS (
+            SELECT g.seg, g.t, g.d,
+                   CAST(tt.n - COALESCE(CAST(SUM(g.cnt) OVER (
+                       PARTITION BY g.seg ORDER BY g.t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS BIGINT), 0) AS BIGINT) AS at_risk
+            FROM grp g JOIN tot tt ON tt.seg = g.seg),
+        ev AS (
+            SELECT seg, t, at_risk, d,
+                   CASE WHEN at_risk > d THEN CAST({sql_round_half_up(
+                       "ln(CAST(at_risk - d AS DOUBLE)"
+                       " / CAST(at_risk AS DOUBLE))", 9)}
+                       AS DECIMAL(28,12))
+                   ELSE CAST(0 AS DECIMAL(28,12)) END AS lnf,
+                   CASE WHEN at_risk = d THEN 1 ELSE 0 END AS zf
+            FROM risk WHERE d > 0),
+        cum AS (
+            SELECT seg, t, at_risk, d,
+                   SUM(lnf) OVER w AS lsum,
+                   SUM(zf) OVER w AS zsum
+            FROM ev
+            WINDOW w AS (PARTITION BY seg ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT seg AS mktsegment, t AS t_days, at_risk, d AS deaths,
+               CASE WHEN zsum > 0 THEN CAST(0.0 AS DOUBLE)
+                    ELSE {sql_round_half_up("exp(CAST(lsum AS DOUBLE))", 6)}
+               END AS survival
+        FROM cum ORDER BY mktsegment, t_days
+    """,
+)
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of customer "lifetime" (days between
+    first and last order) per market segment, right-censoring customers
+    still active within 90 days of the dataset horizon — the standard
+    retention/churn estimator (Kaplan & Meier 1958) that no plain
+    GROUP BY can produce because later death times condition on the
+    at-risk set of earlier ones (the reference has no survival surface;
+    its executor stops at hash aggregation, src/executor/mod.rs:250-466).
+
+    Determinism: death counts and at-risk counts are BIGINT-exact; each
+    KM factor ln((n-d)/n) is one IEEE division + ln, 9-dp-rounded into
+    DECIMAL(28,12), accumulated by an exact decimal window sum ordered
+    by event time, and exponentiated once at the end — the established
+    order-independent product recipe. A saturated event time
+    (at_risk == d, survival hits exactly zero) is carried as an integer
+    flag rather than ln(0) = -inf.
+
+    Scale: one corpus-sized aggregation (per-customer min/max order
+    date, combinable), then everything runs on the (segment, lifetime)
+    aggregate — calendar-bounded, ~thousands of rows; the cumulative
+    windows are partitioned by segment over that aggregate, never over
+    fact rows; the horizon is a broadcast 1-row scalar."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    hmax = orders.agg(F.max("o_orderdate").alias("hmax"))
+    life = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("f"),
+            F.max("o_orderdate").alias("l"),
+        )
+        .crossJoin(F.broadcast(hmax))
+        .select(
+            "seg",
+            F.datediff(F.col("l"), F.col("f")).cast("bigint").alias("t"),
+            F.when(F.datediff(F.col("hmax"), F.col("l")) > 90, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("churn"),
+        )
+    )
+    grp = life.groupBy("seg", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("churn").cast("bigint").alias("d"),
+    )
+    tot = grp.groupBy("seg").agg(F.sum("cnt").cast("bigint").alias("n"))
+    w_prev = (
+        Window.partitionBy("seg")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = (
+        grp.withColumn(
+            "cum_prev",
+            F.coalesce(F.sum("cnt").over(w_prev).cast("bigint"), F.lit(0)),
+        )
+        .join(F.broadcast(tot), "seg")
+        .select(
+            "seg",
+            "t",
+            "d",
+            (F.col("n") - F.col("cum_prev")).cast("bigint").alias("at_risk"),
+        )
+        .filter(F.col("d") > 0)
+    )
+    ar, d = F.col("at_risk"), F.col("d")
+    ev = risk.select(
+        "seg",
+        "t",
+        "at_risk",
+        "d",
+        F.when(
+            ar > d,
+            round_half_up(
+                F.log((ar - d).cast("double") / ar.cast("double")), 9
+            ).cast(_DEC),
+        )
+        .otherwise(F.lit(0).cast(_DEC))
+        .alias("lnf"),
+        F.when(ar == d, F.lit(1)).otherwise(F.lit(0)).alias("zf"),
+    )
+    w_cum = (
+        Window.partitionBy("seg")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = ev.select(
+        "seg",
+        "t",
+        "at_risk",
+        "d",
+        F.sum("lnf").over(w_cum).alias("lsum"),
+        F.sum("zf").over(w_cum).alias("zsum"),
+    )
+    return cum.select(
+        F.col("seg").alias("mktsegment"),
+        F.col("t").alias("t_days"),
+        "at_risk",
+        F.col("d").alias("deaths"),
+        F.when(F.col("zsum") > 0, F.lit(0.0))
+        .otherwise(round_half_up(F.exp(F.col("lsum").cast("double")), 6))
+        .alias("survival"),
+    ).orderBy("mktsegment", "t_days")
+
+
+@query(
+    "ks_two_sample_acctbal",
+    category="aggregation",
+    oracle=f"""
+        WITH hist AS (
+            SELECT c_mktsegment AS seg,
+                   CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS v,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM customer GROUP BY 1, 2),
+        tot AS (
+            SELECT seg, CAST(SUM(cnt) AS BIGINT) AS n
+            FROM hist GROUP BY 1),
+        segs AS (SELECT DISTINCT seg FROM hist),
+        pairs AS (
+            SELECT a.seg AS s1, b.seg AS s2
+            FROM segs a JOIN segs b ON a.seg < b.seg),
+        e AS (
+            SELECT p.s1, p.s2, h.v, h.cnt AS a1, CAST(0 AS BIGINT) AS a2
+            FROM pairs p JOIN hist h ON h.seg = p.s1
+            UNION ALL
+            SELECT p.s1, p.s2, h.v, CAST(0 AS BIGINT), h.cnt
+            FROM pairs p JOIN hist h ON h.seg = p.s2),
+        g AS (
+            SELECT s1, s2, v,
+                   CAST(SUM(a1) AS BIGINT) AS a1,
+                   CAST(SUM(a2) AS BIGINT) AS a2
+            FROM e GROUP BY 1, 2, 3),
+        c AS (
+            SELECT s1, s2,
+                   CAST(SUM(a1) OVER w AS BIGINT) AS c1,
+                   CAST(SUM(a2) OVER w AS BIGINT) AS c2
+            FROM g
+            WINDOW w AS (PARTITION BY s1, s2 ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        dnum AS (
+            SELECT c.s1, c.s2, t1.n AS n1, t2.n AS n2,
+                   CAST(MAX(abs(c.c1 * t2.n - c.c2 * t1.n)) AS BIGINT)
+                       AS d_num
+            FROM c
+            JOIN tot t1 ON t1.seg = c.s1
+            JOIN tot t2 ON t2.seg = c.s2
+            GROUP BY 1, 2, 3, 4)
+        SELECT s1, s2, n1, n2,
+               {sql_round_half_up(
+                   "CAST(d_num AS DOUBLE)"
+                   " / CAST(n1 * n2 AS DOUBLE)", 6)} AS ks_d,
+               {sql_round_half_up(
+                   "(CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE))"
+                   " * sqrt(CAST(n1 * n2 AS DOUBLE)"
+                   " / CAST(n1 + n2 AS DOUBLE))", 6)} AS ks_lambda
+        FROM dnum ORDER BY s1, s2
+    """,
+)
+def ks_two_sample_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between every pair of
+    market segments' account-balance distributions: D = max_v
+    |F1(v) - F2(v)| over the union of observed values, plus the scaled
+    statistic lambda = D * sqrt(n1*n2/(n1+n2)) used for significance
+    lookup — the classic "did these two cohorts draw from the same
+    distribution?" gate for dataset drift and A/B sanity checks (the
+    reference has no statistics surface).
+
+    Determinism: balances become integer cents, per-(segment, value)
+    counts are BIGINT, and D is maximized on the CROSS-MULTIPLIED
+    integer form |c1*n2 - c2*n1| (exact), divided by n1*n2 exactly once
+    at the end — no per-step float ECDFs to disagree on.
+
+    Scale: the corpus-sized stage is a combinable (segment, cents)
+    histogram; the ECDF walk is a cumulative window PARTITIONED BY
+    SEGMENT PAIR over histogram rows (distinct values, not customers).
+    Pair generation is an inequality self-join over the |segments|-row
+    aggregate (5 rows) — fact rows never enter a non-equi join."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    hist = (
+        cust.select(
+            F.col("c_mktsegment").alias("seg"),
+            F.floor(F.col("c_acctbal").cast("double") * F.lit(100.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("v"),
+        )
+        .groupBy("seg", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    tot = hist.groupBy("seg").agg(F.sum("cnt").cast("bigint").alias("n"))
+    segs = hist.select("seg").distinct()
+    pairs = (
+        segs.alias("a")
+        .join(segs.alias("b"), F.col("a.seg") < F.col("b.seg"))
+        .select(F.col("a.seg").alias("s1"), F.col("b.seg").alias("s2"))
+    )
+    zero = F.lit(0).cast("bigint")
+    e1 = pairs.join(F.broadcast(hist), F.col("seg") == F.col("s1")).select(
+        "s1", "s2", "v", F.col("cnt").alias("a1"), zero.alias("a2")
+    )
+    e2 = pairs.join(F.broadcast(hist), F.col("seg") == F.col("s2")).select(
+        "s1", "s2", "v", zero.alias("a1"), F.col("cnt").alias("a2")
+    )
+    g = (
+        e1.unionAll(e2)
+        .groupBy("s1", "s2", "v")
+        .agg(
+            F.sum("a1").cast("bigint").alias("a1"),
+            F.sum("a2").cast("bigint").alias("a2"),
+        )
+    )
+    w = (
+        Window.partitionBy("s1", "s2")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = g.select(
+        "s1",
+        "s2",
+        F.sum("a1").over(w).cast("bigint").alias("c1"),
+        F.sum("a2").over(w).cast("bigint").alias("c2"),
+    )
+    t1 = tot.select(F.col("seg").alias("s1"), F.col("n").alias("n1"))
+    t2 = tot.select(F.col("seg").alias("s2"), F.col("n").alias("n2"))
+    dnum = (
+        c.join(F.broadcast(t1), "s1")
+        .join(F.broadcast(t2), "s2")
+        .groupBy("s1", "s2", "n1", "n2")
+        .agg(
+            F.max(
+                F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+            )
+            .cast("bigint")
+            .alias("d_num")
+        )
+    )
+    dn = F.col("d_num").cast("double")
+    nn = (F.col("n1") * F.col("n2")).cast("double")
+    ks_d = dn / nn
+    return dnum.select(
+        "s1",
+        "s2",
+        "n1",
+        "n2",
+        round_half_up(ks_d, 6).alias("ks_d"),
+        round_half_up(
+            ks_d
+            * F.sqrt(nn / (F.col("n1") + F.col("n2")).cast("double")),
+            6,
+        ).alias("ks_lambda"),
+    ).orderBy("s1", "s2")
+
+
+@query(
+    "kendall_tau_event_pairs",
+    category="aggregation",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type AS et, date_trunc('day', ts) AS day,
+                   CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                       AS BIGINT) AS ds
+            FROM events WHERE isfinite(value) GROUP BY 1, 2),
+        j AS (
+            SELECT p.et AS t1, q.et AS t2, p.day, p.ds AS x, q.ds AS y
+            FROM daily p JOIN daily q
+              ON q.day = p.day AND p.et < q.et),
+        pr AS (
+            SELECT a.t1, a.t2,
+                   CASE WHEN b.x > a.x THEN 1
+                        WHEN b.x < a.x THEN -1 ELSE 0 END AS sx,
+                   CASE WHEN b.y > a.y THEN 1
+                        WHEN b.y < a.y THEN -1 ELSE 0 END AS sy
+            FROM j a JOIN j b
+              ON b.t1 = a.t1 AND b.t2 = a.t2 AND a.day < b.day),
+        agg AS (
+            SELECT t1, t2,
+                   CAST(COUNT(*) AS BIGINT) AS n0,
+                   CAST(SUM(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS conc,
+                   CAST(SUM(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS disc,
+                   CAST(SUM(CASE WHEN sx = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS tx,
+                   CAST(SUM(CASE WHEN sy = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS ty
+            FROM pr GROUP BY 1, 2)
+        SELECT t1, t2, n0, conc, disc,
+               {sql_round_half_up(
+                   "CAST(conc - disc AS DOUBLE)"
+                   " / sqrt(CAST(n0 - tx AS DOUBLE)"
+                   " * CAST(n0 - ty AS DOUBLE))", 6)} AS tau_b
+        FROM agg ORDER BY t1, t2
+    """,
+)
+def kendall_tau_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between every pair of event
+    types' DAILY value totals on shared days: tau_b =
+    (C - D) / sqrt((n0 - Tx)(n0 - Ty)) with C/D the concordant and
+    discordant day pairs and Tx/Ty tie corrections — the
+    outlier-robust "which metrics co-move?" complement to the existing
+    Spearman query (rank correlation over pairwise ORDER relations
+    rather than rank differences; the reference has no statistics
+    surface).
+
+    Determinism: day totals are exact BIGINT cents, so every pairwise
+    comparison is integer; C, D, Tx, Ty, n0 stay BIGINT and the only
+    double is one identical final expression per engine.
+
+    Scale: the corpus-sized stage is the combinable (event_type, day)
+    roll-up; pairing days is quadratic ONLY in the calendar length per
+    type pair (equi-keyed on the pair, never corpus-quadratic), same
+    shape the Mann-Kendall query already carries."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
+    finite = ~(
+        F.isnan(v) | (v == F.lit(float("inf"))) | (v == F.lit(float("-inf")))
+    )
+    daily = (
+        ev.filter(finite)
+        .groupBy(
+            F.col("event_type").alias("et"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+        )
+        .agg(
+            F.sum(F.floor(v * F.lit(100.0) + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("ds")
+        )
+    )
+    p, q = daily.alias("p"), daily.alias("q")
+    j = p.join(
+        q,
+        (F.col("q.day") == F.col("p.day")) & (F.col("p.et") < F.col("q.et")),
+    ).select(
+        F.col("p.et").alias("t1"),
+        F.col("q.et").alias("t2"),
+        F.col("p.day").alias("day"),
+        F.col("p.ds").alias("x"),
+        F.col("q.ds").alias("y"),
+    )
+    a, b = j.alias("a"), j.alias("b")
+    sx = F.signum((F.col("b.x") - F.col("a.x")).cast("double")).cast("int")
+    sy = F.signum((F.col("b.y") - F.col("a.y")).cast("double")).cast("int")
+    pr = a.join(
+        b,
+        (F.col("b.t1") == F.col("a.t1"))
+        & (F.col("b.t2") == F.col("a.t2"))
+        & (F.col("a.day") < F.col("b.day")),
+    ).select(
+        F.col("a.t1").alias("t1"),
+        F.col("a.t2").alias("t2"),
+        sx.alias("sx"),
+        sy.alias("sy"),
+    )
+    one = F.lit(1)
+    agg = pr.groupBy("t1", "t2").agg(
+        F.count(one).cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("sx") * F.col("sy") == 1, one).otherwise(0))
+        .cast("bigint")
+        .alias("conc"),
+        F.sum(F.when(F.col("sx") * F.col("sy") == -1, one).otherwise(0))
+        .cast("bigint")
+        .alias("disc"),
+        F.sum(F.when(F.col("sx") == 0, one).otherwise(0))
+        .cast("bigint")
+        .alias("tx"),
+        F.sum(F.when(F.col("sy") == 0, one).otherwise(0))
+        .cast("bigint")
+        .alias("ty"),
+    )
+    return agg.select(
+        "t1",
+        "t2",
+        "n0",
+        "conc",
+        "disc",
+        round_half_up(
+            (F.col("conc") - F.col("disc")).cast("double")
+            / F.sqrt(
+                (F.col("n0") - F.col("tx")).cast("double")
+                * (F.col("n0") - F.col("ty")).cast("double")
+            ),
+            6,
+        ).alias("tau_b"),
+    ).orderBy("t1", "t2")
+
+
+@query(
+    "page_hinkley_drift",
+    category="aggregation",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type AS et, date_trunc('day', ts) AS day,
+                   CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                       AS BIGINT) AS cents
+            FROM events WHERE isfinite(value) GROUP BY 1, 2),
+        seq AS (
+            SELECT et, day, cents,
+                   CAST(row_number() OVER w AS BIGINT) AS i,
+                   CAST(SUM(cents) OVER (PARTITION BY et ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS p
+            FROM daily
+            WINDOW w AS (PARTITION BY et ORDER BY day)),
+        term AS (
+            SELECT et, day, i,
+                   CAST({sql_round_half_up(
+                       "CAST(cents AS DOUBLE) / 100.0"
+                       " - CAST(p AS DOUBLE) / (CAST(i AS DOUBLE) * 100.0)"
+                       " - 25.0", 9)} AS DECIMAL(28,12)) AS tm
+            FROM seq),
+        walk AS (
+            SELECT et, day,
+                   SUM(tm) OVER w AS g
+            FROM term
+            WINDOW w AS (PARTITION BY et ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        ph AS (
+            SELECT et, day,
+                   g - LEAST(CAST(0 AS DECIMAL(38,12)),
+                             MIN(g) OVER (PARTITION BY et ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW)) AS ph_t
+            FROM walk)
+        SELECT et AS event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               {sql_round_half_up("CAST(MAX(ph_t) AS DOUBLE)", 6)}
+                   AS max_ph,
+               CAST(SUM(CASE WHEN ph_t > CAST(1500 AS DECIMAL(28,12))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+               MIN(CASE WHEN ph_t > CAST(1500 AS DECIMAL(28,12))
+                   THEN day END) AS first_alarm_day
+        FROM ph GROUP BY 1 ORDER BY 1
+    """,
+)
+def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley mean-shift detector per event type over the daily
+    value series: g_t = sum_(i<=t)(x_i - mean_i - delta) with mean_i
+    the RUNNING mean, PH_t = g_t - min(0, min_(j<=t) g_j), alarm when
+    PH_t > lambda (delta=25 dollars drift allowance, lambda=1500
+    dollars) — the classic sequential change detector whose reference
+    statistic adapts with the running mean, complementing CUSUM's
+    fixed-k form (Page 1954; Hinkley 1971).
+
+    Determinism: daily cents and prefix sums are BIGINT; each term
+    x_t - mean_t - delta is one identical IEEE expression, 9-dp-rounded
+    into DECIMAL(28,12); the walk g, its running min, and PH are exact
+    decimal arithmetic; alarms compare exact decimals against an exact
+    decimal threshold. Same Lindley-style running-min identity the
+    CUSUM rewrite proved out (NOTES_r6).
+
+    Scale: the only corpus-sized stage is the combinable daily roll-up;
+    all windows are partitioned by event_type over calendar-bounded
+    rows."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
+    finite = ~(
+        F.isnan(v) | (v == F.lit(float("inf"))) | (v == F.lit(float("-inf")))
+    )
+    daily = (
+        ev.filter(finite)
+        .groupBy(
+            F.col("event_type").alias("et"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+        )
+        .agg(
+            F.sum(F.floor(v * F.lit(100.0) + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w_ord = Window.partitionBy("et").orderBy("day")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    seq = daily.select(
+        "et",
+        "day",
+        "cents",
+        F.row_number().over(w_ord).cast("bigint").alias("i"),
+        F.sum("cents").over(w_cum).cast("bigint").alias("p"),
+    )
+    tm = round_half_up(
+        F.col("cents").cast("double") / F.lit(100.0)
+        - F.col("p").cast("double") / (F.col("i").cast("double") * F.lit(100.0))
+        - F.lit(25.0),
+        9,
+    ).cast(_DEC)
+    walk = seq.select("et", "day", tm.alias("tm")).select(
+        "et", "day", F.sum("tm").over(w_cum).alias("g")
+    )
+    ph_t = F.col("g") - F.least(
+        F.lit(0).cast("decimal(38,12)"), F.min("g").over(w_cum)
+    )
+    lam = F.lit(1500).cast(_DEC)
+    ph = walk.select("et", "day", ph_t.alias("ph_t"))
+    return (
+        ph.groupBy(F.col("et").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            round_half_up(F.max("ph_t").cast("double"), 6).alias("max_ph"),
+            F.sum(F.when(F.col("ph_t") > lam, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_alarms"),
+            F.min(F.when(F.col("ph_t") > lam, F.col("day"))).alias(
+                "first_alarm_day"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+#: Cumulative Poisson(1) CDF thresholds P(X <= k), k = 0..6 — exact
+#: double partial sums of e^-1/k!, embedded as repr() literals so both
+#: engines parse the identical IEEE-754 value (weights beyond 7 have
+#: probability < 1e-4 and clamp to 7).
+_POIS1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+)
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < CAST({c!r} AS DOUBLE) THEN {k}"
+        for k, c in enumerate(_POIS1_CDF)
+    )
+    return f"CASE {branches} ELSE 7 END"
+
+
+@query(
+    "poisson_bootstrap_ci_acctbal",
+    category="aggregation",
+    oracle=f"""
+        WITH base AS (
+            SELECT c_mktsegment AS seg, c_custkey,
+                   CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+            FROM customer),
+        rep AS (
+            SELECT b.seg, b.cents,
+                   r.b,
+                   {_pois_case_sql(
+                       "CAST(CAST('0x' || substring(md5("
+                       "CAST(b.c_custkey AS VARCHAR) || ':' ||"
+                       " CAST(r.b AS VARCHAR)), 1, 15) AS BIGINT)"
+                       " AS DOUBLE) / 1152921504606846976.0")} AS w
+            FROM base b CROSS JOIN (
+                SELECT CAST(unnest(range(32)) AS BIGINT) AS b) r),
+        means AS (
+            SELECT seg, b,
+                   CAST(SUM(w * cents) AS DOUBLE)
+                       / (CAST(SUM(w) AS DOUBLE) * 100.0) AS wm
+            FROM rep GROUP BY 1, 2
+            HAVING SUM(w) > 0),
+        ranked AS (
+            SELECT seg, wm,
+                   row_number() OVER (PARTITION BY seg
+                                      ORDER BY wm, b) AS rn
+            FROM means),
+        ci AS (
+            SELECT seg,
+                   MAX(CASE WHEN rn = 2 THEN wm END) AS lo,
+                   MAX(CASE WHEN rn = 31 THEN wm END) AS hi
+            FROM ranked GROUP BY 1),
+        pt AS (
+            SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS DOUBLE)
+                       / (CAST(COUNT(*) AS DOUBLE) * 100.0) AS m
+            FROM base GROUP BY 1)
+        SELECT p.seg AS mktsegment, p.n,
+               {sql_round_half_up("p.m", 6)} AS mean_bal,
+               {sql_round_half_up("c.lo", 6)} AS ci_lo,
+               {sql_round_half_up("c.hi", 6)} AS ci_hi
+        FROM pt p JOIN ci c ON c.seg = p.seg
+        ORDER BY mktsegment
+    """,
+)
+def poisson_bootstrap_ci_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 90% confidence interval for the mean account
+    balance per market segment: B=32 replicates where each customer's
+    replicate weight is Poisson(1)-distributed — the single-pass,
+    shuffle-free bootstrap used at web scale precisely BECAUSE true
+    multinomial resampling needs the global row count up front
+    (Chamandy et al., Google 2012). CI bounds are the 5th/95th
+    nearest-rank replicate means.
+
+    Determinism: weights come from the repo's md5->bigint->[0,1) hash
+    of (custkey, replicate) pushed through a CASE ladder of exact
+    Poisson(1) CDF literals (identical IEEE doubles both engines);
+    replicate means divide exact BIGINT weighted-cent sums once;
+    nearest ranks are integer row_numbers tie-broken by replicate id.
+
+    Scale: the explode is a constant x32 of the dim table (weights are
+    computed, never shuffled as state); replicate means are combinable
+    aggregates; the final rank runs over 32 rows per segment. At 100 TB
+    the same plan bootstraps a fact metric with B controlled
+    independently of data size."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        "c_custkey",
+        F.floor(F.col("c_acctbal").cast("double") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    reps = base.select(
+        "seg",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+        F.col("c_custkey"),
+    ).withColumn(
+        "u",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("c_custkey").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        .cast("double")
+        / F.lit(1152921504606846976.0),
+    )
+    w = F.lit(7)
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(F.col("u") < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
+    means = (
+        reps.select("seg", "b", "cents", w.alias("w"))
+        .groupBy("seg", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).cast("bigint").alias("swc"),
+            F.sum("w").cast("bigint").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "seg",
+            "b",
+            (
+                F.col("swc").cast("double")
+                / (F.col("sw").cast("double") * F.lit(100.0))
+            ).alias("wm"),
+        )
+    )
+    w_rank = Window.partitionBy("seg").orderBy("wm", "b")
+    ci = (
+        means.select("seg", "wm", F.row_number().over(w_rank).alias("rn"))
+        .groupBy("seg")
+        .agg(
+            F.max(F.when(F.col("rn") == 2, F.col("wm"))).alias("lo"),
+            F.max(F.when(F.col("rn") == 31, F.col("wm"))).alias("hi"),
+        )
+    )
+    pt = base.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum("cents").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(100.0))
+        ).alias("m"),
+    )
+    return (
+        pt.join(F.broadcast(ci), "seg")
+        .select(
+            F.col("seg").alias("mktsegment"),
+            "n",
+            round_half_up(F.col("m"), 6).alias("mean_bal"),
+            round_half_up(F.col("lo"), 6).alias("ci_lo"),
+            round_half_up(F.col("hi"), 6).alias("ci_hi"),
+        )
+        .orderBy("mktsegment")
+    )
+
+
+@query(
+    "pca_2d_parts_by_brand",
+    category="aggregation",
+    oracle=f"""
+        WITH agg AS (
+            SELECT p_brand AS brand,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(floor(p_retailprice * 100.0 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS sx,
+                   CAST(SUM(CAST(p_size AS BIGINT)) AS BIGINT) AS sy,
+                   CAST(SUM(CAST(floor(p_retailprice * 100.0 + 0.5)
+                       AS BIGINT) * CAST(floor(p_retailprice * 100.0 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS sxx,
+                   CAST(SUM(CAST(p_size AS BIGINT) * CAST(p_size AS BIGINT))
+                       AS BIGINT) AS syy,
+                   CAST(SUM(CAST(floor(p_retailprice * 100.0 + 0.5)
+                       AS BIGINT) * CAST(p_size AS BIGINT)) AS BIGINT) AS sxy
+            FROM part GROUP BY 1),
+        v AS (
+            SELECT brand, n,
+                   CAST(n * sxx - sx * sx AS DOUBLE)
+                       / (CAST(n * n AS DOUBLE) * 10000.0) AS vxx,
+                   CAST(n * syy - sy * sy AS DOUBLE)
+                       / CAST(n * n AS DOUBLE) AS vyy,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (CAST(n * n AS DOUBLE) * 100.0) AS vxy
+            FROM agg),
+        eig AS (
+            SELECT brand, n, vxx, vyy, vxy,
+                   sqrt((vxx - vyy) * (vxx - vyy) + 4.0 * vxy * vxy)
+                       AS disc
+            FROM v)
+        SELECT brand, n,
+               {sql_round_half_up(
+                   "0.5 * atan2(2.0 * vxy, vxx - vyy)", 6)} AS theta,
+               {sql_round_half_up("(vxx + vyy + disc) / 2.0", 6)}
+                   AS lambda1,
+               {sql_round_half_up("(vxx + vyy - disc) / 2.0", 6)}
+                   AS lambda2,
+               {sql_round_half_up(
+                   "((vxx + vyy + disc) / 2.0) / (vxx + vyy)", 6)} AS evr
+        FROM eig ORDER BY brand
+    """,
+)
+def pca_2d_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form 2-feature PCA of (retail price, size) per part
+    brand: principal-axis angle theta = atan2(2*cov, varx - vary) / 2,
+    both eigenvalues from the trace/discriminant identity, and the
+    explained-variance ratio lambda1/(lambda1+lambda2) — the 2x2
+    eigenproblem has an exact closed form, so the whole decomposition
+    is ONE combinable aggregation pass with no iteration and no driver
+    linear algebra (the pattern that generalizes to d-dimensional PCA
+    via a d x d Gram-matrix aggregate; the reference has no linear
+    algebra surface).
+
+    Determinism: the five moment sums are BIGINT-exact in cents/size
+    units (bounded ~1e16 < 2^63 at bench scale); covariances divide
+    once into population-variance doubles; theta/eigenvalues/EVR are
+    identical IEEE expression trees (atan2 and sqrt on equal inputs).
+
+    Scale: a single map-side-combinable groupBy over the corpus — the
+    canonical "moment sketch" shape; output is |brands| rows."""
+    part = load_table(spark, sf_dir, "part")
+    xc = F.floor(
+        F.col("p_retailprice").cast("double") * F.lit(100.0) + F.lit(0.5)
+    ).cast("bigint")
+    yc = F.col("p_size").cast("bigint")
+    agg = part.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(xc).cast("bigint").alias("sx"),
+        F.sum(yc).cast("bigint").alias("sy"),
+        F.sum(xc * xc).cast("bigint").alias("sxx"),
+        F.sum(yc * yc).cast("bigint").alias("syy"),
+        F.sum(xc * yc).cast("bigint").alias("sxy"),
+    )
+    n = F.col("n")
+    nn = (n * n).cast("double")
+    v = agg.select(
+        "brand",
+        "n",
+        ((n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+         / (nn * F.lit(10000.0))).alias("vxx"),
+        ((n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+         / nn).alias("vyy"),
+        ((n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+         / (nn * F.lit(100.0))).alias("vxy"),
+    )
+    vxx, vyy, vxy = F.col("vxx"), F.col("vyy"), F.col("vxy")
+    disc = F.sqrt(
+        (vxx - vyy) * (vxx - vyy) + F.lit(4.0) * vxy * vxy
+    )
+    eig = v.select("brand", "n", "vxx", "vyy", "vxy", disc.alias("disc"))
+    l1 = (vxx + vyy + F.col("disc")) / F.lit(2.0)
+    l2 = (vxx + vyy - F.col("disc")) / F.lit(2.0)
+    return eig.select(
+        "brand",
+        "n",
+        round_half_up(
+            F.lit(0.5) * F.atan2(F.lit(2.0) * vxy, vxx - vyy), 6
+        ).alias("theta"),
+        round_half_up(l1, 6).alias("lambda1"),
+        round_half_up(l2, 6).alias("lambda2"),
+        round_half_up(l1 / (vxx + vyy), 6).alias("evr"),
+    ).orderBy("brand")

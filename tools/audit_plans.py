@@ -74,6 +74,8 @@ NL_WHITELIST = {
     "kmv_merge_global_distinct",  # three 1-row aggregates (source count, exact count, merged-sketch meta) cross-joined into the single summary row
     "sequential_pattern_support",  # 1-row total-user-count broadcast onto the 25-row pattern-support table
     "two_proportion_ztest",  # segment-pair generation is an inequality self-join over the |segments|-row (5) aggregate — fact rows never enter the non-equi join
+    "ks_two_sample_acctbal",  # same 5-row segment-pair inequality self-join; the ECDF walk itself is equi-keyed and window-partitioned by pair
+    "kaplan_meier_retention",  # 1-row dataset-horizon (max order date) broadcast onto the per-customer lifetime aggregate
     "js_divergence_sources",  # |sources| x top-500-support grid product (~10k rows) with the support broadcast; corpus rows only feed the combinable (source, token) count
     "rrf_hybrid_retrieval",  # inherits bm25_topk_docs' whitelisted 1-row corpus-stats broadcast (the query composes bm25 verbatim)
     "theta_sketch_anotb_difference",  # same inequality self-join over the k-bounded sketch META table as theta_sketch_shingle_overlap; anti-join legs run on broadcast sketch rows
