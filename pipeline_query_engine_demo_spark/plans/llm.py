@@ -4759,3 +4759,307 @@ def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@query(
+    "wasserstein_doc_lengths",
+    category="llm-text",
+    oracle=f"""
+        WITH hist AS (
+            SELECT source, CAST(n_chars AS BIGINT) AS v,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM documents GROUP BY 1, 2),
+        tot AS (
+            SELECT source, CAST(SUM(cnt) AS BIGINT) AS n
+            FROM hist GROUP BY 1),
+        srcs AS (SELECT DISTINCT source FROM hist),
+        pairs AS (
+            SELECT a.source AS s1, b.source AS s2
+            FROM srcs a JOIN srcs b ON a.source < b.source),
+        e AS (
+            SELECT p.s1, p.s2, h.v, h.cnt AS a1, CAST(0 AS BIGINT) AS a2
+            FROM pairs p JOIN hist h ON h.source = p.s1
+            UNION ALL
+            SELECT p.s1, p.s2, h.v, CAST(0 AS BIGINT), h.cnt
+            FROM pairs p JOIN hist h ON h.source = p.s2),
+        g AS (
+            SELECT s1, s2, v,
+                   CAST(SUM(a1) AS BIGINT) AS a1,
+                   CAST(SUM(a2) AS BIGINT) AS a2
+            FROM e GROUP BY 1, 2, 3),
+        c AS (
+            SELECT s1, s2, v,
+                   CAST(SUM(a1) OVER w AS BIGINT) AS c1,
+                   CAST(SUM(a2) OVER w AS BIGINT) AS c2,
+                   lead(v) OVER (PARTITION BY s1, s2 ORDER BY v) AS nv
+            FROM g
+            WINDOW w AS (PARTITION BY s1, s2 ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        segsum AS (
+            SELECT c.s1, c.s2, t1.n AS n1, t2.n AS n2,
+                   CAST(SUM(CASE WHEN c.nv IS NULL THEN 0
+                        ELSE abs(c.c1 * t2.n - c.c2 * t1.n) * (c.nv - c.v)
+                        END) AS BIGINT) AS mass
+            FROM c
+            JOIN tot t1 ON t1.source = c.s1
+            JOIN tot t2 ON t2.source = c.s2
+            GROUP BY 1, 2, 3, 4)
+        SELECT s1, s2, n1, n2,
+               {sql_round_half_up(
+                   "CAST(mass AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)", 6)}
+                   AS w1_chars
+        FROM segsum ORDER BY s1, s2
+    """,
+)
+def wasserstein_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein (earth-mover) distance between every pair of
+    sources' document-length distributions: W1 = integral over v of
+    |F1(v) - F2(v)| dv, evaluated exactly on the step ECDFs — the
+    drift metric that, unlike KS's max gap or PSI's fixed bins, weighs
+    HOW FAR mass must move, which is what matters when rebalancing a
+    training mixture's length profile (the reference has no
+    distribution-distance surface).
+
+    Determinism: the integral is a sum of per-segment terms
+    |c1*n2 - c2*n1| * (v_next - v), every factor BIGINT-exact; one
+    final division by n1*n2 per pair.
+
+    Scale: corpus rows feed one combinable (source, length) histogram;
+    the pairwise stage runs on histogram rows (distinct lengths), with
+    the ECDF walk window-partitioned by source pair and the histogram
+    broadcast onto the |sources|^2/2-row pair list. At 100 TB the
+    histogram is still ~|sources| x |distinct lengths| — KBs."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = (
+        docs.select(
+            "source", F.col("n_chars").cast("bigint").alias("v")
+        )
+        .groupBy("source", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    tot = hist.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n")
+    )
+    srcs = hist.select("source").distinct()
+    pairs = (
+        srcs.alias("a")
+        .join(srcs.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("s1"), F.col("b.source").alias("s2")
+        )
+    )
+    zero = F.lit(0).cast("bigint")
+    e1 = pairs.join(F.broadcast(hist), F.col("source") == F.col("s1")).select(
+        "s1", "s2", "v", F.col("cnt").alias("a1"), zero.alias("a2")
+    )
+    e2 = pairs.join(F.broadcast(hist), F.col("source") == F.col("s2")).select(
+        "s1", "s2", "v", zero.alias("a1"), F.col("cnt").alias("a2")
+    )
+    g = (
+        e1.unionAll(e2)
+        .groupBy("s1", "s2", "v")
+        .agg(
+            F.sum("a1").cast("bigint").alias("a1"),
+            F.sum("a2").cast("bigint").alias("a2"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("s1", "s2")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_ord = Window.partitionBy("s1", "s2").orderBy("v")
+    c = g.select(
+        "s1",
+        "s2",
+        "v",
+        F.sum("a1").over(w_cum).cast("bigint").alias("c1"),
+        F.sum("a2").over(w_cum).cast("bigint").alias("c2"),
+        F.lead("v").over(w_ord).alias("nv"),
+    )
+    t1 = tot.select(F.col("source").alias("s1"), F.col("n").alias("n1"))
+    t2 = tot.select(F.col("source").alias("s2"), F.col("n").alias("n2"))
+    seg = (
+        c.join(F.broadcast(t1), "s1")
+        .join(F.broadcast(t2), "s2")
+        .groupBy("s1", "s2", "n1", "n2")
+        .agg(
+            F.sum(
+                F.when(F.col("nv").isNull(), F.lit(0)).otherwise(
+                    F.abs(
+                        F.col("c1") * F.col("n2")
+                        - F.col("c2") * F.col("n1")
+                    )
+                    * (F.col("nv") - F.col("v"))
+                )
+            )
+            .cast("bigint")
+            .alias("mass")
+        )
+    )
+    return seg.select(
+        "s1",
+        "s2",
+        "n1",
+        "n2",
+        round_half_up(
+            F.col("mass").cast("double")
+            / (F.col("n1") * F.col("n2")).cast("double"),
+            6,
+        ).alias("w1_chars"),
+    ).orderBy("s1", "s2")
+
+
+@query(
+    "cdc_chunk_dedup",
+    category="llm-dedup",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, source, text,
+                   CAST(length(text) AS BIGINT) AS n
+            FROM documents),
+        pos AS (
+            SELECT doc_id, n, text,
+                   CAST(unnest(range(1, CAST(GREATEST(n - 6, 1)
+                       AS BIGINT))) AS BIGINT) AS p
+            FROM d),
+        cuts AS (
+            SELECT doc_id, p + 7 AS cut
+            FROM pos
+            WHERE CAST('0x' || substring(md5(substring(text,
+                      CAST(p AS INTEGER), 8)), 1, 15) AS BIGINT) % 128 = 0
+              AND p + 7 < n),
+        mids AS (
+            SELECT doc_id,
+                   COALESCE(lag(cut) OVER (PARTITION BY doc_id
+                       ORDER BY cut) + 1, 1) AS s,
+                   cut AS e
+            FROM cuts),
+        lastc AS (SELECT doc_id, MAX(cut) AS mc FROM cuts GROUP BY 1),
+        lasts AS (
+            SELECT d.doc_id, COALESCE(l.mc + 1, 1) AS s, d.n AS e
+            FROM d LEFT JOIN lastc l ON l.doc_id = d.doc_id),
+        spans AS (
+            SELECT * FROM mids UNION ALL SELECT * FROM lasts),
+        chunks AS (
+            SELECT d.source,
+                   md5(substring(d.text, CAST(sp.s AS INTEGER),
+                       CAST(sp.e - sp.s + 1 AS INTEGER))) AS h,
+                   CAST(sp.e - sp.s + 1 AS BIGINT) AS clen
+            FROM spans sp JOIN d ON d.doc_id = sp.doc_id),
+        freq AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS cnt
+                 FROM chunks GROUP BY 1)
+        SELECT c.source,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_dup_chunks,
+               {sql_round_half_up(
+                   "CAST(SUM(c.clen) AS DOUBLE)"
+                   " / CAST(COUNT(*) AS DOUBLE)", 6)} AS avg_chunk_chars,
+               {sql_round_half_up(
+                   "CAST(SUM(CASE WHEN f.cnt > 1 THEN c.clen ELSE 0 END)"
+                   " AS DOUBLE) / CAST(SUM(c.clen) AS DOUBLE)", 6)}
+                   AS dup_char_ratio
+        FROM chunks c JOIN freq f ON f.h = c.h
+        GROUP BY 1 ORDER BY 1
+    """,
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup profile per source: split every
+    document at positions where the rolling 8-gram's hash lands in a
+    1/128 bucket (the FastCDC/LBFS boundary rule — boundaries move WITH
+    the content, so an insertion only reshapes its own chunk, unlike
+    fixed-size blocks where one shifted byte re-hashes the whole tail),
+    then hash chunks corpus-wide and report how much of each source
+    sits in non-unique chunks — sub-document dedup that exact and
+    MinHash dedup both miss when documents share long boilerplate runs
+    (complements duplicated_substring_spans' suffix-style spans with
+    the storage-shaped chunk view).
+
+    Determinism: boundaries come from the repo's md5->bigint hash of
+    the literal 8-char gram (mod 128), span arithmetic is BIGINT, and
+    chunk identity is the md5 of the exact substring — no floats until
+    the two final ratio divisions.
+
+    Scale: the position explode is linear in corpus characters and
+    never shuffles text (gram hashing happens in the same stage);
+    the boundary walk windows over CUT rows (1/128 of positions)
+    partitioned by doc_id; chunk extraction is a doc_id-equi join; the
+    dup check is a combinable hash-count. Expected chunk ~128 chars
+    keeps chunk rows ~corpus_chars/128."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.length("text").cast("bigint").alias("n"),
+    )
+    n = F.col("n")
+    posd = d.select(
+        "doc_id",
+        "n",
+        "text",
+        F.explode(
+            F.when(
+                n >= 8, F.sequence(F.lit(1).cast("bigint"), n - 7)
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("p"),
+    )
+    gram = F.col("text").substr(F.col("p").cast("int"), F.lit(8))
+    ghash = F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("bigint")
+    cuts = (
+        posd.select("doc_id", "n", "p", ghash.alias("gh"))
+        .filter((F.col("gh") % 128 == 0) & (F.col("p") + 7 < n))
+        .select("doc_id", (F.col("p") + 7).alias("cut"))
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("cut")
+    mids = cuts.select(
+        "doc_id",
+        F.coalesce(F.lag("cut").over(w_ord) + 1, F.lit(1).cast("bigint"))
+        .alias("s"),
+        F.col("cut").alias("e"),
+    )
+    lastc = cuts.groupBy("doc_id").agg(F.max("cut").alias("mc"))
+    lasts = d.join(lastc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("mc") + 1, F.lit(1).cast("bigint")).alias("s"),
+        F.col("n").alias("e"),
+    )
+    spans = mids.unionAll(lasts)
+    chunks = spans.join(d, "doc_id").select(
+        "source",
+        F.md5(
+            F.col("text").substr(
+                F.col("s").cast("int"),
+                (F.col("e") - F.col("s") + 1).cast("int"),
+            )
+        ).alias("h"),
+        (F.col("e") - F.col("s") + 1).cast("bigint").alias("clen"),
+    )
+    freq = chunks.groupBy("h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    joined = chunks.join(freq, "h")
+    dup = F.when(F.col("cnt") > 1, F.col("clen")).otherwise(F.lit(0))
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_chunks"),
+            round_half_up(
+                F.sum("clen").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_chunk_chars"),
+            round_half_up(
+                F.sum(dup).cast("double") / F.sum("clen").cast("double"), 6
+            ).alias("dup_char_ratio"),
+        )
+        .orderBy("source")
+    )
