@@ -6584,3 +6584,343 @@ def pca_2d_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(l2, 6).alias("lambda2"),
         round_half_up(l1 / (vxx + vyy), 6).alias("evr"),
     ).orderBy("brand")
+
+
+@query(
+    "markov_entropy_rate",
+    category="aggregation",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS nxt
+            FROM events),
+        trans AS (
+            SELECT event_type AS src, nxt AS dst,
+                   CAST(COUNT(*) AS BIGINT) AS n_ij
+            FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        outs AS (
+            SELECT src, CAST(SUM(n_ij) AS BIGINT) AS n_i
+            FROM trans GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_ij) AS BIGINT) AS n FROM trans),
+        terms AS (
+            SELECT t.src, o.n_i,
+                   CAST({sql_round_half_up(
+                       "-(CAST(t.n_ij AS DOUBLE) / CAST(o.n_i AS DOUBLE))"
+                       " * log2(CAST(t.n_ij AS DOUBLE)"
+                       " / CAST(o.n_i AS DOUBLE))", 9)}
+                       AS DECIMAL(28,12)) AS h_term
+            FROM trans t JOIN outs o ON o.src = t.src)
+        SELECT tm.src AS event_type, tm.n_i AS n_transitions,
+               {sql_round_half_up(
+                   "CAST(tm.n_i AS DOUBLE) / CAST(tt.n AS DOUBLE)", 6)}
+                   AS pi_share,
+               {sql_round_half_up(
+                   "CAST(SUM(tm.h_term) AS DOUBLE)", 6)} AS h_cond_bits,
+               {sql_round_half_up(
+                   "CAST(SUM(tm.h_term) AS DOUBLE)"
+                   " * (CAST(tm.n_i AS DOUBLE) / CAST(tt.n AS DOUBLE))",
+                   6)} AS rate_contrib_bits
+        FROM terms tm CROSS JOIN tot tt
+        GROUP BY tm.src, tm.n_i, tt.n
+        ORDER BY event_type
+    """,
+)
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the per-user event-type Markov chain: empirical
+    transition counts n_ij from consecutive events, conditional entropy
+    H_i = -sum_j p_ij log2 p_ij per source state, stationary share
+    pi_i = n_i/N, and the per-state contribution pi_i * H_i whose total
+    is the chain's entropy rate — "how predictable is the next event
+    given this one", the sequence-level complement to the existing
+    unconditional transition matrix and char-entropy queries (the
+    reference has no sequence-statistics surface).
+
+    Determinism: counts are BIGINT; each -p log2 p term is one
+    identical IEEE expression 9-dp-rounded into DECIMAL(28,12) and
+    summed exactly (order-independent, ~|types| terms per state); the
+    final shares are single divisions.
+
+    Scale: the lead() window is partitioned by user_id over fact rows
+    (the sessionization shape already audited); everything after is
+    |types|^2-sized. The 1-row grand-total crossJoin broadcasts."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    )
+    trans = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ij"))
+    )
+    outs = trans.groupBy("src").agg(
+        F.sum("n_ij").cast("bigint").alias("n_i")
+    )
+    tot = trans.agg(F.sum("n_ij").cast("bigint").alias("n"))
+    p = F.col("n_ij").cast("double") / F.col("n_i").cast("double")
+    terms = trans.join(F.broadcast(outs), "src").select(
+        "src",
+        "n_i",
+        round_half_up(-p * F.log2(p), 9).cast(_DEC).alias("h_term"),
+    )
+    share = F.col("n_i").cast("double") / F.col("n").cast("double")
+    return (
+        terms.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("src").alias("event_type"), "n_i", "n")
+        .agg(F.sum("h_term").alias("h_sum"))
+        .select(
+            "event_type",
+            F.col("n_i").alias("n_transitions"),
+            round_half_up(share, 6).alias("pi_share"),
+            round_half_up(F.col("h_sum").cast("double"), 6).alias(
+                "h_cond_bits"
+            ),
+            round_half_up(
+                F.col("h_sum").cast("double") * share, 6
+            ).alias("rate_contrib_bits"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "permutation_test_mean_diff",
+    category="aggregation",
+    oracle=f"""
+        WITH base AS (
+            SELECT c_mktsegment AS seg, c_custkey,
+                   CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+            FROM customer),
+        tot AS (
+            SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS s
+            FROM base GROUP BY 1),
+        segs AS (SELECT DISTINCT seg FROM base),
+        pairs AS (
+            SELECT a.seg AS s1, b.seg AS s2
+            FROM segs a JOIN segs b ON a.seg < b.seg),
+        obs AS (
+            SELECT p.s1, p.s2, t1.n AS n1, t2.n AS n2,
+                   CAST(t1.s AS DOUBLE) / (CAST(t1.n AS DOUBLE) * 100.0)
+                   - CAST(t2.s AS DOUBLE) / (CAST(t2.n AS DOUBLE) * 100.0)
+                       AS t_obs
+            FROM pairs p
+            JOIN tot t1 ON t1.seg = p.s1
+            JOIN tot t2 ON t2.seg = p.s2),
+        members AS (
+            SELECT p.s1, p.s2, b.c_custkey, b.cents
+            FROM pairs p JOIN base b ON b.seg = p.s1
+            UNION ALL
+            SELECT p.s1, p.s2, b.c_custkey, b.cents
+            FROM pairs p JOIN base b ON b.seg = p.s2),
+        flips AS (
+            SELECT m.s1, m.s2, m.cents, r.b,
+                   CASE WHEN CAST(CAST('0x' || substring(md5(
+                       CAST(m.c_custkey AS VARCHAR) || ':' ||
+                       CAST(r.b AS VARCHAR) || ':' || m.s1 || ':' || m.s2),
+                       1, 15) AS BIGINT) AS DOUBLE)
+                       / 1152921504606846976.0
+                       < CAST(o.n1 AS DOUBLE)
+                         / CAST(o.n1 + o.n2 AS DOUBLE)
+                   THEN 1 ELSE 0 END AS side
+            FROM members m
+            JOIN obs o ON o.s1 = m.s1 AND o.s2 = m.s2
+            CROSS JOIN (SELECT CAST(unnest(range(64)) AS BIGINT) AS b) r),
+        null_t AS (
+            SELECT s1, s2, b,
+                   CAST(SUM(CASE WHEN side = 1 THEN cents END) AS DOUBLE)
+                     / (CAST(SUM(side) AS DOUBLE) * 100.0)
+                   - CAST(SUM(CASE WHEN side = 0 THEN cents END) AS DOUBLE)
+                     / (CAST(SUM(1 - side) AS DOUBLE) * 100.0) AS t_b
+            FROM flips GROUP BY 1, 2, 3
+            HAVING SUM(side) > 0 AND SUM(1 - side) > 0),
+        extreme AS (
+            SELECT n.s1, n.s2,
+                   CAST(COUNT(*) AS BIGINT) AS n_reps,
+                   CAST(SUM(CASE WHEN abs(n.t_b) >= abs(o.t_obs)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+            FROM null_t n JOIN obs o ON o.s1 = n.s1 AND o.s2 = n.s2
+            GROUP BY 1, 2)
+        SELECT o.s1, o.s2, o.n1, o.n2,
+               {sql_round_half_up("o.t_obs", 6)} AS t_obs,
+               e.n_extreme,
+               {sql_round_half_up(
+                   "CAST(e.n_extreme + 1 AS DOUBLE)"
+                   " / CAST(e.n_reps + 1 AS DOUBLE)", 6)} AS p_value
+        FROM obs o JOIN extreme e ON e.s1 = o.s1 AND e.s2 = o.s2
+        ORDER BY o.s1, o.s2
+    """,
+)
+def permutation_test_mean_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte-Carlo randomization test for the mean account-balance
+    difference between every market-segment pair: B=64 deterministic
+    random relabelings of the pooled customers (each customer joins
+    side 1 with probability n1/(n1+n2), so null group sizes are
+    binomial around the observed split), null statistic = difference
+    of relabeled means, p = (1 + #{|T_b| >= |T_obs|}) / (B + 1) — the
+    distribution-free significance gate that complements the
+    parametric Welch t and the rank-based Mann-Whitney queries.
+
+    Determinism: relabeling comes from the md5->bigint->[0,1) hash of
+    (custkey, replicate, pair); all sums are BIGINT cents; each mean
+    difference is the identical IEEE expression, so |T_b| >= |T_obs|
+    compares bit-identical doubles on both engines.
+
+    Scale: one combinable pass builds the pooled members; the x64
+    replicate explosion carries (pair, cents, bit) only — weights are
+    computed, never shuffled as state; per-replicate means are
+    combinable aggregates, 64 rows per pair at the end. Pair
+    generation is the whitelisted 5-row inequality self-join."""
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        "c_custkey",
+        F.floor(F.col("c_acctbal").cast("double") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    tot = base.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+    )
+    segs = base.select("seg").distinct()
+    pairs = (
+        segs.alias("a")
+        .join(segs.alias("b"), F.col("a.seg") < F.col("b.seg"))
+        .select(F.col("a.seg").alias("s1"), F.col("b.seg").alias("s2"))
+    )
+    t1 = tot.select(
+        F.col("seg").alias("s1"),
+        F.col("n").alias("n1"),
+        F.col("s").alias("sum1"),
+    )
+    t2 = tot.select(
+        F.col("seg").alias("s2"),
+        F.col("n").alias("n2"),
+        F.col("s").alias("sum2"),
+    )
+    obs = (
+        pairs.join(F.broadcast(t1), "s1")
+        .join(F.broadcast(t2), "s2")
+        .select(
+            "s1",
+            "s2",
+            "n1",
+            "n2",
+            (
+                F.col("sum1").cast("double")
+                / (F.col("n1").cast("double") * F.lit(100.0))
+                - F.col("sum2").cast("double")
+                / (F.col("n2").cast("double") * F.lit(100.0))
+            ).alias("t_obs"),
+        )
+    )
+    m1 = pairs.join(base, F.col("seg") == F.col("s1")).select(
+        "s1", "s2", "c_custkey", "cents"
+    )
+    m2 = pairs.join(base, F.col("seg") == F.col("s2")).select(
+        "s1", "s2", "c_custkey", "cents"
+    )
+    members = m1.unionAll(m2)
+    thresh = F.col("n1").cast("double") / (
+        F.col("n1") + F.col("n2")
+    ).cast("double")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("c_custkey").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("s1"),
+                        F.lit(":"),
+                        F.col("s2"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .cast("double")
+        / F.lit(1152921504606846976.0)
+    )
+    flips = (
+        members.join(
+            F.broadcast(obs.select("s1", "s2", "n1", "n2")), ["s1", "s2"]
+        )
+        .select(
+            "s1",
+            "s2",
+            "cents",
+            "c_custkey",
+            "n1",
+            "n2",
+            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
+        )
+        .select(
+            "s1",
+            "s2",
+            "cents",
+            "b",
+            F.when(u < thresh, F.lit(1)).otherwise(F.lit(0)).alias("side"),
+        )
+    )
+    side = F.col("side")
+    null_t = (
+        flips.groupBy("s1", "s2", "b")
+        .agg(
+            F.sum(F.when(side == 1, F.col("cents"))).cast("bigint").alias("sa"),
+            F.sum(side).cast("bigint").alias("na"),
+            F.sum(F.when(side == 0, F.col("cents"))).cast("bigint").alias("sb"),
+            F.sum(1 - side).cast("bigint").alias("nb"),
+        )
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            "s1",
+            "s2",
+            (
+                F.col("sa").cast("double")
+                / (F.col("na").cast("double") * F.lit(100.0))
+                - F.col("sb").cast("double")
+                / (F.col("nb").cast("double") * F.lit(100.0))
+            ).alias("t_b"),
+        )
+    )
+    extreme = (
+        null_t.join(F.broadcast(obs.select("s1", "s2", "t_obs")), ["s1", "s2"])
+        .groupBy("s1", "s2")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_reps"),
+            F.sum(
+                F.when(F.abs(F.col("t_b")) >= F.abs(F.col("t_obs")), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_extreme"),
+        )
+    )
+    return (
+        obs.join(F.broadcast(extreme), ["s1", "s2"])
+        .select(
+            "s1",
+            "s2",
+            "n1",
+            "n2",
+            round_half_up(F.col("t_obs"), 6).alias("t_obs"),
+            "n_extreme",
+            round_half_up(
+                (F.col("n_extreme") + 1).cast("double")
+                / (F.col("n_reps") + 1).cast("double"),
+                6,
+            ).alias("p_value"),
+        )
+        .orderBy("s1", "s2")
+    )

@@ -5063,3 +5063,115 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "jackknife_source_loo",
+    category="llm-text",
+    oracle=f"""
+        WITH per_src AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS s_chars
+            FROM documents GROUP BY 1),
+        tot AS (
+            SELECT CAST(SUM(n_docs) AS BIGINT) AS nn,
+                   CAST(SUM(s_chars) AS BIGINT) AS ss,
+                   CAST(COUNT(*) AS BIGINT) AS g
+            FROM per_src),
+        loo AS (
+            SELECT p.source, p.n_docs, t.g,
+                   CAST(t.ss AS DOUBLE) / CAST(t.nn AS DOUBLE) AS theta,
+                   CAST(t.ss - p.s_chars AS DOUBLE)
+                       / CAST(t.nn - p.n_docs AS DOUBLE) AS theta_i
+            FROM per_src p CROSS JOIN tot t),
+        m AS (
+            SELECT CAST(SUM(CAST({sql_round_half_up("theta_i", 9)}
+                       AS DECIMAL(28,12))) AS DOUBLE)
+                       / CAST(MAX(g) AS DOUBLE) AS mean_loo
+            FROM loo),
+        sq AS (
+            SELECT CAST(SUM(CAST({sql_round_half_up(
+                       "(l.theta_i - m.mean_loo)"
+                       " * (l.theta_i - m.mean_loo)", 9)}
+                       AS DECIMAL(28,12))) AS DOUBLE) AS ssq,
+                   CAST(MAX(l.g) AS DOUBLE) AS gd
+            FROM loo l CROSS JOIN m)
+        SELECT l.source, l.n_docs,
+               {sql_round_half_up("l.theta_i", 6)} AS loo_mean,
+               {sql_round_half_up("l.theta - l.theta_i", 6)} AS influence,
+               {sql_round_half_up(
+                   "sqrt((s.gd - 1.0) / s.gd * s.ssq)", 6)} AS jack_se
+        FROM loo l CROSS JOIN sq s
+        ORDER BY l.source
+    """,
+)
+def jackknife_source_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-GROUP jackknife over sources for the corpus mean
+    document length: each source's leave-one-out estimate
+    theta_(i) = (S - s_i)/(N - n_i), its influence theta - theta_(i)
+    (how much this source pulls the corpus statistic — the curation
+    question "which source is distorting my length profile?"), and the
+    grouped-jackknife standard error sqrt((G-1)/G * sum (theta_(i) -
+    mean)^2) — resampling-free uncertainty for any ratio statistic,
+    the natural companion to the Poisson bootstrap (which resamples
+    ROWS; the jackknife here deletes whole CORRELATED groups).
+
+    Determinism: per-source and grand totals are BIGINT; each
+    theta_(i) is one exact division; the across-source mean and the
+    squared-deviation sum accumulate 9-dp-rounded DECIMAL terms
+    (order-independent, G terms), and the SE is one final expression.
+
+    Scale: one combinable corpus pass; everything after runs on
+    |sources| rows with 1-row broadcast totals."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("bigint")).cast("bigint").alias("s_chars"),
+    )
+    tot = per_src.agg(
+        F.sum("n_docs").cast("bigint").alias("nn"),
+        F.sum("s_chars").cast("bigint").alias("ss"),
+        F.count(F.lit(1)).cast("bigint").alias("g"),
+    )
+    loo = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "g",
+        (F.col("ss").cast("double") / F.col("nn").cast("double")).alias(
+            "theta"
+        ),
+        (
+            (F.col("ss") - F.col("s_chars")).cast("double")
+            / (F.col("nn") - F.col("n_docs")).cast("double")
+        ).alias("theta_i"),
+    )
+    m = loo.agg(
+        (
+            F.sum(round_half_up(F.col("theta_i"), 9).cast("decimal(28,12)"))
+            .cast("double")
+            / F.max("g").cast("double")
+        ).alias("mean_loo")
+    )
+    dev = F.col("theta_i") - F.col("mean_loo")
+    sq = loo.crossJoin(F.broadcast(m)).agg(
+        F.sum(round_half_up(dev * dev, 9).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("ssq"),
+        F.max("g").cast("double").alias("gd"),
+    )
+    se = F.sqrt(
+        (F.col("gd") - F.lit(1.0)) / F.col("gd") * F.col("ssq")
+    )
+    return (
+        loo.crossJoin(F.broadcast(sq))
+        .select(
+            "source",
+            "n_docs",
+            round_half_up(F.col("theta_i"), 6).alias("loo_mean"),
+            round_half_up(F.col("theta") - F.col("theta_i"), 6).alias(
+                "influence"
+            ),
+            round_half_up(se, 6).alias("jack_se"),
+        )
+        .orderBy("source")
+    )

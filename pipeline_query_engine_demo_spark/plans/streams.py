@@ -1079,3 +1079,70 @@ def streaming_quantile_sketch_by_status(
         name="t_qsk",
     )
     return result.orderBy("grp", "pct")
+
+
+@query(
+    "streaming_page_hinkley_alarms",
+    category="streaming",
+    oracle=f"""
+        WITH ev AS (
+            SELECT user_id, ts, event_id,
+                   CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+            FROM events WHERE isfinite(value)),
+        seq AS (
+            SELECT user_id, ts, event_id, c,
+                   CAST(row_number() OVER w AS BIGINT) AS i,
+                   CAST(SUM(c) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS p
+            FROM ev
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        term AS (
+            SELECT user_id, ts, event_id,
+                   CAST({sql_round_half_up(
+                       "CAST(c AS DOUBLE) / 100.0"
+                       " - CAST(p AS DOUBLE) / (CAST(i AS DOUBLE) * 100.0)"
+                       " - 5.0", 9)} AS DECIMAL(28,12)) AS tm
+            FROM seq),
+        walk AS (
+            SELECT user_id, ts, event_id,
+                   SUM(tm) OVER w AS g
+            FROM term
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        ph AS (
+            SELECT user_id,
+                   g - LEAST(CAST(0 AS DECIMAL(38,12)),
+                             MIN(g) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW)) AS ph_t
+            FROM walk)
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {sql_round_half_up("CAST(MAX(ph_t) AS DOUBLE)", 6)}
+                   AS max_ph,
+               CAST(SUM(CASE WHEN ph_t > CAST(400 AS DECIMAL(28,12))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms
+        FROM ph GROUP BY 1 ORDER BY 1
+    """,
+)
+def streaming_page_hinkley_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user Page-Hinkley detector (running-mean change
+    monitor, delta=5 dollars, lambda=400): six-long O(1) state per user
+    in applyInPandasWithState (streaming/windows.stateful_page_hinkley)
+    updated by the exact int64-nano walk, drained via the availableNow
+    harness. The oracle is the batch window identity (row-level twin of
+    page_hinkley_drift's daily form): terms 9-dp-rounded into
+    DECIMAL(28,12), g = cumulative sum, PH = g - min(0, running min g)
+    — the nano-lattice state equals the decimal sums value-for-value.
+    Incremental multi-batch state evolution is exercised in
+    tests/test_streaming."""
+    events = streaming.read_events_stream(spark, sf_dir)
+    result = streaming.run_to_memory(
+        streaming.stateful_page_hinkley(events, 5.0, 400 * 10**9),
+        "update",
+        name="t_pagehinkley",
+    )
+    return result.orderBy("user_id")

@@ -23,6 +23,7 @@ from pipeline_query_engine_demo_spark.streaming.windows import (
     stateful_cms,
     stateful_cusum,
     stateful_ewma,
+    stateful_page_hinkley,
     stateful_hll,
     stateful_kmv,
     stateful_user_counts,
@@ -42,6 +43,7 @@ __all__ = [
     "stateful_cms",
     "stateful_cusum",
     "stateful_ewma",
+    "stateful_page_hinkley",
     "stateful_hll",
     "stateful_kmv",
     "stateful_user_counts",

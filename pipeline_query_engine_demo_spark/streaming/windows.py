@@ -779,3 +779,82 @@ def run_rate_bounded(
         q.stop()
         q.awaitTermination()
     return spark.table(name).filter(F.col("value") < n_rows)
+
+
+def stateful_page_hinkley(
+    events: DataFrame, delta_dollars: float, lambda_nanos: int
+) -> DataFrame:
+    """Streaming per-user Page-Hinkley mean-shift detector via
+    ``applyInPandasWithState``. Unlike CUSUM's fixed reference k, PH's
+    reference is the RUNNING MEAN, so the per-user state carries
+    (count, cent-sum, walk g, running-min of g, max PH, alarms) — six
+    longs, O(1) per key. The batch identity (plans.analytics
+    .page_hinkley_drift, row-level form): term_t = x_t - mean_t -
+    delta, g = cumsum(9-dp-rounded terms), PH_t = g_t - min(0,
+    running_min(g)). Terms are 9-dp-rounded into int64 NANO units, so
+    the whole walk is exact integer arithmetic and the drained state
+    table equals the batch window query value-for-value — the nano
+    lattice is exactly what the oracle's DECIMAL(28,12) sums hold.
+    Same time-ordered-batch contract as stateful_cusum."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def scan(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        n, p, g, gmin, maxph, alarms = (
+            state.get if state.exists else (0, 0, 0, 0, 0, 0)
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+        v = batch["value"].to_numpy(dtype=np.float64)
+        v = v[np.isfinite(v)]  # mirror the batch detector: skip non-finite
+        if len(v):
+            c = np.floor(v * 100.0 + 0.5).astype(np.int64)
+            idx = n + np.arange(1, len(c) + 1, dtype=np.int64)
+            pref = p + np.cumsum(c)
+            # identical IEEE expression to both engines' term column
+            term = (
+                c / 100.0
+                - pref.astype(np.float64) / (idx.astype(np.float64) * 100.0)
+                - delta_dollars
+            )
+            tn = np.floor(term * 1e9 + 0.5).astype(np.int64)
+            walk = g + np.cumsum(tn)
+            gmin_run = np.minimum(
+                np.int64(gmin), np.minimum.accumulate(walk)
+            )
+            ph = walk - gmin_run
+            n += len(c)
+            p = int(pref[-1])
+            g = int(walk[-1])
+            gmin = int(gmin_run[-1])
+            maxph = max(maxph, int(ph.max()))
+            alarms += int((ph > lambda_nanos).sum())
+        state.update((n, p, g, gmin, maxph, alarms))
+        # max_ph in dollars at 6 dp: nanos/1e9 is the same correctly-
+        # rounded double both engines produce from their exact decimal,
+        # then the shared floor(x*1e6+0.5)/1e6 rounding
+        mp = float(np.floor((maxph / 1e9) * 1e6 + 0.5) / 1e6)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "max_ph": [mp],
+                "n_alarms": [alarms],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        scan,
+        outputStructType=(
+            "user_id long, n_events long, max_ph double, n_alarms long"
+        ),
+        stateStructType=(
+            "n long, p long, g long, gmin long, maxph long, alarms long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -701,3 +701,77 @@ def test_streaming_quantile_sketch_state_evolves_across_split_batches(
         for p in sketches._QSK_PCTS:
             expect[(st, p)] = (n, vs[(p * n + 99) // 100 - 1])
     assert final == expect
+
+
+def test_streaming_page_hinkley_state_evolves_across_time_split_batches(
+    spark, sf_dir, tmp_path
+):
+    """Page-Hinkley carries a running-MEAN reference, so splitting the
+    stream mid-series changes every later term unless the carried
+    (count, sum) state is right. Feed time-split chunks in mtime order
+    and assert the final state equals an independent pure-python
+    sequential replay of the recursion."""
+    import math
+    import time
+
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_time_chunks_ph")
+    cuts = ev.selectExpr(
+        "percentile_approx(ts, 0.34) AS c1", "percentile_approx(ts, 0.67) AS c2"
+    ).collect()[0]
+    chunks = [
+        ev.filter(F.col("ts") <= cuts["c1"]),
+        ev.filter((F.col("ts") > cuts["c1"]) & (F.col("ts") <= cuts["c2"])),
+        ev.filter(F.col("ts") > cuts["c2"]),
+    ]
+    for ch in chunks:
+        ch.coalesce(1).write.mode("append").parquet(out)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    result = streaming.run_to_memory(
+        streaming.stateful_page_hinkley(stream, 5.0, 400 * 10**9), "update"
+    )
+    from pyspark.sql import Window
+
+    final = (
+        result.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    )
+    got = {r["user_id"]: r for r in final}
+    # independent replay: per-user sequential recursion in exact nanos
+    rows = ev.select("user_id", "ts", "event_id", "value").collect()
+    by_user: dict = {}
+    for r in rows:
+        v = r["value"]
+        if v is None or not math.isfinite(v):
+            continue
+        by_user.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], math.floor(v * 100.0 + 0.5))
+        )
+    assert set(got) == set(by_user)
+    for uid, seq in by_user.items():
+        seq.sort()
+        p = g = gmin = maxph = alarms = 0
+        for i, (_, _, c) in enumerate(seq, start=1):
+            p += c
+            term = c / 100.0 - p / (i * 100.0) - 5.0
+            g += math.floor(term * 1e9 + 0.5)
+            gmin = min(gmin, g)
+            ph = g - gmin
+            maxph = max(maxph, ph)
+            alarms += ph > 400 * 10**9
+        r = got[uid]
+        assert r["n_events"] == len(seq)
+        assert r["n_alarms"] == alarms
+        assert r["max_ph"] == math.floor((maxph / 1e9) * 1e6 + 0.5) / 1e6
+    assert result.groupBy("user_id").count().filter("count > 1").count() > 0

@@ -76,6 +76,9 @@ NL_WHITELIST = {
     "two_proportion_ztest",  # segment-pair generation is an inequality self-join over the |segments|-row (5) aggregate — fact rows never enter the non-equi join
     "ks_two_sample_acctbal",  # same 5-row segment-pair inequality self-join; the ECDF walk itself is equi-keyed and window-partitioned by pair
     "wasserstein_doc_lengths",  # |sources|-row (20) pair-generation inequality self-join; histogram legs join equi on source and the ECDF walk is window-partitioned by pair
+    "markov_entropy_rate",  # 1-row grand-total transition count broadcast onto the |types|^2-row transition table
+    "permutation_test_mean_diff",  # 5-row segment-pair inequality self-join; members/replicates join equi on the pair key
+    "jackknife_source_loo",  # three 1-row broadcasts (grand totals, across-source mean, squared-deviation sum) onto the |sources|-row LOO table
     "kaplan_meier_retention",  # 1-row dataset-horizon (max order date) broadcast onto the per-customer lifetime aggregate
     "js_divergence_sources",  # |sources| x top-500-support grid product (~10k rows) with the support broadcast; corpus rows only feed the combinable (source, token) count
     "rrf_hybrid_retrieval",  # inherits bm25_topk_docs' whitelisted 1-row corpus-stats broadcast (the query composes bm25 verbatim)
