@@ -6924,3 +6924,283 @@ def permutation_test_mean_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s1", "s2")
     )
+
+
+@query(
+    "holt_linear_forecast",
+    category="aggregation",
+    oracle=f"""
+        WITH RECURSIVE daily AS (
+            SELECT event_type AS et, date_trunc('day', ts) AS day,
+                   CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                       AS DOUBLE) / 100.0 AS x
+            FROM events WHERE isfinite(value) GROUP BY 1, 2),
+        seq AS (
+            SELECT et, x,
+                   CAST(row_number() OVER (PARTITION BY et ORDER BY day)
+                       AS BIGINT) AS rn
+            FROM daily),
+        nn AS (SELECT et, CAST(MAX(rn) AS BIGINT) AS n FROM seq GROUP BY 1),
+        init AS (
+            SELECT et,
+                   MAX(CASE WHEN rn = 1 THEN x END) AS x1,
+                   MAX(CASE WHEN rn = 2 THEN x END) AS x2
+            FROM seq WHERE rn <= 2 GROUP BY 1),
+        hw AS (
+            SELECT et, CAST(2 AS BIGINT) AS t, x2 AS l, x2 - x1 AS b,
+                   CAST(0.0 AS DOUBLE) AS sse
+            FROM init
+            UNION ALL
+            SELECT h.et, h.t + 1,
+                   CAST(0.3 AS DOUBLE) * s.x
+                       + CAST(0.7 AS DOUBLE) * (h.l + h.b),
+                   CAST(0.1 AS DOUBLE)
+                       * (CAST(0.3 AS DOUBLE) * s.x
+                          + CAST(0.7 AS DOUBLE) * (h.l + h.b) - h.l)
+                       + CAST(0.9 AS DOUBLE) * h.b,
+                   h.sse + (s.x - (h.l + h.b)) * (s.x - (h.l + h.b))
+            FROM hw h JOIN seq s ON s.et = h.et AND s.rn = h.t + 1)
+        SELECT h.et AS event_type, n.n AS n_days,
+               {sql_round_half_up("h.l", 6)} AS level,
+               {sql_round_half_up("h.b", 6)} AS trend,
+               {sql_round_half_up(
+                   "h.l + CAST(7.0 AS DOUBLE) * h.b", 6)} AS forecast_7d,
+               {sql_round_half_up(
+                   "sqrt(h.sse / CAST(n.n - 2 AS DOUBLE))", 6)} AS rmse
+        FROM hw h JOIN nn n ON n.et = h.et AND h.t = n.n
+        ORDER BY event_type
+    """,
+)
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential (level+trend) smoothing of each event
+    type's daily value series (alpha=0.3, beta=0.1, init l_2 = x_2,
+    b_2 = x_2 - x_1), reporting the final state, the 7-day-ahead
+    forecast l + 7b, and the one-step-ahead RMSE — the trend-aware
+    forecaster the seasonal-naive backtest can't provide (the
+    reference has no forecasting surface).
+
+    Determinism: the recursion is ORDER-DEPENDENT, so both engines run
+    it in the same literal order: Spark folds the calendar-sorted
+    per-type array with F.aggregate (sequential JVM expression,
+    left-to-right), DuckDB replays the identical expression tree one
+    recursion level per day via a recursive CTE. Smoothing constants
+    appear as the SAME parsed literals on both sides (never 1-alpha
+    computed vs 0.7 parsed — those differ in the last ulp), inputs are
+    exact cent sums, so every intermediate double is bit-identical.
+
+    Scale: the corpus-sized stage is the combinable daily roll-up; the
+    fold runs over a calendar-bounded array per event type (collect
+    after aggregation, never raw rows). Horizon-long folds at 100 TB
+    stay |days|-sized regardless of corpus growth."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
+    finite = ~(
+        F.isnan(v) | (v == F.lit(float("inf"))) | (v == F.lit(float("-inf")))
+    )
+    daily = (
+        ev.filter(finite)
+        .groupBy(
+            F.col("event_type").alias("et"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+        )
+        .agg(
+            (
+                F.sum(F.floor(v * F.lit(100.0) + F.lit(0.5)).cast("bigint"))
+                .cast("double")
+                / F.lit(100.0)
+            ).alias("x")
+        )
+    )
+    arrs = daily.groupBy("et").agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("arr")
+    )
+    alpha, one_m_a = F.lit(0.3), F.lit(0.7)
+    beta, one_m_b = F.lit(0.1), F.lit(0.9)
+
+    def step(acc, e):
+        l_new = alpha * e["x"] + one_m_a * (acc["l"] + acc["b"])
+        return F.struct(
+            (acc["i"] + F.lit(1)).alias("i"),
+            F.when(acc["i"] == 0, e["x"]).otherwise(acc["x1"]).alias("x1"),
+            F.when(acc["i"] == 0, acc["l"])
+            .when(acc["i"] == 1, e["x"])
+            .otherwise(l_new)
+            .alias("l"),
+            F.when(acc["i"] == 0, acc["b"])
+            .when(acc["i"] == 1, e["x"] - acc["x1"])
+            .otherwise(beta * (l_new - acc["l"]) + one_m_b * acc["b"])
+            .alias("b"),
+            F.when(
+                acc["i"] >= 2,
+                acc["sse"]
+                + (e["x"] - (acc["l"] + acc["b"]))
+                * (e["x"] - (acc["l"] + acc["b"])),
+            )
+            .otherwise(acc["sse"])
+            .alias("sse"),
+        )
+
+    init = F.struct(
+        F.lit(0).alias("i"),
+        F.lit(0.0).alias("x1"),
+        F.lit(0.0).alias("l"),
+        F.lit(0.0).alias("b"),
+        F.lit(0.0).alias("sse"),
+    )
+    st = arrs.select(
+        "et",
+        F.size("arr").cast("bigint").alias("n_days"),
+        F.aggregate(F.col("arr"), init, step).alias("st"),
+    )
+    l, b, sse = F.col("st.l"), F.col("st.b"), F.col("st.sse")
+    return st.select(
+        F.col("et").alias("event_type"),
+        "n_days",
+        round_half_up(l, 6).alias("level"),
+        round_half_up(b, 6).alias("trend"),
+        round_half_up(l + F.lit(7.0) * b, 6).alias("forecast_7d"),
+        round_half_up(
+            F.sqrt(sse / (F.col("n_days") - 2).cast("double")), 6
+        ).alias("rmse"),
+    ).orderBy("event_type")
+
+
+@query(
+    "conformal_interval_daily",
+    category="aggregation",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type AS et, date_trunc('day', ts) AS day,
+                   CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                       AS BIGINT) AS cents
+            FROM events WHERE isfinite(value) GROUP BY 1, 2),
+        seq AS (
+            SELECT et, cents,
+                   CAST(row_number() OVER (PARTITION BY et ORDER BY day)
+                       AS BIGINT) AS rn,
+                   lag(cents) OVER (PARTITION BY et ORDER BY day) AS prev
+            FROM daily),
+        resid AS (
+            SELECT et, rn, abs(cents - prev) AS r,
+                   CASE WHEN rn <= 16 THEN 1 ELSE 0 END AS is_cal
+            FROM seq WHERE prev IS NOT NULL),
+        cal AS (
+            SELECT et, r,
+                   CAST(row_number() OVER (PARTITION BY et
+                       ORDER BY r, rn) AS BIGINT) AS k,
+                   CAST(COUNT(*) OVER (PARTITION BY et) AS BIGINT)
+                       AS n_cal
+            FROM resid WHERE is_cal = 1),
+        q AS (
+            SELECT et, n_cal, r AS q_cents
+            FROM cal
+            WHERE k = LEAST((9 * (n_cal + 1) + 9) // 10, n_cal)),
+        test AS (
+            SELECT et, CAST(COUNT(*) AS BIGINT) AS n_test,
+                   CAST(SUM(CASE WHEN r <= q.q_cents THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_cov
+            FROM resid JOIN q USING (et)
+            WHERE is_cal = 0 GROUP BY 1, q.q_cents)
+        SELECT q.et AS event_type, q.n_cal, t.n_test,
+               {sql_round_half_up(
+                   "CAST(q.q_cents AS DOUBLE) / 100.0", 6)} AS q_dollars,
+               {sql_round_half_up(
+                   "CAST(t.n_cov AS DOUBLE)"
+                   " / CAST(t.n_test AS DOUBLE)", 6)} AS coverage
+        FROM q JOIN test t ON t.et = q.et
+        ORDER BY event_type
+    """,
+)
+def conformal_interval_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for the one-step-naive daily
+    forecast per event type: calibration residuals |x_t - x_(t-1)| from
+    the first 15 transitions set the 90% quantile radius q at the
+    conformal rank ceil(0.9 * (n+1)) (Vovk; Lei et al. 2018 — the
+    finite-sample-valid rank, not the plug-in percentile), then the
+    held-out transitions report empirical coverage — distribution-free
+    uncertainty for ANY point forecaster, the companion the
+    seasonal-naive backtest and Holt queries lack.
+
+    Determinism: residuals are exact BIGINT cents, the conformal rank
+    is the all-integer (9*(n+1)+9)//10 (never ceil of an IEEE product
+    — the Nearest-rank trap from the quantile sketch), coverage is an
+    integer ratio divided once.
+
+    Scale: one combinable daily roll-up; ranking windows run per
+    event type over calendar-bounded residual rows."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
+    finite = ~(
+        F.isnan(v) | (v == F.lit(float("inf"))) | (v == F.lit(float("-inf")))
+    )
+    daily = (
+        ev.filter(finite)
+        .groupBy(
+            F.col("event_type").alias("et"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+        )
+        .agg(
+            F.sum(F.floor(v * F.lit(100.0) + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w_ord = Window.partitionBy("et").orderBy("day")
+    seq = daily.select(
+        "et",
+        "cents",
+        F.row_number().over(w_ord).cast("bigint").alias("rn"),
+        F.lag("cents").over(w_ord).alias("prev"),
+    )
+    resid = seq.filter(F.col("prev").isNotNull()).select(
+        "et",
+        "rn",
+        F.abs(F.col("cents") - F.col("prev")).alias("r"),
+        F.when(F.col("rn") <= 16, F.lit(1)).otherwise(F.lit(0)).alias(
+            "is_cal"
+        ),
+    )
+    w_rank = Window.partitionBy("et").orderBy("r", "rn")
+    w_all = Window.partitionBy("et")
+    cal = resid.filter(F.col("is_cal") == 1).select(
+        "et",
+        "r",
+        F.row_number().over(w_rank).cast("bigint").alias("k"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n_cal"),
+    )
+    q = cal.filter(
+        F.col("k")
+        == F.least(
+            F.floor((F.lit(9) * (F.col("n_cal") + 1) + 9) / F.lit(10))
+            .cast("bigint"),
+            F.col("n_cal"),
+        )
+    ).select("et", "n_cal", F.col("r").alias("q_cents"))
+    test = (
+        resid.filter(F.col("is_cal") == 0)
+        .join(F.broadcast(q), "et")
+        .groupBy("et", "q_cents")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(F.when(F.col("r") <= F.col("q_cents"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_cov"),
+        )
+    )
+    return (
+        q.join(test.select("et", "n_test", "n_cov"), "et")
+        .select(
+            F.col("et").alias("event_type"),
+            "n_cal",
+            "n_test",
+            round_half_up(F.col("q_cents").cast("double") / F.lit(100.0), 6)
+            .alias("q_dollars"),
+            round_half_up(
+                F.col("n_cov").cast("double") / F.col("n_test").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("event_type")
+    )

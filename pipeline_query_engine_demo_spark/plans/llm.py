@@ -5175,3 +5175,166 @@ def jackknife_source_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "negative_sampling_unigram",
+    category="llm-text",
+    oracle=f"""
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        cnt AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok WHERE tok <> '' GROUP BY 1),
+        vocab AS (
+            SELECT tok, c,
+                   CAST(row_number() OVER (ORDER BY c DESC, tok)
+                       AS BIGINT) AS rn,
+                   CAST({sql_round_half_up("pow(CAST(c AS DOUBLE),"
+                       " CAST(0.75 AS DOUBLE))", 9)}
+                       AS DECIMAL(28,12)) AS w
+            FROM cnt QUALIFY rn <= 500),
+        cdf AS (
+            SELECT tok, c, rn, w,
+                   SUM(w) OVER (ORDER BY rn
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS hi
+            FROM vocab),
+        tot AS (
+            SELECT CAST(SUM(w) AS DOUBLE) AS t_d,
+                   CAST(MAX(rn) AS BIGINT) AS max_rn
+            FROM vocab),
+        bounds AS (
+            SELECT d.tok, d.c, d.rn, d.w,
+                   CAST(d.hi - d.w AS DOUBLE) AS lo_d,
+                   CASE WHEN d.rn = t.max_rn
+                        THEN t.t_d * CAST(2.0 AS DOUBLE)
+                        ELSE CAST(d.hi AS DOUBLE) END AS hi_d,
+                   t.t_d
+            FROM cdf d CROSS JOIN tot t),
+        samples AS (
+            SELECT CAST(unnest(range(1000)) AS BIGINT) AS s),
+        draws AS (
+            SELECT b.tok
+            FROM samples s JOIN bounds b
+              ON (CAST(CAST('0x' || substring(md5('neg:' ||
+                      CAST(s.s AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
+                  / 1152921504606846976.0) * b.t_d >= b.lo_d
+             AND (CAST(CAST('0x' || substring(md5('neg:' ||
+                      CAST(s.s AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
+                  / 1152921504606846976.0) * b.t_d < b.hi_d),
+        drawn AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_drawn
+            FROM draws GROUP BY 1)
+        SELECT b.tok AS token, b.c AS cnt,
+               {sql_round_half_up(
+                   "CAST(b.w AS DOUBLE) / b.t_d", 6)} AS share,
+               COALESCE(d.n_drawn, CAST(0 AS BIGINT)) AS n_drawn
+        FROM bounds b LEFT JOIN drawn d ON d.tok = b.tok
+        ORDER BY token
+    """,
+)
+def negative_sampling_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec-style negative sampling table: the top-500 vocabulary
+    weighted by count^0.75 (Mikolov et al. 2013 — the exponent that
+    up-weights rare words versus raw unigram draws), materialized as an
+    exact cumulative-mass CDF, plus 1000 deterministic inverse-CDF
+    draws placed by interval containment — the sampling primitive
+    contrastive/embedding training consumes at corpus scale.
+
+    Determinism: weights are 9-dp-rounded DECIMAL, the CDF is an exact
+    decimal cumulative sum over the (count desc, token) total order,
+    draw targets are the shared md5->[0,1) hash times the total mass
+    (identical IEEE product), and containment compares the identical
+    doubles both engines derive from the same decimals; the top
+    bucket's upper bound is stretched to 2T so a draw rounding up to
+    exactly T still lands.
+
+    Scale: the corpus feeds one combinable token count; the CDF is 500
+    rows and BROADCASTS onto the sample ids, so the draw join is a
+    bounded nested-loop over 500 x samples — at 100 TB the vocab table
+    is unchanged and samples explode linearly with requested draws,
+    never with corpus size."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    cnt = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    # 500-row vocab: global rank + cumulative mass run on the
+    # aggregate, never on corpus rows
+    w_rank = Window.orderBy(F.col("c").desc(), "tok")
+    vocab = (
+        cnt.select(
+            "tok",
+            "c",
+            F.row_number().over(w_rank).cast("bigint").alias("rn"),
+            round_half_up(
+                F.pow(F.col("c").cast("double"), F.lit(0.75)), 9
+            )
+            .cast("decimal(28,12)")
+            .alias("w"),
+        )
+        .filter(F.col("rn") <= 500)
+    )
+    w_cum = Window.orderBy("rn").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = vocab.select(
+        "tok", "c", "rn", "w", F.sum("w").over(w_cum).alias("hi")
+    )
+    tot = vocab.agg(
+        F.sum("w").cast("double").alias("t_d"),
+        F.max("rn").cast("bigint").alias("max_rn"),
+    )
+    bounds = cdf.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        "c",
+        "rn",
+        "w",
+        (F.col("hi") - F.col("w")).cast("double").alias("lo_d"),
+        F.when(
+            F.col("rn") == F.col("max_rn"),
+            F.col("t_d") * F.lit(2.0),
+        )
+        .otherwise(F.col("hi").cast("double"))
+        .alias("hi_d"),
+        "t_d",
+    )
+    samples = spark.range(0, 1000).select(F.col("id").alias("s"))
+    target = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("neg:"), F.col("s").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .cast("double")
+        / F.lit(1152921504606846976.0)
+    ) * F.col("t_d")
+    draws = samples.join(
+        F.broadcast(bounds),
+        (target >= F.col("lo_d")) & (target < F.col("hi_d")),
+    ).select("tok")
+    drawn = draws.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_drawn")
+    )
+    return (
+        bounds.join(F.broadcast(drawn), "tok", "left")
+        .select(
+            F.col("tok").alias("token"),
+            F.col("c").alias("cnt"),
+            round_half_up(
+                F.col("w").cast("double") / F.col("t_d"), 6
+            ).alias("share"),
+            F.coalesce(F.col("n_drawn"), F.lit(0).cast("bigint")).alias(
+                "n_drawn"
+            ),
+        )
+        .orderBy("token")
+    )

@@ -88,6 +88,7 @@ NL_WHITELIST = {
     "pmi_token_cooccurrence",  # 1-row document-count broadcast onto the pair-count table
     "bpe_learn_merges",  # per-round 1-row argmax merge-pair broadcast onto the VOCAB table (model-sized state; the corpus is touched once, in the word-frequency aggregate)
     "ams_f2_skew_events",  # 1-row sketch summary x 1-row exact-F2 scalar join
+    "negative_sampling_unigram",  # inverse-CDF draw: interval-containment join of sample ids against the BROADCAST 500-row vocab CDF — bounded 500 x samples, corpus-independent
 }
 #: The deliberate row-at-a-time Python evals (API coverage: F.udf,
 #: spark.udf.register for SQL, and the TABLE-argument UDTF whose
@@ -105,6 +106,7 @@ PYUDF_WHITELIST = {
 #: rank, see global_shuffle_positions) or argued onto this list.
 UNPARTITIONED_WINDOW_WHITELIST: dict[str, str] = {
     "yoy_growth_by_month": "lag over the month-level aggregate (tens of rows)",
+    "negative_sampling_unigram": "rank + cumulative-mass CDF over the top-500 vocabulary aggregate (hard-capped by the rn <= 500 filter; the corpus only feeds the combinable token count)",
     "bpe_pair_frequencies": "rank over the pair-vocabulary aggregate",
     "bpe_apply_merges": "rank over the pair-vocabulary aggregate",
     "approx_top_k_tokens": "rank over the token-vocabulary aggregate",
