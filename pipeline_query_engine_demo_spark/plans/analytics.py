@@ -7204,3 +7204,174 @@ def conformal_interval_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "logistic_regression_gd",
+    category="aggregation",
+    oracle="""
+        WITH base AS MATERIALIZED (
+            SELECT CAST(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)
+                       AS DOUBLE) / 5000.0 AS x1,
+                   CAST(CAST(floor(l_discount * 10000.0 + 0.5) AS BIGINT)
+                       AS DOUBLE) / 1000.0 AS x2,
+                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+            FROM lineitem),
+        w0 AS (SELECT CAST(0.0 AS DOUBLE) AS a, CAST(0.0 AS DOUBLE) AS b,
+                      CAST(0.0 AS DOUBLE) AS c),
+        w1 AS MATERIALIZED (
+            SELECT w0.a - 0.5 * (CAST(SUM(CAST(CASE WHEN isfinite((1.0 / (1.0 + exp(-(w0.a + w0.b * base.x1 + w0.c * base.x2))) - CAST(base.y AS DOUBLE))) THEN floor(((1.0 / (1.0 + exp(-(w0.a + w0.b * base.x1 + w0.c * base.x2))) - CAST(base.y AS DOUBLE))) * 1000000000.0 + 0.5) / 1000000000.0 END
+                       AS DECIMAL(28,12))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE)) AS a,
+                   w0.b - 0.5 * (CAST(SUM(CAST(CASE WHEN isfinite((1.0 / (1.0 + exp(-(w0.a + w0.b * base.x1 + w0.c * base.x2))) - CAST(base.y AS DOUBLE)) * base.x1) THEN floor(((1.0 / (1.0 + exp(-(w0.a + w0.b * base.x1 + w0.c * base.x2))) - CAST(base.y AS DOUBLE)) * base.x1) * 1000000000.0 + 0.5) / 1000000000.0 END
+                       AS DECIMAL(28,12))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE)) AS b,
+                   w0.c - 0.5 * (CAST(SUM(CAST(CASE WHEN isfinite((1.0 / (1.0 + exp(-(w0.a + w0.b * base.x1 + w0.c * base.x2))) - CAST(base.y AS DOUBLE)) * base.x2) THEN floor(((1.0 / (1.0 + exp(-(w0.a + w0.b * base.x1 + w0.c * base.x2))) - CAST(base.y AS DOUBLE)) * base.x2) * 1000000000.0 + 0.5) / 1000000000.0 END
+                       AS DECIMAL(28,12))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE)) AS c
+            FROM base CROSS JOIN w0
+            GROUP BY w0.a, w0.b, w0.c),
+        w2 AS MATERIALIZED (
+            SELECT w1.a - 0.5 * (CAST(SUM(CAST(CASE WHEN isfinite((1.0 / (1.0 + exp(-(w1.a + w1.b * base.x1 + w1.c * base.x2))) - CAST(base.y AS DOUBLE))) THEN floor(((1.0 / (1.0 + exp(-(w1.a + w1.b * base.x1 + w1.c * base.x2))) - CAST(base.y AS DOUBLE))) * 1000000000.0 + 0.5) / 1000000000.0 END
+                       AS DECIMAL(28,12))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE)) AS a,
+                   w1.b - 0.5 * (CAST(SUM(CAST(CASE WHEN isfinite((1.0 / (1.0 + exp(-(w1.a + w1.b * base.x1 + w1.c * base.x2))) - CAST(base.y AS DOUBLE)) * base.x1) THEN floor(((1.0 / (1.0 + exp(-(w1.a + w1.b * base.x1 + w1.c * base.x2))) - CAST(base.y AS DOUBLE)) * base.x1) * 1000000000.0 + 0.5) / 1000000000.0 END
+                       AS DECIMAL(28,12))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE)) AS b,
+                   w1.c - 0.5 * (CAST(SUM(CAST(CASE WHEN isfinite((1.0 / (1.0 + exp(-(w1.a + w1.b * base.x1 + w1.c * base.x2))) - CAST(base.y AS DOUBLE)) * base.x2) THEN floor(((1.0 / (1.0 + exp(-(w1.a + w1.b * base.x1 + w1.c * base.x2))) - CAST(base.y AS DOUBLE)) * base.x2) * 1000000000.0 + 0.5) / 1000000000.0 END
+                       AS DECIMAL(28,12))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE)) AS c
+            FROM base CROSS JOIN w1
+            GROUP BY w1.a, w1.b, w1.c),
+        w3 AS MATERIALIZED (
+            SELECT w2.a - 0.5 * (CAST(SUM(CAST(CASE WHEN isfinite((1.0 / (1.0 + exp(-(w2.a + w2.b * base.x1 + w2.c * base.x2))) - CAST(base.y AS DOUBLE))) THEN floor(((1.0 / (1.0 + exp(-(w2.a + w2.b * base.x1 + w2.c * base.x2))) - CAST(base.y AS DOUBLE))) * 1000000000.0 + 0.5) / 1000000000.0 END
+                       AS DECIMAL(28,12))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE)) AS a,
+                   w2.b - 0.5 * (CAST(SUM(CAST(CASE WHEN isfinite((1.0 / (1.0 + exp(-(w2.a + w2.b * base.x1 + w2.c * base.x2))) - CAST(base.y AS DOUBLE)) * base.x1) THEN floor(((1.0 / (1.0 + exp(-(w2.a + w2.b * base.x1 + w2.c * base.x2))) - CAST(base.y AS DOUBLE)) * base.x1) * 1000000000.0 + 0.5) / 1000000000.0 END
+                       AS DECIMAL(28,12))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE)) AS b,
+                   w2.c - 0.5 * (CAST(SUM(CAST(CASE WHEN isfinite((1.0 / (1.0 + exp(-(w2.a + w2.b * base.x1 + w2.c * base.x2))) - CAST(base.y AS DOUBLE)) * base.x2) THEN floor(((1.0 / (1.0 + exp(-(w2.a + w2.b * base.x1 + w2.c * base.x2))) - CAST(base.y AS DOUBLE)) * base.x2) * 1000000000.0 + 0.5) / 1000000000.0 END
+                       AS DECIMAL(28,12))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE)) AS c
+            FROM base CROSS JOIN w2
+            GROUP BY w2.a, w2.b, w2.c),
+        w4 AS MATERIALIZED (
+            SELECT w3.a - 0.5 * (CAST(SUM(CAST(CASE WHEN isfinite((1.0 / (1.0 + exp(-(w3.a + w3.b * base.x1 + w3.c * base.x2))) - CAST(base.y AS DOUBLE))) THEN floor(((1.0 / (1.0 + exp(-(w3.a + w3.b * base.x1 + w3.c * base.x2))) - CAST(base.y AS DOUBLE))) * 1000000000.0 + 0.5) / 1000000000.0 END
+                       AS DECIMAL(28,12))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE)) AS a,
+                   w3.b - 0.5 * (CAST(SUM(CAST(CASE WHEN isfinite((1.0 / (1.0 + exp(-(w3.a + w3.b * base.x1 + w3.c * base.x2))) - CAST(base.y AS DOUBLE)) * base.x1) THEN floor(((1.0 / (1.0 + exp(-(w3.a + w3.b * base.x1 + w3.c * base.x2))) - CAST(base.y AS DOUBLE)) * base.x1) * 1000000000.0 + 0.5) / 1000000000.0 END
+                       AS DECIMAL(28,12))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE)) AS b,
+                   w3.c - 0.5 * (CAST(SUM(CAST(CASE WHEN isfinite((1.0 / (1.0 + exp(-(w3.a + w3.b * base.x1 + w3.c * base.x2))) - CAST(base.y AS DOUBLE)) * base.x2) THEN floor(((1.0 / (1.0 + exp(-(w3.a + w3.b * base.x1 + w3.c * base.x2))) - CAST(base.y AS DOUBLE)) * base.x2) * 1000000000.0 + 0.5) / 1000000000.0 END
+                       AS DECIMAL(28,12))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE)) AS c
+            FROM base CROSS JOIN w3
+            GROUP BY w3.a, w3.b, w3.c),
+        w5 AS MATERIALIZED (
+            SELECT w4.a - 0.5 * (CAST(SUM(CAST(CASE WHEN isfinite((1.0 / (1.0 + exp(-(w4.a + w4.b * base.x1 + w4.c * base.x2))) - CAST(base.y AS DOUBLE))) THEN floor(((1.0 / (1.0 + exp(-(w4.a + w4.b * base.x1 + w4.c * base.x2))) - CAST(base.y AS DOUBLE))) * 1000000000.0 + 0.5) / 1000000000.0 END
+                       AS DECIMAL(28,12))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE)) AS a,
+                   w4.b - 0.5 * (CAST(SUM(CAST(CASE WHEN isfinite((1.0 / (1.0 + exp(-(w4.a + w4.b * base.x1 + w4.c * base.x2))) - CAST(base.y AS DOUBLE)) * base.x1) THEN floor(((1.0 / (1.0 + exp(-(w4.a + w4.b * base.x1 + w4.c * base.x2))) - CAST(base.y AS DOUBLE)) * base.x1) * 1000000000.0 + 0.5) / 1000000000.0 END
+                       AS DECIMAL(28,12))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE)) AS b,
+                   w4.c - 0.5 * (CAST(SUM(CAST(CASE WHEN isfinite((1.0 / (1.0 + exp(-(w4.a + w4.b * base.x1 + w4.c * base.x2))) - CAST(base.y AS DOUBLE)) * base.x2) THEN floor(((1.0 / (1.0 + exp(-(w4.a + w4.b * base.x1 + w4.c * base.x2))) - CAST(base.y AS DOUBLE)) * base.x2) * 1000000000.0 + 0.5) / 1000000000.0 END
+                       AS DECIMAL(28,12))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE)) AS c
+            FROM base CROSS JOIN w4
+            GROUP BY w4.a, w4.b, w4.c)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CASE WHEN isfinite(w5.a) THEN floor((w5.a) * 1000000.0 + 0.5) / 1000000.0 END AS w0,
+               CASE WHEN isfinite(w5.b) THEN floor((w5.b) * 1000000.0 + 0.5) / 1000000.0 END AS w1,
+               CASE WHEN isfinite(w5.c) THEN floor((w5.c) * 1000000.0 + 0.5) / 1000000.0 END AS w2,
+               CASE WHEN isfinite(CAST(SUM(CASE WHEN ((w5.a + w5.b * base.x1 + w5.c * base.x2) > 0.0) = (base.y = 1) THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) THEN floor((CAST(SUM(CASE WHEN ((w5.a + w5.b * base.x1 + w5.c * base.x2) > 0.0) = (base.y = 1) THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 END AS accuracy,
+               CASE WHEN isfinite(CAST(SUM(CAST(CASE WHEN isfinite(-(CAST(base.y AS DOUBLE) * ln(1.0 / (1.0 + exp(-(w5.a + w5.b * base.x1 + w5.c * base.x2)))) + (1.0 - CAST(base.y AS DOUBLE)) * ln(1.0 - 1.0 / (1.0 + exp(-(w5.a + w5.b * base.x1 + w5.c * base.x2)))))) THEN floor((-(CAST(base.y AS DOUBLE) * ln(1.0 / (1.0 + exp(-(w5.a + w5.b * base.x1 + w5.c * base.x2)))) + (1.0 - CAST(base.y AS DOUBLE)) * ln(1.0 - 1.0 / (1.0 + exp(-(w5.a + w5.b * base.x1 + w5.c * base.x2)))))) * 1000000000.0 + 0.5) / 1000000000.0 END AS DECIMAL(28,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) THEN floor((CAST(SUM(CAST(CASE WHEN isfinite(-(CAST(base.y AS DOUBLE) * ln(1.0 / (1.0 + exp(-(w5.a + w5.b * base.x1 + w5.c * base.x2)))) + (1.0 - CAST(base.y AS DOUBLE)) * ln(1.0 - 1.0 / (1.0 + exp(-(w5.a + w5.b * base.x1 + w5.c * base.x2)))))) THEN floor((-(CAST(base.y AS DOUBLE) * ln(1.0 / (1.0 + exp(-(w5.a + w5.b * base.x1 + w5.c * base.x2)))) + (1.0 - CAST(base.y AS DOUBLE)) * ln(1.0 - 1.0 / (1.0 + exp(-(w5.a + w5.b * base.x1 + w5.c * base.x2)))))) * 1000000000.0 + 0.5) / 1000000000.0 END AS DECIMAL(28,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 END AS log_loss
+        FROM base CROSS JOIN w5
+        GROUP BY w5.a, w5.b, w5.c
+""",
+)
+def logistic_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic regression by five full-batch gradient
+    steps: predict l_returnflag = 'R' from scaled quantity and
+    discount, each step ONE combinable aggregate over the corpus with
+    the 1-row model broadcast back — the canonical data-parallel GD
+    shape (model state never shuffles; only d+1 gradient sums cross
+    the wire per step), which is how any linear model trains at 100 TB
+    without a parameter server.
+
+    Determinism: features enter as exact integer cents/basis-points
+    divided once; every per-row gradient term is 9-dp-rounded into
+    DECIMAL(28,12) so the cross-partition sums are order-independent;
+    the weight update and sigmoid are identical IEEE expression trees,
+    replayed step-for-step by the oracle's five MATERIALIZED CTE
+    levels. Final metrics (accuracy via the sign of the exact logit,
+    mean log-loss) come from one more broadcast pass.
+
+    Scale: 6 corpus passes total; each is map-side combinable with a
+    3-double model broadcast. The fixture's D/A/N flags are nearly
+    label-independent of these two features, so the fit converges to a
+    weak but deterministic model — the point is the exact distributed
+    training loop, not the AUC."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        (
+            F.floor(F.col("l_quantity").cast("double") * F.lit(100.0) + F.lit(0.5))
+            .cast("bigint")
+            .cast("double")
+            / F.lit(5000.0)
+        ).alias("x1"),
+        (
+            F.floor(F.col("l_discount").cast("double") * F.lit(10000.0) + F.lit(0.5))
+            .cast("bigint")
+            .cast("double")
+            / F.lit(1000.0)
+        ).alias("x2"),
+        F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+    w = None  # 1-row (a, b, c) model DataFrame; starts at the origin
+    for step in range(5):
+        if w is None:
+            joined = base.select(
+                "x1", "x2", "y",
+                F.lit(0.0).alias("a"), F.lit(0.0).alias("b"), F.lit(0.0).alias("c"),
+            )
+        else:
+            joined = base.crossJoin(F.broadcast(w))
+        p = F.lit(1.0) / (
+            F.lit(1.0)
+            + F.exp(-(F.col("a") + F.col("b") * F.col("x1") + F.col("c") * F.col("x2")))
+        )
+        err = p - F.col("y").cast("double")
+        grads = joined.groupBy("a", "b", "c").agg(
+            F.sum(round_half_up(err, 9).cast(_DEC)).cast("double").alias("g0"),
+            F.sum(round_half_up(err * F.col("x1"), 9).cast(_DEC)).cast("double").alias("g1"),
+            F.sum(round_half_up(err * F.col("x2"), 9).cast(_DEC)).cast("double").alias("g2"),
+            F.count(F.lit(1)).cast("double").alias("nd"),
+        )
+        w = grads.select(
+            (F.col("a") - F.lit(0.5) * (F.col("g0") / F.col("nd"))).alias("a"),
+            (F.col("b") - F.lit(0.5) * (F.col("g1") / F.col("nd"))).alias("b"),
+            (F.col("c") - F.lit(0.5) * (F.col("g2") / F.col("nd"))).alias("c"),
+        )
+    fin = base.crossJoin(F.broadcast(w))
+    z = F.col("a") + F.col("b") * F.col("x1") + F.col("c") * F.col("x2")
+    pf = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    yd = F.col("y").cast("double")
+    ll = -(yd * F.log(pf) + (F.lit(1.0) - yd) * F.log(F.lit(1.0) - pf))
+    return fin.groupBy("a", "b", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when((z > 0.0) == (F.col("y") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_right"),
+        F.sum(round_half_up(ll, 9).cast(_DEC)).cast("double").alias("llsum"),
+    ).select(
+        "n",
+        round_half_up(F.col("a"), 6).alias("w0"),
+        round_half_up(F.col("b"), 6).alias("w1"),
+        round_half_up(F.col("c"), 6).alias("w2"),
+        round_half_up(
+            F.col("n_right").cast("double") / F.col("n").cast("double"), 6
+        ).alias("accuracy"),
+        round_half_up(F.col("llsum") / F.col("n").cast("double"), 6).alias(
+            "log_loss"
+        ),
+    )

@@ -1594,3 +1594,127 @@ def jaro_winkler_linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("name_a", "name_b")
     )
+
+
+@query(
+    "kneser_ney_perplexity",
+    category="llm-text",
+    oracle=f"""
+        WITH words AS (
+            SELECT source, string_split(text, ' ') AS w FROM documents),
+        big AS (
+            SELECT source, w[s.g] AS v, w[s.g+1] AS nxt
+            FROM words,
+                 LATERAL (SELECT unnest(generate_series(1, len(w) - 1))
+                          AS g) s
+            WHERE len(w) >= 2),
+        cvw AS (SELECT v, nxt, CAST(COUNT(*) AS BIGINT) AS c2
+                FROM big GROUP BY 1, 2),
+        cv AS (SELECT v, CAST(SUM(c2) AS BIGINT) AS c1,
+                      CAST(COUNT(*) AS BIGINT) AS n1v
+               FROM cvw GROUP BY 1),
+        n1w AS (SELECT nxt, CAST(COUNT(*) AS BIGINT) AS n1w
+                FROM cvw GROUP BY 1),
+        dd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1dd FROM cvw),
+        terms AS (
+            SELECT b.source,
+                   CAST({sql_round_half_up(
+                       "-log2((CAST(t2.c2 AS DOUBLE) - 0.75)"
+                       " / CAST(t1.c1 AS DOUBLE)"
+                       " + 0.75 * (CAST(t1.n1v AS DOUBLE)"
+                       " / CAST(t1.c1 AS DOUBLE))"
+                       " * (CAST(tw.n1w AS DOUBLE)"
+                       " / CAST(d.n1dd AS DOUBLE)))", 9)}
+                       AS DECIMAL(28,12)) AS term
+            FROM big b
+            JOIN cvw t2 ON t2.v = b.v AND t2.nxt = b.nxt
+            JOIN cv t1 ON t1.v = b.v
+            JOIN n1w tw ON tw.nxt = b.nxt
+            CROSS JOIN dd d)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               {sql_round_half_up(
+                   "CAST(SUM(term) AS DOUBLE)"
+                   " / CAST(COUNT(*) AS DOUBLE)", 6)} AS avg_nll_bits,
+               {sql_round_half_up(
+                   "pow(2.0, CAST(SUM(term) AS DOUBLE)"
+                   " / CAST(COUNT(*) AS DOUBLE))", 6)} AS perplexity
+        FROM terms GROUP BY 1 ORDER BY 1
+    """,
+)
+def kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney-smoothed bigram perplexity per source (absolute
+    discount D=0.75 with CONTINUATION-count backoff: P(w|v) =
+    (c(vw)-D)/c(v) + D*(N1+(v,.)/c(v)) * (N1+(.,w)/N1+(.,.)) — the
+    smoothing that made n-gram LMs competitive (Kneser & Ney 1995;
+    Chen & Goodman 1999), scoring how fluent each source is under the
+    corpus LM. Complements bigram_lm_perplexity's add-k smoothing: KN
+    backs off to how PROMISCUOUSLY a word continues contexts, not raw
+    frequency, so boilerplate-heavy sources separate differently.
+
+    Determinism: all five count tables are BIGINT; every probability
+    is one identical IEEE expression (D=0.75 is an exactly
+    representable literal); each -log2 term is 9-dp-rounded into
+    DECIMAL(28,12) and summed exactly per source.
+
+    Scale: one bigram explode feeds all count tables (combinable;
+    shuffles carry tokens, never text); scoring is three equi-joins on
+    bigram/context/word plus a 1-row broadcast of the bigram-type
+    total."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    words = F.split(F.col("text"), " ")
+    tokens = docs.select("source", words.alias("w"))
+    big = (
+        tokens.filter(F.size("w") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - 2),
+                    lambda i: F.struct(
+                        F.col("w")[i].alias("v"),
+                        F.col("w")[i + 1].alias("nxt"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("source", "b.v", "b.nxt")
+    )
+    cvw = big.groupBy("v", "nxt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c2")
+    )
+    cv = cvw.groupBy("v").agg(
+        F.sum("c2").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1v"),
+    )
+    n1w = cvw.groupBy("nxt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1w")
+    )
+    dd = cvw.agg(F.count(F.lit(1)).cast("bigint").alias("n1dd"))
+    p = (F.col("c2").cast("double") - F.lit(0.75)) / F.col("c1").cast(
+        "double"
+    ) + F.lit(0.75) * (
+        F.col("n1v").cast("double") / F.col("c1").cast("double")
+    ) * (
+        F.col("n1w").cast("double") / F.col("n1dd").cast("double")
+    )
+    terms = (
+        big.join(cvw, ["v", "nxt"])
+        .join(cv, "v")
+        .join(n1w, "nxt")
+        .crossJoin(F.broadcast(dd))
+        .select(
+            "source",
+            round_half_up(-F.log2(p), 9).cast("decimal(28,12)").alias("term"),
+        )
+    )
+    avg = F.sum("term").cast("double") / F.count(F.lit(1)).cast("double")
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            round_half_up(avg, 6).alias("avg_nll_bits"),
+            round_half_up(F.pow(F.lit(2.0), avg), 6).alias("perplexity"),
+        )
+        .orderBy("source")
+    )

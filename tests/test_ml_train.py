@@ -1,0 +1,109 @@
+"""Semantic tests for the round-7 session-4 batch-E queries:
+distributed logistic-regression GD and Kneser-Ney perplexity.
+
+The registry gate proves DuckDB parity; these replay the math in
+numpy/pure python so a parity-preserving-but-wrong formula can't slip
+through on both engines at once.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from pipeline_query_engine_demo_spark.plans.analytics import (
+    logistic_regression_gd,
+)
+from pipeline_query_engine_demo_spark.plans.curation import (
+    kneser_ney_perplexity,
+)
+
+
+def _r9(x: np.ndarray) -> np.ndarray:
+    return np.floor(x * 1e9 + 0.5) / 1e9
+
+
+def test_logistic_gd_matches_numpy_replay(spark, sf_dir):
+    out = logistic_regression_gd(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_quantity", "l_discount", "l_returnflag"
+    ).collect()
+    x1 = np.array(
+        [math.floor(q["l_quantity"] * 100.0 + 0.5) / 5000.0 for q in li]
+    )
+    x2 = np.array(
+        [math.floor(q["l_discount"] * 10000.0 + 0.5) / 1000.0 for q in li]
+    )
+    y = np.array([1.0 if q["l_returnflag"] == "R" else 0.0 for q in li])
+    n = len(y)
+    a = b = c = 0.0
+    for _ in range(5):
+        z = a + b * x1 + c * x2
+        p = 1.0 / (1.0 + np.exp(-z))
+        err = p - y
+        a -= 0.5 * (_r9(err).sum() / n)
+        b -= 0.5 * (_r9(err * x1).sum() / n)
+        c -= 0.5 * (_r9(err * x2).sum() / n)
+    z = a + b * x1 + c * x2
+    p = 1.0 / (1.0 + np.exp(-z))
+    acc = float(((z > 0.0) == (y == 1.0)).sum()) / n
+    ll = float(
+        _r9(-(y * np.log(p) + (1.0 - y) * np.log(1.0 - p))).sum() / n
+    )
+    assert r["n"] == n
+    assert r["w0"] == pytest.approx(a, abs=1e-5)
+    assert r["w1"] == pytest.approx(b, abs=1e-5)
+    assert r["w2"] == pytest.approx(c, abs=1e-5)
+    assert r["accuracy"] == pytest.approx(acc, abs=1e-6)
+    assert r["log_loss"] == pytest.approx(ll, abs=1e-5)
+    # five GD steps from the origin must beat the ln(2) starting loss
+    assert r["log_loss"] < math.log(2.0)
+
+
+def test_kneser_ney_matches_python_replay(spark, sf_dir):
+    out = {r["source"]: r for r in kneser_ney_perplexity(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    bigrams: list = []
+    for r in docs:
+        w = r["text"].split(" ")
+        for v, nxt in zip(w, w[1:]):
+            bigrams.append((r["source"], v, nxt))
+    cvw: dict = {}
+    for _, v, nxt in bigrams:
+        cvw[(v, nxt)] = cvw.get((v, nxt), 0) + 1
+    cv: dict = {}
+    n1v: dict = {}
+    n1w: dict = {}
+    for (v, nxt), c2 in cvw.items():
+        cv[v] = cv.get(v, 0) + c2
+        n1v[v] = n1v.get(v, 0) + 1
+        n1w[nxt] = n1w.get(nxt, 0) + 1
+    n1dd = len(cvw)
+    per_src: dict = {}
+    for src, v, nxt in bigrams:
+        p = (cvw[(v, nxt)] - 0.75) / cv[v] + 0.75 * (n1v[v] / cv[v]) * (
+            n1w[nxt] / n1dd
+        )
+        assert 0.0 < p <= 1.0 + 1e-12
+        t = math.floor(-math.log2(p) * 1e9 + 0.5) / 1e9
+        cnt, s = per_src.get(src, (0, 0.0))
+        per_src[src] = (cnt + 1, s + t)
+    assert set(out) == set(per_src)
+    for src, (cnt, s) in per_src.items():
+        r = out[src]
+        assert r["n_bigrams"] == cnt
+        assert r["avg_nll_bits"] == pytest.approx(s / cnt, abs=1e-5)
+        assert r["perplexity"] == pytest.approx(2.0 ** (s / cnt), rel=1e-5)
+    # KN probabilities over all observed continuations of a context sum
+    # to <= 1 (discount mass is redistributed, never invented)
+    some_v = max(cv, key=cv.get)
+    mass = sum(
+        (c2 - 0.75) / cv[some_v] + 0.75 * (n1v[some_v] / cv[some_v]) * (n1w[nxt] / n1dd)
+        for (v, nxt), c2 in cvw.items()
+        if v == some_v
+    )
+    assert mass <= 1.0 + 1e-9

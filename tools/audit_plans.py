@@ -89,6 +89,8 @@ NL_WHITELIST = {
     "bpe_learn_merges",  # per-round 1-row argmax merge-pair broadcast onto the VOCAB table (model-sized state; the corpus is touched once, in the word-frequency aggregate)
     "ams_f2_skew_events",  # 1-row sketch summary x 1-row exact-F2 scalar join
     "negative_sampling_unigram",  # inverse-CDF draw: interval-containment join of sample ids against the BROADCAST 500-row vocab CDF — bounded 500 x samples, corpus-independent
+    "logistic_regression_gd",  # per-step 1-row MODEL broadcast onto the feature scan — the data-parallel GD shape; gradients cross the wire as 3 decimal sums
+    "kneser_ney_perplexity",  # 1-row bigram-type-total broadcast onto the scorer (same shape as bigram_lm_perplexity's vocab broadcast)
 }
 #: The deliberate row-at-a-time Python evals (API coverage: F.udf,
 #: spark.udf.register for SQL, and the TABLE-argument UDTF whose
