@@ -101,6 +101,29 @@ EXTENDED = [
     "cogroup_apply_customer_orders",
     "ams_f2_skew_events",
     "label_propagation_communities",
+    # round-7 session-3/4 additions: the HITS/statistics batch, the
+    # survival/resampling/forecasting family, CDC chunk dedup, and the
+    # exact-parity distributed-GD trainer.
+    "hits_hubs_authorities",
+    "mann_kendall_trend",
+    "isotonic_regression_minimax",
+    "js_divergence_sources",
+    "kaplan_meier_retention",
+    "ks_two_sample_acctbal",
+    "poisson_bootstrap_ci_acctbal",
+    "page_hinkley_drift",
+    "pca_2d_parts_by_brand",
+    "wasserstein_doc_lengths",
+    "cdc_chunk_dedup",
+    "permutation_test_mean_diff",
+    "markov_entropy_rate",
+    "holt_linear_forecast",
+    "conformal_interval_daily",
+    "negative_sampling_unigram",
+    "jackknife_source_loo",
+    "logistic_regression_gd",
+    "kneser_ney_perplexity",
+    "streaming_page_hinkley_alarms",
 ]
 
 

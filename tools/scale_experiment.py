@@ -182,6 +182,32 @@ QUERIES = [
     "cogroup_apply_customer_orders",
     "ams_f2_skew_events",
     "label_propagation_communities",
+    # round-7 session-3/4 additions: HITS, the trend/test statistics
+    # batch, the survival/resampling/forecasting family, distribution
+    # distances, CDC chunk dedup, sampling tables, and the distributed
+    # GD trainer. Calendar-bounded series queries (kendall/holt/
+    # page-hinkley/conformal) are scan-bound at x10 by design — their
+    # post-rollup work is day-count-sized.
+    "hits_hubs_authorities",
+    "mann_kendall_trend",
+    "isotonic_regression_minimax",
+    "js_divergence_sources",
+    "kaplan_meier_retention",
+    "ks_two_sample_acctbal",
+    "kendall_tau_event_pairs",
+    "poisson_bootstrap_ci_acctbal",
+    "page_hinkley_drift",
+    "pca_2d_parts_by_brand",
+    "wasserstein_doc_lengths",
+    "cdc_chunk_dedup",
+    "permutation_test_mean_diff",
+    "markov_entropy_rate",
+    "holt_linear_forecast",
+    "conformal_interval_daily",
+    "negative_sampling_unigram",
+    "jackknife_source_loo",
+    "logistic_regression_gd",
+    "kneser_ney_perplexity",
 ]
 
 
