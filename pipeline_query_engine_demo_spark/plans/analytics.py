@@ -7375,3 +7375,193 @@ def logistic_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "log_loss"
         ),
     )
+
+
+#: SPRT constants for H0: p=0.18 vs H1: p=0.22, alpha=beta=0.05 —
+#: pre-folded log-likelihood increments and Wald thresholds in exact
+#: integer NANO units (1e-9), so the whole evidence walk is BIGINT
+#: arithmetic on both engines (no runtime ln, no DECIMAL->double casts
+#: — those conversions can differ by 1 ulp between engines near
+#: half-way points, observed on this very query).
+_SPRT_C1_N = 200670695  # ln(p1/p0) @9dp in nanos: success increment
+_SPRT_C0_N = -50010421  # ln((1-p1)/(1-p0)) @9dp in nanos: failure
+_SPRT_A_N = 2944438979  # ln((1-beta)/alpha) in nanos: accept H1 at/above
+_SPRT_B_N = -2944438979  # ln(beta/(1-alpha)) in nanos: accept H0 at/below
+
+
+@query(
+    "sprt_ab_conversion",
+    category="aggregation",
+    oracle=f"""
+        WITH ev AS (
+            SELECT user_id % 2 AS v, ts, event_id,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+            FROM events),
+        walk AS (
+            SELECT v, ts, event_id, y,
+                   CAST(row_number() OVER w AS BIGINT) AS rn,
+                   CAST(SUM(y) OVER (PARTITION BY v ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS k
+            FROM ev
+            WINDOW w AS (PARTITION BY v ORDER BY ts, event_id)),
+        llr AS (
+            SELECT v, rn, k,
+                   k * CAST({_SPRT_C1_N} AS BIGINT)
+                   + (rn - k) * CAST({_SPRT_C0_N} AS BIGINT) AS ln9
+            FROM walk),
+        crossed AS (
+            SELECT v, rn, ln9,
+                   CASE WHEN ln9 >= CAST({_SPRT_A_N} AS BIGINT)
+                        THEN 'accept_h1'
+                        WHEN ln9 <= CAST({_SPRT_B_N} AS BIGINT)
+                        THEN 'accept_h0' END AS dec
+            FROM llr),
+        firstx AS (
+            SELECT v, MIN(rn) AS rn_x
+            FROM crossed WHERE dec IS NOT NULL GROUP BY 1),
+        at_x AS (
+            SELECT c.v, c.rn AS n_at_decision, c.dec AS decision,
+                   c.ln9 AS lx9
+            FROM crossed c JOIN firstx f ON f.v = c.v AND f.rn_x = c.rn),
+        tot AS (
+            SELECT v, CAST(COUNT(*) AS BIGINT) AS n_total,
+                   CAST(SUM(y) AS BIGINT) AS n_conv
+            FROM ev GROUP BY 1)
+        SELECT t.v AS variant, t.n_total, t.n_conv,
+               {sql_round_half_up(
+                   "CAST(t.n_conv * CAST(" + str(_SPRT_C1_N)
+                   + " AS BIGINT) + (t.n_total - t.n_conv)"
+                   " * CAST(" + str(_SPRT_C0_N)
+                   + " AS BIGINT) AS DOUBLE) / 1000000000.0", 6)}
+                   AS llr_final,
+               COALESCE(a.decision, 'continue') AS decision,
+               a.n_at_decision,
+               {sql_round_half_up(
+                   "CAST(a.lx9 AS DOUBLE) / 1000000000.0", 6)}
+                   AS llr_at_decision
+        FROM tot t LEFT JOIN at_x a ON a.v = t.v
+        ORDER BY variant
+    """,
+)
+def sprt_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald sequential probability ratio test on the purchase
+    conversion rate of two deterministic variants (user_id parity):
+    H0 p=0.18 vs H1 p=0.22 at alpha=beta=0.05, the log-likelihood walk
+    llr_t = k_t*ln(p1/p0) + (t-k_t)*ln(q1/q0) monitored until it first
+    crosses a Wald boundary — THE sequential A/B early-stopping test
+    (Wald 1945), reporting where each variant's evidence walk first
+    decided and where it ended.
+
+    Determinism: increments and thresholds are pre-folded 9-dp
+    literals held in integer NANO units, so llr is pure BIGINT
+    arithmetic on the success counter — no runtime ln, no float
+    accumulation, and no DECIMAL->double casts (whose last-ulp
+    rounding differs between engines near half-way points — observed
+    live on this query's first draft, llr_final -12.814667 vs
+    -12.814668); the only doubles are the two final /1e9 displays.
+
+    Scale: the cumulative (rn, k) walk uses the bucketed two-phase
+    pattern (cum within (variant, day) + broadcast per-day offsets) —
+    partitioning a 2-value key alone would funnel the fact table into
+    2 tasks (the weighted_median lesson); this keeps day-level
+    parallelism while the per-day offset table stays calendar-sized.
+    The first-crossing is a combinable MIN + one equi-join back."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("v"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("y"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    )
+    w_in = (
+        Window.partitionBy("v", "day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = ev.select(
+        "v",
+        "day",
+        F.count(F.lit(1)).over(w_in).cast("bigint").alias("rn_in"),
+        F.sum("y").over(w_in).cast("bigint").alias("k_in"),
+    )
+    day_tot = ev.groupBy("v", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dc"),
+        F.sum("y").cast("bigint").alias("dk"),
+    )
+    w_off = (
+        Window.partitionBy("v")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = day_tot.select(
+        "v",
+        "day",
+        F.coalesce(F.sum("dc").over(w_off), F.lit(0)).cast("bigint").alias("oc"),
+        F.coalesce(F.sum("dk").over(w_off), F.lit(0)).cast("bigint").alias("ok"),
+    )
+    c1 = F.lit(_SPRT_C1_N).cast("bigint")
+    c0 = F.lit(_SPRT_C0_N).cast("bigint")
+    walk = within.join(F.broadcast(offsets), ["v", "day"]).select(
+        "v",
+        (F.col("oc") + F.col("rn_in")).alias("rn"),
+        (F.col("ok") + F.col("k_in")).alias("k"),
+    )
+    llr = walk.select(
+        "v",
+        "rn",
+        (F.col("k") * c1 + (F.col("rn") - F.col("k")) * c0).alias("ln9"),
+    )
+    crossed = llr.select(
+        "v",
+        "rn",
+        "ln9",
+        F.when(F.col("ln9") >= F.lit(_SPRT_A_N), F.lit("accept_h1"))
+        .when(F.col("ln9") <= F.lit(_SPRT_B_N), F.lit("accept_h0"))
+        .alias("dec"),
+    )
+    firstx = (
+        crossed.filter(F.col("dec").isNotNull())
+        .groupBy("v")
+        .agg(F.min("rn").alias("rn_x"))
+        .select(F.col("v").alias("vx"), "rn_x")
+    )
+    at_x = crossed.join(
+        F.broadcast(firstx),
+        (F.col("rn") == F.col("rn_x")) & (F.col("v") == F.col("vx")),
+    ).select(
+        "vx",
+        F.col("rn").alias("n_at_decision"),
+        F.col("dec").alias("decision"),
+        F.col("ln9").alias("lx9"),
+    )
+    tot = ev.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum("y").cast("bigint").alias("n_conv"),
+    )
+    lfin9 = (
+        F.col("n_conv") * c1 + (F.col("n_total") - F.col("n_conv")) * c0
+    )
+    return (
+        tot.join(F.broadcast(at_x), tot["v"] == at_x["vx"], "left")
+        .select(
+            tot["v"].alias("variant"),
+            "n_total",
+            "n_conv",
+            round_half_up(
+                lfin9.cast("double") / F.lit(1000000000.0), 6
+            ).alias("llr_final"),
+            F.coalesce(F.col("decision"), F.lit("continue")).alias(
+                "decision"
+            ),
+            "n_at_decision",
+            round_half_up(
+                F.col("lx9").cast("double") / F.lit(1000000000.0), 6
+            ).alias("llr_at_decision"),
+        )
+        .orderBy("variant")
+    )

@@ -5338,3 +5338,147 @@ def negative_sampling_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("token")
     )
+
+
+@query(
+    "naive_bayes_source_classify",
+    category="llm-text",
+    oracle=f"""
+        WITH dt AS (
+            SELECT doc_id, source, tok,
+                   CAST(COUNT(*) AS BIGINT) AS cnt_dt
+            FROM (SELECT doc_id, source,
+                         unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            WHERE tok <> '' GROUP BY 1, 2, 3),
+        cst AS (
+            SELECT source AS s, tok, CAST(SUM(cnt_dt) AS BIGINT) AS c
+            FROM dt GROUP BY 1, 2),
+        ns AS (
+            SELECT s, CAST(SUM(c) AS BIGINT) AS n_s
+            FROM cst GROUP BY 1),
+        vv AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM cst),
+        prior AS (
+            SELECT source AS s, CAST(COUNT(*) AS BIGINT) AS d_s
+            FROM documents GROUP BY 1),
+        dtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM documents),
+        scores AS (
+            SELECT dt.doc_id, dt.source AS true_src, ns.s AS cand,
+                   SUM(dt.cnt_dt * CAST({sql_round_half_up(
+                       "ln(CAST(COALESCE(cst.c, 0) + 1 AS DOUBLE)"
+                       " / CAST(ns.n_s + vv.v AS DOUBLE))", 9)}
+                       AS DECIMAL(28,12))) AS lsum
+            FROM dt
+            CROSS JOIN ns CROSS JOIN vv
+            LEFT JOIN cst ON cst.s = ns.s AND cst.tok = dt.tok
+            GROUP BY 1, 2, 3),
+        posts AS (
+            SELECT sc.doc_id, sc.true_src, sc.cand,
+                   sc.lsum + CAST({sql_round_half_up(
+                       "ln(CAST(p.d_s AS DOUBLE)"
+                       " / CAST(dtot.d AS DOUBLE))", 9)}
+                       AS DECIMAL(28,12)) AS post
+            FROM scores sc
+            JOIN prior p ON p.s = sc.cand CROSS JOIN dtot),
+        pred AS (
+            SELECT doc_id, true_src, cand AS pred_src,
+                   row_number() OVER (PARTITION BY doc_id
+                       ORDER BY post DESC, cand) AS rn
+            FROM posts)
+        SELECT true_src, pred_src, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM pred WHERE rn = 1
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def naive_bayes_source_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes trained and evaluated in-engine: learn
+    add-1-smoothed per-source token likelihoods P(t|s) =
+    (c_st+1)/(n_s+V) and document priors, score every document against
+    every source, and report the source-level confusion matrix of the
+    argmax predictions — supervised text classification as a pure
+    DataFrame program (train = two combinable count tables; predict =
+    equi-joins + a per-doc rank), the companion to the unsupervised
+    lang-ID and k-NN queries.
+
+    Determinism: all counts are BIGINT; each log-likelihood and the
+    log-prior are identical IEEE expressions 9-dp-rounded into
+    DECIMAL(28,12); per-(doc, candidate) sums weight the decimal by the
+    BIGINT term count (exact); the argmax orders exact decimals with a
+    candidate-name tie-break.
+
+    Scale: the corpus feeds (doc, token) and (source, token) counts —
+    both combinable, shuffling tokens, never text. Scoring joins the
+    doc-token table against the |sources|-row broadcast and the
+    model equi-keyed on (source, token): rows = doc-token pairs x
+    |sources|, linear in corpus tokens with a constant class factor;
+    the model table is vocab-sized (broadcastable at any corpus
+    size)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    dt = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.col("text"), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt_dt"))
+    )
+    cst = dt.groupBy(F.col("source").alias("s"), "tok").agg(
+        F.sum("cnt_dt").cast("bigint").alias("c")
+    )
+    ns = cst.groupBy("s").agg(F.sum("c").cast("bigint").alias("n_s"))
+    vv = cst.agg(F.countDistinct("tok").cast("bigint").alias("v"))
+    prior = docs.groupBy(F.col("source").alias("s")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d_s")
+    )
+    dtot = docs.agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    loglik = round_half_up(
+        F.log(
+            (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+            / (F.col("n_s") + F.col("v")).cast("double")
+        ),
+        9,
+    ).cast("decimal(28,12)")
+    scores = (
+        dt.crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(vv))
+        .join(
+            cst.withColumnRenamed("s", "cs"),
+            (F.col("cs") == F.col("s")) & (cst["tok"] == dt["tok"]),
+            "left",
+        )
+        .groupBy(
+            "doc_id", F.col("source").alias("true_src"), F.col("s").alias("cand")
+        )
+        .agg(F.sum(F.col("cnt_dt") * loglik).alias("lsum"))
+    )
+    logprior = round_half_up(
+        F.log(F.col("d_s").cast("double") / F.col("d").cast("double")), 9
+    ).cast("decimal(28,12)")
+    posts = (
+        scores.join(
+            F.broadcast(prior.withColumnRenamed("s", "ps")),
+            F.col("ps") == F.col("cand"),
+        )
+        .crossJoin(F.broadcast(dtot))
+        .select(
+            "doc_id",
+            "true_src",
+            "cand",
+            (F.col("lsum") + logprior).alias("post"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("post").desc(), "cand")
+    pred = posts.select(
+        "true_src",
+        F.col("cand").alias("pred_src"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return (
+        pred.groupBy("true_src", "pred_src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("true_src", "pred_src")
+    )
