@@ -5482,3 +5482,152 @@ def naive_bayes_source_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("true_src", "pred_src")
     )
+
+
+@query(
+    "gram_matrix_embeddings",
+    category="llm-similarity",
+    oracle=f"""
+        WITH cells AS (
+            SELECT i.i AS i, j.j AS j,
+                   CAST({sql_round_half_up(
+                       "CAST(embedding[CAST(i.i + 1 AS INTEGER)] AS DOUBLE)"
+                       " * CAST(embedding[CAST(j.j + 1 AS INTEGER)]"
+                       " AS DOUBLE)", 9)} AS DECIMAL(28,12)) AS p
+            FROM embeddings,
+                 LATERAL (SELECT CAST(unnest(range(64)) AS BIGINT) AS i) i,
+                 LATERAL (SELECT CAST(unnest(range(i.i, 64)) AS BIGINT)
+                          AS j) j)
+        SELECT i, j,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_round_half_up("CAST(SUM(p) AS DOUBLE)", 6)} AS gram
+        FROM cells GROUP BY 1, 2 ORDER BY i, j
+    """,
+)
+def gram_matrix_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The d x d Gram matrix X^T X of the embedding corpus (upper
+    triangle, d=64): THE one-pass moment sketch behind full
+    d-dimensional PCA / whitening / ridge regression — each executor
+    accumulates per-partition outer-product sums and the merge is
+    addition, so a 100 TB corpus reduces to d(d+1)/2 numbers in one
+    combinable aggregation (the same shape pca_2d_parts_by_brand uses
+    closed-form for d=2; here the full matrix ships to any eigen
+    solver).
+
+    Determinism: every product casts the float32 elements to double
+    first (matching both engines' promotion), is 9-dp-rounded into
+    DECIMAL(28,12), and summed exactly — order-independent across
+    partitions.
+
+    Scale: the explode emits d(d+1)/2 = 2080 cells per vector inside
+    the scan stage (no shuffle carries vectors); the aggregate shuffles
+    2080 running sums per partition. For d where d^2 explode dominates,
+    the same plan swaps to a mapInPandas numpy syrk per partition —
+    documented alternative, not needed at d=64."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(sequence(0, 63), i ->
+                  transform(sequence(i, 63), j ->
+                    struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+                           CAST(embedding[i] AS DOUBLE)
+                           * CAST(embedding[j] AS DOUBLE) AS p))))
+                """
+            )
+        ).alias("e")
+    ).select("e.i", "e.j", "e.p")
+    return (
+        cells.select(
+            "i", "j", round_half_up(F.col("p"), 9).cast("decimal(28,12)").alias("p")
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            round_half_up(F.sum("p").cast("double"), 6).alias("gram"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+@query(
+    "time_decayed_engagement",
+    category="aggregation",
+    oracle=f"""
+        WITH h AS (
+            SELECT date_trunc('day', max(ts)) AS hday FROM events),
+        ev AS (
+            SELECT e.user_id,
+                   date_diff('day', date_trunc('day', e.ts), h.hday)
+                       AS age,
+                   CAST(floor(e.value * 100.0 + 0.5) AS BIGINT) AS cents
+            FROM events e CROSS JOIN h
+            WHERE isfinite(e.value)),
+        terms AS (
+            SELECT user_id,
+                   CAST({sql_round_half_up(
+                       "exp(CAST(-0.1 AS DOUBLE) * CAST(age AS DOUBLE))"
+                       " * (CAST(cents AS DOUBLE) / 100.0)", 9)}
+                       AS DECIMAL(28,12)) AS t
+            FROM ev)
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {sql_round_half_up("CAST(SUM(t) AS DOUBLE)", 6)}
+                   AS decayed_value
+        FROM terms GROUP BY 1 ORDER BY user_id
+    """,
+)
+def time_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement score per user:
+    sum of value * exp(-0.1 * age_days) against the dataset horizon —
+    the recency-weighted aggregate behind churn scores, decayed LTV,
+    and freshness-weighted training-example selection, where a plain
+    SUM over-credits ancient activity.
+
+    Determinism: ages are integer day differences against the 1-row
+    horizon broadcast; each decayed term is one identical IEEE
+    exp/multiply 9-dp-rounded into DECIMAL(28,12); sums are exact.
+
+    Scale: one combinable aggregate over the corpus; the horizon is a
+    1-row broadcast (same shape as kaplan_meier_retention)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.agg(F.date_trunc("day", F.max("ts")).alias("hday"))
+    v = F.col("value").cast("double")
+    finite = ~(
+        F.isnan(v) | (v == F.lit(float("inf"))) | (v == F.lit(float("-inf")))
+    )
+    terms = (
+        ev.filter(finite)
+        .crossJoin(F.broadcast(h))
+        .select(
+            "user_id",
+            round_half_up(
+                F.exp(
+                    F.lit(-0.1)
+                    * F.datediff(
+                        F.col("hday"), F.date_trunc("day", F.col("ts"))
+                    ).cast("double")
+                )
+                * (
+                    F.floor(v * F.lit(100.0) + F.lit(0.5))
+                    .cast("bigint")
+                    .cast("double")
+                    / F.lit(100.0)
+                ),
+                9,
+            )
+            .cast("decimal(28,12)")
+            .alias("t"),
+        )
+    )
+    return (
+        terms.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            round_half_up(F.sum("t").cast("double"), 6).alias(
+                "decayed_value"
+            ),
+        )
+        .orderBy("user_id")
+    )
