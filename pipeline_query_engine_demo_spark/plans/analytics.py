@@ -7565,3 +7565,172 @@ def sprt_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+@query(
+    "target_encoding_kfold",
+    category="aggregation",
+    oracle=f"""
+        WITH base AS (
+            SELECT o_orderpriority AS cat,
+                   o_orderkey % 5 AS fold,
+                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+            FROM orders),
+        per_fold AS (
+            SELECT cat, fold,
+                   CAST(COUNT(*) AS BIGINT) AS n_f,
+                   CAST(SUM(y) AS BIGINT) AS s_f
+            FROM base GROUP BY 1, 2),
+        per_cat AS (
+            SELECT cat, CAST(SUM(n_f) AS BIGINT) AS n_c,
+                   CAST(SUM(s_f) AS BIGINT) AS s_c
+            FROM per_fold GROUP BY 1)
+        SELECT f.cat AS category, f.fold, f.n_f AS n_fold,
+               {sql_round_half_up(
+                   "CAST(c.s_c - f.s_f AS DOUBLE)"
+                   " / CAST(c.n_c - f.n_f AS DOUBLE)", 6)} AS encoding,
+               {sql_round_half_up(
+                   "CAST(c.s_c AS DOUBLE) / CAST(c.n_c AS DOUBLE)", 6)}
+                   AS full_rate
+        FROM per_fold f JOIN per_cat c ON c.cat = f.cat
+        ORDER BY category, fold
+    """,
+)
+def target_encoding_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe K-fold target encoding of order priority against
+    the finished-order rate: each (category, fold) cell gets the target
+    mean computed from the OTHER four folds — the standard trick that
+    lets a model consume high-cardinality categoricals without the
+    row's own label leaking into its feature (Micci-Barreca 2001; every
+    gradient-boosting pipeline's mean encoder).
+
+    Determinism: folds are o_orderkey % 5 (key-deterministic), all
+    sums BIGINT, each encoding one exact leave-fold-out division.
+
+    Scale: one combinable (category, fold) aggregate over the corpus;
+    the leave-one-out arithmetic runs on |categories| x K rows. The
+    encoder TABLE is what ships to training — rows never shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderpriority").alias("cat"),
+        (F.col("o_orderkey") % 5).alias("fold"),
+        F.when(F.col("o_orderstatus") == "F", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("y"),
+    )
+    per_fold = base.groupBy("cat", "fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_f"),
+        F.sum("y").cast("bigint").alias("s_f"),
+    )
+    per_cat = per_fold.groupBy("cat").agg(
+        F.sum("n_f").cast("bigint").alias("n_c"),
+        F.sum("s_f").cast("bigint").alias("s_c"),
+    )
+    return (
+        per_fold.join(F.broadcast(per_cat), "cat")
+        .select(
+            F.col("cat").alias("category"),
+            "fold",
+            F.col("n_f").alias("n_fold"),
+            round_half_up(
+                (F.col("s_c") - F.col("s_f")).cast("double")
+                / (F.col("n_c") - F.col("n_f")).cast("double"),
+                6,
+            ).alias("encoding"),
+            round_half_up(
+                F.col("s_c").cast("double") / F.col("n_c").cast("double"), 6
+            ).alias("full_rate"),
+        )
+        .orderBy("category", "fold")
+    )
+
+
+@query(
+    "user_feature_matrix",
+    category="aggregation",
+    oracle=f"""
+        WITH h AS (
+            SELECT date_trunc('day', max(ts)) AS hday FROM events),
+        ev AS (
+            SELECT e.user_id, e.event_type,
+                   date_trunc('day', e.ts) AS day,
+                   date_diff('day', date_trunc('day', e.ts), h.hday)
+                       AS age,
+                   CASE WHEN isfinite(e.value)
+                        THEN CAST(floor(e.value * 100.0 + 0.5) AS BIGINT)
+                        ELSE 0 END AS cents,
+                   CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS is_p
+            FROM events e CROSS JOIN h)
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(is_p) AS BIGINT) AS n_purchases,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+               CAST(COUNT(DISTINCT day) AS BIGINT) AS active_days,
+               CAST(MIN(age) AS BIGINT) AS recency_days,
+               CAST(SUM(cents) AS BIGINT) AS total_cents,
+               {sql_round_half_up(
+                   "CAST(SUM(cents) AS DOUBLE)"
+                   " / (CAST(COUNT(*) AS DOUBLE) * 100.0)", 6)}
+                   AS avg_value,
+               CASE WHEN MIN(age) > 7 THEN 1 ELSE 0 END AS churned_7d
+        FROM ev GROUP BY 1 ORDER BY user_id
+    """,
+)
+def user_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature-engineering capstone: one wide per-user training
+    row — event volume, purchase count, behavioral breadth (distinct
+    types), tenure (active days), recency against the dataset horizon,
+    monetary totals, and a 7-day-inactivity churn label — the exact
+    table a churn model trains on, produced by ONE combinable
+    aggregation (every feature is a sum/min/count-distinct, so
+    map-side partials carry a constant-size state per user).
+
+    Determinism: all features are BIGINT counts/cents/day-diffs
+    against the broadcast horizon; the single ratio divides once.
+
+    Scale: one hash exchange on user_id builds the whole matrix;
+    count-distinct features ride the same exchange (Spark plans them
+    as expand + two-level agg, still combinable)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.agg(F.date_trunc("day", F.max("ts")).alias("hday"))
+    v = F.col("value").cast("double")
+    finite = ~(
+        F.isnan(v) | (v == F.lit(float("inf"))) | (v == F.lit(float("-inf")))
+    )
+    base = ev.crossJoin(F.broadcast(h)).select(
+        "user_id",
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.datediff(F.col("hday"), F.date_trunc("day", F.col("ts")))
+        .cast("bigint")
+        .alias("age"),
+        F.when(
+            finite, F.floor(v * F.lit(100.0) + F.lit(0.5)).cast("bigint")
+        )
+        .otherwise(F.lit(0))
+        .alias("cents"),
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_p"),
+    )
+    return (
+        base.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("is_p").cast("bigint").alias("n_purchases"),
+            F.countDistinct("event_type").cast("bigint").alias("n_types"),
+            F.countDistinct("day").cast("bigint").alias("active_days"),
+            F.min("age").cast("bigint").alias("recency_days"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            round_half_up(
+                F.sum("cents").cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.lit(100.0)),
+                6,
+            ).alias("avg_value"),
+            F.when(F.min("age") > 7, F.lit(1)).otherwise(F.lit(0)).alias(
+                "churned_7d"
+            ),
+        )
+        .orderBy("user_id")
+    )

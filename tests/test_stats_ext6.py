@@ -132,3 +132,76 @@ def test_jackknife_matches_loo_replay(spark, sf_dir):
     # influences sum to ~G*(theta - mean_loo); spot the identity
     infl_sum = sum(theta - t for t in loos.values())
     assert infl_sum == pytest.approx(g * (theta - mean_loo), abs=1e-9)
+
+
+def test_target_encoding_leave_fold_out(spark, sf_dir):
+    from pipeline_query_engine_demo_spark.plans.analytics import (
+        target_encoding_kfold,
+    )
+
+    out = {(r["category"], r["fold"]): r for r in target_encoding_kfold(spark, sf_dir).collect()}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    cells: dict = {}
+    for r in orders:
+        k = (r["o_orderpriority"], r["o_orderkey"] % 5)
+        n, s = cells.get(k, (0, 0))
+        cells[k] = (n + 1, s + (1 if r["o_orderstatus"] == "F" else 0))
+    cats: dict = {}
+    for (c, _), (n, s) in cells.items():
+        cn, cs = cats.get(c, (0, 0))
+        cats[c] = (cn + n, cs + s)
+    assert set(out) == set(cells)
+    for (c, f), (n, s) in cells.items():
+        cn, cs = cats[c]
+        r = out[(c, f)]
+        assert r["n_fold"] == n
+        assert r["encoding"] == pytest.approx((cs - s) / (cn - n), abs=1e-6)
+        assert r["full_rate"] == pytest.approx(cs / cn, abs=1e-6)
+        # the defining property: the fold's own labels never enter its
+        # encoding — removing them shifts it away from the full rate
+        # whenever the fold's rate differs from the rest
+        if n and (s / n) != ((cs - s) / (cn - n)):
+            assert r["encoding"] != pytest.approx(s / n, abs=1e-12)
+
+
+def test_user_feature_matrix_matches_replay(spark, sf_dir):
+    import datetime
+
+    from pipeline_query_engine_demo_spark.plans.llm import (  # noqa: F401
+        time_decayed_engagement,
+    )
+    from pipeline_query_engine_demo_spark.plans.analytics import (
+        user_feature_matrix,
+    )
+
+    out = {r["user_id"]: r for r in user_feature_matrix(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    hday = max(r["ts"] for r in ev).date()
+    feats: dict = {}
+    for r in ev:
+        f = feats.setdefault(
+            r["user_id"],
+            {"n": 0, "p": 0, "types": set(), "days": set(), "ages": [], "cents": 0},
+        )
+        f["n"] += 1
+        f["p"] += r["event_type"] == "purchase"
+        f["types"].add(r["event_type"])
+        day = r["ts"].date()
+        f["days"].add(day)
+        f["ages"].append((hday - day).days)
+        v = r["value"]
+        if v is not None and math.isfinite(v):
+            f["cents"] += math.floor(v * 100.0 + 0.5)
+    assert set(out) == set(feats)
+    for uid, f in feats.items():
+        r = out[uid]
+        assert r["n_events"] == f["n"]
+        assert r["n_purchases"] == f["p"]
+        assert r["n_types"] == len(f["types"])
+        assert r["active_days"] == len(f["days"])
+        assert r["recency_days"] == min(f["ages"])
+        assert r["total_cents"] == f["cents"]
+        assert r["avg_value"] == pytest.approx(
+            f["cents"] / (f["n"] * 100.0), abs=1e-6
+        )
+        assert r["churned_7d"] == (1 if min(f["ages"]) > 7 else 0)
