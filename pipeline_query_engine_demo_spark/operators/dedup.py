@@ -832,3 +832,57 @@ def setsim_join_prefix(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def containment_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.7
+) -> DataFrame:
+    """Asymmetric set-CONTAINMENT pairs over distinct n-word shingles:
+    C(A->B) = |A n B| / |A|. Jaccard-threshold dedup structurally
+    misses subset duplicates (a paragraph quoted inside a much longer
+    document has high containment but low Jaccard because the union is
+    dominated by the long side); containment is the right measure for
+    quote/boilerplate/subset detection (Broder 1997 distinguishes
+    resemblance from containment for exactly this reason). Emits pairs
+    where EITHER direction's containment clears the threshold, with
+    both directions and the Jaccard for context.
+
+    Same inverted-shingle scale caveat as ngram_jaccard_pairs: run on
+    bounded slices or post-LSH candidates; at corpus scale the
+    candidate source is near_dup_pairs' banding."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.alias("sa")
+        .join(sh.alias("sb"), on="sh")
+        .select(
+            F.col(f"sa.{id_col}").alias("id_a"),
+            F.col(f"sb.{id_col}").alias("id_b"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    withsz = inter.join(
+        sizes.withColumnsRenamed({id_col: "id_a", "n_sh": "n_a"}), on="id_a"
+    ).join(sizes.withColumnsRenamed({id_col: "id_b", "n_sh": "n_b"}), on="id_b")
+    c_ab = F.col("n_common").cast("double") / F.col("n_a").cast("double")
+    c_ba = F.col("n_common").cast("double") / F.col("n_b").cast("double")
+    return withsz.select(
+        "id_a",
+        "id_b",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        c_ab.alias("containment_ab"),
+        c_ba.alias("containment_ba"),
+        (
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+        ).alias("jaccard"),
+    ).filter(
+        (F.col("containment_ab") >= F.lit(threshold))
+        | (F.col("containment_ba") >= F.lit(threshold))
+    )

@@ -5631,3 +5631,68 @@ def time_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "containment_dedup_pairs",
+    category="llm-dedup",
+    oracle=f"""
+        WITH sh AS (
+            {_shingle_units_sql(n=3, source="documents", alias="s")}
+            WHERE doc_id < 500
+        ),
+        sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT i.id_a, i.id_b, sa.n AS n_a, sb.n AS n_b,
+               {sql_round_half_up(
+                   "CAST(i.n_common AS DOUBLE) / CAST(sa.n AS DOUBLE)",
+                   6)} AS containment_ab,
+               {sql_round_half_up(
+                   "CAST(i.n_common AS DOUBLE) / CAST(sb.n AS DOUBLE)",
+                   6)} AS containment_ba,
+               {sql_round_half_up(
+                   "CAST(i.n_common AS DOUBLE)"
+                   " / CAST(sa.n + sb.n - i.n_common AS DOUBLE)",
+                   6)} AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE CAST(i.n_common AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.5
+           OR CAST(i.n_common AS DOUBLE) / CAST(sb.n AS DOUBLE) >= 0.5
+        ORDER BY id_a, id_b
+    """,
+)
+def containment_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-CONTAINMENT pairs (C(A->B) = |A n B|/|A| >=
+    0.5 in either direction) over a bounded slice — the subset-
+    duplicate detector Jaccard structurally misses: a paragraph quoted
+    inside a much longer document has high containment but low Jaccard
+    because the union is dominated by the long side (Broder 1997's
+    resemblance-vs-containment distinction). Completes the dedup
+    family's fourth route: exact (hash), near (LSH banding), exact-
+    threshold (prefix filter), and now SUBSET containment.
+
+    Determinism: shingle sets, intersections, and sizes are integer;
+    the three ratios are single divisions rounded identically.
+
+    Scale: the inverted-shingle self-join is quadratic in per-shingle
+    document frequency — the slice exists for the oracle's O(n^2); at
+    corpus scale the candidate source is near_dup_pairs' LSH banding
+    with this containment verify applied per candidate (operators.
+    dedup.containment_pairs docstring)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    raw = dedup.containment_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return raw.select(
+        "id_a",
+        "id_b",
+        "n_a",
+        "n_b",
+        round_half_up(F.col("containment_ab"), 6).alias("containment_ab"),
+        round_half_up(F.col("containment_ba"), 6).alias("containment_ba"),
+        round_half_up(F.col("jaccard"), 6).alias("jaccard"),
+    ).orderBy("id_a", "id_b")

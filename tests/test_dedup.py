@@ -421,3 +421,57 @@ def test_setsim_prefix_cap_drops_only_boilerplate_candidacy(spark):
     }
     assert (1, 2) in capped
     assert all(a < 100 for a, _ in capped)  # every boilerplate pair dropped
+
+
+def test_containment_catches_subset_duplicates_jaccard_misses(spark):
+    """A short doc quoted inside a much longer one: containment ~1.0,
+    Jaccard low — the pair a Jaccard threshold structurally misses."""
+    from pipeline_query_engine_demo_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    quote = " ".join(f"tok{i}" for i in range(30))
+    filler = " ".join(f"pad{i}" for i in range(300))
+    df = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote), (3, "unrelated words only here")],
+        ["doc_id", "text"],
+    )
+    out = {(r["id_a"], r["id_b"]): r for r in containment_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()}
+    assert (1, 2) in out
+    r = out[(1, 2)]
+    assert r["containment_ab"] >= 0.9  # the quote is fully contained
+    assert r["jaccard"] < 0.15  # a 0.3-Jaccard dedup would miss it
+    assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_containment_matches_python_sets(spark, sf_dir):
+    from pipeline_query_engine_demo_spark.plans.llm import (
+        containment_dedup_pairs,
+    )
+
+    out = {(r["id_a"], r["id_b"]): r for r in containment_dedup_pairs(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        "doc_id < 500"
+    ).collect()
+    sets = {}
+    for r in docs:
+        w = r["text"].split(" ")
+        sets[r["doc_id"]] = {
+            " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+        }
+    ids = sorted(sets)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            common = len(sets[a] & sets[b])
+            if not common:
+                continue
+            ca, cb = common / len(sets[a]), common / len(sets[b])
+            if ca >= 0.5 or cb >= 0.5:
+                expect[(a, b)] = (len(sets[a]), len(sets[b]), ca, cb)
+    assert set(out) == set(expect)
+    for k, (na, nb, ca, cb) in expect.items():
+        r = out[k]
+        assert (r["n_a"], r["n_b"]) == (na, nb)
+        assert abs(r["containment_ab"] - ca) < 1e-6
+        assert abs(r["containment_ba"] - cb) < 1e-6
