@@ -5696,3 +5696,128 @@ def containment_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(F.col("containment_ba"), 6).alias("containment_ba"),
         round_half_up(F.col("jaccard"), 6).alias("jaccard"),
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "quantile_normalize_lengths",
+    category="llm-text",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v,
+                   CAST(row_number() OVER (PARTITION BY source
+                       ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+                   CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT)
+                       AS n_s
+            FROM documents),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents),
+        hist AS (
+            SELECT v, CAST(SUM(cnt) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum,
+                   CAST(COALESCE(SUM(cnt) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS cum_prev
+            FROM (SELECT CAST(n_chars AS BIGINT) AS v,
+                         CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM documents GROUP BY 1)),
+        mapped AS (
+            SELECT rk.source, rk.v AS orig, h.v AS norm
+            FROM ranked rk
+            CROSS JOIN tot t
+            JOIN hist h
+              ON (rk.r * t.nn + rk.n_s - 1) // rk.n_s > h.cum_prev
+             AND (rk.r * t.nn + rk.n_s - 1) // rk.n_s <= h.cum)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               {sql_round_half_up(
+                   "CAST(SUM(orig) AS DOUBLE)"
+                   " / CAST(COUNT(*) AS DOUBLE)", 6)} AS mean_orig,
+               {sql_round_half_up(
+                   "CAST(SUM(norm) AS DOUBLE)"
+                   " / CAST(COUNT(*) AS DOUBLE)", 6)} AS mean_norm,
+               {sql_round_half_up(
+                   "CAST(SUM(abs(norm - orig)) AS DOUBLE)"
+                   " / CAST(COUNT(*) AS DOUBLE)", 6)} AS mean_abs_shift
+        FROM mapped GROUP BY 1 ORDER BY source
+    """,
+)
+def quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of document lengths: each
+    document's length maps to the GLOBAL length at its within-source
+    quantile (nearest-rank k = ceil(r/n_s * N), all-integer), the
+    genomics-standard transform (quantile normalization, Bolstad 2003)
+    that forces every source onto the same length distribution before
+    mixing — reported as per-source mean original/normalized lengths
+    and the mean absolute shift (how much each source's profile had to
+    move, i.e. the actionable curation signal).
+
+    Determinism: ranks, nearest-rank targets, and the global
+    cumulative histogram are BIGINT (the (r*N + n_s - 1) // n_s form —
+    never ceil of an IEEE product); the mapping join is integer
+    interval containment; only the three final means divide.
+
+    Scale: per-source ranking windows run over doc rows partitioned by
+    source; the global walk runs on the DISTINCT-length histogram
+    (hundreds of rows), which broadcasts onto the interval-containment
+    join — corpus rows never enter a non-equi join with anything
+    bigger than the histogram."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w_rank = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    w_n = Window.partitionBy("source")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("v"),
+        F.row_number().over(w_rank).cast("bigint").alias("r"),
+        F.count(F.lit(1)).over(w_n).cast("bigint").alias("n_s"),
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
+    hist_base = docs.groupBy(F.col("n_chars").cast("bigint").alias("hv")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w_cum = Window.orderBy("hv").rowsBetween(Window.unboundedPreceding, 0)
+    w_prev = Window.orderBy("hv").rowsBetween(Window.unboundedPreceding, -1)
+    hist = hist_base.select(
+        "hv",
+        F.sum("cnt").over(w_cum).cast("bigint").alias("cum"),
+        F.coalesce(F.sum("cnt").over(w_prev), F.lit(0))
+        .cast("bigint")
+        .alias("cum_prev"),
+    )
+    k = F.floor(
+        (F.col("r") * F.col("nn") + F.col("n_s") - 1) / F.col("n_s")
+    ).cast("bigint")
+    mapped = (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn("k", k)
+        .join(
+            F.broadcast(hist),
+            (F.col("k") > F.col("cum_prev")) & (F.col("k") <= F.col("cum")),
+        )
+        .select(
+            "source",
+            F.col("v").alias("orig"),
+            F.col("hv").alias("norm"),
+        )
+    )
+    cnt = F.count(F.lit(1))
+    return (
+        mapped.groupBy("source")
+        .agg(
+            cnt.cast("bigint").alias("n_docs"),
+            round_half_up(
+                F.sum("orig").cast("double") / cnt.cast("double"), 6
+            ).alias("mean_orig"),
+            round_half_up(
+                F.sum("norm").cast("double") / cnt.cast("double"), 6
+            ).alias("mean_norm"),
+            round_half_up(
+                F.sum(F.abs(F.col("norm") - F.col("orig"))).cast("double")
+                / cnt.cast("double"),
+                6,
+            ).alias("mean_abs_shift"),
+        )
+        .orderBy("source")
+    )

@@ -115,3 +115,41 @@ def test_cdc_boundaries_are_content_defined():
     fixed_base = [base[i : i + 128] for i in range(0, len(base), 128)]
     fixed_edit = [edited[i : i + 128] for i in range(0, len(edited), 128)]
     assert len(set(fixed_base) & set(fixed_edit)) <= 1
+
+
+def test_quantile_normalize_matches_python(spark, sf_dir):
+    from pipeline_query_engine_demo_spark.plans.llm import (
+        quantile_normalize_lengths,
+    )
+
+    out = {r["source"]: r for r in quantile_normalize_lengths(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    all_v = sorted(int(r["n_chars"]) for r in docs)
+    nn = len(all_v)
+    by_src: dict = {}
+    for r in docs:
+        by_src.setdefault(r["source"], []).append(
+            (int(r["n_chars"]), r["doc_id"])
+        )
+    assert set(out) == set(by_src)
+    for src, rows in by_src.items():
+        rows.sort()
+        n_s = len(rows)
+        origs, norms = [], []
+        for r_idx, (v, _) in enumerate(rows, start=1):
+            k = (r_idx * nn + n_s - 1) // n_s
+            origs.append(v)
+            norms.append(all_v[k - 1])
+        r = out[src]
+        assert r["n_docs"] == n_s
+        assert r["mean_orig"] == pytest.approx(sum(origs) / n_s, abs=1e-6)
+        assert r["mean_norm"] == pytest.approx(sum(norms) / n_s, abs=1e-6)
+        assert r["mean_abs_shift"] == pytest.approx(
+            sum(abs(a - b) for a, b in zip(norms, origs)) / n_s, abs=1e-6
+        )
+    # post-normalization, every source's mean sits near the global mean
+    gmean = sum(all_v) / nn
+    for src in by_src:
+        assert abs(out[src]["mean_norm"] - gmean) < abs(
+            out[src]["mean_orig"] - gmean
+        ) + max(all_v) * 0.1

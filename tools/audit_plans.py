@@ -91,6 +91,7 @@ NL_WHITELIST = {
     "negative_sampling_unigram",  # inverse-CDF draw: interval-containment join of sample ids against the BROADCAST 500-row vocab CDF — bounded 500 x samples, corpus-independent
     "logistic_regression_gd",  # per-step 1-row MODEL broadcast onto the feature scan — the data-parallel GD shape; gradients cross the wire as 3 decimal sums
     "kneser_ney_perplexity",  # 1-row bigram-type-total broadcast onto the scorer (same shape as bigram_lm_perplexity's vocab broadcast)
+    "quantile_normalize_lengths",  # integer interval-containment join of nearest-rank targets against the BROADCAST distinct-length histogram (hundreds of rows), plus the 1-row grand-total broadcast
     "user_feature_matrix",  # 1-row dataset-horizon broadcast onto the event scan (recency feature), same shape as time_decayed_engagement
     "time_decayed_engagement",  # 1-row dataset-horizon broadcast onto the event scan (same shape as kaplan_meier_retention)
     "naive_bayes_source_classify",  # |sources|-row class list + 1-row vocab/doc totals broadcast onto the doc-token table; the model join itself is equi-keyed on (source, token)
@@ -112,6 +113,7 @@ PYUDF_WHITELIST = {
 UNPARTITIONED_WINDOW_WHITELIST: dict[str, str] = {
     "yoy_growth_by_month": "lag over the month-level aggregate (tens of rows)",
     "negative_sampling_unigram": "rank + cumulative-mass CDF over the top-500 vocabulary aggregate (hard-capped by the rn <= 500 filter; the corpus only feeds the combinable token count)",
+    "quantile_normalize_lengths": "cumulative counts over the DISTINCT-length histogram (hundreds of rows; the per-doc ranks are source-partitioned)",
     "bpe_pair_frequencies": "rank over the pair-vocabulary aggregate",
     "bpe_apply_merges": "rank over the pair-vocabulary aggregate",
     "approx_top_k_tokens": "rank over the token-vocabulary aggregate",
