@@ -124,6 +124,14 @@ EXTENDED = [
     "logistic_regression_gd",
     "kneser_ney_perplexity",
     "streaming_page_hinkley_alarms",
+    "sprt_ab_conversion",
+    "naive_bayes_source_classify",
+    "gram_matrix_embeddings",
+    "time_decayed_engagement",
+    "target_encoding_kfold",
+    "user_feature_matrix",
+    "containment_dedup_pairs",
+    "quantile_normalize_lengths",
 ]
 
 

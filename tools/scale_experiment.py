@@ -208,6 +208,14 @@ QUERIES = [
     "jackknife_source_loo",
     "logistic_regression_gd",
     "kneser_ney_perplexity",
+    "sprt_ab_conversion",
+    "naive_bayes_source_classify",
+    "gram_matrix_embeddings",
+    "time_decayed_engagement",
+    "target_encoding_kfold",
+    "user_feature_matrix",
+    "containment_dedup_pairs",
+    "quantile_normalize_lengths",
 ]
 
 
