@@ -7734,3 +7734,267 @@ def user_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "bh_fdr_segment_tests",
+    category="aggregation",
+    oracle=None,  # set immediately below: wraps the permutation oracle
+)
+def bh_fdr_segment_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control (alpha=0.05) over the ten
+    segment-pair randomization tests: rank the Monte-Carlo p-values,
+    find the largest k with p_(k) <= alpha*k/m, reject ranks 1..k —
+    the multiple-testing step every metrics dashboard skips and then
+    pays for in false alarms (Benjamini & Hochberg 1995). Composes the
+    registered permutation test verbatim, so the p-values are the
+    hash-deterministic ones the driver already checks.
+
+    Determinism: p-values arrive as exact rationals rounded at 6 dp;
+    the BH threshold alpha*k/m is the identical IEEE expression on
+    both engines; the step-up max is integer rank arithmetic.
+
+    Scale: everything after the (already scale-shaped) permutation
+    test runs on m = C(|segments|, 2) rows; the ranking window is a
+    10-row aggregate."""
+    from pyspark.sql import Window
+
+    pt = permutation_test_mean_diff(spark, sf_dir)
+    m_df = pt.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    w = Window.orderBy("p_value", "s1", "s2")
+    ranked = (
+        pt.select("s1", "s2", "p_value")
+        .crossJoin(F.broadcast(m_df))
+        .select(
+            "s1",
+            "s2",
+            "p_value",
+            "m",
+            F.row_number().over(w).cast("bigint").alias("k"),
+        )
+    )
+    thresh = (
+        F.col("k").cast("double") * F.lit(0.05) / F.col("m").cast("double")
+    )
+    flagged = ranked.select(
+        "s1",
+        "s2",
+        "p_value",
+        "k",
+        "m",
+        round_half_up(thresh, 6).alias("bh_threshold"),
+        F.when(F.col("p_value") <= thresh, F.col("k"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("flag_k"),
+    )
+    kstar = flagged.agg(F.max("flag_k").cast("bigint").alias("k_star"))
+    return (
+        flagged.crossJoin(F.broadcast(kstar))
+        .select(
+            "s1",
+            "s2",
+            "p_value",
+            "k",
+            "bh_threshold",
+            F.when(F.col("k") <= F.col("k_star"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("rejected"),
+        )
+        .orderBy("k")
+    )
+
+
+# BH wraps the permutation oracle verbatim as a CTE so the two stay in
+# lockstep; registered post-hoc because the decorator runs before the
+# wrapped oracle string is addressable.
+from pipeline_query_engine_demo_spark.plans.registry import (  # noqa: E402
+    REGISTRY as _REG,
+)
+import dataclasses as _dc  # noqa: E402
+
+_REG["bh_fdr_segment_tests"] = _dc.replace(
+    _REG["bh_fdr_segment_tests"],
+    oracle=f"""
+        WITH pt AS ({_REG["permutation_test_mean_diff"].oracle}),
+        ranked AS (
+            SELECT s1, s2, p_value,
+                   CAST(row_number() OVER (ORDER BY p_value, s1, s2)
+                       AS BIGINT) AS k,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS m
+            FROM pt),
+        flagged AS (
+            SELECT s1, s2, p_value, k, m,
+                   CASE WHEN isfinite(CAST(k AS DOUBLE) * CAST(0.05 AS DOUBLE)
+                            / CAST(m AS DOUBLE))
+                        THEN floor((CAST(k AS DOUBLE) * CAST(0.05 AS DOUBLE)
+                            / CAST(m AS DOUBLE)) * 1000000.0 + 0.5)
+                            / 1000000.0 END AS bh_threshold,
+                   CASE WHEN p_value <= CAST(k AS DOUBLE)
+                            * CAST(0.05 AS DOUBLE) / CAST(m AS DOUBLE)
+                        THEN k ELSE 0 END AS flag_k
+            FROM ranked),
+        ks AS (SELECT CAST(MAX(flag_k) AS BIGINT) AS k_star FROM flagged)
+        SELECT f.s1, f.s2, f.p_value, f.k, f.bh_threshold,
+               CASE WHEN f.k <= ks.k_star THEN 1 ELSE 0 END AS rejected
+        FROM flagged f CROSS JOIN ks
+        ORDER BY f.k
+    """,
+)
+
+
+#: Gaussian quartile breakpoint for the 4-symbol SAX alphabet —
+#: Phi^-1(0.75), embedded as the same parsed literal on both engines.
+_SAX_BP = "0.6744897501960817"
+
+
+@query(
+    "sax_symbolic_daily",
+    category="aggregation",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type AS et, date_trunc('day', ts) AS day,
+                   CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                       AS BIGINT) AS c
+            FROM events WHERE isfinite(value) GROUP BY 1, 2),
+        stats AS (
+            SELECT et, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(c) AS BIGINT) AS s,
+                   CAST(SUM(c * c) AS BIGINT) AS ss
+            FROM daily GROUP BY 1),
+        z AS (
+            SELECT d.et, d.day,
+                   CASE WHEN st.n * st.ss - st.s * st.s <= 0 THEN 'b'
+                        WHEN (CAST(d.c AS DOUBLE)
+                              - CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE))
+                             / sqrt(CAST(st.n * st.ss - st.s * st.s
+                                    AS DOUBLE) / CAST(st.n * st.n
+                                    AS DOUBLE))
+                             < -CAST({_SAX_BP} AS DOUBLE) THEN 'a'
+                        WHEN (CAST(d.c AS DOUBLE)
+                              - CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE))
+                             / sqrt(CAST(st.n * st.ss - st.s * st.s
+                                    AS DOUBLE) / CAST(st.n * st.n
+                                    AS DOUBLE))
+                             < CAST(0.0 AS DOUBLE) THEN 'b'
+                        WHEN (CAST(d.c AS DOUBLE)
+                              - CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE))
+                             / sqrt(CAST(st.n * st.ss - st.s * st.s
+                                    AS DOUBLE) / CAST(st.n * st.n
+                                    AS DOUBLE))
+                             < CAST({_SAX_BP} AS DOUBLE) THEN 'c'
+                        ELSE 'd' END AS sym
+            FROM daily d JOIN stats st ON st.et = d.et),
+        sax AS (
+            SELECT et, string_agg(sym, '' ORDER BY day) AS sax_string
+            FROM z GROUP BY 1),
+        bi AS (
+            SELECT et, sym || lead(sym) OVER (PARTITION BY et
+                       ORDER BY day) AS motif
+            FROM z),
+        mc AS (
+            SELECT et, motif, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM bi WHERE motif IS NOT NULL GROUP BY 1, 2),
+        topm AS (
+            SELECT et, motif, cnt,
+                   row_number() OVER (PARTITION BY et
+                       ORDER BY cnt DESC, motif) AS rn
+            FROM mc)
+        SELECT s.et AS event_type,
+               CAST(length(s.sax_string) AS BIGINT) AS n_days,
+               s.sax_string,
+               t.motif AS top_motif, t.cnt AS motif_count
+        FROM sax s JOIN topm t ON t.et = s.et AND t.rn = 1
+        ORDER BY event_type
+    """,
+)
+def sax_symbolic_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic aggregate approximation of each event type's daily
+    value series: z-normalize per series, map each day into the
+    4-symbol alphabet by the Gaussian quartile breakpoints
+    (+-0.6745, 0), and report the symbol string plus the most frequent
+    adjacent bigram motif — the discretization that turns numeric time
+    series into text so motif mining, grep-style pattern search, and
+    sequence models apply (Lin et al. 2003).
+
+    Determinism: means/variances come from exact BIGINT cent sums; the
+    z-score and both breakpoints are identical IEEE expressions
+    (breakpoint embedded as the same parsed literal both sides); a
+    zero-variance series degenerates to all-'b' by an integer guard,
+    never a NaN comparison.
+
+    Scale: the corpus-sized stage is the combinable daily roll-up;
+    symbolization is a broadcast stats join; the string assembly and
+    motif count run per event type over calendar-bounded rows."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
+    finite = ~(
+        F.isnan(v) | (v == F.lit(float("inf"))) | (v == F.lit(float("-inf")))
+    )
+    daily = (
+        ev.filter(finite)
+        .groupBy(
+            F.col("event_type").alias("et"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+        )
+        .agg(
+            F.sum(F.floor(v * F.lit(100.0) + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("c")
+        )
+    )
+    stats = daily.groupBy("et").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+    )
+    bp = F.lit(float(_SAX_BP))
+    nvar = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    zexpr = (
+        F.col("c").cast("double")
+        - F.col("s").cast("double") / F.col("n").cast("double")
+    ) / F.sqrt(nvar.cast("double") / (F.col("n") * F.col("n")).cast("double"))
+    sym = (
+        F.when(nvar <= 0, F.lit("b"))
+        .when(zexpr < -bp, F.lit("a"))
+        .when(zexpr < F.lit(0.0), F.lit("b"))
+        .when(zexpr < bp, F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    z = daily.join(F.broadcast(stats), "et").select(
+        "et", "day", sym.alias("sym")
+    )
+    sax = z.groupBy("et").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("day", "sym"))),
+                lambda e: e["sym"],
+            ),
+            "",
+        ).alias("sax_string")
+    )
+    w_ord = Window.partitionBy("et").orderBy("day")
+    bi = z.select(
+        "et",
+        F.concat(F.col("sym"), F.lead("sym").over(w_ord)).alias("motif"),
+    ).filter(F.col("motif").isNotNull())
+    mc = bi.groupBy("et", "motif").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w_top = Window.partitionBy("et").orderBy(F.col("cnt").desc(), "motif")
+    topm = mc.select(
+        "et", "motif", "cnt", F.row_number().over(w_top).alias("rn")
+    ).filter(F.col("rn") == 1)
+    return (
+        sax.join(topm, "et")
+        .select(
+            F.col("et").alias("event_type"),
+            F.length("sax_string").cast("bigint").alias("n_days"),
+            "sax_string",
+            F.col("motif").alias("top_motif"),
+            F.col("cnt").alias("motif_count"),
+        )
+        .orderBy("event_type")
+    )

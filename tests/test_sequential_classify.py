@@ -124,3 +124,81 @@ def test_naive_bayes_matches_python_replay(spark, sf_dir):
     # training accuracy beats the prior-only baseline
     correct = sum(n for (t, p), n in conf.items() if t == p)
     assert correct / dtot > max(d_s.values()) / dtot
+
+
+def test_bh_fdr_step_up_matches_python(spark, sf_dir):
+    from pipeline_query_engine_demo_spark.plans.analytics import (
+        bh_fdr_segment_tests,
+        permutation_test_mean_diff,
+    )
+
+    out = [r.asDict() for r in bh_fdr_segment_tests(spark, sf_dir).collect()]
+    pt = [
+        (r["p_value"], r["s1"], r["s2"])
+        for r in permutation_test_mean_diff(spark, sf_dir).collect()
+    ]
+    pt.sort()
+    m = len(pt)
+    flags = [
+        k if p <= 0.05 * k / m else 0
+        for k, (p, _, _) in enumerate(pt, start=1)
+    ]
+    k_star = max(flags)
+    assert len(out) == m
+    for row, (k, (p, s1, s2)) in zip(out, enumerate(pt, start=1)):
+        assert (row["s1"], row["s2"], row["k"]) == (s1, s2, k)
+        assert row["p_value"] == pytest.approx(p, abs=1e-9)
+        assert row["bh_threshold"] == pytest.approx(
+            math.floor(0.05 * k / m * 1e6 + 0.5) / 1e6, abs=1e-9
+        )
+        assert row["rejected"] == (1 if k <= k_star else 0)
+    # BH rejects a PREFIX of the sorted p-values, never a gap
+    rejected = [r["rejected"] for r in out]
+    assert rejected == sorted(rejected, reverse=True)
+
+
+def test_sax_symbols_match_python(spark, sf_dir):
+    from pipeline_query_engine_demo_spark.plans.analytics import (
+        sax_symbolic_daily,
+    )
+
+    out = {r["event_type"]: r for r in sax_symbolic_daily(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    daily: dict = {}
+    for r in ev:
+        v = r["value"]
+        if v is None or not math.isfinite(v):
+            continue
+        k = (r["event_type"], r["ts"].date())
+        daily[k] = daily.get(k, 0) + math.floor(v * 100.0 + 0.5)
+    by_type: dict = {}
+    for (et, day), c in daily.items():
+        by_type.setdefault(et, []).append((day, c))
+    bp = 0.6744897501960817
+    assert set(out) == set(by_type)
+    for et, series in by_type.items():
+        series.sort()
+        cs = [c for _, c in series]
+        n = len(cs)
+        mu = sum(cs) / n
+        nvar = n * sum(c * c for c in cs) - sum(cs) ** 2
+        sd = math.sqrt(nvar / (n * n))
+        syms = []
+        for c in cs:
+            if nvar <= 0:
+                syms.append("b")
+                continue
+            z = (c - mu) / sd
+            syms.append("a" if z < -bp else "b" if z < 0 else "c" if z < bp else "d")
+        sax = "".join(syms)
+        motifs: dict = {}
+        for a, b in zip(syms, syms[1:]):
+            motifs[a + b] = motifs.get(a + b, 0) + 1
+        top = min(motifs.items(), key=lambda kv: (-kv[1], kv[0]))
+        r = out[et]
+        assert r["n_days"] == n
+        assert r["sax_string"] == sax
+        assert (r["top_motif"], r["motif_count"]) == top
+        # symbols are roughly balanced under z-normalization: no
+        # single symbol owns the whole series on real data
+        assert len(set(sax)) >= 2

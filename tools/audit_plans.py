@@ -91,6 +91,7 @@ NL_WHITELIST = {
     "negative_sampling_unigram",  # inverse-CDF draw: interval-containment join of sample ids against the BROADCAST 500-row vocab CDF — bounded 500 x samples, corpus-independent
     "logistic_regression_gd",  # per-step 1-row MODEL broadcast onto the feature scan — the data-parallel GD shape; gradients cross the wire as 3 decimal sums
     "kneser_ney_perplexity",  # 1-row bigram-type-total broadcast onto the scorer (same shape as bigram_lm_perplexity's vocab broadcast)
+    "bh_fdr_segment_tests",  # inherits permutation_test_mean_diff's whitelisted 5-row pair join, plus two 1-row broadcasts (m, k_star) onto the 10-row p-value table
     "quantile_normalize_lengths",  # integer interval-containment join of nearest-rank targets against the BROADCAST distinct-length histogram (hundreds of rows), plus the 1-row grand-total broadcast
     "user_feature_matrix",  # 1-row dataset-horizon broadcast onto the event scan (recency feature), same shape as time_decayed_engagement
     "time_decayed_engagement",  # 1-row dataset-horizon broadcast onto the event scan (same shape as kaplan_meier_retention)
@@ -114,6 +115,7 @@ UNPARTITIONED_WINDOW_WHITELIST: dict[str, str] = {
     "yoy_growth_by_month": "lag over the month-level aggregate (tens of rows)",
     "negative_sampling_unigram": "rank + cumulative-mass CDF over the top-500 vocabulary aggregate (hard-capped by the rn <= 500 filter; the corpus only feeds the combinable token count)",
     "quantile_normalize_lengths": "cumulative counts over the DISTINCT-length histogram (hundreds of rows; the per-doc ranks are source-partitioned)",
+    "bh_fdr_segment_tests": "rank over the m = C(|segments|,2) = 10-row p-value table (the permutation test upstream is the scale-shaped stage)",
     "bpe_pair_frequencies": "rank over the pair-vocabulary aggregate",
     "bpe_apply_merges": "rank over the pair-vocabulary aggregate",
     "approx_top_k_tokens": "rank over the token-vocabulary aggregate",
