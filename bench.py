@@ -132,6 +132,8 @@ EXTENDED = [
     "user_feature_matrix",
     "containment_dedup_pairs",
     "quantile_normalize_lengths",
+    "bh_fdr_segment_tests",
+    "sax_symbolic_daily",
 ]
 
 

@@ -216,6 +216,8 @@ QUERIES = [
     "user_feature_matrix",
     "containment_dedup_pairs",
     "quantile_normalize_lengths",
+    "bh_fdr_segment_tests",
+    "sax_symbolic_daily",
 ]
 
 
