@@ -1146,3 +1146,36 @@ def streaming_page_hinkley_alarms(spark: SparkSession, sf_dir: str) -> DataFrame
         name="t_pagehinkley",
     )
     return result.orderBy("user_id")
+
+
+@query(
+    "streaming_sprt_decision",
+    category="streaming",
+    oracle=_REGISTRY["sprt_ab_conversion"].oracle,
+)
+def streaming_sprt_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of sprt_ab_conversion: the Wald evidence walk
+    held as five longs of per-variant state (streaming/windows
+    .stateful_sprt), latching the decision at the FIRST boundary
+    crossing — the form in which an SPRT actually runs in production
+    (the batch query reconstructs the crossing; the stream LIVES at
+    it). The exact int64-nano lattice makes the drained state equal
+    the batch walk value-for-value, so the batch oracle is REUSED
+    VERBATIM. Incremental multi-batch decision-latching is exercised
+    in tests/test_streaming."""
+    from pipeline_query_engine_demo_spark.plans.analytics import (
+        _SPRT_A_N,
+        _SPRT_B_N,
+        _SPRT_C0_N,
+        _SPRT_C1_N,
+    )
+
+    events = streaming.read_events_stream(spark, sf_dir)
+    result = streaming.run_to_memory(
+        streaming.stateful_sprt(
+            events, _SPRT_C1_N, _SPRT_C0_N, _SPRT_A_N, _SPRT_B_N
+        ),
+        "update",
+        name="t_sprt",
+    )
+    return result.orderBy("variant")

@@ -24,6 +24,7 @@ from pipeline_query_engine_demo_spark.streaming.windows import (
     stateful_cusum,
     stateful_ewma,
     stateful_page_hinkley,
+    stateful_sprt,
     stateful_hll,
     stateful_kmv,
     stateful_user_counts,
@@ -44,6 +45,7 @@ __all__ = [
     "stateful_cusum",
     "stateful_ewma",
     "stateful_page_hinkley",
+    "stateful_sprt",
     "stateful_hll",
     "stateful_kmv",
     "stateful_user_counts",

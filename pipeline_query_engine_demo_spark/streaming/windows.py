@@ -858,3 +858,86 @@ def stateful_page_hinkley(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_sprt(
+    events: DataFrame,
+    c1_nanos: int,
+    c0_nanos: int,
+    a_nanos: int,
+    b_nanos: int,
+) -> DataFrame:
+    """Streaming Wald SPRT via ``applyInPandasWithState``: per-variant
+    state is five longs — (n, successes k, decided {0=continue,
+    1=h1, -1=h0}, n_at_decision, llr_at_decision_nanos). The evidence
+    walk llr = k*c1 + (n-k)*c0 is exact int64 NANO arithmetic (the
+    batch query plans.analytics.sprt_ab_conversion's lattice), so the
+    drained state equals the batch walk value-for-value and the batch
+    oracle applies verbatim. A decision latches on the FIRST boundary
+    crossing across batches and never un-latches — the online
+    early-stopping semantics the batch form can only reconstruct.
+    Same time-ordered-batch contract as stateful_cusum."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def scan(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        n, k, decided, n_at, l_at = (
+            state.get if state.exists else (0, 0, 0, 0, 0)
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+        y = (batch["event_type"] == "purchase").to_numpy(dtype=np.int64)
+        if len(y):
+            kc = k + np.cumsum(y)
+            rn = n + np.arange(1, len(y) + 1, dtype=np.int64)
+            ln9 = kc * c1_nanos + (rn - kc) * c0_nanos
+            if decided == 0:
+                hit = (ln9 >= a_nanos) | (ln9 <= b_nanos)
+                if hit.any():
+                    i = int(np.argmax(hit))
+                    decided = 1 if ln9[i] >= a_nanos else -1
+                    n_at = int(rn[i])
+                    l_at = int(ln9[i])
+            n = int(rn[-1])
+            k = int(kc[-1])
+        state.update((n, k, decided, n_at, l_at))
+        lfin = k * c1_nanos + (n - k) * c0_nanos
+        dec = {0: "continue", 1: "accept_h1", -1: "accept_h0"}[decided]
+        import numpy as np  # noqa: F811
+
+        yield pd.DataFrame(
+            {
+                "variant": [key[0]],
+                "n_total": [n],
+                "n_conv": [k],
+                "llr_final": [
+                    float(np.floor((lfin / 1e9) * 1e6 + 0.5) / 1e6)
+                ],
+                "decision": [dec],
+                "n_at_decision": [n_at if decided != 0 else None],
+                "llr_at_decision": [
+                    float(np.floor((l_at / 1e9) * 1e6 + 0.5) / 1e6)
+                    if decided != 0
+                    else None
+                ],
+            }
+        )
+
+    return events.withColumn(
+        "variant", F.col("user_id") % 2
+    ).groupBy("variant").applyInPandasWithState(
+        scan,
+        outputStructType=(
+            "variant long, n_total long, n_conv long, llr_final double,"
+            " decision string, n_at_decision long, llr_at_decision double"
+        ),
+        stateStructType=(
+            "n long, k long, decided long, n_at long, l_at long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -775,3 +775,90 @@ def test_streaming_page_hinkley_state_evolves_across_time_split_batches(
         assert r["n_alarms"] == alarms
         assert r["max_ph"] == math.floor((maxph / 1e9) * 1e6 + 0.5) / 1e6
     assert result.groupBy("user_id").count().filter("count > 1").count() > 0
+
+
+def test_streaming_sprt_latches_first_decision_across_batches(
+    spark, sf_dir, tmp_path
+):
+    """The SPRT decision must latch at the FIRST boundary crossing even
+    when the crossing happens mid-stream: feed time-split chunks and
+    assert the final state matches a sequential replay, including the
+    latched (n_at, llr_at) from the earliest crossing."""
+    import math
+    import time
+
+    from pipeline_query_engine_demo_spark.plans.analytics import (
+        _SPRT_A_N,
+        _SPRT_B_N,
+        _SPRT_C0_N,
+        _SPRT_C1_N,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_time_chunks_sprt")
+    cuts = ev.selectExpr(
+        "percentile_approx(ts, 0.34) AS c1", "percentile_approx(ts, 0.67) AS c2"
+    ).collect()[0]
+    chunks = [
+        ev.filter(F.col("ts") <= cuts["c1"]),
+        ev.filter((F.col("ts") > cuts["c1"]) & (F.col("ts") <= cuts["c2"])),
+        ev.filter(F.col("ts") > cuts["c2"]),
+    ]
+    for ch in chunks:
+        ch.coalesce(1).write.mode("append").parquet(out)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    result = streaming.run_to_memory(
+        streaming.stateful_sprt(
+            stream, _SPRT_C1_N, _SPRT_C0_N, _SPRT_A_N, _SPRT_B_N
+        ),
+        "update",
+    )
+    from pyspark.sql import Window
+
+    final = (
+        result.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("variant").orderBy(F.col("n_total").desc())
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    )
+    got = {r["variant"]: r for r in final}
+    rows = ev.select("user_id", "ts", "event_id", "event_type").collect()
+    by_v: dict = {}
+    for r in rows:
+        by_v.setdefault(r["user_id"] % 2, []).append(
+            (r["ts"], r["event_id"], 1 if r["event_type"] == "purchase" else 0)
+        )
+    assert set(got) == set(by_v)
+    for v, seq in by_v.items():
+        seq.sort()
+        k = 0
+        decided, n_at, l_at = 0, None, None
+        for rn, (_, _, y) in enumerate(seq, start=1):
+            k += y
+            ln9 = k * _SPRT_C1_N + (rn - k) * _SPRT_C0_N
+            if decided == 0:
+                if ln9 >= _SPRT_A_N:
+                    decided, n_at, l_at = 1, rn, ln9
+                elif ln9 <= _SPRT_B_N:
+                    decided, n_at, l_at = -1, rn, ln9
+        r = got[v]
+        assert r["n_total"] == len(seq)
+        assert r["n_conv"] == k
+        exp_dec = {0: "continue", 1: "accept_h1", -1: "accept_h0"}[decided]
+        assert r["decision"] == exp_dec
+        assert r["n_at_decision"] == n_at
+        if l_at is not None:
+            assert r["llr_at_decision"] == math.floor(
+                (l_at / 1e9) * 1e6 + 0.5
+            ) / 1e6
+    # the per-variant state must have been emitted in >1 batch
+    assert result.groupBy("variant").count().filter("count > 1").count() > 0
