@@ -134,6 +134,8 @@ EXTENDED = [
     "quantile_normalize_lengths",
     "bh_fdr_segment_tests",
     "sax_symbolic_daily",
+    # round-8: transformWithStateInPandas gate-real (vendored protobuf)
+    "streaming_tws_user_value_totals",
 ]
 
 

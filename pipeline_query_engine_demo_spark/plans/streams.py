@@ -169,11 +169,47 @@ def streaming_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# transformWithStateInPandas (streaming.tws_user_value_totals) is NOT
-# registered as a query: the API's state-server protocol needs a working
-# google.protobuf, which this container lacks (ImportError: cannot
-# import descriptor). The operator ships gated; tests skip without the
-# dependency (tests/test_streaming.py::test_tws_totals_if_available).
+@query(
+    "streaming_tws_user_value_totals",
+    category="streaming",
+    oracle="""
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def streaming_tws_user_value_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator on Spark 4's arbitrary-state
+    API (``transformWithStateInPandas``): per-user (count, exact-cent
+    total) in a typed ValueState. AvailableNow drain → the final row per
+    user equals the batch GROUP BY (the oracle); the per-row cent
+    lattice floor(x·100+0.5) makes the total order-independent so the
+    streaming accumulation and DuckDB's SUM agree exactly.
+
+    The API's state server requires multi-column-family stores, so the
+    run pins RocksDBStateStoreProvider (restored after the drain — the
+    HDFSBacked default stays for every other streaming query); the
+    protobuf wire dep is the vendored runtime (session._ensure_protobuf).
+    Multi-batch state evolution is tested in tests/test_streaming.py."""
+    from pipeline_query_engine_demo_spark.session import ensure_protobuf_on_workers
+
+    ensure_protobuf_on_workers(spark)  # vendored-runtime path for the workers
+    rocksdb = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, rocksdb)
+    try:
+        events = streaming.read_events_stream(spark, sf_dir)
+        result = streaming.run_to_memory(
+            streaming.tws_user_value_totals(events), "update", name="t_tws_totals"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return result.orderBy("user_id")
 
 
 @query(

@@ -18,8 +18,66 @@ for the 100 TB design point:
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
+
+# --- vendored pure-python protobuf (vendor/google/protobuf) -------------
+# transformWithStateInPandas speaks protobuf to the JVM state server; when
+# the environment has no google.protobuf we fall back to the vendored
+# pure-python runtime (public protobuf 4.23.2 tree + a runtime_version
+# shim — see vendor/google/protobuf/LICENSE). An installed protobuf always
+# wins: the vendor dir is appended only on ImportError, and PYTHONPATH is
+# extended (not replaced) so Spark-spawned Python workers resolve the same
+# module the driver did.
+_VENDOR_DIR = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "vendor")
+)
+
+
+def _ensure_protobuf() -> None:
+    try:
+        import google.protobuf  # noqa: F401
+        return
+    except ImportError:
+        pass
+    if os.path.isdir(os.path.join(_VENDOR_DIR, "google", "protobuf")):
+        if _VENDOR_DIR not in sys.path:
+            sys.path.append(_VENDOR_DIR)
+        existing = os.environ.get("PYTHONPATH", "")
+        if _VENDOR_DIR not in existing.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                existing + os.pathsep + _VENDOR_DIR if existing else _VENDOR_DIR
+            )
+        # The vendored tree is pure-python; make api_implementation not
+        # probe for the absent C++ extension.
+        os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+
+
+_ensure_protobuf()
+
+
+def ensure_protobuf_on_workers(spark: SparkSession) -> None:
+    """Extend the captured-at-UDF-creation worker env with the vendor dir.
+
+    The transformWithState state-server workers are spawned with the
+    PythonFunction's ``envVars`` (``sc.environment``), NOT the driver's
+    live ``os.environ`` — so when the JVM was launched before this
+    package was imported (the driver-contract path: vanilla
+    SparkSession, then ``import __spark_entry__``), the os.environ edit
+    in :func:`_ensure_protobuf` never reaches them. Mutating
+    ``sc.environment`` here does, because it is read at UDF creation
+    time. No-op when a real google.protobuf is installed."""
+    if _VENDOR_DIR not in sys.path:  # real protobuf won; nothing vendored
+        return
+    env = spark.sparkContext.environment
+    existing = env.get("PYTHONPATH", "")
+    if _VENDOR_DIR not in existing.split(os.pathsep):
+        env["PYTHONPATH"] = (
+            existing + os.pathsep + _VENDOR_DIR if existing else _VENDOR_DIR
+        )
+    env.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+
 
 # Defaults chosen for the local[32] / 128 GiB harness; on a real cluster
 # these are overridden by spark-submit conf (the code never assumes them).

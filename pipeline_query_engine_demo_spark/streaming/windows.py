@@ -291,13 +291,17 @@ def tws_user_value_totals(events: DataFrame) -> DataFrame:
     (count, decimal-exact value total) in a typed ValueState. The
     successor to applyInPandasWithState — explicit state variables,
     composable timers, RocksDB-backed on a cluster. Emits one updated
-    row per key per batch; totals are exact-integer cents so output is
-    accumulation-order independent.
+    row per key per batch; totals are exact-integer cents
+    (floor(x·100 + 0.5), the repo-wide recipe) so output is
+    accumulation-order independent and oracle-matchable.
 
-    DEPENDENCY GATE: the transformWithState Python worker speaks
-    protobuf to the JVM state server; this container's google.protobuf
-    is broken, so the operator is exercised only where the dependency
-    exists (tests skip otherwise, no query registration)."""
+    DEPENDENCIES: the transformWithState Python worker speaks protobuf
+    to a JVM state server that requires multiple column families, i.e.
+    RocksDBStateStoreProvider (HDFSBacked raises
+    STATE_STORE_MULTIPLE_COLUMN_FAMILIES). The protobuf runtime is the
+    vendored pure-python tree wired in session._ensure_protobuf; the
+    registered query (plans.streams.streaming_tws_user_value_totals)
+    sets the RocksDB provider for its run."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -308,12 +312,14 @@ def tws_user_value_totals(events: DataFrame) -> DataFrame:
             self._state = handle.getValueState("totals", "n LONG, cents LONG")
 
         def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+            import numpy as np
             import pandas as pd
 
-            n, cents = (self._state.get() or (0, 0)) if self._state.exists() else (0, 0)
+            n, cents = self._state.get() if self._state.exists() else (0, 0)
             for pdf in rows:
                 n += len(pdf)
-                cents += int(round(pdf["value"].mul(100).round(0).sum()))
+                v = pdf["value"].to_numpy(dtype=np.float64)
+                cents += int(np.floor(v * 100.0 + 0.5).astype(np.int64).sum())
             self._state.update((n, cents))
             yield pd.DataFrame(
                 {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}

@@ -104,23 +104,88 @@ def test_watermark_drops_late_data_append_mode(spark, tmp_path):
     # [12,13) and [13,14) absent: still open when the stream drained.
 
 
-def test_tws_totals_if_available(spark, sf_dir):
-    """transformWithStateInPandas parity with the batch GROUP BY —
-    skipped where google.protobuf (the state-server protocol dep) is
-    unavailable, as in this container."""
-    import pytest
+def test_tws_totals_batch_parity(spark, sf_dir):
+    """transformWithStateInPandas parity with the batch GROUP BY (count
+    AND exact-cent totals). The protobuf state-server dep is satisfied
+    by the vendored runtime (session._ensure_protobuf); the registered
+    query pins the RocksDB provider the API requires."""
+    from pipeline_query_engine_demo_spark.plans.streams import (
+        streaming_tws_user_value_totals,
+    )
 
-    pytest.importorskip("google.protobuf.descriptor")
-    events = streaming.read_events_stream(spark, sf_dir)
-    result = streaming.run_to_memory(streaming.tws_user_value_totals(events), "update")
+    result = streaming_tws_user_value_totals(spark, sf_dir)
     expected = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias(
+                "total_cents"
+            ),
+        )
     )
-    got = {r.user_id: r.n_events for r in result.collect()}
-    exp = {r.user_id: r.n_events for r in expected.collect()}
+    got = {r.user_id: (r.n_events, r.total_cents) for r in result.collect()}
+    exp = {r.user_id: (r.n_events, r.total_cents) for r in expected.collect()}
     assert got == exp
+
+
+def test_tws_state_evolves_across_time_split_batches(spark, sf_dir, tmp_path):
+    """The ValueState must CARRY across micro-batches: feed time-split
+    chunks one file per trigger and assert (a) the final per-user row
+    equals the batch totals and (b) at least one user was emitted in
+    more than one batch with growing counts (the state actually
+    accumulated rather than restarting)."""
+    import time
+
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_time_chunks_tws")
+    cut = ev.selectExpr("percentile_approx(ts, 0.5) AS c").collect()[0]["c"]
+    for ch in [ev.filter(F.col("ts") <= cut), ev.filter(F.col("ts") > cut)]:
+        ch.coalesce(1).write.mode("append").parquet(out)
+        time.sleep(1.1)  # distinct file mtimes => deterministic batch order
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(out)
+        )
+        result = streaming.run_to_memory(
+            streaming.tws_user_value_totals(stream), "update"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    rows = result.collect()
+    per_user: dict = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append((r.n_events, r.total_cents))
+    expected = {
+        r.user_id: (r.n_events, r.total_cents)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+        .collect()
+    }
+    finals = {u: max(v) for u, v in per_user.items()}  # n_events monotone
+    assert finals == expected
+    multi = [u for u, v in per_user.items() if len(v) > 1]
+    assert multi, "no user spanned two batches — state carry not exercised"
+    for u in multi:
+        ns = sorted(n for n, _ in per_user[u])
+        assert ns[-1] > ns[0]  # count grew across batches => state carried
 
 
 def test_stream_batch_parity_tumbling(spark, sf_dir):
