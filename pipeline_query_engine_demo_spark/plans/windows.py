@@ -23,6 +23,13 @@ from pipeline_query_engine_demo_spark.functions.rounding import (
 from pipeline_query_engine_demo_spark.plans.registry import query
 from pipeline_query_engine_demo_spark.sources.catalog import load_table
 
+# Left-side row budget for the pandas-API as-of join: Spark lowers
+# ps.merge_asof to an inequality join + aggregate, so its input must be
+# bounded BY CONSTRUCTION (modulus derived from the corpus size), not by
+# a hand-tuned slice constant. The oracle replays the same integer
+# derivation; tests/test_asof.py asserts the bound holds.
+ASOF_PANDAS_ROW_BUDGET = 5000
+
 
 @query(
     "window_topk_per_group",
@@ -1229,7 +1236,8 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     "asof_join_pandas_api",
     category="asof-join",
     oracle="""
-        WITH ev AS (SELECT * FROM events WHERE user_id % 10 = 0),
+        WITH m AS (SELECT (COUNT(*) + 4999) // 5000 AS md FROM events),
+        ev AS (SELECT e.* FROM events e, m WHERE e.user_id % m.md = 0),
         purchases AS (
             SELECT user_id, ts, MAX(value) AS ref_value
             FROM ev WHERE event_type = 'purchase'
@@ -1260,15 +1268,20 @@ def asof_join_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     strategy — the operator form documents the at-scale shape."""
     import pyspark.pandas as ps
 
-    # Deterministic 10%-of-users slice: Spark rewrites its internal
-    # AsOfJoin (what ps.merge_asof lowers to) into an inequality join +
-    # aggregate — the exact per-key blow-up operators.joins.asof_join
-    # exists to avoid, and at full sf0.1 it runs minutes. The slice
-    # keeps this row an API-parity check at honest cost; the operator
-    # form remains the at-scale path.
-    events = load_table(spark, sf_dir, "events").filter(
-        F.col("user_id") % 10 == 0
-    )
+    # Row-BUDGETED slice: Spark rewrites its internal AsOfJoin (what
+    # ps.merge_asof lowers to) into an inequality join + aggregate —
+    # the exact per-key blow-up operators.joins.asof_join exists to
+    # avoid, and on a full corpus it runs minutes. Instead of a
+    # hand-tuned constant, the user-modulus is DERIVED from a target
+    # row budget with all-integer math both engines replay exactly:
+    # m = ceil(|events| / BUDGET), slice user_id % m == 0 — so the
+    # rewrite's input is ≤ ~BUDGET rows at ANY scale factor (a 100×
+    # corpus just raises m), keeping this row an API-parity check at
+    # bounded cost while the operator form remains the at-scale path.
+    # tests/test_asof.py pins the bound.
+    full = load_table(spark, sf_dir, "events")
+    modulus = (full.count() + ASOF_PANDAS_ROW_BUDGET - 1) // ASOF_PANDAS_ROW_BUDGET
+    events = full.filter(F.col("user_id") % modulus == 0)
     left = events.select("event_id", "user_id", "ts")
     right = (
         events.filter(F.col("event_type") == "purchase")

@@ -8,6 +8,7 @@ import datetime as dt
 
 import pytest
 
+import pyspark.sql.functions as F
 from pipeline_query_engine_demo_spark.operators.joins import asof_join
 
 
@@ -144,3 +145,26 @@ def test_asof_reserved_column_collision_raises(spark, frames):
     chained = asof_join(left, right, "k", "ts", "ts", ["val"])
     with pytest.raises(ValueError, match="collision"):
         asof_join(chained, right, "k", "ts", "ts", ["val"])
+
+
+def test_asof_pandas_api_slice_is_row_budgeted(spark, sf_dir):
+    """The pandas-API as-of row lowers to an inequality-join rewrite, so
+    its input must be bounded BY CONSTRUCTION: the user-modulus is
+    derived from the corpus size (m = ceil(n / BUDGET)), which caps the
+    sliced left side near the budget at ANY scale factor. Pin (a) the
+    derivation, (b) the realized row bound, and (c) that the oracle SQL
+    replays the identical integer arithmetic."""
+    from pipeline_query_engine_demo_spark.plans.registry import REGISTRY
+    from pipeline_query_engine_demo_spark.plans.windows import ASOF_PANDAS_ROW_BUDGET
+    from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+    full = load_table(spark, sf_dir, "events")
+    n = full.count()
+    modulus = (n + ASOF_PANDAS_ROW_BUDGET - 1) // ASOF_PANDAS_ROW_BUDGET
+    sliced = full.filter(F.col("user_id") % modulus == 0).count()
+    # ~uniform events-per-user: the slice sits near n/m; 1.5x head-room
+    # absorbs per-user count noise while still failing on any constant
+    # that stops scaling with n.
+    assert sliced <= 1.5 * ASOF_PANDAS_ROW_BUDGET
+    oracle = REGISTRY["asof_join_pandas_api"].oracle
+    assert f"+ {ASOF_PANDAS_ROW_BUDGET - 1}) // {ASOF_PANDAS_ROW_BUDGET}" in oracle
