@@ -281,6 +281,7 @@ def near_dup_pairs(
     shingle_n: int = DEFAULT_SHINGLE_N,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     est_prefilter: float | None = DEFAULT_EST_PREFILTER,
+    contract_exact: bool = True,
 ) -> DataFrame:
     """Full near-dup pipeline: MinHash -> LSH banding (hot-bucket cap on
     by default, see DEFAULT_MAX_BUCKET_SIZE) -> estimated-Jaccard
@@ -303,7 +304,82 @@ def near_dup_pairs(
     ~4% per candidate (Binomial(6, 0.6) <= 1) and falls off
     exponentially for higher J — production raises k, which tightens
     the estimator, before raising the prefilter. Pass None for exact
-    pre-r4 semantics."""
+    pre-r4 semantics.
+
+    ``contract_exact`` (ON by default) pre-contracts sha2-identical
+    documents to one representative before MinHash: exact clones have
+    identical signatures, land in identical buckets, and verify to
+    jaccard 1.0 — so a corpus with r replicas per document pays r× the
+    shingle/minhash work and r² the candidate-verify work for answers
+    that are pure expansions of the representative-level answers. The
+    contraction runs the LSH pipeline on unique texts only, then emits
+    (a) all intra-clone-group pairs at jaccard 1.0 (skipping groups
+    whose text has no shingles — those never form pairs in the
+    uncontracted pipeline either) and (b) representative-level verified
+    pairs expanded through the group membership map. When the
+    hot-bucket cap does not bind, the result is IDENTICAL to the
+    uncontracted pipeline (identical texts ⇒ identical signatures ⇒
+    identical collisions ⇒ identical jaccard); when it does bind,
+    contraction strictly improves recall because clone groups no
+    longer inflate bucket sizes. On a boilerplate-heavy web corpus the
+    ×-duplication factor is the dominant cost multiplier this removes
+    (the ×30 replica scale experiment is the measured case)."""
+    if contract_exact:
+        members = df.select(
+            F.col(id_col), F.sha2(F.col(text_col), 256).alias("_h")
+        )
+        groups = members.groupBy("_h").agg(
+            F.min(id_col).alias("_rep"), F.count(F.lit(1)).alias("_n")
+        )
+        memb = members.join(groups, "_h").select(id_col, "_rep", "_n")
+        rep_only = groups.select(F.col("_rep").alias(id_col))
+        rep_docs = df.join(rep_only, on=id_col, how="left_semi")
+        rep_pairs = near_dup_pairs(
+            rep_docs,
+            id_col,
+            text_col,
+            threshold,
+            num_hashes,
+            bands,
+            shingle_n,
+            max_bucket_size,
+            est_prefilter,
+            contract_exact=False,
+        )
+        # (a) intra-group pairs: jaccard exactly 1.0, provided the text
+        # actually has shingles (empty-unit docs never pair upstream).
+        multi = memb.filter(F.col("_n") > 1).select(id_col, "_rep")
+        nonempty_reps = (
+            rep_docs.join(
+                multi.select(F.col("_rep").alias(id_col)).distinct(),
+                on=id_col,
+                how="left_semi",
+            )
+            .filter(F.size(_units(F.col(text_col), shingle_n)) > 0)
+            .select(F.col(id_col).alias("_rep"))
+        )
+        ga = multi.select(F.col(id_col).alias("id_a"), "_rep")
+        gb = multi.select(F.col(id_col).alias("id_b"), "_rep")
+        intra = (
+            ga.join(gb, "_rep")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .join(nonempty_reps, "_rep", "left_semi")
+            .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+            .filter(F.lit(1.0) >= threshold)
+        )
+        # (b) representative pairs expanded through group membership.
+        ma = memb.select(F.col("_rep").alias("id_a"), F.col(id_col).alias("_a"))
+        mb = memb.select(F.col("_rep").alias("id_b"), F.col(id_col).alias("_b"))
+        cross = (
+            rep_pairs.join(ma, "id_a")
+            .join(mb, "id_b")
+            .select(
+                F.least("_a", "_b").alias("id_a"),
+                F.greatest("_a", "_b").alias("id_b"),
+                "jaccard",
+            )
+        )
+        return intra.unionByName(cross)
     sigs = minhash_signatures(
         df, id_col, text_col, num_hashes, shingle_n
     ).localCheckpoint(eager=False)

@@ -69,25 +69,35 @@ def test_lsh_hot_bucket_cap(spark):
 
 def test_lsh_hot_bucket_cap_is_on_by_default(spark):
     # The 100 TB safety valve must be the DEFAULT path: a planted
-    # degenerate bucket (every doc identical) above the cap generates
-    # zero candidate pairs through the full near-dup pipeline, instead
-    # of B^2 pairs in one reducer.
+    # degenerate bucket above the cap generates zero candidate pairs
+    # through the LSH pipeline, instead of B^2 pairs in one reducer.
+    # Exact clones are exercised with contract_exact=False — the default
+    # pre-contraction collapses them to one representative BEFORE
+    # banding, so they can't inflate a bucket in the first place.
     assert dedup.DEFAULT_MAX_BUCKET_SIZE is not None
     clones = spark.createDataFrame(
         [(i, BASE) for i in range(4)], "doc_id long, text string"
     )
     # below the default cap the clones still pair up (recall preserved) …
     assert dedup.near_dup_pairs(clones, "doc_id", "text").count() == 6
-    # … and once the bucket exceeds the cap, the default path drops it
-    capped = dedup.near_dup_pairs(clones, "doc_id", "text", max_bucket_size=3)
+    # … in the uncontracted pipeline the cap drops the over-full bucket
+    capped = dedup.near_dup_pairs(
+        clones, "doc_id", "text", max_bucket_size=3, contract_exact=False
+    )
     assert capped.count() == 0
+    # … while the DEFAULT (contracting) path keeps full clone recall
+    # even when the cap would bind: the bucket holds 1 rep, never 4.
+    assert (
+        dedup.near_dup_pairs(clones, "doc_id", "text", max_bucket_size=3).count()
+        == 6
+    )
     clusters = {
         r.id: r.cluster_id
         for r in dedup.dedup_clusters(
             clones, "doc_id", "text", max_bucket_size=3
         ).collect()
     }
-    assert clusters == {0: 0, 1: 1, 2: 2, 3: 3}
+    assert clusters == {0: 0, 1: 0, 2: 0, 3: 0}
 
 
 def test_connected_components_chain(spark):
