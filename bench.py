@@ -136,6 +136,7 @@ EXTENDED = [
     "sax_symbolic_daily",
     # round-8: transformWithStateInPandas gate-real (vendored protobuf)
     "streaming_tws_user_value_totals",
+    "join_aqe_skew_split",
 ]
 
 

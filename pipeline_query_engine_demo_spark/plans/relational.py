@@ -827,6 +827,91 @@ def join_sort_merge_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Conf block for the AQE skew-join demonstration: thresholds scaled to
+#: fixture bytes so the runtime skew split actually fires on local
+#: data (production leaves the 256 MB defaults; the MECHANISM is
+#: identical — only the trigger sizes differ).
+AQE_SKEW_CONFS = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+}
+
+#: Fraction of orders remapped onto ONE hot customer key: o_orderkey
+#: % 20 != 0 → 95% of the fact rows share hot_key 1, a ×19-vs-median
+#: reduce-partition skew.
+AQE_SKEW_HOT_MOD = 20
+
+
+def build_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skewed join itself, shared by the registered query and the
+    plan-shape test. 95% of orders land on hot_key 1; the merge hint
+    plus disabled broadcast force the shuffled SMJ whose hot reduce
+    partition AQE must split at runtime. The repartition(16) gives the
+    map side multiple mappers — AQE splits a skewed reduce partition at
+    map-output granularity, so a single-file local scan (1 mapper)
+    would leave it nothing to split; a real cluster has thousands of
+    mappers and needs no such help."""
+    orders = load_table(spark, sf_dir, "orders").repartition(16)
+    cust = load_table(spark, sf_dir, "customer")
+    hot = orders.withColumn(
+        "hot_key",
+        F.when(F.col("o_orderkey") % AQE_SKEW_HOT_MOD != 0, F.lit(1)).otherwise(
+            F.col("o_custkey")
+        ),
+    )
+    return hot.hint("merge").join(cust, hot.hot_key == cust.c_custkey)
+
+
+@query(
+    "join_aqe_skew_split",
+    category="join",
+    oracle=f"""
+        SELECT c.c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c
+          ON c.c_custkey = CASE WHEN o.o_orderkey % {AQE_SKEW_HOT_MOD} <> 0
+                                THEN 1 ELSE o.o_custkey END
+        GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+)
+def join_aqe_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE runtime skew-join split, demonstrated live (the declarative
+    counterpart of operators.joins.salted_join — same hot-key problem,
+    zero hand salting: AQE reads the map-output statistics, sees one
+    reduce partition ×19 the median, and splits it across tasks while
+    duplicating the matching build rows). The skew confs are held only
+    while the eager localCheckpoint EXECUTES the join — execution is
+    what AQE re-plans — then restored so the rest of the corpus runs on
+    the session defaults. tests/test_plans.py asserts the
+    SortMergeJoin(skew=true) plan shape at sf0.1 and result parity with
+    the manual salted join."""
+    prev = {k: spark.conf.get(k, None) for k in AQE_SKEW_CONFS}
+    for k, v in AQE_SKEW_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        agg = (
+            build_aqe_skew_join(spark, sf_dir)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias(
+                    "cents"
+                ),
+            )
+            .localCheckpoint()  # eager: runs the join under the held confs
+        )
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return agg.orderBy("c_mktsegment")
+
+
 @query(
     "salted_agg_two_phase",
     category="aggregation",

@@ -212,3 +212,57 @@ def test_cogroup_customer_orders_matches_pandas_replay(spark, sf_dir):
             for r in udfs.cogroup_apply_customer_orders(spark, d).collect()
         }
         assert mini == {1: (10.5, 2, 3.33), 2: (-3.25, 0, 0.0)}
+
+
+def test_join_aqe_skew_split_query_plan_and_salted_parity(spark):
+    """The REGISTERED skew query (join_aqe_skew_split) must really
+    trigger AQE's split on fixture data: execute its shared join at
+    sf0.1 under the query's conf block and assert the final adaptive
+    plan shows SortMergeJoin(skew=true). Then pin that AQE's answer
+    equals the manual salted_join on the identical hot-key inputs —
+    the declarative and hand-salted strategies must agree row-for-row."""
+    import pyspark.sql.functions as F
+
+    from pipeline_query_engine_demo_spark.operators.joins import salted_join
+    from pipeline_query_engine_demo_spark.plans.relational import (
+        AQE_SKEW_CONFS,
+        AQE_SKEW_HOT_MOD,
+        build_aqe_skew_join,
+    )
+    from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+    sf1 = "/root/testdata/sf0.1"
+    prev = {k: spark.conf.get(k, None) for k in AQE_SKEW_CONFS}
+    for k, v in AQE_SKEW_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        joined = build_aqe_skew_join(spark, sf1).select(
+            "o_orderkey", "c_custkey", "c_mktsegment"
+        )
+        rows = joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # parity with the manual salting strategy on the same inputs
+    orders = load_table(spark, sf1, "orders")
+    cust = load_table(spark, sf1, "customer")
+    hot = orders.withColumn(
+        "hot_key",
+        F.when(F.col("o_orderkey") % AQE_SKEW_HOT_MOD != 0, F.lit(1)).otherwise(
+            F.col("o_custkey")
+        ),
+    ).withColumnRenamed("hot_key", "c_custkey")
+    salted = salted_join(
+        hot.select("o_orderkey", "c_custkey"),
+        cust.select("c_custkey", "c_mktsegment"),
+        on="c_custkey",
+        salt_src=F.col("o_orderkey"),
+    )
+    got = {(r.o_orderkey, r.c_custkey, r.c_mktsegment) for r in rows}
+    exp = {(r.o_orderkey, r.c_custkey, r.c_mktsegment) for r in salted.collect()}
+    assert got == exp

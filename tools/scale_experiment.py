@@ -39,6 +39,7 @@ UNSCALED = ["region", "nation", "customer", "supplier", "part"]
 
 QUERIES = [
     "q1_pricing_summary",
+    "join_aqe_skew_split",
     "q3_shipping_priority",
     "q5_regional_revenue",
     "window_topk_per_group",
