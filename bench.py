@@ -137,6 +137,9 @@ EXTENDED = [
     # round-8: transformWithStateInPandas gate-real (vendored protobuf)
     "streaming_tws_user_value_totals",
     "join_aqe_skew_split",
+    "ps_groupby_agg_events",
+    "ps_rolling_weekly_cents",
+    "ps_merge_groupby_segments",
 ]
 
 

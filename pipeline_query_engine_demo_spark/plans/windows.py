@@ -1299,3 +1299,146 @@ def asof_join_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "event_id", "user_id", "last_purchase_ts", "last_purchase_value"
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# pandas-on-Spark migration surface (r7 verdict gap 3): beyond merge_asof,
+# a pandas user reaching for Spark first touches groupby/agg, rolling
+# windows, and merge. Each row below drives the SAME distributed engine
+# through the pandas API and is hash-checked against the relational
+# oracle — proving the migration surface returns the engine's answers,
+# not a lookalike. Exact-cent lattice keeps sums integer on both sides.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ps_groupby_agg_events",
+    category="pandas-api",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ps_groupby_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas-on-Spark ``groupby(...).agg`` parity: the pandas dict-agg
+    surface lowers onto the same partial+final hash aggregate as the
+    DataFrame API (one shuffle on the group key, map-side combine) — no
+    driver materialization, no pandas execution. Scale: identical plan
+    to q1-style aggregation."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    g = ev.pandas_api().groupby("event_type").agg({"event_id": "count", "cents": "sum"})
+    return (
+        g.reset_index()
+        .to_spark()
+        .select(
+            "event_type",
+            F.col("event_id").alias("n_events"),
+            F.col("cents").alias("total_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "ps_rolling_weekly_cents",
+    category="pandas-api",
+    oracle="""
+        WITH daily AS (
+            SELECT date_trunc('day', ts) AS day,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY 1
+        )
+        SELECT day, cents,
+               CAST(SUM(cents) OVER w AS BIGINT) AS roll_cents,
+               CAST(COUNT(*) OVER w AS BIGINT) AS roll_n,
+               CAST(SUM(cents) OVER w AS DOUBLE) / (COUNT(*) OVER w)
+                   AS roll_mean
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY day
+    """,
+)
+def ps_rolling_weekly_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas-on-Spark ``rolling(7)`` parity: the trailing-week sum over
+    the daily revenue series through the pandas rolling API, which
+    lowers to a ROWS-frame window — the identical plan a SQL user gets.
+    The mean is derived AFTER to_spark as one double division of the
+    exact integer sum (sum/n is the same IEEE op both engines run),
+    never pandas' own accumulation. Scale: the rolling series is
+    day-grained (bounded), the heavy lift is the daily roll-up — a
+    single map-combinable aggregate over the fact table."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents")
+        )
+    )
+    rolled = (
+        daily.pandas_api()
+        .set_index("day")
+        .sort_index()
+        .rolling(7, min_periods=1)
+        .sum()
+        .reset_index()
+        .to_spark()
+        .withColumnRenamed("cents", "roll_cents")
+    )
+    out = daily.join(rolled, "day")
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return (
+        out.withColumn("roll_n", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "roll_mean", F.col("roll_cents").cast("double") / F.col("roll_n")
+        )
+        .select("day", "cents", "roll_cents", "roll_n", "roll_mean")
+        .orderBy("day")
+    )
+
+
+@query(
+    "ps_merge_groupby_segments",
+    category="pandas-api",
+    oracle="""
+        SELECT c.c_mktsegment,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS total_cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+)
+def ps_merge_groupby_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas-on-Spark ``ps.merge`` + groupby parity: the pandas join
+    surface lowers to the same equi-join Catalyst plans for the
+    DataFrame API (customer broadcasts under the session threshold),
+    then the dict-agg groups per market segment. A pandas user's
+    merge-then-groupby pipeline IS the engine's join+agg — checked
+    against the plain SQL join oracle."""
+    import pyspark.pandas as ps
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    m = ps.merge(o.pandas_api(), c.pandas_api(), left_on="o_custkey", right_on="c_custkey")
+    g = m.groupby("c_mktsegment").agg({"o_custkey": "count", "cents": "sum"})
+    return (
+        g.reset_index()
+        .to_spark()
+        .select(
+            "c_mktsegment",
+            F.col("o_custkey").alias("n_orders"),
+            F.col("cents").alias("total_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -266,3 +266,76 @@ def test_join_aqe_skew_split_query_plan_and_salted_parity(spark):
     got = {(r.o_orderkey, r.c_custkey, r.c_mktsegment) for r in rows}
     exp = {(r.o_orderkey, r.c_custkey, r.c_mktsegment) for r in salted.collect()}
     assert got == exp
+
+
+def test_ps_rolling_weekly_matches_pandas_replay(spark, sf_dir):
+    """The pandas-on-Spark rolling row must equal a REAL-pandas replay
+    of the same trailing-week recursion on the collected daily series —
+    an independent check that the distributed rolling window implements
+    pandas semantics (min_periods=1, trailing 7 rows)."""
+    import pandas as pd
+
+    from pipeline_query_engine_demo_spark.plans.windows import (
+        ps_rolling_weekly_cents,
+    )
+
+    got = ps_rolling_weekly_cents(spark, sf_dir).toPandas()
+    daily = (
+        got[["day", "cents"]]
+        .sort_values("day")
+        .reset_index(drop=True)
+        .set_index("day")["cents"]
+    )
+    r = daily.rolling(7, min_periods=1)
+    exp_sum = r.sum().astype("int64")
+    exp_n = r.count().astype("int64")
+    chk = got.set_index("day").sort_index()
+    assert (chk["roll_cents"] == exp_sum).all()
+    assert (chk["roll_n"] == exp_n).all()
+    assert (
+        chk["roll_mean"] == exp_sum.astype("float64") / exp_n.astype("float64")
+    ).all()
+
+
+def test_ps_groupby_and_merge_match_dataframe_api(spark, sf_dir):
+    """The pandas-API groupby and merge rows must return the DataFrame
+    API's own answers on the same session (not merely the oracle's) —
+    migration surface == engine, per-row."""
+    import pyspark.sql.functions as F
+
+    from pipeline_query_engine_demo_spark.plans.windows import (
+        ps_groupby_agg_events,
+        ps_merge_groupby_segments,
+    )
+    from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+    got = {tuple(r) for r in ps_groupby_agg_events(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    exp = {
+        tuple(r)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+        .collect()
+    }
+    assert got == exp
+    got2 = {tuple(r) for r in ps_merge_groupby_segments(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    exp2 = {
+        tuple(r)
+        for r in orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+        .collect()
+    }
+    assert got2 == exp2

@@ -113,6 +113,7 @@ PYUDF_WHITELIST = {
 #: rank, see global_shuffle_positions) or argued onto this list.
 UNPARTITIONED_WINDOW_WHITELIST: dict[str, str] = {
     "yoy_growth_by_month": "lag over the month-level aggregate (tens of rows)",
+    "ps_rolling_weekly_cents": "rolling count over the DAY-level aggregate (~366 rows/year; the fact-table roll-up upstream is the scale stage); the pandas rolling API itself lowers to the same bounded window",
     "negative_sampling_unigram": "rank + cumulative-mass CDF over the top-500 vocabulary aggregate (hard-capped by the rn <= 500 filter; the corpus only feeds the combinable token count)",
     "quantile_normalize_lengths": "cumulative counts over the DISTINCT-length histogram (hundreds of rows; the per-doc ranks are source-partitioned)",
     "bh_fdr_segment_tests": "rank over the m = C(|segments|,2) = 10-row p-value table (the permutation test upstream is the scale-shaped stage)",

@@ -40,6 +40,7 @@ UNSCALED = ["region", "nation", "customer", "supplier", "part"]
 QUERIES = [
     "q1_pricing_summary",
     "join_aqe_skew_split",
+    "ps_merge_groupby_segments",
     "q3_shipping_priority",
     "q5_regional_revenue",
     "window_topk_per_group",
