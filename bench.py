@@ -140,6 +140,10 @@ EXTENDED = [
     "ps_groupby_agg_events",
     "ps_rolling_weekly_cents",
     "ps_merge_groupby_segments",
+    "ridge_regression_normal_eq",
+    "gopher_repetition_filter",
+    "vocab_coverage_p90",
+    "ar1_forecast_daily",
 ]
 
 

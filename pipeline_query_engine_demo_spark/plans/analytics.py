@@ -7998,3 +7998,255 @@ def sax_symbolic_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Ridge regression by closed-form normal equations (one combinable pass)
+# ---------------------------------------------------------------------------
+
+#: Ridge penalty, an INTEGER so the regularized moment matrix stays an
+#: exact BIGINT before the one cast to double. Applied to every
+#: coefficient including the intercept (documented simplification — the
+#: point is the distributed moment assembly + in-plan solve).
+_RIDGE_LAMBDA = 1000
+
+
+def _det3(m: list[list[str]]) -> str:
+    """3x3 determinant as one SQL expression over entry expressions.
+
+    The SAME string is executed by Spark (F.expr) and DuckDB, so both
+    engines evaluate the identical IEEE expression tree — bit-equal
+    results without any rounding recipe."""
+    return (
+        f"({m[0][0]}) * (({m[1][1]}) * ({m[2][2]}) - ({m[1][2]}) * ({m[2][1]}))"
+        f" - ({m[0][1]}) * (({m[1][0]}) * ({m[2][2]}) - ({m[1][2]}) * ({m[2][0]}))"
+        f" + ({m[0][2]}) * (({m[1][0]}) * ({m[2][1]}) - ({m[1][1]}) * ({m[2][0]}))"
+    )
+
+
+#: Shared SELECT fragment: the nine exact BIGINT moments cast to double
+#: (int64→double is correctly rounded in both engines, hence identical),
+#: then Cramer's rule for (X^T X + λI) β = X^T y over features
+#: x = [1, quantity, discount_pct], y = price cents.
+_RIDGE_M_PARTS = [
+    f"CAST(n + {_RIDGE_LAMBDA} AS DOUBLE) AS a11",
+    "CAST(sq AS DOUBLE) AS a12",
+    "CAST(sd AS DOUBLE) AS a13",
+    f"CAST(sq2 + {_RIDGE_LAMBDA} AS DOUBLE) AS a22",
+    "CAST(sqd AS DOUBLE) AS a23",
+    f"CAST(sd2 + {_RIDGE_LAMBDA} AS DOUBLE) AS a33",
+    "CAST(sy AS DOUBLE) AS b1",
+    "CAST(sqy AS DOUBLE) AS b2",
+    "CAST(sdy AS DOUBLE) AS b3",
+]
+_RIDGE_M = ",\n        ".join(_RIDGE_M_PARTS)
+_RIDGE_DET = _det3([["a11", "a12", "a13"], ["a12", "a22", "a23"], ["a13", "a23", "a33"]])
+_RIDGE_DET1 = _det3([["b1", "a12", "a13"], ["b2", "a22", "a23"], ["b3", "a23", "a33"]])
+_RIDGE_DET2 = _det3([["a11", "b1", "a13"], ["a12", "b2", "a23"], ["a13", "b3", "a33"]])
+_RIDGE_DET3 = _det3([["a11", "a12", "b1"], ["a12", "a22", "b2"], ["a13", "a23", "b3"]])
+
+
+@query(
+    "ridge_regression_normal_eq",
+    category="ml-train",
+    oracle=f"""
+        WITH sums AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+                   CAST(SUM(CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS sd,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)
+                            * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq2,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)
+                            * CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS sqd,
+                   CAST(SUM(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+                            * CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS sd2,
+                   CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS sy,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)
+                            * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS sqy,
+                   CAST(SUM(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+                            * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS sdy
+            FROM lineitem),
+        m AS (SELECT n, {_RIDGE_M} FROM sums),
+        solved AS (
+            SELECT n,
+                   ({_RIDGE_DET1}) / ({_RIDGE_DET}) AS beta_intercept,
+                   ({_RIDGE_DET2}) / ({_RIDGE_DET}) AS beta_quantity,
+                   ({_RIDGE_DET3}) / ({_RIDGE_DET}) AS beta_discount_pct
+            FROM m)
+        SELECT f.feature, CASE f.feature
+                   WHEN 'intercept' THEN beta_intercept
+                   WHEN 'quantity' THEN beta_quantity
+                   ELSE beta_discount_pct END AS beta,
+               n
+        FROM solved,
+             (SELECT unnest(['intercept', 'quantity', 'discount_pct'])
+                  AS feature) f
+        ORDER BY feature
+    """,
+)
+def ridge_regression_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regression fit IN ONE PASS via the normal equations —
+    the closed-form counterpart of logistic_regression_gd's iterative
+    trainer: accumulate the nine exact-integer moments of
+    x = [1, l_quantity, discount_pct] against y = price cents as ONE
+    map-combinable aggregate (the only corpus scan), then solve
+    (X^T X + λI) β = X^T y in-plan with Cramer's rule over a 3x3
+    system. λ = 1000 on all coefficients (intercept included — stated
+    simplification).
+
+    Cross-engine exactness without rounding recipes: every moment is a
+    BIGINT (products ≤ ~3.3e14 at sf0.1, far inside int64), int64 →
+    double casts are correctly rounded identically in Spark and DuckDB,
+    and both engines execute the IDENTICAL determinant expression
+    strings (_RIDGE_DET*), so the final divisions are the same IEEE
+    ops. tests/test_ml_train.py checks β against a numpy lstsq replay.
+
+    Scale: d features cost d(d+3)/2 combinable sums — one reduce of a
+    constant-width row regardless of corpus size; no driver collect, no
+    parameter server, no iteration. The same plan at d=64 is the
+    gram_matrix_embeddings aggregate plus an off-plan solver."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("bigint").alias("d"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint").alias("y"),
+    )
+    sums = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("sq"),
+        F.sum("d").cast("bigint").alias("sd"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("sq2"),
+        F.sum(F.col("q") * F.col("d")).cast("bigint").alias("sqd"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("sd2"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("q") * F.col("y")).cast("bigint").alias("sqy"),
+        F.sum(F.col("d") * F.col("y")).cast("bigint").alias("sdy"),
+    )
+    m = sums.selectExpr("n", *_RIDGE_M_PARTS)
+    solved = m.selectExpr(
+        "n",
+        f"({_RIDGE_DET1}) / ({_RIDGE_DET}) AS beta_intercept",
+        f"({_RIDGE_DET2}) / ({_RIDGE_DET}) AS beta_quantity",
+        f"({_RIDGE_DET3}) / ({_RIDGE_DET}) AS beta_discount_pct",
+    )
+    return solved.selectExpr(
+        "stack(3, 'intercept', beta_intercept, 'quantity', beta_quantity, "
+        "'discount_pct', beta_discount_pct) AS (feature, beta)",
+        "n",
+    ).orderBy("feature")
+
+
+#: Shared AR(1) solve fragments — executed verbatim by BOTH engines
+#: (Spark F.expr / selectExpr and the DuckDB oracle) over the exact
+#: BIGINT lag-pair moments, so every double op is the identical IEEE
+#: expression tree and the outputs hash-match without rounding.
+_AR1_PHI = "CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS phi"
+_AR1_INTERCEPT = (
+    "(CAST(sy AS DOUBLE) - phi * CAST(sx AS DOUBLE)) / CAST(m AS DOUBLE)"
+    " AS intercept"
+)
+_AR1_FORECAST = "intercept + phi * CAST(x_n AS DOUBLE) AS forecast_cents"
+
+
+@query(
+    "ar1_forecast_daily",
+    category="aggregation",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type AS et, date_trunc('day', ts) AS day,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS cents
+            FROM events WHERE isfinite(value) GROUP BY 1, 2),
+        lagged AS (
+            SELECT et, cents,
+                   lag(cents) OVER (PARTITION BY et ORDER BY day) AS prev
+            FROM daily),
+        moments AS (
+            SELECT et,
+                   CAST(COUNT(*) AS BIGINT) AS m,
+                   CAST(SUM(prev) AS BIGINT) AS sx,
+                   CAST(SUM(cents) AS BIGINT) AS sy,
+                   CAST(SUM(prev * prev) AS BIGINT) AS sxx,
+                   CAST(SUM(prev * cents) AS BIGINT) AS sxy
+            FROM lagged WHERE prev IS NOT NULL GROUP BY 1),
+        lasts AS (
+            SELECT et, CAST(arg_max(cents, day) AS BIGINT) AS x_n
+            FROM daily GROUP BY 1),
+        nd AS (
+            SELECT mo.et, mo.m, mo.sx, mo.sy, la.x_n,
+                   CAST(mo.m * mo.sxy - mo.sx * mo.sy AS BIGINT) AS num,
+                   CAST(mo.m * mo.sxx - mo.sx * mo.sx AS BIGINT) AS den
+            FROM moments mo JOIN lasts la ON mo.et = la.et),
+        p AS (SELECT et, m, sx, sy, x_n, {_AR1_PHI} FROM nd),
+        i AS (SELECT et, m, x_n, phi, {_AR1_INTERCEPT} FROM p)
+        SELECT et AS event_type, m AS n_pairs, phi, intercept,
+               {_AR1_FORECAST}
+        FROM i ORDER BY event_type
+    """,
+)
+def ar1_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(1) one-step forecast per event type over the daily cent
+    series: OLS of x_t on x_{{t-1}} in closed form — phi and intercept
+    from five exact-integer lag-pair moments (the cross-multiplied
+    slope (m·Σxy − Σx·Σy)/(m·Σxx − Σx²) stays BIGINT until one double
+    division), then forecast = intercept + phi·x_n. Completes the
+    forecasting family (seasonal-naive, Holt, Theil-Sen) with the
+    autoregressive member; acf_daily_event_values measures the
+    correlation this model fits.
+
+    Scale: the fact table reduces to day-grain per type (combinable),
+    the lag window is partitioned by event_type over day-grain rows,
+    and the moments reduce to one constant-width row per type — no
+    corpus-sized shuffle after the first aggregate."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").cast("double").isNotNull()
+        & ~F.isnan(F.col("value"))
+        & ~F.col("value").isin(float("inf"), float("-inf"))
+    )
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.partitionBy("et").orderBy("day")
+    lagged = daily.withColumn("prev", F.lag("cents").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    moments = lagged.groupBy("et").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("prev").cast("bigint").alias("sx"),
+        F.sum("cents").cast("bigint").alias("sy"),
+        F.sum(F.col("prev") * F.col("prev")).cast("bigint").alias("sxx"),
+        F.sum(F.col("prev") * F.col("cents")).cast("bigint").alias("sxy"),
+    )
+    lasts = daily.groupBy("et").agg(
+        F.max_by("cents", "day").cast("bigint").alias("x_n")
+    )
+    nd = moments.join(lasts, "et").select(
+        "et",
+        "m",
+        "sx",
+        "sy",
+        "x_n",
+        (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("bigint")
+        .alias("num"),
+        (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("bigint")
+        .alias("den"),
+    )
+    p = nd.selectExpr("et", "m", "sx", "sy", "x_n", _AR1_PHI)
+    i = p.selectExpr("et", "m", "x_n", "phi", _AR1_INTERCEPT)
+    return i.selectExpr(
+        "et AS event_type", "m AS n_pairs", "phi", "intercept", _AR1_FORECAST
+    ).orderBy("event_type")

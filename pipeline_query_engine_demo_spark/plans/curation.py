@@ -1718,3 +1718,80 @@ def kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "gopher_repetition_filter",
+    category="llm-text",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        g AS (
+            SELECT doc_id,
+                   concat_ws(' ', words[i], words[i + 1], words[i + 2]) AS gram
+            FROM w, LATERAL (SELECT unnest(generate_series(1, len(words) - 2))
+                             AS i) r
+            WHERE len(words) >= 3),
+        c AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM g GROUP BY 1, 2),
+        s AS (SELECT doc_id,
+                     CAST(SUM(cnt) AS BIGINT) AS n_grams,
+                     CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                     CAST(MAX(cnt) AS BIGINT) AS top_cnt
+              FROM c GROUP BY 1)
+        SELECT doc_id, n_grams, n_distinct, top_cnt,
+               {sql_round_half_up(
+                   "CAST(n_grams - n_distinct AS DOUBLE) / n_grams", 6)}
+                   AS dup_frac,
+               {sql_round_half_up("CAST(top_cnt AS DOUBLE) / n_grams", 6)}
+                   AS top_frac,
+               (n_grams = n_distinct AND top_cnt * 20 <= n_grams) AS kept
+        FROM s ORDER BY doc_id
+    """,
+)
+def gopher_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition filter — the Gopher repetition rules
+    (Rae et al. 2021 §A1.1: duplicate-n-gram fraction, most-common-
+    n-gram fraction) that gopher_quality_filter's length/stopword rules
+    don't cover: per document, the fraction of 3-gram OCCURRENCES that
+    are repeats (1 - distinct/total) and the share held by the single
+    most common 3-gram. The keep decision is ALL-INTEGER (n_grams =
+    n_distinct, top_cnt·20 ≤ n_grams ⇔ top_frac ≤ 5%) so no float
+    compare can diverge; the reported fractions are round6 display
+    values. Documents with fewer than 3 tokens have no 3-grams and drop
+    out on both engines (none exist in the fixture).
+
+    Scale: the explode is per-document and the two aggregations key on
+    doc_id — repetition scoring never compares documents, so it
+    pipelines with the scan (contrast: the near-dup family, where the
+    cross-document joins live)."""
+    from pipeline_query_engine_demo_spark.functions.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), 3)).alias("gram")
+    )
+    per = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    sig = per.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_grams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.max("cnt").cast("bigint").alias("top_cnt"),
+    )
+    return sig.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        "top_cnt",
+        round_half_up(
+            (F.col("n_grams") - F.col("n_distinct")).cast("double")
+            / F.col("n_grams"),
+            6,
+        ).alias("dup_frac"),
+        round_half_up(F.col("top_cnt").cast("double") / F.col("n_grams"), 6).alias(
+            "top_frac"
+        ),
+        (
+            (F.col("n_grams") == F.col("n_distinct"))
+            & (F.col("top_cnt") * 20 <= F.col("n_grams"))
+        ).alias("kept"),
+    ).orderBy("doc_id")

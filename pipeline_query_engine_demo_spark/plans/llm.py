@@ -26,7 +26,7 @@ Cross-engine determinism notes:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from pipeline_query_engine_demo_spark.functions import multimodal, text, vectors
 from pipeline_query_engine_demo_spark.functions.rounding import (
@@ -5819,5 +5819,70 @@ def quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("mean_abs_shift"),
         )
+        .orderBy("source")
+    )
+
+
+@query(
+    "vocab_coverage_p90",
+    category="llm-text",
+    oracle="""
+        WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+        c AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM t GROUP BY 1, 2),
+        r AS (SELECT source, tok, cnt,
+                     CAST(row_number() OVER win AS BIGINT) AS rn,
+                     CAST(SUM(cnt) OVER (win ROWS UNBOUNDED PRECEDING)
+                         AS BIGINT) AS cum
+              FROM c
+              WINDOW win AS (PARTITION BY source ORDER BY cnt DESC, tok)),
+        tot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+                       CAST(COUNT(*) AS BIGINT) AS vocab_size
+                FROM c GROUP BY 1)
+        SELECT r.source, tot.total_tokens, tot.vocab_size,
+               CAST(MIN(r.rn) AS BIGINT) AS n_types_p90
+        FROM r JOIN tot ON r.source = tot.source
+        WHERE r.cum * 10 >= 9 * tot.total_tokens
+        GROUP BY 1, 2, 3 ORDER BY r.source
+    """,
+)
+def vocab_coverage_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus vocabulary coverage per source: the smallest number of
+    word types that covers >= 90% of token OCCURRENCES — the
+    tokenizer-budget statistic behind vocabulary sizing and the
+    head-heaviness complement of zipf_rank_frequency_fit. Ranking is
+    the total order (count DESC, token ASC) both engines replay, and
+    the 90% cut is the all-integer predicate cum·10 >= 9·total, so no
+    percentage float ever materializes.
+
+    Scale: tokens reduce to a (source, type) count table (combinable),
+    and the rank/cumsum window is PARTITIONED BY source over vocab-sized
+    (not corpus-sized) input — the same two-phase shape as the BPE and
+    vocab-induction queries."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    counts = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    win = Window.partitionBy("source").orderBy(F.col("cnt").desc(), "tok")
+    ranked = counts.select(
+        "source",
+        "cnt",
+        F.row_number().over(win).cast("bigint").alias("rn"),
+        F.sum("cnt")
+        .over(win.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum"),
+    )
+    tot = counts.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+    )
+    return (
+        ranked.join(tot, "source")
+        .filter(F.col("cum") * 10 >= 9 * F.col("total_tokens"))
+        .groupBy("source", "total_tokens", "vocab_size")
+        .agg(F.min("rn").cast("bigint").alias("n_types_p90"))
         .orderBy("source")
     )

@@ -107,3 +107,33 @@ def test_kneser_ney_matches_python_replay(spark, sf_dir):
         if v == some_v
     )
     assert mass <= 1.0 + 1e-9
+
+
+def test_ridge_normal_eq_matches_numpy_solve(spark, sf_dir):
+    """β from the in-plan Cramer solve must equal numpy's solve of the
+    same regularized normal equations assembled from the raw rows —
+    an independent full-precision replay (same λ, same integer-cent
+    lattice)."""
+    import numpy as np
+
+    from pipeline_query_engine_demo_spark.plans.analytics import (
+        _RIDGE_LAMBDA,
+        ridge_regression_normal_eq,
+    )
+    from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+    got = {r.feature: r.beta for r in ridge_regression_normal_eq(spark, sf_dir).collect()}
+    rows = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_extendedprice"
+    ).toPandas()
+    q = rows["l_quantity"].to_numpy(np.float64)
+    d = np.floor(rows["l_discount"].to_numpy(np.float64) * 100 + 0.5)
+    y = np.floor(rows["l_extendedprice"].to_numpy(np.float64) * 100 + 0.5)
+    X = np.column_stack([np.ones_like(q), q, d])
+    A = X.T @ X + _RIDGE_LAMBDA * np.eye(3)
+    beta = np.linalg.solve(A, X.T @ y)
+    exp = dict(zip(["intercept", "quantity", "discount_pct"], beta))
+    for k in exp:
+        assert abs(got[k] - exp[k]) <= 1e-9 * max(1.0, abs(exp[k])), (k, got[k], exp[k])
+    # sanity: price grows with quantity on TPC-H-ish data
+    assert got["quantity"] > 0

@@ -205,3 +205,90 @@ def test_user_feature_matrix_matches_replay(spark, sf_dir):
             f["cents"] / (f["n"] * 100.0), abs=1e-6
         )
         assert r["churned_7d"] == (1 if min(f["ages"]) > 7 else 0)
+
+
+def test_ar1_forecast_matches_numpy_ols(spark, sf_dir):
+    """phi/intercept/forecast must equal a numpy lstsq over the same
+    lag pairs built from the collected daily series."""
+    import numpy as np
+
+    from pipeline_query_engine_demo_spark.plans.analytics import ar1_forecast_daily
+    from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+    got = {r.event_type: r for r in ar1_forecast_daily(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    ev = ev[np.isfinite(ev["value"])]
+    ev["day"] = ev["ts"].dt.floor("D")
+    ev["cents"] = np.floor(ev["value"].to_numpy() * 100 + 0.5).astype("int64")
+    for et, grp in ev.groupby("event_type"):
+        s = grp.groupby("day")["cents"].sum().sort_index().to_numpy(np.float64)
+        x, y = s[:-1], s[1:]
+        X = np.column_stack([np.ones_like(x), x])
+        (b0, b1), *_ = np.linalg.lstsq(X, y, rcond=None)
+        r = got[et]
+        assert r.n_pairs == len(x)
+        assert abs(r.phi - b1) <= 1e-9 * max(1.0, abs(b1))
+        assert abs(r.intercept - b0) <= 1e-6 * max(1.0, abs(b0))
+        assert abs(r.forecast_cents - (b0 + b1 * s[-1])) <= 1e-6 * max(
+            1.0, abs(r.forecast_cents)
+        )
+
+
+def test_repetition_filter_planted_doc(spark):
+    """A planted doc made of ONE phrase repeated must be rejected with
+    dup_frac near 1 and top_frac dominated by the repeated 3-gram; a
+    phrase-diverse doc must be kept."""
+    from pipeline_query_engine_demo_spark.plans.registry import REGISTRY
+    import pyspark.sql.functions as F
+    from pipeline_query_engine_demo_spark.functions.text import shingles
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["spam ham eggs"] * 20)),
+            (2, " ".join(f"w{i}" for i in range(60))),
+        ],
+        "doc_id long, text string",
+    )
+    grams = docs.select("doc_id", F.explode(shingles(F.col("text"), 3)).alias("g"))
+    per = grams.groupBy("doc_id", "g").count()
+    sig = {
+        r.doc_id: (r.total, r.distinct_n, r.top)
+        for r in per.groupBy("doc_id")
+        .agg(
+            F.sum("count").alias("total"),
+            F.count(F.lit(1)).alias("distinct_n"),
+            F.max("count").alias("top"),
+        )
+        .collect()
+    }
+    total, distinct_n, top = sig[1]
+    assert distinct_n == 3  # the 3 rotations of the repeated phrase
+    assert top >= total // 3  # dominated by one gram
+    assert (total == distinct_n) is False  # would be rejected
+    t2, d2, top2 = sig[2]
+    assert t2 == d2 and top2 * 20 <= t2  # kept by the integer predicate
+
+
+def test_vocab_coverage_p90_brute_force(spark, sf_dir):
+    """n_types_p90 must equal the brute-force smallest prefix of the
+    (count desc, token asc) ordering covering >= 90% of occurrences."""
+    from collections import Counter
+
+    from pipeline_query_engine_demo_spark.plans.llm import vocab_coverage_p90
+    from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+    got = {r.source: r for r in vocab_coverage_p90(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("source", "text").toPandas()
+    for src, grp in docs.groupby("source"):
+        c = Counter()
+        for t in grp["text"]:
+            c.update(t.split(" "))
+        total = sum(c.values())
+        ordered = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        cum = 0
+        for k, (_, cnt) in enumerate(ordered, 1):
+            cum += cnt
+            if cum * 10 >= 9 * total:
+                break
+        r = got[src]
+        assert (r.total_tokens, r.vocab_size, r.n_types_p90) == (total, len(c), k)

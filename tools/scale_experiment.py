@@ -41,6 +41,8 @@ QUERIES = [
     "q1_pricing_summary",
     "join_aqe_skew_split",
     "ps_merge_groupby_segments",
+    "ridge_regression_normal_eq",
+    "gopher_repetition_filter",
     "q3_shipping_priority",
     "q5_regional_revenue",
     "window_topk_per_group",
