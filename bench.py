@@ -144,6 +144,9 @@ EXTENDED = [
     "gopher_repetition_filter",
     "vocab_coverage_p90",
     "ar1_forecast_daily",
+    "python_stream_datasource_rollup",
+    "int8_quantized_topk",
+    "link_prediction_adamic_adar",
 ]
 
 

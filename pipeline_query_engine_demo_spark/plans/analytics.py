@@ -8250,3 +8250,108 @@ def ar1_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return i.selectExpr(
         "et AS event_type", "m AS n_pairs", "phi", "intercept", _AR1_FORECAST
     ).orderBy("event_type")
+
+
+#: Hub cap for Adamic-Adar wedge enumeration: common neighbors of
+#: degree > 30 carry ~no signal (1/ln(d) is flat and tiny) but dominate
+#: wedge cost quadratically — the standard production cut, owned like
+#: the LSH hot-bucket cap.
+_AA_HUB_CAP = 30
+_AA_TERM = sql_round_half_up("1.0 / ln(CAST(dw AS DOUBLE))", 9)
+
+
+@query(
+    "link_prediction_adamic_adar",
+    category="graph",
+    oracle=f"""
+        WITH edges AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        sym AS (SELECT u AS a, v AS b FROM edges
+                UNION ALL SELECT v, u FROM edges),
+        deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d
+                FROM sym GROUP BY 1),
+        wedge AS (
+            SELECT e1.b AS u, e2.b AS v, e1.a AS w, dg.d AS dw
+            FROM sym e1
+            JOIN sym e2 ON e2.a = e1.a AND e1.b < e2.b
+            JOIN deg dg ON dg.node = e1.a
+            WHERE dg.d <= {_AA_HUB_CAP}),
+        cand AS (
+            SELECT w.u, w.v,
+                   CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+                   SUM(CAST({_AA_TERM} AS DECIMAL(28,12))) AS aa_dec
+            FROM wedge w
+            WHERE NOT EXISTS (SELECT 1 FROM edges e
+                              WHERE e.u = w.u AND e.v = w.v)
+            GROUP BY 1, 2)
+        SELECT u, v, common_neighbors,
+               {sql_round_half_up("CAST(aa_dec AS DOUBLE)", 6)} AS aa_score
+        FROM cand
+        ORDER BY aa_score DESC, u, v LIMIT 50
+    """,
+)
+def link_prediction_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the part co-purchase graph: for part pairs
+    NOT yet co-purchased, the common-neighbor count and Adamic-Adar
+    score Σ_w 1/ln(deg w) over shared neighbors — the classic
+    recommender/graph-completion scorer beside the structural suite
+    (PageRank, triangles, communities). Top 50 candidate edges.
+
+    Determinism: each 1/ln(deg) term is 9-dp-rounded into
+    DECIMAL(28,12) before the order-independent sum (deg ≥ 2 for any
+    wedge center, so ln > 0); the final cast is round6 display. The
+    candidate set is bounded by the _AA_HUB_CAP wedge cut (fan-out
+    ≤ cap² per center; hubs add negligible score by construction) —
+    the same owned-recall trade as the LSH hot-bucket cap. Global
+    top-50 is orderBy+limit = TakeOrderedAndProject, no single-reducer
+    sort."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).select(F.col("u").alias("a"), F.col("v").alias("b"))
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    e1 = sym.select(F.col("a").alias("w"), F.col("b").alias("u"))
+    e2 = sym.select(F.col("a").alias("w"), F.col("b").alias("v"))
+    wedge = (
+        e1.join(e2, "w")
+        .filter(F.col("u") < F.col("v"))
+        .join(
+            deg.filter(F.col("d") <= _AA_HUB_CAP).withColumnRenamed("node", "w"),
+            "w",
+        )
+    )
+    cand = (
+        wedge.join(edges, ["u", "v"], "left_anti")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+            F.sum(
+                round_half_up(1.0 / F.log(F.col("d").cast("double")), 9).cast(
+                    "decimal(28,12)"
+                )
+            ).alias("aa_dec"),
+        )
+    )
+    return (
+        cand.select(
+            "u",
+            "v",
+            "common_neighbors",
+            round_half_up(F.col("aa_dec").cast("double"), 6).alias("aa_score"),
+        )
+        .orderBy(F.col("aa_score").desc(), "u", "v")
+        .limit(50)
+    )

@@ -529,3 +529,75 @@ def pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@query(
+    "int8_quantized_topk",
+    category="llm-similarity",
+    oracle=f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        s AS (SELECT vec_id, e,
+                     list_max(list_transform(e, x -> abs(x))) AS ma
+              FROM v),
+        qz AS (SELECT vec_id,
+                      list_transform(e, x -> CASE WHEN isfinite(x * 127.0 / ma) THEN floor((x * 127.0 / ma) * 1.0 + 0.5) / 1.0 END) AS qv
+               FROM s),
+        qs AS (SELECT vec_id AS query_id, qv AS qq FROM qz WHERE vec_id < 5),
+        scored AS (
+            SELECT q.query_id, c.vec_id,
+                   {sql_round_half_up(
+                       "list_dot_product(c.qv, q.qq)"
+                       " / (sqrt(list_dot_product(c.qv, c.qv))"
+                       " * sqrt(list_dot_product(q.qq, q.qq)))", 6)}
+                       AS qcos
+            FROM qz c CROSS JOIN qs q),
+        ranked AS (SELECT *, row_number() OVER (
+                       PARTITION BY query_id ORDER BY qcos DESC, vec_id) AS rank
+                   FROM scored)
+        SELECT query_id, vec_id, qcos, rank
+        FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+)
+def int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k search DIRECTLY on int8-quantized vectors — the serving
+    companion of embedding_quantize_int8 (which pins the 4x-compressed
+    storage format): cosine over the quantized codes needs no
+    dequantization because the per-vector max-abs scales cancel,
+    qcos = Σ qa·qb / (√Σqa² · √Σqb²). Every code is a small exact
+    integer carried in doubles, so the dot products are exact and
+    order-independent; the one division and two sqrts are identical
+    IEEE ops on both engines. tests/test_quantization.py measures
+    recall@10 against the float cosine_topk baseline.
+
+    Scale: same shape as cosine_topk_embeddings — the 5-query side
+    broadcasts, the corpus streams map-side through score + per-query
+    top-k, never shuffling; the payload per corpus vector is 64 bytes
+    of codes instead of 256 bytes of float32."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    ma = F.array_max(F.transform(e, F.abs))
+    qv = F.transform(e, lambda x: round_half_up(x * 127.0 / ma))
+    qz = emb.select("vec_id", qv.alias("qv"))
+    qs = qz.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731 — exact int-valued doubles
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = qz.crossJoin(F.broadcast(qs)).select(
+        "query_id",
+        "vec_id",
+        round_half_up(
+            dot("qv", "qq")
+            / (F.sqrt(dot("qv", "qv")) * F.sqrt(dot("qq", "qq"))),
+            6,
+        ).alias("qcos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .orderBy("query_id", "rank")
+    )

@@ -567,6 +567,79 @@ def python_datasource_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "python_stream_datasource_rollup",
+    category="streaming",
+    oracle="""
+        SELECT range % 5 AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(range) AS BIGINT) AS total
+        FROM range(100)
+        GROUP BY 1 ORDER BY grp
+    """,
+)
+def python_stream_datasource_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python STREAMING Data Source API
+    (``SimpleDataSourceStreamReader``): the counter_feed source emits
+    its deterministic 100-row sequence across three micro-batches (40 +
+    40 + 20, offsets checkpointed as plain dicts; ``readBetweenOffsets``
+    replays committed ranges on recovery — the exactly-once contract),
+    drained through a complete-mode grouped aggregate. The oracle is the
+    static roll-up of the same sequence: totals equal iff every row
+    arrived exactly once across the offset boundaries.
+
+    Scale: a SimpleDataSourceStreamReader feeds the driver; the
+    partition-parallel streaming variant (DataSourceStreamReader with
+    partitions()) is the 100 TB shape — this row pins the offset/replay
+    protocol that both share."""
+    from pipeline_query_engine_demo_spark.sources.pydatasource import (
+        CounterStreamSource,
+    )
+
+    import shutil
+
+    try:
+        spark.dataSource.register(CounterStreamSource)
+    except Exception:
+        pass  # already registered in this session
+    agg = (
+        spark.readStream.format("counter_feed")
+        .load()
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("n").cast("bigint").alias("total"),
+        )
+    )
+    # A SimpleDataSourceStreamReader prefetches one offset range ahead,
+    # so a single availableNow pass drains only the first range. Loop
+    # availableNow runs against ONE checkpoint (offsets resume) until
+    # the source reports no new input — the deterministic drain for a
+    # bounded feed, and incidentally a live test of offset recovery.
+    ckpt = os.path.join(tempfile.gettempdir(), "spark_graft_pystream_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    result = None
+    for _ in range(16):  # 100 rows / 40-row ranges => 3 + 1 empty pass
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("t_py_stream_src")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        p = q.lastProgress
+        if p is None or p["numInputRows"] == 0:
+            break  # drained: the last snapshot is the final answer
+        # each start() re-creates the memory table, so snapshot the
+        # cumulative complete-mode aggregate before the next (possibly
+        # empty) pass replaces it.
+        result = spark.table("t_py_stream_src").localCheckpoint()
+    assert result is not None, "counter_feed produced no batches"
+    return result.orderBy("grp")
+
+
+@query(
     "file_metadata_scan",
     category="source",
     oracle="""

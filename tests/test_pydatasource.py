@@ -66,3 +66,28 @@ def test_stream_source_resumes_offsets_across_restarts(spark):
             break
     assert sum(totals.values()) == TOTAL
     assert totals == {g: TOTAL // 5 for g in range(5)}
+
+
+def test_counter_stream_source_drains_all_offsets(spark, sf_dir):
+    """The streaming Python data source must deliver the full bounded
+    sequence exactly once across its offset ranges: totals equal the
+    closed form, and the offset-replay API is deterministic."""
+    from pipeline_query_engine_demo_spark.plans.sinks import (
+        python_stream_datasource_rollup,
+    )
+    from pipeline_query_engine_demo_spark.sources.pydatasource import (
+        STREAM_TOTAL,
+        CounterStreamReader,
+    )
+
+    rows = {r.grp: (r.n, r.total) for r in python_stream_datasource_rollup(spark, sf_dir).collect()}
+    exp = {}
+    for i in range(STREAM_TOTAL):
+        n, t = exp.get(i % 5, (0, 0))
+        exp[i % 5] = (n + 1, t + i)
+    assert rows == exp
+    # exactly-once replay contract: committed ranges re-read identically
+    r = CounterStreamReader()
+    a = list(r.readBetweenOffsets({"pos": 40}, {"pos": 80}))
+    b = list(r.readBetweenOffsets({"pos": 40}, {"pos": 80}))
+    assert a == b and len(a) == 40 and a[0] == (40, 0)

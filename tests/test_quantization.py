@@ -65,3 +65,26 @@ def test_adc_distance_zero_for_vector_on_codebook_grid(spark):
         _adc_dist_col("_qe").alias("d")
     )
     assert scored.collect()[0].d == 0.0
+
+
+def test_int8_quantized_topk_recall_vs_float(spark, sf_dir):
+    """Quantized-cosine top-10 must substantially agree with the exact
+    float cosine top-10 (int8 at d=64 typically preserves ranking) —
+    the quality dial the compression trades against."""
+    from pipeline_query_engine_demo_spark.plans.llm import cosine_topk_embeddings
+    from pipeline_query_engine_demo_spark.plans.quantization import (
+        int8_quantized_topk,
+    )
+
+    exact = {}
+    for r in cosine_topk_embeddings(spark, sf_dir).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    quant = {}
+    for r in int8_quantized_topk(spark, sf_dir).collect():
+        quant.setdefault(r.query_id, set()).add(r.vec_id)
+    assert set(exact) == set(quant)
+    recalls = [len(exact[q] & quant[q]) / len(exact[q]) for q in exact]
+    assert min(recalls) >= 0.6 and sum(recalls) / len(recalls) >= 0.8, recalls
+    # the query vector itself must always be its own top hit
+    for q in quant:
+        assert q in quant[q]

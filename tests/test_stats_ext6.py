@@ -292,3 +292,59 @@ def test_vocab_coverage_p90_brute_force(spark, sf_dir):
                 break
         r = got[src]
         assert (r.total_tokens, r.vocab_size, r.n_types_p90) == (total, len(c), k)
+
+
+def test_adamic_adar_brute_force(spark, sf_dir):
+    """Top-50 AA candidates must match a pure-python brute force over
+    the collected co-purchase graph (same hub cap, same rounding)."""
+    import math
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from pipeline_query_engine_demo_spark.plans.analytics import (
+        _AA_HUB_CAP,
+        link_prediction_adamic_adar,
+    )
+    from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+    got = [
+        (r.u, r.v, r.common_neighbors, r.aa_score)
+        for r in link_prediction_adamic_adar(spark, sf_dir).collect()
+    ]
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).toPandas()
+    by_order = defaultdict(set)
+    for o, p in zip(li["l_orderkey"], li["l_partkey"]):
+        by_order[o].add(p)
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    nbrs = defaultdict(set)
+    for u, v in edges:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    scores = defaultdict(lambda: [0, Decimal(0)])
+    for w, nb in nbrs.items():
+        if len(nb) > _AA_HUB_CAP:
+            continue
+        term = Decimal(math.floor(1.0 / math.log(float(len(nb))) * 1e9 + 0.5)) / Decimal(10**9)
+        ns = sorted(nb)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                pair = (ns[i], ns[j])
+                if pair not in edges:
+                    s = scores[pair]
+                    s[0] += 1
+                    s[1] += term
+    exp = sorted(
+        (
+            (u, v, cn, math.floor(float(aa) * 1e6 + 0.5) / 1e6)
+            for (u, v), (cn, aa) in scores.items()
+        ),
+        key=lambda t: (-t[3], t[0], t[1]),
+    )[:50]
+    assert got == exp

@@ -43,6 +43,8 @@ QUERIES = [
     "ps_merge_groupby_segments",
     "ridge_regression_normal_eq",
     "gopher_repetition_filter",
+    "int8_quantized_topk",
+    "link_prediction_adamic_adar",
     "q3_shipping_priority",
     "q5_regional_revenue",
     "window_topk_per_group",
