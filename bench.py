@@ -147,6 +147,8 @@ EXTENDED = [
     "python_stream_datasource_rollup",
     "int8_quantized_topk",
     "link_prediction_adamic_adar",
+    "calibration_brier_priority",
+    "streaming_bloom_membership",
 ]
 
 

@@ -8355,3 +8355,86 @@ def link_prediction_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("aa_score").desc(), "u", "v")
         .limit(50)
     )
+
+
+#: Shared calibration fragments — identical expression text on both
+#: engines so every double op matches bit-for-bit. p is the train-side
+#: rate forecast; brier decomposes over integer test counts.
+_CAL_P = "CAST(hits AS DOUBLE) / CAST(train_n AS DOUBLE) AS p_train"
+_CAL_RATE = "CAST(pos AS DOUBLE) / CAST(test_n AS DOUBLE) AS rate_test"
+_CAL_BRIER = (
+    "(CAST(pos AS DOUBLE) * (1.0 - p_train) * (1.0 - p_train)"
+    " + CAST(test_n - pos AS DOUBLE) * p_train * p_train)"
+    " / CAST(test_n AS DOUBLE) AS brier"
+)
+
+
+@query(
+    "calibration_brier_priority",
+    category="ml-eval",
+    oracle=f"""
+        WITH lab AS (
+            SELECT c.c_mktsegment AS seg,
+                   o.o_orderkey % 2 = 0 AS is_train,
+                   CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END AS y
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        tr AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS train_n,
+                      CAST(SUM(y) AS BIGINT) AS hits
+               FROM lab WHERE is_train GROUP BY 1),
+        te AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS test_n,
+                      CAST(SUM(y) AS BIGINT) AS pos
+               FROM lab WHERE NOT is_train GROUP BY 1),
+        j AS (SELECT tr.seg, tr.train_n, tr.hits, te.test_n, te.pos,
+                     CAST((tr.hits * 10) // tr.train_n AS BIGINT) AS bin
+              FROM tr JOIN te ON tr.seg = te.seg),
+        p AS (SELECT seg, bin, train_n, hits, test_n, pos, {_CAL_P} FROM j)
+        SELECT seg, bin, train_n, test_n, p_train, {_CAL_RATE}, {_CAL_BRIER}
+        FROM p ORDER BY seg
+    """,
+)
+def calibration_brier_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast calibration + Brier score — the model-EVALUATION row
+    beside the trainers (logistic GD, NB, ridge): the train-half
+    (even order keys) per-segment high-priority rate is the probability
+    forecast, scored on the disjoint test half. Per segment: the
+    integer calibration bin ((hits·10) DIV train_n — no float compare
+    near bin edges), the forecast p, the realized test rate, and the
+    Brier score decomposed over integer counts
+    (pos·(1−p)² + neg·p²)/n — so both engines run the identical IEEE
+    expressions on identical integers.
+
+    Scale: two count aggregates over the fact join and a 5-row
+    segment-level join — everything after the first groupBy is
+    constant-width."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    lab = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("o_orderkey") % 2 == 0).alias("is_train"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("y"),
+    )
+    tr = lab.filter("is_train").groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("train_n"),
+        F.sum("y").cast("bigint").alias("hits"),
+    )
+    te = lab.filter("NOT is_train").groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("test_n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    j = tr.join(te, "seg").selectExpr(
+        "seg",
+        "train_n",
+        "hits",
+        "test_n",
+        "pos",
+        "CAST((hits * 10) DIV train_n AS BIGINT) AS bin",
+    )
+    p = j.selectExpr("seg", "bin", "train_n", "hits", "test_n", "pos", _CAL_P)
+    return p.selectExpr(
+        "seg", "bin", "train_n", "test_n", "p_train", _CAL_RATE, _CAL_BRIER
+    ).orderBy("seg")

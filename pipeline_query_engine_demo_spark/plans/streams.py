@@ -1215,3 +1215,84 @@ def streaming_sprt_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         name="t_sprt",
     )
     return result.orderBy("variant")
+
+
+@query(
+    "streaming_bloom_membership",
+    category="streaming",
+    oracle="""
+        WITH pos AS (
+            SELECT event_type,
+                   CAST(CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)
+                       || '#' || j.j), 1, 15) AS BIGINT) % 1024 AS BIGINT)
+                       AS pos
+            FROM events, (SELECT unnest(['0', '1', '2']) AS j) j),
+        hit AS (
+            SELECT event_type, pos // 32 AS word_idx,
+                   CAST(bit_or(CAST(1 AS BIGINT)
+                       << CAST(pos % 32 AS INTEGER)) AS BIGINT) AS word
+            FROM pos GROUP BY 1, 2),
+        grid AS (
+            SELECT et.event_type, w.word_idx
+            FROM (SELECT DISTINCT event_type FROM events) et,
+                 (SELECT CAST(unnest(range(32)) AS BIGINT) AS word_idx) w)
+        SELECT g.event_type, g.word_idx,
+               COALESCE(h.word, 0) AS word,
+               CAST(bit_count(COALESCE(h.word, 0)) AS BIGINT) AS bits_set
+        FROM grid g LEFT JOIN hit h
+          ON h.event_type = g.event_type AND h.word_idx = g.word_idx
+        ORDER BY g.event_type, g.word_idx
+    """,
+)
+def streaming_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Bloom filter per event type — the set-MEMBERSHIP
+    member of the streaming sketch family (KMV/HLL estimate
+    cardinality; the Bloom answers "has user u done X?" with no false
+    negatives): k=3 deterministic md5 hash positions per user computed
+    SPARK-SIDE, a 1024-bit array held as 32 longs of per-key state
+    merged by bitwise OR (streaming.stateful_bloom), drained via the
+    availableNow harness. 32-bit words keep every long positive on
+    both engines; the oracle rebuilds the identical filter with a
+    batch bit_or and zero-fills unhit words. The whole STATE is the
+    output, so equality is exact, not estimate-close.
+
+    Scale: state is 256 bytes per key regardless of stream length;
+    production sizes m/k to the target false-positive rate and keys by
+    (entity, day) for TTL eviction."""
+    events = streaming.read_events_stream(spark, sf_dir)
+    hashes = events.select(
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        F.col("user_id").cast("string"),
+                                        F.lit(f"#{j}"),
+                                    )
+                                ),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        ).cast("bigint"),
+                        F.lit(1024),
+                    )
+                    for j in range(3)
+                ]
+            )
+        ).alias("pos"),
+    )
+    state = streaming.run_to_memory(
+        streaming.stateful_bloom(hashes, 32, 32), "update", name="t_bloom"
+    )
+    return state.select(
+        "event_type",
+        "word_idx",
+        "word",
+        F.bit_count("word").cast("bigint").alias("bits_set"),
+    ).orderBy("event_type", "word_idx")

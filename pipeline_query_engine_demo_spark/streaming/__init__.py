@@ -25,6 +25,7 @@ from pipeline_query_engine_demo_spark.streaming.windows import (
     stateful_ewma,
     stateful_page_hinkley,
     stateful_sprt,
+    stateful_bloom,
     stateful_hll,
     stateful_kmv,
     stateful_user_counts,
@@ -46,6 +47,7 @@ __all__ = [
     "stateful_ewma",
     "stateful_page_hinkley",
     "stateful_sprt",
+    "stateful_bloom",
     "stateful_hll",
     "stateful_kmv",
     "stateful_user_counts",

@@ -616,6 +616,56 @@ def stateful_hll(
     )
 
 
+def stateful_bloom(rows: DataFrame, n_words: int, bits_per_word: int) -> DataFrame:
+    """Streaming Bloom filter via ``applyInPandasWithState``: per-key
+    state is the n_words×bits_per_word bit array as n_words longs —
+    FIXED size for any stream length, merged by bitwise OR, so
+    re-delivered rows are free (set-membership is the natural
+    idempotent sketch). Each update emits the FULL word table
+    (key, word_idx, word) so the drained state equals the batch
+    ``bit_or`` aggregate bit-for-bit — the membership structure itself
+    is the checkable output, not a derived estimate.
+
+    ``rows``: streaming (event_type, pos) with pos already hashed into
+    [0, n_words·bits_per_word) Spark-side (k hash functions → k rows
+    per element); bits_per_word ≤ 32 keeps every word positive in
+    int64/BIGINT on every engine."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def merge(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        words = (
+            np.array(state.get[0], dtype=np.int64)
+            if state.exists
+            else np.zeros(n_words, dtype=np.int64)
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        pos = batch["pos"].to_numpy(dtype=np.int64)
+        np.bitwise_or.at(
+            words, pos // bits_per_word, np.int64(1) << (pos % bits_per_word)
+        )
+        state.update((words.tolist(),))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * n_words,
+                "word_idx": list(range(n_words)),
+                "word": [int(w) for w in words],
+            }
+        )
+
+    return rows.groupBy("event_type").applyInPandasWithState(
+        merge,
+        outputStructType="event_type string, word_idx bigint, word bigint",
+        stateStructType="words array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stateful_bottomk_quantiles(
     rows: DataFrame, k: int, pcts: list[int]
 ) -> DataFrame:

@@ -927,3 +927,82 @@ def test_streaming_sprt_latches_first_decision_across_batches(
             ) / 1e6
     # the per-variant state must have been emitted in >1 batch
     assert result.groupBy("variant").count().filter("count > 1").count() > 0
+
+
+def test_streaming_bloom_state_or_across_batches(spark, sf_dir, tmp_path):
+    """Bloom state must OR across micro-batches (final words equal the
+    batch filter) and honor the no-false-negative contract: every
+    user's 3 hash bits are set in their event_type's final filter."""
+    import time
+
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_time_chunks_bloom")
+    cut = ev.selectExpr("percentile_approx(ts, 0.5) AS c").collect()[0]["c"]
+    for ch in [ev.filter(F.col("ts") <= cut), ev.filter(F.col("ts") > cut)]:
+        ch.coalesce(1).write.mode("append").parquet(out)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    hashes = stream.select(
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        F.col("user_id").cast("string"),
+                                        F.lit(f"#{j}"),
+                                    )
+                                ),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        ).cast("bigint"),
+                        F.lit(1024),
+                    )
+                    for j in range(3)
+                ]
+            )
+        ).alias("pos"),
+    )
+    drained = streaming.run_to_memory(
+        streaming.stateful_bloom(hashes, 32, 32), "update"
+    )
+    # per (key, word_idx): bits only accrue, so the final emission is
+    # the bitwise-OR-maximal one — popcount-argmax selects it.
+    rows = drained.collect()
+    final: dict = {}
+    for r in rows:
+        k = (r.event_type, r.word_idx)
+        if k not in final or bin(final[k]).count("1") < bin(r.word).count("1"):
+            final[k] = r.word
+    # batch replay
+    import hashlib
+
+    exp: dict = {}
+    for er in ev.select("event_type", "user_id").collect():
+        for j in range(3):
+            pos = (
+                int(hashlib.md5(f"{er.user_id}#{j}".encode()).hexdigest()[:15], 16)
+                % 1024
+            )
+            k = (er.event_type, pos // 32)
+            exp[k] = exp.get(k, 0) | (1 << (pos % 32))
+    for k, w in exp.items():
+        assert final.get(k, 0) == w, k
+    # zero-words match too
+    for k, w in final.items():
+        assert exp.get(k, 0) == w, k
+    # multi-batch actually exercised: at least one key emitted twice
+    from collections import Counter
+
+    c = Counter((r.event_type, r.word_idx) for r in rows)
+    assert max(c.values()) >= 2
