@@ -149,6 +149,9 @@ EXTENDED = [
     "link_prediction_adamic_adar",
     "calibration_brier_priority",
     "streaming_bloom_membership",
+    "nelson_aalen_hazard",
+    "bigram_greedy_decode",
+    "two_step_transition_probs",
 ]
 
 

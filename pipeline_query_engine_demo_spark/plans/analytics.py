@@ -8438,3 +8438,238 @@ def calibration_brier_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.selectExpr(
         "seg", "bin", "train_n", "test_n", "p_train", _CAL_RATE, _CAL_BRIER
     ).orderBy("seg")
+
+
+@query(
+    "nelson_aalen_hazard",
+    category="aggregation",
+    oracle=f"""
+        WITH h AS (SELECT max(o_orderdate) AS hmax FROM orders),
+        life AS (
+            SELECT c.c_mktsegment AS seg,
+                   CAST(date_diff('day', min(o.o_orderdate),
+                                  max(o.o_orderdate)) AS BIGINT) AS t,
+                   CASE WHEN date_diff('day', max(o.o_orderdate),
+                                       h.hmax) > 90
+                        THEN 1 ELSE 0 END AS churn
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            CROSS JOIN h
+            GROUP BY c.c_mktsegment, o.o_custkey, h.hmax),
+        grp AS (
+            SELECT seg, t, CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(SUM(churn) AS BIGINT) AS d
+            FROM life GROUP BY 1, 2),
+        tot AS (
+            SELECT seg, CAST(SUM(cnt) AS BIGINT) AS n
+            FROM grp GROUP BY 1),
+        risk AS (
+            SELECT g.seg, g.t, g.d,
+                   CAST(tt.n - COALESCE(CAST(SUM(g.cnt) OVER (
+                       PARTITION BY g.seg ORDER BY g.t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS BIGINT), 0) AS BIGINT) AS at_risk
+            FROM grp g JOIN tot tt ON tt.seg = g.seg),
+        ev AS (
+            SELECT seg, t, at_risk, d,
+                   CAST({sql_round_half_up(
+                       "CAST(d AS DOUBLE) / CAST(at_risk AS DOUBLE)", 9)}
+                       AS DECIMAL(28,12)) AS hz
+            FROM risk WHERE d > 0),
+        cum AS (
+            SELECT seg, t, at_risk, d,
+                   SUM(hz) OVER (PARTITION BY seg ORDER BY t
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS hsum
+            FROM ev)
+        SELECT seg AS mktsegment, t AS t_days, at_risk, d AS deaths,
+               {sql_round_half_up("CAST(hsum AS DOUBLE)", 6)} AS cum_hazard
+        FROM cum ORDER BY mktsegment, t_days
+    """,
+)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard H(t) = Σ d_i/n_i over the same
+    churn lifetimes as kaplan_meier_retention — the estimator
+    survival analysis reaches for when the HAZARD (instantaneous churn
+    pressure) is the question rather than the survival probability
+    (and the one that needs no exp/ln at all: each step is a single
+    IEEE division, 9-dp-rounded into DECIMAL, summed exactly in event-
+    time order). KM's survival ≈ exp(−H) ties the two rows together.
+
+    Scale: identical shape to KM — one combinable per-customer
+    aggregate, then segment-partitioned windows over the bounded
+    (segment, lifetime) table."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    hmax = orders.agg(F.max("o_orderdate").alias("hmax"))
+    life = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(F.min("o_orderdate").alias("f"), F.max("o_orderdate").alias("l"))
+        .crossJoin(F.broadcast(hmax))
+        .select(
+            "seg",
+            F.datediff(F.col("l"), F.col("f")).cast("bigint").alias("t"),
+            F.when(F.datediff(F.col("hmax"), F.col("l")) > 90, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("churn"),
+        )
+    )
+    grp = life.groupBy("seg", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("churn").cast("bigint").alias("d"),
+    )
+    tot = grp.groupBy("seg").agg(F.sum("cnt").cast("bigint").alias("n"))
+    w_prev = (
+        Window.partitionBy("seg")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = (
+        grp.withColumn(
+            "cum_prev",
+            F.coalesce(F.sum("cnt").over(w_prev).cast("bigint"), F.lit(0)),
+        )
+        .join(F.broadcast(tot), "seg")
+        .select(
+            "seg",
+            "t",
+            "d",
+            (F.col("n") - F.col("cum_prev")).cast("bigint").alias("at_risk"),
+        )
+        .filter(F.col("d") > 0)
+    )
+    ev = risk.select(
+        "seg",
+        "t",
+        "at_risk",
+        "d",
+        round_half_up(
+            F.col("d").cast("double") / F.col("at_risk").cast("double"), 9
+        )
+        .cast(_DEC)
+        .alias("hz"),
+    )
+    w_cum = (
+        Window.partitionBy("seg")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        F.col("seg").alias("mktsegment"),
+        F.col("t").alias("t_days"),
+        "at_risk",
+        F.col("d").alias("deaths"),
+        round_half_up(F.sum("hz").over(w_cum).cast("double"), 6).alias(
+            "cum_hazard"
+        ),
+    ).orderBy("mktsegment", "t_days")
+
+
+#: Number of seed parts for the two-step walk (smallest part ids with
+#: any co-purchase edge — deterministic, data-derived).
+_WALK_SEEDS = 5
+
+
+@query(
+    "two_step_transition_probs",
+    category="graph",
+    oracle=f"""
+        WITH edges AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        sym AS (SELECT u AS a, v AS b FROM edges
+                UNION ALL SELECT v, u FROM edges),
+        deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d
+                FROM sym GROUP BY 1),
+        seeds AS (SELECT node AS s FROM deg ORDER BY node
+                  LIMIT {_WALK_SEEDS}),
+        hop AS (
+            SELECT se.s, e1.b AS w, e2.b AS v, du.d AS d_u, dw.d AS d_w
+            FROM seeds se
+            JOIN sym e1 ON e1.a = se.s
+            JOIN sym e2 ON e2.a = e1.b
+            JOIN deg du ON du.node = se.s
+            JOIN deg dw ON dw.node = e1.b),
+        terms AS (
+            SELECT s, v,
+                   CAST({sql_round_half_up(
+                       "1.0 / (CAST(d_u AS DOUBLE) * CAST(d_w AS DOUBLE))",
+                       9)} AS DECIMAL(28,12)) AS t
+            FROM hop)
+        SELECT s AS seed, v AS target,
+               CAST(COUNT(*) AS BIGINT) AS n_paths,
+               {sql_round_half_up("CAST(SUM(t) AS DOUBLE)", 6)} AS p2
+        FROM terms GROUP BY 1, 2
+        ORDER BY seed, p2 DESC, target
+    """,
+)
+def two_step_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step random-walk transition probabilities P²(seed→target) on
+    the part co-purchase graph — one matrix-power step of the walk that
+    underlies PageRank/node2vec-style neighborhoods, computed as joins:
+    P²(u,v) = Σ_w 1/(d_u·d_w) over paths u→w→v. Each path term is one
+    IEEE reciprocal 9-dp-rounded into DECIMAL(28,12), so the sum is
+    order-independent; per seed the probabilities total ≤ 1 exactly
+    when every w's successors are counted (they are — self-returns
+    included, as the walk defines).
+
+    Scale: the seed set bounds the first hop (the full P² is never
+    materialized); hop fan-out is Σ_{{w∼seed}} d_w, the frontier shape
+    every distributed walk/BFS here uses. Degrees join broadcast-small
+    tables."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).select(F.col("u").alias("a"), F.col("v").alias("b"))
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    seeds = deg.select(F.col("node").alias("s")).orderBy("s").limit(_WALK_SEEDS)
+    e1 = sym.select(F.col("a").alias("s"), F.col("b").alias("w"))
+    e2 = sym.select(F.col("a").alias("w"), F.col("b").alias("v"))
+    hop = (
+        F.broadcast(seeds)
+        .join(e1, "s")
+        .join(e2, "w")
+        .join(F.broadcast(deg.withColumnsRenamed({"node": "s", "d": "d_u"})), "s")
+        .join(F.broadcast(deg.withColumnsRenamed({"node": "w", "d": "d_w"})), "w")
+    )
+    terms = hop.select(
+        "s",
+        "v",
+        round_half_up(
+            1.0 / (F.col("d_u").cast("double") * F.col("d_w").cast("double")), 9
+        )
+        .cast(_DEC)
+        .alias("t"),
+    )
+    return (
+        terms.groupBy("s", "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_paths"),
+            round_half_up(F.sum("t").cast("double"), 6).alias("p2"),
+        )
+        .select(
+            F.col("s").alias("seed"),
+            F.col("v").alias("target"),
+            "n_paths",
+            "p2",
+        )
+        .orderBy("seed", F.col("p2").desc(), "target")
+    )

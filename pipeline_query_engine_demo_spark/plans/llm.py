@@ -5886,3 +5886,97 @@ def vocab_coverage_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("rn").cast("bigint").alias("n_types_p90"))
         .orderBy("source")
     )
+
+
+#: Greedy decode length (tokens generated after the seed).
+_DECODE_STEPS = 8
+
+
+def _decode_oracle() -> str:
+    levels = []
+    for s in range(1, _DECODE_STEPS + 1):
+        levels.append(
+            f"s{s} AS MATERIALIZED (SELECT b.w2 AS token FROM bi b, s{s - 1} p "
+            f"WHERE b.w1 = p.token ORDER BY b.cnt DESC, b.w2 LIMIT 1)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT CAST({s} AS BIGINT) AS step, token FROM s{s}"
+        for s in range(_DECODE_STEPS + 1)
+    )
+    return f"""
+        WITH w AS (SELECT string_split(text, ' ') AS words FROM documents),
+        pairs AS (
+            SELECT words[i] AS w1, words[i + 1] AS w2
+            FROM w, LATERAL (SELECT unnest(generate_series(1, len(words) - 1))
+                             AS i) r
+            WHERE len(words) >= 2),
+        bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM pairs GROUP BY 1, 2),
+        uni AS (SELECT w1 AS token, CAST(SUM(cnt) AS BIGINT) AS c
+                FROM bi GROUP BY 1),
+        s0 AS MATERIALIZED (SELECT token FROM uni ORDER BY c DESC, token
+                            LIMIT 1),
+        {", ".join(levels)}
+        {union}
+        ORDER BY step
+    """
+
+
+@query("bigram_greedy_decode", category="llm-text", oracle=_decode_oracle())
+def bigram_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy autoregressive DECODING from the corpus bigram model: seed
+    with the most frequent bigram-head token, then 8 steps of
+    argmax-successor generation — the in-engine counterpart of running
+    inference on the n-gram LM the pipeline's perplexity rows score
+    (deterministic decoding; sampling variants swap the argmax for the
+    md5-CDF draw negative_sampling_unigram already pins). Each step is
+    the established iterative-argmax pattern: a total order
+    (count DESC, token ASC) ranked by orderBy+limit(1) =
+    TakeOrderedAndProject, whose 1-row result broadcast-joins into the
+    next step — no driver collect, no partition-less window; the
+    oracle replays the chain through MATERIALIZED CTE levels.
+
+    Seed note: the seed maximizes bigram-HEAD frequency (Σ successor
+    counts) so the seed is guaranteed a successor; a document-final
+    token can never strand the decode.
+
+    Scale: the corpus reduces to the bigram count table once
+    (combinable, localCheckpointed); each of the 9 steps touches only
+    that table."""
+    from pipeline_query_engine_demo_spark.functions.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select(F.explode(shingles(F.col("text"), 2)).alias("bg"))
+    bigrams = (
+        bg.select(
+            F.split(F.col("bg"), " ").getItem(0).alias("w1"),
+            F.split(F.col("bg"), " ").getItem(1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    uni = bigrams.groupBy(F.col("w1").alias("token")).agg(
+        F.sum("cnt").cast("bigint").alias("c")
+    )
+    cur = (
+        uni.orderBy(F.col("c").desc(), "token")
+        .limit(1)
+        .select(F.lit(0).cast("bigint").alias("step"), "token")
+    )
+    outs = [cur]
+    for s in range(1, _DECODE_STEPS + 1):
+        cur = (
+            bigrams.join(
+                F.broadcast(cur.select(F.col("token").alias("w1"))), "w1"
+            )
+            .orderBy(F.col("cnt").desc(), "w2")
+            .limit(1)
+            .select(F.lit(s).cast("bigint").alias("step"), F.col("w2").alias("token"))
+            .localCheckpoint(eager=False)
+        )
+        outs.append(cur)
+    out = outs[0]
+    for nxt in outs[1:]:
+        out = out.unionByName(nxt)
+    return out.orderBy("step")

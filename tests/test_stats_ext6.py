@@ -348,3 +348,111 @@ def test_adamic_adar_brute_force(spark, sf_dir):
         key=lambda t: (-t[3], t[0], t[1]),
     )[:50]
     assert got == exp
+
+
+def test_nelson_aalen_python_replay(spark, sf_dir):
+    """H(t) must equal the pure-python at-risk walk over collected
+    per-customer lifetimes (same censoring rule, same 9dp lattice)."""
+    import math
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from pipeline_query_engine_demo_spark.plans.analytics import nelson_aalen_hazard
+    from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+    got = [
+        (r.mktsegment, r.t_days, r.at_risk, r.deaths, r.cum_hazard)
+        for r in nelson_aalen_hazard(spark, sf_dir).collect()
+    ]
+    orders = load_table(spark, sf_dir, "orders").toPandas()
+    cust = load_table(spark, sf_dir, "customer").toPandas()
+    seg = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
+    hmax = orders["o_orderdate"].max()
+    per = orders.groupby("o_custkey")["o_orderdate"].agg(["min", "max"])
+    lifetimes = defaultdict(list)
+    for ck, row in per.iterrows():
+        t = (row["max"] - row["min"]).days
+        churn = 1 if (hmax - row["max"]).days > 90 else 0
+        lifetimes[seg[ck]].append((t, churn))
+    exp = []
+    for s in sorted(lifetimes):
+        lst = sorted(lifetimes[s])
+        n = len(lst)
+        by_t = defaultdict(lambda: [0, 0])
+        for t, ch in lst:
+            by_t[t][0] += 1
+            by_t[t][1] += ch
+        at_risk = n
+        h = Decimal(0)
+        for t in sorted(by_t):
+            cnt, d = by_t[t]
+            if d > 0:
+                h += Decimal(math.floor(d / at_risk * 1e9 + 0.5)) / Decimal(10**9)
+                exp.append((s, t, at_risk, d, math.floor(float(h) * 1e6 + 0.5) / 1e6))
+            at_risk -= cnt
+    assert got == exp
+
+
+def test_bigram_greedy_decode_python_replay(spark, sf_dir):
+    """The decoded chain must equal the pure-python greedy walk over
+    Counter-built bigrams (same seed rule, same tie-breaks)."""
+    from collections import Counter
+
+    from pipeline_query_engine_demo_spark.plans.llm import (
+        _DECODE_STEPS,
+        bigram_greedy_decode,
+    )
+    from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+    got = [r.token for r in bigram_greedy_decode(spark, sf_dir).collect()]
+    docs = load_table(spark, sf_dir, "documents").select("text").toPandas()
+    bi = Counter()
+    for t in docs["text"]:
+        ws = t.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] += 1
+    heads = Counter()
+    for (a, _), c in bi.items():
+        heads[a] += c
+    cur = min(heads, key=lambda w: (-heads[w], w))
+    exp = [cur]
+    for _ in range(_DECODE_STEPS):
+        succ = [(w2, c) for (w1, w2), c in bi.items() if w1 == cur]
+        cur = min(succ, key=lambda t: (-t[1], t[0]))[0]
+        exp.append(cur)
+    assert got == exp
+
+
+def test_two_step_transition_probs_sum_to_one(spark, sf_dir):
+    """Per seed, Σ_v P²(seed→v) must be ~1 (each hop distributes 1/d
+    over ALL neighbors) and every target must be within 2 hops of the
+    seed in a python adjacency replay."""
+    from collections import defaultdict
+
+    from pipeline_query_engine_demo_spark.plans.analytics import (
+        two_step_transition_probs,
+    )
+    from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+    rows = two_step_transition_probs(spark, sf_dir).collect()
+    by_seed = defaultdict(float)
+    for r in rows:
+        by_seed[r.seed] += r.p2
+    for s, tot in by_seed.items():
+        assert abs(tot - 1.0) < 1e-3, (s, tot)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).toPandas()
+    nbrs = defaultdict(set)
+    by_order = defaultdict(set)
+    for o, p in zip(li["l_orderkey"], li["l_partkey"]):
+        by_order[o].add(p)
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                nbrs[ps[i]].add(ps[j])
+                nbrs[ps[j]].add(ps[i])
+    for r in rows:
+        two_hop = {v for w in nbrs[r.seed] for v in nbrs[w]}
+        assert r.target in two_hop

@@ -81,6 +81,7 @@ NL_WHITELIST = {
     "permutation_test_mean_diff",  # 5-row segment-pair inequality self-join; members/replicates join equi on the pair key
     "jackknife_source_loo",  # three 1-row broadcasts (grand totals, across-source mean, squared-deviation sum) onto the |sources|-row LOO table
     "kaplan_meier_retention",  # 1-row dataset-horizon (max order date) broadcast onto the per-customer lifetime aggregate
+    "nelson_aalen_hazard",  # same 1-row horizon broadcast as kaplan_meier_retention
     "js_divergence_sources",  # |sources| x top-500-support grid product (~10k rows) with the support broadcast; corpus rows only feed the combinable (source, token) count
     "rrf_hybrid_retrieval",  # inherits bm25_topk_docs' whitelisted 1-row corpus-stats broadcast (the query composes bm25 verbatim)
     "theta_sketch_anotb_difference",  # same inequality self-join over the k-bounded sketch META table as theta_sketch_shingle_overlap; anti-join legs run on broadcast sketch rows

@@ -45,6 +45,8 @@ QUERIES = [
     "gopher_repetition_filter",
     "int8_quantized_topk",
     "link_prediction_adamic_adar",
+    "nelson_aalen_hazard",
+    "bigram_greedy_decode",
     "q3_shipping_priority",
     "q5_regional_revenue",
     "window_topk_per_group",
