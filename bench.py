@@ -152,6 +152,10 @@ EXTENDED = [
     "nelson_aalen_hazard",
     "bigram_greedy_decode",
     "two_step_transition_probs",
+    "sql_pipe_syntax",
+    "ps_pivot_table_orders",
+    "lsh_bands_recall_sweep",
+    "streaming_tws_recent_values",
 ]
 
 

@@ -271,6 +271,42 @@ def jaccard_pairs(
     )
 
 
+def signature_agreement_prefilter(
+    sigs: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    cutoff: float,
+) -> DataFrame:
+    """Estimated-Jaccard prefilter: keep (id_a, id_b) candidates whose
+    MinHash signature agreement fraction clears ``cutoff``. Two
+    candidate-sized equi-joins against the signature table; the integer
+    agreement count / float(num_hashes) is exact IEEE, so the SQL
+    oracle's identical expression can't diverge. Shared by
+    near_dup_pairs and the banding-sweep query."""
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(num_hashes)],
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(num_hashes)],
+    )
+    agree = reduce(
+        add,
+        [
+            (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int")
+            for i in range(num_hashes)
+        ],
+    )
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(agree / F.lit(float(num_hashes)) >= cutoff)
+        .select("id_a", "id_b")
+    )
+
+
 def near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -394,28 +430,8 @@ def near_dup_pairs(
         signatures=sigs,
     )
     if est_prefilter is not None:
-        sa = sigs.select(
-            F.col(id_col).alias("id_a"),
-            *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(num_hashes)],
-        )
-        sb = sigs.select(
-            F.col(id_col).alias("id_b"),
-            *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(num_hashes)],
-        )
-        agree = reduce(
-            add,
-            [
-                (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int")
-                for i in range(num_hashes)
-            ],
-        )
-        # integer count / float literal: n/8.0 is exact in IEEE, so the
-        # SQL oracle's identical expression can't diverge.
-        candidates = (
-            candidates.join(sa, "id_a")
-            .join(sb, "id_b")
-            .filter(agree / F.lit(float(num_hashes)) >= est_prefilter)
-            .select("id_a", "id_b")
+        candidates = signature_agreement_prefilter(
+            sigs, candidates, id_col, num_hashes, est_prefilter
         )
     verified = jaccard_pairs(df, candidates, id_col, text_col, shingle_n)
     return verified.filter(F.col("jaccard") >= threshold)

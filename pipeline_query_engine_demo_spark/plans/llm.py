@@ -5980,3 +5980,145 @@ def bigram_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     for nxt in outs[1:]:
         out = out.unionByName(nxt)
     return out.orderBy("step")
+
+
+#: Band configurations for the LSH banding sweep: with k = 8 hashes,
+#: bands b ∈ {2, 4, 8} give rows-per-band r = 4, 2, 1 — the classic
+#: precision/recall dial (collision prob = 1 − (1 − J^r)^b).
+_SWEEP_BANDS = (2, 4, 8)
+
+
+def _band_chain_sql(b: int) -> str:
+    """CTE chain (buckets→candidates→prefilter→verified ids) for one
+    band count, names suffixed _b{b}; composes with the shared
+    units/sigs/sizes CTEs."""
+    r = _NUM_HASHES // b
+    buckets = " UNION ALL ".join(
+        "SELECT doc_id, {g} AS band_id, md5(concat_ws('|', {cols})) AS band_hash FROM sigs".format(
+            g=g, cols=", ".join(f"mh{g * r + j}" for j in range(r))
+        )
+        for g in range(b)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+        for i in range(_NUM_HASHES)
+    )
+    return f"""
+        buckets_b{b} AS ({buckets}),
+        cand_b{b} AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM buckets_b{b} a JOIN buckets_b{b} b
+            ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id),
+        estf_b{b} AS (SELECT c.id_a, c.id_b FROM cand_b{b} c
+            JOIN sigs sa ON sa.doc_id = c.id_a
+            JOIN sigs sb ON sb.doc_id = c.id_b
+            WHERE ({agree}) / {float(_NUM_HASHES)!r} >= {_EST_PREFILTER!r}),
+        inter_b{b} AS (
+            SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+            FROM estf_b{b} c
+            JOIN units ta ON ta.doc_id = c.id_a
+            JOIN units tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+            GROUP BY c.id_a, c.id_b),
+        ver_b{b} AS (
+            SELECT i.id_a, i.id_b
+            FROM inter_b{b} i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.6)
+    """
+
+
+@query(
+    "lsh_bands_recall_sweep",
+    category="llm-dedup",
+    oracle=f"""
+        WITH {_UNITS_CTE}, {_SIGS_CTE},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM units GROUP BY doc_id),
+        {", ".join(_band_chain_sql(b).strip() for b in _SWEEP_BANDS)},
+        allv AS ({" UNION ".join(f"SELECT id_a, id_b FROM ver_b{b}" for b in _SWEEP_BANDS)}),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_union FROM allv),
+        rows_out AS (
+            {" UNION ALL ".join(
+                f"SELECT CAST({b} AS BIGINT) AS bands, "
+                f"(SELECT CAST(COUNT(*) AS BIGINT) FROM cand_b{b}) AS n_candidates, "
+                f"(SELECT CAST(COUNT(*) AS BIGINT) FROM ver_b{b}) AS n_verified"
+                for b in _SWEEP_BANDS)})
+        SELECT r.bands, r.n_candidates, r.n_verified, t.n_union,
+               {sql_round_half_up(
+                   "CAST(r.n_verified AS DOUBLE) / CAST(t.n_union AS DOUBLE)",
+                   6)} AS recall
+        FROM rows_out r CROSS JOIN tot t
+        ORDER BY bands
+    """,
+)
+def lsh_bands_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH banding DIAL, measured in-engine (the dedup counterpart
+    of ann_recall_vs_probes): for b ∈ {{2,4,8}} bands over the same 8
+    MinHashes, candidate volume vs verified-pair recall against the
+    union of all three configs' verified sets. Fewer bands (more rows
+    per band) = fewer, higher-precision candidates; b=8 singleton
+    bands = near-total recall at 100-300× the candidate volume — the
+    sweep row quantifies what DEFAULT_BANDS buys. The hot-bucket cap
+    is OFF here so the subset relation between configs is exact
+    (bounded fixture; production keeps the cap and this sweep is how
+    it would be tuned).
+
+    Scale: signatures compute once (localCheckpoint) and all three
+    chains reuse them; each chain is the standard banded self-join +
+    prefilter + candidate-restricted verify."""
+    from pipeline_query_engine_demo_spark.operators import dedup as _d
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = _d.minhash_signatures(docs, "doc_id", "text").localCheckpoint(
+        eager=False
+    )
+    rows = []
+    vers = []
+    for b in _SWEEP_BANDS:
+        cand = _d.lsh_candidate_pairs(
+            docs,
+            "doc_id",
+            "text",
+            bands=b,
+            max_bucket_size=None,
+            signatures=sigs,
+        ).localCheckpoint(eager=False)
+        estf = _d.signature_agreement_prefilter(
+            sigs, cand, "doc_id", _d.DEFAULT_NUM_HASHES, _d.DEFAULT_EST_PREFILTER
+        )
+        ver = (
+            _d.jaccard_pairs(docs, estf, "doc_id", "text")
+            .filter(F.col("jaccard") >= 0.6)
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=False)
+        )
+        vers.append(ver)
+        rows.append(
+            cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+            .crossJoin(
+                ver.agg(F.count(F.lit(1)).cast("bigint").alias("n_verified"))
+            )
+            .select(
+                F.lit(b).cast("bigint").alias("bands"),
+                "n_candidates",
+                "n_verified",
+            )
+        )
+    allv = vers[0].unionByName(vers[1]).unionByName(vers[2]).distinct()
+    tot = allv.agg(F.count(F.lit(1)).cast("bigint").alias("n_union"))
+    out = rows[0].unionByName(rows[1]).unionByName(rows[2])
+    return (
+        out.crossJoin(F.broadcast(tot))
+        .select(
+            "bands",
+            "n_candidates",
+            "n_verified",
+            "n_union",
+            round_half_up(
+                F.col("n_verified").cast("double")
+                / F.col("n_union").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+        .orderBy("bands")
+    )

@@ -2891,3 +2891,68 @@ def entity_merge_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_events"), F.lit(0).cast("bigint")).alias("n_events"),
         F.greatest(F.col("last_order"), F.col("last_event")).alias("last_seen"),
     ).orderBy("entity_id")
+
+
+@query(
+    "sql_pipe_syntax",
+    category="sql-surface",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS cents
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4, SQL:2023-style `|>` chaining): the
+    linear FROM → WHERE → EXTEND → AGGREGATE form of a filter+rollup,
+    proving the pipe parser lowers onto the exact same Catalyst plan as
+    the classic SELECT (the oracle). Pipe SQL is the surface modern
+    migration guides teach; one registered row pins that the dialect
+    works end-to-end against real tables."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_pipe_orders")
+    return spark.sql(
+        """
+        FROM _pipe_orders
+        |> WHERE o_orderstatus = 'F'
+        |> EXTEND CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents1
+        |> AGGREGATE COUNT(*) AS n, CAST(SUM(cents1) AS BIGINT) AS cents
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
+    ).select("o_orderpriority", "n", "cents")
+
+
+@query(
+    "sql_group_order_by_all",
+    category="sql-surface",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem
+        GROUP BY ALL
+        ORDER BY ALL
+    """,
+)
+def sql_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`GROUP BY ALL` / `ORDER BY ALL` (the DuckDB-popularized
+    shorthand Spark 4 adopted): every non-aggregate select item groups,
+    every output column orders — both engines run the SAME shorthand
+    text, pinning that the two dialects resolve it identically (the
+    resolved plan is the classic q1-style partial+final aggregate)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_gba_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM _gba_lineitem
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )

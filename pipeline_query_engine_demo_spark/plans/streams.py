@@ -1296,3 +1296,55 @@ def streaming_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word",
         F.bit_count("word").cast("bigint").alias("bits_set"),
     ).orderBy("event_type", "word_idx")
+
+
+@query(
+    "streaming_tws_recent_values",
+    category="streaming",
+    oracle="""
+        SELECT user_id,
+               CAST(row_number() OVER w AS BIGINT) AS rnk,
+               event_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+        QUALIFY rnk <= 3
+        ORDER BY user_id, rnk
+    """,
+)
+def streaming_tws_recent_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas with LIST state: the 3 most recent
+    events per user (by event time, id tie-broken), held as a bounded
+    ListState merged and re-trimmed per batch — the companion row to
+    the ValueState totals query, covering the second state primitive
+    of Spark 4's arbitrary-state API. AvailableNow drain → the final
+    per-user list equals the batch top-3-recency window (the oracle's
+    QUALIFY form). RocksDB provider pinned per-run as the API
+    requires; multi-batch trim-carry is tested in
+    tests/test_streaming.py."""
+    from pipeline_query_engine_demo_spark.session import ensure_protobuf_on_workers
+
+    ensure_protobuf_on_workers(spark)
+    rocksdb = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, rocksdb)
+    try:
+        events = streaming.read_events_stream(spark, sf_dir)
+        rows = events.select(
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "event_id",
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+        result = streaming.run_to_memory(
+            streaming.tws_user_recent_values(rows), "update", name="t_tws_recent"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return result.select(
+        "user_id", F.col("rnk"), "event_id", "cents"
+    ).orderBy("user_id", "rnk")

@@ -1442,3 +1442,47 @@ def ps_merge_groupby_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "ps_pivot_table_orders",
+    category="pandas-api",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+                   AS n_f,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT)
+                   AS n_o,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT)
+                   AS n_p
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def ps_pivot_table_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas-on-Spark ``pivot_table`` parity: order counts by priority
+    × status through the pandas reshaping surface, which lowers to
+    Spark's own PIVOT (one grouped aggregate with conditional columns
+    — the oracle's FILTER form). The status domain {F,O,P} is the
+    fixture's closed order-status set, so the pivoted schema is
+    stable; a null cell would mean a (priority, status) pair with no
+    orders (none exist at any SF)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus", "o_orderkey"
+    )
+    p = (
+        o.pandas_api()
+        .pivot_table(
+            index=["o_orderpriority"],
+            columns="o_orderstatus",
+            values="o_orderkey",
+            aggfunc="count",
+        )
+        .reset_index()
+        .to_spark()
+    )
+    return p.select(
+        "o_orderpriority",
+        F.col("F").cast("bigint").alias("n_f"),
+        F.col("O").cast("bigint").alias("n_o"),
+        F.col("P").cast("bigint").alias("n_p"),
+    ).orderBy("o_orderpriority")

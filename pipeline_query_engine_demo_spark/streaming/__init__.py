@@ -26,6 +26,7 @@ from pipeline_query_engine_demo_spark.streaming.windows import (
     stateful_page_hinkley,
     stateful_sprt,
     stateful_bloom,
+    tws_user_recent_values,
     stateful_hll,
     stateful_kmv,
     stateful_user_counts,
@@ -48,6 +49,7 @@ __all__ = [
     "stateful_page_hinkley",
     "stateful_sprt",
     "stateful_bloom",
+    "tws_user_recent_values",
     "stateful_hll",
     "stateful_kmv",
     "stateful_user_counts",

@@ -336,6 +336,64 @@ def tws_user_value_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def tws_user_recent_values(rows: DataFrame, keep: int = 3) -> DataFrame:
+    """Second ``transformWithStateInPandas`` operator: per-user LIST
+    state — the ``keep`` most recent events by (ts, event_id), merged
+    and re-trimmed every batch (bounded at ``keep`` tuples per key for
+    any stream length; re-delivered rows merge idempotently because
+    the trim order is a total order). Exercises ListState beside the
+    ValueState of tws_user_value_totals — the two state primitives the
+    arbitrary-state API adds over applyInPandasWithState's single
+    struct.
+
+    ``rows``: streaming (user_id, ts_us, event_id, cents) with ts
+    pre-converted to BIGINT micros Spark-side. Emits one row per kept
+    event with its recency rank (1 = newest)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Recent(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getListState(
+                "recent", "ts_us LONG, event_id LONG, cents LONG"
+            )
+
+        def handleInputRows(self, key, batches, timerValues):  # noqa: ANN001
+            import pandas as pd
+
+            items = [tuple(r) for r in self._state.get()]
+            for pdf in batches:
+                items.extend(
+                    zip(
+                        pdf["ts_us"].astype("int64"),
+                        pdf["event_id"].astype("int64"),
+                        pdf["cents"].astype("int64"),
+                    )
+                )
+            items = sorted(set(items), key=lambda t: (-t[0], -t[1]))[:keep]
+            self._state.put([tuple(int(x) for x in t) for t in items])
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(items),
+                    "rnk": list(range(1, len(items) + 1)),
+                    "event_id": [t[1] for t in items],
+                    "cents": [t[2] for t in items],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return rows.groupBy("user_id").transformWithStateInPandas(
+        Recent(),
+        outputStructType="user_id long, rnk long, event_id long, cents long",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def stateful_user_counts(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running event count held in the state store. State is a single

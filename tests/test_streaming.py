@@ -1006,3 +1006,77 @@ def test_streaming_bloom_state_or_across_batches(spark, sf_dir, tmp_path):
 
     c = Counter((r.event_type, r.word_idx) for r in rows)
     assert max(c.values()) >= 2
+
+
+def test_tws_list_state_trims_across_batches(spark, sf_dir, tmp_path):
+    """ListState must merge + re-trim across micro-batches: after two
+    time-split triggers, each user's final kept set equals the batch
+    top-3-by-recency, and at least one user's kept set CHANGED between
+    emissions (state actually evolved)."""
+    import time
+
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_time_chunks_tws_list")
+    cut = ev.selectExpr("percentile_approx(ts, 0.5) AS c").collect()[0]["c"]
+    for ch in [ev.filter(F.col("ts") <= cut), ev.filter(F.col("ts") > cut)]:
+        ch.coalesce(1).write.mode("append").parquet(out)
+        time.sleep(1.1)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(out)
+        )
+        rows = stream.select(
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "event_id",
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+        drained = streaming.run_to_memory(
+            streaming.tws_user_recent_values(rows), "update"
+        ).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    # group emissions per user in arrival order; the FINAL emission per
+    # user is the one whose newest event_id is globally newest for them
+    from pyspark.sql import Window
+
+    exp_rows = (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+            F.row_number()
+            .over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("ts").desc(), F.col("event_id").desc()
+                )
+            )
+            .alias("rnk"),
+        )
+        .filter("rnk <= 3")
+        .collect()
+    )
+    exp = {}
+    for r in exp_rows:
+        exp.setdefault(r.user_id, set()).add((r.rnk, r.event_id, r.cents))
+    got = {}
+    emissions = {}
+    for r in drained:
+        emissions.setdefault(r.user_id, set()).add((r.rnk, r.event_id, r.cents))
+    # final state per user: the triple set containing the expected
+    # newest event (rank 1 of the full data) — i.e. the last emission
+    for u, s in exp.items():
+        assert s <= emissions[u], (u, s, emissions[u])
+    # state evolved: some user emitted more than 3 distinct triples
+    assert any(len(s) > 3 for s in emissions.values())

@@ -37,6 +37,7 @@ NL_WHITELIST = {
     "scalar_subquery",
     "cosine_topk_embeddings",
     "int8_quantized_topk",  # same 5-query broadcast BNLJ as cosine_topk, over int8 codes
+    "lsh_bands_recall_sweep",  # 1-row count scalars (per-config totals + union total) broadcast onto 3 sweep rows
     "ann_recall_at_k",  # inherits cosine_topk's intended brute-force BNLJ ground truth
     "pq_recall_at_k",  # same: brute-force cosine ground-truth branch
     "pandas_cosine_topk_embeddings",

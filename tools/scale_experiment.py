@@ -47,6 +47,7 @@ QUERIES = [
     "link_prediction_adamic_adar",
     "nelson_aalen_hazard",
     "bigram_greedy_decode",
+    "lsh_bands_recall_sweep",
     "q3_shipping_priority",
     "q5_regional_revenue",
     "window_topk_per_group",
