@@ -117,6 +117,19 @@ def radius_join(
     lid, llat, llon = left_cols
     rid, rlat, rlon = right_cols
     r = float(radius)
+    # Grid-cell size is radius PADDED by 1e-12 relative. The membership
+    # predicate is double-evaluated dist2 <= r*r, and double rounding
+    # can pull a pair whose EXACT distance is (r + subnormal) down onto
+    # exactly r*r — hypothesis found the concrete case
+    # ((0, -1.4e-45), (0.5, 0.0)) at r=0.5, where the two points sit in
+    # cells -1 and +1 (two apart) yet pass the rounded test. Any pair
+    # passing the double test has exact axis separation <= r*(1+2^-50),
+    # so a cell size strictly above that keeps every passing pair
+    # within one cell boundary and the 3x3 neighborhood stays
+    # sufficient. Results only ever GAIN boundary pairs vs the unpadded
+    # grid (prune is a superset), so distance-filter oracles are
+    # unaffected.
+    cell = r * (1.0 + 1e-12)
     l_pts = left.select(
         F.col(lid).alias("_lid"),
         F.col(llat).cast("double").alias("_llat"),
@@ -143,15 +156,15 @@ def radius_join(
         "_lid",
         "_llat",
         "_llon",
-        (F.floor(F.col("_llat") / F.lit(r)) + F.col("_o.dy")).alias("_clat"),
-        (F.floor(F.col("_llon") / F.lit(r)) + F.col("_o.dx")).alias("_clon"),
+        (F.floor(F.col("_llat") / F.lit(cell)) + F.col("_o.dy")).alias("_clat"),
+        (F.floor(F.col("_llon") / F.lit(cell)) + F.col("_o.dx")).alias("_clon"),
     )
     r_cells = r_pts.select(
         "_rid",
         "_rlat",
         "_rlon",
-        F.floor(F.col("_rlat") / F.lit(r)).alias("_clat"),
-        F.floor(F.col("_rlon") / F.lit(r)).alias("_clon"),
+        F.floor(F.col("_rlat") / F.lit(cell)).alias("_clat"),
+        F.floor(F.col("_rlon") / F.lit(cell)).alias("_clon"),
     )
     if max_cell_points is not None:
         # Hot-cell exclusion: one partial-agg count per cell (skew-safe

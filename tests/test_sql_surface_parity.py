@@ -160,3 +160,31 @@ def test_mirrored_oracle_audit_is_clean():
     # must still be RECOGNIZED as mirrored (guards against the rule
     # silently rotting into a no-op)
     assert {"agg_filter_clause", "recursive_cte_hierarchy"} <= set(mirrored)
+
+
+def test_group_order_by_all_matches_explicit_grouping(spark, sf_dir):
+    """Independent semantic check for sql_group_order_by_all (its
+    oracle deliberately runs the SAME shorthand text on both engines):
+    the GROUP BY ALL result must equal the DataFrame API's explicit
+    groupBy on the same columns, row for row and in ORDER BY ALL's
+    lexicographic-by-output-position order."""
+    import pyspark.sql.functions as F
+
+    from pipeline_query_engine_demo_spark.plans.relational import (
+        sql_group_order_by_all,
+    )
+    from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+    got = [tuple(r) for r in sql_group_order_by_all(spark, sf_dir).collect()]
+    li = load_table(spark, sf_dir, "lineitem")
+    exp = [
+        tuple(r)
+        for r in li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus", "n", "qty")
+        .collect()
+    ]
+    assert got == exp
