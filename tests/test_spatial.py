@@ -194,3 +194,21 @@ def test_dbscan_grid_matches_literal_python_dbscan(spark):
     assert expect[17] == ("noise", None)
     # co-located duplicates got identical labels
     assert expect[15] == expect[16]
+
+
+def test_radius_join_subnormal_boundary_regression(spark):
+    """Regression pin for the hypothesis-found grid bug (r8): a pair
+    whose exact distance is r + one subnormal rounds onto exactly r²
+    in doubles yet sits two UNPADDED grid cells apart. The padded cell
+    (r·(1+1e-12)) must keep all three qualifying pairs."""
+    from pipeline_query_engine_demo_spark.operators import spatial
+
+    sub = -1.401298464324817e-45
+    ldf = spark.createDataFrame(
+        [(0, 0.0, sub), (1, 0.5, 0.0)], "id long, lat double, lon double"
+    )
+    rdf = spark.createDataFrame(
+        [(100, sub, 0.0), (101, 0.0, 0.5)], "id long, lat double, lon double"
+    )
+    got = {(r[0], r[1]) for r in spatial.radius_join(ldf, rdf, 0.5).collect()}
+    assert got == {(0, 100), (0, 101), (1, 100)}
