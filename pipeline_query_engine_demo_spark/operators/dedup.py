@@ -71,6 +71,22 @@ DEFAULT_MAX_BUCKET_SIZE = 1000
 #: (0.6 in the registered queries) so borderline-true pairs survive.
 DEFAULT_EST_PREFILTER = 0.4
 
+#: Safety valve for exact-clone pre-contraction (see near_dup_pairs):
+#: a clone group of r sha2-identical documents expands to r(r-1)/2
+#: intra-group pairs through ONE reducer key (the group's _rep), and —
+#: because contraction happens BEFORE banding — that expansion bypasses
+#: the hot-bucket cap entirely. A viral mega-clone (r ~ 10^6 copies of
+#: one boilerplate page at 100 TB) would otherwise reintroduce exactly
+#: the quadratic single-reducer blow-up max_bucket_size exists to stop:
+#: the ANSWER itself is 5*10^11 rows, so no salting strategy fixes it —
+#: the group must be dropped whole, like an over-full bucket (a
+#: 1000+-replica text is boilerplate; dropping it IS the intended
+#: curation outcome). At the cap a degenerate group costs at most
+#: cap^2/2 pairs, the same bound as the bucket cap. Independent of
+#: max_bucket_size because the two guard different joins; pass None
+#: (together with max_bucket_size=None) for exact semantics.
+DEFAULT_CLONE_GROUP_CAP = 1000
+
 
 def _units(text_col: Column, shingle_n: int) -> Column:
     """The distinct similarity units of a document: word shingles for
@@ -318,6 +334,7 @@ def near_dup_pairs(
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     est_prefilter: float | None = DEFAULT_EST_PREFILTER,
     contract_exact: bool = True,
+    clone_group_cap: int | None = DEFAULT_CLONE_GROUP_CAP,
 ) -> DataFrame:
     """Full near-dup pipeline: MinHash -> LSH banding (hot-bucket cap on
     by default, see DEFAULT_MAX_BUCKET_SIZE) -> estimated-Jaccard
@@ -353,20 +370,64 @@ def near_dup_pairs(
     whose text has no shingles — those never form pairs in the
     uncontracted pipeline either) and (b) representative-level verified
     pairs expanded through the group membership map. When the
-    hot-bucket cap does not bind, the result is IDENTICAL to the
-    uncontracted pipeline (identical texts ⇒ identical signatures ⇒
-    identical collisions ⇒ identical jaccard); when it does bind,
+    hot-bucket cap does not bind and no group exceeds
+    ``clone_group_cap``, the result is IDENTICAL to the uncontracted
+    pipeline (identical texts ⇒ identical signatures ⇒ identical
+    collisions ⇒ identical jaccard); when the bucket cap binds,
     contraction strictly improves recall because clone groups no
     longer inflate bucket sizes. On a boilerplate-heavy web corpus the
     ×-duplication factor is the dominant cost multiplier this removes
-    (the ×30 replica scale experiment is the measured case)."""
+    (the ×30 replica scale experiment is the measured case).
+
+    ``clone_group_cap`` (see DEFAULT_CLONE_GROUP_CAP) bounds the
+    intra-group expansion the contraction itself creates: groups with
+    more than ``cap`` sha2-identical members are dropped WHOLE —
+    members, representative, intra pairs — before the rep-level
+    pipeline, exactly like an over-full LSH bucket. Without it a
+    mega-clone group re-creates the single-reducer r² blow-up that
+    ``max_bucket_size`` prevents, just one join later.
+
+    ADAPTIVE BYPASS: the clone-group map costs one narrow sha2
+    groupBy; when it shows NO group with more than one member the
+    contraction is the identity and its two membership-expansion
+    joins are pure overhead (measured ~1.3x on the nearly-clone-free
+    sf0.1 fixture) — so the builder checks that one boolean
+    driver-side (a plan-selection scalar, like the convergence count
+    in connected_components; no data is collected) and falls through
+    to the uncontracted pipeline when the corpus has no exact clones."""
+    if clone_group_cap is not None and clone_group_cap < 1:
+        raise ValueError(
+            f"clone_group_cap must be >= 1 or None, got {clone_group_cap}"
+        )
     if contract_exact:
         members = df.select(
             F.col(id_col), F.sha2(F.col(text_col), 256).alias("_h")
-        )
+        ).localCheckpoint(eager=False)
         groups = members.groupBy("_h").agg(
             F.min(id_col).alias("_rep"), F.count(F.lit(1)).alias("_n")
         )
+        if clone_group_cap is not None:
+            over = groups.filter(F.col("_n") > clone_group_cap)
+            groups = groups.filter(F.col("_n") <= clone_group_cap)
+            members = members.join(over.select("_h"), "_h", "left_anti")
+        groups = groups.localCheckpoint(eager=False)
+        # One boolean off the (checkpointed, reused) group map: plan
+        # selection only, nothing is collected. No multi-member group
+        # also means no over-cap group (cap >= 1), so the original df
+        # goes straight to the uncontracted pipeline.
+        if groups.filter(F.col("_n") > 1).isEmpty():
+            return near_dup_pairs(
+                df,
+                id_col,
+                text_col,
+                threshold,
+                num_hashes,
+                bands,
+                shingle_n,
+                max_bucket_size,
+                est_prefilter,
+                contract_exact=False,
+            )
         memb = members.join(groups, "_h").select(id_col, "_rep", "_n")
         rep_only = groups.select(F.col("_rep").alias(id_col))
         rep_docs = df.join(rep_only, on=id_col, how="left_semi")
@@ -606,6 +667,8 @@ def dedup_clusters(
     shingle_n: int = DEFAULT_SHINGLE_N,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     est_prefilter: float | None = DEFAULT_EST_PREFILTER,
+    contract_exact: bool = True,
+    clone_group_cap: int | None = DEFAULT_CLONE_GROUP_CAP,
 ) -> DataFrame:
     """Near-dup clustering: LSH+Jaccard pair graph → connected
     components. Returns (id, cluster_id); a document with no near-dups
@@ -624,6 +687,8 @@ def dedup_clusters(
         shingle_n,
         max_bucket_size,
         est_prefilter,
+        contract_exact,
+        clone_group_cap,
     )
     return connected_components(df.select(id_col), pairs, id_col)
 

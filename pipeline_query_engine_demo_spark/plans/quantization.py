@@ -541,7 +541,7 @@ def pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM v),
         qz AS (SELECT vec_id,
                       list_transform(e, x -> CASE WHEN isfinite(x * 127.0 / ma) THEN floor((x * 127.0 / ma) * 1.0 + 0.5) / 1.0 END) AS qv
-               FROM s),
+               FROM s WHERE ma <> 0),
         qs AS (SELECT vec_id AS query_id, qv AS qq FROM qz WHERE vec_id < 5),
         scored AS (
             SELECT q.query_id, c.vec_id,
@@ -577,7 +577,13 @@ def int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = F.col("embedding").cast("array<double>")
     ma = F.array_max(F.transform(e, F.abs))
     qv = F.transform(e, lambda x: round_half_up(x * 127.0 / ma))
-    qz = emb.select("vec_id", qv.alias("qv"))
+    # All-zero embeddings (ma = 0) are dropped on BOTH sides — mirror
+    # of the oracle's WHERE ma <> 0: a zero max-abs makes every code
+    # 0/0 and the cosine denominator 0, the exact divergence class the
+    # r8 advisor flagged. A nonzero ma guarantees a nonzero code norm
+    # (the max-abs element quantizes to ±127), so no further guard is
+    # needed downstream.
+    qz = emb.filter(ma != 0).select("vec_id", qv.alias("qv"))
     qs = qz.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
     )

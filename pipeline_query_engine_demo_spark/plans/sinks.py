@@ -615,7 +615,13 @@ def python_stream_datasource_rollup(spark: SparkSession, sf_dir: str) -> DataFra
     # availableNow runs against ONE checkpoint (offsets resume) until
     # the source reports no new input — the deterministic drain for a
     # bounded feed, and incidentally a live test of offset recovery.
-    ckpt = os.path.join(tempfile.gettempdir(), "spark_graft_pystream_ckpt")
+    # pid-unique (like _SCRATCH above): a fixed path would let two
+    # concurrent harness runs share offsets — one run's rmtree or
+    # already-committed ranges trips the other's drained-offset resume
+    # into the "produced no batches" assert.
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_pystream_ckpt_{os.getpid()}"
+    )
     shutil.rmtree(ckpt, ignore_errors=True)
     result = None
     for _ in range(16):  # 100 rows / 40-row ranges => 3 + 1 empty pass

@@ -27,6 +27,27 @@ from pipeline_query_engine_demo_spark.plans.registry import query
 from pipeline_query_engine_demo_spark.sources.catalog import load_table
 
 
+def _final_emission(df: DataFrame, key_cols: list[str], seq_col: str) -> DataFrame:
+    """Collapse an update-mode memory-sink table to the LAST emission per
+    key. Update mode appends one emission per key per micro-batch, so
+    the raw sink table equals the final state only when the availableNow
+    drain ingests everything in ONE batch — a multi-file source dir or
+    admission limits would leave earlier per-batch emissions behind and
+    fail the oracle hash (r8 advisor finding). ``seq_col`` must be
+    STRICTLY increasing across a key's emissions (an event counter — a
+    key only emits on new input rows), so the max-over-key rows are the
+    final snapshot regardless of how many batches the drain took. The
+    window is partitioned by the key — no global shuffle funnel."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols)
+    return (
+        df.withColumn("_mx", F.max(seq_col).over(w))
+        .filter(F.col(seq_col) == F.col("_mx"))
+        .drop("_mx")
+    )
+
+
 @query(
     "streaming_tumbling_window_counts",
     category="streaming",
@@ -209,7 +230,9 @@ def streaming_tws_user_value_totals(spark: SparkSession, sf_dir: str) -> DataFra
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
-    return result.orderBy("user_id")
+    # n_events strictly increases per emission, so the collapse keeps
+    # exactly the final per-user snapshot even on a multi-batch drain.
+    return _final_emission(result, ["user_id"], "n_events").orderBy("user_id")
 
 
 @query(
@@ -228,7 +251,7 @@ def streaming_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFram
     tests/test_streaming.py."""
     events = streaming.read_events_stream(spark, sf_dir)
     result = streaming.run_to_memory(streaming.stateful_user_counts(events), "update", name="t_stateful")
-    return result.orderBy("user_id")
+    return _final_emission(result, ["user_id"], "n_events").orderBy("user_id")
 
 
 @query(
@@ -1290,7 +1313,14 @@ def streaming_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = streaming.run_to_memory(
         streaming.stateful_bloom(hashes, 32, 32), "update", name="t_bloom"
     )
-    return state.select(
+    # Multi-batch-drain safety: each emission carries the key's full
+    # word grid, and a word only ever gains bits (bitwise OR), so its
+    # numeric value is nondecreasing across emissions — max(word) per
+    # (key, word_idx) IS the final filter state.
+    final = state.groupBy("event_type", "word_idx").agg(
+        F.max("word").alias("word")
+    )
+    return final.select(
         "event_type",
         "word_idx",
         "word",
@@ -1345,6 +1375,10 @@ def streaming_tws_recent_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
-    return result.select(
-        "user_id", F.col("rnk"), "event_id", "cents"
-    ).orderBy("user_id", "rnk")
+    # n_seen strictly increases per emission — keep the final per-user
+    # snapshot (multi-batch-drain safety), then drop the bookkeeping.
+    return (
+        _final_emission(result, ["user_id"], "n_seen")
+        .select("user_id", F.col("rnk"), "event_id", "cents")
+        .orderBy("user_id", "rnk")
+    )

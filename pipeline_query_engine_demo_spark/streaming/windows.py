@@ -348,7 +348,12 @@ def tws_user_recent_values(rows: DataFrame, keep: int = 3) -> DataFrame:
 
     ``rows``: streaming (user_id, ts_us, event_id, cents) with ts
     pre-converted to BIGINT micros Spark-side. Emits one row per kept
-    event with its recency rank (1 = newest)."""
+    event with its recency rank (1 = newest) plus ``n_seen`` — the
+    strictly-increasing count of rows ever seen for the key (a second
+    state variable, ValueState beside the ListState), which lets the
+    update-mode sink table be collapsed to the FINAL per-key emission
+    when a drain takes more than one micro-batch
+    (plans.streams._final_emission)."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -359,12 +364,15 @@ def tws_user_recent_values(rows: DataFrame, keep: int = 3) -> DataFrame:
             self._state = handle.getListState(
                 "recent", "ts_us LONG, event_id LONG, cents LONG"
             )
+            self._seen = handle.getValueState("n_seen", "n LONG")
 
         def handleInputRows(self, key, batches, timerValues):  # noqa: ANN001
             import pandas as pd
 
+            n_seen = self._seen.get()[0] if self._seen.exists() else 0
             items = [tuple(r) for r in self._state.get()]
             for pdf in batches:
+                n_seen += len(pdf)
                 items.extend(
                     zip(
                         pdf["ts_us"].astype("int64"),
@@ -374,12 +382,14 @@ def tws_user_recent_values(rows: DataFrame, keep: int = 3) -> DataFrame:
                 )
             items = sorted(set(items), key=lambda t: (-t[0], -t[1]))[:keep]
             self._state.put([tuple(int(x) for x in t) for t in items])
+            self._seen.update((n_seen,))
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]] * len(items),
                     "rnk": list(range(1, len(items) + 1)),
                     "event_id": [t[1] for t in items],
                     "cents": [t[2] for t in items],
+                    "n_seen": [n_seen] * len(items),
                 }
             )
 
@@ -388,7 +398,9 @@ def tws_user_recent_values(rows: DataFrame, keep: int = 3) -> DataFrame:
 
     return rows.groupBy("user_id").transformWithStateInPandas(
         Recent(),
-        outputStructType="user_id long, rnk long, event_id long, cents long",
+        outputStructType=(
+            "user_id long, rnk long, event_id long, cents long, n_seen long"
+        ),
         outputMode="Update",
         timeMode="None",
     )

@@ -100,6 +100,60 @@ def test_lsh_hot_bucket_cap_is_on_by_default(spark):
     assert clusters == {0: 0, 1: 0, 2: 0, 3: 0}
 
 
+def test_clone_group_cap_bounds_mega_group(spark):
+    # A planted MEGA clone group (size 5 > cap 3) must be dropped WHOLE
+    # by the contraction path — without the cap it would expand to
+    # r(r-1)/2 pairs through one reducer key, bypassing the hot-bucket
+    # cap (the blow-up the r8 advisor flagged). A small group (size 2,
+    # under the cap) in the same corpus keeps full recall, as does the
+    # rep-level near-dup edge between distinct texts.
+    assert dedup.DEFAULT_CLONE_GROUP_CAP is not None  # the default path is safe
+    corpus = spark.createDataFrame(
+        [(i, BASE) for i in range(5)]  # mega group: 5 exact clones
+        + [(10, NEAR), (11, NEAR)]  # small clone group of 2
+        + [(20, FAR)],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.near_dup_pairs(
+            corpus, "doc_id", "text", threshold=0.5, clone_group_cap=3
+        ).collect()
+    }
+    assert all(a not in range(5) and b not in range(5) for a, b in pairs)
+    assert (10, 11) in pairs and pairs[(10, 11)] == 1.0
+    # uncapped (cap=None): the mega group contributes all 10 intra pairs
+    # plus 5x2 expanded rep-level near-dup pairs to the NEAR clones
+    uncapped = dedup.near_dup_pairs(
+        corpus, "doc_id", "text", threshold=0.5, clone_group_cap=None
+    )
+    assert uncapped.count() == 10 + 10 + 1
+    with pytest.raises(ValueError):
+        dedup.near_dup_pairs(corpus, "doc_id", "text", clone_group_cap=0)
+
+
+def test_contract_exact_adaptive_bypass_identity(spark):
+    # A clone-FREE corpus must produce identical pairs through the
+    # default (contract_exact=True, now bypassing) and the uncontracted
+    # pipeline — the bypass is a plan choice, never a semantic one.
+    corpus = spark.createDataFrame(
+        [(0, BASE), (1, NEAR), (2, FAR)], "doc_id long, text string"
+    )
+    bypassed = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.near_dup_pairs(
+            corpus, "doc_id", "text", threshold=0.5
+        ).collect()
+    )
+    uncontracted = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.near_dup_pairs(
+            corpus, "doc_id", "text", threshold=0.5, contract_exact=False
+        ).collect()
+    )
+    assert bypassed == uncontracted and len(bypassed) == 1
+
+
 def test_connected_components_chain(spark):
     # chain 1-2-3-4 plus isolated 9: one component labeled 1, one {9}
     nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 9)], "doc_id long")

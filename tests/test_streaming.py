@@ -1080,3 +1080,14 @@ def test_tws_list_state_trims_across_batches(spark, sf_dir, tmp_path):
         assert s <= emissions[u], (u, s, emissions[u])
     # state evolved: some user emitted more than 3 distinct triples
     assert any(len(s) > 3 for s in emissions.values())
+    # the n_seen collapse (plans.streams._final_emission) recovers the
+    # EXACT final snapshot per user from the multi-batch update output
+    final: dict = {}
+    for r in drained:
+        best, triples = final.setdefault(r.user_id, (0, set()))
+        if r.n_seen > best:
+            final[r.user_id] = (r.n_seen, {(r.rnk, r.event_id, r.cents)})
+        elif r.n_seen == best:
+            triples.add((r.rnk, r.event_id, r.cents))
+    for u, s in exp.items():
+        assert final[u][1] == s, (u, s, final[u])
