@@ -156,6 +156,10 @@ EXTENDED = [
     "ps_pivot_table_orders",
     "lsh_bands_recall_sweep",
     "streaming_tws_recent_values",
+    # round-9: event-time timers + MapState complete the
+    # transformWithState family.
+    "streaming_tws_session_timer",
+    "streaming_tws_map_counts",
 ]
 
 

@@ -27,6 +27,38 @@ from pipeline_query_engine_demo_spark.plans.registry import query
 from pipeline_query_engine_demo_spark.sources.catalog import load_table
 
 
+def _tws_run(spark: SparkSession):
+    """Context manager for a transformWithStateInPandas drain: wires the
+    vendored protobuf runtime into the streaming Python workers and pins
+    RocksDBStateStoreProvider (the API's state server needs multiple
+    column families, which HDFSBacked lacks) for the duration, restoring
+    the prior provider afterwards so every other streaming query keeps
+    the default."""
+    from contextlib import contextmanager
+
+    from pipeline_query_engine_demo_spark.session import ensure_protobuf_on_workers
+
+    @contextmanager
+    def run():
+        ensure_protobuf_on_workers(spark)
+        rocksdb = (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
+        key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, rocksdb)
+        try:
+            yield
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+    return run()
+
+
 def _final_emission(df: DataFrame, key_cols: list[str], seq_col: str) -> DataFrame:
     """Collapse an update-mode memory-sink table to the LAST emission per
     key. Update mode appends one emission per key per micro-batch, so
@@ -1381,4 +1413,112 @@ def streaming_tws_recent_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         _final_emission(result, ["user_id"], "n_seen")
         .select("user_id", F.col("rnk"), "event_id", "cents")
         .orderBy("user_id", "rnk")
+    )
+
+
+@query(
+    "streaming_tws_session_timer",
+    category="streaming",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, epoch_ms(ts) AS ms,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events
+        ),
+        mx AS (SELECT MAX(ms) AS max_ms FROM e),
+        b AS (
+            SELECT user_id, ms, cents,
+                   CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms)
+                             > 1800000
+                        THEN 1 ELSE 0 END AS brk
+            FROM e
+        ),
+        s AS (
+            SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ms
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+            FROM b
+        ),
+        g AS (
+            SELECT user_id, sid,
+                   MIN(ms) AS start_ms, MAX(ms) AS end_ms,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(cents) AS BIGINT) AS cents
+            FROM s GROUP BY user_id, sid
+        ),
+        l AS (SELECT user_id, MAX(sid) AS last_sid FROM g GROUP BY user_id)
+        SELECT g.user_id, g.start_ms, g.end_ms, g.n_events, g.cents,
+               CASE WHEN g.sid < l.last_sid THEN 'data' ELSE 'timer' END
+                   AS closed_by
+        FROM g JOIN l ON g.user_id = l.user_id CROSS JOIN mx
+        WHERE g.sid < l.last_sid OR g.end_ms + 1800000 <= mx.max_ms
+        ORDER BY g.user_id, g.start_ms
+    """,
+)
+def streaming_tws_session_timer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TIME TIMERS on ``transformWithStateInPandas``
+    (streaming.tws_session_timer): 30-minute session-gap detection
+    where mid-stream sessions close on DATA (a newer event beyond the
+    gap) and each user's final session closes on the TIMER that fires
+    once the event-time watermark (delay 0) passes ``last + gap`` —
+    the availableNow drain's no-data batch advances the watermark to
+    the stream's max event time and fires exactly the timers at or
+    below it (inclusive comparison, pinned by
+    tests/test_streaming.py). The ``closed_by`` column is hashed, so
+    the gate fails if timers do not fire or fire for the wrong keys.
+
+    The oracle replays it in SQL: gaps-and-islands sessionization on
+    the shared millisecond lattice (epoch_ms both engines), with a
+    user's LAST session kept only when ``end + gap <= max_ms`` — the
+    watermark rule. Sessions still open at the final watermark are
+    (correctly) absent from both sides.
+
+    Scale: state per key is one 4-field struct + one timer regardless
+    of stream length; timers are the eviction mechanism that bounds
+    it. The oracle's window chain is per-user partitioned."""
+    with _tws_run(spark):
+        events = streaming.read_events_stream(spark, sf_dir)
+        rows = (
+            events.withWatermark("ts", "0 seconds")
+            .select(
+                "user_id",
+                F.unix_millis(F.col("ts")).alias("ts_ms"),
+                F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+            )
+        )
+        result = streaming.run_to_memory(
+            streaming.tws_session_timer(rows), "append", name="t_tws_sessions"
+        )
+    return result.orderBy("user_id", "start_ms")
+
+
+@query(
+    "streaming_tws_map_counts",
+    category="streaming",
+    oracle="""
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id, event_type
+        ORDER BY user_id, event_type
+    """,
+)
+def streaming_tws_map_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP STATE on ``transformWithStateInPandas``
+    (streaming.tws_map_counts): a per-user ``event_type → count`` map
+    updated via containsKey/getValue/updateValue and emitted in full
+    per batch — the per-key-per-category accumulator shape where the
+    category set is unknown upfront. Completes the arbitrary-state API
+    family: ValueState (totals), ListState (recent), timers
+    (session_timer), MapState (here). AvailableNow drain → the final
+    per-user snapshot equals the batch GROUP BY; the update-mode sink
+    is collapsed to the last emission per key via the strictly
+    increasing ``n_seen`` counter (multi-batch-drain safety)."""
+    with _tws_run(spark):
+        events = streaming.read_events_stream(spark, sf_dir)
+        rows = events.select("user_id", "event_type")
+        result = streaming.run_to_memory(
+            streaming.tws_map_counts(rows), "update", name="t_tws_map"
+        )
+    return (
+        _final_emission(result, ["user_id"], "n_seen")
+        .select("user_id", "event_type", "n")
+        .orderBy("user_id", "event_type")
     )

@@ -33,6 +33,8 @@ from pipeline_query_engine_demo_spark.streaming.windows import (
     stream_static_join_segments,
     stream_stream_click_purchases,
     tumbling_counts,
+    tws_map_counts,
+    tws_session_timer,
     tws_user_value_totals,
 )
 
@@ -56,5 +58,7 @@ __all__ = [
     "stream_static_join_segments",
     "stream_stream_click_purchases",
     "tumbling_counts",
+    "tws_map_counts",
+    "tws_session_timer",
     "tws_user_value_totals",
 ]

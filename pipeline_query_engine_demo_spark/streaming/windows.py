@@ -406,6 +406,180 @@ def tws_user_recent_values(rows: DataFrame, keep: int = 3) -> DataFrame:
     )
 
 
+#: Session gap for the event-time-timer operator below: 30 minutes in
+#: the millisecond lattice timers use.
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def tws_session_timer(rows: DataFrame, gap_ms: int = SESSION_GAP_MS) -> DataFrame:
+    """EVENT-TIME TIMERS on the arbitrary-state API — the third leg of
+    ``transformWithStateInPandas`` after ValueState
+    (tws_user_value_totals) and ListState (tws_user_recent_values):
+    session-gap detection where closed sessions are emitted by DATA
+    (a newer event more than ``gap_ms`` after the session's last) and
+    the final open session per key is emitted by the TIMER that fires
+    once the watermark passes ``last + gap_ms`` — the
+    eviction/emit-on-expiry pattern every production session pipeline
+    needs (``timeMode="EventTime"``; the registered query stamps each
+    row with how it closed, so the oracle hash FAILS if timers do not
+    fire).
+
+    Timer semantics (pinned by tests/test_streaming.py): timers
+    registered during a batch fire once the eviction watermark reaches
+    the expiry — inclusively (expiry == watermark fires), and an
+    availableNow drain runs one final no-data batch whose advanced
+    watermark fires them. Sessions whose expiry is beyond the final
+    watermark stay open (un-emitted) — exactly the answer a
+    continuously-running job would have produced at that watermark.
+
+    ``rows``: streaming (user_id, ts_ms, cents) where ts_ms =
+    unix_millis of the WATERMARKED event-time column (the ms lattice
+    is what registerTimer speaks). Within a batch rows are sorted by
+    ts_ms; cross-batch order is arrival order (time-split sources —
+    same contract as stateful_cusum). Emits
+    (user_id, start_ms, end_ms, n_events, cents, closed_by)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Sessions(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self._open = handle.getValueState(
+                "open", "start_ms LONG, last_ms LONG, n LONG, cents LONG"
+            )
+
+        def handleInputRows(self, key, batches, timerValues):  # noqa: ANN001
+            import pandas as pd
+
+            evs: list[tuple[int, int]] = []
+            for pdf in batches:
+                evs.extend(
+                    zip(pdf["ts_ms"].astype("int64"), pdf["cents"].astype("int64"))
+                )
+            evs.sort()
+            if self._open.exists():
+                start, last, n, cents = self._open.get()
+            else:
+                start = last = None
+                n = cents = 0
+            out = []
+            for t, c in evs:
+                if start is None:
+                    start, last, n, cents = t, t, 1, int(c)
+                elif t - last <= gap_ms:
+                    last, n, cents = t, n + 1, cents + int(c)
+                else:
+                    out.append((key[0], start, last, n, cents, "data"))
+                    start, last, n, cents = t, t, 1, int(c)
+            # one live timer per key: re-arm at the open session's expiry
+            for ts in self.handle.listTimers():
+                self.handle.deleteTimer(ts)
+            self._open.update((int(start), int(last), int(n), int(cents)))
+            self.handle.registerTimer(int(last) + gap_ms)
+            yield pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in out],
+                    "start_ms": [r[1] for r in out],
+                    "end_ms": [r[2] for r in out],
+                    "n_events": [r[3] for r in out],
+                    "cents": [r[4] for r in out],
+                    "closed_by": [r[5] for r in out],
+                }
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):  # noqa: ANN001
+            import pandas as pd
+
+            if self._open.exists():
+                start, last, n, cents = self._open.get()
+                self._open.clear()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "start_ms": [start],
+                        "end_ms": [last],
+                        "n_events": [n],
+                        "cents": [cents],
+                        "closed_by": ["timer"],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return rows.groupBy("user_id").transformWithStateInPandas(
+        Sessions(),
+        outputStructType=(
+            "user_id long, start_ms long, end_ms long, n_events long,"
+            " cents long, closed_by string"
+        ),
+        outputMode="Append",
+        timeMode="EventTime",
+    )
+
+
+def tws_map_counts(rows: DataFrame) -> DataFrame:
+    """MAP STATE on the arbitrary-state API — the last state primitive
+    (``getMapState``) after ValueState/ListState/timers: a per-user map
+    of event_type → count, updated via containsKey/getValue/updateValue
+    and emitted in full (iterator()) per batch. Map state is the shape
+    for per-key-per-category accumulators where the category set is
+    unknown upfront — per-key columns can't be declared, and a single
+    struct ValueState would rewrite the whole blob per row at RocksDB.
+
+    Emits (user_id, event_type, n, n_seen); ``n_seen`` — total rows
+    ever seen for the key — strictly increases per emission, so
+    plans.streams._final_emission recovers the final snapshot from an
+    update-mode sink even on a multi-batch drain."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class MapCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState("counts", "event_type STRING", "n LONG")
+            self._seen = handle.getValueState("n_seen", "n LONG")
+
+        def handleInputRows(self, key, batches, timerValues):  # noqa: ANN001
+            import pandas as pd
+
+            n_seen = self._seen.get()[0] if self._seen.exists() else 0
+            for pdf in batches:
+                n_seen += len(pdf)
+                for et, cnt in pdf["event_type"].value_counts().items():
+                    k = (str(et),)
+                    cur = (
+                        self._counts.getValue(k)[0]
+                        if self._counts.containsKey(k)
+                        else 0
+                    )
+                    self._counts.updateValue(k, (cur + int(cnt),))
+            self._seen.update((n_seen,))
+            entries = [(k[0], v[0]) for k, v in self._counts.iterator()]
+            entries.sort()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(entries),
+                    "event_type": [e[0] for e in entries],
+                    "n": [e[1] for e in entries],
+                    "n_seen": [n_seen] * len(entries),
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return rows.groupBy("user_id").transformWithStateInPandas(
+        MapCounts(),
+        outputStructType="user_id long, event_type string, n long, n_seen long",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def stateful_user_counts(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running event count held in the state store. State is a single

@@ -1091,3 +1091,155 @@ def test_tws_list_state_trims_across_batches(spark, sf_dir, tmp_path):
             triples.add((r.rnk, r.event_id, r.cents))
     for u, s in exp.items():
         assert final[u][1] == s, (u, s, final[u])
+
+
+def _rocksdb(spark):
+    """Context manager pinning the RocksDB state store provider (the
+    transformWithState requirement) for a test block."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def run():
+        key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            yield
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+    return run()
+
+
+def test_tws_event_time_timers_multi_batch(spark, tmp_path):
+    """Pins the event-time timer semantics streaming_tws_session_timer
+    relies on, across a REAL two-batch run (maxFilesPerTrigger=1):
+
+    - a key with no further data gets its final session emitted by the
+      TIMER once a later batch's watermark passes last+gap;
+    - a key whose new event EXTENDS the open session within the gap
+      must NOT fire its stale timer (deleteTimer re-arm) — the merged
+      session stays open and absent;
+    - the availableNow drain's trailing no-data batch fires timers at
+      expiry == final watermark (INCLUSIVE comparison — the boundary
+      the oracle encodes as end_ms + gap <= max_ms);
+    - a closed-then-reopened key emits its first session exactly once.
+    """
+    import time
+
+    gap_ms = 30 * 60 * 1000
+    chunk1 = [
+        (1, "2024-01-01 10:00:00"),  # user 1: session A, will get late follow-up
+        (2, "2024-01-01 10:00:00"),  # user 2: no more data -> timer-closed
+        (3, "2024-01-01 13:00:00"),  # user 3: pushes batch-1 max to 13:00
+        (4, "2024-01-01 12:50:00"),  # user 4: extended in chunk 2
+    ]
+    chunk2 = [
+        (1, "2024-01-01 13:30:00"),  # > gap after 10:00 -> new session; max now 13:30
+        (4, "2024-01-01 13:10:00"),  # within gap of 12:50 -> extends session
+    ]
+    src = str(tmp_path / "tws_timer_src")
+    for rows in (chunk1, chunk2):
+        spark.createDataFrame(rows, "user_id long, ts_s string").select(
+            "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+    with _rocksdb(spark):
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        rows = stream.withWatermark("ts", "0 seconds").select(
+            "user_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            F.lit(1).cast("long").alias("cents"),
+        )
+        drained = streaming.run_to_memory(
+            streaming.tws_session_timer(rows), "append"
+        ).collect()
+    by_user: dict = {}
+    for r in drained:
+        by_user.setdefault(r.user_id, []).append(r)
+    ms = lambda s: int(  # noqa: E731
+        __import__("datetime")
+        .datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+        .replace(tzinfo=__import__("datetime").timezone.utc)
+        .timestamp()
+        * 1000
+    )
+    # user 2: exactly one session, closed by the TIMER (expiry 10:30 well
+    # below the batch-2 watermark 13:00)
+    assert len(by_user[2]) == 1 and by_user[2][0].closed_by == "timer"
+    assert by_user[2][0].start_ms == by_user[2][0].end_ms == ms("2024-01-01 10:00:00")
+    # user 3: expiry 13:30 == final watermark 13:30 -> INCLUSIVE fire in
+    # the trailing no-data batch
+    assert len(by_user[3]) == 1 and by_user[3][0].closed_by == "timer"
+    # user 4: stale 13:20 timer deleted on extension; merged session open
+    # at 13:40 > 13:30 -> absent entirely
+    assert 4 not in by_user
+    # user 1: first session emitted exactly once (by data OR by the timer,
+    # depending on Spark's data/timer ordering within batch 2 — both are
+    # exactly-once); the 13:30 session stays open and absent
+    assert len(by_user[1]) == 1
+    r1 = by_user[1][0]
+    assert (r1.start_ms, r1.end_ms, r1.n_events) == (
+        ms("2024-01-01 10:00:00"),
+        ms("2024-01-01 10:00:00"),
+        1,
+    )
+    # every emitted expiry respects the watermark rule the oracle encodes
+    final_wm = ms("2024-01-01 13:30:00")
+    for rs in by_user.values():
+        for r in rs:
+            if r.closed_by == "timer":
+                assert r.end_ms + gap_ms <= final_wm
+
+
+def test_tws_map_state_merges_across_batches(spark, sf_dir, tmp_path):
+    """MapState must accumulate per (key, map-key) across micro-batches:
+    after a two-chunk time-split drain, the final per-user snapshot
+    (max n_seen emission) equals the batch GROUP BY, and at least one
+    user emitted twice with growing counts."""
+    import time
+
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_time_chunks_tws_map")
+    cut = ev.selectExpr("percentile_approx(ts, 0.5) AS c").collect()[0]["c"]
+    for ch in [ev.filter(F.col("ts") <= cut), ev.filter(F.col("ts") > cut)]:
+        ch.coalesce(1).write.mode("append").parquet(out)
+        time.sleep(1.1)
+    with _rocksdb(spark):
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(out)
+        )
+        drained = streaming.run_to_memory(
+            streaming.tws_map_counts(stream.select("user_id", "event_type")),
+            "update",
+        ).collect()
+    exp = {
+        (r.user_id, r.event_type): r.n
+        for r in ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    final: dict = {}
+    seen_per_user: dict = {}
+    for r in drained:
+        seen_per_user.setdefault(r.user_id, set()).add(r.n_seen)
+        best = final.get((r.user_id, r.event_type), (0, 0))
+        if r.n_seen > best[0]:
+            final[(r.user_id, r.event_type)] = (r.n_seen, r.n)
+    got = {k: v[1] for k, v in final.items()}
+    assert got == exp
+    # multi-batch actually exercised: some user emitted in both batches
+    assert any(len(s) >= 2 for s in seen_per_user.values())
