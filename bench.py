@@ -157,9 +157,11 @@ EXTENDED = [
     "lsh_bands_recall_sweep",
     "streaming_tws_recent_values",
     # round-9: event-time timers + MapState complete the
-    # transformWithState family.
+    # transformWithState family; the partition-parallel Python
+    # streaming source is the 100 TB ingest shape.
     "streaming_tws_session_timer",
     "streaming_tws_map_counts",
+    "python_parallel_stream_shards",
 ]
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     SimpleDataSourceStreamReader,
 )
@@ -100,3 +101,69 @@ class CounterStreamSource(DataSource):
 
     def simpleStreamReader(self, schema) -> CounterStreamReader:  # noqa: ANN001
         return CounterStreamReader()
+
+
+#: PARTITION-PARALLEL streaming half (``DataSourceStreamReader`` with
+#: ``partitions()``) — the 100 TB shape the SimpleDataSourceStreamReader
+#: docstrings name: the driver only plans offset ranges; ``read`` runs
+#: once per InputPartition ON THE EXECUTORS, so ingest bandwidth scales
+#: with the cluster instead of funneling through the driver. The demo
+#: feed's offset is a row position; ``partitions`` splits the planned
+#: [start, end) range into fixed 10-row shards, each of which computes
+#: its slice from its own (lo, hi, shard) alone — deterministic replay
+#: on recovery is the slice arithmetic itself (the offset-log range is
+#: re-split into the identical shards and re-read).
+PAR_TOTAL = 120
+PAR_SHARD_ROWS = 10
+
+
+class _ShardSlice(InputPartition):
+    def __init__(self, lo: int, hi: int, shard: int) -> None:
+        self.lo = lo
+        self.hi = hi
+        self.shard = shard
+
+
+class ShardStreamReader(DataSourceStreamReader):
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        # Availability is CONTENT-determined (all PAR_TOTAL rows exist
+        # from t0), never consumption-determined — on checkpoint
+        # recovery the reported end must be >= the committed offset, a
+        # property a call-counting "growth" hack would violate. A real
+        # source returns the broker/file-listing end offset here.
+        return {"pos": PAR_TOTAL}
+
+    def partitions(self, start: dict, end: dict) -> list[_ShardSlice]:
+        lo, hi = start["pos"], end["pos"]
+        return [
+            _ShardSlice(o, min(o + PAR_SHARD_ROWS, hi), o // PAR_SHARD_ROWS)
+            for o in range(lo, hi, PAR_SHARD_ROWS)
+        ]
+
+    def read(self, partition: _ShardSlice):
+        # Executor-side: each shard emits exactly its slice, tagged with
+        # its shard id — the tag lands in the oracle-hashed output, so a
+        # shard reading the wrong slice (or the driver reading
+        # everything) fails the gate.
+        for i in range(partition.lo, partition.hi):
+            yield (i, partition.shard, i % 5)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing external to clean up for the synthetic feed
+
+
+class ShardStreamSource(DataSource):
+    """``readStream.format("shard_feed")``: partition-parallel stream."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "shard_feed"
+
+    def schema(self) -> str:
+        return "n BIGINT, shard BIGINT, grp BIGINT"
+
+    def streamReader(self, schema) -> ShardStreamReader:  # noqa: ANN001
+        return ShardStreamReader()
