@@ -162,6 +162,7 @@ EXTENDED = [
     "streaming_tws_session_timer",
     "streaming_tws_map_counts",
     "python_parallel_stream_shards",
+    "audio_decode_stats",
 ]
 
 

@@ -302,6 +302,158 @@ def decode_media(
     )
 
 
+def encode_wav(sample_rate: int, channels: int, samples: bytes, junk_chunk: bool = False) -> bytes:
+    """Minimal valid RIFF/WAVE writer for 16-bit PCM: interleaved
+    little-endian int16 ``samples`` in → canonical WAV bytes out
+    (RIFF header, ``fmt `` chunk with block-align/byte-rate, ``data``
+    chunk). With ``junk_chunk`` a 6-byte ``LIST`` chunk (odd payload →
+    pad byte, per the RIFF spec) is inserted between ``fmt `` and
+    ``data`` so decoders must actually WALK chunks rather than assume
+    the fixed 44-byte layout. Pure stdlib — the format is public
+    (Microsoft/IBM RIFF WAVE). The audio twin of :func:`encode_bmp`."""
+    if len(samples) % (2 * channels):
+        raise ValueError("samples must be whole interleaved 16-bit frames")
+    block_align = 2 * channels
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block_align).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    junk = b"LIST" + (5).to_bytes(4, "little") + b"INFO\x00" + b"\x00" if junk_chunk else b""
+    data = b"data" + len(samples).to_bytes(4, "little") + samples
+    body = b"WAVE" + fmt + junk + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _decode_wav_one(data: bytes) -> tuple[int, int, int, bytes]:
+    """Parse one RIFF/WAVE payload → (sample_rate, channels, n_frames,
+    sample_bytes). Walks chunks (skipping unknown ones, honoring the
+    RIFF odd-size pad byte); only uncompressed 16-bit PCM is accepted —
+    compressed codecs are out of scope exactly like JPEG for images
+    (module docstring). Raises ValueError on anything else."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(data)
+    fmt = None
+    samples = None
+    while pos + 8 <= n:
+        cid = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("short fmt chunk")
+            audio_format = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if audio_format != 1:
+                raise ValueError(f"only PCM supported, got format {audio_format}")
+            if bits != 16:
+                raise ValueError(f"only 16-bit PCM supported, got {bits}")
+            if channels < 1 or rate < 1:
+                raise ValueError("degenerate WAV header")
+            fmt = (rate, channels)
+        elif cid == b"data":
+            samples = body
+        pos += 8 + size + (size % 2)  # odd chunk sizes carry a pad byte
+    if fmt is None or samples is None:
+        raise ValueError("missing fmt or data chunk")
+    rate, channels = fmt
+    if len(samples) % (2 * channels):
+        raise ValueError("data chunk is not whole frames")
+    return rate, channels, len(samples) // (2 * channels), samples
+
+
+def decode_audio(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Decode binary WAV payloads (16-bit PCM — see :func:`_decode_wav_one`)
+    via mapInPandas and reduce each to exact-integer audio stats in the
+    same pass: ``n_frames``, ``duration_us`` (frames·10⁶ div rate, exact
+    integer division), ``peak`` = max |sample|, ``sum_sq`` = Σ sample²
+    (exact int64 — ≤ 2³⁰ per sample², far under overflow for any real
+    clip length), and the ORDER-SENSITIVE ``ch0_sum`` = Σ of channel-0
+    samples (every ``channels``-th interleaved value), which changes if
+    a decoder mis-strides the interleave even when symmetric stats
+    would not. Undecodable payloads yield NULL stats plus ``err``
+    instead of failing the task — one corrupt blob in 100 TB must not
+    kill a stage. The audio member of the multimodal column family
+    (images: :func:`decode_media`; video access pattern:
+    :func:`frame_sample`).
+
+    Scale: map-side only, zero shuffles; payloads never leave the
+    executor — only the narrow stat columns survive."""
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                id_col: [],
+                "sample_rate": [],
+                "channels": [],
+                "n_frames": [],
+                "duration_us": [],
+                "peak": [],
+                "sum_sq": [],
+                "ch0_sum": [],
+                "err": [],
+            }
+            # row-loop-ok: decode is per-payload by nature (variable
+            # length, chunk walking, per-row error capture); the sample
+            # math inside is numpy over the whole clip.
+            for doc_id, blob in zip(pdf[id_col], pdf[payload_col]):
+                out[id_col].append(doc_id)
+                try:
+                    if blob is None or (
+                        not isinstance(blob, (bytes, bytearray, memoryview))
+                        and pd.isna(blob)
+                    ):
+                        raise ValueError("null audio payload")
+                    rate, ch, frames, raw = _decode_wav_one(bytes(blob))
+                except (ValueError, IndexError, TypeError) as exc:
+                    for c in (
+                        "sample_rate",
+                        "channels",
+                        "n_frames",
+                        "duration_us",
+                        "peak",
+                        "sum_sq",
+                        "ch0_sum",
+                    ):
+                        out[c].append(None)
+                    out["err"].append(str(exc))
+                    continue
+                v = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                out["sample_rate"].append(rate)
+                out["channels"].append(ch)
+                out["n_frames"].append(frames)
+                out["duration_us"].append(frames * 1_000_000 // rate)
+                out["peak"].append(int(np.abs(v).max()) if len(v) else None)
+                out["sum_sq"].append(int((v * v).sum()) if len(v) else None)
+                out["ch0_sum"].append(int(v[0::ch].sum()) if len(v) else None)
+                out["err"].append(None)
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run,
+        schema=(
+            f"{id_col} {id_type}, sample_rate int, channels int,"
+            " n_frames bigint, duration_us bigint, peak bigint,"
+            " sum_sq bigint, ch0_sum bigint, err string"
+        ),
+    )
+
+
 def frame_sample(
     df: DataFrame,
     id_col: str,

@@ -145,3 +145,75 @@ def test_fake_resize_fits_box_preserving_aspect(spark):
         # aspect preserved within floor rounding
         assert abs(r.width_out / r.height_out - r.width_in / r.height_in) < 0.02
     assert rows[1].kind == "image" and rows[2].kind == "video"
+
+
+def test_wav_roundtrip_planted_square_wave(spark):
+    """Encoder and decoder pinned against a clip with closed-form stats:
+    a ±8192 square wave (period 8) at 8 kHz mono for exactly 1 s has
+    duration 1_000_000 µs, peak 8192, energy n·8192², RMS exactly
+    8192 — and the junk-chunk variant must decode identically (the
+    parser walks chunks, it does not assume the 44-byte layout)."""
+    import numpy as np
+
+    n = 8000
+    wave = np.where(np.arange(n) % 8 < 4, 8192, -8192).astype("<i2")
+    plain = multimodal.encode_wav(8000, 1, wave.tobytes())
+    junked = multimodal.encode_wav(8000, 1, wave.tobytes(), junk_chunk=True)
+    assert plain[:4] == b"RIFF" and plain[8:12] == b"WAVE"
+    assert b"LIST" in junked and b"LIST" not in plain
+    df = spark.createDataFrame(
+        [(1, plain), (2, junked)], "doc_id long, payload binary"
+    )
+    rows = {r.doc_id: r for r in multimodal.decode_audio(df, "doc_id", "payload").collect()}
+    for r in rows.values():
+        assert r.err is None
+        assert (r.sample_rate, r.channels, r.n_frames) == (8000, 1, n)
+        assert r.duration_us == 1_000_000
+        assert r.peak == 8192
+        assert r.sum_sq == n * 8192 * 8192
+        assert r.ch0_sum == 0  # symmetric wave sums to zero
+
+
+def test_wav_stereo_interleave_and_error_capture(spark):
+    """Channel-0 extraction must honor the interleave stride (constant
+    L=100 / R=-50 frames), and undecodable payloads must yield err rows
+    instead of failing the task: wrong magic, truncated data chunk,
+    non-PCM format code, 8-bit depth, null payload."""
+    import numpy as np
+
+    frames = 50
+    inter = np.empty(frames * 2, dtype="<i2")
+    inter[0::2] = 100
+    inter[1::2] = -50
+    stereo = multimodal.encode_wav(16000, 2, inter.tobytes())
+    # hand-corrupt: flip the PCM format code to 3 (IEEE float)
+    nonpcm = bytearray(stereo)
+    fmt_at = stereo.index(b"fmt ") + 8
+    nonpcm[fmt_at : fmt_at + 2] = (3).to_bytes(2, "little")
+    # hand-corrupt: claim 8-bit depth
+    bits8 = bytearray(stereo)
+    bits8[fmt_at + 14 : fmt_at + 16] = (8).to_bytes(2, "little")
+    truncated = stereo[:-10]
+    df = spark.createDataFrame(
+        [
+            (1, stereo),
+            (2, b"JUNKJUNKJUNK"),
+            (3, truncated),
+            (4, bytes(nonpcm)),
+            (5, bytes(bits8)),
+            (6, None),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in multimodal.decode_audio(df, "doc_id", "payload").collect()}
+    ok = rows[1]
+    assert ok.err is None and ok.channels == 2 and ok.n_frames == frames
+    assert ok.ch0_sum == 100 * frames  # stride-correct channel-0 sum
+    assert ok.peak == 100
+    assert ok.sum_sq == frames * (100 * 100 + 50 * 50)
+    assert ok.duration_us == frames * 1_000_000 // 16000
+    assert rows[2].err is not None and rows[2].peak is None
+    assert "truncated" in rows[3].err
+    assert "only PCM" in rows[4].err
+    assert "16-bit" in rows[5].err
+    assert "null audio payload" in rows[6].err
