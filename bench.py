@@ -165,6 +165,33 @@ EXTENDED = [
     "audio_decode_stats",
 ]
 
+#: HOT tier (r8 verdict item 6 — the extended sweep grows ~linearly with
+#: the corpus, ~190 s at 91 rows, and the full 4-execution protocol
+#: costs ~4x that): while ITERATING locally, ``SPARK_GRAFT_BENCH_TIER=hot``
+#: times the headline set plus this fixed representative slice of the
+#: extended set — the most expensive rows (where regressions cost the
+#: most wall-clock) plus one delegate per plan family (iterative graph,
+#: curation chain, streaming drain, pandas-on-Spark, ps-API join,
+#: sketch, ANN, stateful-API). The FULL tier remains the default and is
+#: what the per-round record (BENCH_r{N}.json / BENCH_DETAIL.json) must
+#: come from — the tripwire (tools/bench_compare.py) needs every row's
+#: spread once per round; hot-tier records are tagged "tier": "hot" so
+#: they can never be mistaken for a round record.
+HOT_EXTENDED = [
+    "python_stream_datasource_rollup",
+    "logistic_regression_gd",
+    "triangle_count_copurchase",
+    "training_manifest_pipeline",
+    "lsh_bands_recall_sweep",
+    "dedup_clusters_starcontract",
+    "kmeans_train_embeddings",
+    "bpe_learn_merges",
+    "streaming_tws_user_value_totals",
+    "ps_merge_groupby_segments",
+    "kmv_distinct_shingles_by_source",
+    "ann_multiprobe_topk_embeddings",
+]
+
 
 def compact_line(payload: dict, detail_path: str, cap: int = 1900) -> str:
     """Serialize the stdout payload under the driver's ~2000-char tail.
@@ -212,11 +239,19 @@ def main() -> None:
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         return round(time.perf_counter() - t0, 3)
 
+    # Tiering (see HOT_EXTENDED): "full" (default, the per-round record)
+    # times every extended row; "hot" times the representative slice —
+    # the affordable inner loop while iterating locally.
+    tier = os.environ.get("SPARK_GRAFT_BENCH_TIER", "full")
+    ext_names = EXTENDED if tier == "full" else [
+        q for q in EXTENDED if q in HOT_EXTENDED
+    ]
+
     # The warmup pass IS a cold pass — time it too, so the JSON carries
     # both cold (first-execution, comparable to r2's single-warmup runs)
     # and warm (steady-state, the number that scales to a long-running
     # job) without any extra wall-clock.
-    cold = {name: run(name) for name in HEADLINE + EXTENDED}
+    cold = {name: run(name) for name in HEADLINE + ext_names}
 
     # Since r5 (r4 verdict item 1): n warm reps per query, reporting the
     # per-query MEDIAN under the same "queries"/"extended" keys (so the
@@ -234,7 +269,7 @@ def main() -> None:
         return m, ts[0], ts[-1]
 
     med = {name: median_run(name) for name in HEADLINE}
-    med_ext = {name: median_run(name) for name in EXTENDED}
+    med_ext = {name: median_run(name) for name in ext_names}
     timings = {n: v[0] for n, v in med.items()}
     extended = {n: v[0] for n, v in med_ext.items()}
 
@@ -252,6 +287,7 @@ def main() -> None:
         "warm": True,
         "reps": reps,
         "extended_total": round(sum(extended.values()), 3),
+        "tier": tier,
         "extended": extended,
         "cold_headline_total": round(sum(cold[n] for n in HEADLINE), 3),
     }
