@@ -163,6 +163,10 @@ EXTENDED = [
     "streaming_tws_map_counts",
     "python_parallel_stream_shards",
     "audio_decode_stats",
+    "binary_sign_hamming_topk",
+    "matryoshka_truncated_recall",
+    "local_clustering_coefficient",
+    "keyword_tag_docs",
 ]
 
 #: HOT tier (r8 verdict item 6 — the extended sweep grows ~linearly with

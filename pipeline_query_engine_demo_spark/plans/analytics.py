@@ -912,6 +912,133 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RHU_LCC = sql_round_half_up(
+    "2.0 * CAST(t.tri AS DOUBLE) / CAST(deg.d * (deg.d - 1) AS DOUBLE)", 6
+)
+
+
+@query(
+    "local_clustering_coefficient",
+    category="graph",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        tris AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM pairs e1
+            JOIN pairs e2 ON e2.u = e1.v
+            JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        credit AS (
+            SELECT a AS node FROM tris
+            UNION ALL SELECT b FROM tris
+            UNION ALL SELECT c FROM tris
+        ),
+        t AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS tri
+              FROM credit GROUP BY node),
+        deg AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM (
+                SELECT u AS node FROM pairs
+                UNION ALL
+                SELECT v AS node FROM pairs
+            )
+            GROUP BY node
+        )
+        SELECT deg.node, deg.d,
+               COALESCE(t.tri, 0) AS n_triangles,
+               {_RHU_LCC.replace("t.tri", "COALESCE(t.tri, 0)")} AS coeff
+        FROM deg LEFT JOIN t ON t.node = deg.node
+        WHERE deg.d >= 2
+        ORDER BY coeff DESC, deg.node LIMIT 20
+    """,
+)
+def local_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-NODE clustering coefficient of the part co-purchase graph —
+    2·tri(v) / (d(v)·(d(v)−1)), the local-density companion of the
+    global transitivity row (triangle_count_copurchase): link-spam and
+    community detection read the per-node value, not the global one.
+    Top 20 under the (coeff, node) total order both engines replay.
+
+    Scale shape: triangles are enumerated ONCE via the same
+    degree-oriented wedge join as the global count (fan-out capped at
+    out-degree O(sqrt(E)) per vertex even on power-law hubs), then each
+    triangle credits its three vertices through one explode + groupBy —
+    a shuffle keyed by node id, combiner-reduced. Degrees come from one
+    map-side-combinable count; the coefficient is one exact-int double
+    division. The id-ordered oracle counts the same triangles because
+    every triangle has exactly one lowest-ordered vertex in either
+    ordering."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    ).localCheckpoint(eager=False)
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    ).localCheckpoint(eager=False)
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    with_deg = pairs.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("du")).otherwise(F.col("dv")).alias("dsrc"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+    ).localCheckpoint(eager=False)
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    wedge_order = (F.col("e1.ddst") < F.col("e2.ddst")) | (
+        (F.col("e1.ddst") == F.col("e2.ddst"))
+        & (F.col("e1.dst") < F.col("e2.dst"))
+    )
+    tri_nodes = (
+        e1.join(e2, (F.col("e2.src") == F.col("e1.src")) & wedge_order)
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.dst"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.explode(
+                F.array(F.col("e1.src"), F.col("e1.dst"), F.col("e2.dst"))
+            ).alias("node")
+        )
+    )
+    t = tri_nodes.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("tri"))
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(t, "node", "left")
+        .select(
+            "node",
+            "d",
+            F.coalesce(F.col("tri"), F.lit(0).cast("bigint")).alias("n_triangles"),
+            round_half_up(
+                F.lit(2.0)
+                * F.coalesce(F.col("tri"), F.lit(0)).cast("double")
+                / (F.col("d") * (F.col("d") - F.lit(1))).cast("double"),
+                6,
+            ).alias("coeff"),
+        )
+        .orderBy(F.col("coeff").desc(), "node")
+        .limit(20)
+    )
+
+
 #: OLS output columns as the shared floor-based half-up rounding (see
 #: functions.rounding) — Spark round() vs DuckDB round() disagree by
 #: one ulp on boundary doubles, and fixtures regenerate every round.

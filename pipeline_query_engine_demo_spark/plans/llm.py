@@ -1097,6 +1097,54 @@ def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+#: Dictionary for the keyword-tagging row: fixture-vocabulary terms
+#: playing the role of a topic/blocklist lexicon.
+KEYWORDS = ["fast", "merge", "slow", "table"]
+_KEYWORDS_SQL = ", ".join(f"'{w}'" for w in KEYWORDS)
+
+
+@query(
+    "keyword_tag_docs",
+    category="llm-text",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(matched) AS BIGINT) AS n_matches,
+               COALESCE(array_to_string(matched, ','), '') AS matched
+        FROM (
+            SELECT doc_id,
+                   list_sort(list_filter(
+                       list_distinct(string_split(text, ' ')),
+                       t -> t IN ({_KEYWORDS_SQL}))) AS matched
+            FROM documents
+        )
+        ORDER BY doc_id
+    """,
+)
+def keyword_tag_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary keyword tagging — the curation primitive behind topic
+    labeling, blocklist filtering, and licence-string detection: tag
+    each document with the sorted set of lexicon terms it contains.
+    For a small lexicon this is a pure map-side ``array_intersect``
+    against a broadcast literal array (zero shuffles — this query);
+    at lexicon scale (millions of phrases) the same answer comes from
+    explode(tokens) ⋈ broadcast(lexicon) + collect_set, the shape
+    pii_scrub_patterns' regex alternative cannot reach. Documents with
+    no matches keep a 0/'' row — curation filters need the negatives.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    matched = F.array_sort(
+        F.array_intersect(
+            text.distinct_tokens(F.col("text")),
+            F.array(*[F.lit(w) for w in KEYWORDS]),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.size(matched).cast("bigint").alias("n_matches"),
+        F.array_join(matched, ",").alias("matched"),
+    ).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------

@@ -532,6 +532,172 @@ def pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "binary_sign_hamming_topk",
+    category="llm-similarity",
+    oracle="""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        p AS (SELECT vec_id,
+                     CAST(list_sum(list_transform(generate_series(0, 31),
+                          i -> CASE WHEN e[i + 1] > 0 THEN 1::BIGINT << i
+                               ELSE 0 END)) AS BIGINT) AS w0,
+                     CAST(list_sum(list_transform(generate_series(32, 63),
+                          i -> CASE WHEN e[i + 1] > 0 THEN 1::BIGINT << (i - 32)
+                               ELSE 0 END)) AS BIGINT) AS w1
+              FROM v),
+        q AS (SELECT vec_id AS query_id, w0 AS q0, w1 AS q1
+              FROM p WHERE vec_id < 5),
+        scored AS (
+            SELECT q.query_id, p.vec_id,
+                   CAST(bit_count(xor(p.w0, q.q0))
+                        + bit_count(xor(p.w1, q.q1)) AS BIGINT) AS hamming
+            FROM p CROSS JOIN q),
+        ranked AS (SELECT *, row_number() OVER (
+                       PARTITION BY query_id ORDER BY hamming, vec_id) AS rank
+                   FROM scored)
+        SELECT query_id, vec_id, hamming, rank
+        FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+)
+def binary_sign_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-BIT (sign) quantization + Hamming top-k — the extreme end of
+    the compression tier (float32 → int8 → PQ codes → 1 bit/dim, 256x):
+    each 64-dim embedding packs into two 32-bit sign words (32-bit
+    halves keep every BIGINT positive across Spark/DuckDB/numpy — the
+    repo's Bloom recipe), and the search metric is pure integer
+    Hamming distance bit_count(xor) — no float in the entire pipeline,
+    so the oracle match is exact by construction. Sign-bit Hamming is
+    the standard candidate-generation tier in front of exact rerank
+    (the sign-LSH family rows); tests/test_quantization.py measures
+    its recall@10 against the float baseline.
+
+    Scale: the 5-query side broadcasts; the corpus streams map-side
+    through pack + xor + per-query top-k and never shuffles; payload
+    per corpus vector is 16 BYTES instead of 256 — the tier that keeps
+    a trillion-vector sweep in cache."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pack = (
+        "aggregate(sequence({lo}, {hi}), 0L, (acc, i) -> acc + "
+        "IF(element_at(CAST(embedding AS ARRAY<DOUBLE>), i + 1) > 0D, "
+        "shiftleft(1L, i - {lo}), 0L))"
+    )
+    p = emb.selectExpr(
+        "vec_id",
+        pack.format(lo=0, hi=31) + " AS w0",
+        pack.format(lo=32, hi=63) + " AS w1",
+    )
+    q = p.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+    )
+    scored = p.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        (
+            F.bit_count(F.col("w0").bitwiseXOR(F.col("q0")))
+            + F.bit_count(F.col("w1").bitwiseXOR(F.col("q1")))
+        )
+        .cast("bigint")
+        .alias("hamming"),
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _matryoshka_oracle() -> str:
+    from pipeline_query_engine_demo_spark.plans.registry import REGISTRY as _REG
+
+    tcos = sql_round_half_up(
+        "list_dot_product(c.tv, q.tq)"
+        " / (sqrt(list_dot_product(c.tv, c.tv))"
+        " * sqrt(list_dot_product(q.tq, q.tq)))",
+        6,
+    )
+    recall = sql_round_half_up(
+        "COUNT(ann.vec_id) / CAST(COUNT(*) AS DOUBLE)", 6
+    )
+    return f"""
+        WITH gt AS ({_REG["cosine_topk_embeddings"].oracle}),
+        tvv AS (SELECT vec_id, (embedding::DOUBLE[])[1:16] AS tv
+                FROM embeddings),
+        tqq AS (SELECT vec_id AS query_id, tv AS tq
+                FROM tvv WHERE vec_id < 5),
+        tsc AS (SELECT q.query_id, c.vec_id, {tcos} AS tcos
+                FROM tvv c CROSS JOIN tqq q),
+        trk AS (SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY tcos DESC, vec_id) AS rank
+                FROM tsc),
+        ann AS (SELECT query_id, vec_id FROM trk WHERE rank <= 10)
+        SELECT gt.query_id,
+               CAST(COUNT(ann.vec_id) AS BIGINT) AS hits,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               {recall} AS recall_at_k
+        FROM gt
+        LEFT JOIN ann
+          ON ann.query_id = gt.query_id AND ann.vec_id = gt.vec_id
+        GROUP BY gt.query_id
+        ORDER BY gt.query_id
+    """
+
+
+@query(
+    "matryoshka_truncated_recall",
+    category="llm-similarity",
+    oracle=_matryoshka_oracle(),
+)
+def matryoshka_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka / truncated-dimension retrieval dial: recall@10 of
+    cosine search on only the FIRST 16 of 64 dimensions against the
+    full-dimension ground truth — the production question for
+    MRL-style embeddings ("how much recall does a 4x-narrower index
+    keep?"), the dimension-axis twin of the precision-axis dials
+    (int8, PQ, sign bits) and the banding sweep. Both rankings use the
+    repo's exact cosine recipe (left-to-right double fold, round 6,
+    vec_id tie-break), so the overlap join is deterministic.
+
+    Scale: identical shape to ann_recall_at_k — the truncated branch
+    scans 16-dim slices (a quarter of the bytes); queries broadcast,
+    the corpus never shuffles."""
+    from pipeline_query_engine_demo_spark.functions import vectors
+    from pipeline_query_engine_demo_spark.plans.llm import cosine_topk_embeddings
+
+    gt = cosine_topk_embeddings(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    tv = F.slice(F.col("embedding").cast("array<double>"), 1, 16)
+    c = emb.select("vec_id", tv.alias("tv"))
+    q = c.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("tv").alias("tq")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        round_half_up(vectors.cosine("tv", "tq"), 6).alias("tcos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("tcos").desc(), "vec_id")
+    ann = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", F.lit(1).alias("hit"))
+    )
+    return (
+        gt.join(ann, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("hits"),
+            F.count(F.lit(1)).alias("k"),
+            round_half_up(F.count("hit") / F.count(F.lit(1)), 6).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+@query(
     "int8_quantized_topk",
     category="llm-similarity",
     oracle=f"""

@@ -307,3 +307,42 @@ def test_hits_bipartite_matches_exact_python_replay(spark):
     assert hubs[1] > hubs[2] > hubs[3]
     assert auths[101] > auths[102] > auths[103]
     assert max(hubs.values()) == 1.0 and max(auths.values()) == 1.0
+
+
+def test_local_clustering_coefficient_matches_python(spark, sf_dir):
+    """Per-node clustering coefficients must equal a python set-based
+    recount (adjacency sets, triangles via neighbor intersection) under
+    the same (coeff desc, node) top-20 order."""
+    from pipeline_query_engine_demo_spark.plans.analytics import (
+        local_clustering_coefficient,
+    )
+    from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets: dict = {}
+    for r in li.collect():
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    adj: dict = {}
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1:]:
+                adj.setdefault(u, set()).add(v)
+                adj.setdefault(v, set()).add(u)
+    rows = []
+    for node, nb in adj.items():
+        d = len(nb)
+        if d < 2:
+            continue
+        tri = sum(len(adj[x] & nb) for x in nb) // 2
+        coeff = __import__("math").floor(
+            2.0 * tri / (d * (d - 1)) * 1e6 + 0.5
+        ) / 1e6
+        rows.append((-coeff, node, d, tri))
+    rows.sort()
+    exp = [(n, d, t, -c) for c, n, d, t in rows[:20]]
+    got = [
+        (r.node, r.d, r.n_triangles, r.coeff)
+        for r in local_clustering_coefficient(spark, sf_dir).collect()
+    ]
+    assert got == exp

@@ -88,3 +88,71 @@ def test_int8_quantized_topk_recall_vs_float(spark, sf_dir):
     # the query vector itself must always be its own top hit
     for q in quant:
         assert q in quant[q]
+
+
+def test_binary_sign_hamming_matches_numpy(spark, sf_dir):
+    """The sign-bit pack and Hamming ranking must equal an independent
+    numpy replication (pack bits, xor, popcount) — and the query vector
+    itself must always be its own rank-1 hit (Hamming 0)."""
+    import numpy as np
+
+    from pipeline_query_engine_demo_spark.plans.quantization import (
+        binary_sign_hamming_topk,
+    )
+    from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    bits = {v: (e > 0) for v, e in emb.items()}
+    got = {}
+    for r in binary_sign_hamming_topk(spark, sf_dir).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.hamming))
+    assert set(got) == {q for q in emb if q < 5}
+    for q, rows in got.items():
+        dists = sorted(
+            (int(np.count_nonzero(bits[v] != bits[q])), v) for v in emb
+        )
+        exp = [(i + 1, v, h) for i, (h, v) in enumerate(dists[:10])]
+        assert sorted(rows) == exp, (q, rows[:3], exp[:3])
+        assert rows[0][1:] == (q, 0) or (1, q, 0) in rows  # self at Hamming 0
+
+
+def test_matryoshka_truncated_recall_matches_numpy(spark, sf_dir):
+    """Truncated-dimension recall must equal the overlap of two numpy
+    brute-force rankings (full 64-dim vs first-16-dim cosine, rounded
+    to 6 like the engine, vec_id tie-break)."""
+    import numpy as np
+
+    from pipeline_query_engine_demo_spark.plans.quantization import (
+        matryoshka_truncated_recall,
+    )
+    from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def topk(dims):
+        out = {}
+        for q in (v for v in emb if v < 5):
+            qv = emb[q][:dims]
+            scored = []
+            for v, e in emb.items():
+                c = float(np.dot(e[:dims], qv)) / (
+                    float(np.sqrt(np.dot(e[:dims], e[:dims])))
+                    * float(np.sqrt(np.dot(qv, qv)))
+                )
+                scored.append((-np.floor(c * 1e6 + 0.5) / 1e6, v))
+            out[q] = {v for _, v in sorted(scored)[:10]}
+        return out
+
+    full, trunc = topk(64), topk(16)
+    got = {r.query_id: (r.hits, r.k, r.recall_at_k)
+           for r in matryoshka_truncated_recall(spark, sf_dir).collect()}
+    for q in full:
+        hits = len(full[q] & trunc[q])
+        assert got[q][0] == hits and got[q][1] == 10
+        assert abs(got[q][2] - np.floor(hits / 10 * 1e6 + 0.5) / 1e6) < 1e-12

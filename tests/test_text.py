@@ -234,3 +234,31 @@ def test_js_divergence_matches_bruteforce_and_bounds(spark, sf_dir):
             assert math.isclose(got, jsd, rel_tol=0, abs_tol=1e-5), (sa, sb)
             assert -1e-9 <= got <= 1.0 + 1e-9
     assert len(out) == len(sources) * (len(sources) - 1) // 2
+
+
+def test_keyword_tag_docs_matches_python_sets(spark, sf_dir):
+    """Dictionary tagging must equal a python set-intersection per doc:
+    sorted matches, comma-joined, zero-match docs kept with 0/''."""
+    from pipeline_query_engine_demo_spark.plans.llm import (
+        KEYWORDS,
+        keyword_tag_docs,
+    )
+    from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    got = {
+        r.doc_id: (r.n_matches, r.matched)
+        for r in keyword_tag_docs(spark, sf_dir).collect()
+    }
+    assert set(got) == set(texts)
+    kw = set(KEYWORDS)
+    any_zero = any_hit = False
+    for did, text in texts.items():
+        m = sorted(set(text.split(" ")) & kw)
+        assert got[did] == (len(m), ",".join(m)), did
+        any_zero |= not m
+        any_hit |= bool(m)
+    assert any_hit  # the lexicon actually fires on the fixture

@@ -38,6 +38,11 @@ SCALED = {
 UNSCALED = ["region", "nation", "customer", "supplier", "part"]
 
 QUERIES = [
+    # round-9 additions: the 1-bit ANN tier, the truncated-dim recall
+    # dial, and the per-node triangle credit join.
+    "binary_sign_hamming_topk",
+    "matryoshka_truncated_recall",
+    "local_clustering_coefficient",
     "q1_pricing_summary",
     "join_aqe_skew_split",
     "ps_merge_groupby_segments",
