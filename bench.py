@@ -167,6 +167,8 @@ EXTENDED = [
     "matryoshka_truncated_recall",
     "local_clustering_coefficient",
     "keyword_tag_docs",
+    "dp_noisy_counts",
+    "hash_mod_sample_docs",
 ]
 
 #: HOT tier (r8 verdict item 6 — the extended sweep grows ~linearly with

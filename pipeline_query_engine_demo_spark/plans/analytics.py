@@ -4037,6 +4037,71 @@ def inter_event_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dp_noisy_counts",
+    category="analytics",
+    oracle=f"""
+        WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM documents GROUP BY source),
+        u AS (SELECT source, n,
+                     CAST(CAST('0x' || substring(md5(source || '#dp'), 1, 15)
+                          AS BIGINT) AS DOUBLE)
+                         / 1152921504606846976.0 AS u
+              FROM c),
+        z AS (SELECT source, n,
+                     CASE WHEN u < 0.5 THEN ln(2.0 * u)
+                          ELSE -ln(2.0 - 2.0 * u) END AS noise
+              FROM u)
+        SELECT source, n,
+               {sql_round_half_up("noise", 6)} AS noise,
+               {sql_round_half_up("n + noise", 6)} AS noisy_n
+        FROM z ORDER BY source
+    """,
+)
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy MECHANISM row — the release step after the
+    k-anonymity / l-diversity / t-closeness audits: per-source counts
+    with Laplace(b = 1/ε, ε = 1) noise via the inverse CDF
+    (u < ½ → b·ln(2u), else −b·ln(2−2u)) over the repo's deterministic
+    md5-uniform lattice (u = first-15-hex-digits / 2⁶⁰, keyed by the
+    group value — so both engines draw the IDENTICAL noise and the gate
+    hashes exactly; a production release swaps the seed for real
+    entropy, changing nothing structural). The ln-of-data risk is the
+    same one tfidf_top_terms owns.
+
+    Scale: one combinable count per group + a map-side noise
+    expression — the noise adds zero shuffles, which is the point of
+    the Laplace mechanism at 100 TB (noise is per-GROUP, not
+    per-row)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("source"), F.lit("#dp"))), 1, 15),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .cast("double")
+        / F.lit(float(2**60))
+    )
+    noise = F.when(u < 0.5, F.log(F.lit(2.0) * u)).otherwise(
+        -F.log(F.lit(2.0) - F.lit(2.0) * u)
+    )
+    return (
+        counts.select("source", "n", noise.alias("_noise"))
+        .select(
+            "source",
+            "n",
+            round_half_up(F.col("_noise"), 6).alias("noise"),
+            round_half_up(F.col("n") + F.col("_noise"), 6).alias("noisy_n"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "k_anonymity_audit",
     category="analytics",
     oracle=f"""

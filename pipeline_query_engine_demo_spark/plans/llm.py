@@ -1097,6 +1097,54 @@ def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query(
+    "hash_mod_sample_docs",
+    category="llm-curation",
+    oracle="""
+        SELECT doc_id,
+               CAST(CAST('0x' || substring(
+                        md5(CAST(doc_id AS VARCHAR) || '#sample'), 1, 15)
+                    AS BIGINT) % 100 AS BIGINT) AS bucket
+        FROM documents
+        WHERE CAST('0x' || substring(
+                  md5(CAST(doc_id AS VARCHAR) || '#sample'), 1, 15)
+              AS BIGINT) % 100 < 10
+        ORDER BY doc_id
+    """,
+)
+def hash_mod_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-mod sampling — the production way to sample
+    at 100 TB: bucket = md5(key) mod 100, keep buckets < rate. Unlike
+    Bernoulli ``sample()`` (partitioning-dependent, unreproducible
+    across runs/engines) a hash sample is (a) exactly reproducible,
+    (b) CONSISTENT across tables — sampling users by the same key
+    expression in every table yields joinable samples — and (c) a pure
+    map-side filter Parquet scans can pipeline. The 15-hex-digit md5
+    bigint is the repo's cross-engine hash lattice, so the oracle
+    selects the identical rows.
+
+    Scale: zero shuffles, no RNG state, no seed-per-partition hazards;
+    downsizing to 0.01% just changes the modulus."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#sample"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(100),
+    )
+    return (
+        docs.select("doc_id", bucket.cast("bigint").alias("bucket"))
+        .filter(F.col("bucket") < 10)
+        .orderBy("doc_id")
+    )
+
+
 #: Dictionary for the keyword-tagging row: fixture-vocabulary terms
 #: playing the role of a topic/blocklist lexicon.
 KEYWORDS = ["fast", "merge", "slow", "table"]

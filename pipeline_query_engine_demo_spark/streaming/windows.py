@@ -455,6 +455,9 @@ def tws_session_timer(rows: DataFrame, gap_ms: int = SESSION_GAP_MS) -> DataFram
 
             evs: list[tuple[int, int]] = []
             for pdf in batches:
+                # row-loop-ok: input to the inherently sequential per-key
+                # session state machine, over the KEY's micro-batch slice
+                # only (already grouped — bounded per key).
                 evs.extend(
                     zip(pdf["ts_ms"].astype("int64"), pdf["cents"].astype("int64"))
                 )
@@ -549,6 +552,10 @@ def tws_map_counts(rows: DataFrame) -> DataFrame:
             n_seen = self._seen.get()[0] if self._seen.exists() else 0
             for pdf in batches:
                 n_seen += len(pdf)
+                # row-loop-ok: iterates the DISTINCT event types of the
+                # key's slice (a bounded category set — the map state's
+                # key domain), not rows; the per-row counting is the
+                # vectorized value_counts above it.
                 for et, cnt in pdf["event_type"].value_counts().items():
                     k = (str(et),)
                     cur = (

@@ -571,3 +571,29 @@ def test_theil_sen_matches_numpy_median_and_robustness(spark, sf_dir):
         ols = np.polyfit(t, xc, 1)[0]
         clean_ols = np.polyfit(t, x, 1)[0]
         assert abs(slopes_c - np.median(slopes)) < 0.1 * abs(ols - clean_ols)
+
+
+def test_dp_noisy_counts_matches_python_laplace(spark, sf_dir):
+    """The deterministic Laplace draw must equal a hashlib+math
+    replication (inverse CDF over the md5-uniform lattice), and the
+    noisy count must be exactly n + noise."""
+    import hashlib
+    import math
+
+    from pipeline_query_engine_demo_spark.plans.analytics import dp_noisy_counts
+    from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    true = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rhu6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    got = {r.source: r for r in dp_noisy_counts(spark, sf_dir).collect()}
+    assert set(got) == set(true)
+    for src, r in got.items():
+        u = int(hashlib.md5(f"{src}#dp".encode()).hexdigest()[:15], 16) / 2**60
+        noise = math.log(2.0 * u) if u < 0.5 else -math.log(2.0 - 2.0 * u)
+        assert r.n == true[src]
+        assert r.noise == rhu6(noise), src
+        assert r.noisy_n == rhu6(true[src] + noise), src

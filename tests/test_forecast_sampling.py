@@ -130,3 +130,27 @@ def test_negative_sampling_matches_cdf_replay(spark, sf_dir):
     exp_share = sum(w9[:k10]) / total_n
     top = sum(got[tok]["n_drawn"] for tok, _ in vocab[:k10])
     assert 0.4 * exp_share * 1000 < top < 2.5 * exp_share * 1000 + 10
+
+
+def test_hash_mod_sample_is_deterministic_and_unbiased(spark, sf_dir):
+    """Hash-mod sampling must select exactly the python-md5-predicted
+    ids (reproducible across runs by construction) at a rate close to
+    the nominal 10%."""
+    import hashlib
+
+    from pipeline_query_engine_demo_spark.plans.llm import hash_mod_sample_docs
+    from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+    all_ids = [
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    exp = {
+        d: int(hashlib.md5(f"{d}#sample".encode()).hexdigest()[:15], 16) % 100
+        for d in all_ids
+    }
+    expected = {d: b for d, b in exp.items() if b < 10}
+    got = {r.doc_id: r.bucket for r in hash_mod_sample_docs(spark, sf_dir).collect()}
+    assert got == expected
+    rate = len(got) / len(all_ids)
+    assert 0.05 < rate < 0.15, rate

@@ -37,6 +37,8 @@ NL_WHITELIST = {
     "scalar_subquery",
     "cosine_topk_embeddings",
     "int8_quantized_topk",  # same 5-query broadcast BNLJ as cosine_topk, over int8 codes
+    "binary_sign_hamming_topk",  # same 5-query broadcast BNLJ, over two packed sign words (16 B/vector)
+    "matryoshka_truncated_recall",  # inherits cosine_topk's brute-force BNLJ ground truth + the truncated-dim twin
     "lsh_bands_recall_sweep",  # 1-row count scalars (per-config totals + union total) broadcast onto 3 sweep rows
     "ann_recall_at_k",  # inherits cosine_topk's intended brute-force BNLJ ground truth
     "pq_recall_at_k",  # same: brute-force cosine ground-truth branch
