@@ -87,6 +87,18 @@ DEFAULT_EST_PREFILTER = 0.4
 #: (together with max_bucket_size=None) for exact semantics.
 DEFAULT_CLONE_GROUP_CAP = 1000
 
+#: Adaptive pre-contraction trigger (integer percent): contract exact
+#: clones only when at least this share of documents are duplicates.
+#: Contraction's cost — two corpus-sized membership-expansion joins —
+#: scales with the CORPUS, while its benefit scales with the CLONE MASS
+#: it removes, so on a nearly-clone-free corpus (the r8 bench fixture:
+#: 8 duplicate docs in ~6000, 0.13%) it is pure overhead (measured
+#: ~1.3x), while on a boilerplate-heavy one (the ×30 replica scale run:
+#: 96% duplicates) it is a ~9x saving. The bypass is output-identical
+#: when the caps don't bind, and the hot-bucket cap keeps the
+#: uncontracted path mega-clone-safe when they do.
+CONTRACT_MIN_DUP_PERCENT = 1
+
 
 def _units(text_col: Column, shingle_n: int) -> Column:
     """The distinct similarity units of a document: word shingles for
@@ -388,13 +400,15 @@ def near_dup_pairs(
     ``max_bucket_size`` prevents, just one join later.
 
     ADAPTIVE BYPASS: the clone-group map costs one narrow sha2
-    groupBy; when it shows NO group with more than one member the
-    contraction is the identity and its two membership-expansion
-    joins are pure overhead (measured ~1.3x on the nearly-clone-free
-    sf0.1 fixture) — so the builder checks that one boolean
-    driver-side (a plan-selection scalar, like the convergence count
-    in connected_components; no data is collected) and falls through
-    to the uncontracted pipeline when the corpus has no exact clones."""
+    groupBy; when it shows the duplicate mass below
+    CONTRACT_MIN_DUP_PERCENT of the corpus, the expansion joins cost
+    more than the duplication they remove (measured ~1.3x overhead on
+    the 0.13%-duplicated sf0.1 fixture vs ~9x saving on the
+    96%-duplicated ×30 replica run) — so the builder reads one 2-int
+    summary driver-side (a plan-selection scalar, like the convergence
+    count in connected_components; no data is collected) and falls
+    through to the uncontracted pipeline, which is output-identical
+    while the caps don't bind and hot-bucket-cap-safe when they do."""
     if clone_group_cap is not None and clone_group_cap < 1:
         raise ValueError(
             f"clone_group_cap must be >= 1 or None, got {clone_group_cap}"
@@ -405,17 +419,23 @@ def near_dup_pairs(
         ).localCheckpoint(eager=False)
         groups = members.groupBy("_h").agg(
             F.min(id_col).alias("_rep"), F.count(F.lit(1)).alias("_n")
-        )
-        if clone_group_cap is not None:
-            over = groups.filter(F.col("_n") > clone_group_cap)
-            groups = groups.filter(F.col("_n") <= clone_group_cap)
-            members = members.join(over.select("_h"), "_h", "left_anti")
-        groups = groups.localCheckpoint(eager=False)
-        # One boolean off the (checkpointed, reused) group map: plan
-        # selection only, nothing is collected. No multi-member group
-        # also means no over-cap group (cap >= 1), so the original df
-        # goes straight to the uncontracted pipeline.
-        if groups.filter(F.col("_n") > 1).isEmpty():
+        ).localCheckpoint(eager=False)
+        # ADAPTIVE TRIGGER — one 2-int driver scalar off the
+        # (checkpointed, reused) group map; plan selection only, nothing
+        # is collected. Contraction's COST (two corpus-sized
+        # membership-expansion joins) is proportional to the corpus;
+        # its BENEFIT is proportional to the duplicate mass it removes —
+        # so when fewer than CONTRACT_MIN_DUP_PERCENT of documents are
+        # clones, skip straight to the uncontracted pipeline, which is
+        # output-identical when the caps don't bind and remains
+        # mega-clone-SAFE when they do (an over-cap clone group makes
+        # every one of its LSH buckets over-full, so the hot-bucket cap
+        # drops it — the same owned trade clone_group_cap encodes).
+        st = groups.agg(
+            F.sum("_n").alias("total"),
+            F.sum(F.col("_n") - F.lit(1)).alias("dups"),
+        ).first()
+        if not st.total or (st.dups or 0) * 100 < st.total * CONTRACT_MIN_DUP_PERCENT:
             return near_dup_pairs(
                 df,
                 id_col,
@@ -428,6 +448,10 @@ def near_dup_pairs(
                 est_prefilter,
                 contract_exact=False,
             )
+        if clone_group_cap is not None:
+            over = groups.filter(F.col("_n") > clone_group_cap)
+            groups = groups.filter(F.col("_n") <= clone_group_cap)
+            members = members.join(over.select("_h"), "_h", "left_anti")
         memb = members.join(groups, "_h").select(id_col, "_rep", "_n")
         rep_only = groups.select(F.col("_rep").alias(id_col))
         rep_docs = df.join(rep_only, on=id_col, how="left_semi")
