@@ -169,6 +169,7 @@ EXTENDED = [
     "keyword_tag_docs",
     "dp_noisy_counts",
     "hash_mod_sample_docs",
+    "sql_udf_scalar_and_table",
 ]
 
 #: HOT tier (r8 verdict item 6 — the extended sweep grows ~linearly with

@@ -2956,3 +2956,51 @@ def sql_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+@query(
+    "sql_udf_scalar_and_table",
+    category="function",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM events
+        WHERE value >= 50.0
+        GROUP BY event_type ORDER BY event_type
+    """,
+)
+def sql_udf_scalar_and_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language UDFs (new in Spark 4.0): a SCALAR function
+    (``CREATE TEMPORARY FUNCTION ... RETURNS BIGINT RETURN expr``) and
+    a TABLE function (``RETURNS TABLE(...) RETURN SELECT ...``) used
+    together — the exact-cent lattice as a reusable scalar, and a
+    parameterized high-value-events view as the FROM-clause table.
+    Unlike Python UDFs, SQL UDFs INLINE into the Catalyst plan: the
+    scalar body participates in whole-stage codegen and the table
+    body's ``value >= th`` predicate reaches the parquet scan as a
+    pushed filter — reusable abstractions at zero runtime cost, which
+    is why they are the first tool for shared logic at 100 TB (the
+    Python UDF rows exist to cover the escape hatch, not the default).
+    The oracle computes the same aggregate with the logic inlined by
+    hand."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_sqludf_events")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION _sqludf_to_cents(v DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(floor(v * 100 + 0.5) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION _sqludf_high_value(th DOUBLE) "
+        "RETURNS TABLE(event_type STRING, value DOUBLE) "
+        "RETURN SELECT event_type, value FROM _sqludf_events WHERE value >= th"
+    )
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(_sqludf_to_cents(value)) AS BIGINT) AS total_cents
+        FROM _sqludf_high_value(50.0D)
+        GROUP BY event_type ORDER BY event_type
+        """
+    )

@@ -339,3 +339,18 @@ def test_ps_groupby_and_merge_match_dataframe_api(spark, sf_dir):
         .collect()
     }
     assert got2 == exp2
+
+
+def test_sql_udf_inlines_into_plan(spark, sf_dir):
+    """SQL-language UDFs must INLINE: the table function's predicate
+    reaches the parquet scan as a pushed filter, the scalar body joins
+    whole-stage codegen, and no Python evaluation node appears."""
+    from pipeline_query_engine_demo_spark.plans.relational import (
+        sql_udf_scalar_and_table,
+    )
+
+    df = sql_udf_scalar_and_table(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(value,50.0)" in plan  # pushed into the scan
+    assert "ReadSchema: struct<event_type:string,value:double>" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
