@@ -170,6 +170,7 @@ EXTENDED = [
     "dp_noisy_counts",
     "hash_mod_sample_docs",
     "sql_udf_scalar_and_table",
+    "streaming_tws_bootstrap_totals",
 ]
 
 #: HOT tier (r8 verdict item 6 — the extended sweep grows ~linearly with

@@ -1522,3 +1522,71 @@ def streaming_tws_map_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", "n")
         .orderBy("user_id", "event_type")
     )
+
+
+#: Batch-to-streaming cutover instant for the bootstrap query: history
+#: before it is seeded as initial state, events at/after it stream.
+_BOOTSTRAP_CUTOFF = "2024-01-16"
+
+
+@query(
+    "streaming_tws_bootstrap_totals",
+    category="streaming",
+    oracle=f"""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM events
+        WHERE user_id IN (
+            SELECT DISTINCT user_id FROM events
+            WHERE ts >= TIMESTAMP '{_BOOTSTRAP_CUTOFF}'
+        )
+        GROUP BY user_id ORDER BY user_id
+    """,
+)
+def streaming_tws_bootstrap_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INITIAL STATE on ``transformWithStateInPandas``
+    (streaming.tws_bootstrap_totals): the batch→streaming CUTOVER —
+    history before the cutover is aggregated ONCE in batch and seeded into
+    the operator as initial state (``handleInitialState``); only
+    events at/after the cutover flow through the stream; the final
+    per-user totals must equal the full-corpus GROUP BY for every user
+    the stream touched (the oracle's IN filter — emission is
+    data-driven, so bootstrap-only users correctly stay silent). This
+    is how a 100 TB pipeline goes live: seed state from the backfill
+    aggregate, never replay history through the stream. Completes the
+    arbitrary-state API family: ValueState, ListState, MapState,
+    event-time timers, and now initial state.
+
+    The exact-cent lattice makes batch seed + streaming accumulation
+    order-independent, so the hash gate is exact."""
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(_BOOTSTRAP_CUTOFF).cast("timestamp")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents")
+    hist = (
+        ev.filter(F.col("ts") < cutoff)
+        .select("user_id", cents)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+    )
+    live_batch = ev.filter(F.col("ts") >= cutoff).select("user_id", cents)
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_tws_boot_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    live_batch.coalesce(1).write.mode("overwrite").parquet(src)
+    with _tws_run(spark):
+        stream = spark.readStream.schema("user_id long, cents long").parquet(src)
+        result = streaming.run_to_memory(
+            streaming.tws_bootstrap_totals(stream, hist.groupBy("user_id")),
+            "update",
+            name="t_tws_boot",
+        )
+    return _final_emission(result, ["user_id"], "n_events").orderBy("user_id")

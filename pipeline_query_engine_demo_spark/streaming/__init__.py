@@ -33,6 +33,7 @@ from pipeline_query_engine_demo_spark.streaming.windows import (
     stream_static_join_segments,
     stream_stream_click_purchases,
     tumbling_counts,
+    tws_bootstrap_totals,
     tws_map_counts,
     tws_session_timer,
     tws_user_value_totals,
@@ -58,6 +59,7 @@ __all__ = [
     "stream_static_join_segments",
     "stream_stream_click_purchases",
     "tumbling_counts",
+    "tws_bootstrap_totals",
     "tws_map_counts",
     "tws_session_timer",
     "tws_user_value_totals",

@@ -523,6 +523,62 @@ def tws_session_timer(rows: DataFrame, gap_ms: int = SESSION_GAP_MS) -> DataFram
     )
 
 
+def tws_bootstrap_totals(rows: DataFrame, initial: "GroupedData") -> DataFrame:  # noqa: F821
+    """INITIAL STATE on the arbitrary-state API (``initialState=`` +
+    ``handleInitialState``): per-user (count, exact-cent total) totals
+    whose state is BOOTSTRAPPED from a batch aggregate before the first
+    micro-batch — the warm-start migration every production pipeline
+    does when cutting over to streaming (seed state from the 100 TB
+    backfill; never replay history through the stream). Keys absent
+    from the stream emit nothing (emission is data-driven); keys absent
+    from the bootstrap start from zero — both directions are covered by
+    the registered query's oracle.
+
+    ``rows``: streaming (user_id, cents); ``initial``: a GroupedData of
+    (user_id, n_events, total_cents) grouped by user_id. Emits
+    (user_id, n_events, total_cents) per batch in update mode —
+    n_events strictly increases, so _final_emission applies."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Boot(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n LONG, cents LONG")
+
+        def handleInitialState(self, key, initialState, timerValues):  # noqa: ANN001
+            self._state.update(
+                (
+                    int(initialState["n_events"].iloc[0]),
+                    int(initialState["total_cents"].iloc[0]),
+                )
+            )
+
+        def handleInputRows(self, key, rows_iter, timerValues):  # noqa: ANN001
+            import pandas as pd
+
+            n, cents = self._state.get() if self._state.exists() else (0, 0)
+            for pdf in rows_iter:
+                n += len(pdf)
+                cents += int(pdf["cents"].astype("int64").sum())
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return rows.groupBy("user_id").transformWithStateInPandas(
+        Boot(),
+        outputStructType="user_id long, n_events long, total_cents long",
+        outputMode="Update",
+        timeMode="None",
+        initialState=initial,
+    )
+
+
 def tws_map_counts(rows: DataFrame) -> DataFrame:
     """MAP STATE on the arbitrary-state API — the last state primitive
     (``getMapState``) after ValueState/ListState/timers: a per-user map

@@ -1243,3 +1243,124 @@ def test_tws_map_state_merges_across_batches(spark, sf_dir, tmp_path):
     assert got == exp
     # multi-batch actually exercised: some user emitted in both batches
     assert any(len(s) >= 2 for s in seen_per_user.values())
+
+
+def test_tws_value_state_ttl_expires(spark, tmp_path):
+    """TTL on a state variable (getValueState(ttlDurationMs=...)) — the
+    last knob of the arbitrary-state API: state written in batch 1 must
+    be GONE when batch 2 reads it after sleeping past the TTL (the
+    counter restarts), while a generous-TTL control accumulates across
+    the identical two-batch shape. TTL needs timeMode=ProcessingTime.
+    Single drain, maxFilesPerTrigger=1; the sleep happens INSIDE the
+    processor before the batch-2 read, so wall time provably passes
+    between the TTL reset and the expiry check.
+
+    Drain protocol: under timeMode=ProcessingTime, availableNow does NOT
+    terminate — Spark keeps scheduling empty micro-batches for TTL/timer
+    eviction forever (observed live: numInputRows 1, then 0, 0, 0, …
+    with isActive never dropping) — so run_to_memory's awaitTermination
+    hangs. Drain by polling recentProgress until both rows are ingested
+    plus two idle batches, then stop() explicitly."""
+    import time
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    def make(ttl_ms):
+        class Counter(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._n = handle.getValueState("n", "n LONG", ttlDurationMs=ttl_ms)
+
+            def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+                import pandas as pd
+
+                pdfs = list(rows)
+                delay = max(int(p["delay_ms"].max()) for p in pdfs)
+                if delay:
+                    time.sleep(delay / 1000.0)
+                n = self._n.get()[0] if self._n.exists() else 0
+                for p in pdfs:
+                    n += len(p)
+                self._n.update((n,))
+                yield pd.DataFrame({"k": [key[0]], "n": [n]})
+
+            def close(self) -> None:
+                pass
+
+        return Counter()
+
+    def run(tag, ttl_ms):
+        src = str(tmp_path / f"ttl_src_{tag}")
+        for i, delay in enumerate((0, 5000)):
+            spark.createDataFrame(
+                [(1, delay)], "k long, delay_ms long"
+            ).coalesce(1).write.mode("append").parquet(src)
+            time.sleep(1.1)  # distinct mtimes => deterministic batch order
+        with _rocksdb(spark):
+            stream = (
+                spark.readStream.schema("k long, delay_ms long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            out = stream.groupBy("k").transformWithStateInPandas(
+                make(ttl_ms),
+                outputStructType="k long, n long",
+                outputMode="Update",
+                timeMode="ProcessingTime",  # TTL requires a time mode
+            )
+            name = f"ttl_sink_{tag}"
+            q = (
+                out.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            idle, t0 = 0, time.time()
+            while q.isActive and time.time() - t0 < 120:
+                time.sleep(1)
+                p = q.lastProgress
+                if p is None:
+                    continue
+                seen = sum(
+                    (rp.get("numInputRows") or 0) for rp in q.recentProgress
+                )
+                idle = idle + 1 if seen >= 2 and not p.get("numInputRows") else 0
+                if idle >= 2:
+                    break
+            assert idle >= 2 or not q.isActive, "TTL drain never ingested both rows"
+            if q.isActive:
+                q.stop()
+            q.awaitTermination(30)
+            rows = spark.table(name).collect()
+        return sorted(r.n for r in rows)
+
+    # TTL 1.5s, 5s in-processor sleep before the batch-2 read: expired,
+    # count restarts at 1.
+    assert run("short", 1500) == [1, 1]
+    # TTL 10 min over the same shape: state survives and accumulates.
+    assert run("long", 600_000) == [1, 2]
+
+
+def test_tws_bootstrap_initial_state_edges(spark, tmp_path):
+    """handleInitialState edges: a bootstrapped key accumulates ON TOP
+    of its seed, a stream-only key starts from zero, and a
+    bootstrap-only key (no stream rows) emits nothing."""
+    from pipeline_query_engine_demo_spark import streaming as st
+
+    hist = spark.createDataFrame(
+        [(1, 5, 500), (3, 7, 700)], "user_id long, n_events long, total_cents long"
+    )
+    src = str(tmp_path / "boot_src")
+    spark.createDataFrame(
+        [(1, 100), (2, 250)], "user_id long, cents long"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    with _rocksdb(spark):
+        stream = spark.readStream.schema("user_id long, cents long").parquet(src)
+        rows = st.run_to_memory(
+            st.tws_bootstrap_totals(stream, hist.groupBy("user_id")), "update"
+        ).collect()
+    got = {r.user_id: (r.n_events, r.total_cents) for r in rows}
+    assert got == {1: (6, 600), 2: (1, 250)}  # seeded+1 / fresh; 3 silent
