@@ -171,6 +171,10 @@ EXTENDED = [
     "hash_mod_sample_docs",
     "sql_udf_scalar_and_table",
     "streaming_tws_bootstrap_totals",
+    "statestore_offline_read",
+    "exists_subquery_customers",
+    "sql_identifier_clause",
+    "decision_stump_totalprice",
 ]
 
 #: HOT tier (r8 verdict item 6 — the extended sweep grows ~linearly with

@@ -8865,3 +8865,103 @@ def two_step_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seed", F.col("p2").desc(), "target")
     )
+
+
+@query(
+    "decision_stump_totalprice",
+    category="ml-train",
+    oracle="""
+        WITH buckets AS (
+            SELECT CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS b,
+                   CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS pos
+            FROM orders GROUP BY b
+        ), cum AS (
+            SELECT b,
+                   SUM(cnt) OVER (ORDER BY b) AS n_left,
+                   SUM(pos) OVER (ORDER BY b) AS pos_left,
+                   SUM(cnt) OVER () AS n_total,
+                   SUM(pos) OVER () AS pos_total
+            FROM buckets
+        ), scored AS (
+            SELECT CAST((b + 1) * 1000 AS BIGINT) AS split_value,
+                   CAST(n_left AS BIGINT) AS n_left,
+                   CAST(n_total - n_left AS BIGINT) AS n_right,
+                   CAST(greatest(
+                        pos_left + (n_total - n_left) - (pos_total - pos_left),
+                        (n_left - pos_left) + (pos_total - pos_left)
+                   ) AS BIGINT) AS n_correct,
+                   CAST(n_total AS BIGINT) AS n_total
+            FROM cum
+        )
+        SELECT split_value, n_left, n_right, n_correct,
+               CAST(n_correct AS DOUBLE) / CAST(n_total AS DOUBLE) AS accuracy
+        FROM scored
+        ORDER BY n_correct DESC, split_value ASC
+        LIMIT 1
+    """,
+)
+def decision_stump_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy-optimal decision stump: the best single threshold on
+    ``o_totalprice`` predicting finished orders (``o_orderstatus='F'``)
+    — the inner loop of tree learners (XGBoost-style split finding),
+    done the distributed way: bucket the feature onto a bounded integer
+    grid (1000-wide price bands, a few hundred buckets regardless of
+    corpus size), aggregate (count, positives) per bucket map-side, then
+    score EVERY candidate split from two cumulative sums over the tiny
+    bucket table. The criterion stays all-BIGINT (correct = majority
+    class per side), so cross-engine parity is exact; the single
+    int64/int64 division at the end is the same IEEE op in both engines.
+    The degenerate all-left split (threshold past the max) is a valid
+    candidate and equals majority-class accuracy — kept, identically, in
+    both engines; ties break toward the smallest threshold.
+
+    Scale: the only corpus-sized stage is the bucket aggregate
+    (combinable groupBy). The candidate scan is a ~700-row window —
+    whitelisted bounded window — and the argmax is TakeOrderedAndProject
+    (no global sort materialization)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    buckets = (
+        orders.select(
+            F.floor(F.col("o_totalprice") / 1000.0).cast("long").alias("b"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        )
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+    )
+    w_cum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = buckets.select(
+        "b",
+        F.sum("cnt").over(w_cum).alias("n_left"),
+        F.sum("pos").over(w_cum).alias("pos_left"),
+        F.sum("cnt").over(w_all).alias("n_total"),
+        F.sum("pos").over(w_all).alias("pos_total"),
+    )
+    neg_left = F.col("n_left") - F.col("pos_left")
+    pos_right = F.col("pos_total") - F.col("pos_left")
+    neg_right = (F.col("n_total") - F.col("n_left")) - pos_right
+    scored = cum.select(
+        ((F.col("b") + 1) * 1000).cast("long").alias("split_value"),
+        F.col("n_left").cast("long").alias("n_left"),
+        (F.col("n_total") - F.col("n_left")).cast("long").alias("n_right"),
+        F.greatest(
+            F.col("pos_left") + neg_right, neg_left + pos_right
+        ).cast("long").alias("n_correct"),
+        F.col("n_total").cast("long").alias("n_total"),
+    )
+    return scored.select(
+        "split_value",
+        "n_left",
+        "n_right",
+        "n_correct",
+        (F.col("n_correct").cast("double") / F.col("n_total").cast("double")).alias(
+            "accuracy"
+        ),
+    ).orderBy(F.col("n_correct").desc(), F.col("split_value").asc()).limit(1)

@@ -3004,3 +3004,86 @@ def sql_udf_scalar_and_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type ORDER BY event_type
         """
     )
+
+
+@query(
+    "exists_subquery_customers",
+    category="subquery",
+    oracle="""
+        SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'O')
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F')
+        ORDER BY custkey
+    """,
+)
+def exists_subquery_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS subqueries, run through ``spark.sql``
+    so Catalyst's RewritePredicateSubquery does the planning: customers
+    holding an open ('O') order but no finished ('F') order. EXISTS
+    lowers to a left-semi hash join and NOT EXISTS to a left-anti — both
+    shuffle-on-key, no per-row re-execution of the subquery (the naive
+    reading of correlated subqueries would be a 100 TB disaster; the
+    rewrite is what makes them safe). DataFrame-API parity with an
+    explicit semi+anti composition is pinned in
+    tests/test_relational_ops.py (exists_subquery_customers)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("exq_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("exq_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment
+        FROM exq_customer c
+        WHERE EXISTS (SELECT 1 FROM exq_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'O')
+          AND NOT EXISTS (SELECT 1 FROM exq_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F')
+        ORDER BY custkey
+        """
+    )
+
+
+@query(
+    "sql_identifier_clause",
+    category="sql-surface",
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority ORDER BY priority
+    """,
+)
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER(:param) clause (Spark 4 SQL): table AND grouping
+    column arrive as *parameters*, not string-spliced SQL — the
+    injection-safe way a multi-tenant 100 TB platform templates one
+    audited query over many tables/columns (the parser resolves the
+    identifier, so `'orders; DROP ...'` can never escape into the
+    plan). Values still bind via named args (:status). The templated
+    aggregate must equal the directly-written oracle."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ident_orders")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:grp) AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(IDENTIFIER(:val) AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM IDENTIFIER(:tbl)
+        WHERE o_orderstatus = :status
+        GROUP BY IDENTIFIER(:grp) ORDER BY priority
+        """,
+        args={
+            "tbl": "ident_orders",
+            "grp": "o_orderpriority",
+            "val": "o_totalprice",
+            "status": "F",
+        },
+    )

@@ -1590,3 +1590,69 @@ def streaming_tws_bootstrap_totals(spark: SparkSession, sf_dir: str) -> DataFram
             name="t_tws_boot",
         )
     return _final_emission(result, ["user_id"], "n_events").orderBy("user_id")
+
+
+@query(
+    "statestore_offline_read",
+    category="ops",
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def statestore_offline_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State Data Source READER (``spark.read.format("statestore")``):
+    drain a streaming per-user aggregate with a checkpoint, then read
+    the operator's state store OFFLINE as a plain batch DataFrame — the
+    Spark 4 observability surface for debugging stateful pipelines at
+    100 TB (inspect what a 1000-executor job has accumulated without
+    touching the running query; the same reader drives state repair and
+    checkpoint migration jobs). The state's aggregation buffers
+    (``value.count`` / ``value.sum``) must equal the batch GROUP BY —
+    cents stay on the exact integer lattice so the hash gate is exact.
+
+    Scale: the reader maps one task per state-store partition (the
+    ``partition_id`` column), so reading a 32-partition checkpoint is a
+    32-task parallel scan, not a driver walk."""
+    import shutil
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ss_read_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    ckpt = os.path.join(root, "ckpt")
+    agg = (
+        streaming.read_events_stream(spark, sf_dir)
+        .select(
+            "user_id",
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ss_offline_drain")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # The sink result is discarded on purpose: the asserted artifact is
+    # the CHECKPOINT's state, read back offline through the reader.
+    state = spark.read.format("statestore").load(ckpt)
+    return (
+        state.select(
+            F.col("key.user_id").alias("user_id"),
+            F.col("value.count").cast("long").alias("n_events"),
+            F.col("value.sum").cast("long").alias("total_cents"),
+        )
+        .orderBy("user_id")
+    )

@@ -137,3 +137,43 @@ def test_ridge_normal_eq_matches_numpy_solve(spark, sf_dir):
         assert abs(got[k] - exp[k]) <= 1e-9 * max(1.0, abs(exp[k])), (k, got[k], exp[k])
     # sanity: price grows with quantity on TPC-H-ish data
     assert got["quantity"] > 0
+
+
+def test_decision_stump_matches_numpy_brute_force(spark, sf_dir):
+    """Brute-force every 1000-wide bucket boundary in numpy over the raw
+    orders rows and confirm the engine's single-pass window scan picks
+    the same (threshold, accuracy) — including the majority-vote scoring
+    on each side and the smallest-threshold tie-break."""
+    import numpy as np
+
+    from pipeline_query_engine_demo_spark.plans.analytics import (
+        decision_stump_totalprice,
+    )
+    from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+    got = decision_stump_totalprice(spark, sf_dir).collect()[0]
+    pdf = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_totalprice", "o_orderstatus")
+        .toPandas()
+    )
+    x = np.floor(pdf["o_totalprice"].to_numpy() / 1000.0).astype(np.int64)
+    y = (pdf["o_orderstatus"] == "F").to_numpy().astype(np.int64)
+    n, pos_total = len(y), int(y.sum())
+    best = None
+    for b in np.unique(x):
+        left = x <= b
+        n_left, pos_left = int(left.sum()), int(y[left].sum())
+        neg_left = n_left - pos_left
+        pos_right = pos_total - pos_left
+        neg_right = (n - n_left) - pos_right
+        n_correct = max(pos_left + neg_right, neg_left + pos_right)
+        key = (-n_correct, (b + 1) * 1000)
+        if best is None or key < best[0]:
+            best = (key, n_left, n_correct)
+    (neg_nc, split), n_left, n_correct = best
+    assert got.split_value == split
+    assert got.n_left == n_left
+    assert got.n_right == n - n_left
+    assert got.n_correct == n_correct
+    assert got.accuracy == n_correct / n

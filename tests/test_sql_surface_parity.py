@@ -188,3 +188,46 @@ def test_group_order_by_all_matches_explicit_grouping(spark, sf_dir):
         .collect()
     ]
     assert got == exp
+
+
+def test_exists_subquery_customers_matches_dataframe_api(spark, sf_dir):
+    from pipeline_query_engine_demo_spark.plans.relational import (
+        exists_subquery_customers,
+    )
+
+    got = exists_subquery_customers(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    open_keys = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    fin_keys = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    exp = (
+        cust.join(open_keys, cust.c_custkey == open_keys.o_custkey, "left_semi")
+        .join(fin_keys, cust.c_custkey == fin_keys.o_custkey, "left_anti")
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .orderBy("custkey")
+    )
+    assert _rows(got) == _rows(exp)
+
+
+def test_sql_identifier_clause_matches_dataframe_api(spark, sf_dir):
+    from pipeline_query_engine_demo_spark.plans.relational import (
+        sql_identifier_clause,
+    )
+
+    got = sql_identifier_clause(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    exp = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("priority")
+    )
+    assert _rows(got) == _rows(exp)

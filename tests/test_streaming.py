@@ -1364,3 +1364,62 @@ def test_tws_bootstrap_initial_state_edges(spark, tmp_path):
         ).collect()
     got = {r.user_id: (r.n_events, r.total_cents) for r in rows}
     assert got == {1: (6, 600), 2: (1, 250)}  # seeded+1 / fresh; 3 silent
+
+
+def test_statestore_reader_after_multibatch_drain(spark, tmp_path):
+    """The offline state-store read must reflect MERGED state across
+    micro-batches, not the last batch's slice: drain a two-file source
+    with maxFilesPerTrigger=1 (keys split at the median so both batches
+    carry overlapping keys), then read the checkpoint back via
+    spark.read.format("statestore") and compare to the full batch
+    GROUP BY."""
+    import pyspark.sql.functions as F
+
+    data = [(u, v) for u in range(1, 9) for v in range(u)]
+    df = spark.createDataFrame(data, "k long, v long")
+    src = str(tmp_path / "ss_src")
+    ckpt = str(tmp_path / "ss_ckpt")
+    # overlapping key ranges across the two files
+    df.filter("v % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    import time
+
+    time.sleep(1.1)
+    df.filter("v % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("k long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = stream.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ss_multibatch")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # >1 batch actually ran
+    meta = spark.read.format("state-metadata").load(ckpt).collect()[0]
+    assert meta.maxBatchId >= 1
+
+    state = spark.read.format("statestore").load(ckpt)
+    got = {
+        r.k: (r.n, r.s)
+        for r in state.select(
+            F.col("key.k").alias("k"),
+            F.col("value.count").alias("n"),
+            F.col("value.sum").alias("s"),
+        ).collect()
+    }
+    exp = {
+        r.k: (r.n, r.s)
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == exp

@@ -135,6 +135,7 @@ UNPARTITIONED_WINDOW_WHITELIST: dict[str, str] = {
     "rfm_segmentation": "three bucket-offset windows over ~40-row value-range bucket tables (_bucketed_row_number), one per RFM metric",
     "rrf_hybrid_retrieval": "two rank windows over the retrievers' already-top-15-bounded lists (fusion consumes 2k rows per query regardless of corpus size)",
     "zipf_rank_frequency_fit": "bucket-offset window (_bucketed_row_number) over the top-1000 token table's count-distinct bucket list (<= 1000 rows by the upstream limit)",
+    "decision_stump_totalprice": "two cumulative windows over the 1000-wide price-band bucket AGGREGATE (~700 rows bounded by the price range, not the corpus); the corpus-sized stage is the combinable groupBy upstream",
 }
 # Streaming queries execute a real stream inside their builder (memory
 # sink / foreachBatch), so the returned DataFrame's plan is just the
