@@ -175,6 +175,7 @@ EXTENDED = [
     "exists_subquery_customers",
     "sql_identifier_clause",
     "decision_stump_totalprice",
+    "ridge_cv_one_pass",
 ]
 
 #: HOT tier (r8 verdict item 6 — the extended sweep grows ~linearly with

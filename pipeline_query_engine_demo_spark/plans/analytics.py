@@ -8965,3 +8965,197 @@ def decision_stump_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             "accuracy"
         ),
     ).orderBy(F.col("n_correct").desc(), F.col("split_value").asc()).limit(1)
+
+
+#: One-pass K-fold ridge CV shared fragments — executed VERBATIM by both
+#: engines (Spark selectExpr/F.expr and the DuckDB oracle). The held-out
+#: fold's training moments are the TOTALS minus the fold's own moments —
+#: pure BIGINT subtraction — so the 3x3 Cramer solve reuses _RIDGE_DET*
+#: over the same a11..b3 aliases and every double op is the identical
+#: IEEE tree in both engines.
+_RIDGE_CV_FOLDS = 4
+_RIDGE_CV_TRAIN_PARTS = [
+    f"CAST(tot_n - n + {_RIDGE_LAMBDA} AS DOUBLE) AS a11",
+    "CAST(tot_sq - sq AS DOUBLE) AS a12",
+    "CAST(tot_sd - sd AS DOUBLE) AS a13",
+    f"CAST(tot_sq2 - sq2 + {_RIDGE_LAMBDA} AS DOUBLE) AS a22",
+    "CAST(tot_sqd - sqd AS DOUBLE) AS a23",
+    f"CAST(tot_sd2 - sd2 + {_RIDGE_LAMBDA} AS DOUBLE) AS a33",
+    "CAST(tot_sy - sy AS DOUBLE) AS b1",
+    "CAST(tot_sqy - sqy AS DOUBLE) AS b2",
+    "CAST(tot_sdy - sdy AS DOUBLE) AS b3",
+]
+_RIDGE_CV_TRAIN = ",\n            ".join(_RIDGE_CV_TRAIN_PARTS)
+#: Per-row held-out squared residual in DOLLARS (cents / 100), scaled to
+#: an exact integer micro-lattice: |resid| <= ~1e5 dollars, resid^2 <=
+#: 1e10, * 1e6 <= 1e16 — safely inside both int64 and double-exactness.
+_RIDGE_CV_R2 = (
+    "((CAST(y AS DOUBLE)"
+    " - (beta_intercept + beta_quantity * CAST(q AS DOUBLE)"
+    " + beta_discount_pct * CAST(d AS DOUBLE))) / 100.0)"
+    " * ((CAST(y AS DOUBLE)"
+    " - (beta_intercept + beta_quantity * CAST(q AS DOUBLE)"
+    " + beta_discount_pct * CAST(d AS DOUBLE))) / 100.0)"
+)
+_RIDGE_CV_MSE = (
+    "CAST(s AS DOUBLE) / 1000000.0 / CAST(n_val AS DOUBLE) AS val_mse"
+)
+
+
+@query(
+    "ridge_cv_one_pass",
+    category="ml-train",
+    oracle=f"""
+        WITH rows_f AS (
+            SELECT CAST(l_quantity AS BIGINT) AS q,
+                   CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
+                   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+                   CAST((l_orderkey * 31 + l_linenumber) % {_RIDGE_CV_FOLDS}
+                        AS BIGINT) AS fold
+            FROM lineitem),
+        fold_sums AS (
+            SELECT fold,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(q) AS BIGINT) AS sq,
+                   CAST(SUM(d) AS BIGINT) AS sd,
+                   CAST(SUM(q * q) AS BIGINT) AS sq2,
+                   CAST(SUM(q * d) AS BIGINT) AS sqd,
+                   CAST(SUM(d * d) AS BIGINT) AS sd2,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(q * y) AS BIGINT) AS sqy,
+                   CAST(SUM(d * y) AS BIGINT) AS sdy
+            FROM rows_f GROUP BY fold),
+        totals AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS tot_n,
+                   CAST(SUM(sq) AS BIGINT) AS tot_sq,
+                   CAST(SUM(sd) AS BIGINT) AS tot_sd,
+                   CAST(SUM(sq2) AS BIGINT) AS tot_sq2,
+                   CAST(SUM(sqd) AS BIGINT) AS tot_sqd,
+                   CAST(SUM(sd2) AS BIGINT) AS tot_sd2,
+                   CAST(SUM(sy) AS BIGINT) AS tot_sy,
+                   CAST(SUM(sqy) AS BIGINT) AS tot_sqy,
+                   CAST(SUM(sdy) AS BIGINT) AS tot_sdy
+            FROM fold_sums),
+        m AS (
+            SELECT fold, CAST(tot_n - n AS BIGINT) AS n_train,
+                   n AS n_val,
+                   {_RIDGE_CV_TRAIN}
+            FROM fold_sums, totals),
+        betas AS (
+            SELECT fold, n_train, n_val,
+                   ({_RIDGE_DET1}) / ({_RIDGE_DET}) AS beta_intercept,
+                   ({_RIDGE_DET2}) / ({_RIDGE_DET}) AS beta_quantity,
+                   ({_RIDGE_DET3}) / ({_RIDGE_DET}) AS beta_discount_pct
+            FROM m),
+        terms AS (
+            SELECT b.fold, b.n_train, b.n_val,
+                   b.beta_intercept, b.beta_quantity, b.beta_discount_pct,
+                   CAST(CASE WHEN isfinite({_RIDGE_CV_R2})
+                             THEN floor(({_RIDGE_CV_R2}) * 1000000.0 + 0.5)
+                        END AS BIGINT) AS t
+            FROM rows_f r JOIN betas b ON r.fold = b.fold),
+        folded AS (
+            SELECT fold, n_train, n_val,
+                   beta_intercept, beta_quantity, beta_discount_pct,
+                   CAST(SUM(t) AS DECIMAL(38,0)) AS s
+            FROM terms
+            GROUP BY fold, n_train, n_val,
+                     beta_intercept, beta_quantity, beta_discount_pct)
+        SELECT fold, n_train, n_val,
+               beta_intercept, beta_quantity, beta_discount_pct,
+               {_RIDGE_CV_MSE}
+        FROM folded ORDER BY fold
+    """,
+)
+def ridge_cv_one_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold ridge cross-validation from ONE corpus pass: accumulate
+    the nine normal-equation moments PER FOLD (a combinable groupBy —
+    the only fact-table aggregate), then each held-out fold's training
+    moments are totals − fold, pure BIGINT subtraction. K models for
+    the price of one scan — the distributed form of cross-validation,
+    where the naive per-fold refit would re-read 100 TB K times. Each
+    fold's (X'X + λI)β = X'y solves in-plan with the SAME Cramer
+    fragments as ridge_regression_normal_eq; held-out MSE accumulates
+    per-row squared residuals on an exact 1e-6 dollar² lattice (int64-
+    safe), summed as integers — no float-sum order dependence anywhere.
+
+    Scale: fold moments are one map-combinable reduce to K constant-
+    width rows; the 1-row totals broadcast onto them (whitelisted BNLJ);
+    the K-row beta table broadcasts back onto the fact table for the
+    residual pass. Two corpus scans total (moments + evaluation),
+    independent of K."""
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "CAST(l_quantity AS BIGINT) AS q",
+        "CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d",
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y",
+        f"CAST((l_orderkey * 31 + l_linenumber) % {_RIDGE_CV_FOLDS}"
+        " AS BIGINT) AS fold",
+    )
+    fold_sums = li.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("sq"),
+        F.sum("d").cast("bigint").alias("sd"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("sq2"),
+        F.sum(F.col("q") * F.col("d")).cast("bigint").alias("sqd"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("sd2"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("q") * F.col("y")).cast("bigint").alias("sqy"),
+        F.sum(F.col("d") * F.col("y")).cast("bigint").alias("sdy"),
+    )
+    totals = fold_sums.agg(
+        F.sum("n").cast("bigint").alias("tot_n"),
+        F.sum("sq").cast("bigint").alias("tot_sq"),
+        F.sum("sd").cast("bigint").alias("tot_sd"),
+        F.sum("sq2").cast("bigint").alias("tot_sq2"),
+        F.sum("sqd").cast("bigint").alias("tot_sqd"),
+        F.sum("sd2").cast("bigint").alias("tot_sd2"),
+        F.sum("sy").cast("bigint").alias("tot_sy"),
+        F.sum("sqy").cast("bigint").alias("tot_sqy"),
+        F.sum("sdy").cast("bigint").alias("tot_sdy"),
+    )
+    m = fold_sums.crossJoin(F.broadcast(totals)).selectExpr(
+        "fold",
+        "CAST(tot_n - n AS BIGINT) AS n_train",
+        "n AS n_val",
+        *_RIDGE_CV_TRAIN_PARTS,
+    )
+    betas = m.selectExpr(
+        "fold",
+        "n_train",
+        "n_val",
+        f"({_RIDGE_DET1}) / ({_RIDGE_DET}) AS beta_intercept",
+        f"({_RIDGE_DET2}) / ({_RIDGE_DET}) AS beta_quantity",
+        f"({_RIDGE_DET3}) / ({_RIDGE_DET}) AS beta_discount_pct",
+    )
+    r2 = F.expr(_RIDGE_CV_R2)
+    finite = ~F.isnan(r2) & (r2 != F.lit(float("inf"))) & (
+        r2 != F.lit(float("-inf"))
+    )
+    terms = li.join(F.broadcast(betas), "fold").select(
+        "fold",
+        "n_train",
+        "n_val",
+        "beta_intercept",
+        "beta_quantity",
+        "beta_discount_pct",
+        F.when(finite, F.floor(F.expr(f"({_RIDGE_CV_R2}) * 1000000.0 + 0.5")))
+        .cast("bigint")
+        .alias("t"),
+    )
+    folded = terms.groupBy(
+        "fold",
+        "n_train",
+        "n_val",
+        "beta_intercept",
+        "beta_quantity",
+        "beta_discount_pct",
+    ).agg(F.sum(F.col("t").cast("decimal(38,0)")).cast("decimal(38,0)").alias("s"))
+    return folded.selectExpr(
+        "fold",
+        "n_train",
+        "n_val",
+        "beta_intercept",
+        "beta_quantity",
+        "beta_discount_pct",
+        _RIDGE_CV_MSE,
+    ).orderBy("fold")

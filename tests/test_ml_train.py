@@ -177,3 +177,59 @@ def test_decision_stump_matches_numpy_brute_force(spark, sf_dir):
     assert got.n_right == n - n_left
     assert got.n_correct == n_correct
     assert got.accuracy == n_correct / n
+
+
+def test_ridge_cv_one_pass_matches_numpy_per_fold(spark, sf_dir):
+    """Per-fold replay in numpy: rebuild each held-out fold's training
+    normal equations from the raw rows, solve with numpy.linalg.solve,
+    and recompute the held-out MSE on the same integer micro-lattice.
+    Betas must agree to float tolerance; the lattice-summed MSE and the
+    integer fold sizes must agree exactly."""
+    import numpy as np
+
+    from pipeline_query_engine_demo_spark.plans.analytics import (
+        _RIDGE_CV_FOLDS,
+        _RIDGE_LAMBDA,
+        ridge_cv_one_pass,
+    )
+    from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+    got = {r.fold: r for r in ridge_cv_one_pass(spark, sf_dir).collect()}
+    pdf = (
+        load_table(spark, sf_dir, "lineitem")
+        .selectExpr(
+            "CAST(l_quantity AS BIGINT) AS q",
+            "CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d",
+            "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y",
+            f"CAST((l_orderkey * 31 + l_linenumber) % {_RIDGE_CV_FOLDS}"
+            " AS BIGINT) AS fold",
+        )
+        .toPandas()
+    )
+    X = np.column_stack(
+        [np.ones(len(pdf)), pdf["q"].to_numpy(float), pdf["d"].to_numpy(float)]
+    )
+    yv = pdf["y"].to_numpy(float)
+    folds = pdf["fold"].to_numpy()
+    assert set(got) == set(range(_RIDGE_CV_FOLDS))
+    for k in range(_RIDGE_CV_FOLDS):
+        tr, va = folds != k, folds == k
+        A = X[tr].T @ X[tr] + _RIDGE_LAMBDA * np.eye(3)
+        beta = np.linalg.solve(A, X[tr].T @ yv[tr])
+        r = got[k]
+        assert r.n_train == int(tr.sum()) and r.n_val == int(va.sum())
+        np.testing.assert_allclose(
+            [r.beta_intercept, r.beta_quantity, r.beta_discount_pct],
+            beta,
+            rtol=1e-9,
+        )
+        resid_d = (
+            yv[va]
+            - (
+                r.beta_intercept
+                + r.beta_quantity * X[va][:, 1]
+                + r.beta_discount_pct * X[va][:, 2]
+            )
+        ) / 100.0
+        t = np.floor(resid_d * resid_d * 1e6 + 0.5).astype(np.int64)
+        assert r.val_mse == float(t.sum()) / 1e6 / va.sum()

@@ -35,6 +35,7 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 NL_WHITELIST = {
     "join_cross",
     "scalar_subquery",
+    "ridge_cv_one_pass",  # 1-row totals broadcast onto the K=4-row fold-moment table
     "cosine_topk_embeddings",
     "int8_quantized_topk",  # same 5-query broadcast BNLJ as cosine_topk, over int8 codes
     "binary_sign_hamming_topk",  # same 5-query broadcast BNLJ, over two packed sign words (16 B/vector)
