@@ -43,6 +43,8 @@ QUERIES = [
     "binary_sign_hamming_topk",
     "matryoshka_truncated_recall",
     "local_clustering_coefficient",
+    "decision_stump_totalprice",
+    "ridge_cv_one_pass",
     "q1_pricing_summary",
     "join_aqe_skew_split",
     "ps_merge_groupby_segments",
