@@ -176,6 +176,8 @@ EXTENDED = [
     "sql_identifier_clause",
     "decision_stump_totalprice",
     "ridge_cv_one_pass",
+    "udtf_polymorphic_ngrams",
+    "not_in_null_semantics",
 ]
 
 #: HOT tier (r8 verdict item 6 — the extended sweep grows ~linearly with

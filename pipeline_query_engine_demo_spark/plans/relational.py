@@ -3087,3 +3087,64 @@ def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
             "status": "F",
         },
     )
+
+
+@query(
+    "not_in_null_semantics",
+    category="subquery",
+    oracle="""
+        WITH fin AS (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            UNION ALL SELECT CAST(NULL AS BIGINT)
+        )
+        SELECT
+            CAST((SELECT COUNT(*) FROM customer
+                  WHERE c_custkey NOT IN (SELECT o_custkey FROM fin))
+                 AS BIGINT) AS n_not_in,
+            CAST((SELECT COUNT(*) FROM customer c
+                  WHERE NOT EXISTS (SELECT 1 FROM fin f
+                                    WHERE f.o_custkey = c.c_custkey))
+                 AS BIGINT) AS n_not_exists,
+            CAST((SELECT COUNT(*) FROM customer
+                  WHERE c_custkey NOT IN (SELECT o_custkey FROM fin
+                                          WHERE o_custkey IS NOT NULL))
+                 AS BIGINT) AS n_not_in_null_filtered
+    """,
+)
+def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI null semantics of NOT IN vs NOT EXISTS — the classic
+    correctness trap, demonstrated live with one NULL planted in the
+    subquery: ``x NOT IN (…, NULL)`` is never TRUE (three-valued logic
+    — the NULL comparison is UNKNOWN, so the conjunction can't be
+    TRUE), hence **n_not_in = 0**; NOT EXISTS ignores the NULL row and
+    counts dormant customers normally; filtering the NULL out restores
+    NOT IN ≡ NOT EXISTS. Both engines must agree on all three counts.
+
+    At scale the difference is also a PLAN difference: NOT EXISTS /
+    null-filtered NOT IN lower to a left-anti hash join, while a
+    nullable NOT IN forces a null-aware anti join
+    (BroadcastNestedLoopJoin in the worst case) — writing the
+    null-filter explicitly is the 100 TB-safe form. DataFrame-API
+    parity is pinned in tests/test_sql_surface_parity.py."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("nin_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("nin_orders")
+    return spark.sql(
+        """
+        WITH fin AS (
+            SELECT o_custkey FROM nin_orders WHERE o_orderstatus = 'F'
+            UNION ALL SELECT CAST(NULL AS BIGINT)
+        )
+        SELECT
+            CAST((SELECT COUNT(*) FROM nin_customer
+                  WHERE c_custkey NOT IN (SELECT o_custkey FROM fin))
+                 AS BIGINT) AS n_not_in,
+            CAST((SELECT COUNT(*) FROM nin_customer c
+                  WHERE NOT EXISTS (SELECT 1 FROM fin f
+                                    WHERE f.o_custkey = c.c_custkey))
+                 AS BIGINT) AS n_not_exists,
+            CAST((SELECT COUNT(*) FROM nin_customer
+                  WHERE c_custkey NOT IN (SELECT o_custkey FROM fin
+                                          WHERE o_custkey IS NOT NULL))
+                 AS BIGINT) AS n_not_in_null_filtered
+        """
+    )

@@ -560,3 +560,61 @@ def cogroup_apply_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "udtf_polymorphic_ngrams",
+    category="udf",
+    oracle="""
+        SELECT doc_id, CAST(t.pos AS INT) AS pos, t.g1 AS g1, t.g2 AS g2,
+               t.g3 AS g3
+        FROM (SELECT doc_id,
+                     unnest(list_transform(
+                         generate_series(1, len(string_split(text, ' ')) - 2),
+                         i -> struct_pack(
+                             pos := i - 1,
+                             g1 := string_split(text, ' ')[i],
+                             g2 := string_split(text, ' ')[i + 1],
+                             g3 := string_split(text, ' ')[i + 2]))) AS t
+              FROM documents WHERE doc_id < 10)
+        ORDER BY doc_id, pos
+    """,
+)
+def udtf_polymorphic_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF: no static returnType — the output
+    schema is computed at PLAN time by a static ``analyze()`` from the
+    (foldable) ``n`` argument, so ``poly_ngrams(text, 3)`` plans columns
+    (pos, g1, g2, g3) while ``n=2`` would plan (pos, g1, g2). This is
+    the Spark 4 table-function surface a platform team uses to ship ONE
+    registered function whose shape adapts per call site — the
+    alternative is one UDTF per width. Catalyst sees a fully-typed
+    schema before execution, so downstream pruning/codegen work
+    normally; eval stays a generator (Arrow-batched rows out).
+    tests/test_plans.py exercises the n=2 shape to pin that the schema
+    really is argument-dependent."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import IntegerType, StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class _PolyNGrams:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            width = int(n.value)
+            schema = StructType().add("pos", IntegerType())
+            for i in range(1, width + 1):
+                schema = schema.add(f"g{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):  # noqa: ANN201 - UDTF protocol
+            toks = text.split(" ")
+            for i in range(len(toks) - n + 1):
+                yield (i, *toks[i : i + n])
+
+    spark.udtf.register("poly_ngrams", udtf(_PolyNGrams, useArrow=True))
+    docs = load_table(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") < 10).createOrReplaceTempView("_poly_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.g1, t.g2, t.g3 "
+        "FROM _poly_docs d, LATERAL poly_ngrams(d.text, 3) t "
+        "ORDER BY d.doc_id, t.pos"
+    )

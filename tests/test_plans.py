@@ -354,3 +354,34 @@ def test_sql_udf_inlines_into_plan(spark, sf_dir):
     assert "GreaterThanOrEqual(value,50.0)" in plan  # pushed into the scan
     assert "ReadSchema: struct<event_type:string,value:double>" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_udtf_polymorphic_schema_tracks_argument(spark, sf_dir):
+    """The polymorphic UDTF's analyze() must derive the schema from the
+    n argument: n=2 plans (pos, g1, g2); n=3 (the registered query)
+    plans (pos, g1, g2, g3) — and the n=2 rows match a Python replay."""
+    from pipeline_query_engine_demo_spark.plans.udfs import (
+        udtf_polymorphic_ngrams,
+    )
+    from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+    got3 = udtf_polymorphic_ngrams(spark, sf_dir)
+    assert got3.columns == ["doc_id", "pos", "g1", "g2", "g3"]
+
+    df2 = spark.sql(
+        "SELECT d.doc_id, t.* FROM _poly_docs d, "
+        "LATERAL poly_ngrams(d.text, 2) t ORDER BY d.doc_id, t.pos"
+    )
+    assert df2.columns == ["doc_id", "pos", "g1", "g2"]
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents")
+        .filter("doc_id < 10")
+        .collect()
+    }
+    exp = []
+    for doc_id in sorted(texts):
+        toks = texts[doc_id].split(" ")
+        for i in range(len(toks) - 1):
+            exp.append((doc_id, i, toks[i], toks[i + 1]))
+    assert [tuple(r) for r in df2.collect()] == exp

@@ -231,3 +231,25 @@ def test_sql_identifier_clause_matches_dataframe_api(spark, sf_dir):
         .orderBy("priority")
     )
     assert _rows(got) == _rows(exp)
+
+
+def test_not_in_null_semantics_matches_dataframe_api(spark, sf_dir):
+    """DataFrame-API recompute of all three counts: NOT EXISTS and the
+    null-filtered NOT IN are a left-anti join; the nullable NOT IN must
+    be exactly zero by three-valued logic (and Spark's null-aware anti
+    join must agree)."""
+    from pipeline_query_engine_demo_spark.plans.relational import (
+        not_in_null_semantics,
+    )
+
+    got = not_in_null_semantics(spark, sf_dir).collect()[0]
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    fin_keys = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    n_anti = cust.join(
+        fin_keys, cust.c_custkey == fin_keys.o_custkey, "left_anti"
+    ).count()
+    assert got.n_not_in == 0  # NULL in the IN-list poisons every row
+    assert got.n_not_exists == n_anti
+    assert got.n_not_in_null_filtered == n_anti
+    assert n_anti > 0  # the demo is only meaningful with dormant customers
