@@ -178,6 +178,7 @@ EXTENDED = [
     "ridge_cv_one_pass",
     "udtf_polymorphic_ngrams",
     "not_in_null_semantics",
+    "statestore_change_feed",
 ]
 
 #: HOT tier (r8 verdict item 6 — the extended sweep grows ~linearly with

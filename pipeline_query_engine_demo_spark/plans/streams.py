@@ -1656,3 +1656,90 @@ def statestore_offline_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "statestore_change_feed",
+    category="ops",
+    oracle=f"""
+        WITH b0 AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events WHERE ts < TIMESTAMP '{_BOOTSTRAP_CUTOFF}'
+            GROUP BY user_id),
+        tot AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id)
+        SELECT CAST(0 AS BIGINT) AS batch_id, 'update' AS change_type,
+               user_id, n AS n_events
+        FROM b0
+        UNION ALL
+        SELECT CAST(1 AS BIGINT) AS batch_id, 'update' AS change_type,
+               t.user_id, t.n AS n_events
+        FROM tot t LEFT JOIN b0 ON b0.user_id = t.user_id
+        WHERE b0.user_id IS NULL OR t.n > b0.n
+        ORDER BY batch_id, user_id
+    """,
+)
+def statestore_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State store CHANGE FEED (``readChangeFeed`` on the statestore
+    source): replay every state mutation a streaming aggregate made,
+    batch by batch, as a plain DataFrame — the audit-log view of
+    stateful execution (statestore_offline_read is the snapshot view;
+    together they are the Spark 4 state-debugging surface). The events
+    table is split at the shared bootstrap cutoff into two mtime-ordered
+    files (maxFilesPerTrigger=1 → two micro-batches), so the feed must
+    show batch 0 writing the pre-cutoff per-user counts and batch 1
+    re-writing EXACTLY the users the second batch touched with their
+    cumulative totals — users untouched by a batch must NOT appear in
+    that batch's feed (RocksDB-style changelog, not a snapshot diff).
+    The oracle derives both batches' expected mutations relationally
+    (batch 1 rows = users whose total exceeds their pre-cutoff count).
+
+    Scale: like the snapshot reader, the feed maps one task per state
+    partition per batch — replaying a 1000-partition checkpoint's
+    history is a parallel scan, not a driver walk."""
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(_BOOTSTRAP_CUTOFF).cast("timestamp")
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ss_cf_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    ckpt = os.path.join(root, "ckpt")
+    import time as _time
+
+    for chunk in (
+        ev.filter(F.col("ts") < cutoff),
+        ev.filter(F.col("ts") >= cutoff),
+    ):
+        chunk.select("user_id").coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct mtimes => deterministic batch order
+    stream = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ss_cf_drain")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    feed = (
+        spark.read.format("statestore")
+        .option("readChangeFeed", "true")
+        .option("changeStartBatchId", 0)
+        .load(ckpt)
+    )
+    return feed.select(
+        F.col("batch_id").cast("long").alias("batch_id"),
+        F.col("change_type").cast("string").alias("change_type"),
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.count").cast("long").alias("n_events"),
+    ).orderBy("batch_id", "user_id")
