@@ -179,6 +179,7 @@ EXTENDED = [
     "udtf_polymorphic_ngrams",
     "not_in_null_semantics",
     "statestore_change_feed",
+    "session_window_dynamic_gap",
 ]
 
 #: HOT tier (r8 verdict item 6 — the extended sweep grows ~linearly with

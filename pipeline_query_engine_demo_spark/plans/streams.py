@@ -337,7 +337,7 @@ def streaming_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFra
         ),
         m AS (
             SELECT user_id, ts, event_id,
-                   CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 5 MINUTE
+                   CASE WHEN prev IS NULL OR ts - prev > INTERVAL 5 MINUTE
                         THEN 1 ELSE 0 END AS new_s
             FROM o
         ),

@@ -403,7 +403,7 @@ def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         m AS (
             SELECT user_id, ts, event_id,
-                   CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 5 MINUTE
+                   CASE WHEN prev IS NULL OR ts - prev > INTERVAL 5 MINUTE
                         THEN 1 ELSE 0 END AS new_s
             FROM o
         ),
@@ -424,9 +424,12 @@ def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (5-minute inactivity gap) via F.session_window —
     Spark's native sessionization. A session spans [first event, last
-    event + gap); an event exactly `gap` after its predecessor starts a
-    NEW session (half-open interval), which the oracle's gaps-and-islands
-    construction reproduces with its `>=` comparison."""
+    event + gap); an event arriving EXACTLY `gap` after its predecessor
+    MERGES (a new session only when the silence strictly exceeds the
+    gap — pinned by tests/test_analytics.py's exact-boundary case; the
+    fixture's microsecond-random timestamps never land on the boundary,
+    so only a planted test can tell `>` from `>=`), which the oracle's
+    gaps-and-islands construction reproduces with its strict `>`."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
@@ -1486,3 +1489,79 @@ def ps_pivot_table_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("O").cast("bigint").alias("n_o"),
         F.col("P").cast("bigint").alias("n_p"),
     ).orderBy("o_orderpriority")
+
+
+@query(
+    "session_window_dynamic_gap",
+    category="time-window",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, ts, event_id,
+                   CASE event_type
+                        WHEN 'purchase' THEN INTERVAL 10 MINUTE
+                        WHEN 'click' THEN INTERVAL 3 MINUTE
+                        ELSE INTERVAL 5 MINUTE END AS gap
+            FROM events),
+        o AS (
+            SELECT user_id, ts, event_id, gap,
+                   MAX(ts + gap) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_end
+            FROM e),
+        m AS (
+            SELECT user_id, ts, event_id, gap,
+                   CASE WHEN prev_end IS NULL OR ts > prev_end
+                        THEN 1 ELSE 0 END AS new_s
+            FROM o),
+        g AS (
+            SELECT user_id, ts, gap,
+                   SUM(new_s) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM m)
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts + gap) AS session_end,
+               COUNT(*) AS n_events
+        FROM g GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+    """,
+)
+def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a DYNAMIC per-event gap —
+    ``F.session_window(ts, gapExpr)`` where the inactivity timeout
+    depends on the event itself (purchases hold a session open 10 min,
+    clicks 3, everything else 5): the real-world sessionization shape
+    where heavyweight actions extend engagement longer than ambient
+    telemetry. Each event proposes [ts, ts+gap); overlapping proposals
+    merge, so a session's end is the MAX of ts+gap over its members —
+    which the oracle reproduces with a gaps-and-islands construction
+    over the running max of proposed ends. An event landing EXACTLY on
+    the running end MERGES (strict `>` starts a session) — verified
+    live and pinned by the planted boundary test; writing `>=` here
+    would be a latent gate flake the microsecond-random fixture can
+    never expose.
+
+    Scale: native session_window is a single shuffle on the grouping
+    key with in-operator merging — no self-join, no per-user collect;
+    the dynamic gap costs one CASE projection."""
+    events = load_table(spark, sf_dir, "events")
+    # session_window requires CalendarIntervalType (not the ANSI
+    # DayTimeInterval INTERVAL literals produce) — string gaps cast to it.
+    gap = (
+        F.when(F.col("event_type") == "purchase", F.lit("10 minutes"))
+        .when(F.col("event_type") == "click", F.lit("3 minutes"))
+        .otherwise(F.lit("5 minutes"))
+    )
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

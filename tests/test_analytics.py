@@ -597,3 +597,46 @@ def test_dp_noisy_counts_matches_python_laplace(spark, sf_dir):
         assert r.n == true[src]
         assert r.noise == rhu6(noise), src
         assert r.noisy_n == rhu6(true[src] + noise), src
+
+
+def test_session_window_dynamic_gap_boundary_semantics(spark):
+    """Planted micro-case for the dynamic gap: a purchase's 10-min
+    window bridges a 7-min silence a click's 3-min window would not,
+    and an event landing EXACTLY at the running end starts a new
+    session (half-open, matching the fixed-gap query)."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(minutes, seconds=0):
+        return t0 + dt.timedelta(minutes=minutes, seconds=seconds)
+
+    rows = [
+        # user 1: purchase at 0 (end 10), next at 7 -> SAME session
+        (1, at(0), "purchase"), (1, at(7), "view"),
+        # user 2: click at 0 (end 3), next at 7 -> NEW session
+        (2, at(0), "click"), (2, at(7), "view"),
+        # user 3: view at 0 (end 5), next EXACTLY at 5 -> MERGES
+        # (Spark starts a new session only when the silence strictly
+        # exceeds the gap; the oracles' strict `>` mirrors this), and a
+        # third event past the extended end -> NEW session
+        (3, at(0), "view"), (3, at(5), "view"), (3, at(10, 1), "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    gap = (
+        F.when(F.col("event_type") == "purchase", F.lit("10 minutes"))
+        .when(F.col("event_type") == "click", F.lit("3 minutes"))
+        .otherwise(F.lit("5 minutes"))
+    )
+    got = {
+        (r.user_id, r.n): r.cnt
+        for r in df.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    # (user, n_sessions) -> total events
+    assert got == {(1, 1): 2, (2, 2): 2, (3, 2): 3}
