@@ -180,6 +180,7 @@ EXTENDED = [
     "not_in_null_semantics",
     "statestore_change_feed",
     "session_window_dynamic_gap",
+    "bitmap_distinct_users",
 ]
 
 #: HOT tier (r8 verdict item 6 — the extended sweep grows ~linearly with

@@ -3148,3 +3148,69 @@ def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS BIGINT) AS n_not_in_null_filtered
         """
     )
+
+
+@query(
+    "bitmap_distinct_users",
+    category="approx-agg",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_merged
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via BITMAP aggregates
+    (``bitmap_bucket_number`` / ``bitmap_bit_position`` /
+    ``bitmap_construct_agg`` / ``bitmap_or_agg`` / ``bitmap_count``) —
+    the mergeable-state alternative to COUNT(DISTINCT): each
+    (event_type, 32k-id bucket) collapses to one bitmap whose bits are
+    the ids seen, popcounts sum to the exact distinct count, and —
+    the column that matters at 100 TB — bitmaps OR-MERGE, so daily
+    per-bucket bitmaps roll up into monthly distincts without ever
+    re-touching the raw events (COUNT DISTINCT forces a full reshuffle
+    of history every time). Both paths are computed here: ``n_users``
+    sums popcounts of per-bucket bitmaps directly; ``n_users_merged``
+    first builds per-(bucket, ts-half) bitmaps, OR-merges the halves
+    with ``bitmap_or_agg``, then popcounts — proving merge-equivalence
+    against the oracle's plain COUNT(DISTINCT) twice over.
+
+    Scale: the bitmap build is a combinable aggregate (partial bitmaps
+    OR map-side); state per group is a fixed 4 KB bitmap per 32k-id
+    bucket, independent of row count."""
+    ev = load_table(spark, sf_dir, "events")
+    half = F.when(
+        F.col("ts") < F.lit("2024-01-16").cast("timestamp"), F.lit(0)
+    ).otherwise(F.lit(1))
+    ev.select("event_type", "user_id", half.alias("half")).createOrReplaceTempView(
+        "bm_events"
+    )
+    return spark.sql(
+        """
+        WITH direct AS (
+            SELECT event_type,
+                   CAST(SUM(bitmap_count(bm)) AS BIGINT) AS n_users
+            FROM (SELECT event_type,
+                         bitmap_bucket_number(user_id) AS bucket,
+                         bitmap_construct_agg(bitmap_bit_position(user_id))
+                             AS bm
+                  FROM bm_events GROUP BY event_type, bucket)
+            GROUP BY event_type),
+        halves AS (
+            SELECT event_type, half,
+                   bitmap_bucket_number(user_id) AS bucket,
+                   bitmap_construct_agg(bitmap_bit_position(user_id)) AS bm
+            FROM bm_events GROUP BY event_type, half, bucket),
+        merged AS (
+            SELECT event_type,
+                   CAST(SUM(cnt) AS BIGINT) AS n_users_merged
+            FROM (SELECT event_type, bucket,
+                         bitmap_count(bitmap_or_agg(bm)) AS cnt
+                  FROM halves GROUP BY event_type, bucket)
+            GROUP BY event_type)
+        SELECT d.event_type, d.n_users, m.n_users_merged
+        FROM direct d JOIN merged m ON d.event_type = m.event_type
+        ORDER BY d.event_type
+        """
+    )
