@@ -181,6 +181,7 @@ EXTENDED = [
     "statestore_change_feed",
     "session_window_dynamic_gap",
     "bitmap_distinct_users",
+    "rollup_grouping_id",
 ]
 
 #: HOT tier (r8 verdict item 6 — the extended sweep grows ~linearly with

@@ -3214,3 +3214,48 @@ def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.event_type
         """
     )
+
+
+@query(
+    "rollup_grouping_id",
+    category="aggregation",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               CAST(GROUPING(l_returnflag) AS INT) AS is_flag_total,
+               CAST(GROUPING(l_linestatus) AS INT) AS is_status_total,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() / grouping_id() over a ROLLUP — the metadata columns
+    that make subtotal rows machine-distinguishable: a NULL in a
+    rollup output is ambiguous (real NULL data vs "aggregated away")
+    until GROUPING() labels it, and grouping_id()'s bitmask keys each
+    aggregation LEVEL (0 = leaf, 1 = per-flag subtotal, 3 = grand
+    total) — which is how a 100 TB reporting layer routes one rollup's
+    rows to per-level sinks instead of re-aggregating per level.
+    Spark's grouping_id() == DuckDB's multi-argument GROUPING()
+    bitmask, checked value-for-value."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.grouping("l_returnflag").cast("int").alias("is_flag_total"),
+            F.grouping("l_linestatus").cast("int").alias("is_status_total"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "gid",
+            "is_flag_total", "is_status_total", "n",
+        )
+        .orderBy(
+            "gid",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
