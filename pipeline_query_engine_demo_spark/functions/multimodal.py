@@ -324,7 +324,11 @@ def encode_wav(sample_rate: int, channels: int, samples: bytes, junk_chunk: bool
         + block_align.to_bytes(2, "little")
         + (16).to_bytes(2, "little")
     )
-    junk = b"LIST" + (5).to_bytes(4, "little") + b"INFO\x00" + b"\x00" if junk_chunk else b""
+    junk = (
+        (b"LIST" + (5).to_bytes(4, "little") + b"INFO\x00" + b"\x00")
+        if junk_chunk
+        else b""
+    )
     data = b"data" + len(samples).to_bytes(4, "little") + samples
     body = b"WAVE" + fmt + junk + data
     return b"RIFF" + len(body).to_bytes(4, "little") + body

@@ -552,12 +552,10 @@ def python_datasource_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources/pydatasource.py for the scale contract)."""
     from pipeline_query_engine_demo_spark.sources.pydatasource import (
         SequenceFeedSource,
+        register_source,
     )
 
-    try:
-        spark.dataSource.register(SequenceFeedSource)
-    except Exception:
-        pass  # already registered in this session
+    register_source(spark, SequenceFeedSource)
     return (
         spark.read.format("sequence_feed")
         .option("n_rows", 1000)
@@ -594,14 +592,12 @@ def python_stream_datasource_rollup(spark: SparkSession, sf_dir: str) -> DataFra
     protocol that both share."""
     from pipeline_query_engine_demo_spark.sources.pydatasource import (
         CounterStreamSource,
+        register_source,
     )
 
     import shutil
 
-    try:
-        spark.dataSource.register(CounterStreamSource)
-    except Exception:
-        pass  # already registered in this session
+    register_source(spark, CounterStreamSource)
     agg = (
         spark.readStream.format("counter_feed")
         .load()
@@ -680,14 +676,12 @@ def python_parallel_stream_shards(spark: SparkSession, sf_dir: str) -> DataFrame
     this row pins the parallel read path."""
     from pipeline_query_engine_demo_spark.sources.pydatasource import (
         ShardStreamSource,
+        register_source,
     )
 
     import shutil
 
-    try:
-        spark.dataSource.register(ShardStreamSource)
-    except Exception:
-        pass  # already registered in this session
+    register_source(spark, ShardStreamSource)
     agg = (
         spark.readStream.format("shard_feed")
         .load()

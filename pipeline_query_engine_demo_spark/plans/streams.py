@@ -1486,7 +1486,13 @@ def streaming_tws_session_timer(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         result = streaming.run_to_memory(
-            streaming.tws_session_timer(rows), "append", name="t_tws_sessions"
+            streaming.tws_session_timer(rows),
+            "append",
+            name="t_tws_sessions",
+            # The oracle labels every non-final session 'data', which is
+            # only guaranteed when the whole fixture arrives in ONE data
+            # micro-batch — enforce that instead of assuming it.
+            max_data_batches=1,
         )
     return result.orderBy("user_id", "start_ms")
 
@@ -1708,14 +1714,32 @@ def statestore_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     src = os.path.join(root, "src")
     ckpt = os.path.join(root, "ckpt")
-    import time as _time
+    # FileStreamSource orders candidate files by modification time, so
+    # the two chunks' mtimes are set EXPLICITLY (chunk i → epoch + i s)
+    # after each write — a coarse-granularity filesystem or clock skew
+    # can no longer tie them and merge both chunks into batch 0.
+    def _list_data_files() -> set[str]:
+        return {
+            os.path.join(src, f)
+            for f in os.listdir(src)
+            if f.endswith(".parquet") and not f.startswith("_")
+        }
 
-    for chunk in (
-        ev.filter(F.col("ts") < cutoff),
-        ev.filter(F.col("ts") >= cutoff),
+    seen: set[str] = set()
+    base_mtime = 1_700_000_000  # any fixed past instant; only ORDER matters
+    for i, chunk in enumerate(
+        (
+            ev.filter(F.col("ts") < cutoff),
+            ev.filter(F.col("ts") >= cutoff),
+        )
     ):
         chunk.select("user_id").coalesce(1).write.mode("append").parquet(src)
-        _time.sleep(1.1)  # distinct mtimes => deterministic batch order
+        new_files = _list_data_files() - seen
+        for path in new_files:
+            os.utime(path, (base_mtime + i, base_mtime + i))
+        seen |= new_files
+    mtimes = sorted({int(os.stat(p).st_mtime) for p in seen})
+    assert len(mtimes) == 2, f"chunk mtimes must differ, got {mtimes}"
     stream = (
         spark.readStream.schema("user_id long")
         .option("maxFilesPerTrigger", 1)

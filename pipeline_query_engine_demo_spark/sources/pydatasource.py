@@ -32,6 +32,20 @@ N_ROWS = 1000
 N_PARTITIONS = 8
 
 
+def register_source(spark, source_cls: type) -> None:
+    """Register a Python DataSource, tolerating ONLY the
+    already-registered case — any other registration failure (bad
+    class, serialization error, API mismatch) propagates instead of
+    deferring to a confusing format-not-found error at read time."""
+    try:
+        spark.dataSource.register(source_cls)
+    except Exception as exc:  # noqa: BLE001 — filtered below
+        msg = str(exc).lower()
+        if "already" in msg and ("register" in msg or "exist" in msg):
+            return
+        raise
+
+
 class _SliceParts(InputPartition):
     def __init__(self, start: int, end: int) -> None:
         self.start = start

@@ -202,7 +202,10 @@ def drain_with_flush(joined: DataFrame, root: str, flush=None) -> DataFrame:
 
 
 def run_to_memory(
-    stream_df: DataFrame, output_mode: str = "complete", name: str | None = None
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+    name: str | None = None,
+    max_data_batches: int | None = None,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow trigger)
     into a memory sink and return the materialized result. This is what
@@ -211,7 +214,14 @@ def run_to_memory(
 
     Pass a stable ``name`` when the query re-runs within one session —
     the sink table is replaced instead of a fresh uuid-named table
-    accumulating its full result in driver memory per invocation."""
+    accumulating its full result in driver memory per invocation.
+
+    ``max_data_batches``: when an oracle's expectations depend on HOW
+    the drain split the input (e.g. a closed-by label that flips if
+    data arrives across micro-batches), pass the batch count the oracle
+    assumes and the run FAILS LOUDLY if the source delivered data in
+    more batches — a fixture-layout or maxFilesPerTrigger change then
+    surfaces as this assertion, not a baffling hash mismatch."""
     name = name or f"stream_result_{uuid.uuid4().hex[:12]}"
     q = (
         stream_df.writeStream.format("memory")
@@ -221,6 +231,15 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+    if max_data_batches is not None:
+        data_batches = sum(
+            1 for p in q.recentProgress if p["numInputRows"] > 0
+        )
+        assert data_batches <= max_data_batches, (
+            f"stream '{name}' ingested data across {data_batches} "
+            f"micro-batches; the oracle assumes <= {max_data_batches} "
+            "(source layout changed?)"
+        )
     return stream_df.sparkSession.table(name)
 
 
