@@ -8,16 +8,27 @@ registers its queries at import time via
 from pipeline_query_engine_demo_spark.plans import (  # noqa: F401  (registration side effects)
     analytics,
     curation,
+    dedup,
     geo,
+    graph,
     llm,
-    quantization,
+    privacy,
     relational,
+    retrieval,
     sinks,
     sketches,
+    stats,
+    timeseries,
     tpch,
+    training,
     udfs,
     windows,
 )
+
+# quantization imports AFTER retrieval (not alphabetically): its PQ/OPQ
+# recall oracles compose retrieval's cosine_topk_embeddings oracle via a
+# REGISTRY lookup at import time.
+from pipeline_query_engine_demo_spark.plans import quantization  # noqa: F401,E402
 
 # streams imports LAST (not alphabetically): its stream-twin queries
 # reuse batch oracles verbatim via REGISTRY lookups (cusum from

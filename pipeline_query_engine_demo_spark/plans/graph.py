@@ -1,0 +1,1029 @@
+"""Graph algorithms over the co-purchase graph (split from plans/analytics.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession
+
+from pipeline_query_engine_demo_spark.functions.rounding import (
+    round_half_up,
+    sql_round_half_up,
+)
+from pipeline_query_engine_demo_spark.plans.registry import query
+from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+
+#: Benford first-digit probabilities log10(1 + 1/d), pre-folded to
+#: Python doubles once and embedded as literals in BOTH engines — the
+#: nDCG-discount trick: no runtime log10 anywhere.
+import math as _math  # noqa: E402
+
+
+# BH wraps the permutation oracle verbatim as a CTE so the two stay in
+# lockstep; registered post-hoc because the decorator runs before the
+# wrapped oracle string is addressable.
+from pipeline_query_engine_demo_spark.plans.registry import (  # noqa: E402
+    REGISTRY as _REG,
+)
+import dataclasses as _dc  # noqa: E402
+
+from pipeline_query_engine_demo_spark.plans.analytics import (  # shared helpers stay in the base module
+    _AA_HUB_CAP,
+    _LPA_ROUNDS,
+)
+
+def _pr_iter_sql(i: int, p: int) -> str:
+    """One PageRank iteration as a DuckDB CTE (reads r{p}, defines
+    r{i}). Rounding is ``floor(x*1e9 + 0.5)/1e9``, mirroring
+    operators.graph._r9 — round() itself disagrees between engines by
+    one ulp on boundary values (found by the sf0.1 sweep)."""
+    return f"""
+        r{i} AS (
+            SELECT p.dst AS node,
+                   floor((0.15 / ANY_VALUE(nn.n)
+                          + 0.85 * CAST(SUM(CAST(
+                                floor(r{p}.r / deg.outdeg * 1e9 + 0.5) / 1e9
+                                AS DECIMAL(28,12))) AS DOUBLE))
+                         * 1e9 + 0.5) / 1e9 AS r
+            FROM pairs p
+            JOIN r{p} ON r{p}.node = p.src
+            JOIN deg ON deg.src = p.src
+            CROSS JOIN nn
+            GROUP BY p.dst
+        )"""
+
+
+@query(
+    "pagerank_copurchase",
+    category="graph",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM pairs),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        deg AS (SELECT src, COUNT(*) AS outdeg FROM pairs GROUP BY src),
+        r0 AS (
+            SELECT node, floor(1.0 / nn.n * 1e9 + 0.5) / 1e9 AS r
+            FROM nodes CROSS JOIN nn
+        ),
+    """
+    + _pr_iter_sql(1, 0)
+    + ","
+    + _pr_iter_sql(2, 1)
+    + """
+        SELECT CAST(node AS BIGINT) AS partkey, r AS pagerank
+        FROM r2
+        ORDER BY pagerank DESC, partkey
+        LIMIT 50
+    """,
+)
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (parts are linked when
+    they share an order) — 2 damped iterations via operators.graph:
+    link analysis for item/domain importance ranking, the third
+    iterative algorithm under the exact-hash gate (with connected
+    components and k-means). The oracle replays both iterations as
+    chained CTEs from the same DECIMAL-exact, 9-decimal-rounded
+    accumulators, so all 50 top ranks match to the digit.
+
+    Scale shape: edges come from a per-order self-join (quadratic only
+    in ORDER SIZE, a small bounded constant — never corpus-quadratic);
+    each iteration is one edge⋈rank shuffle join plus one groupBy(dst),
+    the textbook distributed PageRank flow. The rank table is
+    node-sized; nothing edge-sized reaches the driver.
+    """
+    from pipeline_query_engine_demo_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=2, damping=0.85, teleport=0.15)
+    return (
+        ranks.select(
+            F.col("node").cast("bigint").alias("partkey"),
+            F.col("pagerank"),
+        )
+        .orderBy(F.desc("pagerank"), "partkey")
+        .limit(50)
+    )
+
+
+_RHU_TRANSITIVITY = sql_round_half_up(
+    "3.0 * CAST(tri.t AS DOUBLE) / CAST(wed.w AS DOUBLE)", 9
+)
+
+
+@query(
+    "triangle_count_copurchase",
+    category="graph",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        tri AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS t
+            FROM pairs e1
+            JOIN pairs e2 ON e2.u = e1.v
+            JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        deg AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM (
+                SELECT u AS node FROM pairs
+                UNION ALL
+                SELECT v AS node FROM pairs
+            )
+            GROUP BY node
+        ),
+        wed AS (
+            SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS w FROM deg
+        )
+        SELECT tri.t AS n_triangles,
+               wed.w AS n_wedges,
+               {_RHU_TRANSITIVITY} AS transitivity
+        FROM tri CROSS JOIN wed
+    """,
+)
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count + transitivity of the part co-purchase
+    graph — the standard graph-structure summary (community density,
+    spam/bot detection in link graphs) alongside PageRank.
+
+    Scale shape: edges are DEGREE-ORDERED — each undirected edge is
+    oriented from its lower-(degree, id) endpoint to the higher — and
+    triangles are enumerated as wedges at the lowest-ordered vertex
+    closed by an oriented edge. Every triangle has exactly one lowest
+    vertex, so each is counted once (the total provably equals the
+    id-ordered count, which is what the oracle computes), and the
+    wedge join's fan-out per vertex is bounded by its OUT-degree,
+    which degree ordering caps at O(sqrt(edges)) even on power-law
+    hubs — the standard hardening that makes distributed triangle
+    counting survive a celebrity node. Wedge counts for transitivity
+    stay on the undirected degrees (one map-side-combinable groupBy).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    # The distinct edge table feeds the degree count AND the orientation
+    # join; the oriented table feeds THREE wedge-join branches. Without
+    # checkpoints each alias re-runs the whole upstream pipeline (the r3
+    # plan audit measured 34 exchanges from exactly that re-execution);
+    # lazy localCheckpoints make each table compute once — the same
+    # lineage-cut pattern as dedup's banded bucket table.
+    pairs = pairs.localCheckpoint(eager=False)
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    ).localCheckpoint(eager=False)
+    # Orient each edge low->high in the (degree, id) total order.
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    with_deg = pairs.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("du")).otherwise(F.col("dv")).alias("dsrc"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+    ).localCheckpoint(eager=False)
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    # Wedge at the lowest vertex: two out-edges (src, b) and (src, c)
+    # with ord(b) < ord(c); closed iff oriented edge (b, c) exists.
+    wedge_order = (F.col("e1.ddst") < F.col("e2.ddst")) | (
+        (F.col("e1.ddst") == F.col("e2.ddst"))
+        & (F.col("e1.dst") < F.col("e2.dst"))
+    )
+    tri = (
+        e1.join(e2, (F.col("e2.src") == F.col("e1.src")) & wedge_order)
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.dst"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    )
+    # Integer DIV, not float /: d*(d-1) is even so DIV 2 is exact, and
+    # the double path would silently lose bits past 2^53 on hub nodes.
+    wed = deg.agg(F.sum(F.expr("d * (d - 1) DIV 2")).cast("bigint").alias("w"))
+    return tri.crossJoin(wed).select(
+        F.col("t").alias("n_triangles"),
+        F.col("w").alias("n_wedges"),
+        round_half_up(
+            F.lit(3.0) * F.col("t").cast("double") / F.col("w").cast("double"), 9
+        ).alias("transitivity"),
+    )
+
+
+_RHU_LCC = sql_round_half_up(
+    "2.0 * CAST(t.tri AS DOUBLE) / CAST(deg.d * (deg.d - 1) AS DOUBLE)", 6
+)
+
+
+@query(
+    "local_clustering_coefficient",
+    category="graph",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        tris AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM pairs e1
+            JOIN pairs e2 ON e2.u = e1.v
+            JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        credit AS (
+            SELECT a AS node FROM tris
+            UNION ALL SELECT b FROM tris
+            UNION ALL SELECT c FROM tris
+        ),
+        t AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS tri
+              FROM credit GROUP BY node),
+        deg AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM (
+                SELECT u AS node FROM pairs
+                UNION ALL
+                SELECT v AS node FROM pairs
+            )
+            GROUP BY node
+        )
+        SELECT deg.node, deg.d,
+               COALESCE(t.tri, 0) AS n_triangles,
+               {_RHU_LCC.replace("t.tri", "COALESCE(t.tri, 0)")} AS coeff
+        FROM deg LEFT JOIN t ON t.node = deg.node
+        WHERE deg.d >= 2
+        ORDER BY coeff DESC, deg.node LIMIT 20
+    """,
+)
+def local_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-NODE clustering coefficient of the part co-purchase graph —
+    2·tri(v) / (d(v)·(d(v)−1)), the local-density companion of the
+    global transitivity row (triangle_count_copurchase): link-spam and
+    community detection read the per-node value, not the global one.
+    Top 20 under the (coeff, node) total order both engines replay.
+
+    Scale shape: triangles are enumerated ONCE via the same
+    degree-oriented wedge join as the global count (fan-out capped at
+    out-degree O(sqrt(E)) per vertex even on power-law hubs), then each
+    triangle credits its three vertices through one explode + groupBy —
+    a shuffle keyed by node id, combiner-reduced. Degrees come from one
+    map-side-combinable count; the coefficient is one exact-int double
+    division. The id-ordered oracle counts the same triangles because
+    every triangle has exactly one lowest-ordered vertex in either
+    ordering."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    ).localCheckpoint(eager=False)
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    ).localCheckpoint(eager=False)
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    with_deg = pairs.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("du")).otherwise(F.col("dv")).alias("dsrc"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+    ).localCheckpoint(eager=False)
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    wedge_order = (F.col("e1.ddst") < F.col("e2.ddst")) | (
+        (F.col("e1.ddst") == F.col("e2.ddst"))
+        & (F.col("e1.dst") < F.col("e2.dst"))
+    )
+    tri_nodes = (
+        e1.join(e2, (F.col("e2.src") == F.col("e1.src")) & wedge_order)
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.dst"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.explode(
+                F.array(F.col("e1.src"), F.col("e1.dst"), F.col("e2.dst"))
+            ).alias("node")
+        )
+    )
+    t = tri_nodes.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("tri"))
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(t, "node", "left")
+        .select(
+            "node",
+            "d",
+            F.coalesce(F.col("tri"), F.lit(0).cast("bigint")).alias("n_triangles"),
+            round_half_up(
+                F.lit(2.0)
+                * F.coalesce(F.col("tri"), F.lit(0)).cast("double")
+                / (F.col("d") * (F.col("d") - F.lit(1))).cast("double"),
+                6,
+            ).alias("coeff"),
+        )
+        .orderBy(F.col("coeff").desc(), "node")
+        .limit(20)
+    )
+
+
+@query(
+    "assoc_rules_copurchase",
+    category="analytics",
+    oracle=f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+            FROM lineitem
+        ),
+        n AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders
+              FROM items),
+        supp AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS s
+                 FROM items GROUP BY part),
+        pairs AS (
+            SELECT a.part AS p1, b.part AS p2,
+                   CAST(COUNT(*) AS BIGINT) AS sp
+            FROM items a JOIN items b
+              ON a.okey = b.okey AND a.part < b.part
+            GROUP BY a.part, b.part
+        ),
+        scored AS (
+            SELECT p.p1, p.p2, p.sp,
+                   CAST(p.sp AS DOUBLE) / CAST(s1.s AS DOUBLE) AS conf_12,
+                   CAST(p.sp AS DOUBLE) / CAST(s2.s AS DOUBLE) AS conf_21,
+                   CAST(n.n_orders * p.sp AS DOUBLE)
+                       / CAST(s1.s * s2.s AS DOUBLE) AS lift_raw
+            FROM pairs p
+            JOIN supp s1 ON s1.part = p.p1
+            JOIN supp s2 ON s2.part = p.p2
+            CROSS JOIN n
+            WHERE p.sp >= 2
+        )
+        SELECT p1, p2, sp AS pair_support,
+               {sql_round_half_up('conf_12', 6)} AS conf_12,
+               {sql_round_half_up('conf_21', 6)} AS conf_21,
+               {sql_round_half_up('lift_raw', 6)} AS lift
+        FROM scored
+        ORDER BY lift DESC, p1, p2 LIMIT 20
+    """,
+)
+def assoc_rules_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over co-purchased parts: pair support from the
+    basket self-join (a.part < b.part orients each pair once),
+    per-part support, and the top rules by lift with confidence in
+    both directions. All supports are BIGINT counts; confidence and
+    lift divide exact integer products cast to double in one identical
+    expression, rounded half-up to 6.
+
+    Scale: the same oriented basket self-join shape as
+    triangle_count_copurchase — quadratic only in per-basket size, so
+    a degenerate mega-basket wants the degree-cap/salting treatment
+    documented there; supports join back by part key (hash exchanges
+    on bounded item vocabulary) and the 1-row basket total broadcasts.
+    The support>=2 floor prunes the long random-pair tail before the
+    support joins — at 100 TB that floor is what keeps rule mining
+    tractable (classic a-priori pruning)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    items = lineitem.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    n = items.agg(F.countDistinct("okey").cast("bigint").alias("n_orders"))
+    supp = items.groupBy("part").agg(F.count(F.lit(1)).cast("bigint").alias("s"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.part") < F.col("b.part")),
+        )
+        .groupBy(
+            F.col("a.part").alias("p1"), F.col("b.part").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sp"))
+        .filter(F.col("sp") >= 2)
+    )
+    s1 = supp.select(F.col("part").alias("p1"), F.col("s").alias("s1"))
+    s2 = supp.select(F.col("part").alias("p2"), F.col("s").alias("s2"))
+    scored = (
+        pairs.join(s1, "p1")
+        .join(s2, "p2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            F.col("sp").alias("pair_support"),
+            round_half_up(
+                F.col("sp").cast("double") / F.col("s1").cast("double"), 6
+            ).alias("conf_12"),
+            round_half_up(
+                F.col("sp").cast("double") / F.col("s2").cast("double"), 6
+            ).alias("conf_21"),
+            round_half_up(
+                (F.col("n_orders") * F.col("sp")).cast("double")
+                / (F.col("s1") * F.col("s2")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.col("lift").desc(), "p1", "p2").limit(20)
+
+
+@query(
+    "bfs_reachability_copurchase",
+    category="graph",
+    oracle="""
+        WITH RECURSIVE pairs AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        ),
+        seed AS (SELECT CAST(MIN(l_partkey) AS BIGINT) AS node
+                 FROM lineitem),
+        walk AS (
+            SELECT node, 0 AS dist FROM seed
+          UNION
+            SELECT p.dst AS node, w.dist + 1 AS dist
+            FROM walk w JOIN pairs p ON p.src = w.node
+            WHERE w.dist < 3
+        ),
+        d AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY node)
+        SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               MIN(node) AS min_partkey, MAX(node) AS max_partkey
+        FROM d GROUP BY dist ORDER BY dist
+    """,
+)
+def bfs_reachability_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop-distance profile from the smallest part over the
+    co-purchase graph, bounded at 3 hops (operators.graph.
+    bfs_distances): the reachability probe behind 'related items
+    within k hops' and graph-radius diagnostics — the fourth iterative
+    algorithm under the exact-hash gate (after PageRank, connected
+    components, k-means). Integer-only state, so no rounding is needed
+    anywhere; the DuckDB oracle replays the walk as a recursive CTE
+    with MIN(dist) collapsing revisits, which equals BFS first-visit
+    labeling.
+
+    Scale: per hop one frontier⋈edges shuffle + distinct with
+    node-sized state; the profile aggregate is 4 rows. The seed is a
+    broadcast 1-row MIN aggregate — no driver collect."""
+    from pipeline_query_engine_demo_spark.operators.graph import bfs_distances
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    seed = li.agg(F.min("l_partkey").cast("bigint").alias("node"))
+    vis = bfs_distances(pairs, seed, max_hops=3)
+    return (
+        vis.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min("node").alias("min_partkey"),
+            F.max("node").alias("max_partkey"),
+        )
+        .orderBy("dist")
+    )
+
+
+def _bf_iter_sql(i: int, p: int) -> str:
+    """One Bellman-Ford relaxation round as a DuckDB CTE (reads d{p},
+    defines d{i}): keep every known distance, add every one-edge
+    extension, take the min per node. Integer-only state."""
+    return f"""
+        d{i} AS (
+            SELECT node, MIN(dist) AS dist FROM (
+                SELECT node, dist FROM d{p}
+                UNION ALL
+                SELECT p.dst AS node, d.dist + p.w AS dist
+                FROM d{p} d JOIN pairs p ON p.src = d.node
+            ) GROUP BY node
+        )"""
+
+
+@query(
+    "shortest_path_weighted_copurchase",
+    category="graph",
+    oracle="""
+        WITH pairs AS (
+            SELECT a.l_partkey AS src, b.l_partkey AS dst,
+                   GREATEST(1, 6 - COUNT(DISTINCT a.l_orderkey)) AS w
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+        ),
+        seed AS (SELECT CAST(MIN(l_partkey) AS BIGINT) AS node
+                 FROM lineitem),
+        d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM seed),
+    """
+    + _bf_iter_sql(1, 0)
+    + ","
+    + _bf_iter_sql(2, 1)
+    + ","
+    + _bf_iter_sql(3, 2)
+    + """
+        SELECT CAST(node AS BIGINT) AS partkey, CAST(dist AS BIGINT) AS dist
+        FROM d3 ORDER BY dist, partkey LIMIT 100
+    """,
+)
+def shortest_path_weighted_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths over the part co-purchase
+    graph (operators.graph.sssp_distances) — Bellman-Ford, the weighted
+    sibling of bfs_reachability_copurchase. Edge weight = GREATEST(1,
+    6 - shared_orders): strongly co-purchased parts are 'closer', the
+    affinity metric behind related-item distance at catalog scale. The
+    100 nearest parts after 3 relaxation rounds, i.e. exact min cost
+    over <= 3-edge paths — the Bellman-Ford invariant the 3 unrolled
+    oracle CTEs replay with pure-integer state (no rounding anywhere).
+
+    Scale: frontier-driven — only nodes improved last round relax out-
+    edges, so settled regions stop paying per-round cost; per round one
+    frontier⋈edges shuffle + node-keyed min and merge, all node-sized
+    state, lineage cut per round."""
+    from pipeline_query_engine_demo_spark.operators.graph import sssp_distances
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.countDistinct("a.l_orderkey").alias("cnt"))
+        .select(
+            "src",
+            "dst",
+            F.greatest(F.lit(1), F.lit(6) - F.col("cnt")).cast("bigint").alias("w"),
+        )
+    )
+    seed = li.agg(F.min("l_partkey").cast("bigint").alias("node"))
+    dist = sssp_distances(edges, seed, rounds=3)
+    return (
+        dist.select(
+            F.col("node").cast("bigint").alias("partkey"),
+            F.col("dist").cast("bigint").alias("dist"),
+        )
+        .orderBy("dist", "partkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition (peel profile) — graph family
+# --------------------------------------------------------------------------
+
+#: Peel threshold: every node with current degree < _KCORE_K is removed
+#: each round. 3 sits inside the thresholded co-purchase graph's degree
+#: spread at the fixture SFs (median 3 at sf0.01), so the peel genuinely
+#: cascades (11 rounds to fixpoint at sf0.01) instead of all-surviving
+#: or collapsing in one sweep.
+_KCORE_K = 3
+#: Round budget. Covers the observed fixpoint at every fixture SF
+#: (sf0.01 converges in 11 sweeps; sf0.1's sparser repeat-pair graph
+#: empties in 2); semantics stay exact for ANY budget — row r is the
+#: survivor count after r synchronous sweeps, trailing rows repeat at
+#: fixpoint.
+_KCORE_ROUNDS = 12
+
+
+def _kcore_iter_sql(i: int) -> str:
+    """One synchronous peel sweep as a DuckDB CTE (reads e{i-1}, defines
+    e{i}): keep only edges whose BOTH endpoints currently have degree
+    >= _KCORE_K — the same sweep operators.graph.kcore_peel runs as a
+    degree groupBy plus two left-semi joins."""
+    p = i - 1
+    keep = f"(SELECT src FROM e{p} GROUP BY src HAVING COUNT(*) >= {_KCORE_K})"
+    return f"""
+        e{i} AS MATERIALIZED (SELECT e.src, e.dst FROM e{p} e
+                 JOIN {keep} ka ON e.src = ka.src
+                 JOIN {keep} kb ON e.dst = kb.src)"""
+
+
+@query(
+    "kcore_peel_profile_copurchase",
+    category="graph",
+    oracle="""
+        WITH d AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e0 AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst
+               FROM d a JOIN d b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey <> b.l_partkey
+               GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    """
+    + ",".join(_kcore_iter_sql(i) for i in range(1, _KCORE_ROUNDS + 1))
+    + """
+        SELECT * FROM (
+    """
+    + " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS peel_round, "
+        f"CAST(COUNT(DISTINCT src) AS BIGINT) AS nodes_remaining, "
+        f"CAST(COUNT(*) AS BIGINT) AS edges_remaining FROM e{r}"
+        for r in range(_KCORE_ROUNDS + 1)
+    )
+    + """
+        ) ORDER BY peel_round
+    """,
+)
+def kcore_peel_profile_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition peel profile (Seidman 1983) of the REPEAT
+    co-purchase graph — parts linked when they co-occur in >= 2 orders
+    (the weight threshold keeps the graph sparse enough to have real
+    core structure; the raw co-occurrence graph is a near-clique soup
+    whose k-core is all-or-nothing). Each round removes every node of
+    current degree < 3 with its edges; the output is the per-round
+    (nodes, edges) survivor curve — the onion layering used to find the
+    load-bearing core of a recommendation/link graph and the fourth
+    member of the iterative-graph family (PageRank, BFS, Bellman-Ford,
+    star-contraction components).
+
+    All-integer output, so the unrolled-CTE oracle replays every sweep
+    exactly; the planted-graph pytest (path + triangle at k=2) pins the
+    hand-computed cascade independently of the mirrored SQL.
+
+    Scale shape: the edge build is a per-order self-join (quadratic
+    only in bounded basket size) followed by a combinable pair-count;
+    each sweep is one map-side-combinable degree aggregate plus two
+    node-keyed semi-joins over a monotonically SHRINKING edge list —
+    nothing edge-sized is ever resident on one task, nothing reaches
+    the driver, lineage is cut per round (operators/graph.py:175).
+    """
+    from pipeline_query_engine_demo_spark.operators.graph import kcore_peel
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+    return kcore_peel(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS).orderBy(
+        "peel_round"
+    )
+
+
+def _lpa_iter_sql(i: int) -> str:
+    """One synchronous label sweep as a DuckDB CTE: each node adopts
+    its neighbors' most frequent label, smallest label on ties —
+    the argmax spelled as a window over the grouped counts."""
+    return f"""
+        l{i} AS MATERIALIZED (
+            SELECT src AS node, lbl FROM (
+                SELECT e.src, l.lbl, COUNT(*) AS c,
+                       ROW_NUMBER() OVER (PARTITION BY e.src
+                                          ORDER BY COUNT(*) DESC, l.lbl)
+                           AS rn
+                FROM e0 e JOIN l{i - 1} l ON l.node = e.dst
+                GROUP BY e.src, l.lbl) q
+            WHERE rn = 1)"""
+
+
+@query(
+    "label_propagation_communities",
+    category="graph",
+    oracle="""
+        WITH d AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e0 AS MATERIALIZED (
+            SELECT a.l_partkey AS src, b.l_partkey AS dst
+            FROM d a JOIN d b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey <> b.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        l0 AS MATERIALIZED (
+            SELECT src AS node, src AS lbl FROM e0 GROUP BY src),
+    """
+    + ",".join(_lpa_iter_sql(i) for i in range(1, _LPA_ROUNDS + 1))
+    + f"""
+        SELECT CAST(lbl AS BIGINT) AS community,
+               CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM l{_LPA_ROUNDS}
+        GROUP BY lbl
+        ORDER BY n_members DESC, community
+    """,
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al., 2007; deterministic min-tie variant) on the repeat
+    co-purchase graph — the COMMUNITY view of the same graph whose
+    components, core layers, triangles, and shortest paths the
+    neighboring queries expose: near-linear-time community structure
+    for item/domain grouping without a modularity solver. Output is
+    the community-size table after 4 sweeps.
+
+    Determinism: labels are node ids (integers), the per-node argmax
+    orders by (count DESC, label ASC) — a total order, so every sweep
+    is exact in both engines; the pytest replays the sweeps in literal
+    python dicts and also checks a planted two-clique graph splits
+    into exactly its cliques.
+
+    Scale shape: per sweep, one edge⋈label join + combinable label
+    count + a node-partitioned argmax window bounded by node degree
+    (operators/graph.py:219). Label state is node-sized; the sweep
+    count is a fixed constant.
+    """
+    from pipeline_query_engine_demo_spark.operators.graph import (
+        label_propagation,
+    )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+    labels = label_propagation(edges, iterations=_LPA_ROUNDS)
+    return (
+        labels.groupBy(F.col("lbl").cast("bigint").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .orderBy(F.desc("n_members"), "community")
+    )
+
+
+def _hits_r9_sql(x: str) -> str:
+    """floor(x*1e9+0.5)/1e9 — operators.graph._r9 in SQL."""
+    return f"floor({x} * 1e9 + 0.5) / 1e9"
+
+
+def _hits_half_sql(i: int, score_tbl: str, join_key: str, group_key: str) -> str:
+    """One HITS half-sweep as two MATERIALIZED CTEs: raw{i} sums the
+    9-dp-rounded partner scores as DECIMAL(28,12); nrm{i} max-normalizes.
+    MATERIALIZED is load-bearing: DuckDB inlines plain CTEs and a
+    2-iteration unroll re-expands each level multiply (see the k-core /
+    LPA oracles)."""
+    return f"""
+        raw{i} AS MATERIALIZED (
+            SELECT e.{group_key} AS node,
+                   SUM(CAST({_hits_r9_sql('s.score')} AS DECIMAL(28,12)))
+                       AS raw
+            FROM e JOIN {score_tbl} s ON s.node = e.{join_key}
+            GROUP BY e.{group_key}),
+        nrm{i} AS MATERIALIZED (
+            SELECT node,
+                   {_hits_r9_sql(
+                       'CAST(raw AS DOUBLE) / CAST(mx AS DOUBLE)')} AS score
+            FROM raw{i} CROSS JOIN
+                 (SELECT MAX(raw) AS mx FROM raw{i}) m)"""
+
+
+@query(
+    "hits_hubs_authorities",
+    category="graph",
+    oracle="""
+        WITH e AS MATERIALIZED (
+            SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+        h0 AS MATERIALIZED (
+            SELECT DISTINCT src AS node, CAST(1.0 AS DOUBLE) AS score
+            FROM e),
+    """
+    + _hits_half_sql(1, "h0", "src", "dst")
+    + ","
+    + _hits_half_sql(2, "nrm1", "dst", "src")
+    + ","
+    + _hits_half_sql(3, "nrm2", "src", "dst")
+    + ","
+    + _hits_half_sql(4, "nrm3", "dst", "src")
+    + """,
+        th AS (SELECT 'hub' AS role, CAST(node AS BIGINT) AS node, score
+               FROM nrm4 ORDER BY score DESC, node LIMIT 25),
+        ta AS (SELECT 'authority' AS role, CAST(node AS BIGINT) AS node,
+                      score
+               FROM nrm3 ORDER BY score DESC, node LIMIT 25)
+        SELECT * FROM (SELECT * FROM ta UNION ALL SELECT * FROM th)
+        ORDER BY role, score DESC, node
+    """,
+)
+def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg 1999) over the bipartite customer→part purchase
+    graph: hub customers are those who buy authoritative parts,
+    authoritative parts are those bought by hub customers — the
+    mutual-reinforcement ranking used for curating seed lists (good
+    crawl sources ↔ good documents) that PageRank's single-score view
+    can't express. Two full sweeps, max-norm variant; top 25 of each
+    role.
+
+    Determinism: every accumulation is a DECIMAL(28,12) sum of
+    9-dp-rounded terms and each normalization is one shared IEEE
+    division then a 9-dp round, so the oracle's unrolled MATERIALIZED
+    CTE chain replays the iteration bit-for-bit (operators.graph
+    docstring; the same recipe as pagerank_copurchase).
+
+    Scale shape: per half-sweep one edge⋈score shuffle join + one
+    combinable groupBy; score state is node-sized, the normalizing max
+    is a broadcast 1-row cross join, lineage is localCheckpoint-cut per
+    round. Top-k is per-branch TakeOrderedAndProject — no global
+    sort."""
+    from pipeline_query_engine_demo_spark.operators.graph import hits_bipartite
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    hubs, auths = hits_bipartite(edges, iterations=2)
+    top_h = (
+        hubs.select(
+            F.lit("hub").alias("role"),
+            F.col("node").cast("bigint").alias("node"),
+            "score",
+        )
+        .orderBy(F.desc("score"), "node")
+        .limit(25)
+    )
+    top_a = (
+        auths.select(
+            F.lit("authority").alias("role"),
+            F.col("node").cast("bigint").alias("node"),
+            "score",
+        )
+        .orderBy(F.desc("score"), "node")
+        .limit(25)
+    )
+    return top_a.unionAll(top_h).orderBy("role", F.desc("score"), "node")
+_AA_TERM = sql_round_half_up("1.0 / ln(CAST(dw AS DOUBLE))", 9)
+
+
+@query(
+    "link_prediction_adamic_adar",
+    category="graph",
+    oracle=f"""
+        WITH edges AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        sym AS (SELECT u AS a, v AS b FROM edges
+                UNION ALL SELECT v, u FROM edges),
+        deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d
+                FROM sym GROUP BY 1),
+        wedge AS (
+            SELECT e1.b AS u, e2.b AS v, e1.a AS w, dg.d AS dw
+            FROM sym e1
+            JOIN sym e2 ON e2.a = e1.a AND e1.b < e2.b
+            JOIN deg dg ON dg.node = e1.a
+            WHERE dg.d <= {_AA_HUB_CAP}),
+        cand AS (
+            SELECT w.u, w.v,
+                   CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+                   SUM(CAST({_AA_TERM} AS DECIMAL(28,12))) AS aa_dec
+            FROM wedge w
+            WHERE NOT EXISTS (SELECT 1 FROM edges e
+                              WHERE e.u = w.u AND e.v = w.v)
+            GROUP BY 1, 2)
+        SELECT u, v, common_neighbors,
+               {sql_round_half_up("CAST(aa_dec AS DOUBLE)", 6)} AS aa_score
+        FROM cand
+        ORDER BY aa_score DESC, u, v LIMIT 50
+    """,
+)
+def link_prediction_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the part co-purchase graph: for part pairs
+    NOT yet co-purchased, the common-neighbor count and Adamic-Adar
+    score Σ_w 1/ln(deg w) over shared neighbors — the classic
+    recommender/graph-completion scorer beside the structural suite
+    (PageRank, triangles, communities). Top 50 candidate edges.
+
+    Determinism: each 1/ln(deg) term is 9-dp-rounded into
+    DECIMAL(28,12) before the order-independent sum (deg ≥ 2 for any
+    wedge center, so ln > 0); the final cast is round6 display. The
+    candidate set is bounded by the _AA_HUB_CAP wedge cut (fan-out
+    ≤ cap² per center; hubs add negligible score by construction) —
+    the same owned-recall trade as the LSH hot-bucket cap. Global
+    top-50 is orderBy+limit = TakeOrderedAndProject, no single-reducer
+    sort."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).select(F.col("u").alias("a"), F.col("v").alias("b"))
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    e1 = sym.select(F.col("a").alias("w"), F.col("b").alias("u"))
+    e2 = sym.select(F.col("a").alias("w"), F.col("b").alias("v"))
+    wedge = (
+        e1.join(e2, "w")
+        .filter(F.col("u") < F.col("v"))
+        .join(
+            deg.filter(F.col("d") <= _AA_HUB_CAP).withColumnRenamed("node", "w"),
+            "w",
+        )
+    )
+    cand = (
+        wedge.join(edges, ["u", "v"], "left_anti")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+            F.sum(
+                round_half_up(1.0 / F.log(F.col("d").cast("double")), 9).cast(
+                    "decimal(28,12)"
+                )
+            ).alias("aa_dec"),
+        )
+    )
+    return (
+        cand.select(
+            "u",
+            "v",
+            "common_neighbors",
+            round_half_up(F.col("aa_dec").cast("double"), 6).alias("aa_score"),
+        )
+        .orderBy(F.col("aa_score").desc(), "u", "v")
+        .limit(50)
+    )

@@ -513,7 +513,7 @@ def pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: identical to ann_recall_at_k — ground truth on a sampled
     query set is the expensive branch; the overlap join is
     top-k-sized."""
-    from pipeline_query_engine_demo_spark.plans.llm import cosine_topk_embeddings
+    from pipeline_query_engine_demo_spark.plans.retrieval import cosine_topk_embeddings
 
     gt = cosine_topk_embeddings(spark, sf_dir)
     ann = ivfpq_topk_embeddings(spark, sf_dir).select(
@@ -663,7 +663,7 @@ def matryoshka_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans 16-dim slices (a quarter of the bytes); queries broadcast,
     the corpus never shuffles."""
     from pipeline_query_engine_demo_spark.functions import vectors
-    from pipeline_query_engine_demo_spark.plans.llm import cosine_topk_embeddings
+    from pipeline_query_engine_demo_spark.plans.retrieval import cosine_topk_embeddings
 
     gt = cosine_topk_embeddings(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")

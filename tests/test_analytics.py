@@ -159,9 +159,7 @@ def test_key_skew_profile_resums_to_table_count(spark, sf_dir):
 def test_chi2_terms_nonnegative_and_expected_conserves(spark, sf_dir):
     """Chi-square contributions are sums of squares (>= 0), and the
     expected counts re-sum to each window's observed total."""
-    from pipeline_query_engine_demo_spark.plans.analytics import (
-        chi2_categorical_drift,
-    )
+    from pipeline_query_engine_demo_spark.plans.stats import chi2_categorical_drift
 
     rows = chi2_categorical_drift(spark, sf_dir).collect()
     assert rows, "no categories"
@@ -274,7 +272,7 @@ def test_ordered_funnel_rejects_out_of_order_conversions(spark, tmp_path):
     hand-known step membership."""
     import datetime as dt
 
-    from pipeline_query_engine_demo_spark.plans.analytics import (
+    from pipeline_query_engine_demo_spark.plans.timeseries import (
         ordered_funnel_conversion,
     )
 
@@ -306,7 +304,7 @@ def test_sequential_pattern_identity_vs_bruteforce(spark, sf_dir):
     first_rank(a) < last_rank(b)") replaces quadratic i<j pair
     enumeration in sequential_pattern_support. Verify it against the
     literal subsequence check on the real fixture, per (user, a, b)."""
-    from pipeline_query_engine_demo_spark.plans.analytics import (
+    from pipeline_query_engine_demo_spark.plans.timeseries import (
         sequential_pattern_support,
     )
 
@@ -349,9 +347,7 @@ def test_acf_matches_numpy_reference(spark, sf_dir):
     the output rounding, and every |r_L| <= 1 (Cauchy-Schwarz)."""
     import numpy as np
 
-    from pipeline_query_engine_demo_spark.plans.analytics import (
-        acf_daily_event_values,
-    )
+    from pipeline_query_engine_demo_spark.plans.timeseries import acf_daily_event_values
 
     got = {
         (r["event_type"], r["lag"]): (r["acf"], r["n_days"])
@@ -385,9 +381,7 @@ def test_gini_matches_numpy_and_bounds(spark, sf_dir):
     mass fraction)."""
     import math
 
-    from pipeline_query_engine_demo_spark.plans.analytics import (
-        gini_revenue_concentration,
-    )
+    from pipeline_query_engine_demo_spark.plans.stats import gini_revenue_concentration
 
     got = {
         r["segment"]: r
@@ -436,9 +430,7 @@ def test_t_closeness_matches_python_emd(spark, sf_dir):
     import math
     from fractions import Fraction
 
-    from pipeline_query_engine_demo_spark.plans.analytics import (
-        t_closeness_audit,
-    )
+    from pipeline_query_engine_demo_spark.plans.privacy import t_closeness_audit
 
     row = t_closeness_audit(spark, sf_dir).collect()[0]
     cust = load_table(spark, sf_dir, "customer")
@@ -487,7 +479,7 @@ def test_stl_decomposition_identity_and_numpy_trend(spark, sf_dir):
     mean-centered, (d) exactly 6 edge days per type have NULL trend."""
     import numpy as np
 
-    from pipeline_query_engine_demo_spark.plans.analytics import (
+    from pipeline_query_engine_demo_spark.plans.timeseries import (
         stl_decompose_daily_values,
     )
 
@@ -524,9 +516,7 @@ def test_theil_sen_matches_numpy_median_and_robustness(spark, sf_dir):
     far less than the OLS slope on the same corrupted series."""
     import numpy as np
 
-    from pipeline_query_engine_demo_spark.plans.analytics import (
-        theil_sen_daily_trend,
-    )
+    from pipeline_query_engine_demo_spark.plans.timeseries import theil_sen_daily_trend
 
     got = {
         r["event_type"]: r for r in theil_sen_daily_trend(spark, sf_dir).collect()
@@ -580,7 +570,7 @@ def test_dp_noisy_counts_matches_python_laplace(spark, sf_dir):
     import hashlib
     import math
 
-    from pipeline_query_engine_demo_spark.plans.analytics import dp_noisy_counts
+    from pipeline_query_engine_demo_spark.plans.privacy import dp_noisy_counts
     from pipeline_query_engine_demo_spark.sources.catalog import load_table
 
     docs = load_table(spark, sf_dir, "documents")

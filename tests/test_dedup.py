@@ -509,9 +509,7 @@ def test_containment_catches_subset_duplicates_jaccard_misses(spark):
 
 
 def test_containment_matches_python_sets(spark, sf_dir):
-    from pipeline_query_engine_demo_spark.plans.llm import (
-        containment_dedup_pairs,
-    )
+    from pipeline_query_engine_demo_spark.plans.dedup import containment_dedup_pairs
 
     out = {(r["id_a"], r["id_b"]): r for r in containment_dedup_pairs(spark, sf_dir).collect()}
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(

@@ -14,13 +14,11 @@ import math
 
 import pytest
 
-from pipeline_query_engine_demo_spark.plans.analytics import (
+from pipeline_query_engine_demo_spark.plans.timeseries import (
     conformal_interval_daily,
     holt_linear_forecast,
 )
-from pipeline_query_engine_demo_spark.plans.llm import (
-    negative_sampling_unigram,
-)
+from pipeline_query_engine_demo_spark.plans.training import negative_sampling_unigram
 
 
 def _daily_cents(events):
@@ -138,7 +136,7 @@ def test_hash_mod_sample_is_deterministic_and_unbiased(spark, sf_dir):
     the nominal 10%."""
     import hashlib
 
-    from pipeline_query_engine_demo_spark.plans.llm import hash_mod_sample_docs
+    from pipeline_query_engine_demo_spark.plans.training import hash_mod_sample_docs
     from pipeline_query_engine_demo_spark.sources.catalog import load_table
 
     all_ids = [

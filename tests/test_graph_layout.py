@@ -313,7 +313,7 @@ def test_local_clustering_coefficient_matches_python(spark, sf_dir):
     """Per-node clustering coefficients must equal a python set-based
     recount (adjacency sets, triangles via neighbor intersection) under
     the same (coeff desc, node) top-20 order."""
-    from pipeline_query_engine_demo_spark.plans.analytics import (
+    from pipeline_query_engine_demo_spark.plans.graph import (
         local_clustering_coefficient,
     )
     from pipeline_query_engine_demo_spark.sources.catalog import load_table

@@ -12,10 +12,8 @@ import hashlib
 
 import pytest
 
-from pipeline_query_engine_demo_spark.plans.llm import (
-    cdc_chunk_dedup,
-    wasserstein_doc_lengths,
-)
+from pipeline_query_engine_demo_spark.plans.dedup import cdc_chunk_dedup
+from pipeline_query_engine_demo_spark.plans.training import wasserstein_doc_lengths
 
 
 def test_wasserstein_matches_ecdf_integral(spark, sf_dir):
@@ -118,7 +116,7 @@ def test_cdc_boundaries_are_content_defined():
 
 
 def test_quantile_normalize_matches_python(spark, sf_dir):
-    from pipeline_query_engine_demo_spark.plans.llm import (
+    from pipeline_query_engine_demo_spark.plans.training import (
         quantile_normalize_lengths,
     )
 

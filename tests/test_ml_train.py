@@ -13,9 +13,7 @@ import math
 import numpy as np
 import pytest
 
-from pipeline_query_engine_demo_spark.plans.analytics import (
-    logistic_regression_gd,
-)
+from pipeline_query_engine_demo_spark.plans.stats import logistic_regression_gd
 from pipeline_query_engine_demo_spark.plans.curation import (
     kneser_ney_perplexity,
 )
@@ -116,10 +114,8 @@ def test_ridge_normal_eq_matches_numpy_solve(spark, sf_dir):
     lattice)."""
     import numpy as np
 
-    from pipeline_query_engine_demo_spark.plans.analytics import (
-        _RIDGE_LAMBDA,
-        ridge_regression_normal_eq,
-    )
+    from pipeline_query_engine_demo_spark.plans.analytics import _RIDGE_LAMBDA
+    from pipeline_query_engine_demo_spark.plans.stats import ridge_regression_normal_eq
     from pipeline_query_engine_demo_spark.sources.catalog import load_table
 
     got = {r.feature: r.beta for r in ridge_regression_normal_eq(spark, sf_dir).collect()}
@@ -146,9 +142,7 @@ def test_decision_stump_matches_numpy_brute_force(spark, sf_dir):
     on each side and the smallest-threshold tie-break."""
     import numpy as np
 
-    from pipeline_query_engine_demo_spark.plans.analytics import (
-        decision_stump_totalprice,
-    )
+    from pipeline_query_engine_demo_spark.plans.stats import decision_stump_totalprice
     from pipeline_query_engine_demo_spark.sources.catalog import load_table
 
     got = decision_stump_totalprice(spark, sf_dir).collect()[0]
@@ -190,8 +184,8 @@ def test_ridge_cv_one_pass_matches_numpy_per_fold(spark, sf_dir):
     from pipeline_query_engine_demo_spark.plans.analytics import (
         _RIDGE_CV_FOLDS,
         _RIDGE_LAMBDA,
-        ridge_cv_one_pass,
     )
+    from pipeline_query_engine_demo_spark.plans.stats import ridge_cv_one_pass
     from pipeline_query_engine_demo_spark.sources.catalog import load_table
 
     got = {r.fold: r for r in ridge_cv_one_pass(spark, sf_dir).collect()}

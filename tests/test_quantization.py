@@ -71,7 +71,7 @@ def test_int8_quantized_topk_recall_vs_float(spark, sf_dir):
     """Quantized-cosine top-10 must substantially agree with the exact
     float cosine top-10 (int8 at d=64 typically preserves ranking) —
     the quality dial the compression trades against."""
-    from pipeline_query_engine_demo_spark.plans.llm import cosine_topk_embeddings
+    from pipeline_query_engine_demo_spark.plans.retrieval import cosine_topk_embeddings
     from pipeline_query_engine_demo_spark.plans.quantization import (
         int8_quantized_topk,
     )

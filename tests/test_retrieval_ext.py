@@ -12,10 +12,8 @@ from collections import Counter
 
 import numpy as np
 
-from pipeline_query_engine_demo_spark.plans.llm import (
-    _BM25_B,
-    _BM25_K1,
-    _BM25_TERMS,
+from pipeline_query_engine_demo_spark.plans.llm import _BM25_B, _BM25_K1, _BM25_TERMS
+from pipeline_query_engine_demo_spark.plans.retrieval import (
     bm25_topk_docs,
     knn_classify_embeddings,
 )
@@ -104,7 +102,7 @@ def _fold_cosine(a, b):
 
 
 def test_mmr_matches_pure_python_greedy(spark, sf_dir):
-    from pipeline_query_engine_demo_spark.plans.llm import mmr_diversified_topk
+    from pipeline_query_engine_demo_spark.plans.retrieval import mmr_diversified_topk
 
     out = mmr_diversified_topk(spark, sf_dir).collect()
     emb = {r["vec_id"]: r["embedding"] for r in
@@ -152,6 +150,8 @@ def test_ndcg_matches_recomputation_from_topk(spark, sf_dir):
         _NDCG_DISCOUNTS,
         _NDCG_IDCG,
         _NDCG_K,
+    )
+    from pipeline_query_engine_demo_spark.plans.retrieval import (
         ann_lsh_topk_embeddings,
         ann_ndcg_at_k,
         cosine_topk_embeddings,
@@ -179,7 +179,7 @@ def test_ndcg_matches_recomputation_from_topk(spark, sf_dir):
 def test_lang_confusion_consistent_with_predictions(spark, sf_dir):
     from collections import Counter
 
-    from pipeline_query_engine_demo_spark.plans.llm import (
+    from pipeline_query_engine_demo_spark.plans.training import (
         lang_id_confusion,
         lang_id_docs,
     )
@@ -262,7 +262,7 @@ def test_simhash_banding_equals_bruteforce_full_corpus(spark, sf_dir):
 
 
 def test_dedup_funnel_is_monotone_and_consistent(spark, sf_dir):
-    from pipeline_query_engine_demo_spark.plans.llm import dedup_funnel_report
+    from pipeline_query_engine_demo_spark.plans.dedup import dedup_funnel_report
 
     out = dedup_funnel_report(spark, sf_dir).collect()
     assert out
@@ -280,7 +280,7 @@ def test_dedup_funnel_is_monotone_and_consistent(spark, sf_dir):
 
 
 def test_ivf_recall_curve_is_monotone_and_anchored(spark, sf_dir):
-    from pipeline_query_engine_demo_spark.plans.llm import ivf_recall_vs_probes
+    from pipeline_query_engine_demo_spark.plans.retrieval import ivf_recall_vs_probes
 
     out = ivf_recall_vs_probes(spark, sf_dir).collect()
     by_q: dict = {}
@@ -296,7 +296,7 @@ def test_ivf_recall_curve_is_monotone_and_anchored(spark, sf_dir):
 
 
 def test_heaps_law_matches_bruteforce_and_is_sublinear(spark, sf_dir):
-    from pipeline_query_engine_demo_spark.plans.llm import heaps_law_vocab_growth
+    from pipeline_query_engine_demo_spark.plans.training import heaps_law_vocab_growth
 
     out = {r["n_docs_prefix"]: r for r in heaps_law_vocab_growth(spark, sf_dir).collect()}
     docs = sorted(
@@ -316,7 +316,7 @@ def test_heaps_law_matches_bruteforce_and_is_sublinear(spark, sf_dir):
 
 
 def test_dataset_card_matches_bruteforce(spark, sf_dir):
-    from pipeline_query_engine_demo_spark.plans.llm import dataset_card_summary
+    from pipeline_query_engine_demo_spark.plans.training import dataset_card_summary
 
     row = dataset_card_summary(spark, sf_dir).collect()[0]
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
@@ -385,9 +385,8 @@ def test_rrf_fusion_matches_python_reference(spark, sf_dir):
     1/(60+rank), and compare the fused top-10 exactly."""
     import math
 
-    from pipeline_query_engine_demo_spark.plans.llm import (
-        _BM25_TERMS,
-        _RRF_K,
+    from pipeline_query_engine_demo_spark.plans.llm import _BM25_TERMS, _RRF_K
+    from pipeline_query_engine_demo_spark.plans.retrieval import (
         bm25_topk_docs,
         rrf_hybrid_retrieval,
     )
@@ -444,9 +443,7 @@ def test_zipf_fit_matches_numpy_polyfit(spark, sf_dir):
     import pyspark.sql.functions as F
 
     from pipeline_query_engine_demo_spark.functions import text
-    from pipeline_query_engine_demo_spark.plans.llm import (
-        zipf_rank_frequency_fit,
-    )
+    from pipeline_query_engine_demo_spark.plans.training import zipf_rank_frequency_fit
     from pipeline_query_engine_demo_spark.sources.catalog import load_table
 
     row = zipf_rank_frequency_fit(spark, sf_dir).collect()[0]
@@ -483,9 +480,7 @@ def test_pmi_matches_python_counter_replay(spark, sf_dir):
 
     import pyspark.sql.functions as F
 
-    from pipeline_query_engine_demo_spark.plans.llm import (
-        pmi_token_cooccurrence,
-    )
+    from pipeline_query_engine_demo_spark.plans.training import pmi_token_cooccurrence
     from pipeline_query_engine_demo_spark.sources.catalog import load_table
 
     got = pmi_token_cooccurrence(spark, sf_dir).collect()

@@ -18,11 +18,9 @@ from pipeline_query_engine_demo_spark.plans.analytics import (
     _SPRT_B_N,
     _SPRT_C0_N,
     _SPRT_C1_N,
-    sprt_ab_conversion,
 )
-from pipeline_query_engine_demo_spark.plans.llm import (
-    naive_bayes_source_classify,
-)
+from pipeline_query_engine_demo_spark.plans.stats import sprt_ab_conversion
+from pipeline_query_engine_demo_spark.plans.training import naive_bayes_source_classify
 
 
 def test_sprt_constants_are_the_9dp_wald_values():
@@ -127,7 +125,7 @@ def test_naive_bayes_matches_python_replay(spark, sf_dir):
 
 
 def test_bh_fdr_step_up_matches_python(spark, sf_dir):
-    from pipeline_query_engine_demo_spark.plans.analytics import (
+    from pipeline_query_engine_demo_spark.plans.stats import (
         bh_fdr_segment_tests,
         permutation_test_mean_diff,
     )
@@ -158,9 +156,7 @@ def test_bh_fdr_step_up_matches_python(spark, sf_dir):
 
 
 def test_sax_symbols_match_python(spark, sf_dir):
-    from pipeline_query_engine_demo_spark.plans.analytics import (
-        sax_symbolic_daily,
-    )
+    from pipeline_query_engine_demo_spark.plans.timeseries import sax_symbolic_daily
 
     out = {r["event_type"]: r for r in sax_symbolic_daily(spark, sf_dir).collect()}
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()

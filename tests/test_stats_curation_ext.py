@@ -15,14 +15,12 @@ import math
 import numpy as np
 import pyspark.sql.functions as F
 
-from pipeline_query_engine_demo_spark.plans.analytics import (
+from pipeline_query_engine_demo_spark.plans.stats import (
     spearman_rank_corr,
     stats_higher_moments,
 )
-from pipeline_query_engine_demo_spark.plans.llm import (
-    preference_pairs_rlhf,
-    shingle_novelty_docs,
-)
+from pipeline_query_engine_demo_spark.plans.dedup import shingle_novelty_docs
+from pipeline_query_engine_demo_spark.plans.training import preference_pairs_rlhf
 
 
 def test_higher_moments_match_numpy(spark, sf_dir):
@@ -132,7 +130,7 @@ def test_novelty_zero_for_exact_clone_and_bounded(spark, sf_dir):
 
 
 def test_rouge2_identical_docs_score_one(spark, sf_dir):
-    from pipeline_query_engine_demo_spark.plans.llm import rouge2_eval_pairs
+    from pipeline_query_engine_demo_spark.plans.training import rouge2_eval_pairs
 
     rows = rouge2_eval_pairs(spark, sf_dir).collect()
     assert rows, "LSH candidates exist in the fixture"
@@ -146,7 +144,7 @@ def test_rouge2_identical_docs_score_one(spark, sf_dir):
 
 
 def test_char_entropy_bounds_and_uniform_case(spark, sf_dir):
-    from pipeline_query_engine_demo_spark.plans.llm import char_entropy_docs
+    from pipeline_query_engine_demo_spark.plans.training import char_entropy_docs
 
     rows = char_entropy_docs(spark, sf_dir).collect()
     assert rows
@@ -175,9 +173,7 @@ def test_char_entropy_bounds_and_uniform_case(spark, sf_dir):
 
 
 def test_mad_matches_numpy_median(spark, sf_dir):
-    from pipeline_query_engine_demo_spark.plans.analytics import (
-        mad_robust_outliers_events,
-    )
+    from pipeline_query_engine_demo_spark.plans.stats import mad_robust_outliers_events
 
     from pipeline_query_engine_demo_spark.sources.catalog import load_table
 

@@ -13,11 +13,11 @@ import math
 
 import numpy as np
 
-from pipeline_query_engine_demo_spark.plans.analytics import (
-    interval_sweep_concurrency,
+from pipeline_query_engine_demo_spark.plans.stats import (
     mann_whitney_u_events,
     welch_ttest_acctbal,
 )
+from pipeline_query_engine_demo_spark.plans.timeseries import interval_sweep_concurrency
 from pipeline_query_engine_demo_spark.plans.windows import (
     _EWMA_WEIGHTS,
     ewma_smoothed_values,
@@ -138,7 +138,9 @@ def test_interval_overlap_join_matches_bruteforce(spark, sf_dir):
 
 
 def test_event_transition_matrix_matches_bruteforce(spark, sf_dir):
-    from pipeline_query_engine_demo_spark.plans.analytics import event_transition_matrix
+    from pipeline_query_engine_demo_spark.plans.timeseries import (
+        event_transition_matrix,
+    )
 
     out = {(r["from_type"], r["to_type"]): r for r in event_transition_matrix(spark, sf_dir).collect()}
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
@@ -167,7 +169,7 @@ def test_assoc_rules_match_bruteforce(spark, sf_dir):
     from collections import Counter
     from itertools import combinations
 
-    from pipeline_query_engine_demo_spark.plans.analytics import assoc_rules_copurchase
+    from pipeline_query_engine_demo_spark.plans.graph import assoc_rules_copurchase
 
     out = assoc_rules_copurchase(spark, sf_dir).collect()
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_partkey").collect()
@@ -195,7 +197,7 @@ def test_assoc_rules_match_bruteforce(spark, sf_dir):
 
 
 def test_cohens_kappa_matches_bruteforce(spark, sf_dir):
-    from pipeline_query_engine_demo_spark.plans.analytics import cohens_kappa_quality
+    from pipeline_query_engine_demo_spark.plans.stats import cohens_kappa_quality
 
     row = cohens_kappa_quality(spark, sf_dir).collect()[0]
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
@@ -255,9 +257,7 @@ def test_diversity_capped_topk_respects_cap(spark, sf_dir):
 def test_bfs_matches_networkx_free_bruteforce(spark, sf_dir):
     from collections import deque
 
-    from pipeline_query_engine_demo_spark.plans.analytics import (
-        bfs_reachability_copurchase,
-    )
+    from pipeline_query_engine_demo_spark.plans.graph import bfs_reachability_copurchase
 
     out = {r["dist"]: r for r in bfs_reachability_copurchase(spark, sf_dir).collect()}
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_partkey").collect()
@@ -291,9 +291,7 @@ def test_bfs_matches_networkx_free_bruteforce(spark, sf_dir):
 def test_nearest_rank_percentiles_match_bruteforce(spark, sf_dir):
     import math
 
-    from pipeline_query_engine_demo_spark.plans.analytics import (
-        nearest_rank_percentiles,
-    )
+    from pipeline_query_engine_demo_spark.plans.stats import nearest_rank_percentiles
 
     out = {r["event_type"]: r for r in nearest_rank_percentiles(spark, sf_dir).collect()}
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
@@ -329,7 +327,7 @@ def test_token_log_odds_matches_bruteforce(spark, sf_dir):
     import math
     from collections import Counter
 
-    from pipeline_query_engine_demo_spark.plans.llm import token_log_odds_by_source
+    from pipeline_query_engine_demo_spark.plans.training import token_log_odds_by_source
 
     out = token_log_odds_by_source(spark, sf_dir).collect()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
@@ -358,11 +356,8 @@ def test_token_log_odds_matches_bruteforce(spark, sf_dir):
 
 
 def test_cusum_matches_bruteforce(spark, sf_dir):
-    from pipeline_query_engine_demo_spark.plans.analytics import (
-        _CUSUM_H,
-        _CUSUM_K,
-        cusum_change_detection,
-    )
+    from pipeline_query_engine_demo_spark.plans.analytics import _CUSUM_H, _CUSUM_K
+    from pipeline_query_engine_demo_spark.plans.timeseries import cusum_change_detection
 
     out = {r["user_id"]: r for r in cusum_change_detection(spark, sf_dir).collect()}
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
@@ -386,7 +381,7 @@ def test_cusum_matches_bruteforce(spark, sf_dir):
 def test_winsorized_mean_matches_numpy(spark, sf_dir):
     import math
 
-    from pipeline_query_engine_demo_spark.plans.analytics import winsorized_mean_events
+    from pipeline_query_engine_demo_spark.plans.stats import winsorized_mean_events
 
     out = {r["event_type"]: r for r in winsorized_mean_events(spark, sf_dir).collect()}
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
@@ -411,7 +406,7 @@ def test_mutual_information_matches_bruteforce(spark, sf_dir):
     import math
     from collections import Counter
 
-    from pipeline_query_engine_demo_spark.plans.analytics import (
+    from pipeline_query_engine_demo_spark.plans.stats import (
         mutual_information_source_lang,
     )
 
@@ -440,7 +435,7 @@ def test_mutual_information_matches_bruteforce(spark, sf_dir):
 def test_wilson_ci_matches_bruteforce(spark, sf_dir):
     import math
 
-    from pipeline_query_engine_demo_spark.plans.analytics import wilson_ci_conversion
+    from pipeline_query_engine_demo_spark.plans.stats import wilson_ci_conversion
 
     out = {r["day"]: r for r in wilson_ci_conversion(spark, sf_dir).collect()}
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
@@ -476,7 +471,7 @@ def test_wilson_ci_matches_bruteforce(spark, sf_dir):
 def test_signup_latency_matches_bruteforce(spark, sf_dir):
     import math
 
-    from pipeline_query_engine_demo_spark.plans.analytics import (
+    from pipeline_query_engine_demo_spark.plans.timeseries import (
         signup_to_purchase_latency,
     )
 
@@ -551,7 +546,7 @@ def test_benford_matches_bruteforce(spark, sf_dir):
     import math
     from collections import Counter
 
-    from pipeline_query_engine_demo_spark.plans.analytics import benford_digit_test
+    from pipeline_query_engine_demo_spark.plans.stats import benford_digit_test
 
     out = {r["digit"]: r for r in benford_digit_test(spark, sf_dir).collect()}
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
@@ -572,7 +567,7 @@ def test_benford_matches_bruteforce(spark, sf_dir):
 def test_seasonal_naive_matches_bruteforce(spark, sf_dir):
     from collections import defaultdict
 
-    from pipeline_query_engine_demo_spark.plans.analytics import (
+    from pipeline_query_engine_demo_spark.plans.timeseries import (
         seasonal_naive_backtest,
     )
 
@@ -598,7 +593,7 @@ def test_seasonal_baseline_outliers_matches_bruteforce(spark, sf_dir):
     import math
     from collections import defaultdict
 
-    from pipeline_query_engine_demo_spark.plans.analytics import (
+    from pipeline_query_engine_demo_spark.plans.timeseries import (
         seasonal_baseline_outliers,
     )
 
@@ -636,7 +631,7 @@ def test_gap_histogram_matches_bruteforce(spark, sf_dir):
     import math
     from collections import Counter, defaultdict
 
-    from pipeline_query_engine_demo_spark.plans.analytics import (
+    from pipeline_query_engine_demo_spark.plans.timeseries import (
         inter_event_gap_histogram,
     )
 
@@ -662,7 +657,7 @@ def test_gap_histogram_matches_bruteforce(spark, sf_dir):
 def test_k_anonymity_matches_bruteforce(spark, sf_dir):
     from collections import Counter
 
-    from pipeline_query_engine_demo_spark.plans.analytics import k_anonymity_audit
+    from pipeline_query_engine_demo_spark.plans.privacy import k_anonymity_audit
 
     out = {r["size_band"]: r for r in k_anonymity_audit(spark, sf_dir).collect()}
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
@@ -687,7 +682,7 @@ def test_k_anonymity_matches_bruteforce(spark, sf_dir):
 def test_trimmed_mean_matches_bruteforce(spark, sf_dir):
     import math
 
-    from pipeline_query_engine_demo_spark.plans.analytics import trimmed_mean_events
+    from pipeline_query_engine_demo_spark.plans.stats import trimmed_mean_events
 
     out = {r["event_type"]: r for r in trimmed_mean_events(spark, sf_dir).collect()}
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
@@ -708,7 +703,7 @@ def test_l_diversity_matches_bruteforce(spark, sf_dir):
     import math
     from collections import defaultdict
 
-    from pipeline_query_engine_demo_spark.plans.analytics import l_diversity_audit
+    from pipeline_query_engine_demo_spark.plans.privacy import l_diversity_audit
 
     row = l_diversity_audit(spark, sf_dir).collect()[0]
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
@@ -763,11 +758,8 @@ def test_cusum_window_identity_matches_sequential_scan(spark, sf_dir):
     import pandas as pd
     import pyspark.sql.functions as F
 
-    from pipeline_query_engine_demo_spark.plans.analytics import (
-        _CUSUM_H,
-        _CUSUM_K,
-        cusum_change_detection,
-    )
+    from pipeline_query_engine_demo_spark.plans.analytics import _CUSUM_H, _CUSUM_K
+    from pipeline_query_engine_demo_spark.plans.timeseries import cusum_change_detection
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     c = F.col("value").cast("double")
@@ -846,7 +838,7 @@ def test_cusum_window_identity_adversarial_resets(spark):
 
     with tempfile.TemporaryDirectory() as d:
         df.write.parquet(f"{d}/events.parquet")
-        from pipeline_query_engine_demo_spark.plans.analytics import (
+        from pipeline_query_engine_demo_spark.plans.timeseries import (
             cusum_change_detection,
         )
 

@@ -14,11 +14,11 @@ import math
 
 import numpy as np
 
-from pipeline_query_engine_demo_spark.plans.analytics import (
+from pipeline_query_engine_demo_spark.plans.stats import (
     isotonic_regression_minimax,
-    mann_kendall_trend,
     two_proportion_ztest,
 )
+from pipeline_query_engine_demo_spark.plans.timeseries import mann_kendall_trend
 
 
 def _r9_int(v: float) -> int:

@@ -16,13 +16,15 @@ import math
 import numpy as np
 import pytest
 
-from pipeline_query_engine_demo_spark.plans.analytics import (
-    kaplan_meier_retention,
+from pipeline_query_engine_demo_spark.plans.stats import (
     kendall_tau_event_pairs,
     ks_two_sample_acctbal,
-    page_hinkley_drift,
     pca_2d_parts_by_brand,
     poisson_bootstrap_ci_acctbal,
+)
+from pipeline_query_engine_demo_spark.plans.timeseries import (
+    kaplan_meier_retention,
+    page_hinkley_drift,
 )
 
 

@@ -14,11 +14,9 @@ import math
 
 import pytest
 
-from pipeline_query_engine_demo_spark.plans.analytics import (
-    markov_entropy_rate,
-    permutation_test_mean_diff,
-)
-from pipeline_query_engine_demo_spark.plans.llm import jackknife_source_loo
+from pipeline_query_engine_demo_spark.plans.stats import permutation_test_mean_diff
+from pipeline_query_engine_demo_spark.plans.timeseries import markov_entropy_rate
+from pipeline_query_engine_demo_spark.plans.training import jackknife_source_loo
 
 
 def test_markov_entropy_rate_matches_bruteforce(spark, sf_dir):
@@ -135,9 +133,7 @@ def test_jackknife_matches_loo_replay(spark, sf_dir):
 
 
 def test_target_encoding_leave_fold_out(spark, sf_dir):
-    from pipeline_query_engine_demo_spark.plans.analytics import (
-        target_encoding_kfold,
-    )
+    from pipeline_query_engine_demo_spark.plans.stats import target_encoding_kfold
 
     out = {(r["category"], r["fold"]): r for r in target_encoding_kfold(spark, sf_dir).collect()}
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
@@ -170,9 +166,7 @@ def test_user_feature_matrix_matches_replay(spark, sf_dir):
     from pipeline_query_engine_demo_spark.plans.llm import (  # noqa: F401
         time_decayed_engagement,
     )
-    from pipeline_query_engine_demo_spark.plans.analytics import (
-        user_feature_matrix,
-    )
+    from pipeline_query_engine_demo_spark.plans.stats import user_feature_matrix
 
     out = {r["user_id"]: r for r in user_feature_matrix(spark, sf_dir).collect()}
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
@@ -212,7 +206,7 @@ def test_ar1_forecast_matches_numpy_ols(spark, sf_dir):
     lag pairs built from the collected daily series."""
     import numpy as np
 
-    from pipeline_query_engine_demo_spark.plans.analytics import ar1_forecast_daily
+    from pipeline_query_engine_demo_spark.plans.timeseries import ar1_forecast_daily
     from pipeline_query_engine_demo_spark.sources.catalog import load_table
 
     got = {r.event_type: r for r in ar1_forecast_daily(spark, sf_dir).collect()}
@@ -274,7 +268,7 @@ def test_vocab_coverage_p90_brute_force(spark, sf_dir):
     (count desc, token asc) ordering covering >= 90% of occurrences."""
     from collections import Counter
 
-    from pipeline_query_engine_demo_spark.plans.llm import vocab_coverage_p90
+    from pipeline_query_engine_demo_spark.plans.training import vocab_coverage_p90
     from pipeline_query_engine_demo_spark.sources.catalog import load_table
 
     got = {r.source: r for r in vocab_coverage_p90(spark, sf_dir).collect()}
@@ -301,10 +295,8 @@ def test_adamic_adar_brute_force(spark, sf_dir):
     from collections import defaultdict
     from decimal import Decimal
 
-    from pipeline_query_engine_demo_spark.plans.analytics import (
-        _AA_HUB_CAP,
-        link_prediction_adamic_adar,
-    )
+    from pipeline_query_engine_demo_spark.plans.analytics import _AA_HUB_CAP
+    from pipeline_query_engine_demo_spark.plans.graph import link_prediction_adamic_adar
     from pipeline_query_engine_demo_spark.sources.catalog import load_table
 
     got = [
@@ -357,7 +349,7 @@ def test_nelson_aalen_python_replay(spark, sf_dir):
     from collections import defaultdict
     from decimal import Decimal
 
-    from pipeline_query_engine_demo_spark.plans.analytics import nelson_aalen_hazard
+    from pipeline_query_engine_demo_spark.plans.timeseries import nelson_aalen_hazard
     from pipeline_query_engine_demo_spark.sources.catalog import load_table
 
     got = [
@@ -398,10 +390,8 @@ def test_bigram_greedy_decode_python_replay(spark, sf_dir):
     Counter-built bigrams (same seed rule, same tie-breaks)."""
     from collections import Counter
 
-    from pipeline_query_engine_demo_spark.plans.llm import (
-        _DECODE_STEPS,
-        bigram_greedy_decode,
-    )
+    from pipeline_query_engine_demo_spark.plans.llm import _DECODE_STEPS
+    from pipeline_query_engine_demo_spark.plans.training import bigram_greedy_decode
     from pipeline_query_engine_demo_spark.sources.catalog import load_table
 
     got = [r.token for r in bigram_greedy_decode(spark, sf_dir).collect()]
@@ -429,7 +419,7 @@ def test_two_step_transition_probs_sum_to_one(spark, sf_dir):
     seed in a python adjacency replay."""
     from collections import defaultdict
 
-    from pipeline_query_engine_demo_spark.plans.analytics import (
+    from pipeline_query_engine_demo_spark.plans.timeseries import (
         two_step_transition_probs,
     )
     from pipeline_query_engine_demo_spark.sources.catalog import load_table

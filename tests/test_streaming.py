@@ -308,11 +308,8 @@ def test_streaming_cusum_state_evolves_across_time_split_batches(spark, sf_dir, 
     and asserts the final state equals the batch detector."""
     import time
 
-    from pipeline_query_engine_demo_spark.plans.analytics import (
-        _CUSUM_H,
-        _CUSUM_K,
-        cusum_change_detection,
-    )
+    from pipeline_query_engine_demo_spark.plans.analytics import _CUSUM_H, _CUSUM_K
+    from pipeline_query_engine_demo_spark.plans.timeseries import cusum_change_detection
 
     ev = load_table(spark, sf_dir, "events")
     out = str(tmp_path / "events_time_chunks")

@@ -95,7 +95,7 @@ def test_bpe_learn_merges_matches_literal_sennrich_loop(spark, sf_dir):
 
     import pyarrow.parquet as pq
 
-    from pipeline_query_engine_demo_spark.plans import llm
+    from pipeline_query_engine_demo_spark.plans import llm, training
 
     def python_bpe(word_counts, rounds):
         vocab = {w: tuple(w) for w in word_counts}
@@ -132,7 +132,7 @@ def test_bpe_learn_merges_matches_literal_sennrich_loop(spark, sf_dir):
     expect = python_bpe(wc, llm._BPE_ROUNDS)
     got = [
         (r["merge_round"], r["left_sym"], r["right_sym"], r["merged_sym"], r["pair_count"])
-        for r in llm.bpe_learn_merges(spark, sf_dir).orderBy("merge_round").collect()
+        for r in training.bpe_learn_merges(spark, sf_dir).orderBy("merge_round").collect()
     ]
     assert got == expect
 
@@ -149,7 +149,7 @@ def test_bpe_learn_merges_matches_literal_sennrich_loop(spark, sf_dir):
         expect2 = python_bpe(wc2, llm._BPE_ROUNDS)
         got2 = [
             (r["merge_round"], r["left_sym"], r["right_sym"], r["merged_sym"], r["pair_count"])
-            for r in llm.bpe_learn_merges(spark, d).orderBy("merge_round").collect()
+            for r in training.bpe_learn_merges(spark, d).orderBy("merge_round").collect()
         ]
         assert got2 == expect2
         assert expect2[1][:2] == (1, "ab") and expect2[1][2] == "ab"
@@ -159,7 +159,7 @@ def test_feature_hashing_matches_python_md5_replay(spark, sf_dir):
     """Exact md5 replay of the hashing trick for every sampled doc."""
     import hashlib
 
-    from pipeline_query_engine_demo_spark.plans.llm import feature_hashing_docs
+    from pipeline_query_engine_demo_spark.plans.training import feature_hashing_docs
 
     out = {}
     for r in feature_hashing_docs(spark, sf_dir).collect():
@@ -190,10 +190,8 @@ def test_feature_hashing_matches_python_md5_replay(spark, sf_dir):
 def test_js_divergence_matches_bruteforce_and_bounds(spark, sf_dir):
     import math
 
-    from pipeline_query_engine_demo_spark.plans.llm import (
-        _JSD_TOPK,
-        js_divergence_sources,
-    )
+    from pipeline_query_engine_demo_spark.plans.llm import _JSD_TOPK
+    from pipeline_query_engine_demo_spark.plans.training import js_divergence_sources
 
     out = {
         (r["source_a"], r["source_b"]): r["jsd_bits"]
@@ -239,10 +237,8 @@ def test_js_divergence_matches_bruteforce_and_bounds(spark, sf_dir):
 def test_keyword_tag_docs_matches_python_sets(spark, sf_dir):
     """Dictionary tagging must equal a python set-intersection per doc:
     sorted matches, comma-joined, zero-match docs kept with 0/''."""
-    from pipeline_query_engine_demo_spark.plans.llm import (
-        KEYWORDS,
-        keyword_tag_docs,
-    )
+    from pipeline_query_engine_demo_spark.plans.llm import KEYWORDS
+    from pipeline_query_engine_demo_spark.plans.training import keyword_tag_docs
     from pipeline_query_engine_demo_spark.sources.catalog import load_table
 
     texts = {

@@ -6,14 +6,14 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from pipeline_query_engine_demo_spark.plans import llm
+from pipeline_query_engine_demo_spark.plans import llm, training
 
 
 def test_global_shuffle_is_dense_permutation(spark, sf_dir):
     """Two-phase bucketed rank must produce exactly 1..N with no
     duplicates or gaps — i.e. the same thing a single global
     row_number would."""
-    out = llm.global_shuffle_positions(spark, sf_dir)
+    out = training.global_shuffle_positions(spark, sf_dir)
     rows = out.agg(
         F.count("*").alias("n"),
         F.countDistinct("shuffle_pos").alias("d"),
@@ -63,7 +63,7 @@ def test_representative_is_longest_in_cluster(spark):
 
 
 def test_length_buckets_batch_invariants(spark, sf_dir):
-    out = llm.length_bucketed_batches(spark, sf_dir)
+    out = training.length_bucketed_batches(spark, sf_dir)
     # every batch holds <= 8 docs, and bucket matches token count
     sizes = out.groupBy("length_bucket", "batch_in_bucket").count()
     assert sizes.filter(F.col("count") > 8).count() == 0
@@ -86,7 +86,7 @@ def test_mixture_sampling_tracks_thresholds(spark, sf_dir):
     total = {r.source: r["count"] for r in docs_n}
     kept = {
         r.source: r["count"]
-        for r in llm.mixture_sample_by_weights(spark, sf_dir)
+        for r in training.mixture_sample_by_weights(spark, sf_dir)
         .groupBy("source")
         .count()
         .collect()
@@ -98,7 +98,7 @@ def test_mixture_sampling_tracks_thresholds(spark, sf_dir):
 
 
 def test_pack_offsets_within_capacity(spark, sf_dir):
-    out = llm.pack_sequences_for_training(spark, sf_dir)
+    out = training.pack_sequences_for_training(spark, sf_dir)
     assert out.filter(
         (F.col("pack_offset") < 0) | (F.col("pack_offset") >= 512)
     ).count() == 0
@@ -199,10 +199,8 @@ def test_kmeans_ml_path_agrees_with_expression_path(spark):
 
 
 def test_media_fingerprint_finds_only_planted_mutations(spark, sf_dir):
-    from pipeline_query_engine_demo_spark.plans.llm import (
-        _FP_PLANT_IDS,
-        media_fingerprint_near_dup,
-    )
+    from pipeline_query_engine_demo_spark.plans.dedup import media_fingerprint_near_dup
+    from pipeline_query_engine_demo_spark.plans.llm import _FP_PLANT_IDS
 
     rows = media_fingerprint_near_dup(spark, sf_dir).collect()
     # fixture corpus has no cross-doc near-dups at this threshold; the

@@ -34,9 +34,7 @@ def test_gram_matrix_matches_numpy(spark, sf_dir):
     import math
     import pytest
 
-    from pipeline_query_engine_demo_spark.plans.llm import (
-        gram_matrix_embeddings,
-    )
+    from pipeline_query_engine_demo_spark.plans.retrieval import gram_matrix_embeddings
 
     out = {(r["i"], r["j"]): r for r in gram_matrix_embeddings(spark, sf_dir).collect()}
     rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()

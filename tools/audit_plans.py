@@ -29,6 +29,10 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+#: Optional report path (argv[2]) — scale-experiment audits at a /tmp
+#: replica dir write their report elsewhere instead of clobbering the
+#: committed sf0.01 PLANS.md.
+OUT_MD = sys.argv[2] if len(sys.argv) > 2 else None
 
 #: Queries allowed to plan a nested-loop/cartesian: deliberate cross
 #: joins of tiny inputs (dims, 1-row aggregates, broadcast query sets).
@@ -194,7 +198,10 @@ def main() -> None:
         notes = ", ".join(joins + arrow + extra)
         rows.append((name, f"{n_exchange} exchange(s)", notes))
 
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+    out_md = OUT_MD or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"
+    )
+    with open(out_md, "w") as f:
         f.write(
             "# PLANS — physical-plan audit (generated by tools/audit_plans.py)\n\n"
             f"Corpus of {len(rows)} queries at {SF_DIR}. Invariants: no accidental\n"

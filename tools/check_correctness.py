@@ -6,10 +6,26 @@ exact values after sorting columns by name and rows by all columns.
 Queries without an oracle get the rows-only check.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
+
+Golden-manifest mode (round-exit drift tripwire over ALL 424 queries,
+including the ones the driver has never sampled):
+
+    # record (rows, schema signature, value hash) per query at this SF:
+    python tools/check_correctness.py /root/testdata/sf0.01 --manifest-write MANIFEST.json
+    # later: fail if any query's result drifted from the committed manifest
+    python tools/check_correctness.py /root/testdata/sf0.01 --manifest-check MANIFEST.json
+
+The manifest keys results under the SF label (sf0.01 / sf0.1), so one
+file holds both sweeps. Check mode still runs the full DuckDB oracle
+comparison; the manifest adds ATTRIBUTION — engine/fixture/oracle drift
+shows up as a hash diff against a committed baseline, pinnable to a
+commit without re-deriving DuckDB state.
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 import sys
 import time
@@ -21,8 +37,45 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+_args = sys.argv[1:]
+MANIFEST_WRITE = MANIFEST_CHECK = None
+if "--manifest-write" in _args:
+    i = _args.index("--manifest-write")
+    MANIFEST_WRITE = _args[i + 1]
+    del _args[i : i + 2]
+if "--manifest-check" in _args:
+    i = _args.index("--manifest-check")
+    MANIFEST_CHECK = _args[i + 1]
+    del _args[i : i + 2]
+
+SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
+ONLY = set(_args[1:])
+
+
+def sf_label(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+def fingerprint(pdf: pd.DataFrame) -> dict:
+    """(rows, schema signature, value hash) of a canonicalized result.
+
+    Floats are rendered at 17 significant digits (round-trip exact for
+    IEEE doubles), timestamps at ns — the hash is stable across runs of
+    the same engine output but flips on ANY value/type/shape drift."""
+    c = canon(pdf)
+    schema = [f"{col}:{_kind(c[col].dtype)}" for col in c.columns]
+    h = hashlib.sha256()
+    h.update(("|".join(schema) + "\n").encode())
+    for col in c.columns:
+        vals = c[col]
+        if _kind(vals.dtype) == "float":
+            rendered = vals.map(lambda v: "nan" if pd.isna(v) else f"{v:.17g}")
+        elif _kind(vals.dtype) == "datetime":
+            rendered = vals.astype("datetime64[ns]").astype(str)
+        else:
+            rendered = vals.astype(str)
+        h.update(("\x1f".join(rendered) + "\x1e").encode())
+    return {"rows": int(len(c)), "schema": schema, "hash": h.hexdigest()[:24]}
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -112,6 +165,12 @@ def main() -> None:
         )
 
     qs, oracles = e.queries(), e.oracle_sql()
+    label = sf_label(SF_DIR)
+    manifest = {}
+    if MANIFEST_CHECK:
+        manifest = json.load(open(MANIFEST_CHECK))
+    golden = manifest.get(label, {})
+    new_entries: dict[str, dict] = {}
     n_ok = n_fail = 0
     failures = []
     for name, build in qs.items():
@@ -121,9 +180,25 @@ def main() -> None:
         try:
             sdf = build(spark, SF_DIR)
             spark_pdf = sdf.toPandas()
+            if MANIFEST_WRITE or MANIFEST_CHECK:
+                try:
+                    fp = fingerprint(spark_pdf)
+                except TypeError as ex:
+                    fp = {"rows": int(len(spark_pdf)), "schema": [], "hash": f"CANON-CRASH:{ex}"}
+                new_entries[name] = fp
             if name in oracles:
                 duck_pdf = con.sql(oracles[name]).df()
                 verdict = compare(name, spark_pdf, duck_pdf)
+                if (
+                    verdict == "OK"
+                    and MANIFEST_CHECK
+                    and name in golden
+                    and golden[name] != new_entries[name]
+                ):
+                    verdict = (
+                        f"MANIFEST-DRIFT was={golden[name]['hash']}/{golden[name]['rows']}r "
+                        f"now={new_entries[name]['hash']}/{new_entries[name]['rows']}r"
+                    )
             else:
                 # The driver records oracle-less queries as err:no_oracle
                 # (no rows-only fallback exists in practice) — so a
@@ -140,6 +215,21 @@ def main() -> None:
             failures.append(name)
         print(f"{'PASS' if ok else 'FAIL':4} {name:40} {dt:6.2f}s  {verdict}")
     print(f"\n{n_ok} ok, {n_fail} fail" + (f": {failures}" if failures else ""))
+    if MANIFEST_CHECK:
+        missing = sorted(set(golden) - set(new_entries)) if not ONLY else []
+        unrecorded = sorted(set(new_entries) - set(golden))
+        if missing:
+            print(f"manifest entries not re-run: {missing}")
+        if unrecorded:
+            print(f"queries not in manifest[{label}]: {unrecorded}")
+    if MANIFEST_WRITE:
+        existing = {}
+        if os.path.exists(MANIFEST_WRITE):
+            existing = json.load(open(MANIFEST_WRITE))
+        existing.setdefault(label, {}).update(new_entries)
+        existing[label] = dict(sorted(existing[label].items()))
+        json.dump(dict(sorted(existing.items())), open(MANIFEST_WRITE, "w"), indent=1)
+        print(f"manifest[{label}]: wrote {len(new_entries)} entries -> {MANIFEST_WRITE}")
     sys.exit(1 if n_fail else 0)
 
 

