@@ -280,11 +280,20 @@ def main() -> None:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
     def median_run(name: str) -> tuple[float, float, float]:
+        # Round-10 (verdict item 4): sub-second rows carry the largest
+        # RELATIVE noise (scheduler jitter is a fixed cost), and they
+        # produced r9's false noise-band "regressions" — so once the
+        # first `reps` land under 1 s, take two extra reps and report
+        # the median of all of them. Multi-second rows keep the plain
+        # `reps`-median so the series stays comparable across rounds.
         ts = sorted(run(name) for _ in range(reps))
-        if reps % 2:
-            m = ts[reps // 2]
+        if ts[len(ts) // 2] < 1.0:
+            ts = sorted(ts + [run(name) for _ in range(2)])
+        n = len(ts)
+        if n % 2:
+            m = ts[n // 2]
         else:
-            m = round((ts[reps // 2 - 1] + ts[reps // 2]) / 2, 3)
+            m = round((ts[n // 2 - 1] + ts[n // 2]) / 2, 3)
         return m, ts[0], ts[-1]
 
     med = {name: median_run(name) for name in HEADLINE}

@@ -26,6 +26,14 @@ import sys
 
 FACTOR = 1.5
 
+#: Absolute noise floor (seconds), round-10 verdict item 4: a sub-second
+#: row whose prior spread max is 0.3 s trips the 1.5x bound on 0.16 s of
+#: scheduler jitter — pure noise. A row now regresses only if it is BOTH
+#: past 1.5x the prior spread max AND at least this much slower in
+#: absolute terms. Multi-second rows are unaffected (their 1.5x headroom
+#: already exceeds the floor).
+ABS_FLOOR = 0.25
+
 
 def load_payload(path: str) -> dict:
     with open(path) as f:
@@ -63,7 +71,7 @@ def main() -> None:
             continue
         prev = prev_meds[name]
         hi = prev_spreads.get(name, [prev, prev])[1]
-        bound = round(FACTOR * hi, 3)
+        bound = round(max(FACTOR * hi, hi + ABS_FLOOR), 3)
         ok = cur <= bound
         print(
             f"{name:36} {prev:8.3f} {bound:8.3f} {cur:8.3f}  "

@@ -278,6 +278,15 @@ def build_data(spark) -> None:
 def run(spark, sf_dir: str) -> dict[str, float]:
     from pipeline_query_engine_demo_spark import plans
 
+    # Scale the shuffle width with the data, the way a real deployment
+    # would (the session conf's own comment: "At 100 TB this would be
+    # O(10k); AQE coalesces down, so err high"). At x100 the pinned 32
+    # partitions put ~2 GB in each shuffle partition — spill territory —
+    # and produced 2-3x run-to-run variance on the join/agg rows.
+    # sqrt-scaling keeps per-partition bytes flat-ish while AQE coalesces
+    # the small stages back down.
+    n_shuffle = 32 if sf_dir == BASE else 32 * max(1, int(FACTOR**0.5))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
     qs = plans.queries()
     qs["q1_pricing_summary"](spark, sf_dir).write.mode("overwrite").format("noop").save()
     out = {}
@@ -291,6 +300,11 @@ def run(spark, sf_dir: str) -> dict[str, float]:
 
 
 def main() -> None:
+    # The 16g default heap GC-thrashes at x100 (observed: 2-3x variance
+    # on kmeans/near-dup between otherwise idle runs); this experiment
+    # is ABOUT the x100 regime, so default its driver to 64g of the
+    # 128 GiB box unless the caller overrides.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
     from pipeline_query_engine_demo_spark.session import get_spark
 
     spark = get_spark("scale-experiment")
