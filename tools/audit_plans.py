@@ -33,6 +33,12 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 #: replica dir write their report elsewhere instead of clobbering the
 #: committed sf0.01 PLANS.md.
 OUT_MD = sys.argv[2] if len(sys.argv) > 2 else None
+#: Optional query-name filter (argv[3:]) — scale audits run the handful
+#: of headline rows at a /tmp replica instead of all 424 builders (the
+#: full corpus contains deliberately-quadratic teaching queries, e.g.
+#: raw shingle posting-list joins, whose spills exhaust local disk on a
+#: clone replica where every shingle's document frequency is x100).
+ONLY = set(sys.argv[3:])
 
 #: Queries allowed to plan a nested-loop/cartesian: deliberate cross
 #: joins of tiny inputs (dims, 1-row aggregates, broadcast query sets).
@@ -159,6 +165,8 @@ def main() -> None:
     rows = []
     violations = []
     for name, build in sorted(plans.queries().items()):
+        if ONLY and name not in ONLY:
+            continue
         if plans.REGISTRY[name].category == "streaming":
             rows.append((name, "(streaming — executes a stream; sink read-back plan not audited)", ""))
             continue

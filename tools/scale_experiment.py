@@ -296,6 +296,18 @@ def run(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         out[name] = round(time.perf_counter() - t0, 2)
+        # Storage hygiene between timed queries: localCheckpoint blocks
+        # from dedup/CC pipelines stay referenced until the Python-side
+        # DataFrames are GC'd, so a 20-query x100 session otherwise
+        # accumulates tens of GB of block-manager state and later rows
+        # time memory pressure, not their own plan.
+        spark.catalog.clearCache()
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in list(jmap.values()):
+            try:
+                jrdd.unpersist(False)
+            except Exception:
+                pass
     return out
 
 
