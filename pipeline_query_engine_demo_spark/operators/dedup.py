@@ -522,6 +522,53 @@ def near_dup_pairs(
     return verified.filter(F.col("jaccard") >= threshold)
 
 
+class _RoundCheckpoints:
+    """Bounded block-manager footprint for iterative localCheckpoint
+    loops: each round's eager checkpoint blocks are freed as soon as the
+    NEXT round's state is materialized (two live rounds max, instead of
+    every round's blocks surviving until session end).
+
+    Why it matters: at ×100 scale the CC loops checkpoint a ~27M-edge
+    graph per round; without cleanup those blocks accumulate across
+    rounds AND across queries in the session, and whether later rounds'
+    blocks land in memory or spill to disk flipped wall time ~3× in the
+    round-10 scale experiment (SCALE.md). Only RDD ids that appeared in
+    the block manager during this loop's own checkpoint calls are ever
+    unpersisted — caller caches are untouched.
+
+    TWO generations stay live, not one: round k's convergence check
+    still reads round k-1's state AFTER round k's checkpoint
+    materializes, and an unpersisted LOCAL checkpoint is unrecoverable
+    (lineage is truncated) — freeing k-1 at that point would crash the
+    very next job. Only round k-2's blocks, which nothing can reference
+    any more, are freed."""
+
+    def __init__(self, spark) -> None:
+        self._jmap = spark.sparkContext._jsc.getPersistentRDDs
+        self._hist: list[list] = []  # [..., round k-1 rdds, round k rdds]
+
+    def _snapshot(self) -> dict:
+        out = {}
+        it = self._jmap().entrySet().iterator()
+        while it.hasNext():
+            entry = it.next()
+            out[int(entry.getKey())] = entry.getValue()
+        return out
+
+    def checkpoint(self, df: DataFrame) -> DataFrame:
+        before = set(self._snapshot())
+        out = df.localCheckpoint(eager=True)
+        created = [v for k, v in self._snapshot().items() if k not in before]
+        self._hist.append(created)
+        if len(self._hist) > 2:
+            for jrdd in self._hist.pop(0):
+                try:
+                    jrdd.unpersist(False)
+                except Exception:
+                    pass  # already cleaned by the ContextCleaner
+        return out
+
+
 def connected_components(
     nodes: DataFrame, edges: DataFrame, id_col: str, max_iter: int = 15
 ) -> DataFrame:
@@ -545,20 +592,26 @@ def connected_components(
     dedup_clusters) materializes once instead of re-executing inside
     every iteration's join.
     """
+    # sym is EAGER and materialized BEFORE the round tracker exists: it
+    # is read by every round, so its blocks must never enter the
+    # tracker's per-round sets (a lazy checkpoint would materialize
+    # inside round 1's job and be misattributed to round 1 — then freed
+    # two rounds later, which is fatal for a lineage-truncated RDD).
     sym = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id"))
+    rounds = _RoundCheckpoints(nodes.sparkSession)
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.id)
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new_labels = (
+        new_labels = rounds.checkpoint(
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
@@ -566,7 +619,6 @@ def connected_components(
                     F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -618,14 +670,14 @@ def connected_components_star(
     propagation variant. At the fixed point every edge is
     (component_min, member); members absent from the edge list are
     their own singleton clusters."""
-    e = (
+    rounds = _RoundCheckpoints(nodes.sparkSession)
+    e = rounds.checkpoint(
         edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .select(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
     n_e = e.count()
     for _ in range(max_iter):
@@ -649,10 +701,8 @@ def connected_components_star(
             .select(F.col("m").alias("u"), F.col("u").alias("v"))
         )
         hang_self = small_min.select(F.col("m").alias("u"), "v")
-        new_e = (
-            hang_smaller.unionByName(hang_self)
-            .distinct()
-            .localCheckpoint(eager=True)
+        new_e = rounds.checkpoint(
+            hang_smaller.unionByName(hang_self).distinct()
         )
         n_new = new_e.count()
         if n_new == n_e and new_e.exceptAll(e).count() == 0:
