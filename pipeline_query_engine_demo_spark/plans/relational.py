@@ -3259,3 +3259,44 @@ def rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linestatus").asc_nulls_first(),
         )
     )
+
+
+@query(
+    "sql_lateral_column_alias",
+    category="sql-surface",
+    oracle="""
+        SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+               l_extendedprice * (1 - l_discount) AS net,
+               l_extendedprice * (1 - l_discount) * (1 + l_tax) AS gross,
+               l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                   - l_extendedprice * (1 - l_discount) AS tax_amt
+        FROM lineitem WHERE l_orderkey <= 300
+        ORDER BY orderkey, linenumber
+    """,
+)
+def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL COLUMN ALIASES (Spark 3.4+/4): a SELECT item referencing
+    a PRIOR alias in the same list — ``net`` feeds ``gross`` feeds
+    ``tax_amt`` without a subquery or repeated expression. Catalyst
+    rewrites the chain by inline substitution, so the physical plan is
+    identical to the written-out form: the DuckDB oracle states every
+    expression fully expanded, which both pins the substitution
+    semantics and keeps the IEEE trees identical term-for-term (each
+    alias's tree is the textual substitution, multiplication-for-
+    multiplication — no DECIMAL needed because no aggregation
+    reorders floats).
+
+    tests/test_plans.py replays the chain through the DataFrame API
+    (explicit repeated expressions) and asserts frame equality — the
+    independent check the mirrored-oracle audit requires."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_lca_lineitem")
+    return spark.sql(
+        """
+        SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+               l_extendedprice * (1 - l_discount) AS net,
+               net * (1 + l_tax) AS gross,
+               gross - net AS tax_amt
+        FROM _lca_lineitem WHERE l_orderkey <= 300
+        ORDER BY orderkey, linenumber
+        """
+    )

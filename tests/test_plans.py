@@ -385,3 +385,65 @@ def test_udtf_polymorphic_schema_tracks_argument(spark, sf_dir):
         for i in range(len(toks) - 1):
             exp.append((doc_id, i, toks[i], toks[i + 1]))
     assert [tuple(r) for r in df2.collect()] == exp
+
+
+def test_sql_lateral_column_alias_matches_dataframe_replay(spark):
+    """Independent check for the mirrored-oracle audit: the lateral
+    column alias chain (net -> gross -> tax_amt) must equal the
+    DataFrame-API replay with every expression written out fully —
+    pinning that Catalyst's alias substitution is textual substitution,
+    not a different evaluation tree."""
+    from pipeline_query_engine_demo_spark.plans.relational import (
+        sql_lateral_column_alias,
+    )
+
+    from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = sql_lateral_column_alias(spark, sf).collect()
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_orderkey") <= 300)
+    net = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    gross = net * (F.lit(1) + F.col("l_tax"))
+    exp = (
+        li.select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").alias("linenumber"),
+            net.alias("net"),
+            gross.alias("gross"),
+            (gross - net).alias("tax_amt"),
+        )
+        .orderBy("orderkey", "linenumber")
+        .collect()
+    )
+    assert got == exp
+    assert len(got) > 0
+
+
+def test_pandas_udf_iter_brackets_boundaries(spark):
+    """The iterator-form pandas_udf's searchsorted(side='right') must
+    land boundary values in the UPPER bracket (10000 -> bracket 1),
+    matching the oracle's strict `<` CASE arms."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf as _pudf  # noqa: F401
+
+    from pipeline_query_engine_demo_spark.plans import udfs as udfs_mod
+
+    df = spark.createDataFrame(
+        [(1, 1, 9999.99, 50.0), (2, 1, 10000.0, 50.0), (3, 1, 25000.0, 50.0),
+         (4, 1, 49999.0, 50.0), (5, 1, 50000.0, 50.0)],
+        "l_orderkey long, l_linenumber long, l_extendedprice double, l_quantity double",
+    )
+    import pipeline_query_engine_demo_spark.sources.catalog as cat
+
+    orig = cat.load_table
+    try:
+        cat.load_table = lambda _s, _d, _t: df
+        udfs_mod.load_table = cat.load_table
+        out = {
+            r.orderkey: r.bracket
+            for r in udfs_mod.pandas_udf_iter_brackets(spark, "ignored").collect()
+        }
+    finally:
+        cat.load_table = orig
+        udfs_mod.load_table = orig
+    assert out == {1: 0, 2: 1, 3: 2, 4: 2, 5: 3}
