@@ -3300,3 +3300,43 @@ def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY orderkey, linenumber
         """
     )
+
+
+@query(
+    "agg_grouping_sets_df_api",
+    category="aggregation",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def agg_grouping_sets_df_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-API GROUPING SETS (``DataFrame.groupingSets``, Spark
+    4.0) — the programmatic twin of agg_grouping_sets' SQL form: the
+    sets are built as column lists, which is what a report generator
+    composing dimensions at runtime needs (no SQL string splicing).
+    Same physical shape: ONE Expand + one aggregation. DECIMAL-cast
+    before SUM, as everywhere, so both engines sum exactly."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [[F.col("o_orderstatus")], [F.col("o_orderpriority")], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
