@@ -279,7 +279,7 @@ def main() -> None:
     # a regression, and a real one shows up in the spread.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
-    def median_run(name: str) -> tuple[float, float, float]:
+    def median_run(name: str) -> tuple[float, float, float, int]:
         # Round-10 (verdict item 4): sub-second rows carry the largest
         # RELATIVE noise (scheduler jitter is a fixed cost), and they
         # produced r9's false noise-band "regressions" — so once the
@@ -294,7 +294,10 @@ def main() -> None:
             m = ts[n // 2]
         else:
             m = round((ts[n // 2 - 1] + ts[n // 2]) / 2, 3)
-        return m, ts[0], ts[-1]
+        # n is reported per-row (detail sidecar "rep_counts"): a row
+        # whose median straddles 1 s can get 5 reps one round and 3 the
+        # next, so cross-round comparisons need the count to be visible.
+        return m, ts[0], ts[-1], n
 
     med = {name: median_run(name) for name in HEADLINE}
     med_ext = {name: median_run(name) for name in ext_names}
@@ -328,6 +331,10 @@ def main() -> None:
     detail = dict(payload)
     detail["spread"] = {n: [v[1], v[2]] for n, v in med.items()}
     detail["extended_spread"] = {n: [v[1], v[2]] for n, v in med_ext.items()}
+    detail["rep_counts"] = {
+        **{n: v[3] for n, v in med.items()},
+        **{n: v[3] for n, v in med_ext.items()},
+    }
     detail["cold"] = cold
     detail_path = os.environ.get(
         "SPARK_GRAFT_BENCH_DETAIL",

@@ -555,11 +555,39 @@ class _RoundCheckpoints:
             out[int(entry.getKey())] = entry.getValue()
         return out
 
+    @staticmethod
+    def _own_rdd_id(df: DataFrame) -> int | None:
+        """RDD id of THIS DataFrame's checkpointed internal RDD.
+
+        ``Dataset.localCheckpoint`` returns a Dataset whose analyzed
+        plan is a ``LogicalRDD`` wrapping exactly the RDD that was
+        persisted — reading its id lets attribution be exact instead of
+        a global before/after diff of the block manager (which would
+        misattribute an RDD persisted concurrently by another thread or
+        stream on the shared SparkContext, and unpersisting someone
+        else's LOCAL checkpoint is unrecoverable). Returns None when the
+        plan shape differs (version drift) — callers must then fall back
+        conservatively."""
+        try:
+            return int(df._jdf.queryExecution().analyzed().rdd().id())
+        except Exception:
+            return None
+
     def checkpoint(self, df: DataFrame) -> DataFrame:
         before = set(self._snapshot())
         out = df.localCheckpoint(eager=True)
-        created = [v for k, v in self._snapshot().items() if k not in before]
-        self._hist.append(created)
+        created = {k: v for k, v in self._snapshot().items() if k not in before}
+        own = self._own_rdd_id(out)
+        if own is not None and own in created:
+            # Exact attribution: track only the RDD this checkpoint made.
+            created = {own: created[own]}
+        elif len(created) > 1:
+            # Ambiguous (concurrent persists appeared in the window and
+            # the exact id could not be read): leak this round's blocks
+            # — bounded, reclaimed by the ContextCleaner at session end —
+            # rather than risk unpersisting a foreign local checkpoint.
+            created = {}
+        self._hist.append(list(created.values()))
         if len(self._hist) > 2:
             for jrdd in self._hist.pop(0):
                 try:

@@ -40,6 +40,19 @@ def register_source(spark, source_cls: type) -> None:
     try:
         spark.dataSource.register(source_cls)
     except Exception as exc:  # noqa: BLE001 — filtered below
+        # Primary match: the structured PySpark error condition (stable
+        # API, survives message rewording across Spark versions).
+        for attr in ("getCondition", "getErrorClass"):
+            getter = getattr(exc, attr, None)
+            if getter is not None:
+                try:
+                    cond = getter()
+                except Exception:
+                    cond = None
+                if cond and "ALREADY_EXISTS" in str(cond).upper():
+                    return
+        # Fallback: message text, for exception types that don't carry
+        # an error condition (e.g. plain Py4J wrapping).
         msg = str(exc).lower()
         if "already" in msg and ("register" in msg or "exist" in msg):
             return

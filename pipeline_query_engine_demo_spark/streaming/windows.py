@@ -232,8 +232,24 @@ def run_to_memory(
     )
     q.awaitTermination()
     if max_data_batches is not None:
+        progress = q.recentProgress
+        # recentProgress is a ring buffer capped at
+        # spark.sql.streaming.numRecentProgressUpdates (default 100); a
+        # drain that overflows it would UNDERCOUNT data batches and let
+        # the guard pass falsely — so a full buffer is itself a failure.
+        cap = int(
+            stream_df.sparkSession.conf.get(
+                "spark.sql.streaming.numRecentProgressUpdates", "100"
+            )
+        )
+        assert len(progress) < cap, (
+            f"stream '{name}' produced {len(progress)} progress updates, "
+            f"saturating the recentProgress buffer (cap {cap}); the "
+            "batch-count guard would undercount — raise the cap or "
+            "shrink the drain"
+        )
         data_batches = sum(
-            1 for p in q.recentProgress if p["numInputRows"] > 0
+            1 for p in progress if p["numInputRows"] > 0
         )
         assert data_batches <= max_data_batches, (
             f"stream '{name}' ingested data across {data_batches} "
