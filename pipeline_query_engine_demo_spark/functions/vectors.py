@@ -48,9 +48,15 @@ def euclidean(a: Column | str, b: Column | str) -> Column:
 
 def normalize(vec: Column | str) -> Column:
     """Unit-normalize; a zero vector normalizes to NULL elements rather
-    than raising (division by NULLIF(0))."""
-    n = F.nullif(norm(vec), F.lit(0.0))
-    return F.transform(as_double(vec), lambda x: x / n)
+    than raising (division by NULLIF(0)). The norm is let-bound: HOF
+    lambdas are interpreted, so capturing the O(d) fold directly in the
+    divide lambda would re-fold the vector per element (O(d²) per row)."""
+    from pipeline_query_engine_demo_spark.functions.text import let
+
+    return let(
+        F.nullif(norm(vec), F.lit(0.0)),
+        lambda n: F.transform(as_double(vec), lambda x: x / n),
+    )
 
 
 def lit_matrix(rows: list[list[float]]) -> Column:

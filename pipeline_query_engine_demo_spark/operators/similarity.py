@@ -34,7 +34,32 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from pipeline_query_engine_demo_spark.functions.rounding import round_half_up
-from pipeline_query_engine_demo_spark.functions.vectors import cosine, lit_matrix, lit_vector
+from pipeline_query_engine_demo_spark.functions.text import let
+from pipeline_query_engine_demo_spark.functions.vectors import (
+    cosine,
+    dot,
+    lit_matrix,
+    lit_vector,
+    norm,
+)
+
+
+def _centroid_scores(vec_col: str, cent: F.Column) -> F.Column:
+    """Per-row array of cosine(row_vec, centroid) for every centroid.
+
+    The row vector's norm is LET-BOUND outside the per-centroid lambda:
+    HOF lambdas are interpreted, so ``cosine(row, c)`` captured directly
+    would re-fold the row's norm once per centroid (n_cells × d extra
+    work per row). The bound form computes the identical doubles — same
+    dot, same ``norm(a) * norm(b)`` multiply order — so cell assignments
+    (and every oracle) are bit-for-bit unchanged."""
+    return let(
+        norm(F.col(vec_col)),
+        lambda na: F.transform(
+            cent,
+            lambda c: dot(F.col(vec_col), c) / F.nullif(na * norm(c), F.lit(0.0)),
+        ),
+    )
 
 
 def cosine_scores(corpus: DataFrame, query: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -243,7 +268,7 @@ def _assign_cells(df: DataFrame, vec_col: str, cent: F.Column) -> DataFrame:
     repeated higher-order transforms, so referencing the column keeps
     assignment at one n_cells x dim pass per row instead of two."""
     return (
-        df.withColumn("_scores", F.transform(cent, lambda c: cosine(F.col(vec_col), c)))
+        df.withColumn("_scores", _centroid_scores(vec_col, cent))
         .withColumn(
             "_cell",
             F.array_position(F.col("_scores"), F.array_max(F.col("_scores"))).cast("int") - 1,
@@ -272,7 +297,7 @@ def ivf_topk(
     q_scored = query.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
-        F.posexplode(F.transform(cent, lambda c: cosine(F.col(vec_col), c))).alias(
+        F.posexplode(_centroid_scores(vec_col, cent)).alias(
             "_cell", "_cell_score"
         ),
     )

@@ -25,6 +25,7 @@ from pipeline_query_engine_demo_spark.functions.rounding import (
     round_half_up,
     sql_round_half_up,
 )
+from pipeline_query_engine_demo_spark.functions.text import let
 from pipeline_query_engine_demo_spark.plans.registry import query
 from pipeline_query_engine_demo_spark.sources.catalog import load_table
 
@@ -79,18 +80,23 @@ def span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     not O(copies²).
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    words = F.split(F.col("text"), " ")
-    n_spans = F.ceil(F.size(words) / F.lit(float(SPAN_WORDS))).cast("bigint")
+
+    # let-bound so the split runs once per document, not once per span
+    # (an interpreted-lambda capture re-evaluates it per element).
+    def _spans(ws):
+        n_spans = F.ceil(F.size(ws) / F.lit(float(SPAN_WORDS))).cast("bigint")
+        return F.transform(
+            F.sequence(F.lit(0).cast("bigint"), n_spans - 1),
+            lambda i: F.array_join(
+                F.slice(ws, (i * SPAN_WORDS + 1).cast("int"), SPAN_WORDS), " "
+            ),
+        )
+
     spans = (
         docs.select(
             "doc_id",
             F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0).cast("bigint"), n_spans - 1),
-                    lambda i: F.array_join(
-                        F.slice(words, (i * SPAN_WORDS + 1).cast("int"), SPAN_WORDS), " "
-                    ),
-                )
+                let(F.split(F.col("text"), " "), _spans)
             ).alias("span_idx", "span"),
         )
     )
@@ -1339,17 +1345,20 @@ def duplicated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-compares raw."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     w = F.split(F.col("text"), " ")
-    n_pos = F.size(w) - F.lit(SUBSTR_L - 1)
+
+    # let-bound: the sliding-gram lambda slices the tokenization once
+    # per document instead of re-splitting per gram position.
+    def _grams(ws):
+        return F.transform(
+            F.sequence(F.lit(1), F.size(ws) - F.lit(SUBSTR_L - 1)),
+            lambda i: F.md5(
+                F.array_join(F.slice(ws, i.cast("int"), SUBSTR_L), " ")
+            ),
+        )
+
     grams = docs.filter(F.size(w) >= SUBSTR_L).select(
         "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), n_pos),
-                lambda i: F.md5(
-                    F.array_join(F.slice(w, i.cast("int"), SUBSTR_L), " ")
-                ),
-            )
-        ).alias("pos0", "gh"),
+        F.posexplode(let(w, _grams)).alias("pos0", "gh"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gh")
     cnt = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("c"))
     dup = (

@@ -47,6 +47,7 @@ from pipeline_query_engine_demo_spark.functions.rounding import (
     round_half_up,
     sql_round_half_up,
 )
+from pipeline_query_engine_demo_spark.functions.text import let
 from pipeline_query_engine_demo_spark.plans.registry import query
 from pipeline_query_engine_demo_spark.sources.catalog import load_table
 
@@ -742,7 +743,9 @@ def int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     e = F.col("embedding").cast("array<double>")
     ma = F.array_max(F.transform(e, F.abs))
-    qv = F.transform(e, lambda x: round_half_up(x * 127.0 / ma))
+    # ma is let-bound: captured directly in the quantize lambda it
+    # would re-scan the vector per element (O(d²) per row).
+    qv = let(ma, lambda m: F.transform(e, lambda x: round_half_up(x * 127.0 / m)))
     # All-zero embeddings (ma = 0) are dropped on BOTH sides — mirror
     # of the oracle's WHERE ma <> 0: a zero max-abs makes every code
     # 0/0 and the cosine denominator 0, the exact divergence class the

@@ -326,7 +326,12 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     e = vectors.as_double("embedding")
     max_abs = F.array_max(F.transform(e, F.abs))
-    q = F.transform(e, lambda x: round_half_up(x * 127.0 / max_abs).cast("int"))
+    # max_abs is let-bound: captured directly in the quantize lambda it
+    # would re-scan the vector per element (O(d²) per row).
+    q = text.let(
+        max_abs,
+        lambda m: F.transform(e, lambda x: round_half_up(x * 127.0 / m).cast("int")),
+    )
     return emb.select(
         "vec_id",
         max_abs.alias("max_abs"),
