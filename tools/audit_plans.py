@@ -23,10 +23,11 @@ Usage: python tools/audit_plans.py [sf_dir]
 from __future__ import annotations
 
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools import plan_fingerprint  # noqa: E402
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 #: Optional report path (argv[2]) — scale-experiment audits at a /tmp
@@ -172,30 +173,21 @@ def main() -> None:
             continue
         df = build(spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        n_exchange = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
-        joins = sorted(
-            set(re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
-                           r"BroadcastNestedLoopJoin|CartesianProduct)", plan))
-        )
-        has_pyudf = ("BatchEvalPython" in plan) or ("PythonUDF" in plan and "ArrowEvalPython" not in plan and "MapInPandas" not in plan and "MapInArrow" not in plan and "FlatMapGroupsInPandas" not in plan)
-        arrow = [k for k in ("ArrowEvalPython", "MapInPandas", "MapInArrow",
-                             "FlatMapGroupsInPandas", "AggregateInPandas", "BatchEvalPythonUDTF")
-                 if k in plan]
+        # Strategy-set extraction is shared with check_correctness's
+        # plan-fingerprint manifest (tools/plan_fingerprint.py) so the
+        # audit's invariants and the manifest's drift tripwire can never
+        # disagree about what the plan contains.
+        fp = plan_fingerprint.extract(plan)
+        n_exchange = fp["exchanges"]
+        joins = fp["joins"]
+        has_pyudf = "BatchEvalPython" in fp["python_eval"]
+        arrow = [k for k in plan_fingerprint.ARROW_OPS if k in fp["python_eval"]]
         if any(j in ("BroadcastNestedLoopJoin", "CartesianProduct") for j in joins) and name not in NL_WHITELIST:
             violations.append(f"{name}: nested-loop/cartesian join in plan")
         if has_pyudf and name not in PYUDF_WHITELIST:
             violations.append(f"{name}: row-at-a-time Python UDF in plan")
-        # Partition-less window: `Window [exprs], [part], [order]` has two
-        # `], [` separators; `Window [exprs], [order]` (no partitionBy) has
-        # one, and its last bracket group is an ORDER spec (ASC/DESC).
-        n_bare_windows = 0
-        for ln in plan.splitlines():
-            stripped = ln.lstrip("+- :*(0123456789) ")
-            if not stripped.startswith("Window "):
-                continue
-            groups = stripped.split("], [")
-            if len(groups) == 2 and re.search(r"\b(ASC|DESC)\b", groups[-1]):
-                n_bare_windows += 1
+        # Partition-less window: see plan_fingerprint.count_bare_windows.
+        n_bare_windows = fp["bare_windows"]
         if n_bare_windows and name not in UNPARTITIONED_WINDOW_WHITELIST:
             violations.append(
                 f"{name}: {n_bare_windows} partition-less Window(s) — single-reducer "

@@ -37,6 +37,8 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools import plan_fingerprint  # noqa: E402
+
 _args = sys.argv[1:]
 MANIFEST_WRITE = MANIFEST_CHECK = None
 if "--manifest-write" in _args:
@@ -185,20 +187,39 @@ def main() -> None:
                     fp = fingerprint(spark_pdf)
                 except TypeError as ex:
                     fp = {"rows": int(len(spark_pdf)), "schema": [], "hash": f"CANON-CRASH:{ex}"}
+                # Strategy-set fingerprint of the executed (AQE-final)
+                # plan: a broadcast silently demoting to SortMergeJoin
+                # or an Arrow path regressing to row Python is caught
+                # here even when the RESULT hash is unchanged.
+                try:
+                    fp["plan"] = plan_fingerprint.of_df(sdf)
+                except Exception:
+                    fp["plan"] = None
                 new_entries[name] = fp
             if name in oracles:
                 duck_pdf = con.sql(oracles[name]).df()
                 verdict = compare(name, spark_pdf, duck_pdf)
-                if (
-                    verdict == "OK"
-                    and MANIFEST_CHECK
-                    and name in golden
-                    and golden[name] != new_entries[name]
-                ):
-                    verdict = (
-                        f"MANIFEST-DRIFT was={golden[name]['hash']}/{golden[name]['rows']}r "
-                        f"now={new_entries[name]['hash']}/{new_entries[name]['rows']}r"
-                    )
+                if verdict == "OK" and MANIFEST_CHECK and name in golden:
+                    g, mine = golden[name], new_entries[name]
+                    if any(
+                        g.get(k) != mine.get(k) for k in ("rows", "schema", "hash")
+                    ):
+                        verdict = (
+                            f"MANIFEST-DRIFT was={g['hash']}/{g['rows']}r "
+                            f"now={mine['hash']}/{mine['rows']}r"
+                        )
+                    # Plan drift diffs only when the golden entry carries
+                    # a plan (pre-r11 manifests don't) and this run could
+                    # extract one.
+                    elif (
+                        g.get("plan") is not None
+                        and mine.get("plan") is not None
+                        and g["plan"] != mine["plan"]
+                    ):
+                        verdict = (
+                            f"MANIFEST-PLAN-DRIFT was={json.dumps(g['plan'])} "
+                            f"now={json.dumps(mine['plan'])}"
+                        )
             else:
                 # The driver records oracle-less queries as err:no_oracle
                 # (no rows-only fallback exists in practice) — so a

@@ -1,0 +1,89 @@
+"""Shared physical-plan fingerprint extraction (round-10 verdict item 6).
+
+One place that reduces an executed-plan string to the strategy set the
+audits care about — exchange count, join strategies, Python-eval
+operators, partition-less windows — so that:
+
+- tools/audit_plans.py derives its invariant checks and PLANS.md rows
+  from it, and
+- tools/check_correctness.py records it per query in MANIFEST.json and
+  diffs it in --manifest-check: a plan regression (a broadcast that
+  silently demoted to SortMergeJoin, an extra shuffle, an Arrow path
+  that fell back to row-at-a-time Python) becomes attributable to a
+  commit even when the RESULT hash is unchanged.
+
+The fingerprint is deliberately coarse (counts and operator names, no
+expression text, no plan ids): it must be stable across runs of the
+same tree on the same fixture, and flip only when the strategy set
+actually changes.
+"""
+
+from __future__ import annotations
+
+import re
+
+ARROW_OPS = (
+    "ArrowEvalPython",
+    "MapInPandas",
+    "MapInArrow",
+    "FlatMapGroupsInPandas",
+    "AggregateInPandas",
+    "BatchEvalPythonUDTF",
+)
+JOIN_RE = re.compile(
+    r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
+    r"BroadcastNestedLoopJoin|CartesianProduct)"
+)
+EXCHANGE_RE = re.compile(r"Exchange (?:hash|range)partitioning")
+
+
+def count_bare_windows(plan: str) -> int:
+    """Partition-less Window operators: `Window [exprs], [order]` has one
+    `], [` separator and its last bracket group is an ORDER spec."""
+    n = 0
+    for ln in plan.splitlines():
+        stripped = ln.lstrip("+- :*(0123456789) ")
+        if not stripped.startswith("Window "):
+            continue
+        groups = stripped.split("], [")
+        if len(groups) == 2 and re.search(r"\b(ASC|DESC)\b", groups[-1]):
+            n += 1
+    return n
+
+
+def has_row_python_udf(plan: str) -> bool:
+    """Row-at-a-time Python eval detector — EXACTLY audit_plans' historic
+    semantics (BatchEvalPythonUDTF substring-matches deliberately; the
+    one table-argument UDTF is whitelisted there with a comment)."""
+    return ("BatchEvalPython" in plan) or (
+        "PythonUDF" in plan
+        and not any(
+            op in plan
+            for op in (
+                "ArrowEvalPython",
+                "MapInPandas",
+                "MapInArrow",
+                "FlatMapGroupsInPandas",
+            )
+        )
+    )
+
+
+def extract(plan: str) -> dict:
+    """Strategy-set fingerprint of an executed-plan string."""
+    return {
+        "exchanges": len(EXCHANGE_RE.findall(plan)),
+        "joins": sorted(set(JOIN_RE.findall(plan))),
+        "python_eval": sorted(
+            [op for op in ARROW_OPS if op in plan]
+            + (["BatchEvalPython"] if has_row_python_udf(plan) else [])
+        ),
+        "bare_windows": count_bare_windows(plan),
+    }
+
+
+def of_df(df) -> dict:
+    """Fingerprint a DataFrame's executed plan. Call AFTER an action so
+    AQE has finalized the plan (the strategy set then reflects what
+    actually ran, including runtime SMJ->BHJ conversions)."""
+    return extract(df._jdf.queryExecution().executedPlan().toString())
