@@ -329,6 +329,12 @@ def main() -> None:
     # stdout line stays compact and driver-parseable; bench_compare.py
     # reads the sidecar.
     detail = dict(payload)
+    # Cold-vs-warm attribution (r10 verdict item 7): the gap is session
+    # fixed costs + per-query first-execution codegen, measured by
+    # tools/coldstart_profile.py (r11 numbers: JVM launch 5.5 s, first
+    # action 3.3 s, first Parquet scan 1.3 s, Python worker pool 1.0 s,
+    # then ~1.9 s/query cold-vs-warm codegen delta — q1 3.1 s -> 1.2 s).
+    detail["coldstart_attribution"] = "tools/coldstart_profile.py"
     detail["spread"] = {n: [v[1], v[2]] for n, v in med.items()}
     detail["extended_spread"] = {n: [v[1], v[2]] for n, v in med_ext.items()}
     detail["rep_counts"] = {

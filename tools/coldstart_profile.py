@@ -20,8 +20,8 @@ parent re-execs itself so the measured process is genuinely cold.
 Usage: python tools/coldstart_profile.py
 """
 
-from __future__ import annotations
-
+# NOTE: no `from __future__ import annotations` here — it stringifies
+# the pandas_udf type hints and Spark's eval-type inference rejects them.
 import json
 import os
 import subprocess
