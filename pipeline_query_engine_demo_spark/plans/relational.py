@@ -3340,3 +3340,120 @@ def agg_grouping_sets_df_api(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").asc_nulls_first(),
         )
     )
+
+
+@query(
+    "lateral_join_df_api",
+    category="join",
+    oracle="""
+        SELECT n.n_name AS nation, l.suppkey, l.acctbal
+        FROM nation n,
+             LATERAL (
+                 SELECT s_suppkey AS suppkey, s_acctbal AS acctbal
+                 FROM supplier s
+                 WHERE s.s_nationkey = n.n_nationkey
+                 ORDER BY s_acctbal DESC, s_suppkey
+                 LIMIT 2
+             ) l
+        ORDER BY nation, acctbal DESC, suppkey
+    """,
+)
+def lateral_join_df_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-API lateral join (``DataFrame.lateralJoin`` +
+    ``Column.outer()``, Spark 4.0) — the programmatic twin of
+    lateral_topk_per_group's SQL LATERAL: top-2 suppliers by account
+    balance per nation, with the correlation expressed as an outer
+    column reference instead of a SQL string. Catalyst decorrelates the
+    ORDER BY/LIMIT subquery into a partitioned window top-k, so the
+    lateral surface lowers to the scale-safe shape (one shuffle on the
+    correlation key), not a per-outer-row re-execution."""
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    topk = (
+        supplier.where(F.col("s_nationkey") == F.col("n_nationkey").outer())
+        .orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+        .limit(2)
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_acctbal").alias("acctbal"),
+        )
+    )
+    return (
+        nation.lateralJoin(topk)
+        .select(F.col("n_name").alias("nation"), "suppkey", "acctbal")
+        .orderBy("nation", F.col("acctbal").desc(), "suppkey")
+    )
+
+
+@query(
+    "scalar_subquery_df_api",
+    category="subquery",
+    oracle="""
+        SELECT p_partkey AS partkey, p_retailprice AS price
+        FROM part p
+        WHERE p_retailprice > (SELECT SUM(l_quantity) FROM lineitem l
+                               WHERE l.l_partkey = p.p_partkey)
+        ORDER BY partkey
+    """,
+)
+def scalar_subquery_df_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery via the DataFrame API
+    (``DataFrame.scalar`` + ``Column.outer()``, Spark 4.0): parts whose
+    retail price exceeds their total ordered quantity. The aggregate is
+    the ``select(F.sum(...))`` global-agg form — ``agg()`` analyzes its
+    child eagerly and cannot hold an unresolved outer reference, a real
+    API constraint this query pins down. Catalyst decorrelates to an
+    aggregate-then-join on l_partkey; parts with no lineitems yield a
+    NULL sum and drop out of the > comparison on both engines."""
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    total_qty = (
+        lineitem.where(F.col("l_partkey") == F.col("p_partkey").outer())
+        .select(F.sum("l_quantity"))
+    )
+    return (
+        part.where(F.col("p_retailprice") > total_qty.scalar())
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_retailprice").alias("price"),
+        )
+        .orderBy("partkey")
+    )
+
+
+@query(
+    "exists_subquery_df_api",
+    category="subquery",
+    oracle="""
+        SELECT c_custkey AS custkey, c_name AS cname
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F')
+        ORDER BY custkey
+    """,
+)
+def exists_subquery_df_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS via the DataFrame API (``DataFrame.exists``
+    + ``Column.outer()``, Spark 4.0): customers with at least one
+    urgent order and no finished ('F') order — one predicate planned as
+    a left-semi join, the negated one as a left-anti join, both keyed
+    on o_custkey (no cross product, no per-row probe)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.where(
+        (F.col("o_custkey") == F.col("c_custkey").outer())
+        & (F.col("o_orderpriority") == "1-URGENT")
+    )
+    finished = orders.where(
+        (F.col("o_custkey") == F.col("c_custkey").outer())
+        & (F.col("o_orderstatus") == "F")
+    )
+    return (
+        customer.where(urgent.exists() & ~finished.exists())
+        .select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("cname"))
+        .orderBy("custkey")
+    )

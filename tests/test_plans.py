@@ -447,3 +447,25 @@ def test_pandas_udf_iter_brackets_boundaries(spark):
         cat.load_table = orig
         udfs_mod.load_table = orig
     assert out == {1: 0, 2: 1, 3: 2, 4: 2, 5: 3}
+
+
+def test_df_api_subqueries_decorrelate(spark, sf_dir):
+    """The Spark 4.0 DataFrame-API subquery builders (lateralJoin,
+    scalar, exists + Column.outer) must lower to the same scale-safe
+    shapes as their SQL twins — keyed joins / window top-k — never a
+    per-outer-row re-execution (CartesianProduct / nested loop)."""
+    from pipeline_query_engine_demo_spark.plans import relational as rel
+
+    def plan_of(q):
+        return q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+    lat = plan_of(rel.lateral_join_df_api)
+    assert "WindowGroupLimit" in lat or "Window" in lat
+    assert "CartesianProduct" not in lat
+
+    sca = plan_of(rel.scalar_subquery_df_api)
+    assert "CartesianProduct" not in sca and "BroadcastNestedLoopJoin" not in sca
+
+    exi = plan_of(rel.exists_subquery_df_api)
+    assert "LeftSemi" in exi and "LeftAnti" in exi
+    assert "CartesianProduct" not in exi
