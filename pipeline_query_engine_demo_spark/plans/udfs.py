@@ -675,3 +675,38 @@ def pandas_udf_iter_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("orderkey", "linenumber")
     )
+
+
+@query(
+    "udf_arrow_optimized",
+    category="udf",
+    oracle="""
+        SELECT o_orderkey AS orderkey,
+               upper(substr(o_orderpriority, 3, 3)) || '-' ||
+               CAST(o_orderkey % 7 AS VARCHAR) AS tag
+        FROM orders WHERE o_orderkey <= 2000
+        ORDER BY orderkey
+    """,
+)
+def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (``F.udf(useArrow=True)``, the third
+    scalar-UDF execution path next to row-at-a-time pickle
+    (udf_priority_class) and pandas_udf (pandas_udf_scalar_adjusted):
+    the same def-with-scalars API as a classic UDF, but executed over
+    Arrow record batches (ArrowEvalPython), so per-row (de)serialization
+    disappears while the function body stays plain Python. String logic
+    is deterministic, so the SQL oracle is exact."""
+
+    @F.udf(returnType="string", useArrow=True)
+    def tag(priority: str, key: int) -> str:
+        return f"{priority[2:5].upper()}-{key % 7}"
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey") <= 2000)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            tag("o_orderpriority", "o_orderkey").alias("tag"),
+        )
+        .orderBy("orderkey")
+    )
