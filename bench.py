@@ -182,6 +182,12 @@ EXTENDED = [
     "session_window_dynamic_gap",
     "bitmap_distinct_users",
     "rollup_grouping_id",
+    # round-11 session-2: Spark 4.0 DF-API subquery builders + Arrow UDF
+    "lateral_join_df_api",
+    "scalar_subquery_df_api",
+    "exists_subquery_df_api",
+    "udf_arrow_optimized",
+    "insert_with_column_defaults",
 ]
 
 #: HOT tier (r8 verdict item 6 — the extended sweep grows ~linearly with

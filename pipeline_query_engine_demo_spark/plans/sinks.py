@@ -837,3 +837,61 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(files_after.select(F.col("c").cast("bigint").alias("files_after"))))
         .select("files_before", "files_after", "n_groups", "n_orders")
     )
+
+
+@query(
+    "insert_with_column_defaults",
+    category="sink",
+    oracle="""
+        SELECT o_orderkey AS orderkey, 'unreviewed' AS status,
+               0.0 AS score, 'bronze' AS tier
+        FROM orders WHERE o_totalprice > 400000
+        UNION ALL
+        SELECT o_orderkey, 'reviewed', 1.0, 'bronze'
+        FROM orders WHERE o_totalprice < 1000
+        ORDER BY orderkey
+    """,
+)
+def insert_with_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column DEFAULT values (Spark 3.4+ on built-in sources): a
+    partial-column ``INSERT INTO t (k)`` fills the omitted columns from
+    their declared defaults, and ``ALTER TABLE ADD COLUMN ... DEFAULT``
+    applies an *existence default* — rows written before the column
+    existed read back with the default without rewriting a single file,
+    which is the only affordable way to add a column to a 100 TB table.
+    The table is dropped and recreated each run (idempotent under the
+    bench's repeat protocol); the read-back is the returned DataFrame,
+    so the oracle checks both insert paths and the existence default."""
+    import shutil
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("defaults_src")
+    loc = os.path.join(_SCRATCH, "defaults_demo_tbl")
+    spark.sql("DROP TABLE IF EXISTS defaults_demo")
+    # LOCATION makes the table external: DROP keeps the files, so a
+    # repeated run (bench warmup + timed reps) would double the data —
+    # clear the directory explicitly before CREATE.
+    shutil.rmtree(loc, ignore_errors=True)
+    spark.sql(
+        f"""
+        CREATE TABLE defaults_demo (
+            orderkey BIGINT,
+            status STRING DEFAULT 'unreviewed',
+            score DOUBLE DEFAULT 0.0
+        ) USING parquet LOCATION '{loc}'
+        """
+    )
+    spark.sql(
+        """
+        INSERT INTO defaults_demo (orderkey)
+        SELECT o_orderkey FROM defaults_src WHERE o_totalprice > 400000
+        """
+    )
+    spark.sql(
+        """
+        INSERT INTO defaults_demo (orderkey, status, score)
+        SELECT o_orderkey, 'reviewed', 1.0 FROM defaults_src
+        WHERE o_totalprice < 1000
+        """
+    )
+    spark.sql("ALTER TABLE defaults_demo ADD COLUMN tier STRING DEFAULT 'bronze'")
+    return spark.table("defaults_demo").orderBy("orderkey")
