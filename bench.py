@@ -248,7 +248,19 @@ def main() -> None:
     from pipeline_query_engine_demo_spark import plans
     from pipeline_query_engine_demo_spark.session import get_spark
 
-    spark = get_spark("bench")
+    # Concurrent tier (round-10 verdict item 2 made repeatable): when
+    # SPARK_GRAFT_BENCH_CONCURRENT=N (N>0), the session launches under
+    # the FAIR scheduler and, after the serialized timed pass, the 17
+    # headline queries are re-run from N driver threads (one scheduler
+    # pool per query) and the aggregate wall is reported as
+    # "headline_concurrent_total" — the multiplexing number a shared
+    # cluster actually sees. Off by default: the driver's per-round
+    # record stays the serialized protocol, byte-compatible with every
+    # prior round. tools/concurrency_experiment.py remains the full
+    # assertion harness (result + plan fingerprints under concurrency);
+    # this flag is the affordable repeat-me dial.
+    conc = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_CONCURRENT", "0")))
+    spark = get_spark("bench", **({"spark.scheduler.mode": "FAIR"} if conc else {}))
     spark.sparkContext.setLogLevel("ERROR")
     qs = plans.queries()
 
@@ -328,6 +340,21 @@ def main() -> None:
         "extended": extended,
         "cold_headline_total": round(sum(cold[n] for n in HEADLINE), 3),
     }
+    if conc:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def run_pooled(name: str) -> float:
+            # Thread-local property: each query gets its own FAIR pool,
+            # so the fair share is per-query, matching
+            # tools/concurrency_experiment.py.
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
+            return run(name)
+
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=conc) as ex:
+            list(ex.map(run_pooled, HEADLINE))
+        payload["headline_concurrent_total"] = round(time.perf_counter() - t0, 3)
+        payload["concurrent_threads"] = conc
     # Full detail (per-rep spreads + per-query cold timings) goes to a
     # sidecar file, NOT stdout: the driver keeps only the last ~2000
     # chars of stdout, and round 5's spread-laden single line blew past
