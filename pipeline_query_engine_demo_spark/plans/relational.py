@@ -3404,7 +3404,13 @@ def scalar_subquery_df_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     child eagerly and cannot hold an unresolved outer reference, a real
     API constraint this query pins down. Catalyst decorrelates to an
     aggregate-then-join on l_partkey; parts with no lineitems yield a
-    NULL sum and drop out of the > comparison on both engines."""
+    NULL sum and drop out of the > comparison on both engines.
+
+    NAME-COLLISION LANDMINE: if the inner and outer relations share the
+    correlation column's name, ``Column.outer()`` binds to the INNER
+    attribute and the predicate silently degenerates (k == k). All
+    three DF-API subquery queries correlate on schema-distinct names;
+    tests/test_properties.py pins the equivalence on random inputs."""
     part = load_table(spark, sf_dir, "part")
     lineitem = load_table(spark, sf_dir, "lineitem")
     total_qty = (

@@ -352,3 +352,105 @@ def test_radius_join_property_vs_bruteforce(spark, pts, r):
         if (llat - rlat) ** 2 + (llon - rlon) ** 2 <= r * r
     }
     assert got == brute
+
+
+# --- Spark 4.0 DataFrame-API subquery builders vs their SQL twins ------
+#
+# The registered queries pin the fixture result against DuckDB; these
+# pin the API itself against spark.sql on RANDOM inputs, so a future
+# Spark version changing lateralJoin/scalar/exists semantics (null
+# handling, tie order, decorrelation) fails here even if the fixture
+# happens not to exercise the changed edge.
+
+_groups = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(-50, 50)), min_size=1, max_size=16
+)
+
+
+# NAME-COLLISION LANDMINE (pinned by construction here): when the
+# inner and outer relations share a column name, Column.outer() binds
+# to the INNER attribute — the correlation silently becomes k == k
+# (always true) and the subquery decorrelates as uncorrelated. Found
+# by the first draft of these tests; every registered DF-API subquery
+# uses schema-distinct correlation names (n_nationkey/s_nationkey,
+# c_custkey/o_custkey, p_partkey/l_partkey), and these tests give the
+# outer side a distinct name (`ok`) for the same reason.
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_groups)
+def test_lateral_join_df_api_matches_sql(spark, rows):
+    pdf = pd.DataFrame({"k": [k for k, _ in rows], "v": [v for _, v in rows]})
+    pdf["rid"] = range(len(pdf))
+    df = spark.createDataFrame(pdf)
+    keys = spark.createDataFrame(pd.DataFrame({"ok": sorted({k for k, _ in rows})}))
+    sub = (
+        df.where(F.col("k") == F.col("ok").outer())
+        .orderBy(F.col("v").desc(), F.col("rid"))
+        .limit(2)
+        .select(F.col("v").alias("top_v"), F.col("rid").alias("top_rid"))
+    )
+    got = sorted(
+        keys.lateralJoin(sub).select("ok", "top_v", "top_rid").collect(),
+        key=lambda r: (r.ok, r.top_rid),
+    )
+    df.createOrReplaceTempView("prop_t")
+    keys.createOrReplaceTempView("prop_keys")
+    want = sorted(
+        spark.sql(
+            """
+            SELECT p.ok, l.top_v, l.top_rid
+            FROM prop_keys p, LATERAL (
+                SELECT v AS top_v, rid AS top_rid FROM prop_t t
+                WHERE t.k = p.ok ORDER BY v DESC, rid LIMIT 2) l
+            """
+        ).collect(),
+        key=lambda r: (r.ok, r.top_rid),
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_groups)
+def test_scalar_and_exists_df_api_match_sql(spark, rows):
+    pdf = pd.DataFrame({"k": [k for k, _ in rows], "v": [v for _, v in rows]})
+    pdf["rid"] = range(len(pdf))
+    df = spark.createDataFrame(pdf)
+    outer = spark.createDataFrame(pd.DataFrame({"ok": list(range(0, 5))}))
+    # correlated scalar: per-key SUM(v) via the select(F.sum) form
+    total = df.where(F.col("k") == F.col("ok").outer()).select(F.sum("v"))
+    got_sc = sorted(
+        outer.where(F.lit(10) < total.scalar()).select("ok").collect(),
+        key=lambda r: r.ok,
+    )
+    # correlated EXISTS with a predicate
+    pos = df.where((F.col("k") == F.col("ok").outer()) & (F.col("v") > 0))
+    got_ex = sorted(
+        outer.where(pos.exists()).select("ok").collect(), key=lambda r: r.ok
+    )
+    df.createOrReplaceTempView("prop_t2")
+    outer.createOrReplaceTempView("prop_o2")
+    want_sc = sorted(
+        spark.sql(
+            "SELECT ok FROM prop_o2 o WHERE 10 < "
+            "(SELECT SUM(v) FROM prop_t2 t WHERE t.k = o.ok)"
+        ).collect(),
+        key=lambda r: r.ok,
+    )
+    want_ex = sorted(
+        spark.sql(
+            "SELECT ok FROM prop_o2 o WHERE EXISTS "
+            "(SELECT 1 FROM prop_t2 t WHERE t.k = o.ok AND t.v > 0)"
+        ).collect(),
+        key=lambda r: r.ok,
+    )
+    assert [r.ok for r in got_sc] == [r.ok for r in want_sc]
+    assert [r.ok for r in got_ex] == [r.ok for r in want_ex]
