@@ -188,6 +188,7 @@ EXTENDED = [
     "exists_subquery_df_api",
     "udf_arrow_optimized",
     "insert_with_column_defaults",
+    "write_rebalanced_parquet",
 ]
 
 #: HOT tier (r8 verdict item 6 — the extended sweep grows ~linearly with

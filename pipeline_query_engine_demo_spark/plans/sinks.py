@@ -895,3 +895,36 @@ def insert_with_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.sql("ALTER TABLE defaults_demo ADD COLUMN tier STRING DEFAULT 'bronze'")
     return spark.table("defaults_demo").orderBy("orderkey")
+
+
+@query(
+    "write_rebalanced_parquet",
+    category="sink",
+    oracle="""
+        SELECT o_orderkey AS orderkey, o_orderstatus AS orderstatus,
+               CAST(o_totalprice AS DOUBLE) AS totalprice
+        FROM orders WHERE o_totalprice > 300000
+        ORDER BY orderkey
+    """,
+)
+def write_rebalanced_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE REBALANCE hint before a write: RebalancePartitions lets AQE
+    split oversized and coalesce undersized output partitions at
+    runtime, so a skewed key (order status here is 3 values with one
+    tiny) can't produce one multi-GB file next to a thousand 1 KB ones
+    — the standard fix for skewed writes at 100 TB.
+    tests/test_plans.py asserts the hint survives to the optimized plan;
+    the oracle checks the write-read round-trip is lossless."""
+    orders = load_table(spark, sf_dir, "orders")
+    sel = (
+        orders.filter(F.col("o_totalprice") > 300000)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderstatus").alias("orderstatus"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+        )
+        .hint("rebalance", "orderstatus")
+    )
+    path = os.path.join(_SCRATCH, "rebalanced")
+    sel.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path).orderBy("orderkey")

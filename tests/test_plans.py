@@ -469,3 +469,20 @@ def test_df_api_subqueries_decorrelate(spark, sf_dir):
     exi = plan_of(rel.exists_subquery_df_api)
     assert "LeftSemi" in exi and "LeftAnti" in exi
     assert "CartesianProduct" not in exi
+
+
+def test_rebalance_hint_survives_to_plan(spark, sf_dir):
+    """The REBALANCE hint must reach the optimizer (RebalancePartitions
+    node) — if a refactor drops the hint the query still returns
+    identical rows, so only a plan assertion catches it."""
+    import pyspark.sql.functions as F
+
+    from pipeline_query_engine_demo_spark.sources.catalog import load_table
+
+    sel = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .hint("rebalance", "o_orderstatus")
+    )
+    plan = sel._jdf.queryExecution().optimizedPlan().toString()
+    assert "RebalancePartitions" in plan

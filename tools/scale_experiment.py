@@ -38,6 +38,15 @@ SCALED = {
 UNSCALED = ["region", "nation", "customer", "supplier", "part"]
 
 QUERIES = [
+    # round-11 session-2 additions: the Spark 4.0 DF-API subquery
+    # builders (scalar correlates on l_partkey over the scaled
+    # lineitem — a real decorrelated agg+join at x100), the Arrow UDF,
+    # and the DEFAULT-columns sink.
+    "lateral_join_df_api",
+    "scalar_subquery_df_api",
+    "exists_subquery_df_api",
+    "udf_arrow_optimized",
+    "insert_with_column_defaults",
     # round-10 additions: the ×100 headline set's missing members — the
     # two CC dedup variants' shared funnel entry and the remaining ANN
     # tiers (judge item 1: every LLM headline operator needs a ×100 row).
