@@ -1485,21 +1485,45 @@ def test_tws_soak_state_plateaus_under_continuous_trigger(spark, tmp_path):
             .trigger(processingTime="2 seconds")
             .start()
         )
-        hist1, hist2 = [], []
+        # Condition-driven soak (hardened after a one-off flake when the
+        # full suite preceded this test: under load the 2 s micro-batches
+        # lag wall-clock, so a FIXED 45 s window can end mid-ramp and the
+        # tail-flat assertion races). Readings are deduped per batchId
+        # and the loop runs until BOTH queries show >= 8 nonzero batches
+        # with a flat 5-batch tail — or a hard cap, so a real eviction
+        # bug still fails rather than hangs. soak_s stays the MINIMUM
+        # duration so an idle box still soaks as long as before.
+        hist1, hist2 = {}, {}
+
+        def _snapshot() -> None:
+            for q, hist in ((q1, hist1), (q2, hist2)):
+                p = q.lastProgress
+                if p and p["stateOperators"]:
+                    hist[p["batchId"]] = (
+                        p["batchId"],
+                        p["stateOperators"][0]["numRowsTotal"],
+                        p["numInputRows"],
+                    )
+
+        def _settled(hist: dict) -> bool:
+            nonzero = [h for h in sorted(hist.values()) if h[1] > 0]
+            if len(nonzero) < 8 or sum(h[2] for h in nonzero) < 2000:
+                return False
+            tail = [h[1] for h in nonzero[-5:]]
+            return len(set(tail)) == 1
+
         t0 = time.time()
+        max_soak_s = 150
         try:
-            while time.time() - t0 < soak_s:
+            while time.time() - t0 < max_soak_s:
                 time.sleep(2)
-                for q, hist in ((q1, hist1), (q2, hist2)):
-                    p = q.lastProgress
-                    if p and p["stateOperators"]:
-                        hist.append(
-                            (
-                                p["batchId"],
-                                p["stateOperators"][0]["numRowsTotal"],
-                                p["numInputRows"],
-                            )
-                        )
+                _snapshot()
+                if (
+                    time.time() - t0 >= soak_s
+                    and _settled(hist1)
+                    and _settled(hist2)
+                ):
+                    break
         finally:
             q1.stop()
             q2.stop()
@@ -1507,8 +1531,8 @@ def test_tws_soak_state_plateaus_under_continuous_trigger(spark, tmp_path):
             q2.awaitTermination(60)
 
         for name, hist, bound in (
-            ("sessions", hist1, 2 * n_users),
-            ("map", hist2, 3 * n_users * 4),
+            ("sessions", sorted(hist1.values()), 2 * n_users),
+            ("map", sorted(hist2.values()), 3 * n_users * 4),
         ):
             nonzero = [h for h in hist if h[1] > 0]
             # enough sustained micro-batches to call it a soak
