@@ -340,6 +340,14 @@ def main() -> None:
         "tier": tier,
         "extended": extended,
         "cold_headline_total": round(sum(cold[n] for n in HEADLINE), 3),
+        # r11 advisor: with SPARK_GRAFT_BENCH_CONCURRENT>0 the WHOLE
+        # session runs under FAIR (the flag sets spark.scheduler.mode at
+        # session build), so even the "serialized timed pass" in that run
+        # executed under FAIR, not the default FIFO — such a record mixes
+        # protocols and must never be used as the tripwire baseline
+        # (tools/exit_chain.sh's guard rejects scheduler != FIFO, same as
+        # the hot-tier rule).
+        "scheduler": "FAIR" if conc else "FIFO",
     }
     if conc:
         from concurrent.futures import ThreadPoolExecutor

@@ -210,15 +210,38 @@ def main() -> None:
                         )
                     # Plan drift diffs only when the golden entry carries
                     # a plan (pre-r11 manifests don't) and this run could
-                    # extract one.
+                    # extract one. The GATE compares only the strategy-set
+                    # keys (distinct exchanges, joins, python_eval,
+                    # bare_windows) — `exchanges_raw` is informational
+                    # (r11 advisor): it drifts benignly under the AQE
+                    # stage-reuse race, but a same-descriptor shuffle
+                    # duplication (lost ReusedExchange) shows ONLY there,
+                    # so print it rather than hide it.
                     elif (
                         g.get("plan") is not None
                         and mine.get("plan") is not None
-                        and g["plan"] != mine["plan"]
+                        and any(
+                            g["plan"].get(k) != mine["plan"].get(k)
+                            for k in ("exchanges", "joins", "python_eval", "bare_windows")
+                        )
                     ):
                         verdict = (
                             f"MANIFEST-PLAN-DRIFT was={json.dumps(g['plan'])} "
                             f"now={json.dumps(mine['plan'])}"
+                        )
+                    elif (
+                        g.get("plan") is not None
+                        and mine.get("plan") is not None
+                        and g["plan"].get("exchanges_raw") is not None
+                        and g["plan"].get("exchanges_raw")
+                        != mine["plan"].get("exchanges_raw")
+                    ):
+                        print(
+                            f"INFO {name}: raw exchange count drifted "
+                            f"{g['plan']['exchanges_raw']} -> "
+                            f"{mine['plan']['exchanges_raw']} (distinct count "
+                            f"unchanged; benign under AQE stage reuse, but check "
+                            f"for a lost ReusedExchange if persistent)"
                         )
             else:
                 # The driver records oracle-less queries as err:no_oracle
@@ -243,7 +266,18 @@ def main() -> None:
             print(f"manifest entries not re-run: {missing}")
         if unrecorded:
             print(f"queries not in manifest[{label}]: {unrecorded}")
-    if MANIFEST_WRITE:
+    if MANIFEST_WRITE and MANIFEST_CHECK and n_fail:
+        # r11 advisor: when --manifest-check and --manifest-write name the
+        # same file, a detected DRIFT must NOT immediately overwrite the
+        # committed baseline (the drift would be recoverable only from
+        # git, and a same-invocation step 3 would then diff against the
+        # freshly rewritten file instead of the round baseline). Only a
+        # clean check earns a rewrite.
+        print(
+            f"manifest write SKIPPED ({n_fail} failures with --manifest-check "
+            f"active; baseline {MANIFEST_WRITE} left untouched)"
+        )
+    elif MANIFEST_WRITE:
         existing = {}
         if os.path.exists(MANIFEST_WRITE):
             existing = json.load(open(MANIFEST_WRITE))

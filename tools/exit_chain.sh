@@ -15,11 +15,18 @@ log() { echo "=== $(date -u +%H:%M:%S) $1"; }
 # Preserve the prior round's committed bench sidecar for the tripwire
 # BEFORE bench.py overwrites the tree copy. Guard: a hot-tier record
 # must never be the baseline.
-git show HEAD:BENCH_DETAIL.json > /tmp/bench_detail_prior.json
-python - <<'PY'
+# (r11 advisor: the guard must be FATAL — without the || the heredoc's
+# nonzero exit was ignored and step 9 silently compared against an
+# invalid baseline.)
+git show HEAD:BENCH_DETAIL.json > /tmp/bench_detail_prior.json \
+  || { echo "FATAL: HEAD has no BENCH_DETAIL.json"; exit 1; }
+python - <<'PY' || { echo "FATAL: baseline not a full-tier FIFO record — find one"; exit 1; }
 import json
 d = json.load(open('/tmp/bench_detail_prior.json'))
 assert d.get('tier') == 'full', f"baseline tier={d.get('tier')} — find a full-tier commit"
+# conc>0 runs execute even the serialized pass under FAIR (mixed
+# protocol); pre-r12 records lack the key and were all FIFO.
+assert d.get('scheduler', 'FIFO') == 'FIFO', f"baseline scheduler={d.get('scheduler')}"
 PY
 
 log "STEP 1: pytest"

@@ -56,6 +56,17 @@ def count_exchanges(plan: str) -> int:
     return len({_EXCHANGE_NOISE_RE.sub("", m) for m in EXCHANGE_RE.findall(plan)})
 
 
+def count_exchanges_raw(plan: str) -> int:
+    """Raw exchange occurrences, recorded informationally alongside the
+    distinct count: deduping alone would mask a regression that adds a
+    SECOND shuffle with an identical partitioning descriptor (a lost
+    ReusedExchange, or a repartition re-added on the same key/count).
+    The gate stays on the distinct count (stable under the AQE
+    stage-reuse race); raw-count drift is surfaced as informational by
+    check_correctness so same-descriptor duplications remain visible."""
+    return len(EXCHANGE_RE.findall(plan))
+
+
 def count_bare_windows(plan: str) -> int:
     """Partition-less Window operators: `Window [exprs], [order]` has one
     `], [` separator and its last bracket group is an ORDER spec."""
@@ -92,6 +103,7 @@ def extract(plan: str) -> dict:
     """Strategy-set fingerprint of an executed-plan string."""
     return {
         "exchanges": count_exchanges(plan),
+        "exchanges_raw": count_exchanges_raw(plan),
         "joins": sorted(set(JOIN_RE.findall(plan))),
         "python_eval": sorted(
             [op for op in ARROW_OPS if op in plan]
