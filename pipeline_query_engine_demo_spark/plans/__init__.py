@@ -12,6 +12,7 @@ from pipeline_query_engine_demo_spark.plans import (  # noqa: F401  (registratio
     geo,
     graph,
     llm,
+    partitioned,
     privacy,
     relational,
     retrieval,

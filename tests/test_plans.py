@@ -41,6 +41,29 @@ def test_partitioned_write_enables_partition_pruning(spark, sf_dir, tmp_path):
     assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,100.0)" in plan2
 
 
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """The two DPP queries must carry a dynamicpruningexpression inside
+    the fact scan's PartitionFilters after execution — a dim-side filter
+    joined on the partition key prunes the fact scan at RUNTIME (the
+    capability static pruning can't express). Executed (not just
+    analyzed) plan, so AQE can't have replanned it away."""
+    from pipeline_query_engine_demo_spark.plans import partitioned
+
+    for build, key in (
+        (partitioned.dpp_urgent_months_revenue, "l_ship_month"),
+        (partitioned.dpp_events_top_day_mix, "event_date"),
+    ):
+        df = build(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert f"dynamicpruningexpression({key}" in plan, build.__name__
+    # and the static variant prunes at plan time on the same layout
+    df = partitioned.static_partition_prune_lineitem(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "l_ship_month" in pf
+
+
 def test_bucketed_join_plan_is_exchange_free(spark, sf_dir):
     from pipeline_query_engine_demo_spark.plans.sinks import bucketed_join_colocated
 

@@ -23,6 +23,7 @@ Usage: python tools/audit_plans.py [sf_dir]
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -149,6 +150,17 @@ UNPARTITIONED_WINDOW_WHITELIST: dict[str, str] = {
     "zipf_rank_frequency_fit": "bucket-offset window (_bucketed_row_number) over the top-1000 token table's count-distinct bucket list (<= 1000 rows by the upstream limit)",
     "decision_stump_totalprice": "two cumulative windows over the 1000-wide price-band bucket AGGREGATE (~700 rows bounded by the price range, not the corpus); the corpus-sized stage is the combinable groupBy upstream",
 }
+#: Queries whose executed plan MUST show partition pruning on the fact
+#: scan (r11 verdict item 1: pruned scans are asserted, not assumed).
+#: Value = regex the plan must match. Static pruning shows the literal
+#: predicate inside PartitionFilters; DPP shows dynamicpruningexpression
+#: (the runtime IN-filter built from the dim-side broadcast).
+PARTITION_FILTER_REQUIRED: dict[str, str] = {
+    "static_partition_prune_lineitem": r"PartitionFilters: \[[^\]]*l_ship_month",
+    "dpp_urgent_months_revenue": r"dynamicpruningexpression\(l_ship_month",
+    "dpp_events_top_day_mix": r"dynamicpruningexpression\(event_date",
+}
+
 # Streaming queries execute a real stream inside their builder (memory
 # sink / foreachBatch), so the returned DataFrame's plan is just the
 # sink read-back — not the streaming computation. They are skipped by
@@ -194,7 +206,18 @@ def main() -> None:
                 "sort; re-shape (two-phase bucketed rank) or whitelist with a "
                 "bounded-input justification"
             )
+        if name in PARTITION_FILTER_REQUIRED:
+            if not re.search(PARTITION_FILTER_REQUIRED[name], plan):
+                violations.append(
+                    f"{name}: required partition pruning absent from executed plan "
+                    f"(expected /{PARTITION_FILTER_REQUIRED[name]}/)"
+                )
         extra = [f"bare-window x{n_bare_windows}"] if n_bare_windows else []
+        if name in PARTITION_FILTER_REQUIRED:
+            extra.append(
+                "partition-pruned scan"
+                + (" (DPP)" if "dynamicpruningexpression" in plan else " (static)")
+            )
         notes = ", ".join(joins + arrow + extra)
         rows.append((name, f"{n_exchange} exchange(s)", notes))
 
