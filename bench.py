@@ -189,6 +189,17 @@ EXTENDED = [
     "udf_arrow_optimized",
     "insert_with_column_defaults",
     "write_rebalanced_parquet",
+    # round-12: the numpy production ANN tiers next to their
+    # HOF-expression twins (cosine_topk_embeddings / ivf_topk_embeddings
+    # in HEADLINE), so the per-round record carries both sides of the
+    # expression-vs-BLAS crossover.
+    "numpy_cosine_topk_embeddings",
+    "ivf_numpy_topk_embeddings",
+    # round-12: the partitioned-layout family (static + dynamic
+    # partition pruning over the Hive-partitioned fact replicas).
+    "static_partition_prune_lineitem",
+    "dpp_urgent_months_revenue",
+    "dpp_events_top_day_mix",
 ]
 
 #: HOT tier (r8 verdict item 6 — the extended sweep grows ~linearly with

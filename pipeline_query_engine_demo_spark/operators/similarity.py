@@ -20,10 +20,19 @@ corpus:
    k-means; pyspark.ml KMeans slots in here); assignment/probe plumbing
    is what the engine owns.
 
-A vectorized Pandas-UDF dot product is provided for high dimensions
-(:func:`pandas_cosine_topk`) — numpy matmul over Arrow batches beats
-per-element expression trees once dim * rows is large; at dim=64 the
-pure-expression form wins (no Python round-trip).
+A vectorized numpy tier is provided for high dimensions
+(:func:`pandas_cosine_topk` single-query, :func:`numpy_cosine_topk`
+multi-query cogroup matmul, :func:`cosine_pandas_scorer` as a pluggable
+scoring seat for :func:`ivf_topk`). Measured crossover
+(tools/ann_crossover_experiment.py + SCALE.md round 12): the numpy
+matmul is near-FLAT in dim (one C call per Arrow batch) while the
+interpreted HOF fold grows linearly — numpy wins 1.7x at dim=64 and 17x
+at dim=1024 over a 50 k corpus. The expression tier's counter-regime is
+huge rows x small dim: it streams map-side with ZERO transfer, so at
+5 M rows x dim=64 it beats the cogroup tier 2x (the corpus shuffle
+dominates) — pick the tier by dim first, rows second. The expression
+tier also remains the oracle-hash determinism contract (ordered IEEE
+sums); the numpy tiers are gated by recall parity >= 0.99.
 """
 
 from __future__ import annotations
@@ -285,13 +294,23 @@ def ivf_topk(
     centroids: list[list[float]],
     k: int,
     nprobe: int = 1,
+    scorer=None,
 ) -> DataFrame:
     """IVF search: corpus vectors pre-assigned to their nearest centroid
     cell; each query probes only its ``nprobe`` closest cells. The
     cell equi-join scans ~corpus * nprobe / n_cells per query — the
     recall/cost dial every IVF index exposes. Centroids are broadcast
     literals; cell assignment is map-side (shared with ivf_assign via
-    _assign_cells)."""
+    _assign_cells).
+
+    ``scorer`` swaps the candidate-scoring seat: default is the
+    HOF-expression cosine (ordered IEEE sums — the oracle-hash
+    determinism contract); pass :func:`cosine_pandas_scorer`() for the
+    numpy/Arrow production tier when dim x candidates is large. Cell
+    ASSIGNMENT always stays on the expression path so the probed cells
+    — and therefore the candidate set — are bit-identical across
+    tiers."""
+    score = scorer or (lambda v, qv: round_half_up(cosine(v, qv), 6))
     cent = lit_matrix([[float(x) for x in c] for c in centroids])
     corpus_cells = _assign_cells(corpus, vec_col, cent)
     q_scored = query.select(
@@ -310,7 +329,7 @@ def ivf_topk(
     scored = corpus_cells.join(q_cells, on="_cell").select(
         "query_id",
         F.col(id_col),
-        round_half_up(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cosine_sim"),
+        score(F.col(vec_col), F.col("_qvec")).alias("cosine_sim"),
     )
     return _topk_per_query(scored, id_col, k)
 
@@ -365,6 +384,139 @@ def pandas_cosine_topk(
         scored.withColumn("cosine_sim", sim)
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def cosine_pandas_scorer():
+    """Vectorized drop-in replacement for the HOF-expression cosine:
+    a ``pandas_udf`` scoring (vec, qvec) row pairs through numpy in
+    Arrow batches. Same arithmetic contract as the expression tier —
+    round-half-up to 6 dp, NULL/zero-norm -> NULL — so it can slot into
+    any tier's scoring seat (see :func:`ivf_topk`'s ``scorer`` param).
+
+    When to use which: at dim=64 the JVM expression tier wins locally
+    (no Python round-trip); once dim x candidate-rows grows (high-dim
+    embeddings, fat IVF cells) the BLAS path wins — measured in
+    bench.py (`numpy_cosine_topk_embeddings` vs `cosine_topk_embeddings`)
+    and pinned by the recall-parity test instead of hash equality."""
+    import numpy as np
+    import pandas as pd
+
+    def to_mat(s: pd.Series, dim: int) -> "np.ndarray":
+        return np.vstack(
+            s.map(
+                lambda v: np.full(dim, np.nan)
+                if v is None
+                else np.asarray(v, dtype=np.float64)
+            )
+        )
+
+    def _cos(v1, v2):
+        first = next((v for v in v1 if v is not None), None)
+        dim = len(first) if first is not None else 1
+        a, b = to_mat(v1, dim), to_mat(v2, dim)
+        na = np.sqrt((a * a).sum(axis=1))
+        nb = np.sqrt((b * b).sum(axis=1))
+        denom = na * nb
+        sims = (a * b).sum(axis=1) / np.where(denom == 0.0, np.nan, denom)
+        return pd.Series(np.floor(sims * 1e6 + 0.5) / 1e6)
+
+    # This module has `from __future__ import annotations`, which turns
+    # inline hints into strings pandas_udf cannot resolve — attach the
+    # real class objects instead (Series-to-Series scalar eval type).
+    _cos.__annotations__ = {"v1": pd.Series, "v2": pd.Series, "return": pd.Series}
+    _cos = F.pandas_udf(_cos, "double")
+
+    def score(v: F.Column, qv: F.Column) -> F.Column:
+        c = _cos(v, qv)
+        return F.when(F.isnan(c), F.lit(None)).otherwise(c)
+
+    return score
+
+
+def numpy_cosine_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    buckets: int = 32,
+) -> DataFrame:
+    """Multi-query brute-force top-k, numpy-matmul tier: the production
+    scoring path for query BATCHES where dim x rows is large.
+
+    Distribution shape (no driver collect, no per-row query payload):
+    the corpus is hash-salted into ``buckets`` groups and COGROUPED with
+    the query set replicated once per bucket — so the query matrix
+    crosses the wire ``buckets`` times total (KBs), not once per corpus
+    row, and each Arrow batch scores via one C-side matmul
+    (batch x dim @ dim x n_queries). Each cogroup emits only its local
+    top-k per query; the final global window re-ranks the bounded
+    ``buckets * k`` rows per query — the same two-phase skew-free shape
+    as :func:`_topk_per_query`. The corpus pays one shuffle (the
+    cogroup); at 100 TB that is the trade against the broadcast-join
+    expression tier, which is why both tiers exist and bench.py
+    measures the crossover.
+
+    Arithmetic contract: round-half-up 6 dp, NULL/zero-norm -> NULL
+    (sorts last), ties break on corpus id — identical rules to
+    :func:`cosine_topk`; parity is asserted by recall >= 0.99 in tests
+    (numpy pairwise summation can differ from the ordered IEEE fold at
+    a rounding boundary, so hash equality is not the contract here)."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    qid_type = query.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {qid_type}, {id_col} {id_type}, cosine_sim double"
+
+    c = corpus.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "_b", F.pmod(F.hash(F.col(id_col)), F.lit(buckets))
+    )
+    q = query.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    ).withColumn("_b", F.explode(F.array(*[F.lit(i) for i in range(buckets)])))
+
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame({"query_id": [], id_col: [], "cosine_sim": []})
+        first = next((v for v in left[vec_col] if v is not None), None)
+        dim = len(first) if first is not None else 1
+        mat = np.vstack(
+            left[vec_col].map(
+                lambda v: np.full(dim, np.nan)
+                if v is None
+                else np.asarray(v, dtype=np.float64)
+            )
+        )
+        qmat = np.vstack([np.asarray(v, dtype=np.float64) for v in right["_qvec"]])
+        cn = np.sqrt((mat * mat).sum(axis=1))[:, None]
+        qn = np.sqrt((qmat * qmat).sum(axis=1))[None, :]
+        denom = cn * qn
+        sims = (mat @ qmat.T) / np.where(denom == 0.0, np.nan, denom)
+        sims = np.floor(sims * 1e6 + 0.5) / 1e6  # rows x n_queries
+        ids = left[id_col].to_numpy()
+        frames = []
+        for j, qid in enumerate(right["query_id"]):
+            col = sims[:, j]
+            # NaN keys lexsort to the end (worst), matching NULLS LAST
+            # under the engine's DESC ordering; ties break on id asc.
+            order = np.lexsort((ids, -col))[:k]
+            frames.append(
+                pd.DataFrame(
+                    {"query_id": qid, id_col: ids[order], "cosine_sim": col[order]}
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    scored = c.groupBy("_b").cogroup(q.groupBy("_b")).applyInPandas(score, out_schema)
+    sim = F.when(F.isnan("cosine_sim"), F.lit(None)).otherwise(F.col("cosine_sim"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("cosine_sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col), "cosine_sim", "rank")
     )
 
 

@@ -270,6 +270,58 @@ def pandas_cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "numpy_cosine_topk_embeddings",
+    category="llm-similarity",
+    oracle=_REG["cosine_topk_embeddings"].oracle,
+)
+def numpy_cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production numpy tier for MULTI-query brute-force top-k
+    (operators.similarity.numpy_cosine_topk): corpus hash-salted into 32
+    cogroup buckets, query set replicated per bucket (KBs on the wire),
+    one C-side matmul per Arrow batch, local top-k per bucket, bounded
+    global re-rank. Same query set and arithmetic contract as the
+    HOF-expression `cosine_topk_embeddings`, so it shares that oracle —
+    and the recall-parity test (tests/test_similarity.py) is the tier's
+    real acceptance gate (r11 verdict item 2): numpy pairwise summation
+    is allowed to diverge from the ordered IEEE fold at a rounding
+    boundary without failing the build, but overlap with the exact tier
+    must stay >= 0.99."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return similarity.numpy_cosine_topk(emb, q, "vec_id", "embedding", k=10).orderBy(
+        "query_id", "rank"
+    )
+
+
+@query(
+    "ivf_numpy_topk_embeddings",
+    category="llm-similarity",
+    oracle=_REG["ivf_topk_embeddings"].oracle,
+)
+def ivf_numpy_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe with the numpy scoring seat
+    (similarity.cosine_pandas_scorer): cell assignment stays on the
+    expression path (bit-identical candidate sets vs
+    `ivf_topk_embeddings`), but the candidate scoring runs as an
+    ArrowEvalPython pandas_udf — the production swap once
+    dim x candidates outgrows the interpreted HOF tier. Shares the
+    expression tier's oracle; the recall-parity test is the acceptance
+    gate if a rounding boundary ever splits them."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(
+        emb,
+        q,
+        "vec_id",
+        "embedding",
+        IVF_CENTROIDS,
+        k=10,
+        nprobe=2,
+        scorer=similarity.cosine_pandas_scorer(),
+    ).orderBy("query_id", "rank")
+
+
+@query(
     "embedding_vector_math",
     category="llm-similarity",
     oracle="""

@@ -27,6 +27,39 @@ def test_pandas_topk_matches_expression_topk(spark, sf_dir):
     assert abs(pandas_rows[0].cosine_sim - 1.0) < 1e-6
 
 
+def test_numpy_tiers_recall_parity(spark, sf_dir):
+    """Acceptance gate for the numpy production tiers (r11 verdict item
+    2): overlap with the exact HOF-expression tier must be >= 0.99
+    averaged over the query set. Hash equality also holds today (the
+    gate queries share the exact tier's oracle), but THIS is the
+    contract — a rounding-boundary divergence between numpy pairwise
+    summation and the ordered IEEE fold may cost one tail swap without
+    failing the build."""
+    from pipeline_query_engine_demo_spark.plans.llm import IVF_CENTROIDS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.vec_id)
+        return out
+
+    exact = topk_sets(similarity.cosine_topk(emb, q, "vec_id", "embedding", k=10))
+    for numpy_df in (
+        similarity.numpy_cosine_topk(emb, q, "vec_id", "embedding", k=10),
+        similarity.ivf_topk(
+            emb, q, "vec_id", "embedding", IVF_CENTROIDS, k=10, nprobe=4,
+            scorer=similarity.cosine_pandas_scorer(),
+        ),  # nprobe=4 of 4 cells = full probe, so exact is the right reference
+    ):
+        got = topk_sets(numpy_df)
+        assert set(got) == set(exact)
+        recall = sum(len(got[k_] & exact[k_]) / len(exact[k_]) for k_ in exact) / len(exact)
+        assert recall >= 0.99, recall
+
+
 def test_ann_lsh_self_recall(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)

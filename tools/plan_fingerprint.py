@@ -27,6 +27,15 @@ ARROW_OPS = (
     "MapInPandas",
     "MapInArrow",
     "FlatMapGroupsInPandas",
+    # r12: the cogroup and Arrow grouped-map operators were invisible to
+    # the fingerprint (neither is a substring of the entries above), so
+    # an Arrow->row regression in those plans was unattributable. The
+    # three affected pre-r12 queries' manifest entries were rebaselined
+    # in the same commit (apply_in_arrow_user_stats,
+    # apply_in_arrow_group_stats, cogroup_apply_customer_orders).
+    "FlatMapCoGroupsInPandas",
+    "FlatMapGroupsInArrow",
+    "FlatMapCoGroupsInArrow",
     "AggregateInPandas",
     "BatchEvalPythonUDTF",
 )

@@ -54,6 +54,14 @@ QUERIES = [
     "ann_lsh_topk_embeddings",
     "ann_hyperplane_topk_embeddings",
     "ivf_topk_embeddings",
+    # round-12: the numpy production tiers (expression-vs-BLAS crossover
+    # rows next to cosine_topk/ivf_topk above) and the partition-pruning
+    # family over the Hive-partitioned fact replicas.
+    "numpy_cosine_topk_embeddings",
+    "ivf_numpy_topk_embeddings",
+    "static_partition_prune_lineitem",
+    "dpp_urgent_months_revenue",
+    "dpp_events_top_day_mix",
     # round-9 additions: the 1-bit ANN tier, the truncated-dim recall
     # dial, and the per-node triangle credit join.
     "binary_sign_hamming_topk",
