@@ -6,8 +6,12 @@ oracle-check stream-batch parity against plain SQL.
 The fixture is a single Parquet file, so availableNow processes exactly
 one micro-batch — which makes even the update-mode stateful query emit
 one final row per key, i.e. batch-equivalent output. Multi-batch
-incremental behavior is exercised in tests/test_streaming.py instead
-(maxFilesPerTrigger over a re-chunked copy of the events table).
+incremental behavior is ALSO under the oracle gate since round 12: the
+``streaming_multibatch_*`` queries at the bottom of this module drain a
+re-chunked 4-file source one file per micro-batch and assert
+``min_data_batches >= 2`` inside the builder, so the single-batch
+shortcut cannot silently return. tests/test_streaming.py keeps the
+finer-grained state-evolution assertions (per-batch emission history).
 """
 
 from __future__ import annotations
@@ -1767,3 +1771,126 @@ def statestore_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key.user_id").alias("user_id"),
         F.col("value.count").cast("long").alias("n_events"),
     ).orderBy("batch_id", "user_id")
+
+
+# ---------------------------------------------------------------------------
+# Multi-batch incremental drains under the driver gate (r11 verdict item 3).
+# The single-file fixture drains in one availableNow micro-batch (module
+# docstring); these queries re-chunk the source so the SAME stateful
+# machinery provably crosses micro-batches — and run_to_memory's
+# min_data_batches guard fails the query (not just a test) if a layout
+# change ever collapses the drain back to one batch.
+# ---------------------------------------------------------------------------
+
+_CHUNK_SCRATCH = os.path.join(
+    tempfile.gettempdir(), f"spark_graft_stream_chunks_{os.getpid()}"
+)
+
+
+def _chunked_events_stream(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4
+) -> DataFrame:
+    """File-source events stream that admits ONE file per micro-batch
+    over an ``n_chunks``-file re-chunked copy of the fixture (written
+    once per process+SF, `_SUCCESS` as the done marker). ts is
+    normalized BEFORE the write, so the stream schema is read from the
+    chunked files' own footer — no physical-type guessing."""
+    out = os.path.join(
+        _CHUNK_SCRATCH,
+        os.path.basename(os.path.normpath(sf_dir)),
+        f"events_{n_chunks}",
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").repartition(n_chunks).write.mode(
+            "overwrite"
+        ).parquet(out)
+    schema = spark.read.parquet(out).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+
+
+@query(
+    "streaming_multibatch_window_counts",
+    category="streaming",
+    oracle=_REGISTRY["streaming_tumbling_window_counts"].oracle,
+)
+def streaming_multibatch_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation draining a 4-file source
+    one file per micro-batch (asserted >= 2 data batches via
+    run_to_memory's min_data_batches): windows accumulate partial counts
+    across batches in the state store, and the complete-mode final table
+    must STILL equal the batch GROUP BY — incremental-merge correctness,
+    not just single-batch parity. Shares the single-batch twin's oracle
+    verbatim."""
+    events = _chunked_events_stream(spark, sf_dir)
+    result = streaming.run_to_memory(
+        streaming.tumbling_counts(events),
+        "complete",
+        name="t_mb_tumbling",
+        min_data_batches=2,
+    )
+    return result.orderBy("window_start", "event_type")
+
+
+@query(
+    "streaming_multibatch_stateful_user_totals",
+    category="streaming",
+    oracle="""
+        SELECT user_id, COUNT(*) AS n_events
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def streaming_multibatch_stateful_user_totals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState per-user
+    counters) across a PROVEN multi-batch drain: every user appearing in
+    several chunks gets its counter re-read from the state store and
+    re-emitted per batch, so the update-mode sink holds a per-batch
+    emission HISTORY; _final_emission collapses to the last snapshot per
+    key (n_events strictly increases), which must equal the batch GROUP
+    BY. This is the incremental path of streaming_stateful_user_counts
+    under the oracle gate instead of only in tests/test_streaming.py."""
+    events = _chunked_events_stream(spark, sf_dir)
+    result = streaming.run_to_memory(
+        streaming.stateful_user_counts(events),
+        "update",
+        name="t_mb_stateful",
+        min_data_batches=2,
+    )
+    return _final_emission(result, ["user_id"], "n_events").orderBy("user_id")
+
+
+@query(
+    "streaming_multibatch_dedup_distinct_users",
+    category="streaming",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def streaming_multibatch_dedup_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dedup-on-arrival whose duplicates ARRIVE IN DIFFERENT
+    micro-batches: ``dropDuplicates(user_id, event_type)`` keeps
+    first-arrival state across the 4-batch drain (a single-batch run
+    would dedup within one batch and prove nothing), then a
+    complete-mode count per event_type must equal the batch
+    COUNT(DISTINCT user_id). State is one entry per live (user, type)
+    pair — the at-scale form bounds it with
+    ``dropDuplicatesWithinWatermark`` (see streaming_dedup_on_arrival's
+    docstring)."""
+    events = _chunked_events_stream(spark, sf_dir)
+    deduped = events.dropDuplicates(["user_id", "event_type"])
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    result = streaming.run_to_memory(
+        agg, "complete", name="t_mb_dedup", min_data_batches=2
+    )
+    return result.orderBy("event_type")

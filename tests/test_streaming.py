@@ -49,6 +49,39 @@ def test_stateful_counts_accumulate_across_batches(spark, sf_dir, tmp_path):
     assert multi.count() > 0
 
 
+def test_min_data_batches_guard_trips_on_single_batch(spark, sf_dir):
+    """The multibatch queries' min_data_batches guard must FAIL on a
+    single-file source — otherwise a layout change could silently
+    collapse the incremental path back to batch-equivalent output."""
+    import pytest
+
+    events = streaming.read_events_stream(spark, sf_dir)  # single file
+    with pytest.raises(AssertionError, match="micro-batch"):
+        streaming.run_to_memory(
+            streaming.tumbling_counts(events),
+            "complete",
+            name="t_guard_neg",
+            min_data_batches=2,
+        )
+
+
+def test_multibatch_queries_cross_batches(spark, sf_dir):
+    """The registered multibatch drains really ingest data in >= 2
+    micro-batches (the builder asserts it internally; this pins the
+    chunked-source layout at the suite level too)."""
+    from pipeline_query_engine_demo_spark.plans import streams
+
+    df = streams.streaming_multibatch_stateful_user_totals(spark, sf_dir)
+    expected = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    joined = df.join(expected, "user_id")
+    assert joined.count() == expected.count()
+    assert joined.filter(F.col("n_events") != F.col("n")).count() == 0
+
+
 def test_watermark_drops_late_data_append_mode(spark, tmp_path):
     """Append-mode watermark semantics, end to end: a window whose end
     precedes the watermark finalizes and emits; an event arriving after
