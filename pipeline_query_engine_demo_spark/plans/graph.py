@@ -122,6 +122,86 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _copurchase_triangles(spark: SparkSession, sf_dir: str):
+    """Shared builder for the triangle family (r11 verdict item 4: the
+    two triangle queries duplicated this pipeline and were the two
+    most expensive extended-bench rows). Returns ``(deg, tri_edges)``:
+
+    - ``deg`` — undirected degree per node;
+    - ``tri_edges`` — one row per DEGREE-ORIENTED edge (u→v) with ``w``
+      = the array of third vertices closing a triangle over that edge
+      (w ∈ N⁺(u) ∩ N⁺(v)). Every triangle appears exactly once, at its
+      lowest-ordered vertex u.
+
+    Two deliberate rewrites vs the r3–r11 shape, each profiled at sf0.1:
+
+    1. Edge generation builds per-order part SETS with one combinable
+       groupBy and expands pairs MAP-SIDE inside an array transform
+       (quadratic only in order size, a bounded constant) — replacing
+       the lineitem self-join (two shuffle legs + SMJ sort): 2.9 → 1.9 s
+       warm, bit-identical pair set.
+    2. Triangle closing intersects out-neighbor ARRAYS
+       (``array_intersect`` on the grouped adjacency, an equi-join per
+       edge endpoint) instead of materializing every wedge in an
+       e1⋈e2 row explosion closed by a third join: 6.7 → 1.4 s warm,
+       identical count. Out-degrees are capped at O(sqrt(E)) by the
+       degree orientation, so the per-row arrays stay bounded on
+       power-law hubs; at 100 TB the adjacency join demotes from
+       broadcast to SMJ past the threshold like any dim join. A
+       production graph suite would materialize ``tri_edges`` once as
+       a shared index table; here each query stays self-contained so
+       the bench measures full cost.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = (
+        per_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+        .distinct()
+    ).localCheckpoint(eager=False)
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    ).localCheckpoint(eager=False)
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    with_deg = pairs.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    ).localCheckpoint(eager=False)
+    adj = oriented.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
+    )
+    au = adj.select(F.col("src").alias("_au"), F.col("nbrs").alias("_nu"))
+    av = adj.select(F.col("src").alias("_av"), F.col("nbrs").alias("_nv"))
+    # Inner joins are lossless for triangle purposes: a dst with no
+    # out-edges closes nothing (empty intersection either way).
+    tri_edges = (
+        oriented.join(au, oriented["src"] == au["_au"])
+        .join(av, oriented["dst"] == av["_av"])
+        .select(
+            "src", "dst", F.array_intersect("_nu", "_nv").alias("w")
+        )
+    )
+    return deg, tri_edges
+
+
 _RHU_TRANSITIVITY = sql_round_half_up(
     "3.0 * CAST(tri.t AS DOUBLE) / CAST(wed.w AS DOUBLE)", 9
 )
@@ -165,71 +245,20 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph — the standard graph-structure summary (community density,
     spam/bot detection in link graphs) alongside PageRank.
 
-    Scale shape: edges are DEGREE-ORDERED — each undirected edge is
-    oriented from its lower-(degree, id) endpoint to the higher — and
-    triangles are enumerated as wedges at the lowest-ordered vertex
-    closed by an oriented edge. Every triangle has exactly one lowest
-    vertex, so each is counted once (the total provably equals the
-    id-ordered count, which is what the oracle computes), and the
-    wedge join's fan-out per vertex is bounded by its OUT-degree,
-    which degree ordering caps at O(sqrt(edges)) even on power-law
-    hubs — the standard hardening that makes distributed triangle
-    counting survive a celebrity node. Wedge counts for transitivity
-    stay on the undirected degrees (one map-side-combinable groupBy).
+    Scale shape (shared builder ``_copurchase_triangles``): edges are
+    DEGREE-ORDERED — each undirected edge is oriented from its
+    lower-(degree, id) endpoint to the higher — and each triangle is
+    found exactly once at its lowest-ordered vertex u as a third vertex
+    w ∈ N⁺(u) ∩ N⁺(v) over the oriented edge (u→v), via a map-side
+    ``array_intersect`` of the grouped adjacency arrays (the total
+    provably equals the id-ordered count, which is what the oracle
+    computes). Degree ordering caps out-degrees — and therefore the
+    per-row arrays — at O(sqrt(edges)) even on power-law hubs. Wedge
+    counts for transitivity stay on the undirected degrees (one
+    map-side-combinable groupBy).
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
-    # The distinct edge table feeds the degree count AND the orientation
-    # join; the oriented table feeds THREE wedge-join branches. Without
-    # checkpoints each alias re-runs the whole upstream pipeline (the r3
-    # plan audit measured 34 exchanges from exactly that re-execution);
-    # lazy localCheckpoints make each table compute once — the same
-    # lineage-cut pattern as dedup's banded bucket table.
-    pairs = pairs.localCheckpoint(eager=False)
-    deg = (
-        pairs.select(F.col("u").alias("node"))
-        .unionAll(pairs.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-    ).localCheckpoint(eager=False)
-    # Orient each edge low->high in the (degree, id) total order.
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    with_deg = pairs.join(du, "u").join(dv, "v")
-    u_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    oriented = with_deg.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(u_first, F.col("du")).otherwise(F.col("dv")).alias("dsrc"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
-    ).localCheckpoint(eager=False)
-    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
-    # Wedge at the lowest vertex: two out-edges (src, b) and (src, c)
-    # with ord(b) < ord(c); closed iff oriented edge (b, c) exists.
-    wedge_order = (F.col("e1.ddst") < F.col("e2.ddst")) | (
-        (F.col("e1.ddst") == F.col("e2.ddst"))
-        & (F.col("e1.dst") < F.col("e2.dst"))
-    )
-    tri = (
-        e1.join(e2, (F.col("e2.src") == F.col("e1.src")) & wedge_order)
-        .join(
-            e3,
-            (F.col("e3.src") == F.col("e1.dst"))
-            & (F.col("e3.dst") == F.col("e2.dst")),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
-    )
+    deg, tri_edges = _copurchase_triangles(spark, sf_dir)
+    tri = tri_edges.agg(F.sum(F.size("w")).cast("bigint").alias("t"))
     # Integer DIV, not float /: d*(d-1) is even so DIV 2 is exact, and
     # the double path would silently lose bits past 2^53 on hub nodes.
     wed = deg.agg(F.sum(F.expr("d * (d - 1) DIV 2")).cast("bigint").alias("w"))
@@ -294,62 +323,27 @@ def local_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     Top 20 under the (coeff, node) total order both engines replay.
 
     Scale shape: triangles are enumerated ONCE via the same
-    degree-oriented wedge join as the global count (fan-out capped at
-    out-degree O(sqrt(E)) per vertex even on power-law hubs), then each
-    triangle credits its three vertices through one explode + groupBy —
-    a shuffle keyed by node id, combiner-reduced. Degrees come from one
+    degree-oriented adjacency intersection as the global count
+    (_copurchase_triangles; out-degrees capped at O(sqrt(E)) per vertex
+    even on power-law hubs), then each triangle credits its three
+    vertices — u and v take size(w) map-side, every w one explode — in
+    one combiner-reduced groupBy keyed by node id. Degrees come from one
     map-side-combinable count; the coefficient is one exact-int double
     division. The id-ordered oracle counts the same triangles because
     every triangle has exactly one lowest-ordered vertex in either
     ordering."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    deg, tri_edges = _copurchase_triangles(spark, sf_dir)
+    tri_edges = tri_edges.localCheckpoint(eager=False)
+    credit = (
+        tri_edges.select(F.col("src").alias("node"), F.size("w").cast("bigint").alias("c"))
+        .unionAll(
+            tri_edges.select(F.col("dst").alias("node"), F.size("w").cast("bigint").alias("c"))
         )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    ).localCheckpoint(eager=False)
-    deg = (
-        pairs.select(F.col("u").alias("node"))
-        .unionAll(pairs.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-    ).localCheckpoint(eager=False)
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    with_deg = pairs.join(du, "u").join(dv, "v")
-    u_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    oriented = with_deg.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(u_first, F.col("du")).otherwise(F.col("dv")).alias("dsrc"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
-    ).localCheckpoint(eager=False)
-    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
-    wedge_order = (F.col("e1.ddst") < F.col("e2.ddst")) | (
-        (F.col("e1.ddst") == F.col("e2.ddst"))
-        & (F.col("e1.dst") < F.col("e2.dst"))
-    )
-    tri_nodes = (
-        e1.join(e2, (F.col("e2.src") == F.col("e1.src")) & wedge_order)
-        .join(
-            e3,
-            (F.col("e3.src") == F.col("e1.dst"))
-            & (F.col("e3.dst") == F.col("e2.dst")),
-        )
-        .select(
-            F.explode(
-                F.array(F.col("e1.src"), F.col("e1.dst"), F.col("e2.dst"))
-            ).alias("node")
+        .unionAll(
+            tri_edges.select(F.explode("w").alias("node"), F.lit(1).cast("bigint").alias("c"))
         )
     )
-    t = tri_nodes.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("tri"))
+    t = credit.groupBy("node").agg(F.sum("c").cast("bigint").alias("tri"))
     return (
         deg.filter(F.col("d") >= 2)
         .join(t, "node", "left")

@@ -145,8 +145,9 @@ def worker(out_path: str, sf_dir: str, factor: int) -> None:
         "noop"
     ).save()  # warm: parquet footers, codegen, broadcast paths
 
+    only = [q for q in os.environ.get("SPILL_ONLY", "").split(",") if q]
     results: dict[str, dict] = {}
-    for name in QUERIES:
+    for name in only or QUERIES:
         group = f"spill-{name}"
         spark.sparkContext.setJobGroup(group, name)
         t0 = time.perf_counter()
@@ -230,6 +231,12 @@ def main() -> None:
             i = argv.index(flag)
             STARVED_ENV[key] = argv[i + 1]
             del argv[i : i + 2]
+    if "--only" in argv:
+        i = argv.index("--only")
+        os.environ["SPILL_ONLY"] = argv[i + 1]
+        STARVED_ENV["SPILL_ONLY"] = argv[i + 1]
+        GENEROUS_ENV["SPILL_ONLY"] = argv[i + 1]
+        del argv[i : i + 2]
     args = [a for a in argv if not a.startswith("--")]
     factor = int(args[0]) if args else 30
     replica = f"/tmp/spark_graft_scale{factor}"
@@ -246,7 +253,8 @@ def main() -> None:
     all_ok = True
     total_spill_mb = 0.0
     n_spilled = 0
-    for name in QUERIES:
+    only = [q for q in os.environ.get("SPILL_ONLY", "").split(",") if q]
+    for name in only or QUERIES:
         g, s = generous["queries"][name], starved["queries"][name]
         ok = g.get("ok") and s.get("ok")
         match = ok and g["hash"] == s["hash"] and g["rows"] == s["rows"]
