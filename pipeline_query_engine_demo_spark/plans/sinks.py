@@ -620,8 +620,11 @@ def python_stream_datasource_rollup(spark: SparkSession, sf_dir: str) -> DataFra
         tempfile.gettempdir(), f"spark_graft_pystream_ckpt_{os.getpid()}"
     )
     shutil.rmtree(ckpt, ignore_errors=True)
+    from pipeline_query_engine_demo_spark.sources.pydatasource import STREAM_TOTAL
+
     result = None
-    for _ in range(16):  # 100 rows / 40-row ranges => 3 + 1 empty pass
+    seen = 0
+    for _ in range(16):  # 100 rows / 40-row ranges => 3 passes
         q = (
             agg.writeStream.format("memory")
             .queryName("t_py_stream_src")
@@ -638,7 +641,18 @@ def python_stream_datasource_rollup(spark: SparkSession, sf_dir: str) -> DataFra
         # cumulative complete-mode aggregate before the next (possibly
         # empty) pass replaces it.
         result = spark.table("t_py_stream_src").localCheckpoint()
+        # Early stop at the source's declared total (r11 verdict item
+        # 4): the bounded feed's size IS its contract (the oracle
+        # hardcodes range(STREAM_TOTAL)), so once every row has been
+        # ingested the confirming empty pass — a whole extra
+        # StreamingQuery launch, ~25% of this row's wall — proves
+        # nothing new. Offset RESUME stays covered: passes 2 and 3
+        # still restart from committed offsets on the same checkpoint.
+        seen += p["numInputRows"]
+        if seen >= STREAM_TOTAL:
+            break
     assert result is not None, "counter_feed produced no batches"
+    assert seen == STREAM_TOTAL, f"counter_feed delivered {seen} rows"
     return result.orderBy("grp")
 
 
@@ -695,8 +709,11 @@ def python_parallel_stream_shards(spark: SparkSession, sf_dir: str) -> DataFrame
         tempfile.gettempdir(), f"spark_graft_shardstream_ckpt_{os.getpid()}"
     )
     shutil.rmtree(ckpt, ignore_errors=True)
+    from pipeline_query_engine_demo_spark.sources.pydatasource import PAR_TOTAL
+
     result = None
-    for _ in range(4):  # one full-range data batch + one empty pass
+    seen = 0
+    for _ in range(4):  # one full-range data batch
         q = (
             agg.writeStream.format("memory")
             .queryName("t_py_shard_stream")
@@ -710,7 +727,13 @@ def python_parallel_stream_shards(spark: SparkSession, sf_dir: str) -> DataFrame
         if p is None or p["numInputRows"] == 0:
             break  # drained: committed offset == latest
         result = spark.table("t_py_shard_stream").localCheckpoint()
+        # Same early stop as the rollup twin: the feed's bounded total
+        # is its contract, so skip the confirming empty pass.
+        seen += p["numInputRows"]
+        if seen >= PAR_TOTAL:
+            break
     assert result is not None, "shard_feed produced no batches"
+    assert seen == PAR_TOTAL, f"shard_feed delivered {seen} rows"
     return result.orderBy("shard")
 
 
