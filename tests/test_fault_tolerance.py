@@ -65,6 +65,96 @@ _WORKER = textwrap.dedent(
 )
 
 
+_KILL_WORKER = textwrap.dedent(
+    """
+    import glob, hashlib, json, os, signal, sys, threading, time
+
+    repo, token = sys.argv[1], sys.argv[2]
+    sys.path.insert(0, repo)
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local-cluster[2,4,1400]")
+        .config("spark.executor.memory", "1200m")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.executor.extraJavaOptions", f"-Dgraft.token={token}")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from pipeline_query_engine_demo_spark.plans.dedup import near_dup_pairs_docs
+
+    df = near_dup_pairs_docs(spark, "/root/testdata/sf0.1")
+    info = {}
+
+    def killer():
+        st = spark.sparkContext.statusTracker()
+        t0 = time.time()
+        while time.time() - t0 < 180 and not st.getActiveJobsIds():
+            time.sleep(0.05)
+        time.sleep(1.5)  # land mid-stage, not on the first task
+        info["jobs_active_at_kill"] = list(st.getActiveJobsIds())
+        for d in glob.glob("/proc/[0-9]*/cmdline"):
+            try:
+                c = open(d, "rb").read().decode(errors="replace")
+            except Exception:
+                continue
+            if "CoarseGrainedExecutorBackend" in c and f"graft.token={token}" in c:
+                pid = int(d.split("/")[2])
+                os.kill(pid, signal.SIGKILL)
+                info["killed_pid"] = pid
+                return
+
+    th = threading.Thread(target=killer)
+    th.start()
+    rows = sorted(map(tuple, ((r[0], r[1]) for r in df.collect())))
+    th.join(timeout=10)
+    digest = hashlib.md5(json.dumps(rows).encode()).hexdigest()
+    print(json.dumps({"n": len(rows), "digest": digest, **info}))
+    try:
+        spark.stop()
+    except Exception:
+        pass  # a dying executor's shutdown noise must not fail the run
+    """
+)
+
+
+def test_executor_loss_recovers_exact_results(spark, tmp_path):
+    """Whole-executor loss (r11 verdict item 6): SIGKILL one of two
+    executor JVMs in local-cluster mode while near_dup_pairs_docs (the
+    longest multi-stage query) is mid-flight. The standalone Worker
+    relaunches the executor; lost shuffle output is recomputed by stage
+    retry; the result must be EXACTLY the unharmed run's. This is the
+    cluster-grade story the task-retry test above can't cover: losing a
+    JVM loses its shuffle files and cached/localCheckpoint blocks, not
+    just one task attempt."""
+    import hashlib
+
+    token = f"graft_kill_{os.getpid()}"
+    script = tmp_path / "kill_worker.py"
+    script.write_text(_KILL_WORKER)
+    proc = subprocess.run(
+        [sys.executable, str(script), REPO, token],
+        capture_output=True,
+        text=True,
+        timeout=560,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    # the kill really happened, and while the query was running
+    assert out.get("killed_pid"), out
+    assert out.get("jobs_active_at_kill"), out
+    # exact-result reference from this (unharmed) test session
+    from pipeline_query_engine_demo_spark.plans.dedup import near_dup_pairs_docs
+
+    ref = sorted(
+        map(tuple, ((r[0], r[1]) for r in near_dup_pairs_docs(spark, "/root/testdata/sf0.1").collect()))
+    )
+    assert out["n"] == len(ref)
+    assert out["digest"] == hashlib.md5(json.dumps(ref).encode()).hexdigest()
+
+
 def test_task_retry_survives_transient_python_failure(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(_WORKER)
