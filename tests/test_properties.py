@@ -454,3 +454,51 @@ def test_scalar_and_exists_df_api_match_sql(spark, rows):
     )
     assert [r.ok for r in got_sc] == [r.ok for r in want_sc]
     assert [r.ok for r in got_ex] == [r.ok for r in want_ex]
+
+
+# ---------------------------------------------------------------------------
+# numpy ANN tier: full top-k parity with the expression tier on random
+# vectors (r12). Hash equality on the fixture is checked by the driver
+# gate; THIS pins the operator pair on adversarial inputs — negative
+# values, zero vectors (NULL-sim, sorts last), duplicate scores (id
+# tie-break), corpora smaller than k.
+# ---------------------------------------------------------------------------
+
+_vec = st.lists(
+    st.integers(-100, 100).map(lambda i: i / 10.0), min_size=4, max_size=4
+)
+_corpus = st.lists(_vec, min_size=1, max_size=24)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=_corpus)
+def test_numpy_cosine_topk_matches_expression(spark, vecs):
+    from pipeline_query_engine_demo_spark.operators.similarity import (
+        cosine_topk,
+        numpy_cosine_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.filter(F.col("vec_id") < 2)
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    expr_rows = {key(r): (r.vec_id, r.cosine_sim) for r in cosine_topk(df, q, "vec_id", "embedding", k=5).collect()}
+    np_rows = {key(r): (r.vec_id, r.cosine_sim) for r in numpy_cosine_topk(df, q, "vec_id", "embedding", k=5, buckets=4).collect()}
+    assert set(expr_rows) == set(np_rows)
+    for k_ in expr_rows:
+        ev, es = expr_rows[k_]
+        nv, ns = np_rows[k_]
+        if es is None or ns is None:
+            # zero-norm rows: both tiers must agree the sim is NULL
+            assert es is None and ns is None and ev == nv
+        else:
+            assert abs(es - ns) <= 1e-6
+            # ids may differ only where rounded scores tie exactly
+            if ev != nv:
+                assert es == ns
