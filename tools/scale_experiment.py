@@ -62,6 +62,8 @@ QUERIES = [
     "static_partition_prune_lineitem",
     "dpp_urgent_months_revenue",
     "dpp_events_top_day_mix",
+    "streaming_multibatch_stateful_user_totals",
+    "streaming_multibatch_window_counts",
     # round-9 additions: the 1-bit ANN tier, the truncated-dim recall
     # dial, and the per-node triangle credit join.
     "binary_sign_hamming_topk",
