@@ -195,6 +195,10 @@ EXTENDED = [
     # expression-vs-BLAS crossover.
     "numpy_cosine_topk_embeddings",
     "ivf_numpy_topk_embeddings",
+    # round-12 session 2: the amortized-index paths (pre-bucketed
+    # cogroup corpus; persisted cell-partitioned IVF probed via DPP).
+    "numpy_cosine_topk_prebucketed",
+    "ivf_index_dpp_topk",
     # round-12: the partitioned-layout family (static + dynamic
     # partition pruning over the Hive-partitioned fact replicas).
     "static_partition_prune_lineitem",

@@ -313,18 +313,8 @@ def ivf_topk(
     score = scorer or (lambda v, qv: round_half_up(cosine(v, qv), 6))
     cent = lit_matrix([[float(x) for x in c] for c in centroids])
     corpus_cells = _assign_cells(corpus, vec_col, cent)
-    q_scored = query.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qvec"),
-        F.posexplode(_centroid_scores(vec_col, cent)).alias(
-            "_cell", "_cell_score"
-        ),
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("_cell_score").desc(), F.col("_cell"))
     q_cells = F.broadcast(
-        q_scored.withColumn("_cell_rank", F.row_number().over(wq))
-        .filter(F.col("_cell_rank") <= nprobe)
-        .select("query_id", "_qvec", "_cell")
+        ivf_probe_cells(query, id_col, vec_col, centroids, nprobe)
     )
     scored = corpus_cells.join(q_cells, on="_cell").select(
         "query_id",
@@ -332,6 +322,47 @@ def ivf_topk(
         score(F.col(vec_col), F.col("_qvec")).alias("cosine_sim"),
     )
     return _topk_per_query(scored, id_col, k)
+
+
+def ivf_index_frame(
+    corpus: DataFrame, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """The corpus with its IVF coarse cell attached (`_cell`) — the
+    frame a PERSISTED IVF index stores, typically written
+    ``partitionBy("_cell")`` so that probing nprobe cells reads only
+    those partition directories (dynamic partition pruning when the
+    probe set is runtime-derived — see plans.retrieval.
+    ivf_index_dpp_topk). Cell assignment is the same expression path as
+    :func:`ivf_topk`'s, so a persisted index and an on-the-fly probe
+    agree bit-for-bit on candidate sets."""
+    cent = lit_matrix([[float(x) for x in c] for c in centroids])
+    return _assign_cells(corpus, vec_col, cent)
+
+
+def ivf_probe_cells(
+    query: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    nprobe: int,
+) -> DataFrame:
+    """The query side of an IVF probe: (query_id, _qvec, _cell) for each
+    query's ``nprobe`` closest cells — shared by the inline ivf_topk and
+    the persisted-index path so both probe identical cells."""
+    cent = lit_matrix([[float(x) for x in c] for c in centroids])
+    q_scored = query.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.posexplode(_centroid_scores(vec_col, cent)).alias("_cell", "_cell_score"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_cell_score").desc(), F.col("_cell")
+    )
+    return (
+        q_scored.withColumn("_cell_rank", F.row_number().over(wq))
+        .filter(F.col("_cell_rank") <= nprobe)
+        .select("query_id", "_qvec", "_cell")
+    )
 
 
 def ivf_assign(corpus: DataFrame, id_col: str, vec_col: str, centroids: list[list[float]]) -> DataFrame:
@@ -441,6 +472,7 @@ def numpy_cosine_topk(
     vec_col: str,
     k: int,
     buckets: int = 32,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Multi-query brute-force top-k, numpy-matmul tier: the production
     scoring path for query BATCHES where dim x rows is large.
@@ -470,9 +502,20 @@ def numpy_cosine_topk(
     qid_type = query.schema[id_col].dataType.simpleString()
     out_schema = f"query_id {qid_type}, {id_col} {id_type}, cosine_sim double"
 
-    c = corpus.select(F.col(id_col), F.col(vec_col)).withColumn(
-        "_b", F.pmod(F.hash(F.col(id_col)), F.lit(buckets))
-    )
+    if bucket_col is not None:
+        # Pre-bucketed corpus (written bucketBy(buckets, bucket_col)):
+        # the bucketed scan's output partitioning already satisfies the
+        # cogroup's ClusteredDistribution, so the corpus side runs with
+        # ZERO exchanges — the 100 TB posture where the salt bucketing
+        # is paid once at ingest (asserted by
+        # tests/test_plans.py::test_prebucketed_numpy_cogroup_is_corpus_shuffle_free).
+        c = corpus.select(
+            F.col(id_col), F.col(vec_col), F.col(bucket_col).alias("_b")
+        )
+    else:
+        c = corpus.select(F.col(id_col), F.col(vec_col)).withColumn(
+            "_b", F.pmod(F.hash(F.col(id_col)), F.lit(buckets))
+        )
     q = query.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
     ).withColumn("_b", F.explode(F.array(*[F.lit(i) for i in range(buckets)])))

@@ -294,6 +294,102 @@ def numpy_cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "numpy_cosine_topk_prebucketed",
+    category="llm-similarity",
+    oracle=_REG["cosine_topk_embeddings"].oracle,
+)
+def numpy_cosine_topk_prebucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The numpy matmul tier over a PRE-BUCKETED corpus: the embeddings
+    table is written once ``bucketBy(32, _b)`` (the same hash-salt the
+    cogroup groups on), so the bucketed scan's output partitioning
+    satisfies the cogroup's distribution and the corpus side runs with
+    ZERO exchanges — only the KB-sized replicated query set shuffles.
+    This is the 100 TB posture the crossover note promises (SCALE.md
+    round 12): the corpus shuffle that made the expression tier win the
+    rows axis is paid once at ingest, not per query batch. Plan shape
+    pinned by tests/test_plans.py; same oracle as the exact tier."""
+    import os as _os
+    import tempfile as _tmp
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.select("vec_id", "embedding").withColumn(
+        "_b", F.pmod(F.hash(F.col("vec_id")), F.lit(32))
+    )
+    label = _os.path.basename(_os.path.normpath(sf_dir))
+    table = f"b_embeddings_{label.replace('.', '_')}"
+    path = _os.path.join(
+        _tmp.gettempdir(), f"spark_graft_bucketed_emb_{_os.getpid()}", label
+    )
+    if not spark.catalog.tableExists(table) or not _os.path.exists(
+        _os.path.join(path, "_SUCCESS")
+    ):
+        (
+            c.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(32, "_b")
+            .option("path", path)
+            .saveAsTable(table)
+        )
+    corpus = spark.table(table)
+    q = emb.filter(F.col("vec_id") < 5)
+    return similarity.numpy_cosine_topk(
+        corpus, q, "vec_id", "embedding", k=10, buckets=32, bucket_col="_b"
+    ).orderBy("query_id", "rank")
+
+
+@query(
+    "ivf_index_dpp_topk",
+    category="llm-similarity",
+    oracle=_REG["ivf_topk_embeddings"].oracle,
+)
+def ivf_index_dpp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search against a PERSISTED index laid out
+    ``partitionBy(_cell)`` — the production form where the coarse
+    quantizer's output is the table layout. The probe set (each query's
+    nprobe=2 closest cells) is runtime-derived, so static pruning is
+    impossible; the cell equi-join against the broadcast probe side
+    puts a ``dynamicpruningexpression(_cell ...)`` on the index scan
+    and only the probed cell DIRECTORIES are read — IVF's
+    "search nprobe/n_cells of the corpus" promise enforced by the
+    storage layer itself, not just the join. Asserted in
+    tools/audit_plans.py (PARTITION_FILTER_REQUIRED); same candidate
+    sets and oracle as ivf_topk_embeddings (shared cell-assignment and
+    probe expressions, operators.similarity.ivf_index_frame /
+    ivf_probe_cells)."""
+    import os as _os
+    import tempfile as _tmp
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    label = _os.path.basename(_os.path.normpath(sf_dir))
+    path = _os.path.join(
+        _tmp.gettempdir(), f"spark_graft_ivf_index_{_os.getpid()}", label
+    )
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        (
+            similarity.ivf_index_frame(emb, "embedding", IVF_CENTROIDS)
+            .repartition("_cell")
+            .write.mode("overwrite")
+            .partitionBy("_cell")
+            .parquet(path)
+        )
+    index = spark.read.parquet(path)
+    q = emb.filter(F.col("vec_id") < 5)
+    probes = F.broadcast(
+        similarity.ivf_probe_cells(q, "vec_id", "embedding", IVF_CENTROIDS, nprobe=2)
+    )
+    scored = index.join(probes, "_cell").select(
+        "query_id",
+        F.col("vec_id"),
+        round_half_up(
+            similarity.cosine(F.col("embedding"), F.col("_qvec")), 6
+        ).alias("cosine_sim"),
+    )
+    return similarity._topk_per_query(scored, "vec_id", k=10).orderBy(
+        "query_id", "rank"
+    )
+
+
+@query(
     "ivf_numpy_topk_embeddings",
     category="llm-similarity",
     oracle=_REG["ivf_topk_embeddings"].oracle,

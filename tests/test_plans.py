@@ -64,6 +64,41 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir):
     assert "l_ship_month" in pf
 
 
+def test_prebucketed_numpy_cogroup_is_corpus_shuffle_free(spark, sf_dir):
+    """The pre-bucketed numpy tier must pay NO corpus-side shuffle: the
+    bucketed scan's partitioning satisfies the cogroup's distribution,
+    so exactly ONE hashpartitioning(_b) exchange remains (the KB-sized
+    replicated query side) vs TWO in the on-the-fly variant — the
+    pay-bucketing-once-at-ingest posture."""
+    from pipeline_query_engine_demo_spark.plans.retrieval import (
+        numpy_cosine_topk_embeddings,
+        numpy_cosine_topk_prebucketed,
+    )
+
+    def b_exchanges(df):
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange hashpartitioning(_b#"), plan
+
+    n_pre, plan_pre = b_exchanges(numpy_cosine_topk_prebucketed(spark, sf_dir))
+    n_fly, _ = b_exchanges(numpy_cosine_topk_embeddings(spark, sf_dir))
+    assert n_pre == 1, plan_pre[:2000]
+    assert n_fly == 2
+    assert "Bucketed: true" in plan_pre
+
+
+def test_ivf_index_scan_is_dynamically_pruned(spark, sf_dir):
+    """The persisted cell-partitioned IVF index must be probed through
+    dynamic partition pruning — only the nprobe cell directories are
+    read."""
+    from pipeline_query_engine_demo_spark.plans.retrieval import ivf_index_dpp_topk
+
+    df = ivf_index_dpp_topk(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression(_cell" in plan
+
+
 def test_bucketed_join_plan_is_exchange_free(spark, sf_dir):
     from pipeline_query_engine_demo_spark.plans.sinks import bucketed_join_colocated
 

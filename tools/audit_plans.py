@@ -159,6 +159,9 @@ PARTITION_FILTER_REQUIRED: dict[str, str] = {
     "static_partition_prune_lineitem": r"PartitionFilters: \[[^\]]*l_ship_month",
     "dpp_urgent_months_revenue": r"dynamicpruningexpression\(l_ship_month",
     "dpp_events_top_day_mix": r"dynamicpruningexpression\(event_date",
+    # The persisted IVF index is partitionBy(_cell); the runtime probe
+    # set must prune the index scan dynamically.
+    "ivf_index_dpp_topk": r"dynamicpruningexpression\(_cell",
 }
 
 # Streaming queries execute a real stream inside their builder (memory
