@@ -64,6 +64,8 @@ QUERIES = [
     "dpp_events_top_day_mix",
     "streaming_multibatch_stateful_user_totals",
     "streaming_multibatch_window_counts",
+    "numpy_cosine_topk_prebucketed",
+    "ivf_index_dpp_topk",
     # round-9 additions: the 1-bit ANN tier, the truncated-dim recall
     # dial, and the per-node triangle credit join.
     "binary_sign_hamming_topk",
