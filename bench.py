@@ -204,6 +204,9 @@ EXTENDED = [
     "static_partition_prune_lineitem",
     "dpp_urgent_months_revenue",
     "dpp_events_top_day_mix",
+    # round-12 session 3: runtime bloom-filter join pruning — the
+    # shuffle-join counterpart of DPP (rows map-side, not directories).
+    "bloom_filter_pruned_join",
 ]
 
 #: HOT tier (r8 verdict item 6 — the extended sweep grows ~linearly with

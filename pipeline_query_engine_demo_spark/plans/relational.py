@@ -912,6 +912,90 @@ def join_aqe_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.orderBy("c_mktsegment")
 
 
+#: Conf block for the runtime bloom-filter demonstration: trigger sizes
+#: scaled to fixture bytes so InjectRuntimeFilter fires on local data
+#: (production keeps the 10 MB creation / 10 GB application defaults;
+#: the mechanism is identical — only the thresholds differ).
+BLOOM_FILTER_CONFS = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",  # keep the join shuffled
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+}
+
+
+def build_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selective-dim shuffle join itself, shared by the registered
+    query and the plan-shape test (tests/test_plans.py asserts the
+    executed plan carries ``bloom_filter_agg`` on the dim side and a
+    ``might_contain`` filter above the fact scan). Broadcast is disabled
+    by the held confs, so without the runtime filter EVERY fact row
+    would cross the shuffle only to be dropped by the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.year("o_orderdate") == 1997)
+    )
+    return li.join(dim, li.l_orderkey == dim.o_orderkey)
+
+
+@query(
+    "bloom_filter_pruned_join",
+    category="join",
+    oracle="""
+        SELECT l.l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1.0 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority = '1-URGENT' AND year(o.o_orderdate) = 1997
+        GROUP BY l.l_returnflag
+        ORDER BY l.l_returnflag
+    """,
+)
+def bloom_filter_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning (InjectRuntimeFilter): the
+    selective dim filter ("urgent orders placed in 1997" — ~3% of
+    orders) is turned into a bloom filter built from the dim's join
+    keys and applied as a ``might_contain`` predicate ABOVE THE FACT
+    SCAN, before the shuffle — so ~97% of fact rows are dropped
+    map-side instead of crossing the wire to die in the join. This is
+    the shuffle-join counterpart of DPP (plans/partitioned.py): DPP
+    prunes partition DIRECTORIES of a partitioned fact; the bloom
+    filter prunes ROWS of an unpartitioned one. At 100 TB the two
+    compose — date partitions prune the scan, the bloom filter prunes
+    the survivors' shuffle. False positives only cost wasted shuffle
+    rows (the join re-checks equality), so the result is byte-identical
+    to the plain join — which is exactly what the oracle asserts. The
+    confs are held only while the eager localCheckpoint EXECUTES the
+    join, then restored (the join_aqe_skew_split pattern)."""
+    prev = {k: spark.conf.get(k, None) for k in BLOOM_FILTER_CONFS}
+    for k, v in BLOOM_FILTER_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        agg = (
+            build_bloom_filter_join(spark, sf_dir)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)")
+                )
+                .cast("double")
+                .alias("revenue"),
+            )
+            .localCheckpoint()  # eager: runs the join under the held confs
+        )
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return agg.orderBy("l_returnflag")
+
+
 @query(
     "salted_agg_two_phase",
     category="aggregation",

@@ -189,6 +189,36 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.set(k, v)
 
 
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """bloom_filter_pruned_join's reason to exist: under the held confs
+    the executed plan must build a bloom filter from the selective dim's
+    join keys (``bloom_filter_agg`` on the creation side) and apply it
+    as a ``might_contain`` predicate above the FACT scan — rows dropped
+    map-side, before the shuffle. Executed (not analyzed) plan, and the
+    predicate must sit on the fact's key, not the dim's."""
+    from pipeline_query_engine_demo_spark.plans import relational
+
+    prev = {k: spark.conf.get(k, None) for k in relational.BLOOM_FILTER_CONFS}
+    for k, v in relational.BLOOM_FILTER_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = (
+            relational.build_bloom_filter_join(spark, sf_dir)
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "bloom_filter_agg(xxhash64(o_orderkey" in plan, plan
+    assert "might_contain" in plan and "xxhash64(l_orderkey" in plan.split("might_contain")[1][:120], plan
+
+
 def test_every_oracle_floor_round_is_isfinite_guarded():
     """The non-finite contract of functions.rounding holds corpus-wide:
     every half-up floor-round in every RENDERED oracle (helper-emitted
