@@ -205,8 +205,10 @@ EXTENDED = [
     "dpp_urgent_months_revenue",
     "dpp_events_top_day_mix",
     # round-12 session 3: runtime bloom-filter join pruning — the
-    # shuffle-join counterpart of DPP (rows map-side, not directories).
+    # shuffle-join counterpart of DPP (rows map-side, not directories)
+    # — and min/max row-group skipping over a range-clustered layout.
     "bloom_filter_pruned_join",
+    "clustered_layout_rowgroup_skip",
 ]
 
 #: HOT tier (r8 verdict item 6 — the extended sweep grows ~linearly with

@@ -81,6 +81,66 @@ def events_by_day(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def lineitem_clustered_by_orderkey(spark: SparkSession, sf_dir: str) -> str:
+    """lineitem re-laid-out range-clustered on ``l_orderkey``:
+    ``repartitionByRange(16)`` gives each output file a disjoint key
+    range and ``sortWithinPartitions`` keeps every row group (and page
+    index) min/max tight — the single-column special case of
+    Z-order/liquid clustering. Written once per process+SF."""
+    path = _replica_path(sf_dir, "lineitem_clustered_orderkey")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        li = load_table(spark, sf_dir, "lineitem")
+        li.repartitionByRange(16, "l_orderkey").sortWithinPartitions(
+            "l_orderkey"
+        ).write.mode("overwrite").parquet(path)
+    return path
+
+
+@query(
+    "clustered_layout_rowgroup_skip",
+    category="partitioned-layout",
+    oracle="""
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_qty
+        FROM lineitem
+        WHERE l_orderkey BETWEEN 1000 AND 3000
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def clustered_layout_rowgroup_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max row-group skipping over a range-clustered layout — the
+    third leg of the scan-reduction tripod (directory pruning =
+    static/DPP partition filters; shuffle pruning = the runtime bloom
+    filter; ROW-GROUP pruning = this). The layout helper writes
+    lineitem range-clustered on ``l_orderkey``, so a pushed BETWEEN
+    predicate (PushedFilters in the scan) lets the Parquet reader drop
+    whole row groups — and with one disjoint key range per file, whole
+    FILES — from footer statistics alone, never touching their data
+    pages. The unclustered base table must decode everything and filter
+    row-by-row; the oracle computes the answer from it, proving the
+    re-layout lossless. tests/test_plans.py asserts the actual
+    decoded-rows drop via the scan's numOutputRows metric (byte
+    counters are blind here — Spark 4's local parquet data-page reads
+    bypass Hadoop FS statistics); at 100 TB this is why
+    clustering the fact table on the hottest filter key is table
+    stakes (Z-order generalizes it to several keys — see
+    hilbert_curve_events for the curve construction itself)."""
+    fact = spark.read.parquet(lineitem_clustered_by_orderkey(spark, sf_dir))
+    return (
+        fact.filter(F.col("l_orderkey").between(1000, 3000))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 @query(
     "static_partition_prune_lineitem",
     category="partitioned-layout",
