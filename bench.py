@@ -209,6 +209,7 @@ EXTENDED = [
     # — and min/max row-group skipping over a range-clustered layout.
     "bloom_filter_pruned_join",
     "clustered_layout_rowgroup_skip",
+    "hilbert_layout_box_skip",
 ]
 
 #: HOT tier (r8 verdict item 6 — the extended sweep grows ~linearly with

@@ -141,6 +141,92 @@ def clustered_layout_rowgroup_skip(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def events_hilbert_clustered(spark: SparkSession, sf_dir: str) -> str:
+    """events re-laid-out ordered by the Hilbert position of
+    (user bucket, scaled hour) — the MULTI-key generalization of
+    ``lineitem_clustered_by_orderkey``: a single sort key can serve
+    range predicates on one column only, while a space-filling-curve
+    key keeps 2-D locality, so a box predicate on BOTH dimensions maps
+    to few contiguous curve runs (why Delta's OPTIMIZE offers
+    ZORDER/HILBERT). The curve arithmetic is the registered
+    ``hilbert_curve_events`` chain (plans/analytics.py), reused
+    verbatim; the layout drops the scratch hvalue after ordering."""
+    from pipeline_query_engine_demo_spark.plans.analytics import (
+        _HILBERT_ORDER,
+        _hilbert_stage_exprs,
+    )
+
+    path = _replica_path(sf_dir, "events_hilbert_xy")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events").selectExpr(
+            "event_id",
+            "event_type",
+            "value",
+            "user_id % 256 AS xdim",
+            "CAST(hour(ts) AS BIGINT) * 10 AS ydim",
+        )
+        df = ev.selectExpr(
+            "*", "xdim AS x", "ydim AS y", "CAST(0 AS BIGINT) AS d"
+        )
+        for i in range(_HILBERT_ORDER):
+            s = 1 << (_HILBERT_ORDER - 1 - i)
+            e = _hilbert_stage_exprs(s, "div")
+            df = df.selectExpr(
+                "event_id",
+                "event_type",
+                "value",
+                "xdim",
+                "ydim",
+                f"{e['x']} AS x",
+                f"{e['y']} AS y",
+                f"{e['d']} AS d",
+            )
+        df.repartitionByRange(16, "d").sortWithinPartitions("d").drop(
+            "x", "y", "d"
+        ).write.mode("overwrite").parquet(path)
+    return path
+
+
+@query(
+    "hilbert_layout_box_skip",
+    category="partitioned-layout",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_value
+        FROM events
+        WHERE user_id % 256 BETWEEN 64 AND 127
+          AND CAST(extract(hour FROM ts) AS BIGINT) * 10 BETWEEN 60 AND 120
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def hilbert_layout_box_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D box query over the Hilbert-clustered events layout: both
+    range predicates push down (PushedFilters on xdim AND ydim), and
+    because curve-adjacent rows are grid-adjacent, the box occupies few
+    contiguous curve runs — row groups and pages outside them are
+    eliminated from footer statistics on BOTH dimensions at once. A
+    single-column sort could prune only one of the two predicates
+    (tests/test_plans.py meters exactly this: hilbert ≤ x-sorted ≪
+    scattered in decoded rows). The oracle computes the same box from
+    the unclustered base table, proving the re-layout lossless."""
+    fact = spark.read.parquet(events_hilbert_clustered(spark, sf_dir))
+    return (
+        fact.filter(
+            F.col("xdim").between(64, 127) & F.col("ydim").between(60, 120)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @query(
     "static_partition_prune_lineitem",
     category="partitioned-layout",
