@@ -1,13 +1,22 @@
-"""Scan-bytes evidence for partition pruning (r11 verdict item 1).
+"""Scan-reduction evidence for partition pruning (r11 verdict item 1).
 
 Runs the three partitioned-layout queries (plans/partitioned.py) twice:
 once against the Hive-partitioned replica (pruned scan) and once
 against an UNPARTITIONED twin of the same derived table (full scan),
-and measures actual bytes read from disk via Hadoop's
-GlobalStorageStatistics — in local mode every task runs in the driver
-JVM, so the "file"-scheme bytesRead counter is a faithful whole-query
-scan meter (shuffle/spill use raw java.io, not Hadoop FS, and are
-excluded by construction).
+and reports two meters:
+
+- ``metadata_bytes``: bytes through Hadoop's GlobalStorageStatistics
+  ("file" scheme). IMPORTANT CAVEAT, discovered in round 12 session 3:
+  Spark 4's local parquet DATA-PAGE reads bypass the Hadoop FS layer
+  (nio), so this counter sees footers/column-index metadata only — it
+  is a faithful FILES-TOUCHED meter (pruned directories are never
+  opened), not a data-volume meter. Earlier SCALE.md prose calling it
+  "scan bytes" overstated it; the ratios were still right because
+  footer traffic is proportional to files opened.
+- ``decoded_rows``: the parquet scan leaves' numOutputRows metric from
+  the executed plan — rows actually decoded from data pages, the
+  faithful data-volume meter (row groups in pruned partitions are
+  never decoded).
 
 Both variants read the same dimension-side base tables, so the
 partitioned-vs-twin delta isolates exactly what pruning saved. Each
@@ -47,6 +56,31 @@ def main() -> None:
             "file"
         )
         return int(s.getLong("bytesRead")) if s is not None else 0
+
+    def decoded_rows(df) -> int:
+        """Sum numOutputRows over the executed plan's parquet scan
+        leaves (descending through AQE stages / reused exchanges)."""
+        plan = df._jdf.queryExecution().executedPlan()
+        try:
+            plan = plan.finalPhysicalPlan()
+        except Exception:
+            pass
+
+        def walk(node) -> int:
+            cls = node.getClass().getSimpleName()
+            if "QueryStageExec" in cls:
+                return walk(node.plan())
+            if "ReusedExchange" in cls:
+                return walk(node.child())
+            total = 0
+            if "FileSourceScan" in cls or "BatchScan" in cls:
+                total += int(node.metrics().apply("numOutputRows").value())
+            ch = node.children().iterator()
+            while ch.hasNext():
+                total += walk(ch.next())
+            return total
+
+        return walk(plan)
 
     # Partitioned replicas (written once per process by the plans module)
     # and unpartitioned twins carrying the same derived column.
@@ -119,16 +153,22 @@ def main() -> None:
             b1 = bytes_read()
             res = sorted(map(tuple, q(spark.read.parquet(path)).collect()))
             out[label] = {
-                "bytes_read": b1 - b0,
+                "metadata_bytes": b1 - b0,
+                "decoded_rows": decoded_rows(df),
                 "wall_s": round(wall, 3),
                 "result_rows": len(res),
             }
             out.setdefault("_results", []).append(res)
         a, b = out.pop("_results")
         out["results_identical"] = a == b
-        out["bytes_ratio"] = round(
-            out["partitioned"]["bytes_read"]
-            / max(1, out["unpartitioned"]["bytes_read"]),
+        out["metadata_bytes_ratio"] = round(
+            out["partitioned"]["metadata_bytes"]
+            / max(1, out["unpartitioned"]["metadata_bytes"]),
+            4,
+        )
+        out["decoded_rows_ratio"] = round(
+            out["partitioned"]["decoded_rows"]
+            / max(1, out["unpartitioned"]["decoded_rows"]),
             4,
         )
         rows.append(out)
@@ -137,9 +177,14 @@ def main() -> None:
     print("\nSUMMARY")
     for r in rows:
         print(
-            f"{r['query']:38} pruned={r['partitioned']['bytes_read']:>12,}B "
-            f"full={r['unpartitioned']['bytes_read']:>12,}B "
-            f"ratio={r['bytes_ratio']:.3f} identical={r['results_identical']}"
+            f"{r['query']:38} "
+            f"rows={r['partitioned']['decoded_rows']:>11,}/"
+            f"{r['unpartitioned']['decoded_rows']:>11,} "
+            f"({r['decoded_rows_ratio']:.3f})  "
+            f"metaB={r['partitioned']['metadata_bytes']:>9,}/"
+            f"{r['unpartitioned']['metadata_bytes']:>9,} "
+            f"({r['metadata_bytes_ratio']:.3f}) "
+            f"identical={r['results_identical']}"
         )
     assert all(r["results_identical"] for r in rows)
     spark.stop()
