@@ -164,6 +164,21 @@ PARTITION_FILTER_REQUIRED: dict[str, str] = {
     "ivf_index_dpp_topk": r"dynamicpruningexpression\(_cell",
 }
 
+#: Clustered-layout queries whose range predicates MUST reach the
+#: parquet scan as PushedFilters (row-group/page skipping is exercised
+#: by the decoded-rows tests in tests/test_plans.py; this asserts the
+#: prerequisite never regresses in the registered plans).
+PUSHED_FILTER_REQUIRED: dict[str, str] = {
+    "clustered_layout_rowgroup_skip": (
+        r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_orderkey,1000\)"
+        r"[^\]]*LessThanOrEqual\(l_orderkey,3000\)"
+    ),
+    "hilbert_layout_box_skip": (
+        r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(xdim,64\)"
+        r"[^\]]*GreaterThanOrEqual\(ydim,60\)"
+    ),
+}
+
 # Streaming queries execute a real stream inside their builder (memory
 # sink / foreachBatch), so the returned DataFrame's plan is just the
 # sink read-back — not the streaming computation. They are skipped by
@@ -177,6 +192,10 @@ def main() -> None:
 
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
+    # Plan strings truncate long metadata fields at 100 chars by
+    # default, which cuts PushedFilters lists mid-token and would make
+    # the PUSHED_FILTER_REQUIRED regexes silently unmatchable.
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
 
     rows = []
     violations = []
@@ -214,6 +233,12 @@ def main() -> None:
                 violations.append(
                     f"{name}: required partition pruning absent from executed plan "
                     f"(expected /{PARTITION_FILTER_REQUIRED[name]}/)"
+                )
+        if name in PUSHED_FILTER_REQUIRED:
+            if not re.search(PUSHED_FILTER_REQUIRED[name], plan):
+                violations.append(
+                    f"{name}: required pushed range filter absent from executed plan "
+                    f"(expected /{PUSHED_FILTER_REQUIRED[name]}/)"
                 )
         extra = [f"bare-window x{n_bare_windows}"] if n_bare_windows else []
         if name in PARTITION_FILTER_REQUIRED:
