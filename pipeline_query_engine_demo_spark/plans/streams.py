@@ -1894,3 +1894,79 @@ def streaming_multibatch_dedup_distinct_users(
         agg, "complete", name="t_mb_dedup", min_data_batches=2
     )
     return result.orderBy("event_type")
+
+
+@query(
+    "streaming_ivf_index_append",
+    category="streaming",
+    oracle="""
+        WITH s AS (SELECT vec_id,
+                          embedding[1]::DOUBLE AS s0, embedding[2]::DOUBLE AS s1,
+                          embedding[3]::DOUBLE AS s2, embedding[4]::DOUBLE AS s3
+                   FROM embeddings)
+        SELECT vec_id,
+               CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 0
+                    WHEN s1 >= s2 AND s1 >= s3 THEN 1
+                    WHEN s2 >= s3 THEN 2
+                    ELSE 3 END AS cell
+        FROM s ORDER BY vec_id
+    """,
+)
+def streaming_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL IVF index maintenance: embeddings arrive as a 4-file
+    stream (one file per micro-batch, >= 2 data batches asserted), and
+    each foreachBatch assigns the batch to its coarse cells with the
+    SAME shared expressions the probes use (operators.similarity.
+    ivf_index_frame) and appends ``partitionBy(_cell)`` into the
+    persisted index layout that ivf_index_dpp_topk probes through
+    dynamic partition pruning. This is how a 100 TB vector index stays
+    fresh without rebuilds: cell assignment is map-side per batch,
+    appends touch only the arriving rows' cell directories, and the
+    probe path needs no knowledge of HOW the index was built. The
+    readback's full content must equal the batch coarse assignment
+    (the ivf_assign_embeddings oracle, verbatim) — proving
+    batch-built and stream-built indexes are interchangeable."""
+    import uuid as _uuid
+
+    from pipeline_query_engine_demo_spark.operators import similarity
+    from pipeline_query_engine_demo_spark.plans.llm import IVF_CENTROIDS
+
+    chunks = os.path.join(
+        _CHUNK_SCRATCH,
+        os.path.basename(os.path.normpath(sf_dir)),
+        "embeddings_4",
+    )
+    if not os.path.exists(os.path.join(chunks, "_SUCCESS")):
+        load_table(spark, sf_dir, "embeddings").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(chunks)
+    schema = spark.read.parquet(chunks).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunks)
+    )
+    # Fresh index dir per invocation: foreachBatch APPENDS, so reusing
+    # a dir across runs in one process would double the index.
+    index_dir = os.path.join(
+        _CHUNK_SCRATCH, f"ivf_index_{_uuid.uuid4().hex[:12]}"
+    )
+
+    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        similarity.ivf_index_frame(batch_df, "embedding", IVF_CENTROIDS).select(
+            "vec_id", "_cell"
+        ).write.mode("append").partitionBy("_cell").parquet(index_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(append_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streaming.assert_data_batches(
+        q, spark, "streaming_ivf_index_append", min_data_batches=2
+    )
+    idx = spark.read.parquet(index_dir)
+    return idx.select(
+        "vec_id", F.col("_cell").cast("int").alias("cell")
+    ).orderBy("vec_id")

@@ -19,6 +19,7 @@ from pipeline_query_engine_demo_spark.streaming.windows import (
     staged_events_source,
     run_rate_bounded,
     run_to_memory,
+    assert_data_batches,
     stateful_bottomk_quantiles,
     stateful_cms,
     stateful_cusum,
@@ -45,6 +46,7 @@ __all__ = [
     "staged_events_source",
     "run_rate_bounded",
     "run_to_memory",
+    "assert_data_batches",
     "stateful_bottomk_quantiles",
     "stateful_cms",
     "stateful_cusum",

@@ -241,39 +241,56 @@ def run_to_memory(
     )
     q.awaitTermination()
     if max_data_batches is not None or min_data_batches is not None:
-        progress = q.recentProgress
-        # recentProgress is a ring buffer capped at
-        # spark.sql.streaming.numRecentProgressUpdates (default 100); a
-        # drain that overflows it would UNDERCOUNT data batches and let
-        # the guard pass falsely — so a full buffer is itself a failure.
-        cap = int(
-            stream_df.sparkSession.conf.get(
-                "spark.sql.streaming.numRecentProgressUpdates", "100"
-            )
+        assert_data_batches(
+            q,
+            stream_df.sparkSession,
+            name,
+            min_data_batches=min_data_batches,
+            max_data_batches=max_data_batches,
         )
-        assert len(progress) < cap, (
-            f"stream '{name}' produced {len(progress)} progress updates, "
-            f"saturating the recentProgress buffer (cap {cap}); the "
-            "batch-count guard would undercount — raise the cap or "
-            "shrink the drain"
-        )
-        data_batches = sum(
-            1 for p in progress if p["numInputRows"] > 0
-        )
-        if max_data_batches is not None:
-            assert data_batches <= max_data_batches, (
-                f"stream '{name}' ingested data across {data_batches} "
-                f"micro-batches; the oracle assumes <= {max_data_batches} "
-                "(source layout changed?)"
-            )
-        if min_data_batches is not None:
-            assert data_batches >= min_data_batches, (
-                f"stream '{name}' ingested all data in {data_batches} "
-                f"micro-batch(es); this query exists to exercise "
-                f">= {min_data_batches}-batch incremental state "
-                "(source layout changed?)"
-            )
     return stream_df.sparkSession.table(name)
+
+
+def assert_data_batches(
+    q,
+    spark,
+    name: str,
+    min_data_batches: int | None = None,
+    max_data_batches: int | None = None,
+) -> None:
+    """The batch-count guard behind run_to_memory's min/max_data_batches
+    (r11 verdict item 3), shared with drains that use other sinks
+    (foreachBatch index builds): counts micro-batches that actually
+    ingested rows and fails the QUERY — not just a test — if the drain
+    shape drifted from what the oracle assumes."""
+    progress = q.recentProgress
+    # recentProgress is a ring buffer capped at
+    # spark.sql.streaming.numRecentProgressUpdates (default 100); a
+    # drain that overflows it would UNDERCOUNT data batches and let
+    # the guard pass falsely — so a full buffer is itself a failure.
+    cap = int(
+        spark.conf.get("spark.sql.streaming.numRecentProgressUpdates", "100")
+    )
+    assert len(progress) < cap, (
+        f"stream '{name}' produced {len(progress)} progress updates, "
+        f"saturating the recentProgress buffer (cap {cap}); the "
+        "batch-count guard would undercount — raise the cap or "
+        "shrink the drain"
+    )
+    data_batches = sum(1 for p in progress if p["numInputRows"] > 0)
+    if max_data_batches is not None:
+        assert data_batches <= max_data_batches, (
+            f"stream '{name}' ingested data across {data_batches} "
+            f"micro-batches; the oracle assumes <= {max_data_batches} "
+            "(source layout changed?)"
+        )
+    if min_data_batches is not None:
+        assert data_batches >= min_data_batches, (
+            f"stream '{name}' ingested all data in {data_batches} "
+            f"micro-batch(es); this query exists to exercise "
+            f">= {min_data_batches}-batch incremental state "
+            "(source layout changed?)"
+        )
 
 
 def tumbling_counts(events: DataFrame) -> DataFrame:
