@@ -210,6 +210,7 @@ EXTENDED = [
     "bloom_filter_pruned_join",
     "clustered_layout_rowgroup_skip",
     "hilbert_layout_box_skip",
+    "dpp_bloom_composed_star",
 ]
 
 #: HOT tier (r8 verdict item 6 — the extended sweep grows ~linearly with

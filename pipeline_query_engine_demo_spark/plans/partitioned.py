@@ -370,3 +370,101 @@ def dpp_events_top_day_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: The composed-pruning conf bracket: the bloom confs (fixture-scaled
+#: trigger thresholds, see plans.relational.BLOOM_FILTER_CONFS) plus
+#: DPP-by-subquery. With broadcast disabled for the bloom demonstration
+#: the join is an SMJ, and default DPP only reuses a broadcast — the
+#: subquery fallback (reuseBroadcastOnly=false) lets Catalyst run the
+#: dim as its own pruning subquery instead, which is also the 100 TB
+#: posture when the dim exceeds the broadcast threshold.
+def _composed_pruning_confs() -> dict[str, str]:
+    from pipeline_query_engine_demo_spark.plans.relational import (
+        BLOOM_FILTER_CONFS,
+    )
+
+    return {
+        **BLOOM_FILTER_CONFS,
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly": "false",
+    }
+
+
+def build_dpp_bloom_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The star join itself, shared by the registered query and the
+    plan-shape test: partitioned fact joined to the selective dim on
+    BOTH the partition key (month) and the row key (orderkey)."""
+    fact = spark.read.parquet(lineitem_by_ship_month(spark, sf_dir))
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.year("o_orderdate") == 1997)
+        )
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM").alias("ord_month"),
+        )
+    )
+    return fact.join(
+        dim,
+        (fact["l_orderkey"] == dim["o_orderkey"])
+        & (fact["l_ship_month"] == dim["ord_month"]),
+    )
+
+
+@query(
+    "dpp_bloom_composed_star",
+    category="partitioned-layout",
+    oracle="""
+        SELECT l.l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1.0 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem l
+        JOIN orders o
+          ON l.l_orderkey = o.o_orderkey
+         AND strftime(l.l_shipdate, '%Y-%m') = strftime(o.o_orderdate, '%Y-%m')
+        WHERE o.o_orderpriority = '1-URGENT' AND year(o.o_orderdate) = 1997
+        GROUP BY l.l_returnflag
+        ORDER BY l.l_returnflag
+    """,
+)
+def dpp_bloom_composed_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH runtime scan reducers composed in ONE plan — the claim the
+    bloom and DPP docstrings each make ("at 100 TB the two compose"),
+    demonstrated instead of asserted: lineitems shipped the same month
+    their urgent-1997 order was placed, over the month-partitioned fact.
+    The executed plan carries ``dynamicpruningexpression(l_ship_month
+    ...)`` inside the fact scan's PartitionFilters (only the dim's 12
+    months of DIRECTORIES are listed) AND a ``might_contain`` bloom
+    filter above the scan (non-joining orderkeys die map-side before
+    the shuffle) — directory pruning and row pruning stacked on the
+    same scan, pinned by tests/test_plans.py. The conf bracket holds
+    only while the eager localCheckpoint executes the join."""
+    confs = _composed_pruning_confs()
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        agg = (
+            build_dpp_bloom_star(spark, sf_dir)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)")
+                )
+                .cast("double")
+                .alias("revenue"),
+            )
+            .localCheckpoint()  # eager: joins under the held confs
+        )
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return agg.orderBy("l_returnflag")

@@ -375,6 +375,37 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
     assert "might_contain" in plan and "xxhash64(l_orderkey" in plan.split("might_contain")[1][:120], plan
 
 
+def test_dpp_and_bloom_compose_on_one_scan(spark, sf_dir):
+    """dpp_bloom_composed_star's reason to exist: under the composed
+    conf bracket the SAME fact scan must carry a
+    dynamicpruningexpression partition filter (directory pruning from
+    the dim's months) AND sit under a might_contain bloom filter
+    (row pruning from the dim's orderkeys) — the two runtime scan
+    reducers stacked, not merely coexisting in the corpus."""
+    from pipeline_query_engine_demo_spark.plans import partitioned
+
+    confs = partitioned._composed_pruning_confs()
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        df = (
+            partitioned.build_dpp_bloom_star(spark, sf_dir)
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "dynamicpruningexpression(l_ship_month" in plan, plan
+    assert "might_contain" in plan and "bloom_filter_agg(xxhash64(o_orderkey" in plan, plan
+
+
 def test_every_oracle_floor_round_is_isfinite_guarded():
     """The non-finite contract of functions.rounding holds corpus-wide:
     every half-up floor-round in every RENDERED oracle (helper-emitted

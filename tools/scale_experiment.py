@@ -69,6 +69,7 @@ QUERIES = [
     "bloom_filter_pruned_join",
     "clustered_layout_rowgroup_skip",
     "hilbert_layout_box_skip",
+    "dpp_bloom_composed_star",
     # round-9 additions: the 1-bit ANN tier, the truncated-dim recall
     # dial, and the per-node triangle credit join.
     "binary_sign_hamming_topk",
