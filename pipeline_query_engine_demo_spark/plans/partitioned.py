@@ -141,6 +141,78 @@ def clustered_layout_rowgroup_skip(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def lineitem_orderkey_manifest(spark: SparkSession, sf_dir: str) -> str:
+    """Per-file min/max manifest over the range-clustered lineitem
+    layout (sources.manifest) — built in one distributed pass at
+    "ingest" time, like Delta's add-file stats. Written once per
+    process+SF, keyed on the layout's own `_SUCCESS`-gated path."""
+    from pipeline_query_engine_demo_spark.sources.manifest import (
+        write_file_manifest,
+    )
+
+    layout = lineitem_clustered_by_orderkey(spark, sf_dir)
+    mpath = _replica_path(sf_dir, "lineitem_orderkey_manifest")
+    if not os.path.exists(os.path.join(mpath, "_SUCCESS")):
+        write_file_manifest(spark, layout, "l_orderkey", mpath)
+    return mpath
+
+
+@query(
+    "manifest_file_skip_lineitem",
+    category="partitioned-layout",
+    oracle="""
+        SELECT l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
+        FROM lineitem
+        WHERE l_orderkey BETWEEN 200 AND 900
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """,
+)
+def manifest_file_skip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-level data skipping via a persisted min/max manifest — the
+    missing tier between directory pruning (static/DPP partition
+    filters) and row-group pruning (footer stats): files whose
+    [min, max] interval misses the predicate are dropped on the driver
+    from the manifest alone, so the distributed scan never lists them,
+    never opens them, never reads their footers. At 100 TB with ~10⁶
+    files, footer round trips are themselves the bottleneck — this is
+    why Delta persists add-file stats and Iceberg persists manifests
+    instead of re-reading footers per query (sources/manifest.py has
+    the full tier taxonomy). The manifest read is a metadata-plane
+    driver read (one row per FILE), exactly like reading a transaction
+    log; the data plane stays fully distributed and the pushed range
+    filter still prunes row groups INSIDE the selected files. A hard
+    assert fails the query loudly if the manifest ever stops pruning
+    (e.g. the layout degrades to overlapping key ranges); the oracle
+    computes the same answer from the unclustered base table, proving
+    the manifest path lossless."""
+    from pipeline_query_engine_demo_spark.sources.manifest import (
+        prune_files_by_range,
+    )
+
+    lo, hi = 200, 900
+    mpath = lineitem_orderkey_manifest(spark, sf_dir)
+    selected, total = prune_files_by_range(mpath, lo, hi)
+    assert 0 < len(selected) < total, (
+        f"manifest pruning degraded: {len(selected)} of {total} files "
+        f"selected for [{lo}, {hi}] — layout no longer range-clustered?"
+    )
+    fact = spark.read.parquet(*selected)
+    return (
+        fact.filter(F.col("l_orderkey").between(lo, hi))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
 def events_hilbert_clustered(spark: SparkSession, sf_dir: str) -> str:
     """events re-laid-out ordered by the Hilbert position of
     (user bucket, scaled hour) — the MULTI-key generalization of

@@ -312,6 +312,57 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bucket_pruned_scan",
+    category="sink",
+    oracle="""
+        SELECT l_orderkey AS orderkey, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_qty
+        FROM lineitem
+        WHERE l_orderkey IN (32, 69, 1223)
+        GROUP BY l_orderkey
+        ORDER BY orderkey
+    """,
+)
+def bucket_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-BUCKET pruning — the scan-reduction tier bucketed tables
+    add to the partition/manifest/row-group/row family: an equality or
+    IN predicate on the bucket column hashes each literal to its bucket
+    id at PLAN time, so the scan lists only those buckets' files
+    (``SelectedBucketsCount: 3 out of 16`` in the executed plan,
+    asserted by tools/audit_plans.py BUCKET_PRUNE_REQUIRED). Unlike
+    range-clustering this prunes POINT lookups on a high-cardinality
+    key with no directory explosion (16 buckets vs one directory per
+    key) and composes with the co-located-join benefit the same layout
+    already pays for (bucketed_join_colocated) — why a 100 TB fact
+    table buckets on its hottest point-lookup/join key. The oracle
+    computes the same answer from the unbucketed base table, proving
+    the bucketed replica lossless."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    (
+        lineitem.select("l_orderkey", "l_quantity")
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(16, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", os.path.join(_SCRATCH, "b_lineitem_prune"))
+        .saveAsTable("b_lineitem_prune")
+    )
+    return (
+        spark.table("b_lineitem_prune")
+        .filter(F.col("l_orderkey").isin(32, 69, 1223))
+        .groupBy(F.col("l_orderkey").alias("orderkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("orderkey")
+    )
+
+
+@query(
     "approx_count_distinct_priorities",
     category="approx-agg",
     oracle="""

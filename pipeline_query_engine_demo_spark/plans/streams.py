@@ -1970,3 +1970,89 @@ def streaming_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.select(
         "vec_id", F.col("_cell").cast("int").alias("cell")
     ).orderBy("vec_id")
+
+
+@query(
+    "streaming_restart_resume_user_totals",
+    category="streaming",
+    oracle="""
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_value
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def streaming_restart_resume_user_totals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PLANNED STOP + RESTART from the same checkpoint — the streaming
+    operational path every other gated query skips: a 100 TB pipeline
+    is deployed, stopped, upgraded, and resumed daily, and correctness
+    across that boundary (exactly-once source accounting + state-store
+    recovery) is a different property from single-run incremental merge.
+
+    Two QUERY LIFETIMES share one checkpoint: run 1 drains the first two
+    quarters of events (one file per micro-batch) and terminates; two
+    MORE files then land in the source directory and a brand-new query
+    resumes from the checkpoint. The builder asserts the resume is real
+    — run 2's first batchId strictly follows run 1's last (offsets came
+    from the checkpoint log, not a fresh start) and both runs cross >= 2
+    data batches — and the oracle pins BOTH failure modes at once: if
+    run 2 re-ingested run-1 files the recovered state would double-count
+    those users; if the state store failed to recover, run-1-only users
+    would vanish from the complete-mode table. Either way the final
+    table could not equal the batch GROUP BY over all events."""
+    import shutil
+    import uuid as _uuid
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    scratch = os.path.join(
+        _CHUNK_SCRATCH, f"restart_{_uuid.uuid4().hex[:12]}"
+    )
+    src = os.path.join(scratch, "src")
+    ckpt = os.path.join(scratch, "ckpt")
+    name = "t_restart_resume"
+
+    def ship(quarter: int) -> None:
+        ev.filter(F.col("event_id") % 4 == quarter).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run_lifetime():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = stream.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        streaming.assert_data_batches(q, spark, name, min_data_batches=2)
+        return [int(p["batchId"]) for p in q.recentProgress if p["numInputRows"] > 0]
+
+    try:
+        ship(0)
+        ship(1)
+        batches1 = run_lifetime()  # lifetime 1: drains quarters 0-1, stops
+        ship(2)
+        ship(3)
+        batches2 = run_lifetime()  # lifetime 2: NEW query, same checkpoint
+        assert min(batches2) > max(batches1), (
+            f"restart did not resume from the checkpoint: run-2 batch ids "
+            f"{batches2} do not continue run-1 ids {batches1}"
+        )
+        return spark.table(name).orderBy("user_id")
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

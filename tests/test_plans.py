@@ -345,6 +345,57 @@ def test_hilbert_layout_prunes_2d_boxes(spark, tmp_path):
     assert rows["hilbert"] < 0.6 * rows["xsort"], rows
 
 
+def test_manifest_file_skip_prunes_file_list(spark, tmp_path):
+    """manifest_file_skip_lineitem's tier claim, metered: the persisted
+    min/max manifest must shrink the FILE LIST handed to the scan (the
+    skipped files are never listed/opened — they simply aren't in the
+    read paths), the pruned read must equal the full-scan twin, and the
+    pushed predicate must still row-group-prune INSIDE the survivors.
+    1M rows range-clustered into 16 disjoint-range files; a 20k-wide
+    key range intersects at most 2 of them."""
+    from pipeline_query_engine_demo_spark.sources.manifest import (
+        prune_files_by_range,
+        write_file_manifest,
+    )
+
+    layout = str(tmp_path / "clustered")
+    mpath = str(tmp_path / "manifest")
+    spark.range(0, 1_000_000).select(
+        F.col("id").alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+    ).repartitionByRange(16, "k").sortWithinPartitions("k").write.parquet(
+        layout
+    )
+    write_file_manifest(spark, layout, "k", mpath)
+
+    selected, total = prune_files_by_range(mpath, 100_000, 120_000)
+    assert total == 16, total
+    assert 1 <= len(selected) <= 2, selected  # disjoint ranges: ≤2 overlap
+
+    def run(paths):
+        df = (
+            spark.read.parquet(*paths)
+            .filter(F.col("k").between(100_000, 120_000))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.length("payload")).alias("payload_len"),
+            )
+        )
+        return _decoded_scan_rows(df), sorted(map(tuple, df.collect()))
+
+    pruned_rows, pruned_res = run(selected)
+    full_rows, full_res = run([layout])
+    assert pruned_res == full_res == [(20_001, 20_001 * 64)]
+    # Survivor files still row-group-prune via the pushed filter: far
+    # fewer rows decoded than the ~62.5k they physically hold.
+    assert pruned_rows <= full_rows, (pruned_rows, full_rows)
+    assert pruned_rows < 0.1 * 1_000_000, pruned_rows
+
+    # Disjoint range entirely outside the keyspace prunes EVERYTHING.
+    none_selected, _ = prune_files_by_range(mpath, 5_000_000, 6_000_000)
+    assert none_selected == []
+
+
 def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
     """bloom_filter_pruned_join's reason to exist: under the held confs
     the executed plan must build a bloom filter from the selective dim's

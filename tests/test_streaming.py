@@ -82,6 +82,69 @@ def test_multibatch_queries_cross_batches(spark, sf_dir):
     assert joined.filter(F.col("n_events") != F.col("n")).count() == 0
 
 
+def test_restart_guard_discriminates_resume_from_fresh_start(spark, tmp_path):
+    """streaming_restart_resume_user_totals's batchId-continuation guard
+    is load-bearing BECAUSE the oracle alone cannot catch a
+    silently-fresh restart: with a complete-mode sink, a run-2 query
+    that lost the checkpoint simply reprocesses all files and still
+    produces correct totals. This pins the discrimination: same
+    checkpoint => run-2 batch ids strictly continue run 1's; fresh
+    checkpoint => they reset to 0 and the guard's condition fails."""
+    import time
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    ckpt_fresh = str(tmp_path / "ckpt_fresh")
+
+    def ship(half: int) -> None:
+        df.filter(F.col("id") % 2 == half).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)  # distinct mtimes keep file-batch order stable
+
+    def drain(ckpt_dir: str, name: str) -> list[int]:
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = stream.groupBy("k").agg(F.sum("v").alias("s"))
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return [
+            int(p["batchId"]) for p in q.recentProgress if p["numInputRows"] > 0
+        ]
+
+    ship(0)
+    b1 = drain(ckpt, "t_restart_disc_1")
+    ship(1)
+    b_resumed = drain(ckpt, "t_restart_disc_2")
+    b_fresh = drain(ckpt_fresh, "t_restart_disc_3")
+    # resume: offsets came from the checkpoint log, ids continue
+    assert min(b_resumed) > max(b1), (b1, b_resumed)
+    # fresh start: ids reset AND all files reprocessed — the guard's
+    # condition is exactly what separates the two
+    assert min(b_fresh) == 0 and len(b_fresh) > len(b_resumed), (
+        b_resumed,
+        b_fresh,
+    )
+    # and both end states are value-identical — why the oracle can't
+    # tell them apart and the batchId guard must
+    t2 = {(r.k, r.s) for r in spark.table("t_restart_disc_2").collect()}
+    t3 = {(r.k, r.s) for r in spark.table("t_restart_disc_3").collect()}
+    assert t2 == t3 and len(t2) == 400
+
+
 def test_watermark_drops_late_data_append_mode(spark, tmp_path):
     """Append-mode watermark semantics, end to end: a window whose end
     precedes the watermark finalizes and emits; an event arriving after

@@ -177,6 +177,23 @@ PUSHED_FILTER_REQUIRED: dict[str, str] = {
         r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(xdim,64\)"
         r"[^\]]*GreaterThanOrEqual\(ydim,60\)"
     ),
+    # File-level manifest skipping happens BEFORE the scan (the pruned
+    # files never appear in the plan at all — tests/test_plans.py meters
+    # that); this asserts the surviving files still get row-group
+    # pruning from the pushed range predicate.
+    "manifest_file_skip_lineitem": (
+        r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_orderkey,200\)"
+        r"[^\]]*LessThanOrEqual\(l_orderkey,900\)"
+    ),
+}
+
+#: Bucketed-scan queries whose point predicates MUST plan-time-prune to
+#: the literals' hash buckets — the tier hash bucketing adds to the
+#: directory/file/row-group/row pruning family.
+BUCKET_PRUNE_REQUIRED: dict[str, str] = {
+    # 3 point literals hash to <= 3 of the 16 buckets (2 observed —
+    # two keys share a bucket).
+    "bucket_pruned_scan": r"SelectedBucketsCount: [1-3] out of 16",
 }
 
 # Streaming queries execute a real stream inside their builder (memory
@@ -239,6 +256,12 @@ def main() -> None:
                 violations.append(
                     f"{name}: required pushed range filter absent from executed plan "
                     f"(expected /{PUSHED_FILTER_REQUIRED[name]}/)"
+                )
+        if name in BUCKET_PRUNE_REQUIRED:
+            if not re.search(BUCKET_PRUNE_REQUIRED[name], plan):
+                violations.append(
+                    f"{name}: required bucket pruning absent from executed plan "
+                    f"(expected /{BUCKET_PRUNE_REQUIRED[name]}/)"
                 )
         extra = [f"bare-window x{n_bare_windows}"] if n_bare_windows else []
         if name in PARTITION_FILTER_REQUIRED:

@@ -70,6 +70,11 @@ QUERIES = [
     "clustered_layout_rowgroup_skip",
     "hilbert_layout_box_skip",
     "dpp_bloom_composed_star",
+    # round-12 session 4: the file-manifest and bucket-prune tiers and
+    # the checkpoint restart-resume drain.
+    "manifest_file_skip_lineitem",
+    "bucket_pruned_scan",
+    "streaming_restart_resume_user_totals",
     # round-9 additions: the 1-bit ANN tier, the truncated-dim recall
     # dial, and the per-node triangle credit join.
     "binary_sign_hamming_topk",
