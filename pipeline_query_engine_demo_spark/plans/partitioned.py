@@ -213,6 +213,71 @@ def manifest_file_skip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "delete_cow_file_rewrite",
+    category="partitioned-layout",
+    oracle="""
+        SELECT l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_qty
+        FROM lineitem
+        WHERE l_orderkey NOT BETWEEN 500 AND 700
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """,
+)
+def delete_cow_file_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted DELETE via copy-on-write — what ``DELETE FROM fact
+    WHERE key BETWEEN ...`` compiles to on a lakehouse table, done by
+    hand with the same two ingredients: the file-stats manifest finds
+    which files CAN contain deleted keys (here 2-3 of 16), only those
+    are rewritten with the doomed rows filtered out, and the "commit"
+    is a file-list swap (untouched files + the rewritten replacements).
+    The untouched majority of the table is never read, never decoded,
+    never rewritten — at 100 TB this is the difference between a
+    seconds-long maintenance op and rewriting the whole table for a
+    0.1 % delete. The returned aggregation runs over the post-delete
+    file list with NO runtime predicate on the deleted range: the
+    delete is physical + metadata, which the oracle (base table WHERE
+    NOT BETWEEN) must confirm — any row the rewrite failed to drop, or
+    any untouched-file row it wrongly dropped, breaks the hash."""
+    import uuid as _uuid
+
+    from pipeline_query_engine_demo_spark.sources.manifest import (
+        manifest_files,
+        prune_files_by_range,
+    )
+
+    lo, hi = 500, 700
+    mpath = lineitem_orderkey_manifest(spark, sf_dir)
+    touched, total = prune_files_by_range(mpath, lo, hi)
+    assert 0 < len(touched) < total, (
+        f"delete touches {len(touched)} of {total} files — copy-on-write "
+        "only pays off when the stats confine the delete to a few files"
+    )
+    untouched = [f for f in manifest_files(mpath) if f not in set(touched)]
+    # Fresh rewrite dir per invocation: the op IS a write, and its cost
+    # is proportional to the touched files only.
+    rewrite_dir = os.path.join(_SCRATCH, f"cow_rewrite_{_uuid.uuid4().hex[:12]}")
+    (
+        spark.read.parquet(*touched)
+        .filter(~F.col("l_orderkey").between(lo, hi))
+        .write.mode("overwrite")
+        .parquet(rewrite_dir)
+    )
+    post_delete = spark.read.parquet(*untouched, rewrite_dir)
+    return (
+        post_delete.groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
 def events_hilbert_clustered(spark: SparkSession, sf_dir: str) -> str:
     """events re-laid-out ordered by the Hilbert position of
     (user bucket, scaled hour) — the MULTI-key generalization of

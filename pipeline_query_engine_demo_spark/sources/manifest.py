@@ -71,6 +71,14 @@ def write_file_manifest(
     )
 
 
+def manifest_files(manifest_path: str) -> list[str]:
+    """All data files the manifest indexes — the metadata-plane file
+    listing (replaces a filesystem LIST, which at 100 TB object stores
+    throttle and bill per call)."""
+    d = pq.read_table(manifest_path, columns=["file_path"]).to_pydict()
+    return list(d["file_path"])
+
+
 def prune_files_by_range(
     manifest_path: str, lo: int, hi: int
 ) -> tuple[list[str], int]:
