@@ -362,6 +362,93 @@ def bucket_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The deliberately cross-prone FROM order (orders and nation share no
+#: join key): taken literally this is a cartesian; the optimizer must
+#: re-associate the predicates. Shared with tests/test_plans.py, which
+#: asserts the JOIN plan itself (the registered query returns through an
+#: eager localCheckpoint, so its audited plan is the checkpoint scan).
+_CBO_CROSS_PRONE_SQL = """
+    SELECT n.n_name AS n_name, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM cbo_orders o, cbo_nation n, cbo_customer c
+    WHERE o.o_custkey = c.c_custkey
+      AND c.c_nationkey = n.n_nationkey
+      AND o.o_orderpriority = '1-URGENT'
+    GROUP BY n.n_name
+"""
+
+
+@query(
+    "cbo_stats_join_reorder",
+    category="sink",
+    oracle="""
+        SELECT n_name, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY n_name ORDER BY n_name
+    """,
+)
+def cbo_stats_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based optimization fed by ANALYZE TABLE statistics — the
+    catalog-stats pipeline a 100 TB warehouse runs nightly, exercised
+    end to end: the three join inputs become catalog tables, ``ANALYZE
+    TABLE ... COMPUTE STATISTICS FOR COLUMNS`` records row counts and
+    column NDV/min/max, and the query runs under ``spark.sql.cbo.
+    enabled`` + ``joinReorder.enabled``. The FROM clause deliberately
+    lists the tables in a cross-prone order (orders, nation, customer —
+    orders and nation share no join key), so taking the text literally
+    would plan a cartesian product; the optimizer must re-associate the
+    predicates into orders⋈customer⋈nation, and the corpus-wide plan
+    audit (no unwhitelisted CartesianProduct, tools/audit_plans.py)
+    asserts it did. With CBO on, that reordering and the build-side
+    choices run off ANALYZE's exact rowCounts instead of raw file sizes
+    — the distinction that matters at scale, where a heavily compressed
+    dimension looks small on disk but explodes in memory
+    (tests/test_plans.py pins that the analyzed rowCount actually
+    reaches the optimized plan). The conf bracket holds only while the
+    eager localCheckpoint executes the join."""
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    for name, df in (
+        ("cbo_nation", nation.select("n_nationkey", "n_name")),
+        ("cbo_customer", customer.select("c_custkey", "c_nationkey")),
+        (
+            "cbo_orders",
+            orders.select("o_custkey", "o_totalprice", "o_orderpriority"),
+        ),
+    ):
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .option("path", os.path.join(_SCRATCH, name))
+            .saveAsTable(name)
+        )
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS")
+    confs = {
+        "spark.sql.cbo.enabled": "true",
+        "spark.sql.cbo.joinReorder.enabled": "true",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # eager localCheckpoint: the joins execute under the held confs
+        agg = spark.sql(_CBO_CROSS_PRONE_SQL).localCheckpoint()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return agg.orderBy("n_name")
+
+
 @query(
     "approx_count_distinct_priorities",
     category="approx-agg",

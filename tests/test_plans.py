@@ -396,6 +396,54 @@ def test_manifest_file_skip_prunes_file_list(spark, tmp_path):
     assert none_selected == []
 
 
+def test_cbo_analyzed_rowcount_reaches_optimizer(spark, sf_dir):
+    """cbo_stats_join_reorder's premise, pinned: ANALYZE TABLE's exact
+    rowCount must actually reach the optimized plan's statistics under
+    spark.sql.cbo.enabled (otherwise the conf bracket is decoration and
+    join reordering still runs on file-size guesses). Builds the same
+    catalog tables the query uses, then compares the logical plan's
+    rowCount stat to the true count — and asserts the registered
+    query's cross-prone FROM order still plans no cartesian (the
+    corpus audit enforces this too; here it fails next to its cause)."""
+    from pipeline_query_engine_demo_spark.plans import sinks
+
+    sinks.cbo_stats_join_reorder(spark, sf_dir)
+    # build side effects done: the cbo_* tables exist and are analyzed
+    true_n = spark.table("cbo_orders").count()
+    confs = {
+        "spark.sql.cbo.enabled": "true",
+        "spark.sql.cbo.joinReorder.enabled": "true",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        stats = (
+            spark.table("cbo_orders")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+        )
+        assert stats.rowCount().isDefined(), "ANALYZE rowCount not plumbed"
+        assert int(str(stats.rowCount().get())) == true_n
+        # the JOIN plan itself (the registered query returns through a
+        # localCheckpoint, hiding the join from its audited plan)
+        plan = (
+            spark.sql(sinks._CBO_CROSS_PRONE_SQL)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
     """bloom_filter_pruned_join's reason to exist: under the held confs
     the executed plan must build a bloom filter from the selective dim's

@@ -76,6 +76,7 @@ QUERIES = [
     "bucket_pruned_scan",
     "streaming_restart_resume_user_totals",
     "delete_cow_file_rewrite",
+    "cbo_stats_join_reorder",
     # round-9 additions: the 1-bit ANN tier, the truncated-dim recall
     # dial, and the per-node triangle credit join.
     "binary_sign_hamming_topk",
