@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Column
 
 from pipeline_query_engine_demo_spark.functions.text import distinct_tokens, shingles
+from pipeline_query_engine_demo_spark.session import resilient_local_checkpoint
 
 #: Number of MinHash hash functions and how they are banded for LSH.
 #: 8 signatures in 4 bands of 2: near-dups (J >= ~0.6) collide with high
@@ -207,7 +208,11 @@ def lsh_candidate_pairs(
     — tens of bytes per document regardless of document size — so
     materializing it trades a sliver of executor storage for half the
     heavy lifting (measured 9.5 s -> 5.6 s at sf0.1). The lineage cut
-    also means a lost executor re-reads the checkpoint, not the corpus."""
+    means downstream stages re-read the checkpoint, not the corpus —
+    and because the cut makes the blocks irreplaceable, multi-executor
+    runs store them replicated (session.resilient_local_checkpoint;
+    a lost executor then degrades to a replica read instead of
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND aborting the query)."""
     buckets = lsh_band_buckets(
         signatures
         if signatures is not None
@@ -227,7 +232,7 @@ def lsh_candidate_pairs(
     if materialize:
         # Lazy: materializes on the caller's first action, computed once
         # and shared by both self-join branches.
-        buckets = buckets.localCheckpoint(eager=False)
+        buckets = resilient_local_checkpoint(buckets, eager=False)
     a = buckets.select(
         F.col(id_col).alias("id_a"), "band_id", "band_hash"
     )
@@ -414,12 +419,16 @@ def near_dup_pairs(
             f"clone_group_cap must be >= 1 or None, got {clone_group_cap}"
         )
     if contract_exact:
-        members = df.select(
-            F.col(id_col), F.sha2(F.col(text_col), 256).alias("_h")
-        ).localCheckpoint(eager=False)
-        groups = members.groupBy("_h").agg(
-            F.min(id_col).alias("_rep"), F.count(F.lit(1)).alias("_n")
-        ).localCheckpoint(eager=False)
+        members = resilient_local_checkpoint(
+            df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("_h")),
+            eager=False,
+        )
+        groups = resilient_local_checkpoint(
+            members.groupBy("_h").agg(
+                F.min(id_col).alias("_rep"), F.count(F.lit(1)).alias("_n")
+            ),
+            eager=False,
+        )
         # ADAPTIVE TRIGGER — one 2-int driver scalar off the
         # (checkpointed, reused) group map; plan selection only, nothing
         # is collected. Contraction's COST (two corpus-sized
@@ -501,9 +510,10 @@ def near_dup_pairs(
             )
         )
         return intra.unionByName(cross)
-    sigs = minhash_signatures(
-        df, id_col, text_col, num_hashes, shingle_n
-    ).localCheckpoint(eager=False)
+    sigs = resilient_local_checkpoint(
+        minhash_signatures(df, id_col, text_col, num_hashes, shingle_n),
+        eager=False,
+    )
     candidates = lsh_candidate_pairs(
         df,
         id_col,
@@ -575,7 +585,7 @@ class _RoundCheckpoints:
 
     def checkpoint(self, df: DataFrame) -> DataFrame:
         before = set(self._snapshot())
-        out = df.localCheckpoint(eager=True)
+        out = resilient_local_checkpoint(df, eager=True)
         created = {k: v for k, v in self._snapshot().items() if k not in before}
         own = self._own_rdd_id(out)
         if own is not None and own in created:
@@ -625,11 +635,11 @@ def connected_components(
     # tracker's per-round sets (a lazy checkpoint would materialize
     # inside round 1's job and be misattributed to round 1 — then freed
     # two rounds later, which is fatal for a lineage-truncated RDD).
-    sym = (
+    sym = resilient_local_checkpoint(
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        eager=True,
     )
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id"))
     rounds = _RoundCheckpoints(nodes.sparkSession)
@@ -954,14 +964,16 @@ def incremental_dedup(
     # trap lsh_candidate_pairs' bucket checkpoint closes, measured there
     # at 9.5 -> 5.6 s).
     pairs = (
-        inc_buckets.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
-        .join(
-            ex_buckets.select(F.col(id_col).alias("id_b"), "band_id", "band_hash"),
-            on=["band_id", "band_hash"],
+        resilient_local_checkpoint(
+            inc_buckets.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
+            .join(
+                ex_buckets.select(F.col(id_col).alias("id_b"), "band_id", "band_hash"),
+                on=["band_id", "band_hash"],
+            )
+            .select("id_a", "id_b")
+            .distinct(),
+            eager=False,
         )
-        .select("id_a", "id_b")
-        .distinct()
-        .localCheckpoint(eager=False)
     )
     union_corpus = existing.select(id_col, text_col).unionByName(
         incoming.select(id_col, text_col)

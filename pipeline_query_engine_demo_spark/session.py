@@ -111,6 +111,35 @@ _LOCAL_DEFAULTS: dict[str, str] = {
 }
 
 
+def resilient_local_checkpoint(df, eager: bool = True):
+    """``localCheckpoint`` with a storage level that survives losing one
+    executor when the app actually runs on multiple executor JVMs.
+
+    Local checkpointing truncates lineage by design, so its blocks are
+    the ONLY way to recompute downstream stages — and the default
+    storage keeps one replica. On a multi-executor cluster, SIGKILLing
+    the executor that holds a block is then unrecoverable:
+    ``CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND`` aborts the job after
+    exhausting stage retries (reproduced deterministically by
+    tests/test_fault_tolerance.py's executor-kill drill before this
+    helper existed). ``MEMORY_AND_DISK_2`` keeps a second replica on
+    another executor, so single-executor loss degrades to a replica
+    read instead of a dead query — the posture a 100 TB cluster needs,
+    where executor churn is routine.
+
+    In single-JVM ``local[n]`` mode there is no second executor to
+    replicate to; the default level is kept (replication would only log
+    insufficient-peer warnings), so bench timings, plan fingerprints,
+    and block-manager footprint in the test/bench environment are
+    byte-identical to plain ``localCheckpoint``."""
+    sc = df.sparkSession.sparkContext
+    if sc.master.startswith("local[") or sc.master == "local":
+        return df.localCheckpoint(eager=eager)
+    from pyspark.storagelevel import StorageLevel
+
+    return df.localCheckpoint(eager=eager, storageLevel=StorageLevel.MEMORY_AND_DISK_2)
+
+
 def get_spark(app_name: str = "pipeline-query-engine-spark", **overrides: str) -> SparkSession:
     """Build (or fetch) the session.
 
