@@ -284,6 +284,20 @@ def jaccard_pairs(
     toks = restricted.select(
         F.col(id_col), F.explode(_units(F.col(text_col), shingle_n)).alias("tok")
     )
+    return jaccard_pairs_from_units(toks, pairs, id_col)
+
+
+def jaccard_pairs_from_units(
+    toks: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """The verify tail of :func:`jaccard_pairs` over an externally-built
+    (id, tok) unit table. A caller that verifies SEVERAL candidate sets
+    against the same corpus (the banding recall sweep) materializes the
+    unit explode once and shares it across chains — per-pair Jaccard
+    depends only on each doc's unit set, never on which candidate set
+    restricted the explode, so the result is identical to per-chain
+    jaccard_pairs calls (r12 optimization, guide §2.4: one shared
+    subtree instead of three re-derivations)."""
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_toks"))
     ta = toks.select(F.col(id_col).alias("id_a"), "tok")
     tb = toks.select(F.col(id_col).alias("id_b"), "tok")

@@ -12,6 +12,7 @@ from pipeline_query_engine_demo_spark.functions.rounding import (
 )
 from pipeline_query_engine_demo_spark.operators import dedup, similarity
 from pipeline_query_engine_demo_spark.plans.registry import query
+from pipeline_query_engine_demo_spark.session import resilient_local_checkpoint
 from pipeline_query_engine_demo_spark.sources.catalog import load_table
 
 
@@ -47,6 +48,18 @@ _TOKS_CTE = (
 # --------------------------------------------------------------------------
 # Deduplication
 # --------------------------------------------------------------------------
+
+
+def _docs_fanned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan, fanned out when the layout is unsplittable.
+
+    r12 optimization (guide §2.5): the MinHash/shingle pipelines do their
+    heavy per-row work (shingle explode + k×md5 partial mins) INSIDE the
+    scan stage; the single-row-group fixture file pins that to one task
+    (profiled: 1.45 s of a 3.7 s near_dup run in one 32-core-idle stage).
+    ``fanout_width`` returns None on splittable (real, multi-file) layouts,
+    so the extra exchange exists only where the scan cannot parallelize."""
+    return load_table(spark, sf_dir, "documents", fan_out=True)
 
 
 @query(
@@ -104,7 +117,7 @@ def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (8 hash functions over 3-word shingles): one
     explode + one groupBy with k map-side min() aggregates — the shuffle
     is one row per document regardless of document length."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_fanned(spark, sf_dir)
     return dedup.minhash_signatures(docs, "doc_id", "text").orderBy("doc_id")
 
 
@@ -121,7 +134,7 @@ def lsh_candidate_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (band_id, band_hash) so only intra-bucket pairs are generated —
     never the corpus square. The whole MinHash->banding->candidate
     pipeline is pure SQL-expressible (this oracle is that proof)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_fanned(spark, sf_dir)
     return dedup.lsh_candidate_pairs(docs, "doc_id", "text").orderBy("id_a", "id_b")
 
 
@@ -152,7 +165,7 @@ def near_dup_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     restricted exact Jaccard -> threshold. The verification join touches
     candidate pairs only (see operators.dedup.jaccard_pairs) — the
     oracle reproduces the same restriction in SQL."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_fanned(spark, sf_dir)
     return dedup.near_dup_pairs(docs, "doc_id", "text", threshold=0.6).orderBy("id_a", "id_b")
 
 
@@ -183,7 +196,7 @@ def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     components with a recursive transitive-closure CTE — feasible for
     DuckDB at fixture scale, quadratic at corpus scale, which is exactly
     why the Spark side iterates joins instead."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_fanned(spark, sf_dir)
     return dedup.dedup_clusters(docs, "doc_id", "text", threshold=0.6).select(
         F.col("id").alias("doc_id"), "cluster_id"
     ).orderBy("doc_id")
@@ -205,7 +218,7 @@ def dedup_clusters_starcontract(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_dedup.py additionally plants a 40-node chain where
     propagation at max_iter=15 provably cannot converge and
     star-contraction does."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_fanned(spark, sf_dir)
     pairs = dedup.near_dup_pairs(docs, "doc_id", "text", threshold=0.6)
     return (
         dedup.connected_components_star(docs.select("doc_id"), pairs, "doc_id")
@@ -1056,7 +1069,10 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps chunk rows ~corpus_chars/128."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    # r12 optimization (guide §2.5): the per-position md5 pass below is the
+    # query's cost (corpus_chars hashes) and pipelines into the scan stage;
+    # on the unsplittable single-row-group fixture that pins it to 1 task.
+    docs = _docs_fanned(spark, sf_dir)
     d = docs.select(
         "doc_id",
         "source",
@@ -1081,6 +1097,11 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("gh") % 128 == 0) & (F.col("p") + 7 < n))
         .select("doc_id", (F.col("p") + 7).alias("cut"))
     )
+    # Two consumers (mids' window, lastc's groupBy) sit behind DIFFERENT
+    # exchanges, so without a lineage cut the whole corpus-chars md5 pass
+    # executes twice (profiled: 2 × ~4.1 s at sf0.1). The cut table is
+    # tiny (~1/128 of positions), so materializing it once is ~free.
+    cuts = resilient_local_checkpoint(cuts, eager=False)
     w_ord = Window.partitionBy("doc_id").orderBy("cut")
     mids = cuts.select(
         "doc_id",
@@ -1281,10 +1302,24 @@ def lsh_bands_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefilter + candidate-restricted verify."""
     from pipeline_query_engine_demo_spark.operators import dedup as _d
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_fanned(spark, sf_dir)
     sigs = _d.minhash_signatures(docs, "doc_id", "text").localCheckpoint(
         eager=False
     )
+    # r12 optimization (guide §2.4): all three banding chains verify
+    # against the SAME corpus — materialize the shingle explode once and
+    # share it (jaccard_pairs_from_units) instead of re-deriving a
+    # candidate-restricted explode per chain (the b=8 singleton-band
+    # chain's candidate set covers ~the whole corpus anyway, so the
+    # unrestricted unit table costs the same explode the largest chain
+    # already paid). Per-pair Jaccard is restriction-independent —
+    # results identical.
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(_d._units(F.col("text"), _d.DEFAULT_SHINGLE_N)).alias("tok"),
+        )
+    ).localCheckpoint(eager=False)
     rows = []
     vers = []
     for b in _SWEEP_BANDS:
@@ -1300,7 +1335,7 @@ def lsh_bands_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             sigs, cand, "doc_id", _d.DEFAULT_NUM_HASHES, _d.DEFAULT_EST_PREFILTER
         )
         ver = (
-            _d.jaccard_pairs(docs, estf, "doc_id", "text")
+            _d.jaccard_pairs_from_units(toks, estf, "doc_id")
             .filter(F.col("jaccard") >= 0.6)
             .select("id_a", "id_b")
             .localCheckpoint(eager=False)

@@ -10,7 +10,7 @@ from pipeline_query_engine_demo_spark.functions.rounding import (
     sql_round_half_up,
 )
 from pipeline_query_engine_demo_spark.plans.registry import query
-from pipeline_query_engine_demo_spark.sources.catalog import load_table
+from pipeline_query_engine_demo_spark.sources.catalog import fanout_width, load_table
 
 
 #: Benford first-digit probabilities log10(1 + 1/d), pre-folded to
@@ -126,13 +126,31 @@ def _order_part_pairs(
     (each pair appears exactly once per order — collect_set dedups
     within the order)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # r12 optimization (guide §2.5): the fixture lineitem is one
+    # single-row-group parquet file, so the scan + partial collect_set
+    # stage is pinned to ~1 task; and the EXPANSION stage downstream is
+    # CPU-quadratic in order size while its input bytes are tiny, so AQE
+    # (which sizes by bytes) coalesces it to a handful of tasks. Fan both
+    # out explicitly when — and only when — the layout is unsplittable
+    # (fanout_width returns None on real multi-file layouts). The second
+    # repartition hashes on l_orderkey: deterministic, no round-robin sort.
+    w = fanout_width(spark, sf_dir, "lineitem")
+    if w:
+        li = li.repartition(w)
     per_order = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
+    if w:
+        per_order = per_order.repartition(w, "l_orderkey")
     if directed:
+        # Both orientations emitted per unordered pair in ONE slice pass —
+        # per-order pair MULTISET identical to the older per-element
+        # filter() form (each ordered pair exactly once), ~2× fewer
+        # interpreted HOF steps (no per-element filter scan + realloc).
         expr = (
-            "flatten(transform(ps, x -> "
-            "transform(filter(ps, y -> y != x), y -> struct(x AS src, y AS dst))))"
+            "flatten(transform(ps, (x, i) -> "
+            "flatten(transform(slice(ps, i + 2, size(ps)), y -> "
+            "array(struct(x AS src, y AS dst), struct(y AS src, x AS dst))))))"
         )
     else:
         expr = (

@@ -49,6 +49,17 @@ _COSINE_SQL = sql_round_half_up(
 )
 
 
+def _emb_fanned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings CORPUS scan, fanned out when the layout is unsplittable.
+
+    r12 optimization (guide 2.5): the HOF cosine/score fold is heavy
+    per-row JVM expression work pipelined into the scan stage; the
+    single-row-group fixture pins it to one task (profiled: 0.5-0.7 s
+    single-task stages in the ANN/cosine rows). Query-side scans stay on
+    the plain load_table (they only feed broadcasts)."""
+    return load_table(spark, sf_dir, "embeddings", fan_out=True)
+
+
 @query(
     "cosine_topk_embeddings",
     category="llm-similarity",
@@ -71,8 +82,8 @@ def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus streams map-side through the score + per-query window top-k —
     the corpus never shuffles. Both engines fold the dot product
     left-to-right in double, so rounded scores match bit-for-bit."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 5)
+    emb = _emb_fanned(spark, sf_dir)
+    q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5)
     return similarity.cosine_topk(emb, q, "vec_id", "embedding", k=10).orderBy(
         "query_id", "rank"
     )
@@ -107,8 +118,8 @@ def ann_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed dims): the bucket equi-join replaces the cross join, scanning
     ~corpus/16 per query at some recall cost (operators.similarity.
     ann_topk_lsh). Recall vs the exact query is asserted in tests/."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 5)
+    emb = _emb_fanned(spark, sf_dir)
+    q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5)
     return similarity.ann_topk_lsh(
         emb, q, "vec_id", "embedding", k=10, dims=(0, 7, 21, 42)
     ).orderBy("query_id", "rank")
@@ -151,8 +162,8 @@ def ann_hyperplane_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     variant — buckets partition by the data's directional distribution.
     Same bucket-equi-join scan shape (~corpus/16 per query); the oracle
     embeds the identical seeded hyperplane literals."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 5)
+    emb = _emb_fanned(spark, sf_dir)
+    q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5)
     return similarity.ann_topk_hyperplane(
         emb, q, "vec_id", "embedding", k=10, planes=_HYPERPLANES
     ).orderBy("query_id", "rank")
@@ -208,8 +219,8 @@ def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     With unit one-hot centroids the cell ordering reduces to raw
     coordinate comparisons, which the oracle mirrors (ties broken
     first-cell-wins on both sides)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 5)
+    emb = _emb_fanned(spark, sf_dir)
+    q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5)
     return similarity.ivf_topk(
         emb, q, "vec_id", "embedding", IVF_CENTROIDS, k=10, nprobe=2
     ).orderBy("query_id", "rank")
@@ -1243,8 +1254,8 @@ def ann_multiprobe_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     distinct and corpus rows live in one bucket, so no candidate is
     scored twice; the fan-out multiplies only the broadcast query
     side."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 5)
+    emb = _emb_fanned(spark, sf_dir)
+    q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5)
     return similarity.ann_topk_multiprobe(
         emb, q, "vec_id", "embedding", k=10, dims=(0, 7, 21, 42)
     ).orderBy("query_id", "rank")
@@ -1290,7 +1301,7 @@ def gram_matrix_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     2080 running sums per partition. For d where d^2 explode dominates,
     the same plan swaps to a mapInPandas numpy syrk per partition —
     documented alternative, not needed at d=64."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb_fanned(spark, sf_dir)
     cells = emb.select(
         F.explode(
             F.expr(

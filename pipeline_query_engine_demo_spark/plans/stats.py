@@ -529,7 +529,14 @@ def mad_robust_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(mid, F.col("value"))) / F.count(F.when(mid, 1))
         ).alias("median_value"),
     )
-    dev = r.join(med.select("event_type", "median_value"), "event_type").select(
+    # Explicit broadcast (guide §3.1): med/mad are one-row-per-event-type
+    # tables (low-cardinality enum key). Left to AQE, this join flapped
+    # between SortMergeJoin and runtime-converted BroadcastHashJoin across
+    # otherwise-identical runs (inherited MANIFEST-PLAN-DRIFT, r12 session
+    # 5) — the hint pins the always-correct strategy and the fingerprint.
+    dev = r.join(
+        F.broadcast(med.select("event_type", "median_value")), "event_type"
+    ).select(
         "event_type",
         "event_id",
         F.abs(F.col("value") - F.col("median_value")).alias("d"),
@@ -545,7 +552,7 @@ def mad_robust_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.when(mid, F.col("d"))) / F.count(F.when(mid, 1))).alias("mad_value")
     )
     outliers = (
-        dev.join(mad, "event_type")
+        dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
         .agg(
             F.count(
@@ -2395,7 +2402,12 @@ def permutation_test_mean_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed, never shuffled as state; per-replicate means are
     combinable aggregates, 64 rows per pair at the end. Pair
     generation is the whitelisted 5-row inequality self-join."""
-    cust = load_table(spark, sf_dir, "customer")
+    # r12 optimization (guide §2.5): the ×64 replicate explode and its
+    # per-row md5 relabeling hash (the dominant ~3.5 s of this query,
+    # measured r12 session 3) pipeline into the customer scan stage —
+    # single-row-group fixture = one task. Fan-out spreads the md5 work;
+    # bh_fdr_segment_tests composes this builder and inherits the win.
+    cust = load_table(spark, sf_dir, "customer", fan_out=True)
     base = cust.select(
         F.col("c_mktsegment").alias("seg"),
         "c_custkey",
@@ -2439,10 +2451,16 @@ def permutation_test_mean_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("t_obs"),
         )
     )
-    m1 = pairs.join(base, F.col("seg") == F.col("s1")).select(
+    # Broadcast the PAIRS side explicitly (guide §3.1): both sides are
+    # byte-tiny, and left to itself the planner broadcast `base` and
+    # streamed the 10-row pairs table — putting the ×64 replicate explode
+    # and its per-row md5 (the query's dominant cost) downstream of a
+    # 1-partition input, single-task. Broadcasting pairs streams `base`
+    # (fanned out above), so the md5 work spreads over the cluster.
+    m1 = F.broadcast(pairs).join(base, F.col("seg") == F.col("s1")).select(
         "s1", "s2", "c_custkey", "cents"
     )
-    m2 = pairs.join(base, F.col("seg") == F.col("s2")).select(
+    m2 = F.broadcast(pairs).join(base, F.col("seg") == F.col("s2")).select(
         "s1", "s2", "c_custkey", "cents"
     )
     members = m1.unionAll(m2)
@@ -2652,7 +2670,11 @@ def logistic_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     label-independent of these two features, so the fit converges to a
     weak but deterministic model — the point is the exact distributed
     training loop, not the AUC."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # r12 optimization (guide §2.5): every one of the 6 GD passes pipelines
+    # its sigmoid + 9-dp decimal gradient terms into the lineitem scan
+    # stage; the unsplittable single-row-group fixture serialized all six
+    # passes onto one core (profiled 8.2 s). Fan-out spreads each pass.
+    li = load_table(spark, sf_dir, "lineitem", fan_out=True)
     base = li.select(
         (
             F.floor(F.col("l_quantity").cast("double") * F.lit(100.0) + F.lit(0.5))

@@ -193,7 +193,7 @@ def keyword_tag_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pii_scrub_patterns' regex alternative cannot reach. Documents with
     no matches keep a 0/'' row — curation filters need the negatives.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     matched = F.array_sort(
         F.array_intersect(
             text.distinct_tokens(F.col("text")),
@@ -240,7 +240,7 @@ def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     type-token ratio, mean token length, stopword share, and the
     composite quality score — all pure Column expressions inside
     whole-stage codegen; zero shuffles, scales with the scan."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return docs.select(
         "doc_id",
         text.token_count("text").alias("n_tokens"),
@@ -334,7 +334,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> window top-k) — no ml-lib dependency, fully plan-optimizable.
     Smoothed idf = ln((N+1)/(df+1)); both engines' ln agree on these
     operands (libm double, identical inputs), rounded to 6."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     tf = docs.select("doc_id", F.explode(text.tokens("text")).alias("tok"))
     tfc = tf.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     dfc = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
@@ -1985,7 +1985,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the literal-python Sennrich loop in tests pins both.
     All-integer counts + lexicographic tie-break make every round
     deterministic in any engine."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
@@ -2968,7 +2968,7 @@ def vocab_coverage_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the rank/cumsum window is PARTITIONED BY source over vocab-sized
     (not corpus-sized) input — the same two-phase shape as the BPE and
     vocab-induction queries."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     toks = docs.select("source", F.explode(F.split(F.col("text"), " ")).alias("tok"))
     counts = toks.groupBy("source", "tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
