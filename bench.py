@@ -294,10 +294,31 @@ def main() -> None:
     # steady on this box). The timed pass therefore reports
     # steady-state throughput, which is the number that scales to a
     # long-running cluster job and is stable round-over-round.
+    def drop_run_blocks() -> None:
+        # Unpersist the RDD blocks a run leaves in the block manager
+        # (lazy localCheckpoints in the dedup/graph/sweep pipelines).
+        # Runs BETWEEN timed runs, never inside one: every rep rebuilds
+        # its DataFrames from the parquet inputs, so no later run can
+        # reference an earlier run's checkpoint blocks — leaving them
+        # pinned only AGES the session (r12 session 5 measured late-
+        # session warm reps inflating 1.5-2x vs a fresh session on
+        # identical plans: thousands of dead persisted RDDs by the 4th
+        # corpus pass). This is cleanup, the opposite of caching —
+        # nothing is precomputed or reused across runs, and the timed
+        # window is unchanged.
+        it = spark.sparkContext._jsc.getPersistentRDDs().entrySet().iterator()
+        while it.hasNext():
+            try:
+                it.next().getValue().unpersist(False)
+            except Exception:
+                pass  # already cleaned by the ContextCleaner
+
     def run(name: str) -> float:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        return round(time.perf_counter() - t0, 3)
+        dt = round(time.perf_counter() - t0, 3)
+        drop_run_blocks()
+        return dt
 
     # Tiering (see HOT_EXTENDED): "full" (default, the per-round record)
     # times every extended row; "hot" times the representative slice —

@@ -1343,7 +1343,7 @@ def duplicated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: positions and counts are integers, the gram key is
     md5 — the oracle replays the identical pipeline and every column
     hash-compares raw."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id", "text")
     w = F.split(F.col("text"), " ")
 
     # let-bound: the sliding-gram lambda slices the tokenization once

@@ -160,7 +160,7 @@ def kmv_distinct_shingles_by_source(spark: SparkSession, sf_dir: str) -> DataFra
     (source, hv) — at 100 TB you DROP that column and keep the sketch;
     it ships here because the fixture can afford the ground truth and
     the estimator's error then stays visible in every gate run."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     hashes = _source_shingle_hashes(docs)
     exact = hashes.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("exact_distinct")
@@ -234,7 +234,7 @@ def theta_sketch_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: retained sets, θ, and both estimates derive from md5
     — the gate hash-compares every column raw. Accuracy vs the exact
     overlap is pinned in tests/test_sketches.py."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     sk = kmv_sketch(_source_shingle_hashes(docs)).localCheckpoint(eager=False)
     meta = _sketch_meta(sk)
     pairs = (
@@ -337,7 +337,7 @@ def kmv_merge_global_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: after the one corpus pass that builds per-source sketches,
     the merge touches KB regardless of corpus size; the exact column
     is the piece you drop at 100 TB."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     hashes = _source_shingle_hashes(docs)
     sk = kmv_sketch(hashes)
     n_sources = sk.select("source").distinct().agg(
@@ -455,7 +455,7 @@ def hll_distinct_shingles_by_source(spark: SparkSession, sf_dir: str) -> DataFra
     (source, j) max — fully combinable (map-side max) — then 64 rows
     per source; sketches from disjoint partitions/days MERGE by
     register max, the union-ability pytest proves it bit-for-bit."""
-    hashes = _source_shingle_hashes(load_table(spark, sf_dir, "documents"))
+    hashes = _source_shingle_hashes(load_table(spark, sf_dir, "documents", fan_out=True))
     rest = F.expr(f"hv div {_HLL_M}")
     rho = F.when(rest == 0, F.lit(_HLL_RHO_CAP)).otherwise(
         F.lit(_HLL_RHO_CAP) - F.length(F.bin(rest))
@@ -570,7 +570,7 @@ def theta_sketch_anotb_difference(spark: SparkSession, sf_dir: str) -> DataFrame
     Scale: after the one sketch-building corpus pass, both anti-join
     legs run over broadcast k·|sources| rows — pair cost is
     sketch-sized, independent of corpus size."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     sk = kmv_sketch(_source_shingle_hashes(docs)).localCheckpoint(eager=False)
     meta = _sketch_meta(sk)
     pairs = (

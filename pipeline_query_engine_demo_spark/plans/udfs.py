@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import pandas_udf, udtf
 
 from pipeline_query_engine_demo_spark.plans.registry import query
-from pipeline_query_engine_demo_spark.sources.catalog import load_table
+from pipeline_query_engine_demo_spark.sources.catalog import fanout_width, load_table
 
 
 @query(
@@ -114,6 +114,17 @@ def pandas_udf_grouped_agg_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         return float(qty.sum())
 
     lineitem = load_table(spark, sf_dir, "lineitem")
+    # r12 optimization (guide §4/§2.5): a grouped-agg pandas UDF ships every
+    # row through Arrow with no partial aggregation, so its parallelism IS
+    # the Python-worker count = the agg's partition count. AQE sizes that
+    # by shuffle BYTES (3.6 MB -> 3 partitions), serializing the Arrow
+    # boundary onto 3 workers. An explicit hash repartition on the group
+    # key at cluster width both fans out the Python stage and already
+    # satisfies the aggregation's required partitioning (no extra
+    # exchange). Layout-gated: None on real multi-file inputs.
+    w = fanout_width(spark, sf_dir, "lineitem")
+    if w:
+        lineitem = lineitem.repartition(w, "l_suppkey")
     return (
         lineitem.groupBy(F.col("l_suppkey").alias("suppkey"))
         .agg(total("l_quantity").alias("total_qty"))
