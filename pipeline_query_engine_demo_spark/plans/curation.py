@@ -1670,7 +1670,7 @@ def kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles carry tokens, never text); scoring is three equi-joins on
     bigram/context/word plus a 1-row broadcast of the bigram-type
     total."""
-    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("source", "text")
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
     words = F.split(F.col("text"), " ")
     tokens = docs.select("source", words.alias("w"))
     big = (
