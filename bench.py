@@ -283,7 +283,17 @@ def main() -> None:
     # assertion harness (result + plan fingerprints under concurrency);
     # this flag is the affordable repeat-me dial.
     conc = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_CONCURRENT", "0")))
-    spark = get_spark("bench", **({"spark.scheduler.mode": "FAIR"} if conc else {}))
+    spark = get_spark(
+        "bench",
+        # Bound the AppStatusStore stage retention so the between-runs
+        # parallelism snapshots iterate a few hundred summaries, not the
+        # whole session's history. UI metadata only — no effect on
+        # execution or timings.
+        **{
+            "spark.ui.retainedStages": "512",
+            **({"spark.scheduler.mode": "FAIR"} if conc else {}),
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     qs = plans.queries()
 
@@ -306,10 +316,14 @@ def main() -> None:
         # corpus pass). This is cleanup, the opposite of caching —
         # nothing is precomputed or reused across runs, and the timed
         # window is unchanged.
+        # unpersist(True) — blocking (r12 ADVICE): non-blocking removal
+        # proceeds asynchronously and can overlap the NEXT timed run,
+        # reintroducing a sliver of the cross-run interference this
+        # cleanup exists to remove.
         it = spark.sparkContext._jsc.getPersistentRDDs().entrySet().iterator()
         while it.hasNext():
             try:
-                it.next().getValue().unpersist(False)
+                it.next().getValue().unpersist(True)
             except Exception:
                 pass  # already cleaned by the ContextCleaner
 
@@ -328,11 +342,57 @@ def main() -> None:
         q for q in EXTENDED if q in HOT_EXTENDED
     ]
 
+    # Per-query parallelism evidence (r12 verdict item 2: the flat
+    # 8-vs-32-core wall ratios at sf0.1 were flagged as "cpus ignored";
+    # they are actually driver-latency-bound plans, and this proves it
+    # the direct way): around each query's COLD pass — never inside a
+    # timed window — snapshot the AppStatusStore stage list and record
+    # the max task count any single stage ran with, the stage count, and
+    # the summed executor run time. At CPUS=32 a fanned query shows
+    # 32-wide stages and the same executor-ms as at CPUS=8 with 8-wide
+    # stages; wall stays flat because scheduling, not compute, is the
+    # local floor. The timed methodology is unchanged — these reads
+    # happen between runs, on an already-finished query.
+    _jsc = spark.sparkContext._jsc
+    _jvm = spark._jvm
+    _gw = spark.sparkContext._gateway
+
+    def stage_snapshot() -> dict:
+        store = _jsc.sc().statusStore()
+        stages = store.stageList(
+            _jvm.java.util.ArrayList(),
+            False,
+            False,
+            _gw.new_array(_jvm.double, 0),
+            _jvm.java.util.ArrayList(),
+        )
+        out, it = {}, stages.iterator()
+        while it.hasNext():
+            s = it.next()
+            out[(s.stageId(), s.attemptId())] = (
+                s.numCompleteTasks(),
+                s.executorRunTime(),
+            )
+        return out
+
     # The warmup pass IS a cold pass — time it too, so the JSON carries
     # both cold (first-execution, comparable to r2's single-warmup runs)
     # and warm (steady-state, the number that scales to a long-running
     # job) without any extra wall-clock.
-    cold = {name: run(name) for name in HEADLINE + ext_names}
+    par: dict[str, dict] = {}
+    cold = {}
+    _prev_snap = stage_snapshot()
+    for name in HEADLINE + ext_names:
+        cold[name] = run(name)
+        _snap = stage_snapshot()
+        _new = [v for k, v in _snap.items() if k not in _prev_snap]
+        _prev_snap = _snap
+        if _new:
+            par[name] = {
+                "max_stage_tasks": max(v[0] for v in _new),
+                "stages": len(_new),
+                "exec_ms": int(sum(v[1] for v in _new)),
+            }
 
     # Since r5 (r4 verdict item 1): n warm reps per query, reporting the
     # per-query MEDIAN under the same "queries"/"extended" keys (so the
@@ -391,7 +451,23 @@ def main() -> None:
         # (tools/exit_chain.sh's guard rejects scheduler != FIFO, same as
         # the hot-tier rule).
         "scheduler": "FAIR" if conc else "FIFO",
+        # Parallelism evidence (additive, r12 verdict item 2): cpus is
+        # the session's actual defaultParallelism (proves the env var
+        # took effect); the aggregate shows how many queries ran at
+        # least one stage at >= half the cluster width. Per-query
+        # breakdown in the detail sidecar under "parallelism".
+        "cpus": spark.sparkContext.defaultParallelism,
     }
+    _widths = sorted(p["max_stage_tasks"] for p in par.values())
+    if _widths:
+        payload["parallelism"] = {
+            "max_stage_tasks_p50": _widths[len(_widths) // 2],
+            "max_stage_tasks_max": _widths[-1],
+            "queries_ge_half_cpus": sum(
+                1 for w in _widths if w * 2 >= payload["cpus"]
+            ),
+            "n_measured": len(_widths),
+        }
     if conc:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -427,6 +503,7 @@ def main() -> None:
         **{n: v[3] for n, v in med_ext.items()},
     }
     detail["cold"] = cold
+    detail["parallelism"] = par
     detail_path = os.environ.get(
         "SPARK_GRAFT_BENCH_DETAIL",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),

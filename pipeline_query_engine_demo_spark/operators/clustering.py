@@ -198,8 +198,17 @@ def kmeans_train(
     )
     cent = init_centroids
     assign = None
-    for _ in range(iterations):
-        assign = assign_cells(e, id_col, cent, nv=nv).localCheckpoint(eager=False)
+    # r13: intermediate assignments are consumed exactly ONCE (by the
+    # round's centroid update), so cutting them bought nothing and cost
+    # one semi-eager AQE materialization (blocking driver sync,
+    # ~130-400 ms profiled) per round — only the FINAL assignment, which
+    # both the last update and the caller consume, keeps its cut. The
+    # centroid table stays cut per round: assign_cells consumes it twice
+    # (the broadcast dot join and the norm aggregate).
+    for i in range(iterations):
+        assign = assign_cells(e, id_col, cent, nv=nv)
+        if i == iterations - 1:
+            assign = assign.localCheckpoint(eager=False)
         cent = update_centroids(e, assign, id_col).localCheckpoint(eager=False)
     return cent, assign
 

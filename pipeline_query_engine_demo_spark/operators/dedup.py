@@ -281,10 +281,24 @@ def jaccard_pairs(
         .distinct()
     )
     restricted = df.join(cand_ids, on=id_col, how="left_semi")
-    toks = restricted.select(
+    return jaccard_pairs_from_units(
+        unit_table(restricted, id_col, text_col, shingle_n), pairs, id_col
+    )
+
+
+def unit_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = DEFAULT_SHINGLE_N,
+) -> DataFrame:
+    """(id, tok) similarity-unit explode — the one public builder behind
+    :func:`jaccard_pairs` and any caller that verifies several candidate
+    sets against one corpus (the banding recall sweep), so the explode
+    construction lives in exactly one place (r12 ADVICE)."""
+    return df.select(
         F.col(id_col), F.explode(_units(F.col(text_col), shingle_n)).alias("tok")
     )
-    return jaccard_pairs_from_units(toks, pairs, id_col)
 
 
 def jaccard_pairs_from_units(
@@ -433,32 +447,35 @@ def near_dup_pairs(
             f"clone_group_cap must be >= 1 or None, got {clone_group_cap}"
         )
     if contract_exact:
-        members = resilient_local_checkpoint(
-            df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("_h")),
-            eager=False,
-        )
-        groups = resilient_local_checkpoint(
-            members.groupBy("_h").agg(
-                F.min(id_col).alias("_rep"), F.count(F.lit(1)).alias("_n")
-            ),
-            eager=False,
-        )
-        # ADAPTIVE TRIGGER — one 2-int driver scalar off the
-        # (checkpointed, reused) group map; plan selection only, nothing
-        # is collected. Contraction's COST (two corpus-sized
-        # membership-expansion joins) is proportional to the corpus;
-        # its BENEFIT is proportional to the duplicate mass it removes —
-        # so when fewer than CONTRACT_MIN_DUP_PERCENT of documents are
-        # clones, skip straight to the uncontracted pipeline, which is
-        # output-identical when the caps don't bind and remains
-        # mega-clone-SAFE when they do (an over-cap clone group makes
-        # every one of its LSH buckets over-full, so the hot-bucket cap
-        # drops it — the same owned trade clone_group_cap encodes).
-        st = groups.agg(
-            F.sum("_n").alias("total"),
-            F.sum(F.col("_n") - F.lit(1)).alias("dups"),
+        # ADAPTIVE TRIGGER — one 2-int driver scalar; plan selection
+        # only, nothing is collected. Contraction's COST (two
+        # corpus-sized membership-expansion joins) is proportional to
+        # the corpus; its BENEFIT is proportional to the duplicate mass
+        # it removes — so when fewer than CONTRACT_MIN_DUP_PERCENT of
+        # documents are clones, skip straight to the uncontracted
+        # pipeline, which is output-identical when the caps don't bind
+        # and remains mega-clone-SAFE when they do (an over-cap clone
+        # group makes every one of its LSH buckets over-full, so the
+        # hot-bucket cap drops it — the same owned trade clone_group_cap
+        # encodes).
+        #
+        # r13 (guide §1.2/§5): the trigger is a BARE aggregation —
+        # count + count_distinct over the text hash, no id column, no
+        # localCheckpoint. The r12 shape derived it from the
+        # checkpointed members/groups tables, which meant the COMMON
+        # bypass path (every low-duplication corpus) materialized and
+        # then abandoned a corpus-sized (id, hash) block set plus the
+        # group map — block-manager pressure bought nothing. The
+        # contraction path now pays one extra narrow hash-scan to
+        # rebuild the group map it actually uses (its expansion joins
+        # re-scan the corpus several times anyway); the bypass path pays
+        # one lean combinable-aggregate job and persists nothing.
+        st = df.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.count_distinct(F.sha2(F.col(text_col), 256)).alias("uniq"),
         ).first()
-        if not st.total or (st.dups or 0) * 100 < st.total * CONTRACT_MIN_DUP_PERCENT:
+        dups = (st.total or 0) - (st.uniq or 0)
+        if not st.total or dups * 100 < st.total * CONTRACT_MIN_DUP_PERCENT:
             return near_dup_pairs(
                 df,
                 id_col,
@@ -471,6 +488,20 @@ def near_dup_pairs(
                 est_prefilter,
                 contract_exact=False,
             )
+        # Contraction path only: the shared clone-group map, checkpointed
+        # because members feeds both the group map and the membership
+        # expansion, and groups feeds the cap filter, the representative
+        # semi-join, and both expansion legs.
+        members = resilient_local_checkpoint(
+            df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("_h")),
+            eager=False,
+        )
+        groups = resilient_local_checkpoint(
+            members.groupBy("_h").agg(
+                F.min(id_col).alias("_rep"), F.count(F.lit(1)).alias("_n")
+            ),
+            eager=False,
+        )
         if clone_group_cap is not None:
             over = groups.filter(F.col("_n") > clone_group_cap)
             groups = groups.filter(F.col("_n") <= clone_group_cap)
@@ -597,9 +628,17 @@ class _RoundCheckpoints:
         except Exception:
             return None
 
-    def checkpoint(self, df: DataFrame) -> DataFrame:
+    def checkpoint(self, df: DataFrame, eager: bool = True) -> DataFrame:
+        """``eager=False`` registers the checkpoint RDD but defers block
+        materialization to the caller's next action — callers that
+        immediately run a count/aggregate over the result use this to
+        fold materialization into that job instead of paying a separate
+        eager-checkpoint job first (r13, guide §1.2: one driver sync per
+        round, not two). Attribution is unchanged: a lazy localCheckpoint
+        registers its RDD as persistent at call time, so the
+        before/after diff and the exact own-id read both still see it."""
         before = set(self._snapshot())
-        out = resilient_local_checkpoint(df, eager=True)
+        out = resilient_local_checkpoint(df, eager=eager)
         created = {k: v for k, v in self._snapshot().items() if k not in before}
         own = self._own_rdd_id(out)
         if own is not None and own in created:
@@ -657,6 +696,13 @@ def connected_components(
     )
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id"))
     rounds = _RoundCheckpoints(nodes.sparkSession)
+    # r13 (guide §1.2/§2.4): ONE driver sync per round instead of three.
+    # The convergence signal is computed INLINE as a boolean column while
+    # the new label is derived (new < old iff a strictly smaller neighbor
+    # label arrived — no join back against the old label table), the
+    # checkpoint is lazy, and the filter-count both materializes the
+    # round's blocks and returns the changed count in a single job —
+    # replacing the old eager-checkpoint job + separate join-count job.
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.id)
@@ -670,15 +716,12 @@ def connected_components(
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
                 ).alias("cluster_id"),
-            )
+                (F.col("nbr_min") < F.col("cluster_id")).alias("_chg"),
+            ),
+            eager=False,
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).count()
+        labels = new_labels.select("id", "cluster_id")
         if changed == 0:
             return labels
     raise RuntimeError(
@@ -723,13 +766,17 @@ def connected_components_star(
     (component_min, member); members absent from the edge list are
     their own singleton clusters."""
     rounds = _RoundCheckpoints(nodes.sparkSession)
+    # r13 (guide §1.2): lazy checkpoints — the per-round count both
+    # materializes the round's blocks and returns the convergence count
+    # in ONE job, replacing the old eager-checkpoint job + count job.
     e = rounds.checkpoint(
         edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .select(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
-        .distinct()
+        .distinct(),
+        eager=False,
     )
     n_e = e.count()
     for _ in range(max_iter):
@@ -754,7 +801,7 @@ def connected_components_star(
         )
         hang_self = small_min.select(F.col("m").alias("u"), "v")
         new_e = rounds.checkpoint(
-            hang_smaller.unionByName(hang_self).distinct()
+            hang_smaller.unionByName(hang_self).distinct(), eager=False
         )
         n_new = new_e.count()
         if n_new == n_e and new_e.exceptAll(e).count() == 0:

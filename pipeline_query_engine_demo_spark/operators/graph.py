@@ -67,6 +67,16 @@ def pagerank(
     ranks = nodes.crossJoin(n_tbl).select(
         "node", _r9(F.lit(1.0) / F.col("n")).alias("r")
     )
+    # r13: NO per-round lineage cut. Each round consumes the previous
+    # rank table exactly ONCE (the contrib join), so the un-checkpointed
+    # plan grows LINEARLY with the small fixed iteration count — there is
+    # no subtree duplication for a cut to prevent — and the repeated
+    # outdeg/n_tbl subtrees canonicalize identically, so ReuseExchange
+    # computes them once at execution. Dropping the per-round
+    # localCheckpoint removes `iterations` semi-eager AQE materializations
+    # (one blocking driver sync + stage jobs per round at build time,
+    # profiled ~130-400 ms each on an idle local[32]) and lets the whole
+    # train execute as one pipelined DAG.
     for _ in range(iterations):
         contrib = (
             edges.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -86,7 +96,6 @@ def pagerank(
                     F.lit(teleport) / F.col("n") + F.lit(damping) * F.col("s")
                 ).alias("r"),
             )
-            .localCheckpoint(eager=False)
         )
     return ranks.select("node", F.col("r").alias("pagerank"))
 
@@ -109,6 +118,14 @@ def bfs_distances(edges: DataFrame, seed: DataFrame, max_hops: int) -> DataFrame
     frontier = seed.select(
         F.col("node").cast("bigint").alias("node"), F.lit(0).alias("dist")
     ).localCheckpoint(eager=False)
+    # r13: only the FRONTIER is lineage-cut per hop (it is consumed twice
+    # — the visited union and the next hop's join — so an uncut plan
+    # would double per round). The visited set is kept as the lazy UNION
+    # of the already-checkpointed frontiers: the frontiers are disjoint
+    # by construction, so the union carries exactly the same bytes the
+    # old per-round visited checkpoint did, while dropping one semi-eager
+    # AQE materialization (a blocking driver sync, ~130-400 ms profiled)
+    # per hop.
     visited = frontier
     for h in range(1, max_hops + 1):
         nxt = (
@@ -118,7 +135,7 @@ def bfs_distances(edges: DataFrame, seed: DataFrame, max_hops: int) -> DataFrame
             .join(visited.select("node"), "node", "left_anti")
             .localCheckpoint(eager=False)
         )
-        visited = visited.unionAll(nxt).localCheckpoint(eager=False)
+        visited = visited.unionAll(nxt)
         frontier = nxt
     return visited
 
@@ -161,13 +178,22 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
         )
 
     out = _profile(0, edges)
+    # r13: the per-round `keep` set is NOT checkpointed any more. It is
+    # consumed twice (src and dst semi-joins) inside ONE compiled plan —
+    # the round's edge checkpoint — where the two subtrees canonicalize
+    # identically, so ReuseExchange computes the degree aggregation once
+    # at execution. Cutting it separately bought nothing and cost one
+    # semi-eager AQE materialization (a blocking driver sync, profiled
+    # ~130-400 ms) per round. The EDGES stay checkpointed per round:
+    # they are consumed three times (profile row, next round's degree
+    # aggregate, next round's semi-joins), which an uncut plan would
+    # re-derive exponentially.
     for r in range(1, rounds + 1):
         keep = (
             edges.groupBy("src")
             .agg(F.count(F.lit(1)).alias("d"))
             .filter(F.col("d") >= k)
             .select("src")
-            .localCheckpoint(eager=False)
         )
         edges = (
             edges.join(keep, "src", "left_semi")
@@ -199,11 +225,17 @@ def label_propagation(edges: DataFrame, iterations: int) -> DataFrame:
     from pyspark.sql import Window
 
     edges = edges.select("src", "dst").localCheckpoint(eager=False)
+    # r13: NO per-round lineage cut (same reasoning as pagerank): each
+    # round's label table is consumed exactly ONCE (the next round's
+    # edge⋈label join), so the uncut plan grows linearly with the small
+    # fixed round count — one join + one agg + one window per round —
+    # and the whole propagation executes as one pipelined DAG instead of
+    # paying a semi-eager AQE materialization (blocking driver sync,
+    # ~130-400 ms profiled) per round.
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("lbl"))
-        .localCheckpoint(eager=False)
     )
     w = Window.partitionBy("src").orderBy(F.desc("c"), "lbl")
     for _ in range(iterations):
@@ -216,7 +248,6 @@ def label_propagation(edges: DataFrame, iterations: int) -> DataFrame:
             cnt.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select(F.col("src").alias("node"), "lbl")
-            .localCheckpoint(eager=False)
         )
     return labels
 
@@ -239,11 +270,34 @@ def sssp_distances(
     per-round cost; lazy ``localCheckpoint`` per round cuts replayed
     lineage exactly like the PageRank/BFS loops above."""
     edges = edges.select("src", "dst", "w").localCheckpoint(eager=False)
-    dist = seed.select(
+    seed0 = seed.select(
         F.col("node").cast("bigint").alias("node"),
         F.lit(0).cast("bigint").alias("dist"),
     ).localCheckpoint(eager=False)
-    frontier = dist
+
+    # r13: the per-round dist table is no longer materialized by an
+    # anti-join + union + lineage cut. Every improvement is strictly
+    # SMALLER than the node's previous distance, so the distance-so-far
+    # after round r is exactly min() over the seed and every checkpointed
+    # improvement table — a lazy union-aggregate over already-cut block
+    # scans, rebuilt per consumer and deduplicated by ReuseExchange when
+    # it appears twice in one compiled plan. Bytes are the same
+    # node-sized state the old anti-join shuffled once per round; what
+    # disappears is one semi-eager AQE materialization (blocking driver
+    # sync, ~130-400 ms profiled) per round. Only the FRONTIER
+    # (`improved`) keeps its per-round cut — it feeds three consumers
+    # (the min-union, the next round's relax join, and the filter's
+    # left_outer probe), which an uncut plan would re-derive
+    # exponentially.
+    improvements = [seed0]
+
+    def dist_so_far():
+        u = improvements[0]
+        for d in improvements[1:]:
+            u = u.unionByName(d)
+        return u.groupBy("node").agg(F.min("dist").alias("dist"))
+
+    frontier = seed0
     for _ in range(rounds):
         best = (
             frontier.join(edges, frontier["node"] == edges["src"])
@@ -255,18 +309,14 @@ def sssp_distances(
             .agg(F.min("cand").alias("cand"))
         )
         improved = (
-            best.join(dist, "node", "left_outer")
+            best.join(dist_so_far(), "node", "left_outer")
             .filter(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
             .select("node", F.col("cand").alias("dist"))
             .localCheckpoint(eager=False)
         )
-        dist = (
-            dist.join(improved.select("node"), "node", "left_anti")
-            .unionByName(improved)
-            .localCheckpoint(eager=False)
-        )
+        improvements.append(improved)
         frontier = improved
-    return dist
+    return dist_so_far()
 
 
 def hits_bipartite(
@@ -295,40 +345,43 @@ def hits_bipartite(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.lit(1.0).alias("score"))
-        .localCheckpoint(eager=False)
     )
+    # r13: the per-half-step lineage cut moved from the NORMALIZED score
+    # table to the RAW aggregate. The raw table is the half-step's only
+    # duplicated subtree (it feeds both the max-norm broadcast and the
+    # normalized projection), so cutting it is what actually prevents
+    # re-derivation; the normalization itself is a projection over the
+    # cut blocks plus a 1-row broadcast and stays lazy. Same number of
+    # cuts per half-step, but each cut's compile is one join + one
+    # combinable agg over block scans — and the initial all-ones hub
+    # table no longer pays its own materialization (it is consumed once,
+    # by the first half-step).
     auths = None
     for _ in range(iterations):
         a_raw = (
             edges.join(hubs.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(_r9(F.col("score")).cast(_DEC)).alias("raw"))
+            .localCheckpoint(eager=False)
         )
         a_max = F.broadcast(a_raw.agg(F.max("raw").alias("mx")))
-        auths = (
-            a_raw.crossJoin(a_max)
-            .select(
-                "node",
-                _r9(
-                    F.col("raw").cast("double") / F.col("mx").cast("double")
-                ).alias("score"),
-            )
-            .localCheckpoint(eager=False)
+        auths = a_raw.crossJoin(a_max).select(
+            "node",
+            _r9(
+                F.col("raw").cast("double") / F.col("mx").cast("double")
+            ).alias("score"),
         )
         h_raw = (
             edges.join(auths.withColumnRenamed("node", "dst"), "dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum(_r9(F.col("score")).cast(_DEC)).alias("raw"))
+            .localCheckpoint(eager=False)
         )
         h_max = F.broadcast(h_raw.agg(F.max("raw").alias("mx")))
-        hubs = (
-            h_raw.crossJoin(h_max)
-            .select(
-                "node",
-                _r9(
-                    F.col("raw").cast("double") / F.col("mx").cast("double")
-                ).alias("score"),
-            )
-            .localCheckpoint(eager=False)
+        hubs = h_raw.crossJoin(h_max).select(
+            "node",
+            _r9(
+                F.col("raw").cast("double") / F.col("mx").cast("double")
+            ).alias("score"),
         )
     return hubs, auths

@@ -13,7 +13,7 @@ from pipeline_query_engine_demo_spark.functions.rounding import (
 from pipeline_query_engine_demo_spark.operators import dedup, similarity
 from pipeline_query_engine_demo_spark.plans.registry import query
 from pipeline_query_engine_demo_spark.session import resilient_local_checkpoint
-from pipeline_query_engine_demo_spark.sources.catalog import load_table
+from pipeline_query_engine_demo_spark.sources.catalog import fanout_width, load_table
 
 
 from pipeline_query_engine_demo_spark.plans.registry import REGISTRY as _REG  # noqa: E402
@@ -1307,19 +1307,27 @@ def lsh_bands_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False
     )
     # r12 optimization (guide §2.4): all three banding chains verify
-    # against the SAME corpus — materialize the shingle explode once and
-    # share it (jaccard_pairs_from_units) instead of re-deriving a
-    # candidate-restricted explode per chain (the b=8 singleton-band
-    # chain's candidate set covers ~the whole corpus anyway, so the
-    # unrestricted unit table costs the same explode the largest chain
-    # already paid). Per-pair Jaccard is restriction-independent —
-    # results identical.
+    # against the SAME corpus — materialize the shingle explode once
+    # (dedup.unit_table, the same public builder jaccard_pairs uses) and
+    # share it instead of re-deriving a candidate-restricted explode per
+    # chain (the b=8 singleton-band chain's candidate set covers ~the
+    # whole corpus anyway, so the unrestricted unit table costs the same
+    # explode the largest chain already paid). Per-pair Jaccard is
+    # restriction-independent — results identical.
+    #
+    # r13 (r12 ADVICE): the shared-toks path is GATED on the same
+    # unsplittable-layout signal as the fan-out. On a real, splittable
+    # corpus where banding prunes aggressively (candidates << corpus) an
+    # unrestricted explode plus corpus-sized size/intersection joins can
+    # cost more than three candidate-restricted chains — so splittable
+    # layouts keep per-chain jaccard_pairs and only the fixture-shaped
+    # single-file layout shares the full unit table.
+    share_toks = fanout_width(spark, sf_dir, "documents") is not None
     toks = (
-        docs.select(
-            "doc_id",
-            F.explode(_d._units(F.col("text"), _d.DEFAULT_SHINGLE_N)).alias("tok"),
-        )
-    ).localCheckpoint(eager=False)
+        _d.unit_table(docs, "doc_id", "text").localCheckpoint(eager=False)
+        if share_toks
+        else None
+    )
     rows = []
     vers = []
     for b in _SWEEP_BANDS:
@@ -1334,9 +1342,13 @@ def lsh_bands_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         estf = _d.signature_agreement_prefilter(
             sigs, cand, "doc_id", _d.DEFAULT_NUM_HASHES, _d.DEFAULT_EST_PREFILTER
         )
-        ver = (
+        verified = (
             _d.jaccard_pairs_from_units(toks, estf, "doc_id")
-            .filter(F.col("jaccard") >= 0.6)
+            if share_toks
+            else _d.jaccard_pairs(docs, estf, "doc_id", "text")
+        )
+        ver = (
+            verified.filter(F.col("jaccard") >= 0.6)
             .select("id_a", "id_b")
             .localCheckpoint(eager=False)
         )

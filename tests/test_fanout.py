@@ -26,10 +26,57 @@ def test_fanout_width_none_when_layout_splits(spark, monkeypatch):
     import os
 
     path = os.path.join(SF_DIR, "documents.parquet")
+    # r13: metadata caches key on (path, mtime, size) — see _cache_key.
     monkeypatch.setitem(
-        catalog._SCAN_UNITS, path, spark.sparkContext.defaultParallelism
+        catalog._SCAN_UNITS,
+        catalog._cache_key(path),
+        spark.sparkContext.defaultParallelism,
     )
     assert catalog.fanout_width(spark, SF_DIR, "documents") is None
+
+
+def test_metadata_caches_invalidate_on_rewrite(spark, tmp_path):
+    # r13 (r12 ADVICE): the per-path schema / row-group caches key on
+    # (path, mtime, size), so regenerating a fixture inside one process
+    # misses the cache instead of serving stale metadata.
+    p = str(tmp_path / "t.parquet")
+    spark.range(5).selectExpr("id AS a").coalesce(1).write.mode("overwrite").parquet(p)
+    import glob
+    import os
+    import shutil
+
+    part = glob.glob(p + "/part-*.parquet")[0]
+    single = str(tmp_path / "single.parquet")
+    shutil.copy(part, single)
+    k1 = catalog._cache_key(single)
+    assert catalog._scan_units(single) >= 1
+    assert k1 in catalog._SCAN_UNITS
+    # rewrite the file: key changes, old entry is never consulted
+    spark.range(7).selectExpr("id AS a", "id AS b").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(p)
+    part2 = glob.glob(p + "/part-*.parquet")[0]
+    shutil.copy(part2, single)
+    os.utime(single)
+    k2 = catalog._cache_key(single)
+    assert k1 != k2
+
+
+def test_order_part_pairs_expansion_pin_survives_planning(spark):
+    # r12 pinned the expansion width with repartition(w, l_orderkey) and
+    # EnsureRequirements silently ELIDED it (same key + count as the
+    # groupBy), handing the CPU-quadratic expansion back to AQE's
+    # byte-based coalescing (observed: 6 tasks for an 8.2 s-CPU stage).
+    # The r13 pin hashes xxhash64(l_orderkey) — a different partitioning
+    # expression — so the exchange must survive as REPARTITION_BY_NUM,
+    # which AQE cannot coalesce. This asserts it stays in the plan.
+    plan = (
+        _order_part_pairs(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "REPARTITION_BY_NUM" in plan, plan
 
 
 def test_fanout_width_unknown_layout_assumed_splittable(spark, tmp_path):

@@ -1,6 +1,7 @@
-"""Capture .explain("formatted") for queries into plans/r12/<q>_<tag>.txt.
+"""Capture .explain("formatted") for queries into plans/<round>/<q>_<tag>.txt.
 
 Usage: python tools/explain_capture.py <tag> <query>[,<query>...] [sf_dir]
+The round directory defaults to r13; override with SPARK_GRAFT_PLAN_ROUND.
 """
 
 from __future__ import annotations
@@ -13,7 +14,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 TAG = sys.argv[1]
 NAMES = sys.argv[2].split(",")
 SF_DIR = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r13"),
+)
 
 
 def main() -> None:
