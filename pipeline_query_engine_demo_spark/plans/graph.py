@@ -217,6 +217,15 @@ def _copurchase_triangles(spark: SparkSession, sf_dir: str):
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    # r13 note (examined, tried, REVERTED): the oriented checkpoint
+    # materializes at the AQE-coalesced join width (3 partitions for
+    # ~10 MB) and the downstream array_intersect stage inherits ~15
+    # tasks — pinning the cut to cluster width (repartition on
+    # xxhash64(src,dst) before the checkpoint) spread that stage but
+    # LOST on wall in the isolated alternating A/B (triangle_count
+    # 4.15 -> 4.54, lcc flat): the intersect stage is not the critical
+    # path, the extra exchange + wider final stage is pure overhead in
+    # the driver-bound build. Kept as-was.
     oriented = with_deg.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),

@@ -114,6 +114,8 @@ NL_WHITELIST = {
     "user_feature_matrix",  # 1-row dataset-horizon broadcast onto the event scan (recency feature), same shape as time_decayed_engagement
     "time_decayed_engagement",  # 1-row dataset-horizon broadcast onto the event scan (same shape as kaplan_meier_retention)
     "naive_bayes_source_classify",  # |sources|-row class list + 1-row vocab/doc totals broadcast onto the doc-token table; the model join itself is equi-keyed on (source, token)
+    "pagerank_copurchase",  # r13: per-round 1-row node-count broadcast (teleport term) now VISIBLE in the final plan — the per-round lineage cuts that used to hide it were removed (each round is consumed once; see operators/graph.py)
+    "hits_hubs_authorities",  # r13: per-half-step 1-row max-norm broadcast now visible in the final plan for the same reason (cut moved to the raw aggregate)
 }
 #: The deliberate row-at-a-time Python evals (API coverage: F.udf,
 #: spark.udf.register for SQL, and the TABLE-argument UDTF whose
